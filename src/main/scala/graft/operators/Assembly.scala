@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TimeFns
+
+/** Dataset assembly / serving (SURVEY.md §2.5).
+  *
+  * Capability reference: /root/reference/src/datapipeline/pipelines/sample/,
+  * pipelines/dataset/split.py, artifacts/scaler.py,
+  * transforms/vector/scaler.py, analysis/vector/coverage_stats.py.
+  */
+object Assembly {
+
+  /** Group records into samples keyed by (cadence-floored time, sample keys)
+    * and project named aggregate features — the wide-vector assembly of
+    * reference pipelines/sample. Aggregations happen map-side-partial then
+    * shuffle on the sample key, the scalable shape of the reference's
+    * driver-side bucket dict.
+    */
+  def sampleAssembly(df: DataFrame, timeCol: String, cadence: String,
+                     sampleKeys: Seq[String],
+                     features: Seq[(String, Column)]): DataFrame = {
+    val bucket = TimeFns.floorTime(col(timeCol), cadence).as("sample_time")
+    df.groupBy(bucket +: sampleKeys.map(col): _*)
+      .agg(features.head._2.as(features.head._1),
+        features.tail.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** Sliding windows as array payloads — reference `sequence` series policy
+    * (config/dataset/series.py): windows of `size` per partition, emitted
+    * every `stride` records once full.
+    */
+  def sequenceWindows(df: DataFrame, key: StreamKey, field: String,
+                      windowSize: Int, stride: Int, to: String): DataFrame = {
+    val frame = key.w.rowsBetween(-(windowSize - 1), 0)
+    val rn = row_number().over(key.w)
+    df.withColumn("__rn", rn)
+      .withColumn(to, collect_list(col(field)).over(frame))
+      .where(col("__rn") >= windowSize &&
+        pmod(col("__rn") - windowSize, lit(stride)) === 0)
+      .drop("__rn")
+  }
+
+  /** Per-column scalar coverage counts — reference CoverageStatsAccumulator:
+    * coverage = non_null / total. One pass, partial-aggregated.
+    */
+  def coverageStats(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val aggs = columns.flatMap { c =>
+      Seq(count(lit(1)).as(s"${c}__present"), count(col(c)).as(s"${c}__non_null"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = columns.map { c =>
+      struct(lit(c).as("column"), col(s"${c}__present").as("present"),
+        col(s"${c}__non_null").as("non_null"))
+    }
+    wide.select(explode(array(perCol: _*)).as("s"))
+      .select(col("s.column"), col("s.present"), col("s.non_null"),
+        (col("s.non_null").cast("double") / col("s.present")).as("coverage"))
+  }
+
+  /** Keep sample rows whose fraction of present cells among `columns` meets
+    * `threshold` — reference DropSamplesTransform (vector/drop/horizontal.py).
+    */
+  def filterRowsByCoverage(df: DataFrame, columns: Seq[String],
+                           threshold: Double): DataFrame = {
+    val present = columns.map(c => when(col(c).isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    df.where(present >= lit(threshold * columns.size))
+  }
+
+  /** Deterministic hash split — reference HashLabeler
+    * (pipelines/dataset/split.py:27): r = (first 8 bytes of
+    * sha256(seed|token) mod 2^53) / 2^53, bucketed by cumulative ratios.
+    * Bit-identical to the reference for the same token string.
+    */
+  def hashSplitLabel(token: Column, ratios: Seq[(String, Double)],
+                     seed: Int = 42): Column = {
+    val hex = sha2(concat(lit(seed.toString), lit("|"), token.cast("string")), 256)
+    // low 53 bits of the big-endian first 8 bytes = hex chars 3..16 masked
+    val low56 = conv(substring(hex, 3, 14), 16, 10).cast("long")
+    val r = (low56.bitwiseAND(lit((1L << 53) - 1))).cast("double") /
+      lit((1L << 53).toDouble)
+    val cumulative = ratios.scanLeft(0.0)(_ + _._2).tail
+    val labeled = ratios.map(_._1).zip(cumulative).foldLeft(lit(null).cast("string")) {
+      case (acc, (label, thresh)) => when(acc.isNotNull, acc)
+        .otherwise(when(r < thresh, label))
+    }
+    coalesce(labeled, lit(ratios.last._1))
+  }
+
+  /** Time split — reference TimeLabeler: label_i for boundaries b with
+    * b_{i-1} <= t < b_i (equality goes to the next interval, bisect_right).
+    */
+  def timeSplitLabel(ts: Column, intervals: Seq[(String, Option[String])]): Column = {
+    val bounded = intervals.collect { case (id, Some(until)) => (id, until) }
+    val fallback = intervals.last._1
+    bounded.foldRight(lit(fallback)) { case ((id, until), acc) =>
+      when(ts < to_timestamp(lit(until)), id).otherwise(acc)
+    }
+  }
+
+  /** Standard scaler statistics fitted on the training rows — reference
+    * ScalerAccumulator (transforms/vector/scaler.py): population variance,
+    * std = max(pstdev, epsilon). Returns (mean, std) one-row frame.
+    */
+  def fitStandardScaler(train: DataFrame, field: String,
+                        epsilon: Double = 1e-12): DataFrame =
+    train.agg(
+      avg(col(field)).as("mean"),
+      greatest(coalesce(stddev_pop(col(field)), lit(0.0)), lit(epsilon)).as("std"))
+
+  /** Apply a fitted scaler: (x - mean) / std, honoring with_mean/with_std. */
+  def applyStandardScaler(df: DataFrame, stats: DataFrame, field: String,
+                          to: String, withMean: Boolean = true,
+                          withStd: Boolean = true): DataFrame = {
+    val joined = df.crossJoin(broadcast(stats))
+    val centered = if (withMean) col(field) - col("mean") else col(field)
+    val scaled = if (withStd) centered / col("std") else centered
+    joined.withColumn(to, scaled).drop("mean", "std")
+  }
+}

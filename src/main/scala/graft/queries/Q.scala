@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Shared helpers for the driver-facing query inventory.
+  *
+  * Cross-engine determinism rules (Spark result must hash-match the DuckDB
+  * oracle):
+  *  - timestamps are emitted as epoch-microsecond BIGINTs (`eu`), never as
+  *    native timestamp types (parquet µs vs ns physical types would differ);
+  *  - big aggregates over doubles go through exact DECIMAL accumulation and
+  *    are cast back to DOUBLE (`sumDec`) — double summation order differs
+  *    between engines, decimal sums do not;
+  *  - engine-internal numerics (stddev, regr_slope, interpolated median,
+  *    windowed sums via segment trees) are rounded to 6 decimals on BOTH
+  *    sides.
+  */
+object Q {
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  /** epoch microseconds of a timestamp column (lossless for Spark µs). */
+  def eu(c: Column): Column = unix_micros(c)
+
+  /** Exact decimal sum of a double column, returned as double.
+    * Both engines round the per-row double→decimal cast identically and the
+    * decimal sum is exact, so the final double is bit-identical.
+    */
+  def sumDec(c: Column, scale: Int = 4): Column =
+    sum(c.cast(s"decimal(30,$scale)")).cast("double")
+
+  /** SQL twin of [[sumDec]]. */
+  def sumDecSql(expr: String, scale: Int = 4): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(30,$scale))) AS DOUBLE)"
+
+  /** Exact mean: decimal sum cast to double, divided by count (one IEEE
+    * division — identical in both engines).
+    */
+  def avgDec(c: Column, scale: Int = 4): Column =
+    sumDec(c, scale) / count(c)
+
+  def avgDecSql(expr: String, scale: Int = 4): String =
+    s"${sumDecSql(expr, scale)} / COUNT($expr)"
+
+  /** Floor epoch-µs to a step (both engines: positive epochs, % == pmod). */
+  def floorUs(c: Column, stepUs: Long): Column = {
+    val us = eu(c)
+    us - pmod(us, lit(stepUs))
+  }
+
+  val HourUs: Long = 3600L * 1000000L
+
+  // --- table access -------------------------------------------------------
+  def lineitem(s: SparkSession, d: String): DataFrame = Tables.lineitem(s, d)
+  def orders(s: SparkSession, d: String): DataFrame = Tables.orders(s, d)
+  def customer(s: SparkSession, d: String): DataFrame = Tables.customer(s, d)
+  def supplier(s: SparkSession, d: String): DataFrame = Tables.supplier(s, d)
+  def nation(s: SparkSession, d: String): DataFrame = Tables.nation(s, d)
+  def region(s: SparkSession, d: String): DataFrame = Tables.region(s, d)
+  def part(s: SparkSession, d: String): DataFrame = Tables.part(s, d)
+  def events(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
+  def documents(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+  def embeddings(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
+}

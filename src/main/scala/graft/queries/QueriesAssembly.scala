@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TimeFns
+import graft.operators.{Assembly, Ordered, StreamKey}
+import Q._
+
+/** §2.5 dataset assembly / serving (reference: pipelines/sample/,
+  * pipelines/dataset/split.py, artifacts/scaler.py, analysis/vector/
+  * coverage_stats.py, transforms/vector/drop/).
+  */
+object QueriesAssembly {
+
+  private val key = StreamKey(Seq("user_id"), "ts", Seq("event_id"))
+
+  /** events + two deterministic missing masks for coverage ops. */
+  private def masked(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("value_m",
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+      .withColumn("value_m3",
+        when(col("event_id") % 3 === 0, lit(null)).otherwise(col("value")))
+
+  private val maskSql =
+    """SELECT *,
+       CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value_m,
+       CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS value_m3
+       FROM events"""
+
+  val queries: Map[String, QueryFn] = Map(
+    // Wide sample vectors keyed by (cadence bucket, sample keys).
+    "sample_assembly" -> { (s, d) =>
+      Assembly.sampleAssembly(events(s, d), "ts", "1h", Seq("user_id"), Seq(
+        "n_events" -> count(lit(1)),
+        "avg_value" -> (sumDec(col("value")) / count(lit(1))),
+        "purchase_total" -> sumDec(when(col("event_type") === "purchase", col("value")))
+      )).select(eu(col("sample_time")).as("sample_time_us"), col("user_id"),
+        col("n_events"), round(col("avg_value"), 6).as("avg_value"),
+        col("purchase_total"))
+    },
+
+    // Sliding sequence windows (size 4, stride 2) — scalars derived from the
+    // window array prove content + order.
+    "sequence_windows" -> { (s, d) =>
+      Assembly.sequenceWindows(events(s, d), key, "value", 4, 2, "win")
+        .select(col("user_id"), eu(col("ts")).as("t_us"),
+          size(col("win")).as("win_n"),
+          element_at(col("win"), 1).as("win_first"),
+          element_at(col("win"), 4).as("win_last"),
+          round(aggregate(col("win"), lit(0.0),
+            (acc, x) => acc + x), 6).as("win_sum"))
+    },
+
+    "coverage_stats" -> { (s, d) =>
+      Assembly.coverageStats(masked(s, d), Seq("value", "value_m", "value_m3"))
+        .select(col("column"), col("present"), col("non_null"), col("coverage"))
+    },
+
+    "filter_rows_coverage" -> { (s, d) =>
+      Assembly.filterRowsByCoverage(masked(s, d),
+        Seq("value", "value_m", "value_m3"), 0.6)
+        .select(col("event_id"), col("value"), col("value_m"), col("value_m3"))
+    },
+
+    "select_columns_coverage" -> { (s, d) =>
+      Assembly.coverageStats(masked(s, d), Seq("value", "value_m", "value_m3"))
+        .filter(col("coverage") >= 0.8)
+        .select(col("column"))
+    },
+
+    // sha256(seed|token) 53-bit ratio bucketing — bit-identical to reference
+    // HashLabeler (pipelines/dataset/split.py).
+    "hash_split" -> { (s, d) =>
+      documents(s, d).select(col("doc_id"),
+        Assembly.hashSplitLabel(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 42).as("fold"))
+    },
+
+    "time_split" -> { (s, d) =>
+      orders(s, d).select(col("o_orderkey"),
+        Assembly.timeSplitLabel(col("o_orderdate"), Seq(
+          "train" -> Some("1998-01-01"),
+          "val" -> Some("2000-01-01"),
+          "test" -> None)).as("fold"))
+    },
+
+    // Scaler fitted on the hash-split train fold, applied everywhere.
+    // std is rounded to 6dp at fit time on both sides so the per-row
+    // (x - mean) / std arithmetic is bit-identical across engines.
+    "standard_scaler" -> { (s, d) =>
+      val e = events(s, d).withColumn("fold",
+        Assembly.hashSplitLabel(col("event_id"),
+          Seq("train" -> 0.8, "test" -> 0.2), seed = 7))
+      val train = e.filter(col("fold") === "train")
+      val stats = train.agg(
+        (sumDec(col("value")) / count(col("value"))).as("mean"),
+        round(greatest(coalesce(stddev_pop(col("value")), lit(0.0)), lit(1e-12)), 6).as("std"))
+      Assembly.applyStandardScaler(e, stats, "value", "z")
+        .select(col("event_id"), col("z"))
+    }
+  )
+
+  private val hourSql = "epoch_us(ts) - epoch_us(ts) % 3600000000"
+
+  /** SQL twin of Assembly.hashSplitLabel for a given seed/token expression. */
+  private def hashSplitSql(tokenExpr: String, seed: Int,
+                           cases: Seq[(String, Double)]): String = {
+    val r = s"CAST(CAST('0x' || substr(sha256('$seed|' || CAST($tokenExpr AS VARCHAR)), 3, 14) AS BIGINT) & 9007199254740991 AS DOUBLE) / 9007199254740992.0"
+    val whens = {
+      val cum = cases.scanLeft(0.0)(_ + _._2).tail
+      cases.map(_._1).zip(cum).dropRight(1)
+        .map { case (l, t) => s"WHEN $r < $t THEN '$l'" }.mkString(" ")
+    }
+    s"CASE $whens ELSE '${cases.last._1}' END"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "sample_assembly" ->
+      s"""SELECT $hourSql AS sample_time_us, user_id, COUNT(*) AS n_events,
+          ROUND(${sumDecSql("value")} / COUNT(*), 6) AS avg_value,
+          ${sumDecSql("CASE WHEN event_type = 'purchase' THEN value END")} AS purchase_total
+          FROM events GROUP BY 1, user_id""",
+
+    "sequence_windows" ->
+      """SELECT user_id, t_us, win_n, win_first, win_last, ROUND(win_sum, 6) AS win_sum
+         FROM (
+           SELECT user_id, epoch_us(ts) AS t_us,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                  count(*) OVER w4 AS win_n,
+                  first_value(value) OVER w4 AS win_first,
+                  value AS win_last,
+                  0.0 + coalesce(lag(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0)
+                    + coalesce(lag(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0)
+                    + coalesce(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0)
+                    + value AS win_sum
+           FROM events
+           WINDOW w4 AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+         WHERE rn >= 4 AND (rn - 4) % 2 = 0""",
+
+    "coverage_stats" ->
+      s"""WITH m AS ($maskSql)
+          SELECT 'value' AS "column", COUNT(*) AS present, COUNT(value) AS non_null,
+                 CAST(COUNT(value) AS DOUBLE) / COUNT(*) AS coverage FROM m
+          UNION ALL
+          SELECT 'value_m', COUNT(*), COUNT(value_m),
+                 CAST(COUNT(value_m) AS DOUBLE) / COUNT(*) FROM m
+          UNION ALL
+          SELECT 'value_m3', COUNT(*), COUNT(value_m3),
+                 CAST(COUNT(value_m3) AS DOUBLE) / COUNT(*) FROM m""",
+
+    "filter_rows_coverage" ->
+      s"""SELECT event_id, value, value_m, value_m3 FROM ($maskSql)
+          WHERE (CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END
+               + CASE WHEN value_m IS NOT NULL THEN 1 ELSE 0 END
+               + CASE WHEN value_m3 IS NOT NULL THEN 1 ELSE 0 END) >= 1.7999999999999998""",
+
+    "select_columns_coverage" ->
+      s"""WITH m AS ($maskSql), cov AS (
+            SELECT 'value' AS "column", CAST(COUNT(value) AS DOUBLE) / COUNT(*) AS coverage FROM m
+            UNION ALL SELECT 'value_m', CAST(COUNT(value_m) AS DOUBLE) / COUNT(*) FROM m
+            UNION ALL SELECT 'value_m3', CAST(COUNT(value_m3) AS DOUBLE) / COUNT(*) FROM m)
+          SELECT "column" FROM cov WHERE coverage >= 0.8""",
+
+    "hash_split" ->
+      s"""SELECT doc_id, ${hashSplitSql("doc_id", 42,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))} AS fold FROM documents""",
+
+    "time_split" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 'train'
+              WHEN o_orderdate < TIMESTAMP '2000-01-01' THEN 'val'
+              ELSE 'test' END AS fold FROM orders""",
+
+    "standard_scaler" ->
+      s"""WITH labeled AS (
+            SELECT event_id, value, ${hashSplitSql("event_id", 7,
+        Seq("train" -> 0.8, "test" -> 0.2))} AS fold FROM events),
+          stats AS (
+            SELECT ${sumDecSql("value")} / COUNT(value) AS mean,
+                   ROUND(GREATEST(COALESCE(stddev_pop(value), 0.0), 1e-12), 6) AS std
+            FROM labeled WHERE fold = 'train')
+          SELECT event_id, (value - mean) / std AS z FROM labeled, stats"""
+  )
+}

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TimeFns
+import graft.operators.Compose
+import Q._
+
+/** §2.4 stream composition (reference: alignment/broadcast.py, engine.py,
+  * services/streams/). The reference's driver-memory timestamp index becomes
+  * a broadcast hash join; its k-way sorted-iterator intersection becomes a
+  * multi-way equi-join on (partition, time).
+  */
+object QueriesCompose {
+
+  private def withHour(df: DataFrame): DataFrame =
+    df.withColumn("hour", TimeFns.floorTime(col("hour_ts"), "1h"))
+
+  val queries: Map[String, QueryFn] = Map(
+    // Attach an unpartitioned hourly reference stream (global per-hour mean)
+    // to every event at its hour — exact-timestamp broadcast attach.
+    "broadcast_join" -> { (s, d) =>
+      val e = events(s, d).withColumn("hour", TimeFns.floorTime(col("ts"), "1h"))
+      val hourly = e.groupBy(col("hour"))
+        .agg((sumDec(col("value")) / count(lit(1))).as("hourly_avg"))
+      Compose.broadcastJoin(e, hourly, "hour")
+        .select(col("event_id"), eu(col("hour")).as("hour_us"),
+          round(col("b_hourly_avg"), 6).as("hourly_avg"))
+    },
+
+    // k-way intersection of two derived per-(user, hour) streams.
+    "align_streams" -> { (s, d) =>
+      val e = events(s, d).withColumn("hour", TimeFns.floorTime(col("ts"), "1h"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("hour"))
+        .agg(count(lit(1)).as("clicks"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("hour"))
+        .agg(sumDec(col("value")).as("purchase_total"))
+      Compose.alignStreams(Seq(clicks, purchases), Seq("user_id"), "hour")
+        .select(col("user_id"), eu(col("hour")).as("hour_us"),
+          col("s0_clicks").as("clicks"),
+          col("s1_purchase_total").as("purchase_total"))
+    },
+
+    // Derived stream = operator chain fused into one plan: filter → floor →
+    // per-(user, hour) collapse → arithmetic derive.
+    "derived_stream" -> { (s, d) =>
+      val e = events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .withColumn("hour", TimeFns.floorTime(col("ts"), "1h"))
+      e.groupBy(col("user_id"), col("hour"))
+        .agg(sumDec(col("value")).as("total"), count(lit(1)).as("n"))
+        .select(col("user_id"), eu(col("hour")).as("hour_us"),
+          (col("total") * lit(2.0)).as("total_x2"), col("n"))
+    }
+  )
+
+  private val hourSql = "epoch_us(ts) - epoch_us(ts) % 3600000000"
+
+  val oracleSql: Map[String, String] = Map(
+    "broadcast_join" ->
+      s"""WITH h AS (
+            SELECT $hourSql AS hour_us,
+                   ${sumDecSql("value")} / COUNT(*) AS hourly_avg
+            FROM events GROUP BY 1)
+          SELECT e.event_id, h.hour_us, ROUND(h.hourly_avg, 6) AS hourly_avg
+          FROM events e JOIN h ON ($hourSql) = h.hour_us""",
+
+    "align_streams" ->
+      s"""WITH c AS (
+            SELECT user_id, $hourSql AS hour_us, COUNT(*) AS clicks
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+          p AS (
+            SELECT user_id, $hourSql AS hour_us,
+                   ${sumDecSql("value")} AS purchase_total
+            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+          SELECT c.user_id, c.hour_us, c.clicks, p.purchase_total
+          FROM c JOIN p ON c.user_id = p.user_id AND c.hour_us = p.hour_us""",
+
+    "derived_stream" ->
+      s"""SELECT user_id, $hourSql AS hour_us,
+          ${sumDecSql("value")} * 2.0 AS total_x2, COUNT(*) AS n
+          FROM events WHERE event_type IN ('purchase', 'click')
+          GROUP BY user_id, 2"""
+  )
+}

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import Q._
+
+/** §2.1 sources + §2.9 sinks — reader/writer round-trips proved against the
+  * original table (reference: src/datapipeline/sources/adapters/fs.py,
+  * decoders.py, io/writers/). The round-trip queries write a derived result
+  * to a scratch dir in the requested format, read it back with an explicit
+  * schema (no inference pass — at 100 TB schema inference is a full extra
+  * scan), and return the re-read rows; the oracle recomputes the same rows
+  * straight from parquet, so any serialization drift fails the hash.
+  */
+object QueriesSources {
+
+  private def scratch(name: String): String = {
+    val dir = s"/tmp/graft_scratch/$name"
+    dir
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    // Column-pruned, predicate-pushed parquet scan.
+    "src_parquet" -> { (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+    },
+
+    // CSV round-trip of the nation dim with explicit schema.
+    "src_csv" -> { (s, d) =>
+      val out = scratch("nation_csv")
+      nation(s, d).write.mode("overwrite").option("header", "true").csv(out)
+      Tables.readCsv(s, out, header = true,
+        schemaDDL = Some("n_nationkey INT, n_name STRING, n_regionkey INT"))
+    },
+
+    // JSONL round-trip of the region dim with explicit schema.
+    "src_jsonl" -> { (s, d) =>
+      val out = scratch("region_jsonl")
+      region(s, d).write.mode("overwrite").json(out)
+      Tables.readJsonl(s, out,
+        schemaDDL = Some("r_regionkey INT, r_name STRING"))
+    },
+
+    // §2.9: one derived result written as parquet + csv + jsonl, re-read and
+    // unioned with a format tag.
+    "sink_roundtrip" -> { (s, d) =>
+      val agg = events(s, d).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sumDec(col("value")).as("total"))
+      val ddl = "event_type STRING, n BIGINT, total DOUBLE"
+      val pq = scratch("rt_parquet"); val cv = scratch("rt_csv"); val js = scratch("rt_jsonl")
+      agg.write.mode("overwrite").parquet(pq)
+      agg.write.mode("overwrite").option("header", "true").csv(cv)
+      agg.write.mode("overwrite").json(js)
+      val back =
+        s.read.parquet(pq).selectExpr("'parquet' AS fmt", "event_type", "n", "total")
+          .unionByName(Tables.readCsv(s, cv, header = true, schemaDDL = Some(ddl))
+            .selectExpr("'csv' AS fmt", "event_type", "n", "total"))
+          .unionByName(Tables.readJsonl(s, js, schemaDDL = Some(ddl))
+            .selectExpr("'jsonl' AS fmt", "event_type", "n", "total"))
+      back
+    }
+  )
+
+  private val rtAggSql =
+    s"""SELECT event_type, COUNT(*) AS n, ${sumDecSql("value")} AS total
+        FROM events GROUP BY event_type"""
+
+  val oracleSql: Map[String, String] = Map(
+    "src_parquet" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem WHERE l_quantity >= 45""",
+    "src_csv" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "src_jsonl" -> "SELECT r_regionkey, r_name FROM region",
+    "sink_roundtrip" ->
+      s"""SELECT 'parquet' AS fmt, * FROM ($rtAggSql)
+          UNION ALL SELECT 'csv' AS fmt, * FROM ($rtAggSql)
+          UNION ALL SELECT 'jsonl' AS fmt, * FROM ($rtAggSql)"""
+  )
+}

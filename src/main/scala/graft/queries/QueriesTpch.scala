@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Q._
+
+/** §2.6 analytics heads — TPC-H-shaped queries over the star schema.
+  * Shapes follow the public TPC-H specification (Q1/Q3/Q5), adapted to the
+  * driver's synthetic schema. These are the bench flagships: partial-agg
+  * friendly group-bys, broadcast dimension joins, top-k with deterministic
+  * tiebreaks.
+  *
+  * Numeric determinism: per-row products are computed in DOUBLE (bit-identical
+  * across engines), then cast to DECIMAL for an exact, order-independent sum,
+  * then back to DOUBLE.
+  */
+object QueriesTpch {
+
+  private def discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+  private def charge = discPrice * (lit(1.0) + col("l_tax"))
+
+  val queries: Map[String, QueryFn] = Map(
+    "q1_pricing" -> { (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sumDec(col("l_quantity")).as("sum_qty"),
+          sumDec(col("l_extendedprice")).as("sum_base_price"),
+          sumDec(discPrice, 6).as("sum_disc_price"),
+          sumDec(charge, 6).as("sum_charge"),
+          (sumDec(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (sumDec(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          (sumDec(col("l_discount")) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+
+    "q3_topk" -> { (s, d) =>
+      val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = orders(s, d).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = lineitem(s, d).filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sumDec(discPrice, 6).as("revenue"))
+        .select(col("l_orderkey"), eu(col("o_orderdate")).as("o_orderdate_us"),
+          col("o_orderpriority"), col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    },
+
+    "q5_region" -> { (s, d) =>
+      val r = region(s, d).filter(col("r_name") === "ASIA")
+      val joined = lineitem(s, d)
+        .join(orders(s, d)
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1999-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      joined.groupBy(col("n_name"))
+        .agg(sumDec(discPrice, 6).as("revenue"))
+    }
+  )
+
+  private val discPriceSql = "l_extendedprice * (1.0 - l_discount)"
+  private val chargeSql = "l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)"
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         ${sumDecSql("l_quantity")} AS sum_qty,
+         ${sumDecSql("l_extendedprice")} AS sum_base_price,
+         ${sumDecSql(discPriceSql, 6)} AS sum_disc_price,
+         ${sumDecSql(chargeSql, 6)} AS sum_charge,
+         ${sumDecSql("l_quantity")} / COUNT(*) AS avg_qty,
+         ${sumDecSql("l_extendedprice")} / COUNT(*) AS avg_price,
+         ${sumDecSql("l_discount")} / COUNT(*) AS avg_disc,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+
+    "q3_topk" ->
+      s"""SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority,
+         ${sumDecSql(discPriceSql, 6)} AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey ASC
+         LIMIT 10""",
+
+    "q5_region" ->
+      s"""SELECT n_name, ${sumDecSql(discPriceSql, 6)} AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1995-01-01'
+           AND o_orderdate < TIMESTAMP '1999-01-01'
+         GROUP BY n_name"""
+  )
+}
