@@ -22,7 +22,9 @@ object SparkEntry {
       (QueriesPreprocess.queries, QueriesPreprocess.oracleSql),
       (QueriesOrdered.queries, QueriesOrdered.oracleSql),
       (QueriesCompose.queries, QueriesCompose.oracleSql),
-      (QueriesAssembly.queries, QueriesAssembly.oracleSql)
+      (QueriesAssembly.queries, QueriesAssembly.oracleSql),
+      (QueriesLlm.queries, QueriesLlm.oracleSql),
+      (QueriesStreaming.queries, QueriesStreaming.oracleSql)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

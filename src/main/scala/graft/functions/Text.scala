@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column expressions for LLM-training-data pipelines
+  * (SURVEY.md §2.7): language-ID heuristic, quality scoring, token counting,
+  * document fingerprinting. All pure `functions._` expressions — whole-stage
+  * codegen, no UDFs, safe at 100 TB.
+  *
+  * The marker tables are public data so the DuckDB oracle SQL can be
+  * generated from the same source of truth (see queries.QueriesLlm).
+  */
+object Text {
+
+  /** Function-word markers per language for the n-gram/char heuristic. The
+    * scorer counts marker occurrences; prediction = first language (in
+    * [[LangPriority]] order) achieving the max score.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq(" der ", " und ", " die "),
+    "en" -> Seq(" the ", " and ", " of "),
+    "es" -> Seq(" el ", " la ", " los "),
+    "fr" -> Seq(" le ", " les ", " des "),
+    "zh" -> Seq("的", "是", "了")
+  )
+  val LangPriority: Seq[String] = LangMarkers.map(_._1)
+
+  val PunctChars = ".,!?;:"
+  val StopMarkers: Seq[String] = Seq(" the ", " and ", " a ")
+  val BpeTokenPattern = "[a-z]+|[A-Z][a-z]*|[0-9]|[^\\sa-zA-Z0-9]"
+
+  /** Occurrences of literal `marker` in `text`:
+    * (len(text) - len(replace(text, marker))) / len(marker).
+    */
+  def occurrences(text: Column, marker: String): Column =
+    (length(text) - length(call_function("replace", text, lit(marker), lit("")))) / marker.length
+
+  /** Marker-count score for one language. */
+  def langScore(text: Column, lang: String): Column =
+    LangMarkers.toMap.apply(lang)
+      .map(m => occurrences(text, m))
+      .reduce(_ + _)
+
+  /** Predicted language: first in priority order hitting the max score. */
+  def langId(text: Column): Column = {
+    val scores = LangPriority.map(l => l -> langScore(text, l))
+    val m = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit(LangPriority.last)) { case ((l, s), acc) =>
+      when(s === m, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Whitespace-delimited token count. */
+  def tokenCountWs(text: Column): Column = regexp_count(text, lit("\\S+"))
+
+  /** BPE-ish token count: lowercase runs, capitalized words, digits,
+    * punctuation singles.
+    */
+  def tokenCountBpe(text: Column): Column = regexp_count(text, lit(BpeTokenPattern))
+
+  /** Document quality score in [0,1]: length credit × punctuation penalty ×
+    * stopword credit. Deterministic double arithmetic (same op order as the
+    * SQL twin).
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text)
+    val nWords = tokenCountWs(text)
+    val punct = nChars - length(translate(text, PunctChars, ""))
+    val stops = StopMarkers.map(m => occurrences(text, m)).reduce(_ + _)
+    val punctRatio = punct.cast("double") / greatest(nChars, lit(1))
+    val stopRatio = stops.cast("double") / greatest(nWords, lit(1)).cast("double")
+    round(least(lit(1.0), nWords.cast("double") / 100.0) *
+      (lit(1.0) - punctRatio) *
+      (lit(0.5) + least(stopRatio * 2.0, lit(0.5))), 6)
+  }
+
+  /** Polynomial rolling-hash fingerprint over the character codes:
+    * fold(acc=0; acc*31 + code mod 1e9+7). ASCII-safe; stays within Long.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      sequence(lit(1), length(text)),
+      lit(0L),
+      (acc, i) => (acc * 31 + ascii(call_function("substr", text, i, lit(1)))) % 1000000007L)
+
+  /** Lowercased whitespace tokens. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Word n-gram shingles (space-joined) from a token array. */
+  def shingles(toks: Column, n: Int): Column =
+    transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
+
+  /** Jaccard similarity of the distinct-shingle sets of two arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val ad = array_distinct(a)
+    val bd = array_distinct(b)
+    size(array_intersect(ad, bd)).cast("double") /
+      size(array_union(ad, bd)).cast("double")
+  }
+}

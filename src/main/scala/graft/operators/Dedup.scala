@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Deduplication operators for LLM-training-data pipelines (SURVEY.md §2.7).
+  *
+  * Scale posture: every method is a shuffle-on-key pipeline — no driver
+  * materialization, no cross join. MinHash/SimHash candidate generation
+  * buckets by (band, signature) so the self-join degree is bounded by bucket
+  * size; the verify stage only touches candidate pairs.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical payloads by sha256, keep the minimum id.
+    * One hash-shuffle; at 100 TB, group keys are 64-char digests, not bodies.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ---------------------------------------------------------------- minhash
+
+  private val MersennePrime = 2147483647L // 2^31 - 1
+
+  /** Deterministic (a, b) permutation parameters (LCG, fixed seed). */
+  private def permParams(numPerm: Int, seed: Long = 0x5eedL): Seq[(Long, Long)] = {
+    var state = seed
+    def next(): Long = { state = state * 6364136223846793005L + 1442695040888963407L; state }
+    (0 until numPerm).map { _ =>
+      val a = (math.abs(next()) % (MersennePrime - 1)) + 1
+      val b = math.abs(next()) % MersennePrime
+      (a, b)
+    }
+  }
+
+  /** MinHash signature (array<bigint> of length numPerm) over word-shingle
+    * sets. Shingle → 32-bit murmur (Spark `hash`) → min over the universal
+    * hash family (a*x+b) mod p. Pure higher-order functions — codegen'd.
+    */
+  def minhashSignature(text: Column, shingleSize: Int = 3,
+                       numPerm: Int = 64): Column = {
+    val sh = array_distinct(Text.shingles(Text.tokens(text), shingleSize))
+    val hs = transform(sh, t => pmod(hash(t).cast("long"), lit(MersennePrime)))
+    val perms = permParams(numPerm)
+    array(perms.map { case (a, b) =>
+      array_min(transform(hs, h => pmod(h * a + b, lit(MersennePrime))))
+    }: _*)
+  }
+
+  /** Banded LSH candidate pairs from a signed corpus: (band_id, hash of the
+    * band's slice) buckets; docs sharing a bucket become candidate pairs.
+    * Returns (id_a, id_b) with id_a < id_b, distinct.
+    */
+  def minhashCandidates(signed: DataFrame, idCol: String, sigCol: String,
+                        bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = signed.select(col(idCol), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)), b))
+    ).as(Seq("band", "band_hash")))
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r, col(s"l.band") === col(s"r.band") &&
+        col(s"l.band_hash") === col(s"r.band_hash") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Full minhash dedup report: per-doc candidate count and verified-duplicate
+    * count (exact Jaccard on the candidate pairs only).
+    */
+  def minhashDedup(df: DataFrame, textCol: String, idCol: String,
+                   shingleSize: Int = 3, numPerm: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.5): DataFrame = {
+    val rows = numPerm / bands
+    val signed = df.select(col(idCol),
+      minhashSignature(col(textCol), shingleSize, numPerm).as("sig"),
+      array_distinct(Text.shingles(Text.tokens(col(textCol)), shingleSize)).as("sh"))
+    val cands = minhashCandidates(signed, idCol, "sig", bands, rows)
+    val withSets = cands
+      .join(signed.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(signed.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jacc", Text.jaccard(col("sh_a"), col("sh_b")))
+    val perDoc = withSets
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol), col("jacc"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("jacc") >= threshold, 1).otherwise(0)).as("n_dups"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .na.fill(0, Seq("n_candidates", "n_dups"))
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  /** SimHash report: per-doc 64-bit signature + candidate count from 16-bit
+    * band collisions (hamming-adjacent docs share ≥1 of 4 bands at distance
+    * ≤3 by pigeonhole).
+    */
+  def simhashDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val sigCol = simhashExpr(textCol)
+    val signed = df.select(col(idCol), sigCol.as("simhash"))
+    val banded = signed.select(col(idCol), col("simhash"), posexplode(
+      transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))))
+      .as(Seq("band", "band_val")))
+    val counts = banded.groupBy(col("band"), col("band_val"))
+      .agg(count(lit(1)).as("bucket_n"))
+    banded.join(counts, Seq("band", "band_val"))
+      .groupBy(col(idCol), col("simhash"))
+      .agg(sum(col("bucket_n") - 1).as("n_candidates"))
+  }
+
+  /** 64-bit simhash as a single expression (bit b set iff the sum over
+    * tokens of ±1 from hash-bit b is positive).
+    */
+  def simhashExpr(textCol: String): Column = {
+    val toks = Text.tokens(col(textCol))
+    val hashes = transform(toks, t => xxhash64(t))
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, b) => {
+        val bitSum = aggregate(hashes, lit(0L),
+          (s, h) => s + call_function("shiftright", h, b).bitwiseAND(lit(1L)) * 2L - 1L)
+        acc + when(bitSum > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))
+      })
+  }
+}

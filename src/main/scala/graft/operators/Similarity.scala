@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (SURVEY.md §2.7: ann_bruteforce,
+  * ann_lsh, dedup_embed_cosine).
+  *
+  * Vector math is sequential fold arithmetic in DOUBLE (foldLeft order), so
+  * results are bit-reproducible and match the DuckDB oracle exactly.
+  *
+  * Scale posture: brute force is the correctness baseline (queries × corpus
+  * partitioned on query id, per-partition top-k before the global rank);
+  * random-hyperplane LSH is the 100 TB path — candidates come from bucket
+  * joins whose degree is bounded by bucket size, never a full cross join.
+  */
+object Similarity {
+
+  /** float[] → double[] (exact). */
+  def toDouble(vec: Column): Column = transform(vec, _.cast("double"))
+
+  /** Sequential dot product (foldLeft over zipped products). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Joins queries × corpus (queries side is expected small → broadcast),
+    * ranks per query with a deterministic (cosine desc, id asc) tiebreak.
+    */
+  def annBruteForce(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane weights (LCG, fixed seed). */
+  private def planeWeights(planes: Int, dim: Int, seed: Long = 0x9E3779B97F4A7C15L): Array[Array[Double]] = {
+    var state = seed
+    def next(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    Array.fill(planes, dim)(next())
+  }
+
+  /** Random-hyperplane signature: one bit per plane = sign(dot(v, plane)).
+    * Packed into a BIGINT bucket key (planes ≤ 63).
+    */
+  def lshSignature(vec: Column, planes: Int, dim: Int): Column = {
+    val w = planeWeights(planes, dim)
+    val v = toDouble(vec)
+    (0 until planes).map { p =>
+      val weights = array(w(p).map(lit(_)): _*)
+      when(dot(v, weights) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** ANN via hyperplane LSH: bucket corpus and queries by signature, rerank
+    * within the shared bucket only. Returns top-k per query among same-bucket
+    * candidates (approximate: misses cross-bucket neighbors by design).
+    */
+  def annLsh(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, k: Int, planes: Int, dim: Int): DataFrame = {
+    val sig = lshSignature(col(vecCol), planes, dim)
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("qv"), sig.as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("cv"), sig.as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("bucket"),
+        col("cos"), col("rank"))
+  }
+
+  /** Near-duplicate pairs by embedding cosine over a bounded neighbor window
+    * (id, id+1..id+lookahead) — the oracle-checkable linear-pair variant; the
+    * LSH path above is the unbounded-scale variant.
+    */
+  def embedCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                       lookahead: Int, threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), toDouble(col(vecCol)).as("va"))
+      .select(col("id_a"), col("va"),
+        explode(sequence(col("id_a") + 1, col("id_a") + lookahead)).as("id_b"))
+    val b = df.select(col(idCol).as("id_b"), toDouble(col(vecCol)).as("vb"))
+    a.join(b, Seq("id_b")) // equi-join: scalable pair generation, no BNLJ
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .select(col("id_a"), col("id_b"), col("cos"),
+        (col("cos") >= threshold).as("is_near_dup"))
+  }
+}

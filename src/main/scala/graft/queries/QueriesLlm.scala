@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.operators.{Dedup, Multimodal, Similarity}
+import Q._
+
+/** §2.7 LLM-training-data operators over `documents` and `embeddings`.
+  * DuckDB oracle SQL is generated from the same marker tables / constants as
+  * the Spark expressions, so the two sides cannot drift.
+  */
+object QueriesLlm {
+
+  // --- SQL twins of graft.functions.Text ----------------------------------
+  private def occSql(m: String): String =
+    s"(length(text) - length(replace(text, '$m', ''))) / ${m.length}"
+
+  private def scoreSql(lang: String): String =
+    Text.LangMarkers.toMap.apply(lang).map(occSql).mkString(" + ")
+
+  /** Sequential-fold dot product twin of Similarity.dot. */
+  private def dotSql(e1: String, e2: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"[CAST($e1[i] AS DOUBLE) * CAST($e2[i] AS DOUBLE) for i in generate_series(1, len($e1))]), " +
+      s"(acc, x) -> acc + x)"
+
+  private def cosSql(e1: String, e2: String): String =
+    s"(${dotSql(e1, e2)} / (sqrt(${dotSql(e1, e1)}) * sqrt(${dotSql(e2, e2)})))"
+
+  private val shinglesSql =
+    "list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] " +
+      "for i in generate_series(1, greatest(len(w) - 2, 0))])"
+
+  val queries: Map[String, QueryFn] = Map(
+    "dedup_exact" -> { (s, d) =>
+      Dedup.exact(documents(s, d), "text", "doc_id")
+    },
+
+    "dedup_minhash" -> { (s, d) => // rows-only: LSH banding is not SQL-shaped
+      Dedup.minhashDedup(documents(s, d), "text", "doc_id")
+    },
+
+    "dedup_simhash" -> { (s, d) => // rows-only
+      Dedup.simhashDedup(documents(s, d), "text", "doc_id")
+    },
+
+    "ngram_jaccard" -> { (s, d) =>
+      val sh = array_distinct(Text.shingles(Text.tokens(col("text")), 3))
+      val base = documents(s, d).select(col("doc_id"), sh.as("sh"))
+      val a = base.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = base.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          Text.jaccard(col("sh_a"), col("sh_b")).as("jacc"))
+    },
+
+    "dedup_embed_cosine" -> { (s, d) =>
+      Similarity.embedCosinePairs(embeddings(s, d), "vec_id", "embedding",
+        lookahead = 3, threshold = 0.95)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"),
+          col("is_near_dup"))
+    },
+
+    "ann_bruteforce" -> { (s, d) =>
+      val e = embeddings(s, d)
+      Similarity.annBruteForce(e.filter(col("vec_id") < 5), e, "vec_id",
+        "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"), col("rank").as("rnk"))
+    },
+
+    "ann_lsh" -> { (s, d) => // rows-only: approximate by design
+      val e = embeddings(s, d)
+      Similarity.annLsh(e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
+        k = 5, planes = 6, dim = 64)
+        .select(col("query_id"), col("neighbor_id"), col("bucket"),
+          round(col("cos"), 6).as("cos"), col("rank").as("rnk"))
+    },
+
+    "lang_id" -> { (s, d) =>
+      val t = col("text")
+      val scores = Text.LangPriority.map(l => Text.langScore(t, l))
+      documents(s, d).select(col("doc_id"),
+        Text.langId(t).as("lang_pred"),
+        greatest(scores: _*).as("score_max"))
+    },
+
+    "quality_score" -> { (s, d) =>
+      documents(s, d).select(col("doc_id"),
+        Text.qualityScore(col("text")).as("quality"))
+    },
+
+    "token_count" -> { (s, d) =>
+      documents(s, d).select(col("doc_id"),
+        Text.tokenCountWs(col("text")).cast("long").as("ws_tokens"),
+        Text.tokenCountBpe(col("text")).cast("long").as("bpe_tokens"))
+    },
+
+    "doc_fingerprint" -> { (s, d) =>
+      documents(s, d).select(col("doc_id"),
+        Text.fingerprint(col("text")).as("fp"))
+    },
+
+    "multimodal_meta" -> { (s, d) =>
+      val media = Multimodal.asMediaTable(documents(s, d), "doc_id", "text")
+      Multimodal.featuresExpr(media)
+        .select(col("media_id"), col("payload_len").cast("long").as("payload_len"),
+          col("first_byte").cast("long").as("first_byte"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
+         count(*) AS n_copies FROM documents GROUP BY sha256(text)""",
+
+    "ngram_jaccard" ->
+      s"""WITH s AS (
+            SELECT doc_id, $shinglesSql AS sh
+            FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+                  FROM documents))
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jacc
+          FROM s a JOIN s b ON b.doc_id = a.doc_id + 1""",
+
+    "dedup_embed_cosine" ->
+      s"""WITH p AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   a.embedding AS e1, b.embedding AS e2
+            FROM embeddings a JOIN embeddings b
+              ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 3)
+          SELECT id_a, id_b, ROUND(${cosSql("e1", "e2")}, 6) AS cos,
+                 ${cosSql("e1", "e2")} >= 0.95 AS is_near_dup
+          FROM p""",
+
+    "ann_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                     FROM embeddings WHERE vec_id < 5),
+          c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+          sc AS (SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cos
+                 FROM c, q WHERE query_id != neighbor_id),
+          r AS (SELECT query_id, neighbor_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id ASC) AS rnk
+                FROM sc)
+          SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rnk
+          FROM r WHERE rnk <= 5""",
+
+    "lang_id" -> {
+      val scoreCols = Text.LangPriority
+        .map(l => s"${scoreSql(l)} AS sc_$l").mkString(", ")
+      val m = Text.LangPriority.map(l => s"sc_$l").mkString("greatest(", ", ", ")")
+      val cases = Text.LangPriority.dropRight(1)
+        .map(l => s"WHEN sc_$l = m THEN '$l'").mkString(" ")
+      s"""SELECT doc_id,
+          CASE $cases ELSE '${Text.LangPriority.last}' END AS lang_pred,
+          m AS score_max
+          FROM (SELECT doc_id, $scoreCols, $m AS m
+                FROM documents)"""
+    },
+
+    "quality_score" -> {
+      val stops = Text.StopMarkers.map(occSql).mkString(" + ")
+      s"""SELECT doc_id,
+          ROUND(LEAST(1.0, CAST(n_words AS DOUBLE) / 100.0)
+                * (1.0 - CAST(punct AS DOUBLE) / GREATEST(n_chars_c, 1))
+                * (0.5 + LEAST((stops) / CAST(GREATEST(n_words, 1) AS DOUBLE) * 2.0, 0.5)),
+              6) AS quality
+          FROM (SELECT doc_id,
+                       length(text) AS n_chars_c,
+                       len(regexp_extract_all(text, '\\S+')) AS n_words,
+                       length(text) - length(translate(text, '${Text.PunctChars}', '')) AS punct,
+                       $stops AS stops
+                FROM documents)"""
+    },
+
+    "token_count" ->
+      s"""SELECT doc_id,
+          len(regexp_extract_all(text, '\\S+')) AS ws_tokens,
+          len(regexp_extract_all(text, '${Text.BpeTokenPattern}')) AS bpe_tokens
+          FROM documents""",
+
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             [CAST(ascii(text[i]) AS BIGINT) for i in generate_series(1, length(text))]),
+           (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+         FROM documents""",
+
+    "multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+         CAST(length(text) AS BIGINT) AS payload_len,
+         CAST(ascii(text[1]) AS BIGINT) AS first_byte,
+         CAST(length(text) % 640 AS BIGINT) AS width,
+         CAST((doc_id * 37) % 480 AS BIGINT) AS height
+         FROM documents"""
+  )
+}

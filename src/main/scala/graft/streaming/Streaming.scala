@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming equivalents (SURVEY.md §2.8). The reference engine is
+  * iterator-streaming end-to-end (docs/dataflow.md); graft expresses the same
+  * unbounded-stream semantics with Structured Streaming: file source →
+  * event-time window aggregation with a watermark → sink.
+  */
+object Streaming {
+
+  /** Schema of the events parquet file as the streaming file source sees it
+    * (ts is TIMESTAMP(NANOS) physical → read as LongType nanos via
+    * spark.sql.legacy.parquet.nanosAsLong).
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Unbounded read of the events table as a stream. The file source needs a
+    * directory; the test table is a single file, so stage it into a scratch
+    * dir (a real deployment points at the ingest directory itself).
+    */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(s"$sfDir/events.parquet")
+    val dir = Paths.get(s"/tmp/graft_stream_src/${math.abs(sfDir.hashCode)}")
+    Files.createDirectories(dir)
+    Files.copy(src, dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling-window aggregation with a watermark — the streaming twin of the
+    * batch hourly rollup. Watermark bounds state at scale; `complete` output
+    * is only used by the finite verification harness.
+    */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,4)")).cast("double").as("total"))
+      .select(unix_micros(col("window.start")).as("hour_us"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Run the streaming query to completion over the finite test input
+    * (Trigger.AvailableNow) into an in-memory table; returns the final
+    * result as a batch DataFrame.
+    */
+  def runToBatch(spark: SparkSession, sfDir: String,
+                 tableName: String = "graft_stream_agg"): DataFrame = {
+    val q = hourlyByType(readEvents(spark, sfDir))
+      .writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(tableName)
+  }
+}
