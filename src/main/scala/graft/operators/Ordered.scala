@@ -265,12 +265,15 @@ object Ordered {
     val runW = Window
       .partitionBy((key.partitionBy :+ "__run").map(col): _*)
       .orderBy(key.orderCols: _*)
-    val validPos = count(col("__xv")).over(
+    // Count valid (x, y) PAIRS toward the window — a run's single boundary
+    // row (the invalid pair that cleared the window) must not count.
+    val validPair = col("__xv").isNotNull && col("__yv").isNotNull
+    val validPos = count(when(validPair, lit(1))).over(
       runW.rowsBetween(Window.unboundedPreceding, 0))
     val slope = regr_slope(col("__yv"), col("__xv"))
       .over(runW.rowsBetween(-(window - 1), 0))
     withRun
-      .withColumn(to, when(col("__xv").isNotNull && validPos >= window, slope))
+      .withColumn(to, when(validPair && validPos >= window, slope))
       .drop("__xv", "__yv", "__run")
   }
 

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Assembly
+
+/** Assembly/split/scaler semantics, incl. bit-level agreement of the hash
+  * split with the reference HashLabeler formula
+  * (/root/reference/src/datapipeline/pipelines/dataset/split.py: first 8
+  * bytes of sha256(seed|token), low 53 bits, ratio buckets).
+  */
+class AssemblySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference formula reimplemented independently in JVM for the oracle. */
+  private def refHashRatio(seed: Int, token: String): Double = {
+    val md = MessageDigest.getInstance("SHA-256")
+    val digest = md.digest(s"$seed|$token".getBytes(StandardCharsets.UTF_8))
+    val first8 = digest.take(8).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xFFL))
+    (first8 & ((1L << 53) - 1)).toDouble / (1L << 53).toDouble
+  }
+
+  test("hashSplitLabel matches the reference sha256 bucketing bit-for-bit") {
+    val tokens = (0L until 200L).toDF("id")
+    val got = tokens.select(col("id"),
+      Assembly.hashSplitLabel(col("id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 42).as("fold"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cum = Seq(0.8, 0.8 + 0.1, 1.0)
+    (0L until 200L).foreach { id =>
+      val r = refHashRatio(42, id.toString)
+      val expect =
+        if (r < cum(0)) "train" else if (r < cum(1)) "val" else "test"
+      assert(got(id) == expect, s"id=$id r=$r")
+    }
+  }
+
+  test("timeSplitLabel: boundary timestamp goes to the next interval") {
+    val df = Seq("2023-12-31 23:59:59", "2024-01-01 00:00:00", "2024-06-01 00:00:00")
+      .toDF("s").select(to_timestamp(col("s")).as("t"))
+    val label = Assembly.timeSplitLabel(col("t"), Seq(
+      "train" -> Some("2024-01-01"), "test" -> None))
+    val out = df.select(label).collect().map(_.getString(0)).toSeq
+    assert(out == Seq("train", "test", "test"))
+  }
+
+  test("sequenceWindows: emits every `stride` records once full, ordered") {
+    val df = (1 to 10).map(i => ("a", new java.sql.Timestamp(i * 1000L), i.toLong, i.toDouble))
+      .toDF("p", "t", "i", "v")
+    val key = graft.operators.StreamKey(Seq("p"), "t", Seq("i"))
+    val out = Assembly.sequenceWindows(df, key, "v", 3, 2, "w")
+      .select("i", "w").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+    assert(out.keySet == Set(3L, 5L, 7L, 9L))
+    assert(out(3L) == List(1.0, 2.0, 3.0))
+    assert(out(9L) == List(7.0, 8.0, 9.0))
+  }
+
+  test("coverage stats and filters") {
+    val df = Seq(
+      (Some(1.0), Some(1.0)), (Some(2.0), None), (None, None), (Some(4.0), Some(4.0))
+    ).toDF("a", "b")
+    val cov = Assembly.coverageStats(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(cov("a") == 0.75 && cov("b") == 0.5)
+    assert(Assembly.filterRowsByCoverage(df, Seq("a", "b"), 1.0).count() == 2)
+    assert(Assembly.filterRowsByCoverage(df, Seq("a", "b"), 0.5).count() == 3)
+  }
+
+  test("standard scaler: (x - mean) / std with train-fold stats") {
+    val train = Seq(0.0, 2.0, 4.0).toDF("x") // mean 2, pstdev sqrt(8/3)
+    val stats = Assembly.fitStandardScaler(train, "x")
+    val applied = Assembly.applyStandardScaler(Seq(2.0).toDF("x"), stats, "x", "z")
+      .select("z").head().getDouble(0)
+    assert(math.abs(applied) < 1e-12)
+    // epsilon floor prevents divide-by-zero on constant columns
+    val const = Seq(5.0, 5.0).toDF("x")
+    val z = Assembly.applyStandardScaler(const,
+      Assembly.fitStandardScaler(const, "x"), "x", "z")
+      .select("z").head().getDouble(0)
+    assert(z == 0.0)
+  }
+}

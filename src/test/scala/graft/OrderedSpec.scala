@@ -1,0 +1,129 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ordered, StreamKey}
+
+/** Edge-case semantics of the ordered per-partition transforms, asserting the
+  * reference's documented rules (SURVEY.md §1):
+  *  - missing values (NULL and NaN) occupy window positions but don't count
+  *    toward min_samples;
+  *  - forward_sum is strict: value only for a complete, all-present
+  *    next-window;
+  *  - rolling_slope resets its window on a missing pair;
+  *  - fills use history excluding the current row.
+  */
+class OrderedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val key = StreamKey(Seq("p"), "t", Seq("i"))
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  /** One partition, values indexed by i; None encodes missing (genuine NULL). */
+  private def series(vals: Seq[Option[Double]]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      Row("a", ts(i.toLong), i.toLong, v.orNull)
+    }
+    val schema = StructType(Seq(
+      StructField("p", StringType), StructField("t", TimestampType),
+      StructField("i", LongType), StructField("v", DoubleType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+  }
+
+  test("rolling mean: missing occupies a slot but min_samples counts non-missing") {
+    val df = series(Seq(Some(1.0), Some(2.0), None, Some(4.0), Some(5.0)))
+    val out = doubles(
+      Ordered.rolling(df, key, "v", 3, "mean", "r", minSamples = Some(2)), "i", "r")
+    // window of 3 positions; i=2 window = [1,2,null] → 2 samples → mean 1.5
+    // i=3 window = [2,null,4] → 2 samples → mean 3.0
+    assert(out == Seq(None, Some(1.5), Some(1.5), Some(3.0), Some(4.5)))
+  }
+
+  test("rolling mean: NaN treated as missing") {
+    val df = series(Seq(Some(1.0), Some(Double.NaN), Some(3.0)))
+    val out = doubles(
+      Ordered.rolling(df, key, "v", 3, "mean", "r", minSamples = Some(1)), "i", "r")
+    assert(out == Seq(Some(1.0), Some(1.0), Some(2.0)))
+  }
+
+  test("rolling default min_samples = window (strict)") {
+    val df = series(Seq(Some(1.0), Some(2.0), Some(3.0), None, Some(5.0)))
+    val out = doubles(Ordered.rolling(df, key, "v", 3, "max", "r"), "i", "r")
+    assert(out == Seq(None, None, Some(3.0), None, None))
+  }
+
+  test("rolling median: even window interpolates between middle pair") {
+    val df = series(Seq(Some(4.0), Some(1.0), Some(3.0), Some(2.0)))
+    val out = doubles(
+      Ordered.rolling(df, key, "v", 4, "median", "r", minSamples = Some(4)), "i", "r")
+    assert(out == Seq(None, None, None, Some(2.5)))
+  }
+
+  test("forward_sum: strict complete next-window, current excluded, tail null") {
+    val df = series(Seq(Some(1.0), Some(2.0), Some(3.0), None, Some(5.0), Some(6.0)))
+    val out = doubles(Ordered.forwardSum(df, key, "v", 2, "f"), "i", "f")
+    // i=0 → 2+3=5; i=1 → 3+null → null; i=2 → null+5 → null; i=3 → 5+6=11;
+    // i=4,5 incomplete tail → null
+    assert(out == Seq(Some(5.0), None, None, Some(11.0), None, None))
+  }
+
+  test("rolling_slope: missing pair clears the window") {
+    // x = i as double; y perfectly linear y=2x within runs
+    val vals = Seq(Some(0.0), Some(2.0), Some(4.0), None, Some(8.0), Some(10.0), Some(12.0))
+    val df = series(vals).withColumn("x", col("i").cast("double"))
+    val out = doubles(Ordered.rollingSlope(df, key, "x", "v", 3, "s"), "i", "s")
+    // run 1 = i 0..2 → slope emitted at i=2; run 2 starts at i=4 → needs 3
+    // valid pairs → emitted first at i=6
+    assert(out == Seq(None, None, Some(2.0), None, None, None, Some(2.0)))
+  }
+
+  test("fill mean: history excludes current, only fills missing") {
+    val df = series(Seq(Some(2.0), Some(4.0), None, Some(8.0)))
+    val out = doubles(Ordered.fill(df, key, "v", 2, "mean", "f"), "i", "f")
+    // i=2 missing → mean(v1, v0... window 2 = [4, 2]... positions -2,-1 = [2,4]? i=2 history = i0,i1 → (2+4)/2=3
+    assert(out == Seq(Some(2.0), Some(4.0), Some(3.0), Some(8.0)))
+  }
+
+  test("forward_fill carries last non-missing") {
+    val df = series(Seq(None, Some(1.0), None, None, Some(4.0)))
+    val out = doubles(Ordered.forwardFill(df, key, "v", "f"), "i", "f")
+    assert(out == Seq(None, Some(1.0), Some(1.0), Some(1.0), Some(4.0)))
+  }
+
+  test("ensure_cadence re-anchors the grid at every real record") {
+    val rows = Seq(
+      ("a", ts(0), 0L, 1.0),
+      ("a", ts(150), 1L, 2.0), // gap 150s at 60s cadence → ticks at 60, 120
+      ("a", ts(200), 2L, 3.0)  // gap 50s → no tick
+    ).toDF("p", "t", "i", "v")
+    val out = Ordered.ensureCadence(rows, key, "60s")
+      .select("t").collect().map(_.getTimestamp(0).getTime / 1000).sorted.toSeq
+    assert(out == Seq(0L, 60L, 120L, 150L, 200L))
+  }
+
+  test("collapse keeps last per (partition, time) by tiebreak") {
+    val rows = Seq(
+      ("a", ts(0), 1L, 10.0),
+      ("a", ts(0), 2L, 20.0),
+      ("a", ts(1), 3L, 30.0)
+    ).toDF("p", "t", "i", "v")
+    val k = StreamKey(Seq("p"), "t", Seq("i"))
+    val out = Ordered.collapse(rows, k, "last")
+      .select("i").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(2L, 3L))
+  }
+
+  test("where supports the reference's comparison operators") {
+    val df = Seq(1, 2, 3, 4).toDF("x")
+    assert(Ordered.where(df, "x", "in", Seq(2, 3)).count() == 2)
+    assert(Ordered.where(df, "x", "not_in", Seq(2, 3)).count() == 2)
+    assert(Ordered.where(df, "x", "ge", 3).count() == 2)
+    assert(Ordered.where(df, "x", "ne", 1).count() == 3)
+  }
+}

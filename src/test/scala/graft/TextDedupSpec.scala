@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Text analysis, dedup, and similarity operator behavior. */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("occurrences counts non-overlapping literal matches") {
+    val df = Seq("x the y the z").toDF("text")
+    val n = df.select(Text.occurrences(col("text"), " the ")).head().getDouble(0)
+    assert(n == 2.0)
+  }
+
+  test("langId: ties resolve to priority order, markers drive the score") {
+    val df = Seq(
+      "x the y and z of w",   // en markers
+      "x der y und z die w"   // de markers
+    ).toDF("text")
+    val out = df.select(Text.langId(col("text"))).collect().map(_.getString(0)).toSeq
+    assert(out == Seq("en", "de"))
+    // no markers at all → all scores 0 → first priority lang wins (de)
+    val none = Seq("zzz").toDF("text")
+      .select(Text.langId(col("text"))).head().getString(0)
+    assert(none == Text.LangPriority.head)
+  }
+
+  test("fingerprint is the polynomial fold of char codes") {
+    val df = Seq("ab").toDF("text")
+    val fp = df.select(Text.fingerprint(col("text"))).head().getLong(0)
+    assert(fp == (97L * 31 + 98) % 1000000007) // 'a'=97 then 'b'=98
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    val df = Seq("Hello world 42!").toDF("text")
+    val r = df.select(Text.tokenCountWs(col("text")), Text.tokenCountBpe(col("text"))).head()
+    assert(r.getInt(0) == 3)
+    // Hello → [A-Z][a-z]* ; world → [a-z]+ ; 4, 2 → [0-9] singles ; ! → punct
+    assert(r.getInt(1) == 5)
+  }
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val df = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "text", "doc_id")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L)) // keep_id → n_copies
+  }
+
+  test("minhash dedup flags identical documents as candidates and duplicates") {
+    val text = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = Seq((1L, text), (2L, text),
+      (3L, "completely different content with other words entirely unrelated stuff here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashDedup(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (1L, 1L) && out(2L) == (1L, 1L)) // each sees 1 candidate, 1 dup
+    assert(out(3L) == (0L, 0L))
+  }
+
+  test("simhash: identical docs share signatures; different docs differ") {
+    val df = Seq((1L, "aaa bbb ccc ddd"), (2L, "aaa bbb ccc ddd"), (3L, "eee fff ggg hhh"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhashDedup(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("cosine: identical vectors → 1, orthogonal → 0; ANN excludes self") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)), (2L, Array(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val ann = Similarity.annBruteForce(df.filter(col("vec_id") === 0), df,
+      "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(ann.toSeq == Seq((2L, 1.0, 1), (1L, 0.0, 2)))
+  }
+
+  test("embed cosine pairs: bounded lookahead, threshold flag") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.embedCosinePairs(df, "vec_id", "embedding", 2, 0.95)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getBoolean(3))).toSet
+    // pairs: (0,1) dup, (0,2) not, (1,2) not
+    assert(out == Set((1L, 0L, true), (2L, 0L, false), (2L, 1L, false)))
+  }
+
+  test("multimodal: typed decode stub agrees with the column path") {
+    val docs = Seq((7L, "hello world")).toDF("doc_id", "text")
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    val typed = Multimodal.decodeStub(spark, media).collect().head
+    val exprs = Multimodal.featuresExpr(media).collect().head
+    assert(typed.media_id == 7L && typed.payload_len == 11)
+    assert(typed.first_byte == 'h'.toInt)
+    assert(exprs.getLong(0) == 7L && exprs.getInt(1) == 11 && exprs.getInt(2) == 'h'.toInt)
+    assert(typed.width == exprs.getInt(3) && typed.height == exprs.getInt(4))
+  }
+
+  test("streaming hourly rollup equals the batch aggregation") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.Streaming.runToBatch(spark, sf, "spec_stream")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val batch = graft.queries.QueriesCompose // reuse table loader via Q
+    val e = graft.sources.Tables.events(spark, sf)
+    val expect = e.groupBy(
+        (unix_micros(col("ts")) - pmod(unix_micros(col("ts")), lit(3600000000L))).as("h"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,4)")).cast("double").as("total"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(streamed == expect)
+  }
+}
