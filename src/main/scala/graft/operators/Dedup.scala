@@ -95,13 +95,32 @@ object Dedup {
 
   // ---------------------------------------------------------------- simhash
 
+  /** Per-doc 64-bit SimHash via explode + 64 codegen'd conditional sums
+    * (partial-aggregated map-side: the scalable shape — the naive nested
+    * higher-order-function fold is interpreted and quadratic per doc).
+    * Bit b of the signature = sign of Σ_tokens (±1 from the token hash's
+    * bit b).
+    */
+  def simhashSigned(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(Text.tokens(col(textCol))).as("tok"))
+    val h = xxhash64(col("tok"))
+    val bitSums = (0 until 64).map { b =>
+      sum(shiftright(h, b).bitwiseAND(lit(1L)) * 2L - 1L).as(s"__b$b")
+    }
+    val sums = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    sums.select(col(idCol), sig.as("simhash"))
+  }
+
   /** SimHash report: per-doc 64-bit signature + candidate count from 16-bit
     * band collisions (hamming-adjacent docs share ≥1 of 4 bands at distance
     * ≤3 by pigeonhole).
     */
   def simhashDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val sigCol = simhashExpr(textCol)
-    val signed = df.select(col(idCol), sigCol.as("simhash"))
+    val signed = simhashSigned(df, textCol, idCol)
     val banded = signed.select(col(idCol), col("simhash"), posexplode(
       transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))))
@@ -113,19 +132,4 @@ object Dedup {
       .agg(sum(col("bucket_n") - 1).as("n_candidates"))
   }
 
-  /** 64-bit simhash as a single expression (bit b set iff the sum over
-    * tokens of ±1 from hash-bit b is positive).
-    */
-  def simhashExpr(textCol: String): Column = {
-    val toks = Text.tokens(col(textCol))
-    val hashes = transform(toks, t => xxhash64(t))
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, b) => {
-        val bitSum = aggregate(hashes, lit(0L),
-          (s, h) => s + call_function("shiftright", h, b).bitwiseAND(lit(1L)) * 2L - 1L)
-        acc + when(bitSum > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))
-      })
-  }
 }
