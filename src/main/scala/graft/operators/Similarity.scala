@@ -46,6 +46,31 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
+  /** Exact top-k via the bounded [[TopK]] aggregator instead of a Window
+    * rank: partial top-k happens map-side, so only Q×k rows shuffle — at
+    * corpus scale the Window variant funnels the whole scored corpus into
+    * one partition per query. Same output contract as [[annBruteForce]].
+    */
+  def annBruteForceAgg(queries: DataFrame, corpus: DataFrame, idCol: String,
+                       vecCol: String, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), cosine(col("qv"), col("cv")).as("cos"),
+        col("neighbor_id"))
+      .as[(Long, Double, Long)]
+    val top = scored.groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(TopK.topKAggregator(k).toColumn.name("top"))
+      .toDF("query_id", "top")
+    top.select(col("query_id"), posexplode(col("top")).as(Seq("pos", "sn")))
+      .select(col("query_id"), col("sn._2").as("neighbor_id"),
+        col("sn._1").as("cos"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Deterministic pseudo-random hyperplane weights (LCG, fixed seed). */
   private def planeWeights(planes: Int, dim: Int, seed: Long = 0x9E3779B97F4A7C15L): Array[Array[Double]] = {
     var state = seed

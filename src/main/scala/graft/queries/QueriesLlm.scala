@@ -64,7 +64,7 @@ object QueriesLlm {
 
     "ann_bruteforce" -> { (s, d) =>
       val e = embeddings(s, d)
-      Similarity.annBruteForce(e.filter(col("vec_id") < 5), e, "vec_id",
+      Similarity.annBruteForceAgg(e.filter(col("vec_id") < 5), e, "vec_id",
         "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cos"), 6).as("cos"), col("rank").as("rnk"))

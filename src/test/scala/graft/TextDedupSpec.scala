@@ -79,6 +79,16 @@ class TextDedupSpec extends SparkSpec {
     assert(ann.toSeq == Seq((2L, 1.0, 1), (1L, 0.0, 2)))
   }
 
+  test("top-k aggregator ANN matches the window-rank ANN exactly") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 3)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    val viaWindow = key(Similarity.annBruteForce(q, e, "vec_id", "embedding", 4))
+    val viaAgg = key(Similarity.annBruteForceAgg(q, e, "vec_id", "embedding", 4))
+    assert(viaAgg == viaWindow && viaAgg.size == 12)
+  }
+
   test("embed cosine pairs: bounded lookahead, threshold flag") {
     val df = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f))
