@@ -71,6 +71,34 @@ object Assembly {
     df.where(present >= lit(threshold * columns.size))
   }
 
+  /** Vector metadata contract entry — reference VectorMetadataEntry
+    * (artifacts/models.py): scalar, or fixed-length sequence.
+    */
+  final case class VectorEntry(id: String, kind: String = "scalar", length: Int = 0)
+
+  /** Conform assembled samples to a metadata contract — reference
+    * _VectorConformer (transforms/vector/conform.py): expected columns in
+    * contract order; a column absent from the frame becomes NULL (scalar) /
+    * NULL-array (sequence); a sequence with the wrong length fails the job
+    * (declaratively: raise_error), extra columns are dropped.
+    */
+  def conform(df: DataFrame, keys: Seq[String],
+              entries: Seq[VectorEntry]): DataFrame = {
+    val present = df.columns.toSet
+    val cols = entries.map { e =>
+      if (!present.contains(e.id)) {
+        if (e.kind == "scalar") lit(null).cast("double").as(e.id)
+        else lit(null).cast("array<double>").as(e.id)
+      } else if (e.kind == "scalar") col(e.id).as(e.id)
+      else when(col(e.id).isNull, col(e.id))
+        .when(size(col(e.id)) === e.length, col(e.id))
+        .otherwise(raise_error(concat(
+          lit(s"Vector id '${e.id}' requires ${e.length} values; got "),
+          size(col(e.id)).cast("string")))).as(e.id)
+    }
+    df.select(keys.map(col) ++ cols: _*)
+  }
+
   /** Deterministic hash split — reference HashLabeler
     * (pipelines/dataset/split.py:27): r = (first 8 bytes of
     * sha256(seed|token) mod 2^53) / 2^53, bucketed by cumulative ratios.

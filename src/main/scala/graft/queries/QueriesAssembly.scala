@@ -70,6 +70,23 @@ object QueriesAssembly {
         .select(col("column"))
     },
 
+    // Conform assembled samples to a vector-metadata contract: contract
+    // order, absent column → NULL, extras dropped.
+    "conform_vectors" -> { (s, d) =>
+      val assembled = events(s, d)
+        .withColumn("hour", TimeFns.floorTime(col("ts"), "1h"))
+        .groupBy(col("user_id"), col("hour"))
+        .agg(count(lit(1)).as("n_events"),
+          (sumDec(col("value")) / count(lit(1))).as("avg_value"),
+          max(col("event_type")).as("extra_col"))
+      Assembly.conform(assembled, Seq("user_id", "hour"),
+        Seq(Assembly.VectorEntry("n_events"), Assembly.VectorEntry("avg_value"),
+          Assembly.VectorEntry("missing_feature")))
+        .select(col("user_id"), eu(col("hour")).as("hour_us"),
+          col("n_events").cast("long").as("n_events"),
+          round(col("avg_value"), 6).as("avg_value"), col("missing_feature"))
+    },
+
     // sha256(seed|token) 53-bit ratio bucketing — bit-identical to reference
     // HashLabeler (pipelines/dataset/split.py).
     "hash_split" -> { (s, d) =>
@@ -163,6 +180,12 @@ object QueriesAssembly {
             UNION ALL SELECT 'value_m', CAST(COUNT(value_m) AS DOUBLE) / COUNT(*) FROM m
             UNION ALL SELECT 'value_m3', CAST(COUNT(value_m3) AS DOUBLE) / COUNT(*) FROM m)
           SELECT "column" FROM cov WHERE coverage >= 0.8""",
+
+    "conform_vectors" ->
+      s"""SELECT user_id, $hourSql AS hour_us, COUNT(*) AS n_events,
+          ROUND(${sumDecSql("value")} / COUNT(*), 6) AS avg_value,
+          CAST(NULL AS DOUBLE) AS missing_feature
+          FROM events GROUP BY user_id, 2""",
 
     "hash_split" ->
       s"""SELECT doc_id, ${hashSplitSql("doc_id", 42,

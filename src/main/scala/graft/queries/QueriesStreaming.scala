@@ -15,6 +15,12 @@ object QueriesStreaming {
   val queries: Map[String, QueryFn] = Map(
     "stream_windowed_agg" -> { (s, d) =>
       Streaming.runToBatch(s, d, s"graft_stream_agg_${runId.incrementAndGet()}")
+    },
+    // Custom per-key streaming state via mapGroupsWithState: the running
+    // count's final emission per user equals the batch count.
+    "stream_stateful_counts" -> { (s, d) =>
+      Streaming.runUserCountsToBatch(s, d,
+        s"graft_stream_counts_${runId.incrementAndGet()}")
     }
   )
 
@@ -22,6 +28,8 @@ object QueriesStreaming {
     "stream_windowed_agg" ->
       s"""SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
           event_type, COUNT(*) AS n, ${sumDecSql("value")} AS total
-          FROM events GROUP BY 1, event_type"""
+          FROM events GROUP BY 1, event_type""",
+    "stream_stateful_counts" ->
+      "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id"
   )
 }

@@ -54,6 +54,42 @@ object Streaming {
       .select(unix_micros(col("window.start")).as("hour_us"),
         col("event_type"), col("n"), col("total"))
 
+  /** Custom streaming state (reference keeps per-partition history inside its
+    * iterator transforms): running per-user event counts via
+    * mapGroupsWithState. Update-mode emissions may appear once per
+    * micro-batch; the final count per key is the max emission.
+    */
+  def runningUserCounts(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Long], state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (user, n)
+      }
+      .toDF("user_id", "n")
+  }
+
+  /** Drive [[runningUserCounts]] over the finite input; per-batch update
+    * emissions collapse to the per-user max = total.
+    */
+  def runUserCountsToBatch(spark: SparkSession, sfDir: String,
+                           tableName: String): DataFrame = {
+    val q = runningUserCounts(spark, readEvents(spark, sfDir))
+      .writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(tableName).groupBy(col("user_id"))
+      .agg(max(col("n")).as("n"))
+  }
+
   /** Run the streaming query to completion over the finite test input
     * (Trigger.AvailableNow) into an in-memory table; returns the final
     * result as a batch DataFrame.
