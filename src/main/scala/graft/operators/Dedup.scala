@@ -125,9 +125,12 @@ object Dedup {
       transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))))
       .as(Seq("band", "band_val")))
-    val counts = banded.groupBy(col("band"), col("band_val"))
-      .agg(count(lit(1)).as("bucket_n"))
-    banded.join(counts, Seq("band", "band_val"))
+    // bucket size via an unordered window (whole-bucket frame): one shuffle,
+    // and `signed` (the expensive explode+aggregate) is computed exactly once
+    // — a bucket-count self-join would recompute it on both sides.
+    val bucketW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_val"))
+    banded.withColumn("bucket_n", count(lit(1)).over(bucketW))
       .groupBy(col(idCol), col("simhash"))
       .agg(sum(col("bucket_n") - 1).as("n_candidates"))
   }
