@@ -98,8 +98,10 @@ object QueriesLlm {
     },
 
     "doc_fingerprint" -> { (s, d) =>
-      documents(s, d).select(col("doc_id"),
-        Text.fingerprint(col("text")).as("fp"))
+      // codegen'd custom expression; Text.fingerprint is the HOF reference
+      // implementation (spec-proven identical on ASCII corpora)
+      graft.functions.PolyHash.register(s)
+      documents(s, d).select(col("doc_id"), expr("poly_hash(text)").as("fp"))
     },
 
     "multimodal_meta" -> { (s, d) =>

@@ -34,6 +34,18 @@ class TextDedupSpec extends SparkSpec {
     assert(fp == (97L * 31 + 98) % 1000000007) // 'a'=97 then 'b'=98
   }
 
+  test("codegen'd poly_hash equals the HOF fingerprint on the corpus") {
+    graft.functions.PolyHash.register(spark)
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val mismatches = docs
+      .select(Text.fingerprint(col("text")).as("a"), expr("poly_hash(text)").as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(mismatches == 0)
+    // interpreted eval path too (constant folding happens pre-codegen)
+    val one = Seq("ab").toDF("text").select(expr("poly_hash(text)")).head().getLong(0)
+    assert(one == (97L * 31 + 98) % 1000000007)
+  }
+
   test("token counts: whitespace vs BPE-ish") {
     val df = Seq("Hello world 42!").toDF("text")
     val r = df.select(Text.tokenCountWs(col("text")), Text.tokenCountBpe(col("text"))).head()
