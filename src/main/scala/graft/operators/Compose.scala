@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Stream composition (SURVEY.md §2.4).
@@ -35,6 +36,42 @@ object Compose {
                         timeCol: String): DataFrame =
     primary.join(broadcast(smallStream.select(timeCol).distinct()),
       Seq(timeCol), "leftanti")
+
+  /** Backward as-of join: attach to each left row the latest right payload
+    * with right.time <= left.time within the same partition key. Spark has no
+    * native as-of join; a range-condition join would explode into a
+    * broadcast-nested-loop. This union+window formulation costs exactly ONE
+    * shuffle+sort over (key, time) regardless of the time-gap distribution —
+    * the scalable shape for "attach latest quote/price/state to event".
+    *
+    * Right side must be unique per (key, time) (collapse first otherwise).
+    * Payload columns are taken from `payload` and surface with `prefix`.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               timeCol: String, payload: Seq[String],
+               prefix: String = "asof_"): DataFrame = {
+    val leftCols = left.columns
+    val rTagged = right.select(
+      keys.map(col) ++ Seq(col(timeCol), lit(1).as("__is_r")) ++
+        payload.map(c => col(c).as(s"__p_$c")) ++
+        leftCols.filterNot(c => keys.contains(c) || c == timeCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val lTagged = left.select(
+      keys.map(col) ++ Seq(col(timeCol), lit(0).as("__is_r")) ++
+        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")) ++
+        leftCols.filterNot(c => keys.contains(c) || c == timeCol).map(col): _*)
+    // At equal time, right rows sort first so they are visible to the left
+    // row (<= semantics, matching ASOF JOIN ON l.t >= r.t).
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).asc, col("__is_r").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = payload.foldLeft(rTagged.unionByName(lTagged)) { (df, c) =>
+      df.withColumn(s"__f_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__is_r") === 0)
+      .select(leftCols.map(col) ++
+        payload.map(c => col(s"__f_$c").as(s"$prefix$c")): _*)
+  }
 
   /** reference: alignment/engine.py align_streams — k-way intersection of
     * streams sharing a partition identity on (partition, time). Column

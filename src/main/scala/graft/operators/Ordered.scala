@@ -277,6 +277,23 @@ object Ordered {
       .drop("__xv", "__yv", "__run")
   }
 
+  // ------------------------------------------------------------ sessionize
+
+  /** Gap-based sessionization: a new session starts when the time since the
+    * previous record in the partition exceeds `gap`. Emits the input plus a
+    * per-partition `session_id` (0-based). One window pass — same shuffle
+    * profile as every other ordered transform on the key.
+    */
+  def sessionize(df: DataFrame, key: StreamKey, gap: String,
+                 to: String = "session_id"): DataFrame = {
+    val gapUs = TimeFns.parseCadenceMillis(gap) * 1000L
+    val t = unix_micros(col(key.timeCol))
+    val prev = lag(t, 1).over(key.w)
+    val newSession = when(prev.isNull || (t - prev) > gapUs, 1).otherwise(0)
+    df.withColumn(to,
+      sum(newSession).over(key.w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+  }
+
   // ------------------------------------------------------------------ where
 
   /** reference: transforms/where.py — one explicit comparison per entry. */

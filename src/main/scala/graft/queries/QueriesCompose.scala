@@ -44,6 +44,33 @@ object QueriesCompose {
           col("s1_purchase_total").as("purchase_total"))
     },
 
+    // Backward as-of join: attach the latest hourly per-user reference value
+    // (right stream) to every raw event. One shuffle+sort, no range join.
+    "asof_join" -> { (s, d) =>
+      val e = events(s, d)
+      val hourly = e
+        .withColumn("hour", TimeFns.floorTime(col("ts"), "1h"))
+        .groupBy(col("user_id"), col("hour"))
+        .agg(sumDec(col("value")).as("ref_value"))
+        .select(col("user_id"), col("hour").as("ts"), col("ref_value"))
+      Compose.asofJoin(
+        e.select(col("user_id"), col("ts"), col("event_id")),
+        hourly, Seq("user_id"), "ts", Seq("ref_value"))
+        .select(col("event_id"), col("user_id"), eu(col("ts")).as("t_us"),
+          col("asof_ref_value").as("ref_value"))
+    },
+
+    // Gap-based sessionization (30 min): per-session summaries.
+    "sessionize" -> { (s, d) =>
+      val sess = graft.operators.Ordered.sessionize(events(s, d),
+        graft.operators.StreamKey(Seq("user_id"), "ts", Seq("event_id")), "30min")
+      sess.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(eu(col("ts"))).as("start_us"),
+          max(eu(col("ts"))).as("end_us"),
+          sumDec(col("value")).as("total"))
+    },
+
     // Derived stream = operator chain fused into one plan: filter → floor →
     // per-(user, hour) collapse → arithmetic derive.
     "derived_stream" -> { (s, d) =>
@@ -78,6 +105,34 @@ object QueriesCompose {
             FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
           SELECT c.user_id, c.hour_us, c.clicks, p.purchase_total
           FROM c JOIN p ON c.user_id = p.user_id AND c.hour_us = p.hour_us""",
+
+    "asof_join" ->
+      s"""WITH hourly AS (
+            SELECT user_id, $hourSql AS h_us, ${sumDecSql("value")} AS ref_value
+            FROM events GROUP BY user_id, 2)
+          SELECT e.event_id, e.user_id, epoch_us(e.ts) AS t_us, h.ref_value
+          FROM events e
+          ASOF LEFT JOIN hourly h
+            ON e.user_id = h.user_id AND epoch_us(e.ts) >= h.h_us""",
+
+    "sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, event_id, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT user_id, ts, value,
+                  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                    AS session_id
+           FROM flagged)
+         SELECT user_id, session_id, COUNT(*) AS n_events,
+                min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+                CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS total
+         FROM sess GROUP BY user_id, session_id""",
 
     "derived_stream" ->
       s"""SELECT user_id, $hourSql AS hour_us,

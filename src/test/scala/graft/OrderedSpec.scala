@@ -119,6 +119,30 @@ class OrderedSpec extends SparkSpec {
     assert(out == Seq(2L, 3L))
   }
 
+  test("asofJoin attaches the latest right payload at or before left time") {
+    import graft.operators.Compose
+    val left = Seq(("a", ts(5), 1L, 0.0), ("a", ts(10), 2L, 0.0), ("a", ts(20), 3L, 0.0),
+      ("b", ts(5), 4L, 0.0)).toDF("p", "t", "i", "v")
+    val right = Seq(("a", ts(10), 100.0), ("a", ts(15), 150.0)).toDF("p", "t", "q")
+    val out = Compose.asofJoin(left, right, Seq("p"), "t", Seq("q"))
+      .collect().map(r => r.getLong(2) -> Option(r.get(4)).map(_.asInstanceOf[Double])).toMap
+    // i=1 (t=5): no quote yet → null; i=2 (t=10): equal time visible → 100;
+    // i=3 (t=20): latest = 150; i=4 (partition b): no quotes → null
+    assert(out == Map(1L -> None, 2L -> Some(100.0), 3L -> Some(150.0), 4L -> None))
+  }
+
+  test("sessionize starts a new session when the gap exceeds the threshold") {
+    val rows = Seq(
+      ("a", ts(0), 0L, 1.0), ("a", ts(60), 1L, 1.0),      // session 0
+      ("a", ts(200), 2L, 1.0),                            // gap 140s > 100s → session 1
+      ("a", ts(250), 3L, 1.0),
+      ("b", ts(0), 4L, 1.0)                               // other partition → own session 0
+    ).toDF("p", "t", "i", "v")
+    val out = Ordered.sessionize(rows, key, "100s")
+      .collect().map(r => r.getLong(2) -> r.getLong(4)).toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
+
   test("where supports the reference's comparison operators") {
     val df = Seq(1, 2, 3, 4).toDF("x")
     assert(Ordered.where(df, "x", "in", Seq(2, 3)).count() == 2)
