@@ -134,6 +134,21 @@ object QueriesOrdered {
       val rolled = Ordered.rolling(events(s, d), key, "value", 5, "mean", "r5")
       outBase(Ordered.where(rolled, "r5", "gt", 80.0),
         round(col("r5"), 6).as("r5"))
+    },
+
+    // Declarative pipeline chain (reference transforms: config list): four
+    // ordered ops fused by Catalyst into ONE shuffle+sort over the key.
+    "pipeline_chain" -> { (s, d) =>
+      import graft.pipeline.Pipeline
+      import graft.pipeline.Pipeline._
+      val out = Pipeline.run(events(s, d), key, Seq(
+        Where("event_type", "ne", "error"),
+        Rolling("value", "mean", 3, "m3", minSamples = Some(3)),
+        Lag("value", 1, "prev"),
+        Derive("value", "sub", "chg", rightField = Some("prev")),
+        Log1p("value", "lnv")))
+      outBase(out, round(col("m3"), 6).as("m3"), col("prev"),
+        col("chg"), round(col("lnv"), 6).as("lnv"))
     }
   )
 
@@ -247,6 +262,15 @@ object QueriesOrdered {
          UNION ALL
          SELECT g.user_id, g.t_us, NULL AS value
          FROM grid g ANTI JOIN ex ON g.user_id = ex.user_id AND g.t_us = ex.t_us""",
+
+    "pipeline_chain" ->
+      s"""SELECT event_id, user_id, epoch_us(ts) AS t_us,
+          ROUND(CASE WHEN count(value) ${w("2 PRECEDING AND CURRENT ROW")} >= 3
+                THEN avg(value) ${w("2 PRECEDING AND CURRENT ROW")} END, 6) AS m3,
+          lag(value, 1) OVER ($overOrd) AS prev,
+          value - lag(value, 1) OVER ($overOrd) AS chg,
+          ROUND(LN(1.0 + value), 6) AS lnv
+          FROM events WHERE event_type != 'error'""",
 
     "where_ordered" ->
       s"""SELECT event_id, user_id, t_us, ROUND(r5, 6) AS r5 FROM (

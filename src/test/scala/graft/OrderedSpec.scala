@@ -143,6 +143,23 @@ class OrderedSpec extends SparkSpec {
     assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
   }
 
+  test("declarative pipeline equals manual operator composition") {
+    import graft.pipeline.Pipeline
+    import graft.pipeline.Pipeline._
+    val df = series(Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0)))
+    val viaDsl = Pipeline.run(df, key, Seq(
+      Rolling("v", "mean", 2, "m", Some(2)),
+      Lag("v", 1, "prev"),
+      Derive("v", "sub", "chg", rightField = Some("prev"))))
+    val manual = Ordered.derive(
+      Ordered.lagPeriods(
+        Ordered.rolling(df, key, "v", 2, "mean", "m", Some(2)),
+        key, "v", 1, "prev"),
+      "v", "sub", "chg", rightField = Some("prev"))
+    assert(rows(viaDsl.orderBy("i")) == rows(manual.orderBy("i")))
+    assert(doubles(viaDsl, "i", "chg") == Seq(None, Some(1.0), Some(1.0), Some(1.0)))
+  }
+
   test("where supports the reference's comparison operators") {
     val df = Seq(1, 2, 3, 4).toDF("x")
     assert(Ordered.where(df, "x", "in", Seq(2, 3)).count() == 2)
