@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Cluster-scale plan-shape proofs on local data: bucketed co-located joins
+  * eliminate the join exchange entirely, and partitioned sinks prune at the
+  * source. These are the layouts a 100 TB deployment would pre-bake
+  * (bucketed fact tables on join keys; date-partitioned ingest).
+  */
+class ScalePostureSpec extends SparkSpec {
+
+  private def physicalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("bucketed tables co-locate the join: no Exchange in the plan") {
+    val sf = "/root/testdata/sf0.001"
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    // a previous JVM's in-memory catalog can leave the dirs behind
+    Seq("li_bucketed", "ord_bucketed").foreach { t =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"/tmp/graft_warehouse/$t"))
+    }
+    Tables.lineitem(spark, sf).write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_bucketed")
+    Tables.orders(spark, sf).write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("ord_bucketed")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity")).as("q"))
+      val plan = physicalPlan(joined)
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      // the join's children (below it in tree text) must not shuffle — only
+      // the post-join aggregation above it may
+      val belowJoin = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(!belowJoin.contains("Exchange"),
+        s"bucketed join should not exchange its inputs:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("partitioned sink prunes partitions at the scan") {
+    val sf = "/root/testdata/sf0.001"
+    val out = "/tmp/graft_scratch/events_by_day"
+    val e = Tables.events(spark, sf)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    e.write.mode("overwrite").partitionBy("day").parquet(out)
+    val back = spark.read.parquet(out).filter(col("day") === "2024-01-05")
+    val plan = physicalPlan(back)
+    assert(plan.contains("PartitionFilters") && plan.contains("2024-01-05"),
+      s"expected partition pruning:\n${plan.take(2000)}")
+    val expect = e.filter(col("day") === "2024-01-05").count()
+    assert(back.count() == expect && expect > 0)
+  }
+}
