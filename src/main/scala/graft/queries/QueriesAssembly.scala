@@ -70,6 +70,13 @@ object QueriesAssembly {
         .select(col("column"))
     },
 
+    // HLL++ cardinality sketch next to the exact count (rows-only: estimates
+    // are engine-specific; the spec bounds the error, the driver checks rows).
+    "approx_distinct" -> { (s, d) =>
+      graft.operators.Sketches.distinctWithApprox(events(s, d),
+        Seq("event_type"), "user_id")
+    },
+
     // Conform assembled samples to a vector-metadata contract: contract
     // order, absent column → NULL, extras dropped.
     "conform_vectors" -> { (s, d) =>

@@ -42,6 +42,16 @@ object QueriesPreprocess {
         .select(col("l_orderkey"), col("l_linenumber"), col("net"))
     },
 
+    // Schema'd extraction from a JSON payload column (reference decoders
+    // parse raw payloads into typed records): from_json with explicit schema,
+    // no inference pass.
+    "json_props" -> { (s, d) =>
+      events(s, d).select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k").as("prop_k"))
+    },
+
     "log_natural" -> { (s, d) =>
       val df = events(s, d).filter(col("value") > 0)
       Ordered.logNatural(df, "value", "ln_value")
@@ -69,6 +79,10 @@ object QueriesPreprocess {
     "derive_arith" ->
       """SELECT l_orderkey, l_linenumber,
          l_extendedprice * (1.0 - l_discount) AS net FROM lineitem""",
+    "json_props" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+         FROM events""",
     "log_natural" ->
       "SELECT event_id, ROUND(LN(value), 6) AS ln_value FROM events WHERE value > 0",
     "log1p" ->

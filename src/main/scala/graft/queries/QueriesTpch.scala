@@ -35,6 +35,17 @@ object QueriesTpch {
           count(lit(1)).as("count_order"))
     },
 
+    // TPC-H Q6 shape: pure filter + agg — everything pushes to the scan.
+    "q6_forecast" -> { (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sumDec(col("l_extendedprice") * col("l_discount"), 6).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
     "q3_topk" -> { (s, d) =>
       val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       val o = orders(s, d).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
@@ -83,6 +94,15 @@ object QueriesTpch {
          COUNT(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus""",
+
+    "q6_forecast" ->
+      s"""SELECT ${sumDecSql("l_extendedprice * l_discount", 6)} AS revenue,
+         COUNT(*) AS n
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount >= 0.03 AND l_discount <= 0.07
+           AND l_quantity < 24""",
 
     "q3_topk" ->
       s"""SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority,

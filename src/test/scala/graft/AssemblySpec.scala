@@ -70,6 +70,25 @@ class AssemblySpec extends SparkSpec {
     assert(Assembly.filterRowsByCoverage(df, Seq("a", "b"), 0.5).count() == 3)
   }
 
+  test("sketches: HLL and approx percentile stay within error bounds") {
+    import graft.operators.Sketches
+    val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    Sketches.distinctWithApprox(e, Seq("event_type"), "user_id")
+      .collect().foreach { r =>
+        val exact = r.getLong(1).toDouble
+        val approx = r.getLong(2).toDouble
+        assert(math.abs(approx - exact) / exact < 0.15,
+          s"${r.getString(0)}: exact=$exact approx=$approx")
+      }
+    Sketches.medianWithApprox(e, Seq("event_type"), "value")
+      .collect().foreach { r =>
+        val exact = r.getDouble(1)
+        val approx = r.getDouble(2)
+        assert(math.abs(approx - exact) / math.max(exact, 1.0) < 0.1,
+          s"${r.getString(0)}: exact=$exact approx=$approx")
+      }
+  }
+
   test("standard scaler: (x - mean) / std with train-fold stats") {
     val train = Seq(0.0, 2.0, 4.0).toDF("x") // mean 2, pstdev sqrt(8/3)
     val stats = Assembly.fitStandardScaler(train, "x")
