@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -71,6 +71,25 @@ object Compose {
     filled.filter(col("__is_r") === 0)
       .select(leftCols.map(col) ++
         payload.map(c => col(s"__f_$c").as(s"$prefix$c")): _*)
+  }
+
+  /** Interval containment join without a nested-loop: bucketize time on a
+    * cadence, explode each interval into the buckets it covers, equi-join
+    * point-bucket to interval-bucket, then exact-filter containment. Shuffle
+    * degree follows bucket counts, not |points|×|intervals| — choose the
+    * bucket near the median interval length.
+    */
+  def rangeJoin(points: DataFrame, pointTime: String,
+                intervals: DataFrame, startCol: String, endCol: String,
+                bucket: String): DataFrame = {
+    val step = graft.functions.TimeFns.parseCadenceMillis(bucket) * 1000L
+    def bucketOf(c: Column): Column = floor(unix_micros(c) / lit(step)).cast("long")
+    val p = points.withColumn("__b", bucketOf(col(pointTime)))
+    val iv = intervals.withColumn("__b",
+      explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
+    p.join(iv, Seq("__b"))
+      .where(col(pointTime) >= col(startCol) && col(pointTime) <= col(endCol))
+      .drop("__b")
   }
 
   /** reference: alignment/engine.py align_streams — k-way intersection of

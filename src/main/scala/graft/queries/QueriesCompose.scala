@@ -60,6 +60,22 @@ object QueriesCompose {
           col("asof_ref_value").as("ref_value"))
     },
 
+    // Bucketized interval-containment join: attach each event of other users
+    // to the session windows of user 0 it falls inside. Equi-join on time
+    // buckets + exact filter — no nested loop.
+    "range_join" -> { (s, d) =>
+      val key = graft.operators.StreamKey(Seq("user_id"), "ts", Seq("event_id"))
+      val sess = graft.operators.Ordered.sessionize(events(s, d), key, "6h")
+        .filter(col("user_id") === 0)
+        .groupBy(col("session_id"))
+        .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+      val points = events(s, d).filter(col("user_id") =!= 0)
+        .select(col("event_id"), col("ts"))
+      Compose.rangeJoin(points, "ts", sess, "s_start", "s_end", "1h")
+        .select(col("event_id"), col("session_id"),
+          eu(col("s_start")).as("s_start_us"))
+    },
+
     // Gap-based sessionization (30 min): per-session summaries.
     "sessionize" -> { (s, d) =>
       val sess = graft.operators.Ordered.sessionize(events(s, d),
@@ -114,6 +130,26 @@ object QueriesCompose {
           FROM events e
           ASOF LEFT JOIN hourly h
             ON e.user_id = h.user_id AND epoch_us(e.ts) >= h.h_us""",
+
+    "range_join" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events WHERE user_id = 0
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT session_id, min(ts) AS s_start, max(ts) AS s_end FROM (
+             SELECT ts,
+                    sum(new_s) OVER (ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                      AS session_id
+             FROM flagged)
+           GROUP BY session_id)
+         SELECT e.event_id, s.session_id, epoch_us(s.s_start) AS s_start_us
+         FROM events e JOIN sess s ON e.ts >= s.s_start AND e.ts <= s.s_end
+         WHERE e.user_id != 0""",
 
     "sessionize" ->
       """WITH flagged AS (

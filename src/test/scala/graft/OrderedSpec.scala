@@ -160,6 +160,31 @@ class OrderedSpec extends SparkSpec {
     assert(doubles(viaDsl, "i", "chg") == Seq(None, Some(1.0), Some(1.0), Some(1.0)))
   }
 
+  test("salted join and salted agg equal their unsalted twins") {
+    import graft.operators.Skew
+    val big = Seq((1L, 10L, 1.0), (1L, 11L, 2.0), (2L, 12L, 3.0))
+      .toDF("k", "row_id", "v")
+    val dim = Seq((1L, "a"), (2L, "b")).toDF("k", "name")
+    val plain = big.join(dim, Seq("k")).orderBy("row_id")
+    val salted = Skew.saltedJoin(big, dim, Seq("k"), "row_id", 4).orderBy("row_id")
+    assert(rows(salted.select("k", "row_id", "v", "name")) ==
+      rows(plain.select("k", "row_id", "v", "name")))
+    val agg = Skew.saltedAgg(big, Seq("k"), "row_id", 4, "v",
+      org.apache.spark.sql.functions.sum, org.apache.spark.sql.functions.sum, "total")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(agg == Map(1L -> 3.0, 2L -> 3.0))
+  }
+
+  test("rangeJoin matches a naive containment join") {
+    import graft.operators.Compose
+    val points = Seq((1L, ts(30)), (2L, ts(90)), (3L, ts(4000))).toDF("id", "t")
+    val iv = Seq((10L, ts(0), ts(100)), (20L, ts(60), ts(200))).toDF("iv", "s", "e")
+    val out = Compose.rangeJoin(points, "t", iv, "s", "e", "1m")
+      .select("id", "iv").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // point 1 (t=30) in iv 10 only; point 2 (t=90) in both; point 3 in none
+    assert(out == Set((1L, 10L), (2L, 10L), (2L, 20L)))
+  }
+
   test("where supports the reference's comparison operators") {
     val df = Seq(1, 2, 3, 4).toDF("x")
     assert(Ordered.where(df, "x", "in", Seq(2, 3)).count() == 2)
