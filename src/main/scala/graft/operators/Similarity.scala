@@ -28,6 +28,12 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Unit-normalize a vector (zero vectors pass through as zeros). */
+  def l2Normalize(a: Column): Column = {
+    val n = norm(a)
+    transform(a, x => when(n === 0.0, x).otherwise(x / n))
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     * Joins queries × corpus (queries side is expected small → broadcast),
     * ranks per query with a deterministic (cosine desc, id asc) tiebreak.

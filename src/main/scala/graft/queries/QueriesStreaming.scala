@@ -21,6 +21,11 @@ object QueriesStreaming {
     "stream_stateful_counts" -> { (s, d) =>
       Streaming.runUserCountsToBatch(s, d,
         s"graft_stream_counts_${runId.incrementAndGet()}")
+    },
+    // Watermark-bounded streaming exact dedup equals the batch DISTINCT.
+    "stream_dedupe" -> { (s, d) =>
+      Streaming.dedupedPairs(s, d,
+        s"graft_stream_dedupe_${runId.incrementAndGet()}")
     }
   )
 
@@ -30,6 +35,8 @@ object QueriesStreaming {
           event_type, COUNT(*) AS n, ${sumDecSql("value")} AS total
           FROM events GROUP BY 1, event_type""",
     "stream_stateful_counts" ->
-      "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id"
+      "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id",
+    "stream_dedupe" ->
+      "SELECT DISTINCT user_id, event_type FROM events"
   )
 }

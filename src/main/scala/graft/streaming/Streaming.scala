@@ -90,6 +90,28 @@ object Streaming {
       .agg(max(col("n")).as("n"))
   }
 
+  /** Streaming exact dedup: dropDuplicates within the watermark horizon —
+    * the unbounded twin of batch exact dedup (state is bounded by the
+    * watermark, the property that makes it deployable on an infinite
+    * stream). Emits distinct (user_id, event_type) pairs.
+    */
+  def dedupedPairs(spark: SparkSession, sfDir: String,
+                   tableName: String): DataFrame = {
+    val q = readEvents(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+      .writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(tableName)
+  }
+
   /** Run the streaming query to completion over the finite test input
     * (Trigger.AvailableNow) into an in-memory table; returns the final
     * result as a batch DataFrame.

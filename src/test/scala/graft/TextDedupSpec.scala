@@ -122,6 +122,15 @@ class TextDedupSpec extends SparkSpec {
     assert(typed.width == exprs.getInt(3) && typed.height == exprs.getInt(4))
   }
 
+  test("l2Normalize produces unit vectors; zero vectors pass through") {
+    val df = Seq((0L, Array(3.0f, 4.0f)), (1L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = df.select(col("vec_id"),
+      Similarity.l2Normalize(Similarity.toDouble(col("embedding"))).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+    assert(out(0L) == List(0.6, 0.8) && out(1L) == List(0.0, 0.0))
+  }
+
   test("streaming hourly rollup equals the batch aggregation") {
     val sf = "/root/testdata/sf0.001"
     val streamed = graft.streaming.Streaming.runToBatch(spark, sf, "spec_stream")
