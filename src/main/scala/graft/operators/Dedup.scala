@@ -76,13 +76,24 @@ object Dedup {
                    shingleSize: Int = 3, numPerm: Int = 64, bands: Int = 16,
                    threshold: Double = 0.5): DataFrame = {
     val rows = numPerm / bands
-    val signed = df.select(col(idCol),
-      minhashSignature(col(textCol), shingleSize, numPerm).as("sig"),
+    // Materialize shingles + base hashes ONCE: interpreted higher-order
+    // expressions re-evaluate per reference, and this frame is referenced by
+    // the signature, both sides of the candidate self-join, and the verify
+    // join — unpersisted that's 4x the corpus tokenization.
+    val base = df.select(col(idCol),
       array_distinct(Text.shingles(Text.tokens(col(textCol)), shingleSize)).as("sh"))
+      .withColumn("hs", transform(col("sh"),
+        t => pmod(hash(t).cast("long"), lit(MersennePrime))))
+      .persist()
+    val perms = permParams(numPerm)
+    val sig = array(perms.map { case (a, b) =>
+      array_min(transform(col("hs"), h => pmod(h * a + b, lit(MersennePrime))))
+    }: _*)
+    val signed = base.select(col(idCol), sig.as("sig"), col("sh"))
     val cands = minhashCandidates(signed, idCol, "sig", bands, rows)
     val withSets = cands
-      .join(signed.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(signed.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(base.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(base.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jacc", Text.jaccard(col("sh_a"), col("sh_b")))
     val perDoc = withSets
       .select(explode(array(col("id_a"), col("id_b"))).as(idCol), col("jacc"))
