@@ -75,6 +75,20 @@ object Text {
       (lit(0.5) + least(stopRatio * 2.0, lit(0.5))), 6)
   }
 
+  /** Portable 60-bit hash both engines compute identically: the first 15 hex
+    * chars of sha256 as a BIGINT. DuckDB twin:
+    * `CAST('0x' || substr(sha256(x), 1, 15) AS BIGINT)`. Used wherever a
+    * signature must be oracle-checkable (minhash shingles, simhash tokens);
+    * costlier than murmur but still linear and codegen'd — the oracle-able
+    * choice for a verification-gated pipeline.
+    */
+  def portableHash(c: Column): Column =
+    conv(substring(sha2(c, 256), 1, 15), 16, 10).cast("long")
+
+  /** SQL twin of [[portableHash]] for the DuckDB oracle. */
+  def portableHashSql(e: String): String =
+    s"CAST('0x' || substr(sha256($e), 1, 15) AS BIGINT)"
+
   /** Polynomial rolling-hash fingerprint over the character codes:
     * fold(acc=0; acc*31 + code mod 1e9+7). ASCII-safe; stays within Long.
     */

@@ -11,6 +11,11 @@ import graft.functions.Text
   * materialization, no cross join. MinHash/SimHash candidate generation
   * buckets by (band, signature) so the self-join degree is bounded by bucket
   * size; the verify stage only touches candidate pairs.
+  *
+  * All signatures are built on [[Text.portableHash]] (sha256-derived 60-bit
+  * BIGINT) so the full pipelines are reproducible in the DuckDB oracle —
+  * an engine-specific murmur here would make every downstream count
+  * unverifiable.
   */
 object Dedup {
 
@@ -23,10 +28,13 @@ object Dedup {
 
   // ---------------------------------------------------------------- minhash
 
-  private val MersennePrime = 2147483647L // 2^31 - 1
+  private[graft] val MersennePrime = 2147483647L // 2^31 - 1
+  private[graft] val BandFoldPrime = 1000000007L
 
-  /** Deterministic (a, b) permutation parameters (LCG, fixed seed). */
-  private def permParams(numPerm: Int, seed: Long = 0x5eedL): Seq[(Long, Long)] = {
+  /** Deterministic (a, b) permutation parameters (LCG, fixed seed).
+    * Exposed package-private so the oracle SQL embeds the same constants.
+    */
+  private[graft] def permParams(numPerm: Int, seed: Long = 0x5eedL): Seq[(Long, Long)] = {
     var state = seed
     def next(): Long = { state = state * 6364136223846793005L + 1442695040888963407L; state }
     (0 until numPerm).map { _ =>
@@ -37,29 +45,36 @@ object Dedup {
   }
 
   /** MinHash signature (array<bigint> of length numPerm) over word-shingle
-    * sets. Shingle → 32-bit murmur (Spark `hash`) → min over the universal
-    * hash family (a*x+b) mod p. Pure higher-order functions — codegen'd.
+    * sets. Shingle → portable 60-bit hash mod p → min over the universal
+    * hash family (a*x+b) mod p. Pure higher-order functions.
     */
   def minhashSignature(text: Column, shingleSize: Int = 3,
                        numPerm: Int = 64): Column = {
     val sh = array_distinct(Text.shingles(Text.tokens(text), shingleSize))
-    val hs = transform(sh, t => pmod(hash(t).cast("long"), lit(MersennePrime)))
+    val hs = transform(sh, t => pmod(Text.portableHash(t), lit(MersennePrime)))
     val perms = permParams(numPerm)
     array(perms.map { case (a, b) =>
       array_min(transform(hs, h => pmod(h * a + b, lit(MersennePrime))))
     }: _*)
   }
 
-  /** Banded LSH candidate pairs from a signed corpus: (band_id, hash of the
-    * band's slice) buckets; docs sharing a bucket become candidate pairs.
+  /** Fold a signature band slice into one BIGINT bucket key:
+    * acc*31 + h mod 1e9+7 — the same portable fold the oracle reproduces
+    * with `list_reduce` (an engine-murmur of the slice would not be).
+    */
+  private def bandHash(sl: Column): Column =
+    aggregate(sl, lit(0L), (acc, h) => (acc * 31L + h) % BandFoldPrime)
+
+  /** Banded LSH candidate pairs from a signed corpus: (band_id, fold-hash of
+    * the band's slice) buckets; docs sharing a bucket become candidate pairs.
     * Returns (id_a, id_b) with id_a < id_b, distinct.
     */
   def minhashCandidates(signed: DataFrame, idCol: String, sigCol: String,
                         bands: Int, rowsPerBand: Int): DataFrame = {
     val banded = signed.select(col(idCol), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)), b))
-    ).as(Seq("band", "band_hash")))
+        b => bandHash(slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)))))
+      .as(Seq("band", "band_hash")))
     val l = banded.as("l")
     val r = banded.as("r")
     l.join(r, col(s"l.band") === col(s"r.band") &&
@@ -79,12 +94,18 @@ object Dedup {
     // Materialize shingles + base hashes ONCE: interpreted higher-order
     // expressions re-evaluate per reference, and this frame is referenced by
     // the signature, both sides of the candidate self-join, and the verify
-    // join — unpersisted that's 4x the corpus tokenization.
+    // join — unpersisted that's 4x the corpus tokenization. localCheckpoint
+    // (not persist): block storage is RDD-scoped, so the ContextCleaner frees
+    // it when the plan is garbage-collected — repeated invocations in one
+    // session don't accumulate pinned cache entries (persist would pin until
+    // an explicit unpersist the lazy-return contract cannot place). Tradeoff:
+    // lineage is cut, so lost blocks fail the job instead of recomputing —
+    // acceptable for a deterministic batch stage that would rerun anyway.
     val base = df.select(col(idCol),
       array_distinct(Text.shingles(Text.tokens(col(textCol)), shingleSize)).as("sh"))
       .withColumn("hs", transform(col("sh"),
-        t => pmod(hash(t).cast("long"), lit(MersennePrime))))
-      .persist()
+        t => pmod(Text.portableHash(t), lit(MersennePrime))))
+      .localCheckpoint(eager = false)
     val perms = permParams(numPerm)
     val sig = array(perms.map { case (a, b) =>
       array_min(transform(col("hs"), h => pmod(h * a + b, lit(MersennePrime))))
@@ -99,14 +120,23 @@ object Dedup {
       .select(explode(array(col("id_a"), col("id_b"))).as(idCol), col("jacc"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_candidates"),
-        sum(when(col("jacc") >= threshold, 1).otherwise(0)).as("n_dups"))
+        sum(when(col("jacc") >= threshold, 1L).otherwise(0L)).as("n_dups"))
     df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .na.fill(0, Seq("n_candidates", "n_dups"))
   }
 
   // ---------------------------------------------------------------- simhash
 
-  /** Per-doc 64-bit SimHash via explode + 64 codegen'd conditional sums
+  /** SimHash signature width: 60 bits — the width of [[Text.portableHash]]
+    * (15 hex chars), so the token hash is oracle-reproducible; banded into
+    * 4 × 15-bit bands for candidate bucketing.
+    */
+  private[graft] val SimhashBits = 60
+  private[graft] val SimhashBands = 4
+  private[graft] val SimhashBandBits = SimhashBits / SimhashBands
+  private[graft] val SimhashBandMask = (1L << SimhashBandBits) - 1
+
+  /** Per-doc 60-bit SimHash via explode + 60 codegen'd conditional sums
     * (partial-aggregated map-side: the scalable shape — the naive nested
     * higher-order-function fold is interpreted and quadratic per doc).
     * Bit b of the signature = sign of Σ_tokens (±1 from the token hash's
@@ -115,26 +145,27 @@ object Dedup {
   def simhashSigned(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = df.select(col(idCol),
       explode(Text.tokens(col(textCol))).as("tok"))
-    val h = xxhash64(col("tok"))
-    val bitSums = (0 until 64).map { b =>
+    val h = Text.portableHash(col("tok"))
+    val bitSums = (0 until SimhashBits).map { b =>
       sum(shiftright(h, b).bitwiseAND(lit(1L)) * 2L - 1L).as(s"__b$b")
     }
     val sums = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { b =>
+    val sig = (0 until SimhashBits).map { b =>
       when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
     sums.select(col(idCol), sig.as("simhash"))
   }
 
-  /** SimHash report: per-doc 64-bit signature + candidate count from 16-bit
+  /** SimHash report: per-doc 60-bit signature + candidate count from 15-bit
     * band collisions (hamming-adjacent docs share ≥1 of 4 bands at distance
     * ≤3 by pigeonhole).
     */
   def simhashDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val signed = simhashSigned(df, textCol, idCol)
     val banded = signed.select(col(idCol), col("simhash"), posexplode(
-      transform(sequence(lit(0), lit(3)),
-        b => call_function("shiftright", col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))))
+      transform(sequence(lit(0), lit(SimhashBands - 1)),
+        b => call_function("shiftright", col("simhash"), b * SimhashBandBits)
+          .bitwiseAND(lit(SimhashBandMask))))
       .as(Seq("band", "band_val")))
     // bucket size via an unordered window (whole-bucket frame): one shuffle,
     // and `signed` (the expensive explode+aggregate) is computed exactly once

@@ -79,15 +79,18 @@ object Ordered {
   }
 
   /** Median of an already-sorted array, reference RollingMedian semantics:
-    * odd → middle; even → lower + (upper - lower) / 2.
+    * odd → middle; even → lower + (upper - lower) / 2, except a
+    * zero-straddling pair uses (lower + upper) / 2 — mirrors the reference's
+    * exact branch; the two forms differ in floating point.
     */
   private def medianOf(sorted: Column): Column = {
     val n = size(sorted)
     val mid = (n / 2).cast("int") + 1 // element_at is 1-based
     val lower = element_at(sorted, mid - 1)
     val upper = element_at(sorted, mid)
-    when(n % 2 === 1, element_at(sorted, mid))
+    val even = when(lower < 0.0 && upper > 0.0, (lower + upper) / 2.0)
       .otherwise(lower + (upper - lower) / 2.0)
+    when(n % 2 === 1, element_at(sorted, mid)).otherwise(even)
   }
 
   // ------------------------------------------------------------ forward_sum
@@ -179,6 +182,14 @@ object Ordered {
     * for each (partition, time). `keep` order is the deterministic tiebreak.
     */
   def collapse(df: DataFrame, key: StreamKey, keep: String): DataFrame = {
+    // The reference keeps arrival order, which a distributed shuffle does not
+    // preserve — a deterministic tiebreak is mandatory here. Fail fast with a
+    // usable message instead of letting row_number() over an unordered window
+    // fail analysis downstream.
+    require(key.tiebreak.nonEmpty,
+      "collapse requires a non-empty StreamKey.tiebreak: arrival order is not " +
+        "defined on a distributed stream; pass the columns that make " +
+        "(partition, time) groups deterministically ordered")
     val order = keep match {
       case "first" => key.tiebreak.map(col)
       case "last"  => key.tiebreak.map(col(_).desc)

@@ -77,8 +77,13 @@ object Similarity {
         col("sn._1").as("cos"), (col("pos") + 1).cast("int").as("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane weights (LCG, fixed seed). */
-  private def planeWeights(planes: Int, dim: Int, seed: Long = 0x9E3779B97F4A7C15L): Array[Array[Double]] = {
+  /** Deterministic pseudo-random hyperplane weights (LCG, fixed seed).
+    * Package-private so the DuckDB oracle SQL embeds the same constants —
+    * shortest-round-trip double literals parse back to identical IEEE values,
+    * and both engines fold the dot product in the same order, so even the
+    * SIGN of a near-zero projection agrees bit-for-bit.
+    */
+  private[graft] def planeWeights(planes: Int, dim: Int, seed: Long = 0x9E3779B97F4A7C15L): Array[Array[Double]] = {
     var state = seed
     def next(): Double = {
       state = state * 6364136223846793005L + 1442695040888963407L

@@ -70,11 +70,17 @@ object QueriesAssembly {
         .select(col("column"))
     },
 
-    // HLL++ cardinality sketch next to the exact count (rows-only: estimates
-    // are engine-specific; the spec bounds the error, the driver checks rows).
+    // HLL++ cardinality sketch next to the exact count. The estimate itself
+    // is engine-specific, so the deterministic contract is: exact count +
+    // a boolean asserting the sketch landed within 3·rsd of exact (the
+    // oracle asserts TRUE — a sketch outside its own error bound is a bug).
     "approx_distinct" -> { (s, d) =>
+      val rsd = 0.05
       graft.operators.Sketches.distinctWithApprox(events(s, d),
-        Seq("event_type"), "user_id")
+        Seq("event_type"), "user_id", rsd)
+        .select(col("event_type"), col("exact_distinct"),
+          (abs(col("approx_distinct") - col("exact_distinct")) <=
+            lit(3 * rsd) * col("exact_distinct")).as("within_bounds"))
     },
 
     // Conform assembled samples to a vector-metadata contract: contract
@@ -141,6 +147,10 @@ object QueriesAssembly {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
+         TRUE AS within_bounds FROM events GROUP BY event_type""",
+
     "sample_assembly" ->
       s"""SELECT $hourSql AS sample_time_us, user_id, COUNT(*) AS n_events,
           ROUND(${sumDecSql("value")} / COUNT(*), 6) AS avg_value,

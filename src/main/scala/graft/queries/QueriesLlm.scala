@@ -32,17 +32,147 @@ object QueriesLlm {
     "list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] " +
       "for i in generate_series(1, greatest(len(w) - 2, 0))])"
 
+  // --- SQL twins of the portable-hash dedup pipelines ---------------------
+  // Generated from the SAME Scala constants (perm params, primes, plane
+  // weights) as the Spark plans, so the two sides cannot drift.
+
+  /** Full minhash-dedup pipeline in DuckDB: shingle → portable hash → 64-perm
+    * signature → 16-band fold-hash buckets → candidate pairs → exact Jaccard
+    * verify → per-doc counts. Mirrors Dedup.minhashDedup stage for stage.
+    */
+  private def minhashSql: String = {
+    val p = Dedup.MersennePrime
+    val fp = Dedup.BandFoldPrime
+    val sigEntries = Dedup.permParams(64).map { case (a, b) =>
+      s"list_min([(h * $a + $b) % $p for h in hs])"
+    }.mkString(",\n              ")
+    s"""WITH words AS (
+          SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+          FROM documents),
+        base AS (
+          SELECT doc_id, $shinglesSql AS sh FROM words),
+        hashed AS (
+          SELECT doc_id, sh,
+                 [${Text.portableHashSql("x")} % $p for x in sh] AS hs
+          FROM base),
+        sig AS (
+          SELECT doc_id,
+              [$sigEntries] AS sig
+          FROM hashed),
+        banded AS (
+          SELECT doc_id, band,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     sig[band * 4 + 1 : band * 4 + 4]),
+                   (acc, h) -> (acc * 31 + h) % $fp) AS band_hash
+          FROM sig, (SELECT unnest(generate_series(0, 15)) AS band) bands),
+        cands AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.band_hash = r.band_hash
+           AND l.doc_id < r.doc_id),
+        verified AS (
+          SELECT id_a, id_b,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jacc
+          FROM cands
+          JOIN base a ON a.doc_id = cands.id_a
+          JOIN base b ON b.doc_id = cands.id_b),
+        perdoc AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_candidates,
+                 CAST(sum(CASE WHEN jacc >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+          FROM (SELECT unnest([id_a, id_b]) AS doc_id, jacc FROM verified)
+          GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(p.n_candidates, 0) AS n_candidates,
+               coalesce(p.n_dups, 0) AS n_dups
+        FROM documents d LEFT JOIN perdoc p USING (doc_id)"""
+  }
+
+  /** Full simhash pipeline in DuckDB: token → portable hash → 60 bit-sign
+    * sums → signature → 4×15-bit band bucket counts.
+    */
+  private def simhashSql: String = {
+    val bits = Dedup.SimhashBits
+    val bandBits = Dedup.SimhashBandBits
+    val mask = Dedup.SimhashBandMask
+    s"""WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+          FROM documents),
+        hashed AS (
+          SELECT doc_id, ${Text.portableHashSql("tok")} AS h FROM toks),
+        bits AS (
+          SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS s
+          FROM hashed, (SELECT unnest(generate_series(0, ${bits - 1})) AS b) bb
+          GROUP BY doc_id, b),
+        sig AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                      AS BIGINT) AS simhash
+          FROM bits GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, simhash, band,
+                 (simhash >> (band * $bandBits)) & $mask AS band_val
+          FROM sig,
+               (SELECT unnest(generate_series(0, ${Dedup.SimhashBands - 1})) AS band) bb),
+        bucket AS (
+          SELECT band, band_val, count(*) AS n
+          FROM banded GROUP BY band, band_val)
+        SELECT banded.doc_id, banded.simhash,
+               CAST(sum(bucket.n - 1) AS BIGINT) AS n_candidates
+        FROM banded JOIN bucket USING (band, band_val)
+        GROUP BY banded.doc_id, banded.simhash"""
+  }
+
+  /** ann_lsh twin: hyperplane constants embedded from the same Scala LCG;
+    * dot-product sign, bucket join and rerank all reproduce exactly.
+    */
+  private def annLshSql: String = {
+    val w = Similarity.planeWeights(6, 64)
+    def dotPlane(p: Int): String = {
+      val lst = w(p).map(_.toString).mkString("[", ", ", "]")
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"[CAST(embedding[i] AS DOUBLE) * ($lst)[i] " +
+        s"for i in generate_series(1, len(embedding))]), (acc, x) -> acc + x)"
+    }
+    val bucketExpr = (0 until 6).map { p =>
+      s"(CASE WHEN ${dotPlane(p)} >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n               + ")
+    s"""WITH sig AS (
+          SELECT vec_id, embedding,
+                 CAST($bucketExpr AS BIGINT) AS bucket
+          FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+              FROM sig WHERE vec_id < 5),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM sig),
+        sc AS (
+          SELECT query_id, neighbor_id, bucket,
+                 ${cosSql("qv", "cv")} AS cos
+          FROM c JOIN q USING (bucket)
+          WHERE query_id != neighbor_id),
+        r AS (
+          SELECT query_id, neighbor_id, bucket, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id ASC) AS rnk
+          FROM sc)
+        SELECT query_id, neighbor_id, bucket, ROUND(cos, 6) AS cos, rnk
+        FROM r WHERE rnk <= 5"""
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "dedup_exact" -> { (s, d) =>
       Dedup.exact(documents(s, d), "text", "doc_id")
     },
 
-    "dedup_minhash" -> { (s, d) => // rows-only: LSH banding is not SQL-shaped
+    "dedup_minhash" -> { (s, d) =>
       Dedup.minhashDedup(documents(s, d), "text", "doc_id")
     },
 
-    "dedup_simhash" -> { (s, d) => // rows-only
+    "dedup_simhash" -> { (s, d) =>
       Dedup.simhashDedup(documents(s, d), "text", "doc_id")
+        .select(col("doc_id"), col("simhash"),
+          col("n_candidates").cast("long").as("n_candidates"))
     },
 
     "ngram_jaccard" -> { (s, d) =>
@@ -70,7 +200,7 @@ object QueriesLlm {
           round(col("cos"), 6).as("cos"), col("rank").as("rnk"))
     },
 
-    "ann_lsh" -> { (s, d) => // rows-only: approximate by design
+    "ann_lsh" -> { (s, d) =>
       val e = embeddings(s, d)
       Similarity.annLsh(e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
         k = 5, planes = 6, dim = 64)
@@ -114,6 +244,10 @@ object QueriesLlm {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_minhash" -> minhashSql,
+    "dedup_simhash" -> simhashSql,
+    "ann_lsh" -> annLshSql,
+
     "dedup_exact" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
          count(*) AS n_copies FROM documents GROUP BY sha256(text)""",
