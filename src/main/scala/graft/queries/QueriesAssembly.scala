@@ -135,8 +135,8 @@ object QueriesAssembly {
   private val hourSql = "epoch_us(ts) - epoch_us(ts) % 3600000000"
 
   /** SQL twin of Assembly.hashSplitLabel for a given seed/token expression. */
-  private def hashSplitSql(tokenExpr: String, seed: Int,
-                           cases: Seq[(String, Double)]): String = {
+  private[queries] def hashSplitSql(tokenExpr: String, seed: Int,
+                                    cases: Seq[(String, Double)]): String = {
     val r = s"CAST(CAST('0x' || substr(sha256('$seed|' || CAST($tokenExpr AS VARCHAR)), 3, 14) AS BIGINT) & 9007199254740991 AS DOUBLE) / 9007199254740992.0"
     val whens = {
       val cum = cases.scanLeft(0.0)(_ + _._2).tail

@@ -45,6 +45,14 @@ object QueriesSources {
         schemaDDL = Some("r_regionkey INT, r_name STRING"))
     },
 
+    // Synthetic bounded tick source (reference sources/synthetic/time):
+    // inclusive [start, end] grid at a fixed cadence, generated as a
+    // partitioned range — not a driver loop.
+    "src_ticks" -> { (s, _) =>
+      graft.sources.Synthetic.timeTicks(s, "2024-01-01", "2024-01-31", "1h")
+        .select(eu(col("time")).as("t_us"))
+    },
+
     // §2.9: one derived result written as parquet + csv + jsonl, re-read and
     // unioned with a format tag.
     "sink_roundtrip" -> { (s, d) =>
@@ -75,6 +83,10 @@ object QueriesSources {
          FROM lineitem WHERE l_quantity >= 45""",
     "src_csv" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "src_jsonl" -> "SELECT r_regionkey, r_name FROM region",
+    "src_ticks" ->
+      """SELECT epoch_us(g) AS t_us
+         FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31',
+                              INTERVAL 1 HOUR) t(g)""",
     "sink_roundtrip" ->
       s"""SELECT 'parquet' AS fmt, * FROM ($rtAggSql)
           UNION ALL SELECT 'csv' AS fmt, * FROM ($rtAggSql)

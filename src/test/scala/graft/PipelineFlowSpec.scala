@@ -1,0 +1,125 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{DatasetPipeline, Series}
+import graft.sources.Synthetic
+
+/** End-to-end dataset pipeline, series projection encoding, and the
+  * synthetic tick source — reference semantics from
+  * pipelines/dataset/pipeline.py, domain/series_id.py,
+  * sources/synthetic/time/loader.py.
+  */
+class PipelineFlowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def sampleEvents = Seq(
+    // user 1: two hours, purchases only in hour 0
+    (1L, ts("2024-01-01 00:05:00"), "purchase", 10.0),
+    (1L, ts("2024-01-01 00:25:00"), "click", 2.0),
+    (1L, ts("2024-01-01 01:10:00"), "click", 3.0),
+    // user 2: one hour with purchase
+    (2L, ts("2024-01-01 00:15:00"), "purchase", 20.0),
+    (2L, ts("2024-01-01 00:45:00"), "purchase", 5.0),
+    // user 3: never purchases
+    (3L, ts("2024-01-01 02:00:00"), "view", 1.0)
+  ).toDF("user_id", "ts", "event_type", "value")
+
+  private def runPipeline = DatasetPipeline.run(sampleEvents,
+    DatasetPipeline.Config(
+      timeCol = "ts", cadence = "1h", sampleKeys = Seq("user_id"),
+      features = Seq(
+        "n_events" -> count(lit(1)),
+        "avg_value" -> avg(col("value")),
+        "purchase_total" ->
+          sum(when(col("event_type") === "purchase", col("value"))),
+        "bonus_total" ->
+          sum(when(col("event_type") === "never_matches", col("value")))),
+      candidateFeatures = Seq("n_events", "avg_value", "purchase_total",
+        "bonus_total", "missing_feature"),
+      columnThreshold = 0.05, rowThreshold = 0.9,
+      splitToken = col("user_id"),
+      ratios = Seq("train" -> 0.5, "test" -> 0.5), seed = 1,
+      scaledFeatures = Seq("avg_value")))
+
+  test("dataset pipeline: coverage selection drops all-NULL and absent features") {
+    assert(runPipeline.retained == Seq("n_events", "avg_value", "purchase_total"))
+  }
+
+  test("dataset pipeline: row filter keeps only fully-covered samples; folds partition them") {
+    val out = runPipeline.dataset.cache()
+    // 4 (user, hour) groups exist; only the 2 with a purchase survive the
+    // 0.9-coverage row filter
+    val keys = out.select(col("user_id"), col("sample_time")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString)).toSet
+    assert(keys == Set((1L, "2024-01-01 00:00:00.0"),
+      (2L, "2024-01-01 00:00:00.0")))
+    // every surviving row carries exactly one fold label
+    val folds = out.select(col("fold")).collect().map(_.getString(0))
+    assert(folds.forall(Set("train", "test").contains))
+    assert(out.count() == keys.size)
+  }
+
+  test("dataset pipeline: scaler is fitted on the train fold only") {
+    val out = runPipeline.dataset.cache()
+    val trainZ = out.filter(col("fold") === "train")
+      .select(avg(col("avg_value"))).collect()(0)
+    // mean of z over the fit population is 0 by construction (up to fp noise
+    // and the 6dp std rounding)
+    if (!trainZ.isNullAt(0)) assert(math.abs(trainZ.getDouble(0)) < 1e-6)
+    // unscaled feature passes through untouched (still the raw count)
+    val n = out.select(col("n_events").cast("long")).collect().map(_.getLong(0))
+    assert(n.forall(_ >= 1))
+  }
+
+  test("series projection encodes the reference series_id suffix") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "zone a", 10.0),
+      (2L, ts("2024-01-01 01:00:00"), null.asInstanceOf[String], 20.0)
+    ).toDF("user_id", "time", "zone", "value")
+    val out = Series.project(df, partitionBy = Seq("user_id", "zone"),
+      sampleKeys = Seq("user_id"), timeCol = "time",
+      configs = Seq(Series.SeriesConfig("value", "value")))
+      .select(col("series_id")).collect().map(_.getString(0)).toSet
+    // python urllib.parse.quote("zone a", safe="") == "zone%20a"; null → !n
+    assert(out == Set("value__@zone:zone%20a", "value__@zone:!n"))
+  }
+
+  test("series projection: integer and boolean identity components; no suffix when all partition fields are sample keys") {
+    val df = Seq((1L, ts("2024-01-01 00:00:00"), 7L, true, 1.5))
+      .toDF("user_id", "time", "sensor", "active", "value")
+    val ids = Series.project(df, Seq("user_id", "sensor", "active"),
+      Seq("user_id"), "time", Seq(Series.SeriesConfig("v", "value")))
+      .select(col("series_id")).collect().map(_.getString(0)).toSet
+    assert(ids == Set("v__@sensor:!i:7|@active:!b:1"))
+
+    val plain = Series.project(df, Seq("user_id"), Seq("user_id"), "time",
+      Seq(Series.SeriesConfig("v", "value")))
+      .select(col("series_id")).collect().map(_.getString(0)).toSet
+    assert(plain == Set("v"))
+  }
+
+  test("series projection rejects fractional identity fields") {
+    val df = Seq((1L, ts("2024-01-01 00:00:00"), 0.5, 1.0))
+      .toDF("user_id", "time", "ratio", "value")
+    intercept[UnsupportedOperationException] {
+      Series.project(df, Seq("user_id", "ratio"), Seq("user_id"), "time",
+        Seq(Series.SeriesConfig("v", "value")))
+    }
+  }
+
+  test("synthetic ticks: inclusive bounds, exact cadence, distributed range") {
+    val t = Synthetic.timeTicks(spark, "2024-01-01", "2024-01-02", "6h")
+    val got = t.collect().map(_.getTimestamp(0).toString).sorted
+    assert(got.toSeq == Seq(
+      "2024-01-01 00:00:00.0", "2024-01-01 06:00:00.0",
+      "2024-01-01 12:00:00.0", "2024-01-01 18:00:00.0",
+      "2024-01-02 00:00:00.0"))
+    // the plan is a Range source, not a single exploded row
+    assert(t.queryExecution.executedPlan.toString.contains("Range"))
+  }
+}
