@@ -5,6 +5,11 @@ import org.apache.spark.sql.SparkSession
 /** Bench main: times every SparkEntry query at SPARK_GRAFT_SF_DIR, prints one
   * JSON line. A warmup pass (table reads + a tiny agg) is excluded from the
   * timings so JVM/codegen startup isn't attributed to the first query.
+  *
+  * Streaming queries run in a separate final pass: each leaves behind
+  * checkpoint/state-store machinery that polluted the alphabetically-following
+  * batch queries in round 1 (where_filter 2.9 s vs plan-identical floor_time
+  * 0.14 s — see BASELINE.md anomalies).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -27,23 +32,36 @@ object Bench {
     graft.sources.Tables.events(spark, sfDir)
       .groupBy("event_type").count().count()
 
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
+
     // Best of 2 runs per query: the shared host has bursty background load,
     // and steady-state latency is the honest number for plan quality.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    // A query that throws records -1 (sentinel) and lands in `failed`,
+    // so a broken query can't silently inflate the total.
+    def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        try {
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      if (times.isEmpty) { failed += name; -1.0 } else times.min
     }
+
+    val (streamingQ, batchQ) = SparkEntry.queries.toSeq.sortBy(_._1)
+      .partition(_._1.startsWith("stream_"))
+    val results = (batchQ ++ streamingQ).map { case (name, fn) => name -> time(name, fn) }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
