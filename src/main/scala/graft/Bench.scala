@@ -53,8 +53,11 @@ object Bench {
       if (times.isEmpty) { failed += name; -1.0 } else times.min
     }
 
-    val (streamingQ, batchQ) = SparkEntry.queries.toSeq.sortBy(_._1)
-      .partition(_._1.startsWith("stream_"))
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the run for local iteration.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val (streamingQ, batchQ) = selected.partition(_._1.startsWith("stream_"))
     val results = (batchQ ++ streamingQ).map { case (name, fn) => name -> time(name, fn) }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

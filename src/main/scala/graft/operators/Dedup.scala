@@ -136,22 +136,48 @@ object Dedup {
   private[graft] val SimhashBandBits = SimhashBits / SimhashBands
   private[graft] val SimhashBandMask = (1L << SimhashBandBits) - 1
 
-  /** Per-doc 60-bit SimHash via explode + 60 codegen'd conditional sums
+  /** Counter lanes for the packed simhash aggregation: 3 × 20-bit lanes per
+    * long. 20 bits = max ~1M tokens per document before a lane overflows into
+    * its neighbor (documents.parquet maxes out far below; a 100 TB corpus
+    * with longer docs still fits — 2^20 tokens ≈ a 4 MB document).
+    */
+  private[graft] val SimhashLaneBits = 20
+  private[graft] val SimhashLanesPerWord = 3
+  private[graft] val SimhashWords = SimhashBits / SimhashLanesPerWord // 20
+
+  /** Per-doc 60-bit SimHash via explode + packed per-bit counters
     * (partial-aggregated map-side: the scalable shape — the naive nested
     * higher-order-function fold is interpreted and quadratic per doc).
-    * Bit b of the signature = sign of Σ_tokens (±1 from the token hash's
-    * bit b).
+    * Bit b of the signature = 1 iff ones_b * 2 > n_tokens, i.e. the sign of
+    * Σ_tokens (±1 from the token hash's bit b).
+    *
+    * Instead of 60 separate `sum` aggregates (whose generated update code is
+    * large enough to fall off whole-stage codegen), the 60 per-bit one-counts
+    * ride in 20 longs of 3 × 20-bit lanes: lane overflow is impossible below
+    * 2^20 tokens/doc, so a single integer add updates 3 counters at once.
     */
   def simhashSigned(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = df.select(col(idCol),
       explode(Text.tokens(col(textCol))).as("tok"))
-    val h = Text.portableHash(col("tok"))
-    val bitSums = (0 until SimhashBits).map { b =>
-      sum(shiftright(h, b).bitwiseAND(lit(1L)) * 2L - 1L).as(s"__b$b")
+      .select(col(idCol), Text.portableHash(col("tok")).as("__h"))
+    val h = col("__h")
+    // word w carries bits {w, w+20, w+40} in lanes 0/1/2
+    val packedSums = (0 until SimhashWords).map { w =>
+      val packed = (0 until SimhashLanesPerWord).map { lane =>
+        shiftleft(shiftright(h, w + lane * SimhashWords).bitwiseAND(lit(1L)),
+          lane * SimhashLaneBits)
+      }.reduce(_ + _)
+      sum(packed).as(s"__w$w")
     }
-    val sums = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sums = toks.groupBy(col(idCol))
+      .agg(count(lit(1L)).as("__n"), packedSums: _*)
+    val laneMask = (1L << SimhashLaneBits) - 1
     val sig = (0 until SimhashBits).map { b =>
-      when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+      val w = b % SimhashWords
+      val lane = b / SimhashWords
+      val ones = shiftright(col(s"__w$w"), lane * SimhashLaneBits)
+        .bitwiseAND(lit(laneMask))
+      when(ones * 2L > col("__n"), lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
     sums.select(col(idCol), sig.as("simhash"))
   }
