@@ -46,6 +46,37 @@ class ScalePostureSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("a k-op ordered chain costs exactly one Exchange and one Sort") {
+    // SURVEY §5's headline claim: every §2.3 transform shares
+    // Window.partitionBy(key).orderBy(time), so Catalyst plans a chain of k
+    // of them as consecutive Window operators over ONE shuffle + ONE sort —
+    // where the reference runs k sequential per-record passes.
+    import graft.pipeline.Pipeline
+    import graft.pipeline.Pipeline._
+    import graft.operators.StreamKey
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val key = StreamKey(Seq("user_id"), "ts", Seq("event_id"))
+    val ops = Seq[Op](
+      Lag("value", 1, "v_lag"),
+      Lead("value", 2, "v_lead"),
+      Rolling("value", "mean", 20, "v_mean"),
+      Rolling("value", "max", 10, "v_max"),
+      ForwardSum("value", 5, "v_fs"),
+      ForwardFill("value", "v_ff"),
+      Derive("v_mean", "sub", "v_centered", rightField = Some("value")),
+      Log1p("v_max", "v_max_log1p"))
+    val out = Pipeline.run(events, key, ops)
+    val plan = physicalPlan(out)
+    def count(needle: String): Int =
+      needle.r.findAllMatchIn(plan).length
+    val exchanges = count("Exchange hashpartitioning")
+    val sorts = count("\\bSort \\[")
+    assert(exchanges == 1, s"expected 1 exchange for an 8-op chain, got $exchanges:\n$plan")
+    assert(sorts == 1, s"expected 1 sort for an 8-op chain, got $sorts:\n$plan")
+    assert(out.count() > 0)
+  }
+
   test("partitioned sink prunes partitions at the scan") {
     val sf = "/root/testdata/sf0.001"
     val out = "/tmp/graft_scratch/events_by_day"
