@@ -1,0 +1,487 @@
+package graft.pipeline
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+
+/** Declarative project configuration — the graft twin of the reference's
+  * YAML-driven dataset project (docs/config.md; config/transforms.py,
+  * config/sources.py, config/streams.py, the config/dataset package).
+  *
+  * The reference splits a project across `project.yaml`, per-source and
+  * per-stream YAML files, and `dataset.yaml`; graft accepts the same content as ONE
+  * document with `globals:`, `sources:`, `streams:` and `dataset:` sections
+  * (each list entry carries the `id` its filename would supply). Every
+  * operation mapping uses the reference's exact field names and
+  * discriminators, and unknown operations / unknown fields are rejected the
+  * way the reference's `extra="forbid"` models reject them.
+  *
+  * Differences from the reference, by design:
+  *  - `parser` / `map` plugin entrypoints (opaque Python) become a declarative
+  *    `map: {time: <col>, fields: [...]}` projection — the time column is
+  *    renamed to the canonical `time`.
+  *  - `${env:...}` interpolation is rejected (zero-egress builds must not
+  *    read ambient state); `${var}` resolves from the document's `globals`.
+  *  - `sequence` series policies are not yet parseable — use
+  *    `Assembly.sequenceWindows` programmatically.
+  *  - `tiebreak:` on a stream is a graft extension: deterministic ordering
+  *    needs an explicit total order where the reference relies on iterator
+  *    arrival order.
+  */
+object Config {
+
+  // ------------------------------------------------------------- model
+
+  final case class SourceDef(id: String, format: String, path: String,
+                             options: Map[String, String])
+
+  sealed trait From
+  final case class FromSource(source: String) extends From
+  final case class FromStream(stream: String) extends From
+  final case class FromBroadcast(stream: String, broadcast: String) extends From
+  final case class FromAlign(inputs: Seq[String]) extends From
+
+  /** `map.time` names the source column holding the record time (renamed to
+    * canonical `time`); `map.fields` optionally projects the payload.
+    */
+  final case class MapDef(time: String = "time", fields: Seq[String] = Nil)
+
+  final case class StreamDef(
+      id: String,
+      from: From,
+      map: MapDef = MapDef(),
+      partitionBy: Seq[String] = Nil,
+      tiebreak: Seq[String] = Nil,
+      preprocess: Seq[Pipeline.Op] = Nil,
+      transforms: Seq[Pipeline.Op] = Nil)
+
+  final case class VectorDef(id: String, stream: String, field: String,
+                             scale: Boolean = false)
+
+  final case class FoldDef(id: String, train: Seq[String],
+                           validation: Seq[String], test: Seq[String])
+
+  sealed trait SplitDef { def folds: Seq[FoldDef] }
+  final case class HashSplit(seed: Int, ratios: Seq[(String, Double)],
+                             folds: Seq[FoldDef]) extends SplitDef
+  final case class TimeSplit(intervals: Seq[(String, Option[String])],
+                             folds: Seq[FoldDef]) extends SplitDef
+
+  final case class PostprocessDef(
+      featureColumnThreshold: Option[Double] = None,
+      targetColumnThreshold: Option[Double] = None,
+      featureRowThreshold: Option[Double] = None,
+      targetRowThreshold: Option[Double] = None)
+
+  final case class DatasetDef(
+      cadence: String,
+      sampleKeys: Seq[String],
+      features: Seq[VectorDef],
+      targets: Seq[VectorDef] = Nil,
+      split: Option[SplitDef] = None,
+      postprocess: PostprocessDef = PostprocessDef())
+
+  final case class Project(
+      sources: Seq[SourceDef],
+      streams: Seq[StreamDef],
+      dataset: Option[DatasetDef]) {
+    def source(id: String): SourceDef =
+      sources.find(_.id == id).getOrElse(fail(s"unknown source '$id'"))
+    def stream(id: String): StreamDef =
+      streams.find(_.id == id).getOrElse(fail(s"unknown stream '$id'"))
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"config: $msg")
+
+  // ------------------------------------------------------------- yaml → tree
+
+  private type Tree = Map[String, Any]
+
+  private def toScala(v: Any): Any = v match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, x) => k.toString -> toScala(x) }.toMap
+    case l: java.util.List[_] => l.asScala.map(toScala).toSeq
+    case other => other
+  }
+
+  /** `${var}` interpolation from `globals` on every string scalar; `${env:…}`
+    * is rejected (the reference reads the process environment — graft configs
+    * must be hermetic).
+    */
+  private def interpolate(v: Any, globals: Map[String, Any]): Any = v match {
+    case s: String =>
+      if (s.contains("${env:"))
+        fail("${env:...} is not supported: '" + s + "'")
+      "\\$\\{([A-Za-z0-9_]+)\\}".r.replaceAllIn(s, m =>
+        scala.util.matching.Regex.quoteReplacement(
+          globals.getOrElse(m.group(1),
+            fail("unresolved ${...} variable '" + m.group(1) + "'")).toString))
+    case m: Map[_, _] =>
+      m.asInstanceOf[Tree].map { case (k, x) => k -> interpolate(x, globals) }
+    case l: Seq[_] => l.map(interpolate(_, globals))
+    case other => other
+  }
+
+  // ------------------------------------------------------------- accessors
+
+  private def asTree(v: Any, ctx: String): Tree = v match {
+    case m: Map[_, _] => m.asInstanceOf[Tree]
+    case other        => fail(s"$ctx must be a mapping, got $other")
+  }
+  private def asList(v: Any, ctx: String): Seq[Any] = v match {
+    case l: Seq[_] => l
+    case other     => fail(s"$ctx must be a list, got $other")
+  }
+  private def str(t: Tree, k: String, ctx: String): String =
+    t.getOrElse(k, fail(s"$ctx requires '$k'")) match {
+      case s: String if s.trim.nonEmpty => s
+      case other => fail(s"$ctx.$k must be a non-empty string, got $other")
+    }
+  private def strOpt(t: Tree, k: String): Option[String] =
+    t.get(k).map { case s: String => s; case o => fail(s"'$k' must be a string, got $o") }
+  private def intOf(t: Tree, k: String, ctx: String): Int =
+    t.getOrElse(k, fail(s"$ctx requires '$k'")) match {
+      case i: Int => i
+      case i: java.lang.Integer => i.intValue
+      case other  => fail(s"$ctx.$k must be an integer, got $other")
+    }
+  private def intOpt(t: Tree, k: String): Option[Int] = t.get(k).map {
+    case i: Int => i
+    case i: java.lang.Integer => i.intValue
+    case o => fail(s"'$k' must be an integer, got $o")
+  }
+  private def dblOpt(t: Tree, k: String): Option[Double] = t.get(k).map {
+    case d: Double => d
+    case d: java.lang.Double => d.doubleValue
+    case i: Int => i.toDouble
+    case i: java.lang.Integer => i.doubleValue
+    case o => fail(s"'$k' must be a number, got $o")
+  }
+  private def boolOf(t: Tree, k: String, default: Boolean): Boolean =
+    t.get(k).map {
+      case b: Boolean => b
+      case b: java.lang.Boolean => b.booleanValue
+      case o => fail(s"'$k' must be a boolean, got $o")
+    }.getOrElse(default)
+  private def strList(t: Tree, k: String, ctx: String): Seq[String] =
+    asList(t.getOrElse(k, fail(s"$ctx requires '$k'")), s"$ctx.$k").map {
+      case s: String => s
+      case o         => fail(s"$ctx.$k entries must be strings, got $o")
+    }
+  private def strListOpt(t: Tree, k: String): Seq[String] =
+    t.get(k).map(v => asList(v, k).map {
+      case s: String => s
+      case o         => fail(s"'$k' entries must be strings, got $o")
+    }).getOrElse(Nil)
+
+  private def requireKeys(t: Tree, allowed: Set[String], ctx: String): Unit = {
+    val unknown = t.keySet -- allowed
+    if (unknown.nonEmpty)
+      fail(s"$ctx has unknown field(s): ${unknown.toSeq.sorted.mkString(", ")}")
+  }
+
+  // ------------------------------------------------------------- operations
+
+  /** ISO-8601 `...Z`/offset datetimes become timestamps so `where` on `time`
+    * compares temporally, not lexically (reference parse_datetime).
+    */
+  private def comparand(v: Any): Any = v match {
+    case s: String if s.matches("""\d{4}-\d{2}-\d{2}T.*""") =>
+      java.sql.Timestamp.from(java.time.OffsetDateTime.parse(s).toInstant)
+    case l: Seq[_] => l.map(comparand)
+    case other     => other
+  }
+
+  /** One flat op mapping with an `operation` discriminator → [[Pipeline.Op]].
+    * Field names and defaults mirror config/transforms.py exactly; unknown
+    * operations and unknown fields are errors.
+    */
+  def parseOp(raw: Any): Pipeline.Op = {
+    val t = asTree(raw, "operation")
+    val op = str(t, "operation", "operation")
+    def ctx = s"operation '$op'"
+    def check(allowed: String*): Unit =
+      requireKeys(t, allowed.toSet + "operation", ctx)
+    def to(default: String): String = strOpt(t, "to").getOrElse(default)
+    op match {
+      case "where" =>
+        check("field", "operator", "comparand")
+        Pipeline.Where(str(t, "field", ctx), str(t, "operator", ctx),
+          comparand(t.getOrElse("comparand", fail(s"$ctx requires 'comparand'"))))
+      case "floor_time" =>
+        check("cadence"); Pipeline.FloorTime(str(t, "cadence", ctx))
+      case "shift_time" =>
+        check("by"); Pipeline.ShiftTime(str(t, "by", ctx))
+      case "dedupe" =>
+        check(); Pipeline.Dedupe()
+      case "collapse" =>
+        check("keep"); Pipeline.Collapse(str(t, "keep", ctx))
+      case "lag" =>
+        check("field", "periods", "to")
+        val f = str(t, "field", ctx)
+        Pipeline.Lag(f, intOf(t, "periods", ctx), to(f))
+      case "lead" =>
+        check("field", "periods", "to")
+        val f = str(t, "field", ctx)
+        Pipeline.Lead(f, intOf(t, "periods", ctx), to(f))
+      case "rolling" =>
+        check("field", "window", "statistic", "to", "min_samples")
+        val f = str(t, "field", ctx)
+        Pipeline.Rolling(f, strOpt(t, "statistic").getOrElse("mean"),
+          intOf(t, "window", ctx), to(f), intOpt(t, "min_samples"))
+      case "rolling_slope" =>
+        check("x", "y", "window", "to")
+        Pipeline.RollingSlope(str(t, "x", ctx), str(t, "y", ctx),
+          intOf(t, "window", ctx), str(t, "to", ctx))
+      case "forward_sum" =>
+        check("field", "window", "to")
+        Pipeline.ForwardSum(str(t, "field", ctx), intOf(t, "window", ctx),
+          str(t, "to", ctx))
+      case "fill" =>
+        check("field", "window", "statistic", "to", "min_samples")
+        val f = str(t, "field", ctx)
+        Pipeline.Fill(f, intOf(t, "window", ctx), str(t, "statistic", ctx),
+          to(f), intOpt(t, "min_samples").getOrElse(1))
+      case "forward_fill" =>
+        check("field", "to")
+        val f = str(t, "field", ctx)
+        Pipeline.ForwardFill(f, to(f))
+      case "derive" =>
+        check("left", "operator", "to", "right_field", "right_value")
+        val rf = strOpt(t, "right_field")
+        val rv = dblOpt(t, "right_value")
+        if (rf.isDefined == rv.isDefined)
+          fail(s"$ctx requires exactly one of right_field or right_value")
+        Pipeline.Derive(str(t, "left", ctx), str(t, "operator", ctx),
+          str(t, "to", ctx), rf, rv)
+      case "log" =>
+        check("field", "to")
+        Pipeline.Log(str(t, "field", ctx), str(t, "to", ctx))
+      case "log1p" =>
+        check("field", "to")
+        Pipeline.Log1p(str(t, "field", ctx), str(t, "to", ctx))
+      case "ensure_cadence" =>
+        check("cadence"); Pipeline.EnsureCadence(str(t, "cadence", ctx))
+      case "sessionize" =>
+        check("gap", "to")
+        Pipeline.Sessionize(str(t, "gap", ctx), to("session_id"))
+      case other => fail(s"unknown operation '$other'")
+    }
+  }
+
+  private def parseOps(t: Tree, k: String): Seq[Pipeline.Op] =
+    t.get(k).map(v => asList(v, k).map(parseOp)).getOrElse(Nil)
+
+  // ------------------------------------------------------------- sections
+
+  private def parseSource(raw: Any): SourceDef = {
+    val t = asTree(raw, "source")
+    val id = str(t, "id", "source")
+    requireKeys(t, Set("id", "loader"), s"source '$id'")
+    val loader = asTree(t.getOrElse("loader",
+      fail(s"source '$id' requires 'loader'")), s"source '$id'.loader")
+    requireKeys(loader, Set("transport", "path", "reader"), s"source '$id'.loader")
+    val transport = strOpt(loader, "transport").getOrElse("fs")
+    if (transport != "fs")
+      fail(s"source '$id': transport '$transport' is not supported " +
+        "(fs only; http is an environment-level concern — see README)")
+    val reader = asTree(loader.getOrElse("reader", Map.empty[String, Any]),
+      s"source '$id'.loader.reader")
+    val format = strOpt(reader, "format").getOrElse("parquet")
+    if (!Set("csv", "jsonl", "json", "parquet").contains(format))
+      fail(s"source '$id': unknown reader format '$format'")
+    val options = (reader - "format").map { case (k, v) => k -> v.toString }
+    SourceDef(id, format, str(loader, "path", s"source '$id'.loader"), options)
+  }
+
+  private def parseFrom(raw: Any, ctx: String): From = {
+    val t = asTree(raw, s"$ctx.from")
+    requireKeys(t, Set("source", "stream", "broadcast", "align"), s"$ctx.from")
+    (t.get("source"), t.get("stream"), t.get("broadcast"), t.get("align")) match {
+      case (Some(s: String), None, None, None) => FromSource(s)
+      case (None, Some(s: String), None, None) => FromStream(s)
+      case (None, Some(s: String), Some(b: String), None) => FromBroadcast(s, b)
+      case (None, None, None, Some(_)) =>
+        val inputs = strList(t, "align", s"$ctx.from")
+        if (inputs.length < 2) fail(s"$ctx.from.align needs at least two streams")
+        FromAlign(inputs)
+      case _ => fail(s"$ctx.from must be one of source | stream | " +
+        "stream+broadcast | align")
+    }
+  }
+
+  private def parseStream(raw: Any): StreamDef = {
+    val t = asTree(raw, "stream")
+    val id = str(t, "id", "stream")
+    val ctx = s"stream '$id'"
+    requireKeys(t, Set("id", "from", "map", "partition_by", "ordered_by",
+      "tiebreak", "preprocess", "transforms"), ctx)
+    val from = parseFrom(t.getOrElse("from", fail(s"$ctx requires 'from'")), ctx)
+    val mapDef = t.get("map").map { raw =>
+      val m = asTree(raw, s"$ctx.map")
+      requireKeys(m, Set("time", "fields"), s"$ctx.map")
+      MapDef(strOpt(m, "time").getOrElse("time"), strListOpt(m, "fields"))
+    }.getOrElse(MapDef())
+    // `ordered_by`, when present, must equal [*partition_by, time] (the
+    // reference validates the same assertion while streaming).
+    val partitionBy = strListOpt(t, "partition_by")
+    strListOpt(t, "ordered_by") match {
+      case Nil => ()
+      case declared =>
+        val canonical = partitionBy :+ "time"
+        if (declared != canonical)
+          fail(s"$ctx.ordered_by must equal [${canonical.mkString(", ")}]")
+    }
+    from match {
+      case FromSource(_) => ()
+      case _ =>
+        if (t.contains("map") || t.contains("partition_by") || t.contains("preprocess"))
+          fail(s"$ctx: only source-backed streams declare map/partition_by/preprocess")
+    }
+    // stage restrictions (reference PreprocessConfig vs TransformConfig):
+    // preprocess = record-wise ops only; ordered transforms cannot rewrite
+    // `time` (floor_time/shift_time are preprocess-only).
+    val preprocess = parseOps(t, "preprocess")
+    preprocess.foreach {
+      case _: Pipeline.Where | _: Pipeline.FloorTime | _: Pipeline.ShiftTime => ()
+      case op => fail(s"$ctx.preprocess allows only where/floor_time/" +
+        s"shift_time; '${op.getClass.getSimpleName}' is an ordered transform")
+    }
+    val transforms = parseOps(t, "transforms")
+    transforms.foreach {
+      case _: Pipeline.FloorTime | _: Pipeline.ShiftTime =>
+        fail(s"$ctx.transforms cannot write 'time' — floor_time/shift_time " +
+          "belong in preprocess")
+      case _ => ()
+    }
+    StreamDef(id, from, mapDef, partitionBy, strListOpt(t, "tiebreak"),
+      preprocess, transforms)
+  }
+
+  private def parseVector(raw: Any, ctx: String): VectorDef = {
+    val t = asTree(raw, ctx)
+    val id = str(t, "id", ctx)
+    requireKeys(t, Set("id", "stream", "field", "scale", "sequence"), s"$ctx '$id'")
+    if (t.contains("sequence"))
+      fail(s"$ctx '$id': sequence policies are not yet config-parseable — " +
+        "use Assembly.sequenceWindows programmatically")
+    if (id.contains(Series.IdSeparator))
+      fail(s"$ctx '$id': ids cannot contain the reserved '${Series.IdSeparator}'")
+    VectorDef(id, str(t, "stream", s"$ctx '$id'"), str(t, "field", s"$ctx '$id'"),
+      boolOf(t, "scale", default = false))
+  }
+
+  private def parseFold(raw: Any): FoldDef = {
+    val t = asTree(raw, "fold")
+    val id = str(t, "id", "fold")
+    requireKeys(t, Set("id", "train", "validation", "test"), s"fold '$id'")
+    val f = FoldDef(id, strList(t, "train", s"fold '$id'"),
+      strListOpt(t, "validation"), strListOpt(t, "test"))
+    val overlap = (f.train.toSet & f.validation.toSet) ++
+      (f.train.toSet & f.test.toSet) ++ (f.validation.toSet & f.test.toSet)
+    if (overlap.nonEmpty)
+      fail(s"fold '$id': label(s) ${overlap.mkString(", ")} appear in two roles")
+    f
+  }
+
+  private def parseSplit(raw: Any): SplitDef = {
+    val t = asTree(raw, "split")
+    val folds = t.get("folds").map(v => asList(v, "split.folds").map(parseFold))
+      .getOrElse(Nil)
+    val (split, labels) = str(t, "mode", "split") match {
+      case "hash" =>
+        requireKeys(t, Set("mode", "seed", "ratios", "folds"), "split")
+        val ratios = asTree(t.getOrElse("ratios", fail("hash split requires 'ratios'")),
+          "split.ratios").toSeq.map {
+          case (k, d: Double) => k -> d
+          case (k, i: Int)    => k -> i.toDouble
+          case (k, v)         => fail(s"split.ratios.$k must be a number, got $v")
+        // canonicalized by label so YAML key order cannot change assignment
+        }.sortBy(_._1)
+        (HashSplit(intOpt(t, "seed").getOrElse(42), ratios, folds),
+          ratios.map(_._1).toSet)
+      case "time" =>
+        requireKeys(t, Set("mode", "intervals", "folds"), "split")
+        val intervals = asList(t.getOrElse("intervals",
+          fail("time split requires 'intervals'")), "split.intervals").map { raw =>
+          val iv = asTree(raw, "split.intervals[]")
+          requireKeys(iv, Set("id", "until"), "split interval")
+          (str(iv, "id", "split interval"), strOpt(iv, "until"))
+        }
+        if (intervals.init.exists(_._2.isEmpty) || intervals.last._2.nonEmpty)
+          fail("every split interval except the last needs 'until'; the last omits it")
+        (TimeSplit(intervals, folds), intervals.map(_._1).toSet)
+      case other => fail(s"split.mode must be hash | time, got '$other'")
+    }
+    split.folds.foreach { f =>
+      val unknown = (f.train ++ f.validation ++ f.test).filterNot(labels.contains)
+      if (unknown.nonEmpty)
+        fail(s"fold '${f.id}' references unknown label(s): ${unknown.mkString(", ")}")
+    }
+    split
+  }
+
+  private def parsePostprocess(raw: Any): PostprocessDef = {
+    val t = asTree(raw, "postprocess")
+    requireKeys(t, Set("columns", "samples"), "postprocess")
+    def section(k: String): (Option[Double], Option[Double]) =
+      t.get(k).map { raw =>
+        val s = asTree(raw, s"postprocess.$k")
+        requireKeys(s, Set("features", "targets"), s"postprocess.$k")
+        def thr(kk: String): Option[Double] = s.get(kk).flatMap { raw =>
+          val m = asTree(raw, s"postprocess.$k.$kk")
+          requireKeys(m, Set("threshold", "ids"), s"postprocess.$k.$kk")
+          dblOpt(m, "threshold")
+        }
+        (thr("features"), thr("targets"))
+      }.getOrElse((None, None))
+    val (fc, tc) = section("columns")
+    val (fr, tr) = section("samples")
+    PostprocessDef(fc, tc, fr, tr)
+  }
+
+  private def parseDataset(raw: Any): DatasetDef = {
+    val t = asTree(raw, "dataset")
+    requireKeys(t, Set("sample", "features", "targets", "split", "postprocess"),
+      "dataset")
+    val sample = asTree(t.getOrElse("sample", fail("dataset requires 'sample'")),
+      "dataset.sample")
+    requireKeys(sample, Set("cadence", "keys"), "dataset.sample")
+    val features = asList(t.getOrElse("features",
+      fail("dataset requires 'features'")), "dataset.features")
+      .map(parseVector(_, "feature"))
+    val targets = t.get("targets").map(v =>
+      asList(v, "dataset.targets").map(parseVector(_, "target"))).getOrElse(Nil)
+    val dup = (features ++ targets).groupBy(_.id).collect {
+      case (id, vs) if vs.length > 1 => id
+    }
+    if (dup.nonEmpty) fail(s"duplicate vector id(s): ${dup.mkString(", ")}")
+    DatasetDef(
+      str(sample, "cadence", "dataset.sample"),
+      strListOpt(sample, "keys"),
+      features, targets,
+      t.get("split").map(parseSplit),
+      t.get("postprocess").map(parsePostprocess).getOrElse(PostprocessDef()))
+  }
+
+  /** Parse one whole project document. */
+  def parseProject(yaml: String): Project = {
+    val mapper = new ObjectMapper(new YAMLFactory())
+    val rawTree = toScala(mapper.readValue(yaml, classOf[java.util.Map[String, Object]]))
+      .asInstanceOf[Tree]
+    val globals = rawTree.get("globals").map(asTree(_, "globals")).getOrElse(Map.empty)
+    val tree = interpolate(rawTree - "globals", globals).asInstanceOf[Tree]
+    requireKeys(tree, Set("sources", "streams", "dataset"), "project")
+    val p = Project(
+      tree.get("sources").map(v => asList(v, "sources").map(parseSource)).getOrElse(Nil),
+      tree.get("streams").map(v => asList(v, "streams").map(parseStream)).getOrElse(Nil),
+      tree.get("dataset").map(parseDataset))
+    val dupS = p.sources.groupBy(_.id).collect { case (id, xs) if xs.length > 1 => id }
+    val dupT = p.streams.groupBy(_.id).collect { case (id, xs) if xs.length > 1 => id }
+    if (dupS.nonEmpty) fail(s"duplicate source id(s): ${dupS.mkString(", ")}")
+    if (dupT.nonEmpty) fail(s"duplicate stream id(s): ${dupT.mkString(", ")}")
+    p
+  }
+}

@@ -1,0 +1,259 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TimeFns
+import graft.operators.{Assembly, Compose, StreamKey}
+
+/** Executes a parsed [[Config.Project]]: resolves every stream into ONE
+  * declarative DataFrame plan and runs the dataset journey (assembly →
+  * postprocess → split/folds → per-fold scaler) — the Spark twin of the
+  * reference's `jerry serve` dataset runtime
+  * (pipelines/dataset/pipeline.py:48 and the services/streams package).
+  *
+  * Scale posture: stream resolution is pure plan composition (no action);
+  * source-backed streams read column-pruned scans, broadcast streams become
+  * broadcast hash joins, aligned streams become sort-merge joins on
+  * (partition, time). The dataset runtime shuffles data rows once for
+  * assembly; coverage metadata (≤ |vectors| rows) and per-fold scaler stats
+  * (|folds| rows) are the only driver-side materializations, mirroring the
+  * reference's metadata.json / scaler.json artifacts.
+  */
+object ConfigRuntime {
+
+  /** Resolve one stream id into a DataFrame (memoized across the project so
+    * a diamond dependency is planned once).
+    */
+  final class Resolver(spark: SparkSession, dataDir: String,
+                       project: Config.Project) {
+    private val memo = scala.collection.mutable.Map.empty[String, DataFrame]
+    private val visiting = scala.collection.mutable.Set.empty[String]
+
+    /** The stream's resolved partition identity (source-backed streams
+      * declare it; derived/broadcast/aligned streams inherit it).
+      */
+    def partitionBy(id: String): Seq[String] = project.stream(id).from match {
+      case Config.FromSource(_)       => project.stream(id).partitionBy
+      case Config.FromStream(s)       => partitionBy(s)
+      case Config.FromBroadcast(s, _) => partitionBy(s)
+      case Config.FromAlign(inputs)   => partitionBy(inputs.head)
+    }
+
+    def tiebreak(id: String): Seq[String] = {
+      val own = project.stream(id).tiebreak
+      if (own.nonEmpty) own
+      else project.stream(id).from match {
+        case Config.FromSource(_)       => Nil
+        case Config.FromStream(s)       => tiebreak(s)
+        case Config.FromBroadcast(s, _) => tiebreak(s)
+        case Config.FromAlign(inputs)   => tiebreak(inputs.head)
+      }
+    }
+
+    private def key(id: String): StreamKey =
+      StreamKey(partitionBy(id), "time", tiebreak(id))
+
+    private def readSource(src: Config.SourceDef): DataFrame = {
+      val path = if (src.path.startsWith("/")) src.path
+                 else s"$dataDir/${src.path}"
+      // same session posture as sources.Tables: ms-precision parquet
+      // timestamps read as session-TZ TIMESTAMP, not NTZ
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      val reader = spark.read.options(src.options)
+      src.format match {
+        case "parquet"        => reader.parquet(path)
+        case "csv"            => reader.option("header", "true")
+          .option("inferSchema", "true").csv(path)
+        case "json" | "jsonl" => reader.json(path)
+      }
+    }
+
+    def stream(id: String): DataFrame = memo.getOrElseUpdate(id, {
+      if (!visiting.add(id))
+        throw new IllegalArgumentException(s"config: stream cycle at '$id'")
+      val d = project.stream(id)
+      val out = d.from match {
+        case Config.FromSource(srcId) =>
+          val raw = readSource(project.source(srcId))
+          val mapped0 =
+            if (d.map.time == "time") raw
+            else raw.withColumnRenamed(d.map.time, "time")
+          val mapped =
+            if (d.map.fields.isEmpty) mapped0
+            else mapped0.select(("time" +: d.map.fields).distinct.map(col): _*)
+          val pre = Pipeline.run(mapped, key(id), d.preprocess)
+          Pipeline.run(pre, key(id), d.transforms)
+        case Config.FromStream(parent) =>
+          Pipeline.run(stream(parent), key(id), d.transforms)
+        case Config.FromBroadcast(primary, bcast) =>
+          require(partitionBy(primary).nonEmpty,
+            s"config: broadcast primary '$primary' must be partitioned")
+          require(project.stream(bcast).partitionBy.isEmpty,
+            s"config: broadcast input '$bcast' must be unpartitioned")
+          val joined = Compose.broadcastJoin(stream(primary), stream(bcast), "time")
+          Pipeline.run(joined, key(id), d.transforms)
+        case Config.FromAlign(inputs) =>
+          val parts = inputs.map(partitionBy)
+          require(parts.distinct.length == 1,
+            s"config: aligned inputs must share partition_by; got $parts")
+          val aligned = Compose.alignStreams(inputs.map(stream), parts.head, "time")
+          Pipeline.run(aligned, key(id), d.transforms)
+      }
+      visiting.remove(id)
+      out
+    })
+  }
+
+  def resolver(spark: SparkSession, dataDir: String,
+               project: Config.Project): Resolver =
+    new Resolver(spark, dataDir, project)
+
+  /** Exact decimal mean of a double column — deterministic across engines. */
+  private def meanDec(c: Column): Column =
+    (sum(c.cast("decimal(30,6)")).cast("double") / count(c))
+
+  /** The composed dataset journey for a configured project. Output columns:
+    * `fold` (fold id — the hash/time label when no folds are declared),
+    * `role` (train/validation/test; "all" when no folds are declared),
+    * `sample_time`, sample keys, then retained feature/target ids in contract
+    * order. `scale: true` vectors are z-scaled with statistics fitted on each
+    * fold's train rows only.
+    */
+  def dataset(spark: SparkSession, dataDir: String,
+              project: Config.Project): DataFrame = {
+    val ds = project.dataset.getOrElse(
+      throw new IllegalArgumentException("config: project has no dataset section"))
+    val res = resolver(spark, dataDir, project)
+    val vectors = ds.features ++ ds.targets
+
+    // --- series projection per referenced stream, then union: every vector
+    // becomes (series_id, time, value, keys…) rows. Sample keys must belong
+    // to each referenced stream's partition identity (reference rule); the
+    // remaining partition fields suffix the series id.
+    val projections = vectors.groupBy(_.stream).toSeq.sortBy(_._1).map {
+      case (streamId, vs) =>
+        val pb = res.partitionBy(streamId)
+        val missing = ds.sampleKeys.filterNot(pb.contains)
+        require(missing.isEmpty,
+          s"config: sample key(s) ${missing.mkString(", ")} not in " +
+            s"partition_by of stream '$streamId'")
+        Series.project(res.stream(streamId), pb, ds.sampleKeys, "time",
+          vs.map(v => Series.SeriesConfig(v.id, v.field)))
+    }
+    val long = projections.reduce(_ unionByName _)
+
+    // --- assembly: one shuffle on (sample_time, keys); wide via pivot. When
+    // every partition field is a sample key the series ids are exactly the
+    // vector ids (static pivot — single pass); otherwise Spark's dynamic
+    // pivot computes the id set first, the same two-pass shape as the
+    // reference's series metadata artifact.
+    val suffixFree = vectors.map(_.stream).distinct
+      .forall(s => res.partitionBy(s).forall(ds.sampleKeys.contains))
+    val bucketed = long.withColumn("sample_time",
+      TimeFns.floorTime(col("time"), ds.cadence))
+    val grouped = bucketed.groupBy(
+      (col("sample_time") +: ds.sampleKeys.map(col)): _*)
+    val assembled =
+      (if (suffixFree) grouped.pivot(col("series_id"), vectors.map(_.id))
+       else grouped.pivot(col("series_id")))
+        .agg(max(col("value")))
+
+    // --- postprocess: column selection by coverage (features and targets
+    // have separate thresholds), conform to the retained contract, then row
+    // filtering. Mirrors the reference stage order select → conform → drop.
+    def retain(ids: Seq[String], threshold: Option[Double]): Seq[String] =
+      threshold match {
+        case None => ids.filter(assembled.columns.contains)
+        case Some(thr) =>
+          val known = ids.filter(assembled.columns.contains)
+          if (known.isEmpty) Nil
+          else {
+            val covered = Assembly.coverageStats(assembled, known)
+              .filter(col("coverage") >= thr)
+              .select("column").collect().map(_.getString(0)).toSet
+            ids.filter(covered.contains)
+          }
+      }
+    // suffixed layouts keep every pivoted column for a given vector id
+    val featureIds =
+      if (suffixFree) ds.features.map(_.id)
+      else assembled.columns.filter(c => ds.features.exists(v =>
+        c == v.id || c.startsWith(v.id + Series.IdSeparator))).toSeq
+    val targetIds =
+      if (suffixFree) ds.targets.map(_.id)
+      else assembled.columns.filter(c => ds.targets.exists(v =>
+        c == v.id || c.startsWith(v.id + Series.IdSeparator))).toSeq
+    val retainedF = retain(featureIds, ds.postprocess.featureColumnThreshold)
+    val retainedT = retain(targetIds, ds.postprocess.targetColumnThreshold)
+    require(retainedF.nonEmpty, "config: column selection removed every feature")
+    val retained = retainedF ++ retainedT
+    val keys = "sample_time" +: ds.sampleKeys
+    val conformed = Assembly.conform(assembled, keys,
+      retained.map(Assembly.VectorEntry(_)))
+    val rowFiltered0 = ds.postprocess.featureRowThreshold match {
+      case Some(thr) => Assembly.filterRowsByCoverage(conformed, retainedF, thr)
+      case None      => conformed
+    }
+    val rowFiltered = ds.postprocess.targetRowThreshold match {
+      case Some(thr) if retainedT.nonEmpty =>
+        Assembly.filterRowsByCoverage(rowFiltered0, retainedT, thr)
+      case _ => rowFiltered0
+    }
+
+    // --- split: one primitive label per sample, then fold/role resolution
+    // via a broadcast label→(fold, role) map. Without a split the dataset is
+    // one "all" fold.
+    val labeled = ds.split match {
+      case None => rowFiltered.withColumn("__label", lit("all"))
+      case Some(Config.HashSplit(seed, ratios, _)) =>
+        // token = complete sample key (reference HashLabeler over group_key)
+        val token = concat_ws("|",
+          (unix_micros(col("sample_time")).cast("string") +:
+            ds.sampleKeys.map(k => col(k).cast("string"))): _*)
+        rowFiltered.withColumn("__label",
+          Assembly.hashSplitLabel(token, ratios, seed))
+      case Some(Config.TimeSplit(intervals, _)) =>
+        rowFiltered.withColumn("__label",
+          Assembly.timeSplitLabel(col("sample_time"), intervals))
+    }
+    val folds = ds.split.map(_.folds).getOrElse(Nil)
+    val withFolds =
+      if (folds.isEmpty)
+        labeled.withColumn("fold", col("__label"))
+          .withColumn("role", lit("all")).drop("__label")
+      else {
+        val mapping = folds.flatMap { f =>
+          f.train.map((f.id, "train", _)) ++
+            f.validation.map((f.id, "validation", _)) ++
+            f.test.map((f.id, "test", _))
+        }
+        val mapDf = spark.createDataFrame(mapping)
+          .toDF("fold", "role", "__label")
+        // inner join: labels in no fold are purge/embargo intervals (dropped)
+        labeled.join(broadcast(mapDf), Seq("__label")).drop("__label")
+      }
+
+    // --- per-fold scaler: fit on each fold's TRAIN rows only, apply to all
+    // of that fold's rows (reference FoldedScalerArtifact.for_fold). Stats
+    // are |folds| rows — broadcast back. std rounds to 6dp at fit time for
+    // cross-engine bit-reproducibility (same as DatasetPipeline).
+    val scaled = vectors.filter(_.scale).map(_.id)
+      .flatMap(id => retained.filter(c =>
+        c == id || c.startsWith(id + Series.IdSeparator)))
+    val ordered = (Seq("fold", "role") ++ keys ++ retained).map(col)
+    if (scaled.isEmpty) return withFolds.select(ordered: _*)
+    val statAggs = scaled.flatMap { f =>
+      Seq(meanDec(col(f)).as(s"${f}__mean"),
+        round(greatest(coalesce(stddev_pop(col(f)), lit(0.0)), lit(1e-12)), 6)
+          .as(s"${f}__std"))
+    }
+    val stats = withFolds.filter(col("role") === "train")
+      .groupBy(col("fold")).agg(statAggs.head, statAggs.tail: _*)
+    val joined = withFolds.join(broadcast(stats), Seq("fold"))
+    val out = scaled.foldLeft(joined) { (d, f) =>
+      d.withColumn(f, (col(f) - col(s"${f}__mean")) / col(s"${f}__std"))
+    }
+    out.select(ordered: _*)
+  }
+}

@@ -13,6 +13,39 @@ object QueriesPipeline {
 
   // --- dataset_pipeline config: shared between the Spark plan and the SQL
   // twin so thresholds/ratios/seeds cannot drift.
+  // --- config_dataset: the literal YAML project the query runs (shape =
+  // docs/config.md flattened into one document; see graft.pipeline.Config).
+  private val ConfigDoc =
+    """sources:
+      |  - id: tpch.orders
+      |    loader: { transport: fs, path: orders.parquet, reader: { format: parquet } }
+      |streams:
+      |  - id: orders.daily
+      |    from: { source: tpch.orders }
+      |    map: { time: o_orderdate, fields: [o_custkey, o_orderkey, o_totalprice, o_orderstatus] }
+      |    partition_by: [o_custkey]
+      |    tiebreak: [o_orderkey]
+      |    preprocess:
+      |      - { operation: where, field: o_orderstatus, operator: ne, comparand: P }
+      |      - { operation: floor_time, cadence: 1d }
+      |    transforms:
+      |      - { operation: collapse, keep: last }
+      |      - { operation: rolling, field: o_totalprice, window: 3, statistic: mean, to: m3, min_samples: 2 }
+      |dataset:
+      |  sample:
+      |    cadence: 1d
+      |    keys: [o_custkey]
+      |  features:
+      |    - { id: total, stream: orders.daily, field: o_totalprice }
+      |    - { id: m3, stream: orders.daily, field: m3, scale: true }
+      |  split:
+      |    mode: hash
+      |    seed: 7
+      |    ratios: { train: 0.8, val: 0.1, test: 0.1 }
+      |    folds:
+      |      - { id: holdout, train: [train], validation: [val], test: [test] }
+      |""".stripMargin
+
   private val ColumnThreshold = 0.05
   private val RowThreshold = 0.9
   private val Ratios = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -49,6 +82,17 @@ object QueriesPipeline {
         round(col("purchase_total"), 6).as("purchase_total"))
     },
 
+    // A literal reference-style YAML project document (docs/config.md shape)
+    // run unmodified: source → canonical stream (preprocess + ordered
+    // transforms) → dataset (assembly, hash split, folds, train-only scaler).
+    "config_dataset" -> { (s, d) =>
+      val project = graft.pipeline.Config.parseProject(ConfigDoc)
+      graft.pipeline.ConfigRuntime.dataset(s, d, project)
+        .select(col("fold"), col("role"), col("o_custkey"),
+          eu(col("sample_time")).as("sample_time_us"),
+          col("total"), round(col("m3"), 6).as("m3"))
+    },
+
     // Series projection over events: partition identity (user_id, event_type)
     // minus sample key (user_id) → series_id suffix `@event_type:<value>`;
     // two configs fan each record into two identified series rows.
@@ -64,6 +108,45 @@ object QueriesPipeline {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "config_dataset" -> {
+      // ratios canonicalized by label (reference rule): test .1 | train .8 | val .1
+      val sortedRatios = Seq("test" -> 0.1, "train" -> 0.8, "val" -> 0.1)
+      val token = "CAST(t_us AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)"
+      s"""WITH src AS (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   epoch_us(o_orderdate) - epoch_us(o_orderdate) % 86400000000 AS t_us
+            FROM orders WHERE o_orderstatus != 'P'),
+          collapsed AS (
+            SELECT o_custkey, t_us, o_orderkey, o_totalprice FROM (
+              SELECT *, row_number() OVER (PARTITION BY o_custkey, t_us
+                          ORDER BY t_us DESC, o_orderkey DESC) AS rn
+              FROM src) WHERE rn = 1),
+          rolled AS (
+            SELECT o_custkey, t_us, o_totalprice AS total,
+                   CASE WHEN count(o_totalprice) OVER w >= 2
+                        THEN avg(o_totalprice) OVER w END AS m3
+            FROM collapsed
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY t_us, o_orderkey
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)),
+          labeled AS (
+            SELECT *, ${QueriesAssembly.hashSplitSql(token, 7, sortedRatios)} AS label
+            FROM rolled),
+          folded AS (
+            SELECT 'holdout' AS fold,
+                   CASE label WHEN 'train' THEN 'train'
+                              WHEN 'val' THEN 'validation'
+                              ELSE 'test' END AS role,
+                   o_custkey, t_us AS sample_time_us, total, m3
+            FROM labeled),
+          stats AS (
+            SELECT ${sumDecSql("m3", 6)} / COUNT(m3) AS m_mean,
+                   ROUND(GREATEST(COALESCE(stddev_pop(m3), 0.0), 1e-12), 6) AS m_std
+            FROM folded WHERE role = 'train')
+          SELECT fold, role, o_custkey, sample_time_us, total,
+                 ROUND((m3 - m_mean) / m_std, 6) AS m3
+          FROM folded, stats"""
+    },
+
     "dataset_pipeline" -> {
       val presentCount = Retained
         .map(c => s"CASE WHEN $c IS NOT NULL THEN 1 ELSE 0 END")

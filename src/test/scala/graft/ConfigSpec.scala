@@ -1,0 +1,230 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Compose, StreamKey}
+import graft.pipeline.{Config, ConfigRuntime, Pipeline}
+
+/** The declarative config surface: a literal reference-style YAML document
+  * must produce the same plans as manual composition (Pipeline ADT /
+  * Compose / DatasetPipeline equivalents), and reference-grade strictness
+  * must reject malformed documents.
+  */
+class ConfigSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val dataDir: String = {
+    val dir = "/tmp/graft_config_spec"
+    val df = spark.createDataFrame(Seq(
+      ("u1", ts("2024-01-01 00:05:00"), 1L, 10.0, "click"),
+      ("u1", ts("2024-01-01 00:55:00"), 2L, 20.0, "click"),
+      ("u1", ts("2024-01-01 01:10:00"), 3L, 30.0, "purchase"),
+      ("u1", ts("2024-01-01 02:20:00"), 4L, 40.0, "click"),
+      ("u2", ts("2024-01-01 00:30:00"), 5L, 50.0, "error"),
+      ("u2", ts("2024-01-01 01:40:00"), 6L, 60.0, "purchase"),
+      ("u2", ts("2024-01-01 03:00:00"), 7L, 70.0, "click")
+    )).toDF("user_id", "ts", "event_id", "value", "event_type")
+    df.write.mode("overwrite").parquet(s"$dir/ticks.parquet")
+    val factors = spark.createDataFrame(Seq(
+      (ts("2024-01-01 00:00:00"), 1.0),
+      (ts("2024-01-01 01:00:00"), 2.0),
+      (ts("2024-01-01 02:00:00"), 3.0),
+      (ts("2024-01-01 03:00:00"), 4.0)
+    )).toDF("time", "factor")
+    factors.write.mode("overwrite").parquet(s"$dir/factors.parquet")
+    dir
+  }
+
+  test("op list parses to the exact Pipeline ADT") {
+    val yaml =
+      """streams:
+        |  - id: s
+        |    from: { source: src }
+        |    partition_by: [user_id]
+        |    preprocess:
+        |      - { operation: where, field: time, operator: ge, comparand: "2024-01-01T00:00:00Z" }
+        |      - { operation: floor_time, cadence: 10m }
+        |    transforms:
+        |      - { operation: collapse, keep: last }
+        |      - { operation: rolling, field: value, window: 3, statistic: mean, to: m3, min_samples: 2 }
+        |      - { operation: lag, field: value, periods: 1 }
+        |      - { operation: derive, left: value, operator: sub, right_field: m3, to: chg }
+        |      - { operation: fill, field: value, window: 6, statistic: median, min_samples: 2 }
+        |sources:
+        |  - id: src
+        |    loader: { transport: fs, path: ticks.parquet, reader: { format: parquet } }
+        |""".stripMargin
+    val p = Config.parseProject(yaml)
+    val s = p.stream("s")
+    assert(s.preprocess == Seq(
+      Pipeline.Where("time", "ge",
+        Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z"))),
+      Pipeline.FloorTime("10m")))
+    assert(s.transforms == Seq(
+      Pipeline.Collapse("last"),
+      Pipeline.Rolling("value", "mean", 3, "m3", Some(2)),
+      Pipeline.Lag("value", 1, "value"),
+      Pipeline.Derive("value", "sub", "chg", Some("m3"), None),
+      Pipeline.Fill("value", 6, "median", "value", 2)))
+  }
+
+  test("source-backed stream equals manual composition") {
+    val yaml =
+      s"""globals:
+         |  start: "2024-01-01T00:00:00Z"
+         |sources:
+         |  - id: ticks
+         |    loader: { transport: fs, path: ticks.parquet, reader: { format: parquet } }
+         |streams:
+         |  - id: user.values
+         |    from: { source: ticks }
+         |    map: { time: ts }
+         |    partition_by: [user_id]
+         |    tiebreak: [event_id]
+         |    preprocess:
+         |      - { operation: where, field: event_type, operator: ne, comparand: error }
+         |      - { operation: where, field: time, operator: ge, comparand: "$${start}" }
+         |    transforms:
+         |      - { operation: rolling, field: value, window: 2, statistic: mean, to: m2, min_samples: 2 }
+         |      - { operation: lag, field: value, periods: 1, to: prev }
+         |""".stripMargin
+    val p = Config.parseProject(yaml)
+    val got = ConfigRuntime.resolver(spark, dataDir, p).stream("user.values")
+
+    val key = StreamKey(Seq("user_id"), "time", Seq("event_id"))
+    val manual = Pipeline.run(
+      spark.read.parquet(s"$dataDir/ticks.parquet").withColumnRenamed("ts", "time")
+        .where(col("event_type") =!= "error")
+        .where(col("time") >= lit(Timestamp.from(
+          java.time.Instant.parse("2024-01-01T00:00:00Z")))),
+      key, Seq(
+        Pipeline.Rolling("value", "mean", 2, "m2", Some(2)),
+        Pipeline.Lag("value", 1, "prev")))
+    assert(got.columns.toSeq == manual.columns.toSeq)
+    assert(rows(got.orderBy("event_id")) == rows(manual.orderBy("event_id")))
+  }
+
+  test("derived, broadcast and aligned streams compose like Compose._") {
+    val yaml =
+      """sources:
+        |  - id: ticks
+        |    loader: { transport: fs, path: ticks.parquet, reader: { format: parquet } }
+        |  - id: factors
+        |    loader: { transport: fs, path: factors.parquet, reader: { format: parquet } }
+        |streams:
+        |  - id: base
+        |    from: { source: ticks }
+        |    map: { time: ts }
+        |    partition_by: [user_id]
+        |    tiebreak: [event_id]
+        |    preprocess:
+        |      - { operation: floor_time, cadence: 1h }
+        |    transforms:
+        |      - { operation: collapse, keep: last }
+        |  - id: market
+        |    from: { source: factors }
+        |  - id: enriched
+        |    from: { stream: base, broadcast: market }
+        |    transforms:
+        |      - { operation: derive, left: value, operator: mul, right_field: b_factor, to: scaled }
+        |  - id: doubled
+        |    from: { stream: base }
+        |    transforms:
+        |      - { operation: derive, left: value, operator: add, right_field: value, to: v2 }
+        |  - id: both
+        |    from: { align: [enriched, doubled] }
+        |""".stripMargin
+    val p = Config.parseProject(yaml)
+    val res = ConfigRuntime.resolver(spark, dataDir, p)
+
+    val key = StreamKey(Seq("user_id"), "time", Seq("event_id"))
+    val base = Pipeline.run(
+      spark.read.parquet(s"$dataDir/ticks.parquet").withColumnRenamed("ts", "time"),
+      key, Seq(Pipeline.FloorTime("1h"), Pipeline.Collapse("last")))
+    val market = spark.read.parquet(s"$dataDir/factors.parquet")
+    val enrichedManual = Compose.broadcastJoin(base, market, "time")
+      .withColumn("scaled", col("value") * col("b_factor"))
+    assert(rows(res.stream("enriched").orderBy("event_id")) ==
+      rows(enrichedManual.orderBy("event_id")))
+
+    val doubledManual = base.withColumn("v2", col("value") + col("value"))
+    val bothManual = Compose.alignStreams(
+      Seq(enrichedManual, doubledManual), Seq("user_id"), "time")
+    assert(rows(res.stream("both").orderBy("s0_event_id", "s1_event_id")) ==
+      rows(bothManual.orderBy("s0_event_id", "s1_event_id")))
+    assert(res.partitionBy("both") == Seq("user_id"))
+  }
+
+  test("dataset runtime: assembly, fold mapping, train-only scaler") {
+    val yaml =
+      """sources:
+        |  - id: ticks
+        |    loader: { transport: fs, path: ticks.parquet, reader: { format: parquet } }
+        |streams:
+        |  - id: base
+        |    from: { source: ticks }
+        |    map: { time: ts }
+        |    partition_by: [user_id]
+        |    tiebreak: [event_id]
+        |    preprocess:
+        |      - { operation: floor_time, cadence: 1h }
+        |    transforms:
+        |      - { operation: collapse, keep: last }
+        |dataset:
+        |  sample:
+        |    cadence: 1h
+        |    keys: [user_id]
+        |  features:
+        |    - { id: val, stream: base, field: value, scale: true }
+        |  split:
+        |    mode: time
+        |    intervals:
+        |      - { id: early, until: "2024-01-01T02:00:00Z" }
+        |      - { id: late }
+        |    folds:
+        |      - { id: holdout, train: [early], test: [late] }
+        |""".stripMargin
+    val p = Config.parseProject(yaml)
+    val ds = ConfigRuntime.dataset(spark, dataDir, p)
+    assert(ds.columns.toSeq ==
+      Seq("fold", "role", "sample_time", "user_id", "val"))
+
+    // collapse keep=last per (user, hour): u1 → 20, 30, 40; u2 → 50, 60, 70.
+    // early (< 02:00): u1@00=20 u1@01=30 u2@00=50 u2@01=60 → train
+    // late: u1@02=40, u2@03=70 → test
+    val got = ds.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(3), r.getDouble(4))).toSet
+    val trainVals = Seq(20.0, 30.0, 50.0, 60.0)
+    val mean = trainVals.sum / 4
+    val std = math.sqrt(trainVals.map(v => (v - mean) * (v - mean)).sum / 4)
+    def z(v: Double) = (v - mean) / (math.rint(std * 1e6) / 1e6)
+    assert(got == Set(
+      ("holdout", "train", "u1", z(20.0)), ("holdout", "train", "u1", z(30.0)),
+      ("holdout", "train", "u2", z(50.0)), ("holdout", "train", "u2", z(60.0)),
+      ("holdout", "test", "u1", z(40.0)), ("holdout", "test", "u2", z(70.0))))
+  }
+
+  test("strictness: unknown ops, unknown fields, env refs are rejected") {
+    def bad(yaml: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](Config.parseProject(yaml))
+      assert(e.getMessage.contains(needle), s"got: ${e.getMessage}")
+    }
+    bad("""streams: [ { id: s, from: { source: x }, transforms: [ { operation: exotic } ] } ]""",
+      "unknown operation 'exotic'")
+    bad("""streams: [ { id: s, from: { source: x }, transforms: [ { operation: lag, field: v, periods: 1, surprise: 1 } ] } ]""",
+      "unknown field")
+    bad("""sources: [ { id: s, loader: { transport: fs, path: "${env:SECRET}" } } ]""",
+      "${env:")
+    bad("""streams: [ { id: s, from: { source: a }, ordered_by: [time, user_id] , partition_by: [user_id] } ]""",
+      "ordered_by")
+    bad("""dataset: { sample: { cadence: 1h }, features: [ { id: a__b, stream: s, field: f } ] }""",
+      "reserved")
+    bad("""streams: [ { id: s, from: { source: x }, transforms: [ { operation: floor_time, cadence: 1h } ] } ]""",
+      "preprocess")
+    bad("""streams: [ { id: s, from: { source: x }, preprocess: [ { operation: collapse, keep: last } ] } ]""",
+      "ordered transform")
+  }
+}
