@@ -1,15 +1,20 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (SURVEY.md §2.7 `multimodal_meta`).
   *
-  * Media payloads are opaque `binary` columns with a typed metadata struct —
-  * the schema/partitioning/batching layer is real; the codec itself is a
-  * clearly-marked deterministic stub (no image/audio libraries in this
-  * environment). Swapping `decodeStub` for a real decoder keeps every plan
-  * shape unchanged.
+  * Media payloads are opaque `binary` columns with a typed metadata struct.
+  * [[decode]] is a real decoder: image formats (png/bmp/gif/jpeg) go through
+  * `javax.imageio` (JDK built-in — no external media libraries needed) and
+  * yield true pixel dimensions plus Rec.601 mean luminance; non-image
+  * payloads (`format = "raw"`) fall back to deterministic byte features so
+  * the oracle-checked query stays reproducible on the text corpus.
   */
 object Multimodal {
 
@@ -31,36 +36,99 @@ object Multimodal {
         lit(3).as("channels"),
         lit("raw").as("format")).as("meta"))
 
-  /** STUB decoder — deterministic fake features from the payload bytes.
-    * Real implementation would decode the codec here (per-partition batch,
-    * same signature); everything upstream/downstream of this call is
-    * production plumbing.
+  /** Deterministic features straight off the payload bytes (the non-image
+    * path): true first byte, and "brightness" = mean of the first
+    * [[RawBrightnessBytes]] bytes.
     */
-  def decodeStub(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+  private val RawBrightnessBytes = 16
+
+  private def rawFeatures(r: MediaRecord): MediaFeatures = {
+    val len = r.payload.length
+    val first = if (len > 0) r.payload(0) & 0xFF else 0
+    val n = math.min(RawBrightnessBytes, len)
+    val bright =
+      if (n == 0) 0.0
+      else r.payload.take(n).map(b => (b & 0xFF).toDouble).sum / n
+    MediaFeatures(r.media_id, len, first, r.meta.width, r.meta.height, bright)
+  }
+
+  /** Per-partition media decode. Image formats decode the actual payload
+    * bytes via `javax.imageio` (pure JVM, executor-side, no driver hop):
+    * width/height come from the decoded image — NOT the claimed metadata —
+    * and brightness is the Rec.601 mean luminance over all pixels. An
+    * undecodable image payload fails the task loudly rather than emitting
+    * fabricated features. `raw` payloads use [[rawFeatures]].
+    */
+  def decode(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.map { r =>
-        val len = r.payload.length
-        val first = if (len > 0) r.payload(0) & 0xFF else 0
-        // fake "brightness": mean of the first 16 bytes (deterministic)
-        val n = math.min(16, len)
-        val bright =
-          if (n == 0) 0.0
-          else r.payload.take(n).map(b => (b & 0xFF).toDouble).sum / n
-        MediaFeatures(r.media_id, len, first, r.meta.width, r.meta.height, bright)
+        r.meta.format match {
+          case "png" | "bmp" | "gif" | "jpeg" | "jpg" =>
+            val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+            require(img != null,
+              s"undecodable ${r.meta.format} payload for media_id=${r.media_id}")
+            val w = img.getWidth
+            val h = img.getHeight
+            var sum = 0.0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sum += 0.299 * ((rgb >> 16) & 0xFF) +
+                  0.587 * ((rgb >> 8) & 0xFF) +
+                  0.114 * (rgb & 0xFF)
+                x += 1
+              }
+              y += 1
+            }
+            val first = if (r.payload.nonEmpty) r.payload(0) & 0xFF else 0
+            val pixels = w.toLong * h
+            MediaFeatures(r.media_id, r.payload.length, first, w, h,
+              if (pixels == 0) 0.0 else sum / pixels)
+          case _ => rawFeatures(r)
+        }
       }
     }
   }
 
+  /** Kept name from the plumbing-only era; now just the raw-byte path of
+    * [[decode]] (same output on `format = "raw"` tables).
+    */
+  def decodeStub(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] =
+    decode(spark, media)
+
+  /** True first payload byte as an int (hex of the 1-byte slice → base-10);
+    * 0 for an empty payload. Unlike `ascii(cast(payload as string))` this is
+    * byte-exact for any payload, not only ASCII.
+    */
+  private def firstByte(payload: Column): Column =
+    coalesce(conv(hex(substring(payload, 1, 1)), 16, 10).cast("int"), lit(0))
+
+  /** Mean of the first n payload bytes via hex-pair folding — the column-only
+    * twin of [[rawFeatures]] brightness (same sequential fold order, so the
+    * doubles are bit-identical).
+    */
+  private def rawBrightness(payload: Column): Column = {
+    val hx = hex(substring(payload, 1, RawBrightnessBytes))
+    val n = (length(hx) / 2).cast("int")
+    when(n === 0, lit(0.0)).otherwise(
+      aggregate(sequence(lit(1), n),
+        lit(0.0),
+        (acc, i) => acc + conv(substring(hx, i * 2 - 1, lit(2)), 16, 10).cast("double")
+      ) / n)
+  }
+
   /** Column-only feature extraction (codegen path used by the oracle query —
-    * byte-for-byte the same features as [[decodeStub]]).
+    * byte-for-byte the same features as [[decode]] on `raw` payloads).
     */
   def featuresExpr(media: DataFrame): DataFrame =
     media.select(
       col("media_id"),
       length(col("payload")).as("payload_len"),
-      coalesce(call_function("ascii",
-        col("payload").cast("string").substr(lit(1), lit(1))), lit(0)).as("first_byte"),
+      firstByte(col("payload")).as("first_byte"),
       col("meta.width").as("width"),
-      col("meta.height").as("height"))
+      col("meta.height").as("height"),
+      rawBrightness(col("payload")).as("brightness"))
 }

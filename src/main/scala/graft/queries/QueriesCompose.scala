@@ -142,9 +142,9 @@ object QueriesCompose {
          sess AS (
            SELECT session_id, min(ts) AS s_start, max(ts) AS s_end FROM (
              SELECT ts,
-                    sum(new_s) OVER (ORDER BY ts, event_id
+                    CAST(sum(new_s) OVER (ORDER BY ts, event_id
                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
-                      AS session_id
+                      AS BIGINT) AS session_id
              FROM flagged)
            GROUP BY session_id)
          SELECT e.event_id, s.session_id, epoch_us(s.s_start) AS s_start_us
@@ -161,9 +161,9 @@ object QueriesCompose {
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          sess AS (
            SELECT user_id, ts, value,
-                  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
-                    AS session_id
+                    AS BIGINT) AS session_id
            FROM flagged)
          SELECT user_id, session_id, COUNT(*) AS n_events,
                 min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,

@@ -239,7 +239,8 @@ object QueriesLlm {
       Multimodal.featuresExpr(media)
         .select(col("media_id"), col("payload_len").cast("long").as("payload_len"),
           col("first_byte").cast("long").as("first_byte"),
-          col("width").cast("long").as("width"), col("height").cast("long").as("height"))
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+          col("brightness"))
     }
   )
 
@@ -327,12 +328,21 @@ object QueriesLlm {
            (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
          FROM documents""",
 
+    // ascii(char) == payload byte only on an ASCII corpus (which documents
+    // is — doc_fingerprint relies on the same equivalence); the Spark side
+    // computes the true byte so it stays correct beyond ASCII.
     "multimodal_meta" ->
       """SELECT doc_id AS media_id,
          CAST(length(text) AS BIGINT) AS payload_len,
          CAST(ascii(text[1]) AS BIGINT) AS first_byte,
          CAST(length(text) % 640 AS BIGINT) AS width,
-         CAST((doc_id * 37) % 480 AS BIGINT) AS height
+         CAST((doc_id * 37) % 480 AS BIGINT) AS height,
+         CASE WHEN length(text) = 0 THEN 0.0 ELSE
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               [CAST(ascii(text[i]) AS DOUBLE)
+                for i in generate_series(1, least(16, length(text)))]),
+             (acc, x) -> acc + x) / least(16, length(text))
+         END AS brightness
          FROM documents"""
   )
 }

@@ -97,8 +97,10 @@ object QueriesOrdered {
       // x = seconds since 2024-01-01 (small magnitudes keep the OLS stable)
       val df = events(s, d).withColumn("xs",
         (eu(col("ts")) - lit(1704067200000000L)).cast("double") / 1e6)
+      // `+ 0.0` collapses IEEE -0.0 (from rounding a tiny negative slope) to
+      // +0.0 so the stringified value hashes identically across engines.
       outBase(Ordered.rollingSlope(df, key, "xs", "value", 5, "slope"),
-        round(col("slope"), 6).as("slope5"))
+        (round(col("slope"), 6) + lit(0.0)).as("slope5"))
     },
 
     "fill_mean" -> { (s, d) =>
@@ -218,7 +220,7 @@ object QueriesOrdered {
     "rolling_slope" ->
       s"""SELECT event_id, user_id, epoch_us(ts) AS t_us,
           ROUND(CASE WHEN row_number() OVER ($overOrd) >= 5
-                THEN regr_slope(value, xs) ${w("4 PRECEDING AND CURRENT ROW")} END, 6) AS slope5
+                THEN regr_slope(value, xs) ${w("4 PRECEDING AND CURRENT ROW")} END, 6) + 0.0 AS slope5
           FROM (SELECT *,
                 CAST(epoch_us(ts) - 1704067200000000 AS DOUBLE) / 1e6 AS xs
                 FROM events)""",

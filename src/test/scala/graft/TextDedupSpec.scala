@@ -111,15 +111,52 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Set((1L, 0L, true), (2L, 0L, false), (2L, 1L, false)))
   }
 
-  test("multimodal: typed decode stub agrees with the column path") {
+  test("multimodal: typed raw decode agrees with the column path") {
     val docs = Seq((7L, "hello world")).toDF("doc_id", "text")
     val media = Multimodal.asMediaTable(docs, "doc_id", "text")
-    val typed = Multimodal.decodeStub(spark, media).collect().head
+    val typed = Multimodal.decode(spark, media).collect().head
     val exprs = Multimodal.featuresExpr(media).collect().head
     assert(typed.media_id == 7L && typed.payload_len == 11)
     assert(typed.first_byte == 'h'.toInt)
     assert(exprs.getLong(0) == 7L && exprs.getInt(1) == 11 && exprs.getInt(2) == 'h'.toInt)
     assert(typed.width == exprs.getInt(3) && typed.height == exprs.getInt(4))
+    assert(typed.brightness == exprs.getDouble(5))
+    val expectBright = "hello world".getBytes.map(_.toDouble).sum / 11
+    assert(typed.brightness == expectBright)
+  }
+
+  test("multimodal: real PNG and BMP payloads decode via javax.imageio") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    // 4x3 image: left half pure white, right half pure black
+    def encode(fmt: String): Array[Byte] = {
+      val img = new BufferedImage(4, 3, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 3; x <- 0 until 4)
+        img.setRGB(x, y, if (x < 2) 0xFFFFFF else 0x000000)
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, encode("png"),
+        Multimodal.MediaMeta(-1, -1, 3, "png")),
+      Multimodal.MediaRecord(2L, encode("bmp"),
+        Multimodal.MediaMeta(-1, -1, 3, "bmp")))
+    val media = spark.createDataFrame(rows)
+      .select(col("media_id"), col("payload"), col("meta"))
+    val got = Multimodal.decode(spark, media).collect()
+      .map(f => f.media_id -> f).toMap
+    for (f <- got.values) {
+      // dimensions come from the decoded pixels, not the (bogus) metadata
+      assert(f.width == 4 && f.height == 3)
+      // half white (luma 255), half black (luma 0) → mean 127.5
+      assert(math.abs(f.brightness - 127.5) < 1e-6)
+      assert(f.payload_len > 0)
+    }
+    // PNG magic first byte 0x89; BMP starts with 'B'
+    assert(got(1L).first_byte == 0x89)
+    assert(got(2L).first_byte == 'B'.toInt)
   }
 
   test("l2Normalize produces unit vectors; zero vectors pass through") {

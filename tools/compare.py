@@ -49,6 +49,13 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {list(s.columns)} vs {list(o.columns)}"); n_fail += 1; continue
         if len(s) != len(o):
             print(f"FAIL {name}: rows {len(s)} vs {len(o)}"); n_fail += 1; continue
+        # Driver parity: the driver hashes stringified values, so an
+        # int64-vs-float64 dtype skew ('0' vs '0.0') or IEEE -0.0 fails its
+        # gate even when values compare numerically equal. Require str-exact.
+        strfail = []
+        for c in s.columns:
+            if not (s[c].astype(str).values == o[c].astype(str).values).all():
+                strfail.append(c)
         exact = True
         close = True
         for c in s.columns:
@@ -73,7 +80,13 @@ def main(sf_dir, out_dir):
                     exact = close = False
                     bad = np.where(pd.Series(a).astype(str).values != pd.Series(b).astype(str).values)[0][:3]
                     print(f"  {name}.{c} mismatch rows {bad}: {a[bad]} vs {b[bad]}")
-        if exact:
+        if strfail:
+            for c in strfail:
+                a, b = s[c].astype(str).values, o[c].astype(str).values
+                bad = np.where(a != b)[0][:3]
+                print(f"  {name}.{c} str-mismatch rows {bad}: {a[bad]} vs {b[bad]}")
+            print(f"STRFAIL {name} ({len(s)} rows) — driver hash would fail"); n_fail += 1
+        elif exact:
             print(f"PASS {name} ({len(s)} rows)"); n_pass += 1
         elif close:
             print(f"CLOSE {name} ({len(s)} rows) — float-tolerance only"); n_pass += 1
