@@ -101,6 +101,45 @@ object Text {
   /** Lowercased whitespace tokens. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
+  // --- normalization / scrubbing (SURVEY §2.7) ----------------------------
+  // Pattern constants are shared with the DuckDB oracle SQL (QueriesLlm), so
+  // the two engines run character-identical regexes. Patterns stay inside the
+  // RE2 subset (no backrefs, no lookaround) — valid in both Java regex and
+  // DuckDB's RE2.
+
+  val NormStripPattern = "[.,!?;:]"
+  val UrlPattern = "https?://[^\\s]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+[0-9]{1,2} [0-9]{3}-[0-9]{4}"
+
+  /** Canonical text normalization for dedup preprocessing: lowercase, strip
+    * sentence punctuation, collapse whitespace runs, trim. All codegen'd
+    * string expressions — linear per row, safe at 100 TB.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), NormStripPattern, ""), "\\s+", " "))
+
+  /** PII redaction: URLs, then emails, then phone numbers (URL first so an
+    * address inside a URL is consumed as part of the URL match).
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlPattern, "<URL>"),
+        EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  /** Duplicate-token fraction of a document: 1 - distinct/total over the
+    * lowercase whitespace tokens. High values flag boilerplate / template
+    * spam in a training corpus.
+    */
+  def repetitionRatio(text: Column): Column = {
+    val toks = tokens(text)
+    round(lit(1.0) - size(array_distinct(toks)).cast("double") /
+      greatest(size(toks), lit(1)).cast("double"), 6)
+  }
+
   /** Word n-gram shingles (space-joined) from a token array. */
   def shingles(toks: Column, n: Int): Column =
     transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),

@@ -241,6 +241,34 @@ object QueriesLlm {
           col("first_byte").cast("long").as("first_byte"),
           col("width").cast("long").as("width"), col("height").cast("long").as("height"),
           col("brightness"))
+    },
+
+    "text_normalize" -> { (s, d) =>
+      documents(s, d).select(col("doc_id"),
+        Text.normalize(col("text")).as("norm_text"))
+    },
+
+    // The synthetic corpus carries no PII, so both engines assemble the SAME
+    // deterministic PII-laden text from (source, doc_id) and then scrub it —
+    // the redaction path is what's under test, end to end.
+    "pii_scrub" -> { (s, d) =>
+      val pii = concat(
+        lit("contact "), col("source"), col("doc_id").cast("string"),
+        lit("@example.com or +1 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" via https://"), col("source"), lit(".example/"),
+        col("doc_id").cast("string"), lit(" :: "),
+        substring(col("text"), 1, 40))
+      documents(s, d).select(col("doc_id"),
+        Text.scrubPii(pii).as("scrubbed"))
+    },
+
+    "repetition_ratio" -> { (s, d) =>
+      val toks = Text.tokens(col("text"))
+      documents(s, d).select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        Text.repetitionRatio(col("text")).as("rep_ratio"))
     }
   )
 
@@ -343,6 +371,34 @@ object QueriesLlm {
                 for i in generate_series(1, least(16, length(text)))]),
              (acc, x) -> acc + x) / least(16, length(text))
          END AS brightness
-         FROM documents"""
+         FROM documents""",
+
+    "text_normalize" ->
+      s"""SELECT doc_id,
+          trim(regexp_replace(regexp_replace(lower(text),
+            '${Text.NormStripPattern}', '', 'g'), '\\s+', ' ', 'g')) AS norm_text
+          FROM documents""",
+
+    "pii_scrub" ->
+      s"""SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(
+            'contact ' || source || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' via https://' || source || '.example/'
+              || CAST(doc_id AS VARCHAR) || ' :: ' || substr(text, 1, 40),
+            '${Text.UrlPattern}', '<URL>', 'g'),
+            '${Text.EmailPattern}', '<EMAIL>', 'g'),
+            '${Text.PhonePattern}', '<PHONE>', 'g') AS scrubbed
+          FROM documents""",
+
+    "repetition_ratio" ->
+      """SELECT doc_id,
+         len(w) AS n_tokens,
+         len(list_distinct(w)) AS n_distinct,
+         ROUND(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) /
+               CAST(GREATEST(len(w), 1) AS DOUBLE), 6) AS rep_ratio
+         FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+               FROM documents)"""
   )
 }

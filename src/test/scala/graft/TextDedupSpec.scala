@@ -54,6 +54,34 @@ class TextDedupSpec extends SparkSpec {
     assert(r.getInt(1) == 5)
   }
 
+  test("normalize lowercases, strips sentence punct, collapses whitespace") {
+    val df = Seq("  Hello,  WORLD!  How are\tyou? ").toDF("text")
+    val out = df.select(Text.normalize(col("text"))).head().getString(0)
+    assert(out == "hello world how are you")
+  }
+
+  test("scrubPii redacts urls then emails then phones") {
+    val df = Seq(
+      "mail a.b+c@ex-ample.org or +45 123-4567 see https://x.io/p?q=1 end"
+    ).toDF("text")
+    val out = df.select(Text.scrubPii(col("text"))).head().getString(0)
+    assert(out == "mail <EMAIL> or <PHONE> see <URL> end")
+    // an email inside a URL is consumed by the URL match, not double-tagged
+    val inUrl = Seq("go https://h.com/a@b.cd rest").toDF("text")
+      .select(Text.scrubPii(col("text"))).head().getString(0)
+    assert(inUrl == "go <URL> rest")
+  }
+
+  test("repetitionRatio is the duplicate-token fraction") {
+    val df = Seq("a b a b a", "x y z", "").toDF("text")
+    val out = df.select(Text.repetitionRatio(col("text"))).collect()
+      .map(_.getDouble(0)).toSeq
+    assert(out(0) == 0.6) // 5 tokens, 2 distinct → 1 - 2/5
+    assert(out(1) == 0.0)
+    // empty text splits to [""] (1 token, 1 distinct) → 0, no div-by-zero
+    assert(out(2) == 0.0)
+  }
+
   test("exact dedup groups identical texts, keeps min id") {
     val df = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("doc_id", "text")
     val out = Dedup.exact(df, "text", "doc_id")
