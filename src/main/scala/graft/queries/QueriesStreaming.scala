@@ -26,6 +26,12 @@ object QueriesStreaming {
     "stream_dedupe" -> { (s, d) =>
       Streaming.dedupedPairs(s, d,
         s"graft_stream_dedupe_${runId.incrementAndGet()}")
+    },
+    // Stateful gap sessionization: session-span state via
+    // flatMapGroupsWithState equals the batch window-function sessionize.
+    "stream_sessionize" -> { (s, d) =>
+      Streaming.runSessionsToBatch(s, d,
+        s"graft_stream_sessions_${runId.incrementAndGet()}")
     }
   )
 
@@ -37,6 +43,23 @@ object QueriesStreaming {
     "stream_stateful_counts" ->
       "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id",
     "stream_dedupe" ->
-      "SELECT DISTINCT user_id, event_type FROM events"
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "stream_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT user_id, ts,
+                  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                    AS BIGINT) AS session_id
+           FROM flagged)
+         SELECT user_id, session_id, COUNT(*) AS n_events,
+                min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+         FROM sess GROUP BY user_id, session_id"""
   )
 }

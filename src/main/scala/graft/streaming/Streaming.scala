@@ -112,6 +112,78 @@ object Streaming {
     spark.table(tableName)
   }
 
+  /** One gap-closed run of events for a user. Bounds are epoch-µs. */
+  case class SessionSpan(start: Long, end: Long, n: Long)
+
+  /** Streaming gap-based sessionization (the unbounded twin of
+    * Ordered.sessionize): per-user state is the set of DISJOINT session
+    * spans — bounded by the number of sessions, not events, which is what
+    * makes it deployable on an infinite stream (with an event-time timeout
+    * evicting closed sessions older than the watermark; the finite
+    * verification harness keeps them to emit the final snapshot).
+    *
+    * Insertion is order-insensitive: an event lands in any span within
+    * `gap` of it, merging spans it bridges — so late/out-of-order arrivals
+    * across micro-batches still converge to the exact batch answer.
+    */
+  def mergeEvent(sessions: Seq[SessionSpan], t: Long, gapUs: Long): Seq[SessionSpan] = {
+    val (touching, rest) = sessions.partition(s =>
+      t >= s.start - gapUs && t <= s.end + gapUs)
+    val merged = SessionSpan(
+      (t +: touching.map(_.start)).min,
+      (t +: touching.map(_.end)).max,
+      touching.map(_.n).sum + 1)
+    (merged +: rest).sortBy(_.start)
+  }
+
+  /** Per-batch update emissions: each touched user re-emits its full session
+    * snapshot tagged with the running event total (strictly increasing per
+    * emission, so the final snapshot per user is the max-total one).
+    */
+  def gapSessions(spark: SparkSession, events: DataFrame,
+                  gapUs: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.select(col("user_id"), unix_micros(col("ts")).as("t"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[SessionSpan], (Long, Long, Long, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[Seq[SessionSpan]]) =>
+          var sessions = state.getOption.getOrElse(Seq.empty)
+          rows.foreach { case (_, t) => sessions = mergeEvent(sessions, t, gapUs) }
+          state.update(sessions)
+          val total = sessions.map(_.n).sum
+          sessions.iterator.zipWithIndex.map { case (s, i) =>
+            (user, total, i.toLong, s.n, s.start, s.end)
+          }
+      }
+      .toDF("user_id", "total_n", "session_id", "n_events", "start_us", "end_us")
+  }
+
+  /** Drive [[gapSessions]] over the finite input; keep each user's last
+    * (= max running total) snapshot — the exact sessionization.
+    */
+  def runSessionsToBatch(spark: SparkSession, sfDir: String, tableName: String,
+                         gap: String = "30min"): DataFrame = {
+    val gapUs = graft.functions.TimeFns.parseCadenceMillis(gap) * 1000L
+    val q = gapSessions(spark, readEvents(spark, sfDir), gapUs)
+      .writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val byUser = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    spark.table(tableName)
+      .withColumn("__max_n", max(col("total_n")).over(byUser))
+      .where(col("total_n") === col("__max_n"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("start_us"), col("end_us"))
+  }
+
   /** Run the streaming query to completion over the finite test input
     * (Trigger.AvailableNow) into an in-memory table; returns the final
     * result as a batch DataFrame.

@@ -210,4 +210,36 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
     assert(streamed == expect)
   }
+
+  test("session-span merge is order-insensitive and bridges sessions") {
+    import graft.streaming.Streaming.{mergeEvent, SessionSpan}
+    val gap = 10L
+    // events 0, 20, 10 — 10 bridges [0,0] and [20,20] into one session
+    // (gap semantics: same session iff diff <= gap)
+    val orders = Seq(Seq(0L, 20L, 10L), Seq(10L, 0L, 20L), Seq(20L, 10L, 0L))
+    val results = orders.map(_.foldLeft(Seq.empty[SessionSpan])(
+      (acc, t) => mergeEvent(acc, t, gap)))
+    assert(results.forall(_ == Seq(SessionSpan(0L, 20L, 3L))))
+    // 0 and 25 alone stay two sessions
+    val two = Seq(0L, 25L).foldLeft(Seq.empty[SessionSpan])(
+      (acc, t) => mergeEvent(acc, t, gap))
+    assert(two == Seq(SessionSpan(0L, 0L, 1L), SessionSpan(25L, 25L, 1L)))
+  }
+
+  test("streaming sessionization equals the batch window sessionize") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.Streaming
+      .runSessionsToBatch(spark, sf, "spec_stream_sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val batch = graft.operators.Ordered.sessionize(
+        graft.sources.Tables.events(spark, sf),
+        graft.operators.StreamKey(Seq("user_id"), "ts", Seq("event_id")), "30min")
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n"), min(unix_micros(col("ts"))).as("s"),
+        max(unix_micros(col("ts"))).as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(streamed == batch)
+  }
 }
