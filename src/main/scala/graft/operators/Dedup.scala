@@ -84,12 +84,13 @@ object Dedup {
       .distinct()
   }
 
-  /** Full minhash dedup report: per-doc candidate count and verified-duplicate
-    * count (exact Jaccard on the candidate pairs only).
+  /** Candidate pairs with their exact Jaccard: the shared core of the
+    * per-doc report ([[minhashDedup]]) and duplicate clustering
+    * ([[dupClusters]]). Returns (id_a, id_b, jacc), id_a < id_b.
     */
-  def minhashDedup(df: DataFrame, textCol: String, idCol: String,
-                   shingleSize: Int = 3, numPerm: Int = 64, bands: Int = 16,
-                   threshold: Double = 0.5): DataFrame = {
+  def minhashScoredPairs(df: DataFrame, textCol: String, idCol: String,
+                         shingleSize: Int = 3, numPerm: Int = 64,
+                         bands: Int = 16): DataFrame = {
     val rows = numPerm / bands
     // Materialize shingles + base hashes ONCE: interpreted higher-order
     // expressions re-evaluate per reference, and this frame is referenced by
@@ -112,17 +113,75 @@ object Dedup {
     }: _*)
     val signed = base.select(col(idCol), sig.as("sig"), col("sh"))
     val cands = minhashCandidates(signed, idCol, "sig", bands, rows)
-    val withSets = cands
+    cands
       .join(base.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(base.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jacc", Text.jaccard(col("sh_a"), col("sh_b")))
-    val perDoc = withSets
+      .select(col("id_a"), col("id_b"),
+        Text.jaccard(col("sh_a"), col("sh_b")).as("jacc"))
+  }
+
+  /** Full minhash dedup report: per-doc candidate count and verified-duplicate
+    * count (exact Jaccard on the candidate pairs only).
+    */
+  def minhashDedup(df: DataFrame, textCol: String, idCol: String,
+                   shingleSize: Int = 3, numPerm: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.5): DataFrame = {
+    val perDoc = minhashScoredPairs(df, textCol, idCol, shingleSize, numPerm, bands)
       .select(explode(array(col("id_a"), col("id_b"))).as(idCol), col("jacc"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_candidates"),
         sum(when(col("jacc") >= threshold, 1L).otherwise(0L)).as("n_dups"))
     df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .na.fill(0, Seq("n_candidates", "n_dups"))
+  }
+
+  // --------------------------------------------------- duplicate clustering
+
+  /** Connected components by min-label propagation: every node starts
+    * labeled with its own id; each round pushes labels across edges and
+    * keeps the minimum; convergence in ≤ diameter rounds. All data stays
+    * distributed — the driver loop only reads a scalar changed-count per
+    * round (the same control shape as GraphX's iterative operators).
+    * localCheckpoint per round cuts the exponentially growing lineage.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, idCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(eager = false)
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint(eager = false)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val msgs = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.union(msgs)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(eager = false)
+      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .where(col("n.label") =!= col("o.label")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
+  /** Duplicate clusters: connected components over the verified minhash
+    * near-dup pairs (jacc ≥ threshold). cluster_id = min doc id of the
+    * component; the canonical doc is the one a dedup pass would keep.
+    */
+  def dupClusters(df: DataFrame, textCol: String, idCol: String,
+                  shingleSize: Int = 3, numPerm: Int = 64, bands: Int = 16,
+                  threshold: Double = 0.5): DataFrame = {
+    val edges = minhashScoredPairs(df, textCol, idCol, shingleSize, numPerm, bands)
+      .where(col("jacc") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val labels = connectedComponents(df.select(col(idCol)), edges, idCol)
+    val byCluster = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    labels
+      .withColumn("cluster_size", count(lit(1)).over(byCluster))
+      .withColumn("is_canonical", col(idCol) === col("cluster_id"))
   }
 
   // ---------------------------------------------------------------- simhash

@@ -126,6 +126,49 @@ object Similarity {
         col("cos"), col("rank"))
   }
 
+  /** ANN via an IVF-style coarse quantizer: centroids are a deterministic
+    * stride-sample of the corpus (`id % stride == 0` — the oracle-able stand
+    * -in for a k-means sample; swap in trained centroids without touching
+    * the plan shape). Index build assigns every vector to its nearest
+    * centroid with a `max_by` aggregate: the broadcast centroid join emits
+    * all C candidate rows of a vector in ONE partition, so partial
+    * aggregation collapses them map-side and the shuffle carries one row per
+    * corpus vector — an index build pass, not a blow-up. Queries probe their
+    * `nprobe` closest centroids and rerank only those inverted lists.
+    */
+  def annIvf(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, k: Int, centroidStride: Long,
+             nprobe: Int): DataFrame = {
+    val cent = corpus.filter(pmod(col(idCol), lit(centroidStride)) === 0)
+      .select(col(idCol).as("centroid_id"), toDouble(col(vecCol)).as("centv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+    val assigned = c.crossJoin(broadcast(cent))
+      .withColumn("acos", cosine(col("cv"), col("centv")))
+    // argmax(acos) with centroid_id-asc tiebreak = max_by over (acos, -id)
+    val inv = assigned.groupBy(col("neighbor_id"))
+      .agg(max_by(struct(col("centroid_id"), col("cv")),
+        struct(col("acos"), negate(col("centroid_id").cast("double")))).as("best"))
+      .select(col("neighbor_id"), col("best.centroid_id").as("centroid_id"),
+        col("best.cv").as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("pcos", cosine(col("qv"), col("centv")))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("centroid_id").asc)
+    val probed = probes.withColumn("r", row_number().over(wProbe))
+      .where(col("r") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id"))
+    val scored = inv.join(broadcast(probed), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("centroid_id"),
+        col("cos"), col("rank"))
+  }
+
   /** Near-duplicate pairs by embedding cosine over a bounded neighbor window
     * (id, id+1..id+lookahead) — the oracle-checkable linear-pair variant; the
     * LSH path above is the unbounded-scale variant.

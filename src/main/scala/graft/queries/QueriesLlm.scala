@@ -36,17 +36,17 @@ object QueriesLlm {
   // Generated from the SAME Scala constants (perm params, primes, plane
   // weights) as the Spark plans, so the two sides cannot drift.
 
-  /** Full minhash-dedup pipeline in DuckDB: shingle → portable hash → 64-perm
-    * signature → 16-band fold-hash buckets → candidate pairs → exact Jaccard
-    * verify → per-doc counts. Mirrors Dedup.minhashDedup stage for stage.
+  /** Shared CTE chain of the minhash pipelines (shingle → portable hash →
+    * 64-perm signature → 16-band fold-hash buckets → candidate pairs → exact
+    * Jaccard verify), mirroring Dedup.minhashScoredPairs stage for stage.
     */
-  private def minhashSql: String = {
+  private def minhashCtes: String = {
     val p = Dedup.MersennePrime
     val fp = Dedup.BandFoldPrime
     val sigEntries = Dedup.permParams(64).map { case (a, b) =>
       s"list_min([(h * $a + $b) % $p for h in hs])"
     }.mkString(",\n              ")
-    s"""WITH words AS (
+    s"""words AS (
           SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
           FROM documents),
         base AS (
@@ -76,7 +76,12 @@ object QueriesLlm {
                  CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jacc
           FROM cands
           JOIN base a ON a.doc_id = cands.id_a
-          JOIN base b ON b.doc_id = cands.id_b),
+          JOIN base b ON b.doc_id = cands.id_b)"""
+  }
+
+  /** Per-doc minhash dedup report on top of [[minhashCtes]]. */
+  private def minhashSql: String =
+    s"""WITH $minhashCtes,
         perdoc AS (
           SELECT doc_id,
                  CAST(count(*) AS BIGINT) AS n_candidates,
@@ -87,7 +92,26 @@ object QueriesLlm {
                coalesce(p.n_candidates, 0) AS n_candidates,
                coalesce(p.n_dups, 0) AS n_dups
         FROM documents d LEFT JOIN perdoc p USING (doc_id)"""
-  }
+
+  /** dedup_cluster twin: verified near-dup pairs as edges, transitive
+    * closure via a recursive CTE, component label = min reachable doc id.
+    */
+  private def dedupClusterSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+        e AS (
+          SELECT id_a AS src, id_b AS dst FROM verified WHERE jacc >= 0.5
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM verified WHERE jacc >= 0.5),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+        lab AS (
+          SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+        SELECT doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+               doc_id = cluster_id AS is_canonical
+        FROM lab"""
 
   /** Full simhash pipeline in DuckDB: token → portable hash → 60 bit-sign
     * sums → signature → 4×15-bit band bucket counts.
@@ -160,6 +184,43 @@ object QueriesLlm {
         FROM r WHERE rnk <= 5"""
   }
 
+  /** ann_ivf twin: same stride centroids, nearest-centroid assignment,
+    * nprobe=2 probing, in-list rerank — stage for stage.
+    */
+  private def annIvfSql: String =
+    s"""WITH cent AS (
+          SELECT vec_id AS centroid_id, embedding AS centv
+          FROM embeddings WHERE vec_id % 37 = 0),
+        a AS (
+          SELECT e.vec_id AS neighbor_id, e.embedding AS cv, centroid_id,
+                 ${cosSql("e.embedding", "centv")} AS acos
+          FROM embeddings e, cent),
+        inv AS (
+          SELECT neighbor_id, cv, centroid_id
+          FROM (SELECT *, row_number() OVER (PARTITION BY neighbor_id
+                            ORDER BY acos DESC, centroid_id ASC) AS r FROM a)
+          WHERE r = 1),
+        q AS (SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 5),
+        p AS (
+          SELECT query_id, qv, centroid_id
+          FROM (SELECT query_id, qv, centroid_id,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY pcos DESC, centroid_id ASC) AS r
+                FROM (SELECT query_id, qv, centroid_id,
+                             ${cosSql("qv", "centv")} AS pcos
+                      FROM q, cent))
+          WHERE r <= 2),
+        sc AS (
+          SELECT query_id, neighbor_id, inv.centroid_id,
+                 ${cosSql("qv", "cv")} AS cos
+          FROM inv JOIN p USING (centroid_id)
+          WHERE query_id != neighbor_id)
+        SELECT query_id, neighbor_id, centroid_id, ROUND(cos, 6) AS cos, rnk
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM sc)
+        WHERE rnk <= 5"""
+
   val queries: Map[String, QueryFn] = Map(
     "dedup_exact" -> { (s, d) =>
       Dedup.exact(documents(s, d), "text", "doc_id")
@@ -167,6 +228,13 @@ object QueriesLlm {
 
     "dedup_minhash" -> { (s, d) =>
       Dedup.minhashDedup(documents(s, d), "text", "doc_id")
+    },
+
+    "dedup_cluster" -> { (s, d) =>
+      Dedup.dupClusters(documents(s, d), "text", "doc_id")
+        .select(col("doc_id"), col("cluster_id"),
+          col("cluster_size").cast("long").as("cluster_size"),
+          col("is_canonical"))
     },
 
     "dedup_simhash" -> { (s, d) =>
@@ -205,6 +273,14 @@ object QueriesLlm {
       Similarity.annLsh(e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
         k = 5, planes = 6, dim = 64)
         .select(col("query_id"), col("neighbor_id"), col("bucket"),
+          round(col("cos"), 6).as("cos"), col("rank").as("rnk"))
+    },
+
+    "ann_ivf" -> { (s, d) =>
+      val e = embeddings(s, d)
+      Similarity.annIvf(e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
+        k = 5, centroidStride = 37L, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("centroid_id"),
           round(col("cos"), 6).as("cos"), col("rank").as("rnk"))
     },
 
@@ -274,8 +350,10 @@ object QueriesLlm {
 
   val oracleSql: Map[String, String] = Map(
     "dedup_minhash" -> minhashSql,
+    "dedup_cluster" -> dedupClusterSql,
     "dedup_simhash" -> simhashSql,
     "ann_lsh" -> annLshSql,
+    "ann_ivf" -> annIvfSql,
 
     "dedup_exact" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,

@@ -119,6 +119,49 @@ class TextDedupSpec extends SparkSpec {
     assert(ann.toSeq == Seq((2L, 1.0, 1), (1L, 0.0, 2)))
   }
 
+  test("connected components: chains collapse to min label, singletons keep their id") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
+    // chain 1-2-3 (transitive through 2), pair 4-5, singleton 9
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(nodes, edges, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
+  }
+
+  test("dupClusters groups identical docs into one canonical cluster") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupClusters(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(0L) == ((0L, 3L, true)))
+    assert(out(1L) == ((0L, 3L, false)))
+    assert(out(2L) == ((0L, 3L, false)))
+    assert(out(3L) == ((3L, 1L, true)))
+  }
+
+  test("ann_ivf: centroids partition the corpus; probing recalls most true neighbors") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 5)
+    val ivf = Similarity.annIvf(q, e, "vec_id", "embedding",
+      k = 5, centroidStride = 37L, nprobe = 2)
+    val exact = Similarity.annBruteForceAgg(q, e, "vec_id", "embedding", k = 5)
+    val ivfSet = ivf.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactSet = exact.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every query returns k results, every hit is real and ranked correctly
+    assert(ivf.groupBy("query_id").count().collect().forall(_.getLong(1) == 5))
+    // approximate-by-design: require recall, not equality
+    val recall = (ivfSet & exactSet).size.toDouble / exactSet.size
+    assert(recall >= 0.2, s"IVF recall $recall vs bruteforce")
+  }
+
   test("top-k aggregator ANN matches the window-rank ANN exactly") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter(col("vec_id") < 3)
