@@ -45,6 +45,39 @@ object QueriesSources {
         schemaDDL = Some("r_regionkey INT, r_name STRING"))
     },
 
+    // HTTP transport adapter (reference sources/adapters/http.py): the
+    // payload is fetched once through a real HTTP hop (loopback server
+    // serving the CSV rendering of nation), staged to the filesystem, and
+    // then read distributed with an explicit schema. The server stops before
+    // the lazy read runs — proof the staged file, not the socket, feeds Spark.
+    "src_http" -> { (s, d) =>
+      val csvDir = scratch("nation_http_csv")
+      nation(s, d).repartition(1).write.mode("overwrite")
+        .option("header", "true").csv(csvDir)
+      val part = new java.io.File(csvDir).listFiles()
+        .filter(_.getName.endsWith(".csv")).head.getAbsolutePath
+      val (server, url) = graft.sources.Http.serveFile(part, "/nation.csv")
+      try
+        graft.sources.Http.fetchToLocal(url,
+          s"${scratch("nation_http_staged")}/nation.csv")
+      finally server.stop(0)
+      Tables.readCsv(s, scratch("nation_http_staged"), header = true,
+        schemaDDL = Some("n_nationkey INT, n_name STRING, n_regionkey INT"))
+    },
+
+    // Run-scoped sink (reference io/runs.py): write into
+    // serve_root/runs/<run_id>/dataset, mark success, re-read through the
+    // refreshed `latest` symlink.
+    "sink_run_dir" -> { (s, d) =>
+      val paths = graft.sources.Runs.runPaths(scratch("serve_root"),
+        graft.sources.Runs.makeRunId())
+      graft.sources.Runs.startRun(paths)
+      region(s, d).write.mode("overwrite").parquet(paths.datasetDir.toString)
+      graft.sources.Runs.finishRun(paths, "success")
+      s.read.parquet(s"${scratch("serve_root")}/latest/dataset")
+        .select(col("r_regionkey"), col("r_name"))
+    },
+
     // Synthetic bounded tick source (reference sources/synthetic/time):
     // inclusive [start, end] grid at a fixed cadence, generated as a
     // partitioned range — not a driver loop.
@@ -82,7 +115,9 @@ object QueriesSources {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
          FROM lineitem WHERE l_quantity >= 45""",
     "src_csv" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "src_http" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "src_jsonl" -> "SELECT r_regionkey, r_name FROM region",
+    "sink_run_dir" -> "SELECT r_regionkey, r_name FROM region",
     "src_ticks" ->
       """SELECT epoch_us(g) AS t_us
          FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31',

@@ -39,6 +39,65 @@ class SourcesConformSpec extends SparkSpec {
     intercept[Exception](bad.collect())
   }
 
+  test("http adapter: param merge, fetch-to-local round-trip, 404 fails loudly") {
+    import graft.sources.Http
+    assert(Http.buildUrl("http://h/x", Nil) == "http://h/x")
+    assert(Http.buildUrl("http://h/x?a=1", Seq("b" -> "2 3")) ==
+      "http://h/x?a=1&b=2+3")
+    val src = "/tmp/graft_scratch/spec_http_src.txt"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(src), "k,v\n1,a\n2,b\n")
+    val (server, url) = Http.serveFile(src, "/data.csv")
+    try {
+      val dest = "/tmp/graft_scratch/spec_http_dst/data.csv"
+      Http.fetchToLocal(url, dest)
+      assert(java.nio.file.Files.readString(java.nio.file.Paths.get(dest)) ==
+        "k,v\n1,a\n2,b\n")
+      intercept[Exception](
+        Http.fetchToLocal(url.replace("/data.csv", "/missing"), dest + ".x"))
+    } finally server.stop(0)
+  }
+
+  test("run-scoped dirs: layout, metadata lifecycle, latest symlink swap") {
+    import graft.sources.Runs
+    val root = "/tmp/graft_scratch/spec_serve_root"
+    val rootPath = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(rootPath))
+      java.nio.file.Files.walk(rootPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    val t0 = java.time.Instant.parse("2026-01-02T03:04:05.123456Z")
+    val id = Runs.makeRunId(t0)
+    assert(id == "2026-01-02T03-04-05-123456Z") // filesystem-safe, sortable
+    val p = Runs.runPaths(root, id)
+    assert(p.datasetDir.toString == s"$root/runs/$id/dataset")
+    Runs.startRun(p, t0)
+    val meta1 = java.nio.file.Files.readString(p.metadataPath)
+    assert(meta1.contains("\"status\": \"running\"") &&
+      meta1.contains("\"finished_at\": null"))
+    Runs.finishRun(p, "success", Some("ok"), t0.plusSeconds(60))
+    val meta2 = java.nio.file.Files.readString(p.metadataPath)
+    assert(meta2.contains("\"status\": \"success\"") &&
+      meta2.contains(t0.toString)) // started_at preserved across finish
+    val latest = java.nio.file.Paths.get(root, "latest")
+    assert(java.nio.file.Files.isSymbolicLink(latest))
+    assert(latest.toRealPath().toString == p.runRoot.toRealPath().toString)
+    // a second run repoints latest
+    val id2 = Runs.makeRunId(t0.plusSeconds(3600))
+    val p2 = Runs.runPaths(root, id2)
+    Runs.startRun(p2)
+    Runs.finishRun(p2, "failed")
+    assert(latest.toRealPath().toString == p2.runRoot.toRealPath().toString)
+  }
+
+  test("stdout sink writes tab-joined preview rows to the given stream") {
+    import graft.sources.Runs
+    val df = Seq((1L, "a"), (2L, null.asInstanceOf[String])).toDF("k", "v")
+    val buf = new java.io.ByteArrayOutputStream()
+    val n = Runs.writeText(df.orderBy("k"), limit = 10,
+      out = new java.io.PrintStream(buf, true, "UTF-8"))
+    assert(n == 2)
+    assert(buf.toString("UTF-8") == "1\ta\n2\t\n")
+  }
+
   test("stateful streaming counts equal the batch group-by") {
     val sf = "/root/testdata/sf0.001"
     val streamed = graft.streaming.Streaming
