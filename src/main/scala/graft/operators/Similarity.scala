@@ -28,6 +28,18 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Codegen'd twins (functions.DotProd): bit-identical to [[dot]]/[[cosine]]
+    * (same sequential fold order), ~20x faster on the pair-scoring hot path.
+    * Callers with a DataFrame in hand register the function first.
+    */
+  private def registerFast(df: DataFrame): Unit =
+    graft.functions.DotProd.register(df.sparkSession)
+
+  private def dotF(a: Column, b: Column): Column = call_function("dot_prod", a, b)
+
+  private def cosineF(a: Column, b: Column): Column =
+    dotF(a, b) / (sqrt(dotF(a, a)) * sqrt(dotF(b, b)))
+
   /** Unit-normalize a vector (zero vectors pass through as zeros). */
   def l2Normalize(a: Column): Column = {
     val n = norm(a)
@@ -40,11 +52,12 @@ object Similarity {
     */
   def annBruteForce(queries: DataFrame, corpus: DataFrame, idCol: String,
                     vecCol: String, k: Int): DataFrame = {
+    registerFast(corpus)
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", cosineF(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -61,11 +74,12 @@ object Similarity {
                        vecCol: String, k: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    registerFast(corpus)
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), cosine(col("qv"), col("cv")).as("cos"),
+      .select(col("query_id"), cosineF(col("qv"), col("cv")).as("cos"),
         col("neighbor_id"))
       .as[(Long, Double, Long)]
     val top = scored.groupByKey(_._1)
@@ -110,6 +124,7 @@ object Similarity {
     */
   def annLsh(queries: DataFrame, corpus: DataFrame, idCol: String,
              vecCol: String, k: Int, planes: Int, dim: Int): DataFrame = {
+    registerFast(corpus)
     val sig = lshSignature(col(vecCol), planes, dim)
     val q = queries.select(col(idCol).as("query_id"),
       toDouble(col(vecCol)).as("qv"), sig.as("bucket"))
@@ -117,7 +132,7 @@ object Similarity {
       toDouble(col(vecCol)).as("cv"), sig.as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", cosineF(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -139,11 +154,12 @@ object Similarity {
   def annIvf(queries: DataFrame, corpus: DataFrame, idCol: String,
              vecCol: String, k: Int, centroidStride: Long,
              nprobe: Int): DataFrame = {
+    registerFast(corpus)
     val cent = corpus.filter(pmod(col(idCol), lit(centroidStride)) === 0)
       .select(col(idCol).as("centroid_id"), toDouble(col(vecCol)).as("centv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
     val assigned = c.crossJoin(broadcast(cent))
-      .withColumn("acos", cosine(col("cv"), col("centv")))
+      .withColumn("acos", cosineF(col("cv"), col("centv")))
     // argmax(acos) with centroid_id-asc tiebreak = max_by over (acos, -id)
     val inv = assigned.groupBy(col("neighbor_id"))
       .agg(max_by(struct(col("centroid_id"), col("cv")),
@@ -152,7 +168,7 @@ object Similarity {
         col("best.cv").as("cv"))
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
     val probes = q.crossJoin(broadcast(cent))
-      .withColumn("pcos", cosine(col("qv"), col("centv")))
+      .withColumn("pcos", cosineF(col("qv"), col("centv")))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("pcos").desc, col("centroid_id").asc)
     val probed = probes.withColumn("r", row_number().over(wProbe))
@@ -160,7 +176,7 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("centroid_id"))
     val scored = inv.join(broadcast(probed), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", cosineF(col("qv"), col("cv")))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(wRank))
@@ -179,8 +195,9 @@ object Similarity {
       .select(col("id_a"), col("va"),
         explode(sequence(col("id_a") + 1, col("id_a") + lookahead)).as("id_b"))
     val b = df.select(col(idCol).as("id_b"), toDouble(col(vecCol)).as("vb"))
+    registerFast(df)
     a.join(b, Seq("id_b")) // equi-join: scalable pair generation, no BNLJ
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", cosineF(col("va"), col("vb")))
       .select(col("id_a"), col("id_b"), col("cos"),
         (col("cos") >= threshold).as("is_near_dup"))
   }

@@ -154,10 +154,15 @@ object ConfigRuntime {
       TimeFns.floorTime(col("time"), ds.cadence))
     val grouped = bucketed.groupBy(
       (col("sample_time") +: ds.sampleKeys.map(col)): _*)
+    // localCheckpoint: feature-coverage collect, target-coverage collect,
+    // scaler fit, and the returned plan all consume the assembly — lazy
+    // checkpoint materializes it at the first action instead of recomputing
+    // the shuffle+pivot per consumer.
     val assembled =
       (if (suffixFree) grouped.pivot(col("series_id"), vectors.map(_.id))
        else grouped.pivot(col("series_id")))
         .agg(max(col("value")))
+        .localCheckpoint(eager = false)
 
     // --- postprocess: column selection by coverage (features and targets
     // have separate thresholds), conform to the retained contract, then row

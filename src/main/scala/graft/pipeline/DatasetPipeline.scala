@@ -62,8 +62,15 @@ object DatasetPipeline {
     sum(c.cast(s"decimal(30,$scale)")).cast("double")
 
   def run(df: DataFrame, cfg: Config): Result = {
+    // localCheckpoint: the assembly (the pipeline's only wide shuffle over
+    // data rows) feeds the eager coverage collect below, the train-fold
+    // scaler fit, AND the returned plan — unmaterialized it recomputes once
+    // per consumer. Lazy checkpoint: the coverage action materializes it,
+    // everything downstream reads blocks. (RDD-scoped, so the
+    // ContextCleaner frees the blocks with the plan — see Dedup.)
     val assembled = Assembly.sampleAssembly(
       df, cfg.timeCol, cfg.cadence, cfg.sampleKeys, cfg.features)
+      .localCheckpoint(eager = false)
 
     // --- select columns by coverage (reference SelectFeaturesTransform).
     // The collect touches ≤ |candidates| rows of aggregated metadata, never

@@ -119,6 +119,56 @@ class TextDedupSpec extends SparkSpec {
     assert(ann.toSeq == Seq((2L, 1.0, 1), (1L, 0.0, 2)))
   }
 
+  test("codegen'd shingle_join and minhash_sig equal the HOF constructions on the corpus") {
+    val shingleFn = graft.functions.ShingleJoin.register(spark, 3)
+    val sigFn = graft.functions.MinhashSig.register(spark,
+      Dedup.permParams(64), Dedup.MersennePrime)
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val hofSh = array_distinct(Text.shingles(Text.tokens(col("text")), 3))
+    val fastSh = call_function(shingleFn, Text.tokens(col("text")))
+    val hashFn = graft.functions.PortableHashArr.register(spark, Dedup.MersennePrime)
+    val hofHs = transform(fastSh, t => pmod(Text.portableHash(t), lit(Dedup.MersennePrime)))
+    val hs = call_function(hashFn, fastSh)
+    val hofSig = array(Dedup.permParams(64).map { case (a, b) =>
+      array_min(transform(hs, h => pmod(h * a + b, lit(Dedup.MersennePrime))))
+    }: _*)
+    val mismatches = docs.select(
+        hofSh.as("a"), fastSh.as("b"), hofSig.as("sa"),
+        call_function(sigFn, hs).as("sb"), hofHs.as("ha"), hs.as("hb"))
+      .filter(col("a") =!= col("b") || col("sa") =!= col("sb") ||
+        col("ha") =!= col("hb")).count()
+    assert(mismatches == 0)
+    // edge cases: fewer tokens than the shingle width → empty set → all-NULL sig
+    import spark.implicits._
+    val tiny = Seq("one two", "a a a a").toDF("text")
+      .select(call_function(shingleFn, Text.tokens(col("text"))).as("sh"))
+      .withColumn("sig", call_function(sigFn,
+        transform(col("sh"), t => pmod(Text.portableHash(t), lit(Dedup.MersennePrime)))))
+      .collect()
+    assert(tiny(0).getSeq[String](0).isEmpty)
+    assert(tiny(0).getSeq[Any](1).forall(_ == null))
+    assert(tiny(1).getSeq[String](0) == Seq("a a a")) // duplicates collapse
+  }
+
+  test("codegen'd dot_prod equals the HOF fold bit-for-bit; NULL on mismatch") {
+    graft.functions.DotProd.register(spark)
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = e.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+    val pairs = a.as("x").join(a.as("y"), col("x.vec_id") + 1 === col("y.vec_id"))
+    val bad = pairs.select(
+        Similarity.dot(col("x.v"), col("y.v")).as("hof"),
+        call_function("dot_prod", col("x.v"), col("y.v")).as("fast"))
+      .filter(col("hof") =!= col("fast") || col("hof").isNull =!= col("fast").isNull)
+      .count()
+    assert(bad == 0)
+    // length mismatch → NULL (zip_with pads with NULL), like the HOF form
+    import spark.implicits._
+    val mm = Seq((Seq(1.0, 2.0), Seq(3.0))).toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("hof"),
+        call_function("dot_prod", col("a"), col("b")).as("fast")).head()
+    assert(mm.isNullAt(0) && mm.isNullAt(1))
+  }
+
   test("connected components: chains collapse to min label, singletons keep their id") {
     import spark.implicits._
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
