@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.pipeline.{Config, ConfigRuntime}
+import graft.sources.Runs
+
+/** Command-line entry point (reference: cli/app.py + cli/commands/
+  * materialize.py — run a YAML project document and serve the result into a
+  * run-scoped output directory).
+  *
+  * {{{
+  *   graft.Cli materialize <project.yaml> <dataDir> <serveRoot> [previewRows]
+  *   graft.Cli stream      <project.yaml> <streamId> <dataDir> [limit]
+  * }}}
+  *
+  * `materialize` = parse project → build the dataset plan → write parquet
+  * into `serveRoot/runs/<run_id>/dataset` → mark run success → repoint
+  * `latest` (reference materialize + io/runs.py lifecycle; a failure marks
+  * the run `failed` and leaves `latest` on the previous good run).
+  * `stream` = preview a canonical stream to stdout (reference `demo`-style
+  * inspection via the stdout sink).
+  */
+object Cli {
+
+  def materialize(spark: SparkSession, configPath: String, dataDir: String,
+                  serveRoot: String, preview: Int = 0,
+                  out: java.io.PrintStream = System.out): Runs.RunPaths = {
+    val project = Config.parseProject(Files.readString(Paths.get(configPath)))
+    val df = ConfigRuntime.dataset(spark, dataDir, project)
+    val paths = Runs.runPaths(serveRoot, Runs.makeRunId())
+    Runs.startRun(paths)
+    try {
+      df.write.mode("overwrite").parquet(paths.datasetDir.toString)
+      Runs.finishRun(paths, "success")
+    } catch {
+      case e: Throwable =>
+        Runs.finishRun(paths, "failed", Some(String.valueOf(e.getMessage)))
+        throw e
+    }
+    out.println(s"run ${paths.runId} -> ${paths.datasetDir}")
+    if (preview > 0)
+      Runs.writeText(spark.read.parquet(paths.datasetDir.toString), preview, out)
+    paths
+  }
+
+  def streamPreview(spark: SparkSession, configPath: String, streamId: String,
+                    dataDir: String, limit: Int = 20,
+                    out: java.io.PrintStream = System.out): Long = {
+    val project = Config.parseProject(Files.readString(Paths.get(configPath)))
+    Runs.writeText(
+      ConfigRuntime.resolver(spark, dataDir, project).stream(streamId),
+      limit, out)
+  }
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "materialize" :: config :: dataDir :: serveRoot :: rest =>
+      val spark = session()
+      try materialize(spark, config, dataDir, serveRoot,
+        preview = rest.headOption.map(_.toInt).getOrElse(0))
+      finally spark.stop()
+    case "stream" :: config :: streamId :: dataDir :: rest =>
+      val spark = session()
+      try streamPreview(spark, config, streamId, dataDir,
+        limit = rest.headOption.map(_.toInt).getOrElse(20))
+      finally spark.stop()
+    case other =>
+      System.err.println(
+        s"""usage: graft.Cli materialize <project.yaml> <dataDir> <serveRoot> [previewRows]
+           |       graft.Cli stream <project.yaml> <streamId> <dataDir> [limit]
+           |got: ${other.mkString(" ")}""".stripMargin)
+      sys.exit(2)
+  }
+}

@@ -96,6 +96,22 @@ object QueriesPipeline {
     // Series projection over events: partition identity (user_id, event_type)
     // minus sample key (user_id) → series_id suffix `@event_type:<value>`;
     // two configs fan each record into two identified series rows.
+    // Scaler artifact lifecycle (reference artifacts/scaler.py): fit on the
+    // train slice → save JSON artifact → LOAD it back → apply the loaded
+    // statistics. The round-trip through the serialized artifact is what's
+    // under test — drift in the JSON encoding would fail the hash.
+    "scaler_artifact" -> { (s, d) =>
+      import graft.pipeline.Artifacts
+      val e = events(s, d)
+      val train = e.filter(pmod(col("user_id"), lit(5)) =!= 0)
+      val path = "/tmp/graft_scratch/scaler_artifact/scaler.json"
+      Artifacts.saveScaler(path, Artifacts.fitScaler(train, Seq("value")))
+      val loaded = Artifacts.loadScaler(path).swap.getOrElse(
+        throw new IllegalStateException("expected a standard_scaler artifact"))
+      Artifacts.applyScaler(e.select(col("event_id"), col("value")), loaded)
+        .select(col("event_id"), round(col("value"), 6).as("scaled"))
+    },
+
     "series_project" -> { (s, d) =>
       Series.project(events(s, d),
         partitionBy = Seq("user_id", "event_type"),
@@ -175,6 +191,14 @@ object QueriesPipeline {
                  ROUND((purchase_total - m_pt) / s_pt, 6) AS purchase_total
           FROM labeled, stats"""
     },
+
+    "scaler_artifact" ->
+      """WITH s AS (
+           SELECT CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(value) AS m,
+                  ROUND(GREATEST(coalesce(stddev_pop(value), 0), 1e-12), 6) AS sd
+           FROM events WHERE user_id % 5 != 0)
+         SELECT event_id, ROUND((value - m) / sd, 6) AS scaled
+         FROM events, s""",
 
     "series_project" ->
       """SELECT 'value__@event_type:' || event_type AS series_id,

@@ -32,6 +32,11 @@ object QueriesStreaming {
     "stream_sessionize" -> { (s, d) =>
       Streaming.runSessionsToBatch(s, d,
         s"graft_stream_sessions_${runId.incrementAndGet()}")
+    },
+    // Stream-static dimension attach equals the batch equi-join.
+    "stream_attach" -> { (s, d) =>
+      Streaming.attachStatic(s, d,
+        s"graft_stream_attach_${runId.incrementAndGet()}")
     }
   )
 
@@ -60,6 +65,9 @@ object QueriesStreaming {
            FROM flagged)
          SELECT user_id, session_id, COUNT(*) AS n_events,
                 min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
-         FROM sess GROUP BY user_id, session_id"""
+         FROM sess GROUP BY user_id, session_id""",
+    "stream_attach" ->
+      """SELECT e.event_id, e.user_id, e.event_type, c.c_acctbal
+         FROM events e JOIN customer c ON c.c_custkey = e.user_id"""
   )
 }

@@ -184,6 +184,31 @@ object Streaming {
         col("start_us"), col("end_us"))
   }
 
+  /** Stream-static join: attach dimension attributes to an unbounded event
+    * stream — the streaming twin of the batch broadcast attach
+    * (reference alignment/broadcast.py; batch twin: Compose.broadcastAttach).
+    * Structured Streaming re-plans the static side per micro-batch, so the
+    * dim broadcast stays fresh without any state store; append mode, no
+    * watermark needed (a join adds no unbounded state for stream-static).
+    */
+  def attachStatic(spark: SparkSession, sfDir: String,
+                   tableName: String): DataFrame = {
+    val dim = graft.sources.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val q = readEvents(spark, sfDir)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_acctbal"))
+      .writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(tableName)
+  }
+
   /** Run the streaming query to completion over the finite test input
     * (Trigger.AvailableNow) into an in-memory table; returns the final
     * result as a batch DataFrame.

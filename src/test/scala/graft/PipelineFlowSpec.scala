@@ -122,4 +122,40 @@ class PipelineFlowSpec extends SparkSpec {
     // the plan is a Range source, not a single exploded row
     assert(t.queryExecution.executedPlan.toString.contains("Range"))
   }
+
+  test("scaler artifact: fit → save → load round-trips; apply scales in place") {
+    import graft.pipeline.Artifacts
+    val df = Seq(("train", 1.0, 10.0), ("train", 3.0, 30.0), ("test", 5.0, 50.0))
+      .toDF("fold", "a", "b")
+    val art = Artifacts.fitScaler(df.filter(col("fold") === "train"), Seq("a", "b"))
+    assert(art.statistics("a").mean == 2.0 && art.statistics("a").std == 1.0)
+    assert(art.observations == 4) // 2 per field
+    val path = "/tmp/graft_scratch/spec_scaler/scaler.json"
+    Artifacts.saveScaler(path, art)
+    val loaded = Artifacts.loadScaler(path).swap.toOption.get
+    assert(loaded == art) // exact double round-trip through JSON
+    val out = Artifacts.applyScaler(df, loaded)
+      .orderBy("a").select("a").collect().map(_.getDouble(0)).toSeq
+    assert(out == Seq(-1.0, 1.0, 3.0)) // (x - 2) / 1, test fold scaled by train stats
+  }
+
+  test("folded scaler artifact: per-fold stats, unknown fold fails, JSON round-trip") {
+    import graft.pipeline.Artifacts
+    val df = Seq(("train", 1.0), ("train", 3.0), ("val", 7.0), ("val", 9.0))
+      .toDF("fold", "x")
+    val folded = Artifacts.fitFoldedScaler(df, "fold", Seq("x"))
+    assert(folded.forFold("train").statistics("x").mean == 2.0)
+    assert(folded.forFold("val").statistics("x").mean == 8.0)
+    intercept[NoSuchElementException](folded.forFold("nope"))
+    val path = "/tmp/graft_scratch/spec_scaler/folded.json"
+    Artifacts.saveFoldedScaler(path, folded)
+    assert(Artifacts.loadScaler(path).toOption.get == folded)
+    // validation: mismatched observations and blank ids are rejected
+    intercept[IllegalArgumentException](
+      Artifacts.StandardScalerArtifact(true, true, 1e-12, 5,
+        Map("x" -> Artifacts.ScalerStats(0.0, 1.0, 2))))
+    intercept[IllegalArgumentException](
+      Artifacts.StandardScalerArtifact(true, true, 1e-12, 2,
+        Map(" x" -> Artifacts.ScalerStats(0.0, 1.0, 2))))
+  }
 }

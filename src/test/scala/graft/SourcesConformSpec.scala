@@ -98,6 +98,50 @@ class SourcesConformSpec extends SparkSpec {
     assert(buf.toString("UTF-8") == "1\ta\n2\t\n")
   }
 
+  test("cli materialize: config → run-scoped parquet, success metadata, preview") {
+    val config =
+      """sources:
+        |  - id: tpch.orders
+        |    loader: { transport: fs, path: orders.parquet, reader: { format: parquet } }
+        |streams:
+        |  - id: orders.daily
+        |    from: { source: tpch.orders }
+        |    map: { time: o_orderdate, fields: [o_custkey, o_orderkey, o_totalprice] }
+        |    partition_by: [o_custkey]
+        |    tiebreak: [o_orderkey]
+        |    preprocess:
+        |      - { operation: floor_time, cadence: 1d }
+        |    transforms:
+        |      - { operation: collapse, keep: last }
+        |dataset:
+        |  sample:
+        |    cadence: 1d
+        |    keys: [o_custkey]
+        |  features:
+        |    - { id: total, stream: orders.daily, field: o_totalprice }
+        |""".stripMargin
+    val cfgPath = "/tmp/graft_scratch/spec_cli/project.yaml"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("/tmp/graft_scratch/spec_cli"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath), config)
+    val serve = "/tmp/graft_scratch/spec_cli_serve"
+    val buf = new java.io.ByteArrayOutputStream()
+    val paths = graft.Cli.materialize(spark, cfgPath, "/root/testdata/sf0.001",
+      serve, preview = 3, out = new java.io.PrintStream(buf, true, "UTF-8"))
+    val meta = java.nio.file.Files.readString(paths.metadataPath)
+    assert(meta.contains("\"status\": \"success\""))
+    val back = spark.read.parquet(s"$serve/latest/dataset")
+    assert(back.count() > 0 && back.columns.contains("total"))
+    val lines = buf.toString("UTF-8").linesIterator.toSeq
+    assert(lines.head.startsWith(s"run ${paths.runId}"))
+    assert(lines.size == 4) // header + 3 preview rows
+    // stream preview path
+    val buf2 = new java.io.ByteArrayOutputStream()
+    val n = graft.Cli.streamPreview(spark, cfgPath, "orders.daily",
+      "/root/testdata/sf0.001", limit = 5,
+      out = new java.io.PrintStream(buf2, true, "UTF-8"))
+    assert(n == 5 && buf2.toString("UTF-8").linesIterator.size == 5)
+  }
+
   test("stateful streaming counts equal the batch group-by") {
     val sf = "/root/testdata/sf0.001"
     val streamed = graft.streaming.Streaming
