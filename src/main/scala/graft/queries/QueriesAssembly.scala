@@ -83,6 +83,21 @@ object QueriesAssembly {
             lit(3 * rsd) * col("exact_distinct")).as("within_bounds"))
     },
 
+    // KLL-style quantile sketch beside the exact answer: the mergeable
+    // shape that survives 1000-executor partial aggregation. within_bounds
+    // brackets the estimate between exact p45/p55 so the output is
+    // deterministic and hash-matchable despite the engine-specific sketch.
+    "approx_quantiles" -> { (s, d) =>
+      events(s, d).groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("raw_p50"),
+          expr("percentile(value, 0.45)").as("lo"),
+          expr("percentile(value, 0.55)").as("hi"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx"))
+        .select(col("event_type"), round(col("raw_p50"), 6).as("exact_p50"),
+          (col("approx") >= col("lo") && col("approx") <= col("hi"))
+            .as("within_bounds"))
+    },
+
     // Conform assembled samples to a vector-metadata contract: contract
     // order, absent column → NULL, extras dropped.
     "conform_vectors" -> { (s, d) =>
@@ -149,6 +164,10 @@ object QueriesAssembly {
   val oracleSql: Map[String, String] = Map(
     "approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
+         TRUE AS within_bounds FROM events GROUP BY event_type""",
+
+    "approx_quantiles" ->
+      """SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS exact_p50,
          TRUE AS within_bounds FROM events GROUP BY event_type""",
 
     "sample_assembly" ->

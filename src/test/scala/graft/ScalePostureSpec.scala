@@ -77,6 +77,36 @@ class ScalePostureSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("plan guardrail: no CartesianProduct anywhere; BNLJ only where a bounded broadcast is intended") {
+    // Sweep EVERY registered query's physical plan at sf0.001. A
+    // CartesianProduct is always a scale bug. BroadcastNestedLoopJoin is
+    // acceptable only where the build side is bounded by construction:
+    // one-row fitted stats (scaler crossJoins) or the deliberately-small
+    // query/centroid sets of the ANN scorers.
+    val bnljAllowed = Set(
+      "ann_bruteforce",   // Q(5) x corpus exact scoring — the baseline path
+      "ann_ivf",          // corpus x centroid sample, then query x centroids
+      "standard_scaler",  // one-row stats broadcast
+      "dataset_pipeline", // one-row train-fold stats broadcast
+      "config_dataset",   // one-row train-fold stats broadcast
+      "ensure_ticks"      // one-row (min,max) grid bounds broadcast
+    )
+    val skip = Set("sink_roundtrip", "sink_run_dir", "src_http", "src_csv",
+      "src_jsonl") // side-effecting writes; plans are plain re-reads
+    val sf = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => n.startsWith("stream_") || skip.contains(n) }
+      .flatMap { case (name, fn) =>
+        val plan = physicalPlan(fn(spark, sf))
+        val cart = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
+        if (cart || bnlj)
+          Some(s"$name: cartesian=$cart unexpected-bnlj=$bnlj")
+        else None
+      }
+    assert(offenders.isEmpty, s"scale-hostile plans:\n${offenders.mkString("\n")}")
+  }
+
   test("partitioned sink prunes partitions at the scan") {
     val sf = "/root/testdata/sf0.001"
     val out = "/tmp/graft_scratch/events_by_day"
