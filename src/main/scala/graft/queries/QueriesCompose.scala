@@ -63,6 +63,18 @@ object QueriesCompose {
     // Bucketized interval-containment join: attach each event of other users
     // to the session windows of user 0 it falls inside. Equi-join on time
     // buckets + exact filter — no nested loop.
+    // Two-phase salted aggregation over a 5-key (maximally skewed) grouping:
+    // phase 1 spreads each hot key over 8 salt buckets, phase 2 merges —
+    // the exact decimal sum survives the split, so the salted plan is
+    // hash-identical to the plain GROUP BY oracle.
+    "skew_salted_agg" -> { (s, d) =>
+      graft.operators.Skew.saltedAgg(events(s, d), Seq("event_type"),
+        saltFrom = "event_id", factor = 8, valueCol = "value",
+        partial = c => sum(c.cast("decimal(30,4)")),
+        merge = c => sum(c), to = "total")
+        .select(col("event_type"), col("total").cast("double").as("total"))
+    },
+
     "range_join" -> { (s, d) =>
       val key = graft.operators.StreamKey(Seq("user_id"), "ts", Seq("event_id"))
       val sess = graft.operators.Ordered.sessionize(events(s, d), key, "6h")
@@ -103,6 +115,9 @@ object QueriesCompose {
   private val hourSql = "epoch_us(ts) - epoch_us(ts) % 3600000000"
 
   val oracleSql: Map[String, String] = Map(
+    "skew_salted_agg" ->
+      s"""SELECT event_type, ${sumDecSql("value")} AS total
+          FROM events GROUP BY event_type""",
     "broadcast_join" ->
       s"""WITH h AS (
             SELECT $hourSql AS hour_us,
