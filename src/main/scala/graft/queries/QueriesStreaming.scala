@@ -37,6 +37,11 @@ object QueriesStreaming {
     "stream_attach" -> { (s, d) =>
       Streaming.attachStatic(s, d,
         s"graft_stream_attach_${runId.incrementAndGet()}")
+    },
+    // Stateful as-of attach equals DuckDB's native ASOF LEFT JOIN.
+    "stream_asof" -> { (s, d) =>
+      Streaming.asofAttach(s, d,
+        s"graft_stream_asof_${runId.incrementAndGet()}")
     }
   )
 
@@ -68,6 +73,14 @@ object QueriesStreaming {
          FROM sess GROUP BY user_id, session_id""",
     "stream_attach" ->
       """SELECT e.event_id, e.user_id, e.event_type, c.c_acctbal
-         FROM events e JOIN customer c ON c.c_custkey = e.user_id"""
+         FROM events e JOIN customer c ON c.c_custkey = e.user_id""",
+    "stream_asof" ->
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS t_us,
+                p.value AS last_purchase
+         FROM events e
+         ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value
+                         FROM events WHERE event_type = 'purchase'
+                         GROUP BY user_id, ts) p
+           ON e.user_id = p.user_id AND p.ts <= e.ts"""
   )
 }

@@ -184,6 +184,65 @@ object Streaming {
         col("start_us"), col("end_us"))
   }
 
+  /** Stateful streaming as-of attach (the unbounded twin of the batch
+    * Compose.asofJoin): every event carries the latest reference value at or
+    * before its event time, where the reference stream is the user's own
+    * purchase events. Per-user state is the reference series — in a
+    * deployment a watermark evicts reference points older than the horizon
+    * (only the newest point at-or-before the watermark can still win), so
+    * state is bounded; the finite harness keeps them all. Duplicate
+    * reference timestamps collapse to max(value) (both engines, so the
+    * attach is deterministic even on colliding data).
+    *
+    * Events attach against every reference seen up to their own micro-batch
+    * (within a batch, order-insensitively: refs merge before probes attach)
+    * — the standard streaming caveat that a reference arriving later than
+    * the watermark cannot retro-attach.
+    */
+  def asofAttach(spark: SparkSession, sfDir: String,
+                 tableName: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val tagged = readEvents(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        col("event_id"), col("value"),
+        (col("event_type") === "purchase").as("is_ref"))
+      .as[(Long, Long, Long, Double, Boolean)]
+    val q = tagged
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[Long, Double], (Long, Long, Long, Option[Double])](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long, Double, Boolean)],
+         state: org.apache.spark.sql.streaming.GroupState[Map[Long, Double]]) =>
+          val batch = rows.toVector
+          var refs = state.getOption.getOrElse(Map.empty[Long, Double])
+          batch.foreach { case (_, t, _, v, isRef) =>
+            if (isRef) refs = refs.updated(t, refs.get(t).fold(v)(math.max(_, v)))
+          }
+          state.update(refs)
+          val sortedTs = refs.keys.toArray.sorted
+          batch.iterator.map { case (_, t, eventId, _, _) =>
+            // binary search: latest reference ts <= t
+            var lo = 0; var hi = sortedTs.length - 1; var best = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (sortedTs(mid) <= t) { best = mid; lo = mid + 1 } else hi = mid - 1
+            }
+            (eventId, user, t,
+              if (best >= 0) Some(refs(sortedTs(best))) else None)
+          }
+      }
+      .toDF("event_id", "user_id", "t_us", "last_purchase")
+      .writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(tableName)
+  }
+
   /** Stream-static join: attach dimension attributes to an unbounded event
     * stream — the streaming twin of the batch broadcast attach
     * (reference alignment/broadcast.py; batch twin: Compose.broadcastAttach).
