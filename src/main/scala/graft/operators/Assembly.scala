@@ -149,4 +149,58 @@ object Assembly {
     val scaled = if (withStd) centered / col("std") else centered
     joined.withColumn(to, scaled).drop("mean", "std")
   }
+
+  /** One configured vector entry of the availability matrix: `kind` is
+    * "feature" or "target"; `seqLen` marks a fixed-length sequence vector.
+    */
+  final case class MatrixEntry(kind: String, id: String, seqLen: Option[Int] = None)
+
+  /** Availability matrix (reference analysis/vector/matrix.py MatrixBuilder):
+    * one row per (sample group × configured vector entry) with status
+    * `absent` (column not assembled at all), `null` (missing value), or
+    * `present`; sequence vectors also carry per-element statuses and are
+    * `present` iff any element is. The reference builds this row-by-row on
+    * the driver with a max_cells guard; here it is a distributed unpivot
+    * (explode over per-entry status structs) — the guard stays (one
+    * metadata-scale count action), the data never leaves the executors.
+    * Missing = NULL or NaN (reference is_missing), numeric vectors.
+    */
+  def availabilityMatrix(df: DataFrame, groupCols: Seq[String],
+                         entries: Seq[MatrixEntry],
+                         maxCells: Long = 1000000L): DataFrame = {
+    val width = entries.map(_.seqLen.getOrElse(1)).sum
+    require(width > 0, "availability matrix needs at least one vector entry")
+    val rows = df.count()
+    require(rows * width <= maxCells,
+      s"Availability matrix exceeds max_cells=$maxCells " +
+        s"($rows samples x $width cells). Increase maxCells or inspect a " +
+        "smaller dataset window.")
+    val have = df.columns.toSet
+    def missing(c: Column): Column = c.isNull || isnan(c.cast("double"))
+    val group = concat_ws(", ", groupCols.map(c => col(c).cast("string")): _*)
+    val cells = entries.map { e =>
+      val (status, elements) =
+        if (!have.contains(e.id))
+          (lit("absent"), array().cast("array<string>"))
+        else e.seqLen match {
+          case None =>
+            (when(missing(col(e.id)), "null").otherwise("present"),
+              array().cast("array<string>"))
+          case Some(n) =>
+            val lenOk = when(size(col(e.id)) =!= n, raise_error(concat(
+              lit(s"List vector '${e.id}' has length "), size(col(e.id)).cast("string"),
+              lit(s"; expected $n.")))).otherwise(col(e.id))
+            val els = when(col(e.id).isNull, array_repeat(lit("null"), n))
+              .otherwise(transform(lenOk,
+                x => when(missing(x), "null").otherwise("present")))
+            (when(array_contains(els, "present"), "present").otherwise("null"), els)
+        }
+      struct(lit(e.kind).as("vector"), lit(e.id).as("identifier"),
+        status.as("status"), elements.as("elements"))
+    }
+    df.select(group.as("grp"), explode(array(cells: _*)).as("c"))
+      .select(col("c.vector").as("vector"), col("c.identifier").as("identifier"),
+        col("grp").as("grp"), col("c.status").as("status"),
+        col("c.elements").as("elements"))
+  }
 }

@@ -98,6 +98,26 @@ object QueriesAssembly {
             .as("within_bounds"))
     },
 
+    // Availability matrix (reference analysis/vector/matrix.py): per
+    // (sample, configured entry) status rows — a configured-but-never-
+    // assembled column reads `absent`, a purchase-less hour reads `null`,
+    // and the sequence vector carries per-element statuses.
+    "availability_matrix" -> { (s, d) =>
+      import graft.operators.Assembly
+      val assembled = events(s, d)
+        .withColumn("hour", TimeFns.floorTime(col("ts"), "1h"))
+        .groupBy(col("user_id"), eu(col("hour")).as("h_us"))
+        .agg(count(lit(1)).as("n_events"),
+          avg(when(col("event_type") === "purchase", col("value"))).as("avg_purchase"),
+          array(min(col("value")),
+            max(when(col("event_type") === "purchase", col("value")))).as("minmax_seq"))
+      Assembly.availabilityMatrix(assembled, Seq("user_id", "h_us"),
+        Seq(Assembly.MatrixEntry("feature", "n_events"),
+          Assembly.MatrixEntry("feature", "avg_purchase"),
+          Assembly.MatrixEntry("feature", "ghost_feature"),
+          Assembly.MatrixEntry("target", "minmax_seq", Some(2))))
+    },
+
     // Conform assembled samples to a vector-metadata contract: contract
     // order, absent column → NULL, extras dropped.
     "conform_vectors" -> { (s, d) =>
@@ -169,6 +189,28 @@ object QueriesAssembly {
     "approx_quantiles" ->
       """SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS exact_p50,
          TRUE AS within_bounds FROM events GROUP BY event_type""",
+
+    "availability_matrix" ->
+      s"""WITH a AS (
+            SELECT user_id, $hourSql AS h_us, COUNT(*) AS n_events,
+                   avg(CASE WHEN event_type = 'purchase' THEN value END) AS avg_p,
+                   max(CASE WHEN event_type = 'purchase' THEN value END) AS mx_p
+            FROM events GROUP BY user_id, 2),
+          g AS (SELECT CAST(user_id AS VARCHAR) || ', ' || CAST(h_us AS VARCHAR)
+                         AS grp, avg_p, mx_p FROM a)
+          SELECT 'feature' AS vector, 'n_events' AS identifier, grp,
+                 'present' AS status, CAST([] AS VARCHAR[]) AS elements FROM g
+          UNION ALL
+          SELECT 'feature', 'avg_purchase', grp,
+                 CASE WHEN avg_p IS NULL THEN 'null' ELSE 'present' END,
+                 CAST([] AS VARCHAR[]) FROM g
+          UNION ALL
+          SELECT 'feature', 'ghost_feature', grp, 'absent',
+                 CAST([] AS VARCHAR[]) FROM g
+          UNION ALL
+          SELECT 'target', 'minmax_seq', grp, 'present',
+                 ['present', CASE WHEN mx_p IS NULL THEN 'null' ELSE 'present' END]
+          FROM g""",
 
     "sample_assembly" ->
       s"""SELECT $hourSql AS sample_time_us, user_id, COUNT(*) AS n_events,

@@ -1,4 +1,5 @@
 package graft
+// (availability-matrix tests at the bottom of this file)
 
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
@@ -101,5 +102,31 @@ class AssemblySpec extends SparkSpec {
       Assembly.fitStandardScaler(const, "x"), "x", "z")
       .select("z").head().getDouble(0)
     assert(z == 0.0)
+  }
+
+  test("availability matrix: absent/null/present statuses, element statuses, guards") {
+    val df = Seq(
+      (1L, Some(2.0), Seq(Some(1.0), None: Option[Double])),
+      (2L, None: Option[Double], Seq(Some(3.0), Some(4.0)))
+    ).toDF("k", "scalar", "seq2")
+    val entries = Seq(
+      Assembly.MatrixEntry("feature", "scalar"),
+      Assembly.MatrixEntry("feature", "ghost"),
+      Assembly.MatrixEntry("target", "seq2", Some(2)))
+    val out = Assembly.availabilityMatrix(df, Seq("k"), entries)
+      .collect().map(r => (r.getString(1), r.getString(2)) ->
+        (r.getString(3), r.getSeq[String](4))).toMap
+    assert(out(("scalar", "1")) == (("present", Seq())))
+    assert(out(("scalar", "2")) == (("null", Seq())))
+    assert(out(("ghost", "1")) == (("absent", Seq())))
+    assert(out(("seq2", "1")) == (("present", Seq("present", "null"))))
+    assert(out(("seq2", "2")) == (("present", Seq("present", "present"))))
+    // max_cells guard raises before any distributed work
+    intercept[IllegalArgumentException](
+      Assembly.availabilityMatrix(df, Seq("k"), entries, maxCells = 3))
+    // sequence length breach fails the job, like conform
+    val bad = Assembly.availabilityMatrix(df, Seq("k"),
+      Seq(Assembly.MatrixEntry("target", "seq2", Some(3))))
+    intercept[Exception](bad.collect())
   }
 }
