@@ -50,4 +50,25 @@ object TimeFns {
   /** Shift a timestamp column by a signed duration like "1d" or "-1h". */
   def shiftTime(ts: Column, by: String): Column =
     timestamp_micros(unix_micros(ts) + lit(parseTimecodeMillis(by) * 1000L))
+
+  /** 2π as the exact double literal both engines share — embedded in the
+    * oracle SQL so `sin` sees a bit-identical argument.
+    */
+  val TwoPi: Double = 2.0 * math.Pi
+
+  /** Synthetic time encodings (reference mappers/synthetic/time.py):
+    * cyclic hour/weekday features and the raw epoch-seconds ramp. Weekday
+    * follows Python `weekday()` (Monday = 0). All plain codegen'd exprs.
+    */
+  def encodeTime(ts: Column, mode: String): Column = mode match {
+    case "hour_sin" =>
+      sin(lit(TwoPi) * hour(ts).cast("double") / 24.0)
+    case "weekday_sin" =>
+      // Spark dayofweek: Sunday=1..Saturday=7 → python weekday Monday=0
+      sin(lit(TwoPi) * pmod(dayofweek(ts) + 5, lit(7)).cast("double") / 7.0)
+    case "linear" =>
+      unix_micros(ts).cast("double") / 1000000.0
+    case other =>
+      throw new IllegalArgumentException(s"Unsupported encode_time mode: $other")
+  }
 }

@@ -98,6 +98,32 @@ object QueriesAssembly {
             .as("within_bounds"))
     },
 
+    // Model-batch handoff (reference integrations/ml.py ModelBatch): bounded
+    // metadata-ordered numeric batches, batched PER PARTITION KEY (per-user
+    // windows — no global row numbering, so the shape survives 100 TB).
+    // Each batch row carries its ordered key list and feature matrix.
+    "model_batches" -> { (s, d) =>
+      val batchSize = 8
+      val assembled = events(s, d)
+        .withColumn("hour", TimeFns.floorTime(col("ts"), "1h"))
+        .groupBy(col("user_id"), eu(col("hour")).as("h_us"))
+        .agg(count(lit(1)).as("n_events"),
+          (sumDec(col("value")) / count(lit(1))).as("avg_value"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("h_us"))
+      assembled
+        .withColumn("rn", row_number().over(w))
+        .withColumn("batch_id", ((col("rn") - 1) / lit(batchSize)).cast("long"))
+        .groupBy(col("user_id"), col("batch_id"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sort_array(collect_list(struct(col("h_us"),
+            array(col("n_events").cast("double"), col("avg_value")).as("fv"))))
+            .as("rows"))
+        .select(col("user_id"), col("batch_id"), col("n"),
+          transform(col("rows"), r => r.getField("h_us")).as("keys"),
+          transform(col("rows"), r => r.getField("fv")).as("features"))
+    },
+
     // Availability matrix (reference analysis/vector/matrix.py): per
     // (sample, configured entry) status rows — a configured-but-never-
     // assembled column reads `absent`, a purchase-less hour reads `null`,
@@ -189,6 +215,20 @@ object QueriesAssembly {
     "approx_quantiles" ->
       """SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS exact_p50,
          TRUE AS within_bounds FROM events GROUP BY event_type""",
+
+    "model_batches" ->
+      s"""WITH a AS (
+            SELECT user_id, $hourSql AS h_us, COUNT(*) AS n_events,
+                   ${sumDecSql("value")} / COUNT(*) AS avg_value
+            FROM events GROUP BY user_id, 2),
+          r AS (
+            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY h_us) AS rn
+            FROM a)
+          SELECT user_id, CAST((rn - 1) // 8 AS BIGINT) AS batch_id,
+                 COUNT(*) AS n,
+                 list(h_us ORDER BY h_us) AS keys,
+                 list([CAST(n_events AS DOUBLE), avg_value] ORDER BY h_us) AS features
+          FROM r GROUP BY user_id, 2""",
 
     "availability_matrix" ->
       s"""WITH a AS (

@@ -29,6 +29,16 @@ object QueriesPreprocess {
         eu(TimeFns.floorTime(col("ts"), "1h")).as("t_floor_us"))
     },
 
+    // Synthetic time encodings (reference mappers/synthetic/time.py):
+    // sin() differs in the last ULP between libm and the JVM, so both
+    // engines round to 6dp; the 2π literal is shared.
+    "encode_time" -> { (s, d) =>
+      events(s, d).select(col("event_id"),
+        round(TimeFns.encodeTime(col("ts"), "hour_sin"), 6).as("hour_sin"),
+        round(TimeFns.encodeTime(col("ts"), "weekday_sin"), 6).as("weekday_sin"),
+        round(TimeFns.encodeTime(col("ts"), "linear"), 6).as("linear"))
+    },
+
     "shift_time" -> { (s, d) =>
       events(s, d).select(col("event_id"),
         eu(TimeFns.shiftTime(col("ts"), "-1h")).as("t_shift_us"))
@@ -70,6 +80,13 @@ object QueriesPreprocess {
          FROM events
          WHERE event_type = 'purchase' AND value > 50
            AND ts >= TIMESTAMP '2024-01-10'""",
+    "encode_time" ->
+      s"""SELECT event_id,
+          ROUND(sin(${TimeFns.TwoPi} * CAST(hour(ts) AS DOUBLE) / 24.0), 6) AS hour_sin,
+          ROUND(sin(${TimeFns.TwoPi} * CAST(isodow(ts) - 1 AS DOUBLE) / 7.0), 6) AS weekday_sin,
+          ROUND(CAST(epoch_us(ts) AS DOUBLE) / 1000000.0, 6) AS linear
+          FROM events""",
+
     "floor_time" ->
       """SELECT event_id,
          epoch_us(ts) - epoch_us(ts) % 3600000000 AS t_floor_us
