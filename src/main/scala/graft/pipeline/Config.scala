@@ -264,6 +264,9 @@ object Config {
         Pipeline.Log1p(str(t, "field", ctx), str(t, "to", ctx))
       case "ensure_cadence" =>
         check("cadence"); Pipeline.EnsureCadence(str(t, "cadence", ctx))
+      case "encode_time" =>
+        check("mode", "to")
+        Pipeline.EncodeTime(str(t, "mode", ctx), str(t, "to", ctx))
       case "sessionize" =>
         check("gap", "to")
         Pipeline.Sessionize(str(t, "gap", ctx), to("session_id"))

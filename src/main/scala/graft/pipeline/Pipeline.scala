@@ -42,6 +42,7 @@ object Pipeline {
   final case class Log(field: String, to: String) extends Op
   final case class Log1p(field: String, to: String) extends Op
   final case class EnsureCadence(cadence: String) extends Op
+  final case class EncodeTime(mode: String, to: String) extends Op
   final case class Sessionize(gap: String, to: String = "session_id") extends Op
 
   /** Fold the op list into one plan. */
@@ -66,6 +67,9 @@ object Pipeline {
         case Log(f, to)           => Ordered.logNatural(d, f, to)
         case Log1p(f, to)         => Ordered.log1pField(d, f, to)
         case EnsureCadence(c)     => Ordered.ensureCadence(d, key, c)
+        case EncodeTime(m, to)    =>
+          d.withColumn(to, graft.functions.TimeFns.encodeTime(
+            org.apache.spark.sql.functions.col(key.timeCol), m))
         case Sessionize(g, to)    => Ordered.sessionize(d, key, g, to)
       }
     }

@@ -319,6 +319,18 @@ object QueriesLlm {
           col("brightness"))
     },
 
+    // Real JDK audio decode: payload bytes → synthetic PCM WAV →
+    // AudioSystem container parse → frame stats. The oracle recomputes the
+    // same stats straight off the bytes, so a header/framing bug on the
+    // decode path fails the hash.
+    "multimodal_audio" -> { (s, d) =>
+      val media = Multimodal.asMediaTable(documents(s, d), "doc_id", "text")
+      Multimodal.audioFeatures(s, media)
+        .toDF()
+        .select(col("media_id"), col("sample_rate").cast("long").as("sample_rate"),
+          col("n_frames"), col("mean_amplitude"))
+    },
+
     "text_normalize" -> { (s, d) =>
       documents(s, d).select(col("doc_id"),
         Text.normalize(col("text")).as("norm_text"))
@@ -450,6 +462,20 @@ object QueriesLlm {
              (acc, x) -> acc + x) / least(16, length(text))
          END AS brightness
          FROM documents""",
+
+    // ascii(char) == sample byte on the ASCII corpus (same equivalence the
+    // other multimodal/fingerprint oracles rely on).
+    "multimodal_audio" ->
+      s"""SELECT doc_id AS media_id,
+          CAST(${Multimodal.AudioSampleRate} AS BIGINT) AS sample_rate,
+          CAST(length(text) AS BIGINT) AS n_frames,
+          CASE WHEN length(text) = 0 THEN 0.0 ELSE
+            CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                [CAST(ascii(text[i]) AS BIGINT)
+                 for i in generate_series(1, length(text))]),
+              (acc, c) -> acc + c) AS DOUBLE) / length(text)
+          END AS mean_amplitude
+          FROM documents""",
 
     "text_normalize" ->
       s"""SELECT doc_id,

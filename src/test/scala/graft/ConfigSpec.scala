@@ -53,6 +53,7 @@ class ConfigSpec extends SparkSpec {
         |      - { operation: lag, field: value, periods: 1 }
         |      - { operation: derive, left: value, operator: sub, right_field: m3, to: chg }
         |      - { operation: fill, field: value, window: 6, statistic: median, min_samples: 2 }
+        |      - { operation: encode_time, mode: hour_sin, to: h_sin }
         |sources:
         |  - id: src
         |    loader: { transport: fs, path: ticks.parquet, reader: { format: parquet } }
@@ -68,7 +69,8 @@ class ConfigSpec extends SparkSpec {
       Pipeline.Rolling("value", "mean", 3, "m3", Some(2)),
       Pipeline.Lag("value", 1, "value"),
       Pipeline.Derive("value", "sub", "chg", Some("m3"), None),
-      Pipeline.Fill("value", 6, "median", "value", 2)))
+      Pipeline.Fill("value", 6, "median", "value", 2),
+      Pipeline.EncodeTime("hour_sin", "h_sin")))
   }
 
   test("source-backed stream equals manual composition") {

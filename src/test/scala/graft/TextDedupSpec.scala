@@ -280,6 +280,22 @@ class TextDedupSpec extends SparkSpec {
     assert(got(2L).first_byte == 'B'.toInt)
   }
 
+  test("multimodal audio: WAV round-trip through AudioSystem, empty payload safe") {
+    import spark.implicits._
+    val media = Multimodal.asMediaTable(
+      Seq((7L, "ABC"), (8L, "")).toDF("doc_id", "text"), "doc_id", "text")
+    val out = Multimodal.audioFeatures(spark, media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(out(7L).sample_rate == Multimodal.AudioSampleRate)
+    assert(out(7L).n_frames == 3L)
+    assert(out(7L).mean_amplitude == (65 + 66 + 67) / 3.0)
+    assert(out(8L).n_frames == 0L && out(8L).mean_amplitude == 0.0)
+    // a corrupt container fails loudly, not silently
+    intercept[Exception](
+      javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream("not a wav".getBytes)))
+  }
+
   test("l2Normalize produces unit vectors; zero vectors pass through") {
     val df = Seq((0L, Array(3.0f, 4.0f)), (1L, Array(0.0f, 0.0f)))
       .toDF("vec_id", "embedding")
