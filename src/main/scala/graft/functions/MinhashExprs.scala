@@ -130,6 +130,65 @@ object PortableHashArr {
   }
 }
 
+/** LSH band keys of a minhash signature: fold each of `bands` consecutive
+  * `rowsPerBand`-slices into one bucket key with `acc*31 + h mod prime` —
+  * equals `transform(sequence(0, bands-1), b -> aggregate(slice(sig, ...),
+  * 0L, (acc,h) -> (acc*31+h) % prime))` (CodegenFallback) in a tight loop.
+  * NULL signature elements (empty-shingle docs) poison their band to NULL,
+  * exactly like the HOF fold.
+  */
+case class BandFold(child: Expression, bands: Int, rowsPerBand: Int,
+                    prime: Long) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"band_fold requires array<bigint>, got ${other.catalogString}")
+  }
+
+  def compute(input: ArrayData): ArrayData = {
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0L
+      var poisoned = false
+      var i = b * rowsPerBand
+      val end = math.min(i + rowsPerBand, input.numElements())
+      while (i < end && !poisoned) {
+        if (input.isNullAt(i)) poisoned = true
+        else { acc = (acc * 31L + input.getLong(i)) % prime; i += 1 }
+      }
+      out(b) = if (poisoned) null else java.lang.Long.valueOf(acc)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bandFold", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BandFold =
+    copy(child = newChild)
+}
+
+object BandFold {
+  def register(spark: org.apache.spark.sql.SparkSession, bands: Int,
+               rowsPerBand: Int, prime: Long): String = {
+    val name = s"band_fold_${bands}_$rowsPerBand"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => BandFold(exprs.head, bands, rowsPerBand, prime), "built-in")
+    name
+  }
+}
+
 /** MinHash signature of a base-hash array: for each permutation p,
   * sig[p] = min((h * a_p + b_p) mod prime) — equals
   * `array(array_min(transform(hs, h -> pmod(h*a+b, prime))) × numPerm)`,

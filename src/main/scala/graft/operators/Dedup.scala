@@ -62,19 +62,22 @@ object Dedup {
     * acc*31 + h mod 1e9+7 — the same portable fold the oracle reproduces
     * with `list_reduce` (an engine-murmur of the slice would not be).
     */
-  private def bandHash(sl: Column): Column =
+  private[graft] def bandHash(sl: Column): Column =
     aggregate(sl, lit(0L), (acc, h) => (acc * 31L + h) % BandFoldPrime)
 
   /** Banded LSH candidate pairs from a signed corpus: (band_id, fold-hash of
     * the band's slice) buckets; docs sharing a bucket become candidate pairs.
-    * Returns (id_a, id_b) with id_a < id_b, distinct.
+    * Returns (id_a, id_b) with id_a < id_b, distinct. Band keys via the
+    * codegen'd [[graft.functions.BandFold]] (spec-proven equal to the
+    * [[bandHash]] HOF fold).
     */
   def minhashCandidates(signed: DataFrame, idCol: String, sigCol: String,
                         bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = signed.select(col(idCol), posexplode(
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => bandHash(slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)))))
-      .as(Seq("band", "band_hash")))
+    val foldFn = graft.functions.BandFold.register(signed.sparkSession,
+      bands, rowsPerBand, BandFoldPrime)
+    val banded = signed.select(col(idCol),
+      posexplode(call_function(foldFn, col(sigCol)))
+        .as(Seq("band", "band_hash")))
     val l = banded.as("l")
     val r = banded.as("r")
     l.join(r, col(s"l.band") === col(s"r.band") &&

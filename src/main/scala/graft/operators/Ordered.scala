@@ -305,6 +305,33 @@ object Ordered {
       sum(newSession).over(key.w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
   }
 
+  // --------------------------------------------------------- order validate
+
+  /** reference: pipelines/stream/order.py validate_record_order — a stream
+    * declared `presorted` must be non-decreasing in (partition, time) along
+    * its arrival order. `posCol` is the explicit arrival-position column
+    * (distributed data has no implicit file order). Returns per-partition
+    * violation stats; `strict = true` fails the job on the first violation,
+    * mirroring the reference's raise.
+    */
+  def validateOrder(df: DataFrame, key: StreamKey, posCol: String,
+                    strict: Boolean = false): DataFrame = {
+    val byArrival = Window.partitionBy(key.partitionBy.map(col): _*)
+      .orderBy(col(posCol))
+    val prev = lag(col(key.timeCol), 1).over(byArrival)
+    val violation = prev.isNotNull && col(key.timeCol) < prev
+    val flagged = df.withColumn("__viol",
+      if (strict)
+        when(violation, raise_error(concat(
+          lit(s"record order violation at $posCol="), col(posCol).cast("string"),
+          lit(": time "), col(key.timeCol).cast("string"),
+          lit(" follows "), prev.cast("string")))).otherwise(violation)
+      else violation)
+    flagged.groupBy(key.partitionBy.map(col): _*)
+      .agg(count(lit(1)).as("n_records"),
+        sum(when(col("__viol"), 1L).otherwise(0L)).as("n_violations"))
+  }
+
   // ------------------------------------------------------------------ where
 
   /** reference: transforms/where.py — one explicit comparison per entry. */

@@ -132,6 +132,15 @@ object QueriesOrdered {
         .select(col("user_id"), eu(col("ts")).as("t_us"), col("value"))
     },
 
+    // Presorted-stream order validation (reference pipelines/stream/
+    // order.py): does event time run non-decreasing along event_id arrival
+    // order per user? Per-partition violation counts, lenient mode.
+    "validate_order" -> { (s, d) =>
+      graft.operators.Ordered.validateOrder(events(s, d),
+        graft.operators.StreamKey(Seq("user_id"), "ts", Seq("event_id")),
+        posCol = "event_id")
+    },
+
     "where_ordered" -> { (s, d) =>
       val rolled = Ordered.rolling(events(s, d), key, "value", 5, "mean", "r5")
       outBase(Ordered.where(rolled, "r5", "gt", 80.0),
@@ -155,6 +164,14 @@ object QueriesOrdered {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "validate_order" ->
+      """SELECT user_id, COUNT(*) AS n_records,
+         CAST(sum(CASE WHEN pts IS NOT NULL AND ts < pts THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_violations
+         FROM (SELECT user_id, ts,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS pts
+               FROM events)
+         GROUP BY user_id""",
     "dedupe" -> "SELECT DISTINCT user_id, event_type FROM events",
 
     "collapse_last" ->

@@ -148,6 +148,19 @@ class TextDedupSpec extends SparkSpec {
     assert(tiny(0).getSeq[String](0).isEmpty)
     assert(tiny(0).getSeq[Any](1).forall(_ == null))
     assert(tiny(1).getSeq[String](0) == Seq("a a a")) // duplicates collapse
+    // band_fold equals the HOF slice-fold, including NULL poisoning
+    val bandFn = graft.functions.BandFold.register(spark, 16, 4, Dedup.BandFoldPrime)
+    val hofBands = transform(sequence(lit(0), lit(15)),
+      b => Dedup.bandHash(slice(col("sig"), b * 4 + 1, lit(4))))
+    val sigs = docs.select(call_function(sigFn, hs).as("sig"))
+    val bandMismatch = sigs.select(hofBands.as("a"),
+        call_function(bandFn, col("sig")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(bandMismatch == 0)
+    val nullSig = Seq(Seq[Option[Long]](None, None, None, None)).toDF("x")
+      .select(call_function(graft.functions.BandFold.register(spark, 1, 4,
+        Dedup.BandFoldPrime), col("x")).as("b")).head()
+    assert(nullSig.getSeq[Any](0) == Seq(null))
   }
 
   test("codegen'd dot_prod equals the HOF fold bit-for-bit; NULL on mismatch") {
