@@ -357,6 +357,29 @@ object QueriesLlm {
         size(toks).cast("long").as("n_tokens"),
         size(array_distinct(toks)).cast("long").as("n_distinct"),
         Text.repetitionRatio(col("text")).as("rep_ratio"))
+    },
+
+    // The composed corpus-quality gate a training pipeline actually runs:
+    // language allowlist ∧ quality floor ∧ repetition ceiling, one codegen'd
+    // pass, with the per-signal verdicts kept for auditability.
+    "corpus_filter" -> { (s, d) =>
+      val t = col("text")
+      documents(s, d).select(col("doc_id"),
+        (Text.langId(t) === "en").as("lang_ok"),
+        (Text.qualityScore(t) >= 0.3).as("quality_ok"),
+        (Text.repetitionRatio(t) <= 0.8).as("repetition_ok"))
+        .withColumn("keep",
+          col("lang_ok") && col("quality_ok") && col("repetition_ok"))
+    },
+
+    // End-to-end dedup journey: exact + near-dup clustering → keep exactly
+    // one canonical doc per cluster. The output is the deduplicated corpus
+    // id set — what a user feeds downstream.
+    "dedup_keep" -> { (s, d) =>
+      Dedup.dupClusters(documents(s, d), "text", "doc_id")
+        .select(col("doc_id"), col("cluster_id"))
+        .where(col("doc_id") === col("cluster_id"))
+        .select(col("doc_id"))
     }
   )
 
@@ -503,6 +526,44 @@ object QueriesLlm {
          ROUND(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) /
                CAST(GREATEST(len(w), 1) AS DOUBLE), 6) AS rep_ratio
          FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
-               FROM documents)"""
+               FROM documents)""",
+
+    "corpus_filter" -> {
+      val scoreCols = Text.LangPriority
+        .map(l => s"${scoreSql(l)} AS sc_$l").mkString(", ")
+      val m = Text.LangPriority.map(l => s"sc_$l").mkString("greatest(", ", ", ")")
+      val cases = Text.LangPriority.dropRight(1)
+        .map(l => s"WHEN sc_$l = m THEN '$l'").mkString(" ")
+      val stops = Text.StopMarkers.map(occSql).mkString(" + ")
+      s"""SELECT doc_id,
+          (CASE $cases ELSE '${Text.LangPriority.last}' END) = 'en' AS lang_ok,
+          q >= 0.3 AS quality_ok,
+          rep <= 0.8 AS repetition_ok,
+          ((CASE $cases ELSE '${Text.LangPriority.last}' END) = 'en'
+            AND q >= 0.3 AND rep <= 0.8) AS keep
+          FROM (SELECT doc_id, $scoreCols, $m AS m,
+                  ROUND(LEAST(1.0, CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) / 100.0)
+                    * (1.0 - CAST(length(text) - length(translate(text, '${Text.PunctChars}', '')) AS DOUBLE)
+                        / GREATEST(length(text), 1))
+                    * (0.5 + LEAST(($stops) / CAST(GREATEST(len(regexp_extract_all(text, '\\S+')), 1) AS DOUBLE) * 2.0, 0.5)),
+                  6) AS q,
+                  ROUND(1.0 - CAST(len(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS DOUBLE) /
+                    CAST(GREATEST(len(regexp_split_to_array(lower(text), '\\s+')), 1) AS DOUBLE), 6) AS rep
+                FROM documents)"""
+    },
+
+    "dedup_keep" ->
+      s"""WITH RECURSIVE $minhashCtes,
+          e AS (
+            SELECT id_a AS src, id_b AS dst FROM verified WHERE jacc >= 0.5
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM verified WHERE jacc >= 0.5),
+          reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+          lab AS (
+            SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+          SELECT doc_id FROM lab WHERE doc_id = cluster_id"""
   )
 }
