@@ -67,6 +67,82 @@ object Series {
     concat(lit("@" + encodedField + ":"), coalesce(encodedValue, lit("!n")))
   }
 
+  // ----------------------------------------------------------- id decoding
+  // The inverse of the encoder (reference domain/series_id.py base_id /
+  // partition_suffix / series_id_components) — driver-side metadata
+  // utilities for artifact and catalog handling, not a data path.
+
+  /** Base id before the `__` separator; errors on malformed ids. */
+  def baseId(seriesId: String): String = {
+    val i = seriesId.indexOf(IdSeparator)
+    if (i < 0) seriesId
+    else if (i == 0 || i + IdSeparator.length == seriesId.length)
+      throw new IllegalArgumentException(s"Invalid partitioned series id '$seriesId'")
+    else seriesId.substring(0, i)
+  }
+
+  /** Suffix after the `__` separator ("" for unpartitioned ids). */
+  def partitionSuffix(seriesId: String): String = {
+    val i = seriesId.indexOf(IdSeparator)
+    if (i < 0) ""
+    else {
+      val s = seriesId.substring(i + IdSeparator.length)
+      if (s.isEmpty)
+        throw new IllegalArgumentException(s"Invalid partitioned series id '$seriesId'")
+      s
+    }
+  }
+
+  /** Percent-decode (%XX only — Python `unquote`, NOT form decoding:
+    * '+' stays a literal plus).
+    */
+  private def percentDecode(s: String): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        i += 3
+      } else { out.write(c.toString.getBytes("UTF-8")); i += 1 }
+    }
+    new String(out.toByteArray, "UTF-8")
+  }
+
+  /** Typed (field, value) components of a partitioned series id — the
+    * reference's full value grammar: `!n` null, `!b:` boolean, `!i:` long,
+    * `!f:` hex float (accepted on decode for reference-produced ids even
+    * though [[encodeComponent]] refuses to emit it), else a quoted string.
+    */
+  def components(seriesId: String): Seq[(String, Any)] = {
+    val suffix = partitionSuffix(seriesId)
+    if (suffix.isEmpty) return Seq.empty
+    suffix.split(java.util.regex.Pattern.quote(ComponentSeparator), -1).toSeq.map { enc =>
+      if (!enc.startsWith("@"))
+        throw new IllegalArgumentException(s"Invalid series identity component '$enc'")
+      val body = enc.substring(1)
+      val sep = body.indexOf(':')
+      if (sep <= 0)
+        throw new IllegalArgumentException(s"Invalid series identity component '$enc'")
+      val field = percentDecode(body.substring(0, sep))
+      val ev = body.substring(sep + 1)
+      val value: Any =
+        if (ev == "!n") null
+        else if (ev.startsWith("!b:")) ev.substring(3) match {
+          case "0" => false
+          case "1" => true
+          case other => throw new IllegalArgumentException(
+            s"Invalid boolean series identity value '!b:$other'")
+        }
+        else if (ev.startsWith("!i:")) ev.substring(3).toLong
+        else if (ev.startsWith("!f:")) java.lang.Double.parseDouble(ev.substring(3))
+        else if (ev.startsWith("!"))
+          throw new IllegalArgumentException(s"Invalid series identity value '$ev'")
+        else percentDecode(ev)
+      field -> value
+    }
+  }
+
   /** Project records into per-config series rows:
     * (series_id, time, value, sampleKeys…). series_id = config.id, suffixed
     * with `__@f:v|…` over the partition fields that are not sample keys

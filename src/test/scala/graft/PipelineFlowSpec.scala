@@ -123,6 +123,28 @@ class PipelineFlowSpec extends SparkSpec {
     assert(t.queryExecution.executedPlan.toString.contains("Range"))
   }
 
+  test("series id decode inverts the column encoder; reference grammar accepted") {
+    // round-trip through the actual projection encoder
+    val df = Seq((1L, "cli ck/s", true, 7, 1.5))
+      .toDF("user_id", "typ", "flag", "n", "v")
+    val id = Series.project(df, Seq("user_id", "typ", "flag", "n"),
+        Seq("user_id"), "v", Seq(Series.SeriesConfig("m", "v")))
+      .select("series_id").head().getString(0)
+    assert(Series.baseId(id) == "m")
+    assert(Series.components(id) == Seq(
+      "typ" -> "cli ck/s", "flag" -> true, "n" -> 7L))
+    // unpartitioned ids have no components
+    assert(Series.baseId("plain") == "plain" && Series.components("plain") == Nil)
+    // reference-only grammar: null and hex floats decode
+    assert(Series.components("m__@a:!n|@b:!f:0x1.8p+1") ==
+      Seq("a" -> null, "b" -> 3.0))
+    // malformed ids fail loudly
+    intercept[IllegalArgumentException](Series.baseId("m__"))
+    intercept[IllegalArgumentException](Series.components("m__noat:1"))
+    intercept[IllegalArgumentException](Series.components("m__@b:!b:7"))
+    intercept[IllegalArgumentException](Series.components("m__@b:!x:1"))
+  }
+
   test("scaler artifact: fit → save → load round-trips; apply scales in place") {
     import graft.pipeline.Artifacts
     val df = Seq(("train", 1.0, 10.0), ("train", 3.0, 30.0), ("test", 5.0, 50.0))
