@@ -55,6 +55,33 @@ object Cli {
       limit, out)
   }
 
+  /** Materialize EVERY canonical stream of a project into one run
+    * (reference profiles orchestration: run_profiles over the configured
+    * outputs): `runs/<id>/streams/<streamId>/` per stream, one shared run
+    * lifecycle — a stream failure marks the whole run failed.
+    */
+  def materializeStreams(spark: SparkSession, configPath: String,
+                         dataDir: String, serveRoot: String,
+                         out: java.io.PrintStream = System.out): Runs.RunPaths = {
+    val project = Config.parseProject(Files.readString(Paths.get(configPath)))
+    val res = ConfigRuntime.resolver(spark, dataDir, project)
+    val paths = Runs.runPaths(serveRoot, Runs.makeRunId())
+    Runs.startRun(paths)
+    try {
+      project.streams.map(_.id).foreach { id =>
+        res.stream(id).write.mode("overwrite")
+          .parquet(paths.runRoot.resolve("streams").resolve(id).toString)
+        out.println(s"run ${paths.runId} stream $id -> streams/$id")
+      }
+      Runs.finishRun(paths, "success")
+    } catch {
+      case e: Throwable =>
+        Runs.finishRun(paths, "failed", Some(String.valueOf(e.getMessage)))
+        throw e
+    }
+    paths
+  }
+
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val s = SparkSession.builder()
@@ -78,9 +105,14 @@ object Cli {
       try streamPreview(spark, config, streamId, dataDir,
         limit = rest.headOption.map(_.toInt).getOrElse(20))
       finally spark.stop()
+    case "materialize-streams" :: config :: dataDir :: serveRoot :: Nil =>
+      val spark = session()
+      try materializeStreams(spark, config, dataDir, serveRoot)
+      finally spark.stop()
     case other =>
       System.err.println(
         s"""usage: graft.Cli materialize <project.yaml> <dataDir> <serveRoot> [previewRows]
+           |       graft.Cli materialize-streams <project.yaml> <dataDir> <serveRoot>
            |       graft.Cli stream <project.yaml> <streamId> <dataDir> [limit]
            |got: ${other.mkString(" ")}""".stripMargin)
       sys.exit(2)

@@ -140,6 +140,80 @@ class SourcesConformSpec extends SparkSpec {
       "/root/testdata/sf0.001", limit = 5,
       out = new java.io.PrintStream(buf2, true, "UTF-8"))
     assert(n == 5 && buf2.toString("UTF-8").linesIterator.size == 5)
+    // multi-output run: every canonical stream lands under runs/<id>/streams/
+    val p2 = graft.Cli.materializeStreams(spark, cfgPath,
+      "/root/testdata/sf0.001", serve,
+      out = new java.io.PrintStream(new java.io.ByteArrayOutputStream()))
+    val streamOut = spark.read.parquet(
+      p2.runRoot.resolve("streams").resolve("orders.daily").toString)
+    assert(streamOut.count() > 0)
+    assert(java.nio.file.Files.readString(p2.metadataPath)
+      .contains("\"status\": \"success\""))
+  }
+
+  test("watermark drops late data across micro-batches (append mode)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    // two files = two micro-batches (maxFilesPerTrigger=1). Batch 1 advances
+    // the watermark to 12:00-10min; batch 2's 09:00 event is older than the
+    // watermark and must be dropped from the aggregation, while its 11:58
+    // event (late but inside the 10min allowance for the open 11:00 window)
+    // still counts.
+    val dir = "/tmp/graft_scratch/spec_watermark"
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    java.nio.file.Files.createDirectories(p)
+    import spark.implicits._
+    def write(name: String, rows: Seq[(String, Double)]): Unit =
+      rows.toDF("ts_s", "value")
+        .select(col("ts_s").cast("timestamp").as("ts"), col("value"))
+        .repartition(1).write.mode("overwrite").parquet(s"$dir/$name")
+    write("b1", Seq(("2024-01-01 11:05:00", 1.0), ("2024-01-01 12:00:00", 2.0)))
+    // staged batches move in one at a time after the previous run commits
+    write("b2", Seq(("2024-01-01 09:00:00", 100.0), ("2024-01-01 11:58:00", 4.0)))
+    write("b3", Seq(("2024-01-01 13:30:00", 8.0)))
+    val src = s"$dir/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    def move(from: String): Unit = {
+      val f = new java.io.File(s"$dir/$from").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(src, s"$from.parquet"))
+    }
+    move("b1")
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(sum(col("value")).as("total"))
+        .select(col("window.start").cast("string").as("h"), col("total"))
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // run 1: watermark advances to 11:50. run 2: the 09:00 event is below
+    // the watermark and is dropped; the late-but-allowed 11:58 event still
+    // lands in the open 11:00 window. run 3: 13:30 pushes the watermark to
+    // 13:20, closing (= append-emitting) the 11:00 and 12:00 windows.
+    run()
+    move("b2")
+    run()
+    move("b3")
+    run()
+    val out = spark.read.parquet(s"$dir/out").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(!out.keys.exists(_.contains("09:00:00")), s"late data leaked: $out")
+    assert(out.exists { case (h, v) => h.contains("11:00:00") && v == 5.0 },
+      s"expected 11:00 window total 5.0 (on-time + allowed-late), got: $out")
+    assert(out.exists { case (h, v) => h.contains("12:00:00") && v == 2.0 },
+      s"expected 12:00 window total 2.0, got: $out")
   }
 
   test("stateful streaming counts equal the batch group-by") {
