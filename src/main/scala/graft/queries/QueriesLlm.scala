@@ -359,6 +359,68 @@ object QueriesLlm {
         Text.repetitionRatio(col("text")).as("rep_ratio"))
     },
 
+    // Concat-then-chop sequence packing (the standard LLM pretraining
+    // packing): per-source running token offsets chop into fixed L-token
+    // packs. Packing is per source shard — cumulative sums stay inside a
+    // partition key, no global ordering at 100 TB.
+    "sequence_pack" -> { (s, d) =>
+      val L = 512
+      val toks = Text.tokenCountWs(col("text")).cast("long")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      documents(s, d)
+        .select(col("doc_id"), col("source"), toks.as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens"))
+          .over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          (col("cum") - col("n_tokens")).as("start_off"),
+          ((col("cum") - col("n_tokens")) / L).cast("long").as("pack_id"),
+          (greatest(col("cum") - 1, col("cum") - col("n_tokens")) / L).cast("long")
+            .as("end_pack_id"))
+        .withColumn("crosses_boundary", col("end_pack_id") =!= col("pack_id"))
+    },
+
+    // Int8-style quantization round-trip: per-vector scale = max|x|/127,
+    // floor-quantize (floor is engine-portable; banker's-vs-half-up round
+    // is not), dequantize, report the max reconstruction error.
+    "embed_quantize" -> { (s, d) =>
+      val v = Similarity.toDouble(col("embedding"))
+      val scale = greatest(
+        aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127.0,
+        lit(1e-12))
+      embeddings(s, d)
+        .select(col("vec_id"), v.as("v"), scale.as("raw_scale"))
+        // NOTE: the error fold must see the RAW scale; rounding happens in a
+        // separate select because Spark 4's lateral column aliasing would
+        // otherwise bind col("scale") to the rounded sibling alias.
+        .select(col("vec_id"), col("raw_scale"),
+          round(aggregate(
+            zip_with(col("v"),
+              transform(col("v"),
+                x => floor(x / col("raw_scale")) * col("raw_scale")),
+              (x, dq) => abs(dq - x)),
+            lit(0.0), (acc, e) => greatest(acc, e)), 6).as("max_err"))
+        .select(col("vec_id"), round(col("raw_scale"), 6).as("scale"),
+          col("max_err"))
+    },
+
+    // Per-label mean embedding (class centroids): element-wise exact
+    // decimal means via posexplode + two-level aggregation — the mergeable
+    // shape; no vector ever collects to the driver.
+    "label_centroids" -> { (s, d) =>
+      val perPos = embeddings(s, d)
+        .select(col("label"), posexplode(Similarity.toDouble(col("embedding")))
+          .as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg((sumDec(col("x"), 6) / count(col("x"))).as("m"),
+          count(col("x")).as("cnt"))
+      perPos.groupBy(col("label"))
+        .agg(max(col("cnt")).as("n_vectors"),
+          transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+            r => r.getField("m")).as("centroid"))
+    },
+
     // The composed corpus-quality gate a training pipeline actually runs:
     // language allowlist ∧ quality floor ∧ repetition ceiling, one codegen'd
     // pass, with the per-signal verdicts kept for auditability.
@@ -527,6 +589,49 @@ object QueriesLlm {
                CAST(GREATEST(len(w), 1) AS DOUBLE), 6) AS rep_ratio
          FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
                FROM documents)""",
+
+    "sequence_pack" ->
+      """SELECT doc_id, source, n_tokens,
+         cum - n_tokens AS start_off,
+         (cum - n_tokens) // 512 AS pack_id,
+         GREATEST(cum - 1, cum - n_tokens) // 512 AS end_pack_id,
+         (GREATEST(cum - 1, cum - n_tokens) // 512) != ((cum - n_tokens) // 512)
+           AS crosses_boundary
+         FROM (SELECT doc_id, source,
+                      CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+                      CAST(sum(len(regexp_extract_all(text, '\S+')))
+                        OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum
+               FROM documents)""",
+
+    "embed_quantize" ->
+      """SELECT vec_id, ROUND(scale, 6) AS scale,
+         ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             [abs(floor(CAST(embedding[i] AS DOUBLE) / scale) * scale
+                  - CAST(embedding[i] AS DOUBLE))
+              for i in generate_series(1, len(embedding))]),
+           (acc, e) -> greatest(acc, e)), 6) AS max_err
+         FROM (SELECT vec_id, embedding,
+                      GREATEST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                          [abs(CAST(x AS DOUBLE)) for x in embedding]),
+                        (acc, x) -> greatest(acc, x)) / 127.0, 1e-12) AS scale
+               FROM embeddings)""",
+
+    "label_centroids" ->
+      """SELECT label, MAX(cnt) AS n_vectors,
+         list(m ORDER BY pos) AS centroid
+         FROM (SELECT label, u.pos AS pos,
+                      CAST(SUM(CAST(u.x AS DECIMAL(30,6))) AS DOUBLE)
+                        / COUNT(u.x) AS m,
+                      COUNT(u.x) AS cnt
+               FROM (SELECT label,
+                            unnest([{'pos': i - 1, 'x': CAST(embedding[i] AS DOUBLE)}
+                                    for i in generate_series(1, len(embedding))],
+                              recursive := true) AS _
+                     FROM embeddings) AS u(label, pos, x)
+               GROUP BY label, pos)
+         GROUP BY label""",
 
     "corpus_filter" -> {
       val scoreCols = Text.LangPriority
