@@ -421,6 +421,25 @@ object QueriesLlm {
             r => r.getField("m")).as("centroid"))
     },
 
+    // Unigram language-model scoring: token frequencies fitted over the
+    // whole corpus (the vocabulary is a bounded dimension → broadcast),
+    // each document scored by its mean token log-probability — the
+    // statistical quality filter of a training-data pipeline. Exact decimal
+    // mean of per-token logs keeps the score engine-portable.
+    "unigram_logprob" -> { (s, d) =>
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val total = toks.count() // scalar corpus size (one agg job)
+      toks.join(broadcast(freq), Seq("tok"))
+        .select(col("doc_id"),
+          log(col("cnt").cast("double") / total.toDouble).as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(round(sumDec(round(col("lp"), 6), 6) / count(lit(1)), 6)
+          .as("mean_logprob"),
+          count(lit(1)).cast("long").as("n_tokens"))
+    },
+
     // The composed corpus-quality gate a training pipeline actually runs:
     // language allowlist ∧ quality floor ∧ repetition ceiling, one codegen'd
     // pass, with the per-signal verdicts kept for auditability.
@@ -589,6 +608,19 @@ object QueriesLlm {
                CAST(GREATEST(len(w), 1) AS DOUBLE), 6) AS rep_ratio
          FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
                FROM documents)""",
+
+    "unigram_logprob" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+           FROM documents),
+         freq AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+         tot AS (SELECT COUNT(*) AS n FROM toks)
+         SELECT doc_id,
+                ROUND(CAST(SUM(CAST(ROUND(ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                      AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6) AS mean_logprob,
+                COUNT(*) AS n_tokens
+         FROM toks JOIN freq USING (tok), tot
+         GROUP BY doc_id""",
 
     "sequence_pack" ->
       """SELECT doc_id, source, n_tokens,
