@@ -66,9 +66,10 @@ object Runs {
     writeMeta(paths, now.toString, None, "running", None)
   }
 
-  /** Mark the run finished and repoint `serve_root/latest` at it (symlink
-    * swapped atomically via a temp link + move, so readers never see a
-    * missing `latest`).
+  /** Mark the run finished. A SUCCESSFUL run repoints `serve_root/latest`
+    * at itself (symlink swapped atomically via a temp link + move, so
+    * readers never see a missing `latest`); a failed run leaves `latest`
+    * on the previous good run — `latest` is the current LIVE run.
     */
   def finishRun(paths: RunPaths, status: String, notes: Option[String] = None,
                 now: Instant = Instant.now()): Unit = {
@@ -79,12 +80,14 @@ object Runs {
         .map(_.group(1)).getOrElse(now.toString)
     }
     writeMeta(paths, started, Some(now.toString), status, notes)
-    val latest = paths.serveRoot.resolve("latest")
-    val tmp = paths.serveRoot.resolve(s".latest.${paths.runId}")
-    Files.deleteIfExists(tmp)
-    Files.createSymbolicLink(tmp, paths.serveRoot.relativize(paths.runRoot))
-    Files.move(tmp, latest, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+    if (status == "success") {
+      val latest = paths.serveRoot.resolve("latest")
+      val tmp = paths.serveRoot.resolve(s".latest.${paths.runId}")
+      Files.deleteIfExists(tmp)
+      Files.createSymbolicLink(tmp, paths.serveRoot.relativize(paths.runRoot))
+      Files.move(tmp, latest, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    }
   }
 
   /** Stdout preview sink (reference StdoutTextSink): tab-joined rows of a

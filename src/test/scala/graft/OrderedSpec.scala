@@ -17,6 +17,25 @@ import graft.operators.{Ordered, StreamKey}
   *  - fills use history excluding the current row.
   */
 class OrderedSpec extends SparkSpec {
+
+  test("validateOrder: lenient counts violations; strict fails the job") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val df = Seq(
+      (1L, 1L, Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, 2L, Timestamp.valueOf("2024-01-01 00:02:00")),
+      (1L, 3L, Timestamp.valueOf("2024-01-01 00:01:00")), // regresses
+      (2L, 4L, Timestamp.valueOf("2024-01-01 00:05:00"))
+    ).toDF("user_id", "pos", "ts")
+    val key = graft.operators.StreamKey(Seq("user_id"), "ts", Seq("pos"))
+    val out = graft.operators.Ordered.validateOrder(df, key, "pos")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 0L))
+    val strict = graft.operators.Ordered.validateOrder(df, key, "pos", strict = true)
+    val e = intercept[Exception](strict.collect())
+    assert(String.valueOf(e.getMessage).contains("order violation") ||
+      String.valueOf(e.getCause).contains("order violation"))
+  }
   import spark.implicits._
 
   private val key = StreamKey(Seq("p"), "t", Seq("i"))

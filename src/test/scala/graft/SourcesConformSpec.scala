@@ -80,12 +80,17 @@ class SourcesConformSpec extends SparkSpec {
     val latest = java.nio.file.Paths.get(root, "latest")
     assert(java.nio.file.Files.isSymbolicLink(latest))
     assert(latest.toRealPath().toString == p.runRoot.toRealPath().toString)
-    // a second run repoints latest
+    // a later FAILED run does not steal `latest` from the last good run
     val id2 = Runs.makeRunId(t0.plusSeconds(3600))
     val p2 = Runs.runPaths(root, id2)
     Runs.startRun(p2)
     Runs.finishRun(p2, "failed")
-    assert(latest.toRealPath().toString == p2.runRoot.toRealPath().toString)
+    assert(latest.toRealPath().toString == p.runRoot.toRealPath().toString)
+    // a later successful run does
+    val p3 = Runs.runPaths(root, Runs.makeRunId(t0.plusSeconds(7200)))
+    Runs.startRun(p3)
+    Runs.finishRun(p3, "success")
+    assert(latest.toRealPath().toString == p3.runRoot.toRealPath().toString)
   }
 
   test("stdout sink writes tab-joined preview rows to the given stream") {
@@ -149,6 +154,46 @@ class SourcesConformSpec extends SparkSpec {
     assert(streamOut.count() > 0)
     assert(java.nio.file.Files.readString(p2.metadataPath)
       .contains("\"status\": \"success\""))
+  }
+
+  test("cli materialize failure marks the run failed; latest stays on the last good run") {
+    val badCfg = "/tmp/graft_scratch/spec_cli_bad/project.yaml"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("/tmp/graft_scratch/spec_cli_bad"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(badCfg),
+      """sources:
+        |  - id: nope
+        |    loader: { transport: fs, path: does_not_exist.parquet, reader: { format: parquet } }
+        |streams:
+        |  - id: s
+        |    from: { source: nope }
+        |    map: { time: ts }
+        |    partition_by: [user_id]
+        |dataset:
+        |  sample: { cadence: 1h, keys: [user_id] }
+        |  features:
+        |    - { id: v, stream: s, field: value }
+        |""".stripMargin)
+    val serve = "/tmp/graft_scratch/spec_cli_bad_serve"
+    val servePath = java.nio.file.Paths.get(serve)
+    if (java.nio.file.Files.exists(servePath))
+      java.nio.file.Files.walk(servePath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    // a plan-build failure (missing source) never opens a run at all —
+    // the run lifecycle wraps EXECUTION, like the reference's request
+    // builder failing before run_profiles starts
+    intercept[Exception](graft.Cli.materialize(spark, badCfg, "/root/testdata/sf0.001",
+      serve, out = new java.io.PrintStream(new java.io.ByteArrayOutputStream())))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(serve, "runs")))
+    // an EXECUTION failure records a failed run and does not repoint latest
+    import graft.sources.Runs
+    val p = Runs.runPaths(serve, Runs.makeRunId())
+    Runs.startRun(p)
+    Runs.finishRun(p, "failed", Some("executor died"))
+    val meta = java.nio.file.Files.readString(p.metadataPath)
+    assert(meta.contains("\"status\": \"failed\"") &&
+      meta.contains("executor died"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(serve, "latest")))
   }
 
   test("watermark drops late data across micro-batches (append mode)") {
