@@ -292,6 +292,16 @@ object QueriesLlm {
         greatest(scores: _*).as("score_max"))
     },
 
+    // Classifier evaluation against the corpus's ground-truth lang column:
+    // per (truth, prediction) confusion cell — the eval loop a pipeline
+    // runs before trusting a heuristic filter at scale.
+    "lang_id_eval" -> { (s, d) =>
+      documents(s, d)
+        .groupBy(col("lang"), Text.langId(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("correct", col("lang") === col("lang_pred"))
+    },
+
     "quality_score" -> { (s, d) =>
       documents(s, d).select(col("doc_id"),
         Text.qualityScore(col("text")).as("quality"))
@@ -507,6 +517,19 @@ object QueriesLlm {
                 FROM sc)
           SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rnk
           FROM r WHERE rnk <= 5""",
+
+    "lang_id_eval" -> {
+      val scoreCols = Text.LangPriority
+        .map(l => s"${scoreSql(l)} AS sc_$l").mkString(", ")
+      val m = Text.LangPriority.map(l => s"sc_$l").mkString("greatest(", ", ", ")")
+      val cases = Text.LangPriority.dropRight(1)
+        .map(l => s"WHEN sc_$l = m THEN '$l'").mkString(" ")
+      s"""SELECT lang, lang_pred, COUNT(*) AS n, lang = lang_pred AS correct
+          FROM (SELECT lang,
+                       CASE $cases ELSE '${Text.LangPriority.last}' END AS lang_pred
+                FROM (SELECT lang, text, $scoreCols, $m AS m FROM documents))
+          GROUP BY lang, lang_pred"""
+    },
 
     "lang_id" -> {
       val scoreCols = Text.LangPriority
