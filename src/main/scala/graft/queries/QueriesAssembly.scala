@@ -101,14 +101,17 @@ object QueriesAssembly {
     // Model-batch handoff (reference integrations/ml.py ModelBatch): bounded
     // metadata-ordered numeric batches, batched PER PARTITION KEY (per-user
     // windows — no global row numbering, so the shape survives 100 TB).
-    // Each batch row carries its ordered key list and feature matrix.
+    // Each batch row carries its ordered key list and feature matrix,
+    // serialized as delimited strings of exact integers/decimals (no
+    // rounding, so the string is engine-deterministic) because the driver's
+    // comparator cannot hash array cells.
     "model_batches" -> { (s, d) =>
       val batchSize = 8
       val assembled = events(s, d)
         .withColumn("hour", TimeFns.floorTime(col("ts"), "1h"))
         .groupBy(col("user_id"), eu(col("hour")).as("h_us"))
         .agg(count(lit(1)).as("n_events"),
-          (sumDec(col("value")) / count(lit(1))).as("avg_value"))
+          sum(col("value").cast("decimal(30,4)")).as("sum_value"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("h_us"))
       assembled
@@ -117,11 +120,14 @@ object QueriesAssembly {
         .groupBy(col("user_id"), col("batch_id"))
         .agg(count(lit(1)).cast("long").as("n"),
           sort_array(collect_list(struct(col("h_us"),
-            array(col("n_events").cast("double"), col("avg_value")).as("fv"))))
+            concat_ws(";", col("n_events").cast("string"),
+              col("sum_value").cast("decimal(30,4)").cast("string")).as("fv"))))
             .as("rows"))
         .select(col("user_id"), col("batch_id"), col("n"),
-          transform(col("rows"), r => r.getField("h_us")).as("keys"),
-          transform(col("rows"), r => r.getField("fv")).as("features"))
+          array_join(transform(col("rows"),
+            r => r.getField("h_us").cast("string")), ",").as("keys"),
+          array_join(transform(col("rows"), r => r.getField("fv")), "|")
+            .as("features"))
     },
 
     // Availability matrix (reference analysis/vector/matrix.py): per
@@ -142,6 +148,8 @@ object QueriesAssembly {
           Assembly.MatrixEntry("feature", "avg_purchase"),
           Assembly.MatrixEntry("feature", "ghost_feature"),
           Assembly.MatrixEntry("target", "minmax_seq", Some(2))))
+        // per-element statuses joined to one scalar cell for the hash gate
+        .withColumn("elements", array_join(col("elements"), ","))
     },
 
     // Conform assembled samples to a vector-metadata contract: contract
@@ -219,15 +227,17 @@ object QueriesAssembly {
     "model_batches" ->
       s"""WITH a AS (
             SELECT user_id, $hourSql AS h_us, COUNT(*) AS n_events,
-                   ${sumDecSql("value")} / COUNT(*) AS avg_value
+                   CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DECIMAL(30,4))
+                     AS sum_value
             FROM events GROUP BY user_id, 2),
           r AS (
             SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY h_us) AS rn
             FROM a)
           SELECT user_id, CAST((rn - 1) // 8 AS BIGINT) AS batch_id,
                  COUNT(*) AS n,
-                 list(h_us ORDER BY h_us) AS keys,
-                 list([CAST(n_events AS DOUBLE), avg_value] ORDER BY h_us) AS features
+                 string_agg(CAST(h_us AS VARCHAR), ',' ORDER BY h_us) AS keys,
+                 string_agg(CAST(n_events AS VARCHAR) || ';' ||
+                   CAST(sum_value AS VARCHAR), '|' ORDER BY h_us) AS features
           FROM r GROUP BY user_id, 2""",
 
     "availability_matrix" ->
@@ -239,17 +249,15 @@ object QueriesAssembly {
           g AS (SELECT CAST(user_id AS VARCHAR) || ', ' || CAST(h_us AS VARCHAR)
                          AS grp, avg_p, mx_p FROM a)
           SELECT 'feature' AS vector, 'n_events' AS identifier, grp,
-                 'present' AS status, CAST([] AS VARCHAR[]) AS elements FROM g
+                 'present' AS status, '' AS elements FROM g
           UNION ALL
           SELECT 'feature', 'avg_purchase', grp,
-                 CASE WHEN avg_p IS NULL THEN 'null' ELSE 'present' END,
-                 CAST([] AS VARCHAR[]) FROM g
+                 CASE WHEN avg_p IS NULL THEN 'null' ELSE 'present' END, '' FROM g
           UNION ALL
-          SELECT 'feature', 'ghost_feature', grp, 'absent',
-                 CAST([] AS VARCHAR[]) FROM g
+          SELECT 'feature', 'ghost_feature', grp, 'absent', '' FROM g
           UNION ALL
           SELECT 'target', 'minmax_seq', grp, 'present',
-                 ['present', CASE WHEN mx_p IS NULL THEN 'null' ELSE 'present' END]
+                 'present,' || CASE WHEN mx_p IS NULL THEN 'null' ELSE 'present' END
           FROM g""",
 
     "sample_assembly" ->

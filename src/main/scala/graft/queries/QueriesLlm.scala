@@ -417,18 +417,17 @@ object QueriesLlm {
 
     // Per-label mean embedding (class centroids): element-wise exact
     // decimal means via posexplode + two-level aggregation — the mergeable
-    // shape; no vector ever collects to the driver.
+    // shape; no vector ever collects to the driver. Emitted as one row per
+    // (label, position) with a round-6 mean so every column is a scalar the
+    // driver's comparator can hash (it cannot hash array cells).
     "label_centroids" -> { (s, d) =>
-      val perPos = embeddings(s, d)
+      embeddings(s, d)
         .select(col("label"), posexplode(Similarity.toDouble(col("embedding")))
           .as(Seq("pos", "x")))
         .groupBy(col("label"), col("pos"))
-        .agg((sumDec(col("x"), 6) / count(col("x"))).as("m"),
-          count(col("x")).as("cnt"))
-      perPos.groupBy(col("label"))
-        .agg(max(col("cnt")).as("n_vectors"),
-          transform(sort_array(collect_list(struct(col("pos"), col("m")))),
-            r => r.getField("m")).as("centroid"))
+        .agg(round(sumDec(col("x"), 6) / count(col("x")), 6).as("m"),
+          count(col("x")).as("n_vectors"))
+        .select(col("label"), col("pos"), col("m"), col("n_vectors"))
     },
 
     // Unigram language-model scoring: token frequencies fitted over the
@@ -674,19 +673,16 @@ object QueriesLlm {
                FROM embeddings)""",
 
     "label_centroids" ->
-      """SELECT label, MAX(cnt) AS n_vectors,
-         list(m ORDER BY pos) AS centroid
-         FROM (SELECT label, u.pos AS pos,
-                      CAST(SUM(CAST(u.x AS DECIMAL(30,6))) AS DOUBLE)
-                        / COUNT(u.x) AS m,
-                      COUNT(u.x) AS cnt
-               FROM (SELECT label,
-                            unnest([{'pos': i - 1, 'x': CAST(embedding[i] AS DOUBLE)}
-                                    for i in generate_series(1, len(embedding))],
-                              recursive := true) AS _
-                     FROM embeddings) AS u(label, pos, x)
-               GROUP BY label, pos)
-         GROUP BY label""",
+      """SELECT label, u.pos AS pos,
+                ROUND(CAST(SUM(CAST(u.x AS DECIMAL(30,6))) AS DOUBLE)
+                      / COUNT(u.x), 6) AS m,
+                COUNT(u.x) AS n_vectors
+         FROM (SELECT label,
+                      unnest([{'pos': i - 1, 'x': CAST(embedding[i] AS DOUBLE)}
+                              for i in generate_series(1, len(embedding))],
+                        recursive := true) AS _
+               FROM embeddings) AS u(label, pos, x)
+         GROUP BY label, pos""",
 
     "corpus_filter" -> {
       val scoreCols = Text.LangPriority
