@@ -182,7 +182,10 @@ case class BandFold(child: Expression, bands: Int, rowsPerBand: Int,
 object BandFold {
   def register(spark: org.apache.spark.sql.SparkSession, bands: Int,
                rowsPerBand: Int, prime: Long): String = {
-    val name = s"band_fold_${bands}_$rowsPerBand"
+    // The registry is last-writer-wins session-wide, so every defining
+    // constant must be part of the name — two pipelines with different
+    // primes must not share one binding.
+    val name = s"band_fold_${bands}_${rowsPerBand}_$prime"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => BandFold(exprs.head, bands, rowsPerBand, prime), "built-in")
     name
@@ -243,7 +246,14 @@ case class MinhashSig(child: Expression, as: Array[Long], bs: Array[Long],
 object MinhashSig {
   def register(spark: org.apache.spark.sql.SparkSession,
                params: Seq[(Long, Long)], prime: Long): String = {
-    val name = s"minhash_sig_${params.length}"
+    // Name carries every defining constant (perm count, prime, and a digest
+    // of the permutation params) — createOrReplaceTempFunction is
+    // last-writer-wins session-wide, so differently-seeded registrations
+    // must land on distinct names.
+    val paramsDigest =
+      (params.foldLeft(17L) { case (h, (a, b)) => (h * 31 + a) * 31 + b }
+        & Long.MaxValue)
+    val name = s"minhash_sig_${params.length}_${prime}_$paramsDigest"
     val as = params.map(_._1).toArray
     val bs = params.map(_._2).toArray
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

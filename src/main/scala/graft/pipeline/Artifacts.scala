@@ -70,10 +70,16 @@ object Artifacts {
     }
     val row = train.agg(aggs.head, aggs.tail: _*).head()
     val stats = fields.map { f =>
+      // Guard before unboxing: an all-NULL field yields count 0 and NULL
+      // mean/std, and getAs[Double] would NPE with no hint of which field.
+      val n = row.getAs[Long](s"${f}__count")
+      require(n > 0,
+        s"fitScaler: field '$f' has no non-null training observations — " +
+          "cannot fit scaler statistics.")
       f -> ScalerStats(
         row.getAs[Double](s"${f}__mean"),
         row.getAs[Double](s"${f}__std"),
-        row.getAs[Long](s"${f}__count"))
+        n)
     }.toMap
     StandardScalerArtifact(withMean, withStd, epsilon,
       stats.values.map(_.count).sum, stats)

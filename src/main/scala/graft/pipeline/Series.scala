@@ -94,19 +94,29 @@ object Series {
   }
 
   /** Percent-decode (%XX only — Python `unquote`, NOT form decoding:
-    * '+' stays a literal plus).
+    * '+' stays a literal plus). Like `unquote`, a malformed escape such as
+    * '%zz' or a trailing '%' passes through literally, and literal chars are
+    * appended whole (never per-char-to-bytes, which would mangle surrogate
+    * pairs); only %XX runs go through UTF-8 byte decoding.
     */
   private def percentDecode(s: String): String = {
-    val out = new java.io.ByteArrayOutputStream()
+    def isHex(c: Char): Boolean = Character.digit(c, 16) >= 0
+    val sb = new StringBuilder
+    val bytes = new java.io.ByteArrayOutputStream()
+    def flushBytes(): Unit = if (bytes.size() > 0) {
+      sb.append(new String(bytes.toByteArray, "UTF-8")); bytes.reset()
+    }
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '%' && i + 3 <= s.length) {
-        out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+      if (c == '%' && i + 3 <= s.length &&
+          isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2))) {
+        bytes.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
         i += 3
-      } else { out.write(c.toString.getBytes("UTF-8")); i += 1 }
+      } else { flushBytes(); sb.append(c); i += 1 }
     }
-    new String(out.toByteArray, "UTF-8")
+    flushBytes()
+    sb.toString
   }
 
   /** Typed (field, value) components of a partitioned series id — the

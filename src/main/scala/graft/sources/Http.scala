@@ -2,7 +2,7 @@ package graft.sources
 
 import java.net.{URI, URLEncoder}
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import java.time.Duration
 
 /** HTTP transport adapter (reference: sources/adapters/http.py HttpTransport
@@ -46,7 +46,11 @@ object Http {
     headers.foreach { case (k, v) => builder = builder.header(k, v) }
     val p: Path = Paths.get(dest)
     if (p.getParent != null) Files.createDirectories(p.getParent)
-    val resp = client.send(builder.build(), HttpResponse.BodyHandlers.ofFile(p))
+    // TRUNCATE_EXISTING: a refetch into an existing staged file must not
+    // leave stale trailing bytes when the new payload is shorter.
+    val resp = client.send(builder.build(), HttpResponse.BodyHandlers.ofFile(p,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+      StandardOpenOption.TRUNCATE_EXISTING))
     require(resp.statusCode() / 100 == 2,
       s"HTTP ${resp.statusCode()} fetching $url")
     dest

@@ -143,6 +143,15 @@ class PipelineFlowSpec extends SparkSpec {
     intercept[IllegalArgumentException](Series.components("m__noat:1"))
     intercept[IllegalArgumentException](Series.components("m__@b:!b:7"))
     intercept[IllegalArgumentException](Series.components("m__@b:!x:1"))
+    // malformed percent escapes pass through literally (Python unquote)
+    assert(Series.components("m__@a:%zz") == Seq("a" -> "%zz"))
+    assert(Series.components("m__@a:100%") == Seq("a" -> "100%"))
+    assert(Series.components("m__@a:%4") == Seq("a" -> "%4"))
+    // literal astral-plane chars survive decoding (surrogate pairs intact)
+    assert(Series.components("m__@a:\ud83d\ude00x") ==
+      Seq("a" -> "\ud83d\ude00x"))
+    // mixed literal + escape runs
+    assert(Series.components("m__@a:a%20b%zzc") == Seq("a" -> "a b%zzc"))
   }
 
   test("scaler artifact: fit → save → load round-trips; apply scales in place") {
@@ -159,6 +168,15 @@ class PipelineFlowSpec extends SparkSpec {
     val out = Artifacts.applyScaler(df, loaded)
       .orderBy("a").select("a").collect().map(_.getDouble(0)).toSeq
     assert(out == Seq(-1.0, 1.0, 3.0)) // (x - 2) / 1, test fold scaled by train stats
+  }
+
+  test("fitScaler names the field when it has zero non-null observations") {
+    import graft.pipeline.Artifacts
+    val df = Seq((1.0, Option.empty[Double]), (2.0, Option.empty[Double]))
+      .toDF("ok", "all_null")
+    val e = intercept[IllegalArgumentException](
+      Artifacts.fitScaler(df, Seq("ok", "all_null")))
+    assert(e.getMessage.contains("all_null"))
   }
 
   test("folded scaler artifact: per-fold stats, unknown fold fails, JSON round-trip") {

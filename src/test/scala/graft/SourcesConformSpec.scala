@@ -54,6 +54,13 @@ class SourcesConformSpec extends SparkSpec {
         "k,v\n1,a\n2,b\n")
       intercept[Exception](
         Http.fetchToLocal(url.replace("/data.csv", "/missing"), dest + ".x"))
+      // refetch into an existing, LONGER staged file must truncate — no
+      // stale trailing bytes from the previous payload
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(dest),
+        "k,v\n1,a\n2,b\n3,c\n4,d\nSTALE-TRAILING-BYTES\n")
+      Http.fetchToLocal(url, dest)
+      assert(java.nio.file.Files.readString(java.nio.file.Paths.get(dest)) ==
+        "k,v\n1,a\n2,b\n")
     } finally server.stop(0)
   }
 

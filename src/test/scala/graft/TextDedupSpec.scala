@@ -161,6 +161,15 @@ class TextDedupSpec extends SparkSpec {
       .select(call_function(graft.functions.BandFold.register(spark, 1, 4,
         Dedup.BandFoldPrime), col("x")).as("b")).head()
     assert(nullSig.getSeq[Any](0) == Seq(null))
+    // registrations with different defining constants land on distinct
+    // names (the registry is last-writer-wins session-wide)
+    assert(graft.functions.BandFold.register(spark, 16, 4, Dedup.BandFoldPrime)
+      != graft.functions.BandFold.register(spark, 16, 4, Dedup.BandFoldPrime + 2))
+    assert(graft.functions.MinhashSig.register(spark,
+        Dedup.permParams(64), Dedup.MersennePrime)
+      != graft.functions.MinhashSig.register(spark,
+        Dedup.permParams(64).map { case (a, b) => (a + 1, b) },
+        Dedup.MersennePrime))
   }
 
   test("codegen'd dot_prod equals the HOF fold bit-for-bit; NULL on mismatch") {
