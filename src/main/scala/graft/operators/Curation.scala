@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Corpus-curation operators for LLM-training-data pipelines (SURVEY.md
+  * §2.7): benchmark decontamination, stratified sampling, per-group top-k
+  * selection, and deterministic k-means clustering over embeddings.
+  *
+  * Scale posture: decontamination is a bucketed n-gram equi-join (the
+  * benchmark side is the small one — broadcast); stratified sampling is a
+  * pure codegen'd filter (zero shuffle); group top-k uses the bounded
+  * [[TopK]] aggregator so only G×k rows shuffle; k-means keeps the data
+  * distributed and only moves k×dim centroid statistics through the driver
+  * per iteration (artifact-scale, the same shape MLlib uses).
+  */
+object Curation {
+
+  /** Benchmark n-gram decontamination: flag every training document that
+    * shares at least one word n-gram with the benchmark corpus — the
+    * standard test-set-contamination check run before pretraining.
+    *
+    * Shape: distinct n-grams per side, equi-join on the n-gram, per-doc
+    * overlap counts, left-join back. The benchmark is broadcast (benchmark
+    * suites are ≪ the training corpus); drop the hint if yours is not.
+    */
+  def decontaminate(train: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    def ngrams(df: DataFrame) =
+      array_distinct(Text.shingles(Text.tokens(col(textCol)), n))
+    val trainNg = train.select(col(idCol), explode(ngrams(train)).as("ngram"))
+    val benchNg = benchmark.select(explode(ngrams(benchmark)).as("ngram"))
+      .distinct()
+    val overlap = trainNg.join(broadcast(benchNg), Seq("ngram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_contaminated"))
+    train.select(col(idCol))
+      .join(overlap, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** The deterministic sha256 53-bit ratio in [0,1) behind hash splitting —
+    * same bucketing as [[Assembly.hashSplitLabel]] (reference HashLabeler).
+    */
+  def hashRatio(token: Column, seed: Int): Column = {
+    val hex = sha2(concat(lit(seed.toString), lit("|"), token.cast("string")), 256)
+    val low56 = conv(substring(hex, 3, 14), 16, 10).cast("long")
+    (low56.bitwiseAND(lit((1L << 53) - 1))).cast("double") /
+      lit((1L << 53).toDouble)
+  }
+
+  /** Stratified deterministic sampling: keep a row iff its sha256 ratio is
+    * below its stratum's target rate. Pure filter — no shuffle, no state,
+    * reproducible across runs and engines (the property `df.sample` lacks).
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       seed: Int): DataFrame = {
+    val rate = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultRate)) { case (acc, (s, p)) =>
+        when(col(stratumCol) === s, lit(p)).otherwise(acc)
+      }
+    df.filter(hashRatio(col(idCol), seed) < rate)
+  }
+
+  /** Top-k rows per group by (score desc, id asc), via the bounded [[TopK]]
+    * aggregator: partial top-k happens map-side, so only G×k rows shuffle —
+    * a Window rank would funnel every row of a group into one partition.
+    */
+  def groupTopK(df: DataFrame, groupCol: String, idCol: String,
+                score: Column, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val scored = df
+      .select(col(groupCol).cast("string").as("grp"), score.as("score"),
+        col(idCol).cast("long").as("id"))
+      .as[(String, Double, Long)]
+    scored.groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(TopK.topKAggregator(k).toColumn.name("top"))
+      .toDF("grp", "top")
+      .select(col("grp").as(groupCol), posexplode(col("top")).as(Seq("pos", "sn")))
+      .select(col(groupCol), col("sn._2").as(idCol), col("sn._1").as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** One k-means assignment pass against literal centroids: squared
+    * Euclidean distance as a sequential fold (round-6 for the cross-engine
+    * contract), argmin with centroid-index tiebreak via struct ordering.
+    */
+  private def assign(v: DataFrame, centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    val cands = centroids.map { case (i, c) =>
+      val carr = array(c.map(lit(_)): _*)
+      val d2 = aggregate(
+        zip_with(col("v"), carr, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, e) => acc + e)
+      struct(round(d2, 6).as("dist"), lit(i).as("cluster"))
+    }
+    v.withColumn("best", array_min(array(cands: _*)))
+      .select(col("vec_id"), col("v"),
+        col("best.cluster").as("cluster"), col("best.dist").as("dist"))
+  }
+
+  /** Deterministic Lloyd k-means over an embedding column: init = the k
+    * vectors with the smallest ids, `iters` update rounds (exact decimal
+    * element means rounded to 6dp), final assignment returned as
+    * (vec_id, cluster, dist).
+    *
+    * The data never collects: each round moves only k×dim centroid
+    * statistics through the driver and re-broadcasts them as codegen'd
+    * literals — the artifact-scale pattern of the scaler, and of MLlib's
+    * own k-means. Clusters that lose all members simply drop out (their
+    * centroid cannot be updated), matching the oracle's GROUP BY semantics.
+    */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                   iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, "k-means needs k > 0, iters >= 0")
+    val v = df.select(col(idCol).as("vec_id"),
+      Similarity.toDouble(col(vecCol)).as("v"))
+    var centroids: Seq[(Int, Array[Double])] = v.orderBy(col("vec_id")).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }.toSeq
+    for (_ <- 1 to iters) {
+      // cluster labels survive updates verbatim (an emptied cluster drops
+      // out rather than compacting the index space)
+      val updated = assign(v, centroids)
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(round(sum(col("x").cast("decimal(30,6)")).cast("double") /
+          count(col("x")), 6).as("m"))
+        .groupBy(col("cluster"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          r => r.getField("m")).as("c"))
+        .collect()
+      centroids = updated
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+        .sortBy(_._1)
+    }
+    assign(v, centroids).drop("v")
+  }
+}
