@@ -140,10 +140,15 @@ object Text {
       greatest(size(toks), lit(1)).cast("double"), 6)
   }
 
-  /** Word n-gram shingles (space-joined) from a token array. */
+  /** Word n-gram shingles (space-joined) from a token array. Documents with
+    * fewer than n tokens yield an empty array — without the guard,
+    * sequence(1, 0) descends to [1, 0] and element_at(toks, 0) throws.
+    */
   def shingles(toks: Column, n: Int): Column =
-    transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
 
   /** Jaccard similarity of the distinct-shingle sets of two arrays. */
   def jaccard(a: Column, b: Column): Column = {

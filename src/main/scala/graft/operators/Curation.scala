@@ -70,14 +70,27 @@ object Curation {
   /** Top-k rows per group by (score desc, id asc), via the bounded [[TopK]]
     * aggregator: partial top-k happens map-side, so only G×k rows shuffle —
     * a Window rank would funnel every row of a group into one partition.
+    *
+    * Contract (like Similarity's ANN entry points): `idCol` must cast to
+    * BIGINT and `score` must be non-null — enforced eagerly with a named
+    * error instead of the opaque encoder NPE a silent cast would produce.
     */
   def groupTopK(df: DataFrame, groupCol: String, idCol: String,
                 score: Column, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // try_cast: ANSI mode would otherwise throw its own CAST_INVALID_INPUT
+    // before the named groupTopK error below could fire
+    val idLong = col(idCol).try_cast("long")
     val scored = df
-      .select(col(groupCol).cast("string").as("grp"), score.as("score"),
-        col(idCol).cast("long").as("id"))
+      .select(col(groupCol).cast("string").as("grp"),
+        when(score.isNull,
+          raise_error(lit("groupTopK: score must be non-null")))
+          .otherwise(score).as("score"),
+        when(idLong.isNull, raise_error(concat(
+          lit(s"groupTopK: id column '$idCol' must cast to BIGINT, got "),
+          coalesce(col(idCol).cast("string"), lit("NULL")))))
+          .otherwise(idLong).as("id"))
       .as[(String, Double, Long)]
     scored.groupByKey(_._1)
       .mapValues(t => (t._2, t._3))

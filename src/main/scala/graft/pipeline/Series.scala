@@ -100,7 +100,10 @@ object Series {
     * pairs); only %XX runs go through UTF-8 byte decoding.
     */
   private def percentDecode(s: String): String = {
-    def isHex(c: Char): Boolean = Character.digit(c, 16) >= 0
+    // ASCII-only: Character.digit also accepts non-ASCII Unicode digits
+    // (e.g. Arabic-Indic), which Python's unquote passes through literally.
+    def isHex(c: Char): Boolean =
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
     val sb = new StringBuilder
     val bytes = new java.io.ByteArrayOutputStream()
     def flushBytes(): Unit = if (bytes.size() > 0) {

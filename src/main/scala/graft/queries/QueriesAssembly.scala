@@ -120,8 +120,13 @@ object QueriesAssembly {
         .groupBy(col("user_id"), col("batch_id"))
         .agg(count(lit(1)).cast("long").as("n"),
           sort_array(collect_list(struct(col("h_us"),
+            // coalesce keeps the feature list aligned with the key list when
+            // every value in a group is NULL (concat_ws would silently drop
+            // the element; the oracle's || propagates NULL) — both engines
+            // emit the literal 'null' instead
             concat_ws(";", col("n_events").cast("string"),
-              col("sum_value").cast("decimal(30,4)").cast("string")).as("fv"))))
+              coalesce(col("sum_value").cast("decimal(30,4)").cast("string"),
+                lit("null"))).as("fv"))))
             .as("rows"))
         .select(col("user_id"), col("batch_id"), col("n"),
           array_join(transform(col("rows"),
@@ -237,7 +242,8 @@ object QueriesAssembly {
                  COUNT(*) AS n,
                  string_agg(CAST(h_us AS VARCHAR), ',' ORDER BY h_us) AS keys,
                  string_agg(CAST(n_events AS VARCHAR) || ';' ||
-                   CAST(sum_value AS VARCHAR), '|' ORDER BY h_us) AS features
+                   coalesce(CAST(sum_value AS VARCHAR), 'null'),
+                   '|' ORDER BY h_us) AS features
           FROM r GROUP BY user_id, 2""",
 
     "availability_matrix" ->

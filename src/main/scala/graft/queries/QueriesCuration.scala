@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+import Q._
+
+/** §2.7 corpus-curation operators (graft.operators.Curation): benchmark
+  * decontamination, deterministic stratified sampling, bounded per-group
+  * top-k, and Lloyd k-means assignment. DuckDB oracle SQL mirrors the Spark
+  * plans stage for stage; the sha256-ratio twin is shared with hash_split
+  * (QueriesAssembly.hashSplitSql) so the two split/sample paths cannot drift.
+  */
+object QueriesCuration {
+
+  /** Sampling strata for curation_sample (must match the oracle CASE). */
+  private val SampleRates = Seq("de" -> 0.25, "en" -> 0.5)
+  private val SampleDefault = 0.1
+  private val SampleSeed = 42
+
+  /** Shared distinct-3-gram CTE (the guard against <3-token docs is implicit
+    * in DuckDB: generate_series(1, 0) is empty, unlike Spark's sequence).
+    */
+  private val ngramCte =
+    """words AS (
+         SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+         FROM documents),
+       ng AS (
+         SELECT doc_id,
+                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               for i in generate_series(1, greatest(len(w) - 2, 0))]) AS sh
+         FROM words)"""
+
+  /** sha256 53-bit ratio twin of Curation.hashRatio (same as hashSplitSql's
+    * ratio term).
+    */
+  private def ratioSql(tokenExpr: String, seed: Int): String =
+    s"CAST(CAST('0x' || substr(sha256('$seed|' || CAST($tokenExpr AS VARCHAR)), 3, 14) AS BIGINT) & 9007199254740991 AS DOUBLE) / 9007199254740992.0"
+
+  /** Squared-Euclidean distance between two DOUBLE lists as the same
+    * sequential left fold Spark's aggregate(zip_with(...)) runs — the per
+    * element op order is identical, so the rounded double matches bitwise.
+    */
+  private def dist2Sql(a: String, b: String): String =
+    s"""ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          [($a[i] - $b[i]) * ($a[i] - $b[i])
+           for i in generate_series(1, len($a))]),
+          (acc, x) -> acc + x), 6)"""
+
+  /** One k-means assignment CTE body: nearest centroid of `cents` per vector
+    * of `vecs` (dist asc, cluster asc tiebreak — Spark's struct array_min).
+    */
+  private def assignSql(vecs: String, cents: String): String =
+    s"""SELECT vec_id, v, cluster, dist FROM (
+          SELECT vec_id, v, cluster, dist,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dist, cluster) AS r
+          FROM (SELECT t.vec_id, t.v AS v, c.cluster,
+                       ${dist2Sql("t.v", "c.v")} AS dist
+                FROM $vecs t, $cents c))
+        WHERE r = 1"""
+
+  /** Centroid-update CTE body: element-wise exact decimal mean (round 6) of
+    * the vectors assigned by `assigned`, rebuilt as an ordered list.
+    */
+  private def updateSql(assigned: String): String =
+    s"""SELECT cluster, list(m ORDER BY pos) AS v FROM (
+          SELECT cluster, u.pos AS pos,
+                 ROUND(CAST(SUM(CAST(u.x AS DECIMAL(30,6))) AS DOUBLE)
+                       / COUNT(u.x), 6) AS m
+          FROM (SELECT cluster,
+                       unnest([{'pos': i, 'x': v[i]}
+                               for i in generate_series(1, len(v))],
+                         recursive := true) AS _
+                FROM $assigned) AS u(cluster, pos, x)
+          GROUP BY cluster, u.pos)
+        GROUP BY cluster"""
+
+  val queries: Map[String, QueryFn] = Map(
+    // Benchmark n-gram decontamination: benchmark = every 17th document (a
+    // deterministic stand-in for a held-out eval suite), train = the whole
+    // corpus; flag any training doc sharing a distinct word 3-gram.
+    "curation_decontam" -> { (s, d) =>
+      val docs = documents(s, d)
+      Curation.decontaminate(docs, docs.filter(pmod(col("doc_id"), lit(17)) === 0),
+        "doc_id", "text", n = 3)
+    },
+
+    // Deterministic stratified sampling by language: sha256-ratio filter,
+    // zero shuffle, reproducible across engines.
+    "curation_sample" -> { (s, d) =>
+      Curation.stratifiedSample(documents(s, d), "lang", "doc_id",
+        SampleRates.toMap, SampleDefault, SampleSeed)
+        .select(col("doc_id"), col("lang"))
+    },
+
+    // Top-5 events per event_type by (value desc, event_id asc) via the
+    // bounded map-side TopK aggregator (only G×k rows shuffle).
+    "curation_topk" -> { (s, d) =>
+      Curation.groupTopK(events(s, d), "event_type", "event_id",
+        col("value"), k = 5)
+        .select(col("event_type"), col("event_id"),
+          round(col("score"), 6).as("score"), col("rank").as("rnk"))
+    },
+
+    // Deterministic Lloyd k-means (k=4, 2 update rounds) over the embedding
+    // table; output = final (vector, cluster, squared distance) assignment.
+    "curation_kmeans" -> { (s, d) =>
+      Curation.kmeansAssign(embeddings(s, d), "vec_id", "embedding",
+        k = 4, iters = 2)
+        .select(col("vec_id"), col("cluster"), col("dist"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "curation_decontam" ->
+      s"""WITH $ngramCte,
+          train_ng AS (SELECT doc_id, unnest(sh) AS ngram FROM ng),
+          bench_ng AS (SELECT DISTINCT unnest(sh) AS ngram FROM ng
+                       WHERE doc_id % 17 = 0),
+          overlap AS (
+            SELECT doc_id, COUNT(*) AS n_contaminated
+            FROM train_ng JOIN bench_ng USING (ngram)
+            GROUP BY doc_id)
+          SELECT d.doc_id,
+                 coalesce(o.n_contaminated, 0) AS n_contaminated,
+                 coalesce(o.n_contaminated, 0) > 0 AS contaminated
+          FROM documents d LEFT JOIN overlap o USING (doc_id)""",
+
+    "curation_sample" -> {
+      val rate = SampleRates.foldLeft(SampleDefault.toString) {
+        case (acc, (s, p)) => s"CASE WHEN lang = '$s' THEN $p ELSE $acc END"
+      }
+      s"""SELECT doc_id, lang FROM documents
+          WHERE ${ratioSql("doc_id", SampleSeed)} < ($rate)"""
+    },
+
+    "curation_topk" ->
+      """SELECT event_type, event_id, ROUND(value, 6) AS score,
+                CAST(rnk AS INTEGER) AS rnk
+         FROM (SELECT event_type, event_id, value,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY value DESC, event_id ASC) AS rnk
+               FROM events)
+         WHERE rnk <= 5""",
+
+    "curation_kmeans" ->
+      s"""WITH v AS (
+            SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+            FROM embeddings),
+          c0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                     AS cluster, v
+            FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 4)),
+          a0 AS (${assignSql("v", "c0")}),
+          c1 AS (${updateSql("a0")}),
+          a1 AS (${assignSql("v", "c1")}),
+          c2 AS (${updateSql("a1")}),
+          a2 AS (${assignSql("v", "c2")})
+          SELECT vec_id, cluster, dist FROM a2"""
+  )
+}

@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.operators.Curation
+
+/** Corpus-curation operators (operators/Curation.scala): benchmark
+  * decontamination, deterministic stratified sampling, bounded group top-k,
+  * Lloyd k-means.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- decontaminate ------------------------------------------------------
+
+  test("decontaminate flags docs sharing an n-gram with the benchmark") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "completely unrelated training text here"),
+      (3L, "a quick brown fox appears")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "quick brown fox riddle")).toDF("doc_id", "text")
+    val out = Curation.decontaminate(train, bench, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // docs 1 and 3 share the 3-gram "quick brown fox"; doc 2 shares nothing
+    assert(out(1L) == ((1L, true)))
+    assert(out(2L) == ((0L, false)))
+    assert(out(3L) == ((1L, true)))
+  }
+
+  test("decontaminate survives documents shorter than n tokens") {
+    // regression: sequence(1, 0) descends → element_at(toks, 0) threw before
+    // the shingles short-doc guard
+    val train = Seq((1L, "two words"), (2L, ""), (3L, "one two three")).toDF("doc_id", "text")
+    val bench = Seq((9L, "x"), (10L, "one two three")).toDF("doc_id", "text")
+    val out = Curation.decontaminate(train, bench, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(1L -> false, 2L -> false, 3L -> true))
+  }
+
+  test("shingles of a short/empty token array is empty, not an error") {
+    val df = Seq("a b", "").toDF("t")
+      .select(size(Text.shingles(Text.tokens(col("t")), 3)).as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(0, 0))
+  }
+
+  // --- stratifiedSample ---------------------------------------------------
+
+  test("stratifiedSample honors per-stratum rates deterministically") {
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "stratum")
+    val kept = Curation.stratifiedSample(df, "stratum", "id",
+      Map("a" -> 0.5, "b" -> 0.1), defaultRate = 0.0, seed = 7)
+    val byStratum = kept.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sha256 ratios are uniform; 1000 draws per stratum → ±10% of the rate
+    assert(math.abs(byStratum("a") - 500L) < 100, s"a: $byStratum")
+    assert(math.abs(byStratum("b") - 100L) < 50, s"b: $byStratum")
+    // deterministic: a second run keeps the identical id set
+    val again = Curation.stratifiedSample(df, "stratum", "id",
+      Map("a" -> 0.5, "b" -> 0.1), defaultRate = 0.0, seed = 7)
+    assert(kept.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("stratifiedSample rate boundaries: 0 keeps nothing, 1 keeps all") {
+    val df = (0L until 200L).map(i => (i, "s")).toDF("id", "stratum")
+    assert(Curation.stratifiedSample(df, "stratum", "id",
+      Map("s" -> 0.0), 0.0, seed = 1).count() == 0L)
+    assert(Curation.stratifiedSample(df, "stratum", "id",
+      Map("s" -> 1.0), 0.0, seed = 1).count() == 200L)
+    // unknown stratum falls back to defaultRate
+    val other = (0L until 200L).map(i => (i, "zzz")).toDF("id", "stratum")
+    assert(Curation.stratifiedSample(other, "stratum", "id",
+      Map("s" -> 0.0), defaultRate = 1.0, seed = 1).count() == 200L)
+  }
+
+  test("stratifiedSample buckets identically to hashRatio of hash_split") {
+    // same sha256-ratio primitive as Assembly.hashSplitLabel — a row kept at
+    // rate p is exactly a row whose ratio < p
+    val df = (0L until 500L).map(i => (i, "s")).toDF("id", "stratum")
+    val kept = Curation.stratifiedSample(df, "stratum", "id",
+      Map("s" -> 0.3), 0.0, seed = 42).select("id")
+      .collect().map(_.getLong(0)).toSet
+    val expected = df.select(col("id"), Curation.hashRatio(col("id"), 42).as("r"))
+      .collect().filter(_.getDouble(1) < 0.3).map(_.getLong(0)).toSet
+    assert(kept == expected)
+  }
+
+  // --- groupTopK ----------------------------------------------------------
+
+  test("groupTopK returns k best per group, ties broken by id asc") {
+    val df = Seq(
+      ("g1", 1L, 5.0), ("g1", 2L, 9.0), ("g1", 3L, 9.0), ("g1", 4L, 1.0),
+      ("g2", 5L, 2.0)
+    ).toDF("grp", "id", "score")
+    val out = Curation.groupTopK(df, "grp", "id", col("score"), k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val g1 = out.filter(_._1 == "g1").sortBy(_._4)
+    // score 9.0 tie between ids 2 and 3 → id asc wins
+    assert(g1.toSeq == Seq(("g1", 2L, 9.0, 1), ("g1", 3L, 9.0, 2)))
+    assert(out.filter(_._1 == "g2").toSeq == Seq(("g2", 5L, 2.0, 1)))
+  }
+
+  test("groupTopK rejects non-castable ids and null scores with named errors") {
+    val bad = Seq(("g", "not-a-number", 1.0)).toDF("grp", "id", "score")
+    val e1 = intercept[Exception] {
+      Curation.groupTopK(bad, "grp", "id", col("score"), 1).collect()
+    }
+    assert(e1.getMessage.contains("groupTopK"), e1.getMessage)
+    val nullScore = Seq(("g", 1L, null.asInstanceOf[java.lang.Double]))
+      .toDF("grp", "id", "score")
+    val e2 = intercept[Exception] {
+      Curation.groupTopK(nullScore, "grp", "id", col("score"), 1).collect()
+    }
+    assert(e2.getMessage.contains("groupTopK"), e2.getMessage)
+  }
+
+  // --- kmeansAssign -------------------------------------------------------
+
+  test("kmeansAssign converges on a separable fixture") {
+    // two tight blobs; k=2, init = two smallest ids (one in each blob)
+    val vecs = Seq(
+      (0L, Seq(0.0, 0.0)), (2L, Seq(0.1, 0.0)), (4L, Seq(0.0, 0.1)),
+      (1L, Seq(10.0, 10.0)), (3L, Seq(10.1, 10.0)), (5L, Seq(10.0, 10.1))
+    ).toDF("vec_id", "v")
+    val out = Curation.kmeansAssign(vecs, "vec_id", "v", k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(Set(0L, 2L, 4L).map(out) == Set(0))
+    assert(Set(1L, 3L, 5L).map(out) == Set(1))
+  }
+
+  test("kmeansAssign is deterministic and iters=0 assigns to init centroids") {
+    val vecs = Seq(
+      (10L, Seq(1.0, 2.0)), (11L, Seq(3.0, 4.0)), (12L, Seq(1.1, 2.1))
+    ).toDF("vec_id", "v")
+    // init: cluster 0 = vec 10, cluster 1 = vec 11; no updates
+    val out = Curation.kmeansAssign(vecs, "vec_id", "v", k = 2, iters = 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1)
+    assert(out.map(t => t._1 -> t._2).toSeq == Seq(10L -> 0, 11L -> 1, 12L -> 0))
+    // members sit exactly on their init centroid → dist 0
+    assert(out.find(_._1 == 10L).get._3 == 0.0)
+    assert(out.find(_._1 == 12L).get._3 == 0.02)
+  }
+
+  test("kmeansAssign drops emptied clusters instead of crashing") {
+    // k=3 with duplicate init points: vec 0 and vec 1 are identical, so both
+    // tie-break to cluster 0 at the first assignment and cluster 1 receives
+    // zero members — it must drop out of later rounds, not crash the update
+    val vecs = Seq(
+      (0L, Seq(0.0)), (1L, Seq(0.0)), (2L, Seq(100.0)),
+      (3L, Seq(100.2)), (4L, Seq(0.1))
+    ).toDF("vec_id", "v")
+    val out = Curation.kmeansAssign(vecs, "vec_id", "v", k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.values.toSet == Set(0, 2), out.toString)
+    assert(Set(0L, 1L, 4L).map(out) == Set(0))
+    assert(Set(2L, 3L).map(out) == Set(2))
+  }
+}
