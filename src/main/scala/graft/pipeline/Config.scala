@@ -23,8 +23,10 @@ import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
   *    renamed to the canonical `time`.
   *  - `${env:...}` interpolation is rejected (zero-egress builds must not
   *    read ambient state); `${var}` resolves from the document's `globals`.
-  *  - `sequence` series policies are not yet parseable — use
-  *    `Assembly.sequenceWindows` programmatically.
+  *  - `sequence: {size, stride}` series policies route to
+  *    `Assembly.sequenceWindows`; a sequenced vector's stream must be
+  *    partitioned by the sample keys only (no series-id suffixes on array
+  *    cells — the reference allows them, graft stages that separately).
   *  - `tiebreak:` on a stream is a graft extension: deterministic ordering
   *    needs an explicit total order where the reference relies on iterator
   *    arrival order.
@@ -56,8 +58,15 @@ object Config {
       preprocess: Seq[Pipeline.Op] = Nil,
       transforms: Seq[Pipeline.Op] = Nil)
 
+  /** Sliding-window series policy — reference SequenceConfig
+    * (config/dataset/series.py:14): windows of `size` values per series,
+    * emitted every `stride` records once full.
+    */
+  final case class SequenceDef(size: Int, stride: Int = 1)
+
   final case class VectorDef(id: String, stream: String, field: String,
-                             scale: Boolean = false)
+                             scale: Boolean = false,
+                             sequence: Option[SequenceDef] = None)
 
   final case class FoldDef(id: String, train: Seq[String],
                            validation: Seq[String], test: Seq[String])
@@ -367,13 +376,19 @@ object Config {
     val t = asTree(raw, ctx)
     val id = str(t, "id", ctx)
     requireKeys(t, Set("id", "stream", "field", "scale", "sequence"), s"$ctx '$id'")
-    if (t.contains("sequence"))
-      fail(s"$ctx '$id': sequence policies are not yet config-parseable — " +
-        "use Assembly.sequenceWindows programmatically")
     if (id.contains(Series.IdSeparator))
       fail(s"$ctx '$id': ids cannot contain the reserved '${Series.IdSeparator}'")
+    val sequence = t.get("sequence").map { raw =>
+      val s = asTree(raw, s"$ctx '$id'.sequence")
+      requireKeys(s, Set("size", "stride"), s"$ctx '$id'.sequence")
+      val size = intOf(s, "size", s"$ctx '$id'.sequence")
+      val stride = intOpt(s, "stride").getOrElse(1)
+      if (size <= 0) fail(s"$ctx '$id'.sequence.size must be > 0, got $size")
+      if (stride <= 0) fail(s"$ctx '$id'.sequence.stride must be > 0, got $stride")
+      SequenceDef(size, stride)
+    }
     VectorDef(id, str(t, "stream", s"$ctx '$id'"), str(t, "field", s"$ctx '$id'"),
-      boolOf(t, "scale", default = false))
+      boolOf(t, "scale", default = false), sequence)
   }
 
   private def parseFold(raw: Any): FoldDef = {

@@ -58,8 +58,10 @@ object ConfigRuntime {
       val path = if (src.path.startsWith("/")) src.path
                  else s"$dataDir/${src.path}"
       // same session posture as sources.Tables: ms-precision parquet
-      // timestamps read as session-TZ TIMESTAMP, not NTZ
+      // timestamps read as session-TZ TIMESTAMP, not NTZ; TIMESTAMP(NANOS)
+      // columns (which the vectorized reader rejects) surface as long ns
       spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val reader = spark.read.options(src.options)
       src.format match {
         case "parquet"        => reader.parquet(path)
@@ -76,9 +78,17 @@ object ConfigRuntime {
       val out = d.from match {
         case Config.FromSource(srcId) =>
           val raw = readSource(project.source(srcId))
-          val mapped0 =
+          val renamed =
             if (d.map.time == "time") raw
             else raw.withColumnRenamed(d.map.time, "time")
+          // TIMESTAMP(NANOS) parquet time read as long ns (nanosAsLong) →
+          // µs-grain TimestampType, the same normalization as Tables.events
+          val mapped0 =
+            if (renamed.columns.contains("time") &&
+                renamed.schema("time").dataType ==
+                  org.apache.spark.sql.types.LongType)
+              renamed.withColumn("time", expr("timestamp_micros(time div 1000)"))
+            else renamed
           val mapped =
             if (d.map.fields.isEmpty) mapped0
             else mapped0.select(("time" +: d.map.fields).distinct.map(col): _*)
@@ -126,43 +136,78 @@ object ConfigRuntime {
       throw new IllegalArgumentException("config: project has no dataset section"))
     val res = resolver(spark, dataDir, project)
     val vectors = ds.features ++ ds.targets
+    require(vectors.nonEmpty, "config: dataset declares no vectors")
+    val (seqVectors, scalarVectors) = vectors.partition(_.sequence.isDefined)
+    val seqById = seqVectors.map(v => v.id -> v.sequence.get).toMap
 
-    // --- series projection per referenced stream, then union: every vector
-    // becomes (series_id, time, value, keys…) rows. Sample keys must belong
-    // to each referenced stream's partition identity (reference rule); the
-    // remaining partition fields suffix the series id.
-    val projections = vectors.groupBy(_.stream).toSeq.sortBy(_._1).map {
-      case (streamId, vs) =>
-        val pb = res.partitionBy(streamId)
-        val missing = ds.sampleKeys.filterNot(pb.contains)
-        require(missing.isEmpty,
-          s"config: sample key(s) ${missing.mkString(", ")} not in " +
-            s"partition_by of stream '$streamId'")
-        Series.project(res.stream(streamId), pb, ds.sampleKeys, "time",
-          vs.map(v => Series.SeriesConfig(v.id, v.field)))
+    def checkSampleKeys(streamId: String): Seq[String] = {
+      val pb = res.partitionBy(streamId)
+      val missing = ds.sampleKeys.filterNot(pb.contains)
+      require(missing.isEmpty,
+        s"config: sample key(s) ${missing.mkString(", ")} not in " +
+          s"partition_by of stream '$streamId'")
+      pb
     }
-    val long = projections.reduce(_ unionByName _)
+
+    // --- series projection per referenced stream, then union: every scalar
+    // vector becomes (series_id, time, value, keys…) rows. Sample keys must
+    // belong to each referenced stream's partition identity (reference rule);
+    // the remaining partition fields suffix the series id.
+    val projections = scalarVectors.groupBy(_.stream).toSeq.sortBy(_._1).map {
+      case (streamId, vs) =>
+        Series.project(res.stream(streamId), checkSampleKeys(streamId),
+          ds.sampleKeys, "time", vs.map(v => Series.SeriesConfig(v.id, v.field)))
+    }
 
     // --- assembly: one shuffle on (sample_time, keys); wide via pivot. When
     // every partition field is a sample key the series ids are exactly the
     // vector ids (static pivot — single pass); otherwise Spark's dynamic
     // pivot computes the id set first, the same two-pass shape as the
     // reference's series metadata artifact.
-    val suffixFree = vectors.map(_.stream).distinct
+    val suffixFree = scalarVectors.map(_.stream).distinct
       .forall(s => res.partitionBy(s).forall(ds.sampleKeys.contains))
-    val bucketed = long.withColumn("sample_time",
-      TimeFns.floorTime(col("time"), ds.cadence))
-    val grouped = bucketed.groupBy(
-      (col("sample_time") +: ds.sampleKeys.map(col)): _*)
-    // localCheckpoint: feature-coverage collect, target-coverage collect,
-    // scaler fit, and the returned plan all consume the assembly — lazy
-    // checkpoint materializes it at the first action instead of recomputing
-    // the shuffle+pivot per consumer.
-    val assembled =
-      (if (suffixFree) grouped.pivot(col("series_id"), vectors.map(_.id))
-       else grouped.pivot(col("series_id")))
-        .agg(max(col("value")))
-        .localCheckpoint(eager = false)
+    val scalarAssembled: Option[DataFrame] =
+      if (scalarVectors.isEmpty) None
+      else {
+        val long = projections.reduce(_ unionByName _)
+        val bucketed = long.withColumn("sample_time",
+          TimeFns.floorTime(col("time"), ds.cadence))
+        val grouped = bucketed.groupBy(
+          (col("sample_time") +: ds.sampleKeys.map(col)): _*)
+        Some(
+          (if (suffixFree) grouped.pivot(col("series_id"), scalarVectors.map(_.id))
+           else grouped.pivot(col("series_id")))
+            .agg(max(col("value"))))
+      }
+
+    // --- sequenced vectors (reference SequenceConfig → sequence_series,
+    // pipelines/series/stages.py:33): sliding windows per series entity BEFORE
+    // bucketing, window time = its last record's time; the bucket cell keeps
+    // the max window (same merge rule as the scalar pivot's max(value)). The
+    // stream's partition identity must equal the sample keys — array cells
+    // don't take series-id suffixes.
+    val seqFrames = seqVectors.map { v =>
+      val pb = checkSampleKeys(v.stream)
+      require(pb.forall(ds.sampleKeys.contains),
+        s"config: sequence vector '${v.id}': stream '${v.stream}' must be " +
+          "partitioned by the sample keys only")
+      val sq = v.sequence.get
+      val key = StreamKey(pb, "time", res.tiebreak(v.stream))
+      Assembly.sequenceWindows(res.stream(v.stream), key, v.field,
+        sq.size, sq.stride, "__seq")
+        .withColumn("sample_time", TimeFns.floorTime(col("time"), ds.cadence))
+        .groupBy((col("sample_time") +: ds.sampleKeys.map(col)): _*)
+        .agg(max(col("__seq")).as(v.id))
+    }
+
+    // full outer join: a sample exists wherever ANY vector has data (matches
+    // the union-domain of the scalar-only path). localCheckpoint: coverage
+    // collects, scaler fit, and the returned plan all consume the assembly —
+    // lazy checkpoint materializes it once at the first action.
+    val joinKeys = "sample_time" +: ds.sampleKeys
+    val assembled = (scalarAssembled.toSeq ++ seqFrames)
+      .reduceLeft((a, b) => a.join(b, joinKeys, "full"))
+      .localCheckpoint(eager = false)
 
     // --- postprocess: column selection by coverage (features and targets
     // have separate thresholds), conform to the retained contract, then row
@@ -195,7 +240,10 @@ object ConfigRuntime {
     val retained = retainedF ++ retainedT
     val keys = "sample_time" +: ds.sampleKeys
     val conformed = Assembly.conform(assembled, keys,
-      retained.map(Assembly.VectorEntry(_)))
+      retained.map(id => seqById.get(id) match {
+        case Some(sq) => Assembly.VectorEntry(id, "sequence", sq.size)
+        case None     => Assembly.VectorEntry(id)
+      }))
     val rowFiltered0 = ds.postprocess.featureRowThreshold match {
       case Some(thr) => Assembly.filterRowsByCoverage(conformed, retainedF, thr)
       case None      => conformed
@@ -242,22 +290,46 @@ object ConfigRuntime {
     // --- per-fold scaler: fit on each fold's TRAIN rows only, apply to all
     // of that fold's rows (reference FoldedScalerArtifact.for_fold). Stats
     // are |folds| rows — broadcast back. std rounds to 6dp at fit time for
-    // cross-engine bit-reproducibility (same as DatasetPipeline).
+    // cross-engine bit-reproducibility (same as DatasetPipeline). Sequenced
+    // vectors scale ELEMENTWISE (reference _scale_value's list branch) with
+    // statistics fitted over the train rows' window elements.
     val scaled = vectors.filter(_.scale).map(_.id)
       .flatMap(id => retained.filter(c =>
         c == id || c.startsWith(id + Series.IdSeparator)))
+    val (scaledSeq, scaledScalar) = scaled.partition(seqById.contains)
     val ordered = (Seq("fold", "role") ++ keys ++ retained).map(col)
     if (scaled.isEmpty) return withFolds.select(ordered: _*)
-    val statAggs = scaled.flatMap { f =>
-      Seq(meanDec(col(f)).as(s"${f}__mean"),
-        round(greatest(coalesce(stddev_pop(col(f)), lit(0.0)), lit(1e-12)), 6)
-          .as(s"${f}__std"))
+    // unfolded projects fit over the whole dataset (reference
+    // _fit_standard_scaler); folded projects fit per fold on train rows only
+    val trainRows =
+      if (folds.isEmpty) withFolds
+      else withFolds.filter(col("role") === "train")
+    val joined0 =
+      if (scaledScalar.isEmpty) withFolds
+      else {
+        val statAggs = scaledScalar.flatMap { f =>
+          Seq(meanDec(col(f)).as(s"${f}__mean"),
+            round(greatest(coalesce(stddev_pop(col(f)), lit(0.0)), lit(1e-12)), 6)
+              .as(s"${f}__std"))
+        }
+        val stats = trainRows
+          .groupBy(col("fold")).agg(statAggs.head, statAggs.tail: _*)
+        withFolds.join(broadcast(stats), Seq("fold"))
+      }
+    val joined = scaledSeq.foldLeft(joined0) { (d, f) =>
+      val stats = trainRows.select(col("fold"), explode(col(f)).as("__x"))
+        .groupBy(col("fold"))
+        .agg(meanDec(col("__x")).as(s"${f}__mean"),
+          round(greatest(coalesce(stddev_pop(col("__x")), lit(0.0)), lit(1e-12)), 6)
+            .as(s"${f}__std"))
+      d.join(broadcast(stats), Seq("fold"))
     }
-    val stats = withFolds.filter(col("role") === "train")
-      .groupBy(col("fold")).agg(statAggs.head, statAggs.tail: _*)
-    val joined = withFolds.join(broadcast(stats), Seq("fold"))
-    val out = scaled.foldLeft(joined) { (d, f) =>
+    val out0 = scaledScalar.foldLeft(joined) { (d, f) =>
       d.withColumn(f, (col(f) - col(s"${f}__mean")) / col(s"${f}__std"))
+    }
+    val out = scaledSeq.foldLeft(out0) { (d, f) =>
+      d.withColumn(f,
+        transform(col(f), x => (x - col(s"${f}__mean")) / col(s"${f}__std")))
     }
     out.select(ordered: _*)
   }

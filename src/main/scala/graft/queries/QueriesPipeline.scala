@@ -46,6 +46,38 @@ object QueriesPipeline {
       |      - { id: holdout, train: [train], validation: [val], test: [test] }
       |""".stripMargin
 
+  // --- config_sequence: a project whose feature list declares a
+  // `sequence: {size, stride}` policy (reference config/dataset/series.py:14)
+  // next to a scalar feature; the sequenced vector is scaled elementwise.
+  private val SeqConfigDoc =
+    """sources:
+      |  - id: ev
+      |    loader: { transport: fs, path: events.parquet, reader: { format: parquet } }
+      |streams:
+      |  - id: ev.stream
+      |    from: { source: ev }
+      |    map: { time: ts, fields: [user_id, event_id, value] }
+      |    partition_by: [user_id]
+      |    tiebreak: [event_id]
+      |dataset:
+      |  sample:
+      |    cadence: 1h
+      |    keys: [user_id]
+      |  features:
+      |    - { id: val, stream: ev.stream, field: value }
+      |    - id: seq3
+      |      stream: ev.stream
+      |      field: value
+      |      scale: true
+      |      sequence: { size: 3, stride: 2 }
+      |  split:
+      |    mode: hash
+      |    seed: 11
+      |    ratios: { train: 0.75, test: 0.25 }
+      |    folds:
+      |      - { id: f0, train: [train], test: [test] }
+      |""".stripMargin
+
   private val ColumnThreshold = 0.05
   private val RowThreshold = 0.9
   private val Ratios = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -91,6 +123,22 @@ object QueriesPipeline {
         .select(col("fold"), col("role"), col("o_custkey"),
           eu(col("sample_time")).as("sample_time_us"),
           col("total"), round(col("m3"), 6).as("m3"))
+    },
+
+    // Sequence series policy from YAML: sliding windows (size 3, stride 2)
+    // per user over the event stream, bucketed to the sample cadence, scaled
+    // elementwise on train-fold element statistics. Window payloads are
+    // emitted as comma-joined DECIMAL(30,6) strings — fixed-point renders
+    // identically in both engines where raw double→string does not.
+    "config_sequence" -> { (s, d) =>
+      val project = graft.pipeline.Config.parseProject(SeqConfigDoc)
+      graft.pipeline.ConfigRuntime.dataset(s, d, project)
+        .select(col("fold"), col("role"), col("user_id"),
+          eu(col("sample_time")).as("sample_time_us"),
+          col("val"),
+          array_join(transform(col("seq3"),
+            x => round(x, 6).cast("decimal(30,6)").cast("string")), ",")
+            .as("seq3"))
     },
 
     // Series projection over events: partition identity (user_id, event_type)
@@ -190,6 +238,50 @@ object QueriesPipeline {
                  ROUND((avg_value - m_avg) / s_avg, 6) AS avg_value,
                  ROUND((purchase_total - m_pt) / s_pt, 6) AS purchase_total
           FROM labeled, stats"""
+    },
+
+    "config_sequence" -> {
+      // ratios canonicalized by label: test .25 | train .75
+      val sortedRatios = Seq("test" -> 0.25, "train" -> 0.75)
+      val token = "CAST(st AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)"
+      s"""WITH src AS (
+            SELECT user_id, event_id, value, epoch_us(ts) AS t_us FROM events),
+          seqd AS (
+            SELECT user_id, t_us,
+                   list(value) OVER w AS seq,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY t_us, event_id) AS rn
+            FROM src
+            WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)),
+          emitted AS (
+            SELECT user_id, t_us - t_us % 3600000000 AS st, seq
+            FROM seqd WHERE rn >= 3 AND (rn - 3) % 2 = 0),
+          seqcell AS (
+            SELECT user_id, st, max(seq) AS seq FROM emitted GROUP BY 1, 2),
+          valcell AS (
+            SELECT user_id, t_us - t_us % 3600000000 AS st, max(value) AS val
+            FROM src GROUP BY 1, 2),
+          asm AS (
+            SELECT coalesce(v.user_id, s.user_id) AS user_id,
+                   coalesce(v.st, s.st) AS st, v.val, s.seq
+            FROM valcell v FULL JOIN seqcell s
+              ON v.user_id = s.user_id AND v.st = s.st),
+          folded AS (
+            SELECT 'f0' AS fold,
+                   CASE ${QueriesAssembly.hashSplitSql(token, 11, sortedRatios)}
+                     WHEN 'train' THEN 'train' ELSE 'test' END AS role,
+                   user_id, st, val, seq
+            FROM asm),
+          stats AS (
+            SELECT CAST(SUM(CAST(u.x AS DECIMAL(30,6))) AS DOUBLE) / COUNT(u.x) AS m,
+                   ROUND(GREATEST(COALESCE(stddev_pop(u.x), 0.0), 1e-12), 6) AS sd
+            FROM (SELECT unnest(seq) AS x FROM folded WHERE role = 'train') u)
+          SELECT fold, role, user_id, st AS sample_time_us, val,
+                 array_to_string(list_transform(seq,
+                   x -> CAST(CAST(ROUND((x - m) / sd, 6) AS DECIMAL(30,6)) AS VARCHAR)),
+                   ',') AS seq3
+          FROM folded, stats"""
     },
 
     "scaler_artifact" ->

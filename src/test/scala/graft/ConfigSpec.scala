@@ -229,4 +229,27 @@ class ConfigSpec extends SparkSpec {
     bad("""streams: [ { id: s, from: { source: x }, preprocess: [ { operation: collapse, keep: last } ] } ]""",
       "ordered transform")
   }
+
+  test("sequence series policies parse with reference defaults and bounds") {
+    def vector(yaml: String): Config.VectorDef =
+      Config.parseProject(
+        s"""dataset: { sample: { cadence: 1h }, features: [ $yaml ] }""")
+        .dataset.get.features.head
+    // stride defaults to 1 (reference SequenceConfig)
+    assert(vector("{ id: a, stream: s, field: f, sequence: { size: 4 } }")
+      .sequence.contains(Config.SequenceDef(4, 1)))
+    assert(vector("{ id: a, stream: s, field: f, sequence: { size: 2, stride: 3 } }")
+      .sequence.contains(Config.SequenceDef(2, 3)))
+    assert(vector("{ id: a, stream: s, field: f }").sequence.isEmpty)
+    def bad(yaml: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](vector(yaml))
+      assert(e.getMessage.contains(needle), s"got: ${e.getMessage}")
+    }
+    bad("{ id: a, stream: s, field: f, sequence: { size: 0 } }", "size must be > 0")
+    bad("{ id: a, stream: s, field: f, sequence: { size: 2, stride: 0 } }",
+      "stride must be > 0")
+    bad("{ id: a, stream: s, field: f, sequence: { stride: 2 } }", "requires 'size'")
+    bad("{ id: a, stream: s, field: f, sequence: { size: 2, pad: 1 } }",
+      "unknown field")
+  }
 }
