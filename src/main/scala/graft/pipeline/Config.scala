@@ -91,14 +91,38 @@ object Config {
       split: Option[SplitDef] = None,
       postprocess: PostprocessDef = PostprocessDef())
 
+  /** Declarative named tasks beside `dataset:` — the graft twin of the
+    * reference task configs (config/tasks/{coverage,matrix,metadata,scaler,
+    * ticks}.py): each runs against the project's assembled (or postprocessed)
+    * samples, or a named stream, and yields report/artifact rows.
+    */
+  sealed trait TaskDef { def id: String }
+  /** config/tasks/coverage.py CoverageOptions: threshold ∈ [0,1]. */
+  final case class CoverageTask(id: String, threshold: Double,
+                                stage: String) extends TaskDef
+  /** config/tasks/matrix.py MatrixOptions: stage + max_cells guard. */
+  final case class MatrixTask(id: String, stage: String,
+                              maxCells: Long) extends TaskDef
+  /** config/tasks/scaler.py ScalerTask: with_mean/with_std/epsilon. */
+  final case class ScalerTask(id: String, withMean: Boolean, withStd: Boolean,
+                              epsilon: Double) extends TaskDef
+  /** config/tasks/metadata.py MetadataTask (vector contract dump). */
+  final case class MetadataTask(id: String) extends TaskDef
+  /** config/tasks/ticks.py TicksTask: canonical (grid_by, time) grid. */
+  final case class TicksTask(id: String, stream: String,
+                             gridBy: Seq[String]) extends TaskDef
+
   final case class Project(
       sources: Seq[SourceDef],
       streams: Seq[StreamDef],
-      dataset: Option[DatasetDef]) {
+      dataset: Option[DatasetDef],
+      tasks: Seq[TaskDef] = Nil) {
     def source(id: String): SourceDef =
       sources.find(_.id == id).getOrElse(fail(s"unknown source '$id'"))
     def stream(id: String): StreamDef =
       streams.find(_.id == id).getOrElse(fail(s"unknown stream '$id'"))
+    def task(id: String): TaskDef =
+      tasks.find(_.id == id).getOrElse(fail(s"unknown task '$id'"))
   }
 
   private def fail(msg: String): Nothing =
@@ -484,6 +508,55 @@ object Config {
       t.get("postprocess").map(parsePostprocess).getOrElse(PostprocessDef()))
   }
 
+  private def parseStage(t: Tree, ctx: String): String =
+    strOpt(t, "stage").getOrElse("postprocessed") match {
+      case s @ ("assembled" | "postprocessed") => s
+      case other => fail(s"$ctx.stage must be assembled | postprocessed, got '$other'")
+    }
+
+  /** One `tasks:` entry with a `task` discriminator; field names, defaults
+    * and bounds mirror the reference task models (config/tasks/⋆.py).
+    */
+  private def parseTask(raw: Any): TaskDef = {
+    val t = asTree(raw, "task")
+    val id = str(t, "id", "task")
+    val kind = str(t, "task", s"task '$id'")
+    def ctx = s"task '$id' ($kind)"
+    def check(allowed: String*): Unit =
+      requireKeys(t, allowed.toSet ++ Set("id", "task"), ctx)
+    kind match {
+      case "coverage" =>
+        check("threshold", "stage")
+        val thr = dblOpt(t, "threshold").getOrElse(0.95)
+        if (thr < 0.0 || thr > 1.0)
+          fail(s"$ctx.threshold must be in [0, 1], got $thr")
+        CoverageTask(id, thr, parseStage(t, ctx))
+      case "matrix" =>
+        check("stage", "max_cells")
+        val maxCells = intOpt(t, "max_cells").map(_.toLong).getOrElse(1000000L)
+        if (maxCells <= 0) fail(s"$ctx.max_cells must be > 0, got $maxCells")
+        MatrixTask(id, parseStage(t, ctx), maxCells)
+      case "scaler" =>
+        check("with_mean", "with_std", "epsilon")
+        val eps = dblOpt(t, "epsilon").getOrElse(1e-12)
+        if (!java.lang.Double.isFinite(eps) || eps <= 0)
+          fail(s"$ctx.epsilon must be finite and positive, got $eps")
+        ScalerTask(id, boolOf(t, "with_mean", default = true),
+          boolOf(t, "with_std", default = true), eps)
+      case "metadata" =>
+        check(); MetadataTask(id)
+      case "ticks" =>
+        check("stream", "grid_by")
+        val gridBy = strListOpt(t, "grid_by")
+        if (gridBy.distinct.length != gridBy.length)
+          fail(s"$ctx.grid_by must not contain duplicate fields")
+        if (gridBy.contains("time"))
+          fail(s"$ctx.grid_by must not contain the reserved field 'time'")
+        TicksTask(id, str(t, "stream", ctx), gridBy)
+      case other => fail(s"unknown task kind '$other'")
+    }
+  }
+
   /** Parse one whole project document. */
   def parseProject(yaml: String): Project = {
     val mapper = new ObjectMapper(new YAMLFactory())
@@ -491,15 +564,26 @@ object Config {
       .asInstanceOf[Tree]
     val globals = rawTree.get("globals").map(asTree(_, "globals")).getOrElse(Map.empty)
     val tree = interpolate(rawTree - "globals", globals).asInstanceOf[Tree]
-    requireKeys(tree, Set("sources", "streams", "dataset"), "project")
+    requireKeys(tree, Set("sources", "streams", "dataset", "tasks"), "project")
     val p = Project(
       tree.get("sources").map(v => asList(v, "sources").map(parseSource)).getOrElse(Nil),
       tree.get("streams").map(v => asList(v, "streams").map(parseStream)).getOrElse(Nil),
-      tree.get("dataset").map(parseDataset))
+      tree.get("dataset").map(parseDataset),
+      tree.get("tasks").map(v => asList(v, "tasks").map(parseTask)).getOrElse(Nil))
     val dupS = p.sources.groupBy(_.id).collect { case (id, xs) if xs.length > 1 => id }
     val dupT = p.streams.groupBy(_.id).collect { case (id, xs) if xs.length > 1 => id }
+    val dupK = p.tasks.groupBy(_.id).collect { case (id, xs) if xs.length > 1 => id }
     if (dupS.nonEmpty) fail(s"duplicate source id(s): ${dupS.mkString(", ")}")
     if (dupT.nonEmpty) fail(s"duplicate stream id(s): ${dupT.mkString(", ")}")
+    if (dupK.nonEmpty) fail(s"duplicate task id(s): ${dupK.mkString(", ")}")
+    p.tasks.foreach {
+      case TicksTask(id, stream, _) =>
+        if (!p.streams.exists(_.id == stream))
+          fail(s"task '$id': unknown stream '$stream'")
+      case _ =>
+        if (p.dataset.isEmpty)
+          fail("dataset-stage tasks require a 'dataset' section")
+    }
     p
   }
 }

@@ -123,15 +123,40 @@ object ConfigRuntime {
   private def meanDec(c: Column): Column =
     (sum(c.cast("decimal(30,6)")).cast("double") / count(c))
 
-  /** The composed dataset journey for a configured project. Output columns:
-    * `fold` (fold id — the hash/time label when no folds are declared),
-    * `role` (train/validation/test; "all" when no folds are declared),
-    * `sample_time`, sample keys, then retained feature/target ids in contract
-    * order. `scale: true` vectors are z-scaled with statistics fitted on each
-    * fold's train rows only.
+  /** Assembled samples plus the vector bookkeeping that the dataset journey
+    * and the declarative tasks share.
     */
-  def dataset(spark: SparkSession, dataDir: String,
-              project: Config.Project): DataFrame = {
+  private[pipeline] final case class ProjectAssembly(
+      res: Resolver,
+      ds: Config.DatasetDef,
+      vectors: Seq[Config.VectorDef],
+      seqById: Map[String, Config.SequenceDef],
+      featureIds: Seq[String],
+      targetIds: Seq[String],
+      assembled: DataFrame) {
+    def keys: Seq[String] = "sample_time" +: ds.sampleKeys
+    def entry(id: String): Assembly.VectorEntry = seqById.get(baseId(id)) match {
+      case Some(sq) => Assembly.VectorEntry(id, "sequence", sq.size)
+      case None     => Assembly.VectorEntry(id)
+    }
+    /** Vector id behind a (possibly suffixed) assembled column. */
+    def baseId(columnName: String): String = {
+      val i = columnName.indexOf(Series.IdSeparator)
+      if (i < 0) columnName else columnName.substring(0, i)
+    }
+  }
+
+  /** Post-column-selection view: conformed + row-filtered samples. */
+  private[pipeline] final case class PostStage(
+      frame: DataFrame, retainedF: Seq[String], retainedT: Seq[String]) {
+    def retained: Seq[String] = retainedF ++ retainedT
+  }
+
+  /** Resolve streams and assemble the project's samples (shared by
+    * [[dataset]] and [[runTasks]]).
+    */
+  private[pipeline] def assemble(spark: SparkSession, dataDir: String,
+                                 project: Config.Project): ProjectAssembly = {
     val ds = project.dataset.getOrElse(
       throw new IllegalArgumentException("config: project has no dataset section"))
     val res = resolver(spark, dataDir, project)
@@ -209,9 +234,25 @@ object ConfigRuntime {
       .reduceLeft((a, b) => a.join(b, joinKeys, "full"))
       .localCheckpoint(eager = false)
 
-    // --- postprocess: column selection by coverage (features and targets
-    // have separate thresholds), conform to the retained contract, then row
-    // filtering. Mirrors the reference stage order select → conform → drop.
+    // suffixed layouts keep every pivoted column for a given vector id
+    val featureIds =
+      if (suffixFree) ds.features.map(_.id)
+      else assembled.columns.filter(c => ds.features.exists(v =>
+        c == v.id || c.startsWith(v.id + Series.IdSeparator))).toSeq
+    val targetIds =
+      if (suffixFree) ds.targets.map(_.id)
+      else assembled.columns.filter(c => ds.targets.exists(v =>
+        c == v.id || c.startsWith(v.id + Series.IdSeparator))).toSeq
+    ProjectAssembly(res, ds, vectors, seqById, featureIds, targetIds, assembled)
+  }
+
+  /** Postprocess: column selection by coverage (features and targets have
+    * separate thresholds), conform to the retained contract, then row
+    * filtering. Mirrors the reference stage order select → conform → drop.
+    */
+  private[pipeline] def postprocessStage(a: ProjectAssembly): PostStage = {
+    val ds = a.ds
+    val assembled = a.assembled
     def retain(ids: Seq[String], threshold: Option[Double]): Seq[String] =
       threshold match {
         case None => ids.filter(assembled.columns.contains)
@@ -225,25 +266,11 @@ object ConfigRuntime {
             ids.filter(covered.contains)
           }
       }
-    // suffixed layouts keep every pivoted column for a given vector id
-    val featureIds =
-      if (suffixFree) ds.features.map(_.id)
-      else assembled.columns.filter(c => ds.features.exists(v =>
-        c == v.id || c.startsWith(v.id + Series.IdSeparator))).toSeq
-    val targetIds =
-      if (suffixFree) ds.targets.map(_.id)
-      else assembled.columns.filter(c => ds.targets.exists(v =>
-        c == v.id || c.startsWith(v.id + Series.IdSeparator))).toSeq
-    val retainedF = retain(featureIds, ds.postprocess.featureColumnThreshold)
-    val retainedT = retain(targetIds, ds.postprocess.targetColumnThreshold)
+    val retainedF = retain(a.featureIds, ds.postprocess.featureColumnThreshold)
+    val retainedT = retain(a.targetIds, ds.postprocess.targetColumnThreshold)
     require(retainedF.nonEmpty, "config: column selection removed every feature")
     val retained = retainedF ++ retainedT
-    val keys = "sample_time" +: ds.sampleKeys
-    val conformed = Assembly.conform(assembled, keys,
-      retained.map(id => seqById.get(id) match {
-        case Some(sq) => Assembly.VectorEntry(id, "sequence", sq.size)
-        case None     => Assembly.VectorEntry(id)
-      }))
+    val conformed = Assembly.conform(assembled, a.keys, retained.map(a.entry))
     val rowFiltered0 = ds.postprocess.featureRowThreshold match {
       case Some(thr) => Assembly.filterRowsByCoverage(conformed, retainedF, thr)
       case None      => conformed
@@ -253,6 +280,26 @@ object ConfigRuntime {
         Assembly.filterRowsByCoverage(rowFiltered0, retainedT, thr)
       case _ => rowFiltered0
     }
+    PostStage(rowFiltered, retainedF, retainedT)
+  }
+
+  /** The composed dataset journey for a configured project. Output columns:
+    * `fold` (fold id — the hash/time label when no folds are declared),
+    * `role` (train/validation/test; "all" when no folds are declared),
+    * `sample_time`, sample keys, then retained feature/target ids in contract
+    * order. `scale: true` vectors are z-scaled with statistics fitted on each
+    * fold's train rows only.
+    */
+  def dataset(spark: SparkSession, dataDir: String,
+              project: Config.Project): DataFrame = {
+    val a = assemble(spark, dataDir, project)
+    val ds = a.ds
+    val seqById = a.seqById
+    val vectors = a.vectors
+    val keys = a.keys
+    val post = postprocessStage(a)
+    val retained = post.retained
+    val rowFiltered = post.frame
 
     // --- split: one primitive label per sample, then fold/role resolution
     // via a broadcast label→(fold, role) map. Without a split the dataset is
@@ -332,5 +379,120 @@ object ConfigRuntime {
         transform(col(f), x => (x - col(s"${f}__mean")) / col(s"${f}__std")))
     }
     out.select(ordered: _*)
+  }
+
+  /** Run the project's declarative `tasks:` (reference config/tasks/⋆.py) and
+    * union their reports into one long frame:
+    * `(task, item, metric, value, value_str)` — numeric observations in
+    * `value`, categorical ones (matrix statuses, vector kinds) in
+    * `value_str`. Dataset-stage tasks share ONE assembly (localCheckpoint),
+    * so running n tasks costs one shuffle, not n.
+    */
+  def runTasks(spark: SparkSession, dataDir: String,
+               project: Config.Project): DataFrame = {
+    require(project.tasks.nonEmpty, "config: project declares no tasks")
+    val outCols = Seq(col("task"), col("item"), col("metric"),
+      col("value"), col("value_str"))
+    val nullStr = lit(null).cast("string")
+    val nullNum = lit(null).cast("double")
+
+    lazy val a = assemble(spark, dataDir, project)
+    lazy val post = postprocessStage(a)
+    // stage view: the columns a task sees and the frame they live in
+    def stage(name: String): (DataFrame, Seq[String], Seq[String]) = name match {
+      case "assembled" => (a.assembled, a.featureIds, a.targetIds)
+      case _           => (post.frame, post.retainedF, post.retainedT)
+    }
+
+    val frames = project.tasks.map {
+      case Config.CoverageTask(id, threshold, st) =>
+        val (frame, fids, tids) = stage(st)
+        Assembly.coverageStats(frame, fids ++ tids)
+          .select(col("column").as("item"), explode(array(
+            struct(lit("coverage").as("metric"),
+              round(col("coverage"), 6).as("value")),
+            struct(lit("meets_threshold").as("metric"),
+              when(col("coverage") >= threshold, 1.0).otherwise(0.0).as("value")),
+            struct(lit("non_null").as("metric"),
+              col("non_null").cast("double").as("value")),
+            struct(lit("present").as("metric"),
+              col("present").cast("double").as("value")))).as("m"))
+          .select(lit(id).as("task"), col("item"), col("m.metric").as("metric"),
+            col("m.value").as("value"), nullStr.as("value_str"))
+
+      case Config.MatrixTask(id, st, maxCells) =>
+        val (frame, fids, tids) = stage(st)
+        // sample_time → epoch-µs inside the group key (timestamp→string
+        // rendering is engine-specific; µs integers are not)
+        val usFrame = frame.withColumn("sample_time",
+          unix_micros(col("sample_time")))
+        val entries =
+          fids.map(f => Assembly.MatrixEntry("feature", f,
+            a.seqById.get(a.baseId(f)).map(_.size))) ++
+          tids.map(t => Assembly.MatrixEntry("target", t,
+            a.seqById.get(a.baseId(t)).map(_.size)))
+        Assembly.availabilityMatrix(usFrame, a.keys, entries, maxCells)
+          .select(lit(id).as("task"),
+            concat(col("identifier"), lit("@"), col("grp")).as("item"),
+            lit("status").as("metric"), nullNum.as("value"),
+            col("status").as("value_str"))
+
+      case Config.ScalerTask(id, _, _, epsilon) =>
+        val (frame, fids, tids) = stage("postprocessed")
+        val scaledIds = a.vectors.filter(_.scale).map(_.id)
+          .flatMap(v => (fids ++ tids).filter(c =>
+            c == v || c.startsWith(v + Series.IdSeparator)))
+        require(scaledIds.nonEmpty,
+          s"config: task '$id': no scale: true vectors to fit")
+        // unfolded fit over the whole stage frame (reference
+        // _fit_standard_scaler); sequence vectors observe window ELEMENTS
+        val perField = scaledIds.map { f =>
+          val obs =
+            if (a.seqById.contains(a.baseId(f)))
+              frame.select(explode(col(f)).as("__x"))
+            else frame.select(col(f).as("__x"))
+          obs.agg(
+            meanDec(col("__x")).as("mean"),
+            round(greatest(coalesce(stddev_pop(col("__x")), lit(0.0)),
+              lit(epsilon)), 6).as("std"),
+            count(col("__x")).cast("double").as("cnt"))
+            .select(explode(array(
+              struct(lit("mean").as("metric"), col("mean").as("value")),
+              struct(lit("std").as("metric"), col("std").as("value")),
+              struct(lit("count").as("metric"), col("cnt").as("value")))).as("m"))
+            .select(lit(id).as("task"), lit(f).as("item"),
+              col("m.metric").as("metric"), col("m.value").as("value"),
+              nullStr.as("value_str"))
+        }
+        perField.reduce(_ unionByName _)
+
+      case Config.MetadataTask(id) =>
+        val (_, fids, tids) = stage("postprocessed")
+        val rows = (fids.map(_ -> false) ++ tids.map(_ -> true)).flatMap {
+          case (f, isTarget) =>
+            val vdef = a.vectors.find(v => v.id == a.baseId(f))
+            val kind = if (a.seqById.contains(a.baseId(f))) "sequence" else "scalar"
+            val len = a.seqById.get(a.baseId(f)).map(_.size).getOrElse(0)
+            Seq((id, f, "length", len.toDouble, kind),
+              (id, f, "is_target", if (isTarget) 1.0 else 0.0, null: String),
+              (id, f, "scaled", if (vdef.exists(_.scale)) 1.0 else 0.0,
+                null: String))
+        }
+        spark.createDataFrame(rows)
+          .toDF("task", "item", "metric", "value", "value_str")
+
+      case Config.TicksTask(id, streamId, gridBy) =>
+        // canonical tick grid: distinct (grid_by, time) of the resolved
+        // stream (reference operations/artifacts/ticks.py materialize_ticks)
+        val res2 = resolver(spark, dataDir, project)
+        res2.stream(streamId)
+          .select((gridBy :+ "time").map(col): _*).distinct()
+          .select(lit(id).as("task"),
+            concat_ws(";", gridBy.map(c => col(c).cast("string")): _*).as("item"),
+            lit("tick_us").as("metric"),
+            unix_micros(col("time")).cast("double").as("value"),
+            nullStr.as("value_str"))
+    }
+    frames.reduce(_ unionByName _).select(outCols: _*)
   }
 }

@@ -78,6 +78,39 @@ object QueriesPipeline {
       |      - { id: f0, train: [train], test: [test] }
       |""".stripMargin
 
+  // --- config_tasks: one project document declaring FIVE named tasks
+  // (reference config/tasks/{coverage,matrix,scaler,metadata,ticks}.py) that
+  // all run from one YAML — coverage report, availability matrix, scaler
+  // statistics, vector-contract metadata, and a canonical tick grid.
+  private val TasksConfigDoc =
+    """sources:
+      |  - id: ev
+      |    loader: { transport: fs, path: events.parquet, reader: { format: parquet } }
+      |streams:
+      |  - id: ev.stream
+      |    from: { source: ev }
+      |    map: { time: ts, fields: [user_id, event_id, value, event_type] }
+      |    partition_by: [user_id]
+      |    tiebreak: [event_id]
+      |  - id: ev.purchases
+      |    from: { stream: ev.stream }
+      |    transforms:
+      |      - { operation: where, field: event_type, operator: eq, comparand: purchase }
+      |dataset:
+      |  sample:
+      |    cadence: 1h
+      |    keys: [user_id]
+      |  features:
+      |    - { id: val, stream: ev.stream, field: value, scale: true }
+      |    - { id: pval, stream: ev.purchases, field: value }
+      |tasks:
+      |  - { id: cov, task: coverage, threshold: 0.9, stage: assembled }
+      |  - { id: mat, task: matrix, stage: assembled, max_cells: 1000000 }
+      |  - { id: sc, task: scaler }
+      |  - { id: meta, task: metadata }
+      |  - { id: ticks, task: ticks, stream: ev.purchases, grid_by: [user_id] }
+      |""".stripMargin
+
   private val ColumnThreshold = 0.05
   private val RowThreshold = 0.9
   private val Ratios = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -139,6 +172,15 @@ object QueriesPipeline {
           array_join(transform(col("seq3"),
             x => round(x, 6).cast("decimal(30,6)").cast("string")), ",")
             .as("seq3"))
+    },
+
+    // Declarative named tasks: five reports (coverage, matrix, scaler,
+    // metadata, ticks) from ONE document, sharing one assembly shuffle.
+    "config_tasks" -> { (s, d) =>
+      val project = graft.pipeline.Config.parseProject(TasksConfigDoc)
+      graft.pipeline.ConfigRuntime.runTasks(s, d, project)
+        .select(col("task"), col("item"), col("metric"),
+          round(col("value"), 6).as("value"), col("value_str"))
     },
 
     // Series projection over events: partition identity (user_id, event_type)
@@ -239,6 +281,79 @@ object QueriesPipeline {
                  ROUND((purchase_total - m_pt) / s_pt, 6) AS purchase_total
           FROM labeled, stats"""
     },
+
+    "config_tasks" ->
+      """WITH src AS (
+           SELECT user_id, event_id, value, event_type, epoch_us(ts) AS t_us
+           FROM events),
+         asm AS (
+           SELECT user_id, t_us - t_us % 3600000000 AS st,
+                  max(value) AS val,
+                  max(CASE WHEN event_type = 'purchase' THEN value END) AS pval
+           FROM src GROUP BY 1, 2),
+         covstats AS (
+           SELECT count(*) AS present, count(val) AS nn_val,
+                  count(pval) AS nn_pval
+           FROM asm),
+         cov AS (
+           SELECT 'val' AS item, present, nn_val AS non_null FROM covstats
+           UNION ALL
+           SELECT 'pval' AS item, present, nn_pval AS non_null FROM covstats),
+         cov_rows AS (
+           SELECT 'cov' AS task, item, 'coverage' AS metric,
+                  ROUND(CAST(non_null AS DOUBLE) / present, 6) AS value,
+                  CAST(NULL AS VARCHAR) AS value_str FROM cov
+           UNION ALL
+           SELECT 'cov', item, 'meets_threshold',
+                  CASE WHEN CAST(non_null AS DOUBLE) / present >= 0.9
+                       THEN 1.0 ELSE 0.0 END, NULL FROM cov
+           UNION ALL
+           SELECT 'cov', item, 'non_null', CAST(non_null AS DOUBLE), NULL FROM cov
+           UNION ALL
+           SELECT 'cov', item, 'present', CAST(present AS DOUBLE), NULL FROM cov),
+         mat_rows AS (
+           SELECT 'mat' AS task,
+                  'val@' || CAST(st AS VARCHAR) || ', ' || CAST(user_id AS VARCHAR) AS item,
+                  'status' AS metric, CAST(NULL AS DOUBLE) AS value,
+                  'present' AS value_str
+           FROM asm
+           UNION ALL
+           SELECT 'mat',
+                  'pval@' || CAST(st AS VARCHAR) || ', ' || CAST(user_id AS VARCHAR),
+                  'status', NULL,
+                  CASE WHEN pval IS NULL THEN 'null' ELSE 'present' END
+           FROM asm),
+         scstats AS (
+           SELECT CAST(SUM(CAST(val AS DECIMAL(30,6))) AS DOUBLE) / COUNT(val) AS m,
+                  ROUND(GREATEST(COALESCE(stddev_pop(val), 0.0), 1e-12), 6) AS sd,
+                  CAST(COUNT(val) AS DOUBLE) AS c
+           FROM asm),
+         sc_rows AS (
+           SELECT 'sc' AS task, 'val' AS item, 'mean' AS metric,
+                  ROUND(m, 6) AS value, CAST(NULL AS VARCHAR) AS value_str
+           FROM scstats
+           UNION ALL SELECT 'sc', 'val', 'std', ROUND(sd, 6), NULL FROM scstats
+           UNION ALL SELECT 'sc', 'val', 'count', c, NULL FROM scstats),
+         meta_rows AS (
+           SELECT * FROM (VALUES
+             ('meta', 'val', 'length', 0.0, 'scalar'),
+             ('meta', 'val', 'is_target', 0.0, CAST(NULL AS VARCHAR)),
+             ('meta', 'val', 'scaled', 1.0, NULL),
+             ('meta', 'pval', 'length', 0.0, 'scalar'),
+             ('meta', 'pval', 'is_target', 0.0, NULL),
+             ('meta', 'pval', 'scaled', 0.0, NULL))
+             AS t(task, item, metric, value, value_str)),
+         ticks_rows AS (
+           SELECT 'ticks' AS task, CAST(user_id AS VARCHAR) AS item,
+                  'tick_us' AS metric, CAST(t_us AS DOUBLE) AS value,
+                  CAST(NULL AS VARCHAR) AS value_str
+           FROM (SELECT DISTINCT user_id, t_us FROM src
+                 WHERE event_type = 'purchase'))
+         SELECT * FROM cov_rows
+         UNION ALL SELECT * FROM mat_rows
+         UNION ALL SELECT * FROM sc_rows
+         UNION ALL SELECT * FROM meta_rows
+         UNION ALL SELECT * FROM ticks_rows""",
 
     "config_sequence" -> {
       // ratios canonicalized by label: test .25 | train .75

@@ -252,4 +252,45 @@ class ConfigSpec extends SparkSpec {
     bad("{ id: a, stream: s, field: f, sequence: { size: 2, pad: 1 } }",
       "unknown field")
   }
+
+  test("task configs parse with reference defaults; invalid ones are rejected") {
+    val p = Config.parseProject(
+      """streams: [ { id: s, from: { source: x }, partition_by: [k] } ]
+        |dataset: { sample: { cadence: 1h, keys: [k] },
+        |           features: [ { id: a, stream: s, field: f } ] }
+        |tasks:
+        |  - { id: cov, task: coverage }
+        |  - { id: mat, task: matrix, stage: assembled, max_cells: 10 }
+        |  - { id: sc, task: scaler, epsilon: 0.001 }
+        |  - { id: meta, task: metadata }
+        |  - { id: t, task: ticks, stream: s, grid_by: [k] }
+        |""".stripMargin)
+    assert(p.task("cov") == Config.CoverageTask("cov", 0.95, "postprocessed"))
+    assert(p.task("mat") == Config.MatrixTask("mat", "assembled", 10L))
+    assert(p.task("sc") == Config.ScalerTask("sc", true, true, 0.001))
+    assert(p.task("t") == Config.TicksTask("t", "s", Seq("k")))
+    def bad(tasks: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](Config.parseProject(
+        s"""streams: [ { id: s, from: { source: x } } ]
+           |dataset: { sample: { cadence: 1h }, features: [ { id: a, stream: s, field: f } ] }
+           |tasks: [ $tasks ]
+           |""".stripMargin))
+      assert(e.getMessage.contains(needle), s"got: ${e.getMessage}")
+    }
+    bad("{ id: a, task: exotic }", "unknown task kind")
+    bad("{ id: a, task: coverage, threshold: 1.5 }", "must be in [0, 1]")
+    bad("{ id: a, task: matrix, max_cells: 0 }", "max_cells must be > 0")
+    bad("{ id: a, task: scaler, epsilon: 0 }", "epsilon must be finite and positive")
+    bad("{ id: a, task: ticks, stream: s, grid_by: [time] }", "reserved field 'time'")
+    bad("{ id: a, task: ticks, stream: s, grid_by: [k, k] }", "duplicate")
+    bad("{ id: a, task: ticks, stream: nope }", "unknown stream")
+    bad("{ id: a, task: coverage, surprise: 1 }", "unknown field")
+    bad("{ id: a, task: coverage }, { id: a, task: metadata }", "duplicate task id")
+    // dataset-stage tasks demand a dataset section
+    val e = intercept[IllegalArgumentException](Config.parseProject(
+      """streams: [ { id: s, from: { source: x } } ]
+        |tasks: [ { id: a, task: coverage } ]
+        |""".stripMargin))
+    assert(e.getMessage.contains("require a 'dataset'"))
+  }
 }
