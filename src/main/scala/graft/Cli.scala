@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
 import graft.pipeline.{Config, ConfigRuntime}
-import graft.sources.Runs
+import graft.sources.{Hygiene, Runs}
 
 /** Command-line entry point (reference: cli/app.py + cli/commands/
   * materialize.py — run a YAML project document and serve the result into a
@@ -14,6 +14,7 @@ import graft.sources.Runs
   * {{{
   *   graft.Cli materialize <project.yaml> <dataDir> <serveRoot> [previewRows]
   *   graft.Cli stream      <project.yaml> <streamId> <dataDir> [limit]
+  *   graft.Cli run         <project.yaml> <profileId> <dataDir> [serveRoot]
   * }}}
   *
   * `materialize` = parse project → build the dataset plan → write parquet
@@ -25,25 +26,71 @@ import graft.sources.Runs
   */
 object Cli {
 
+  private def write(df: org.apache.spark.sql.DataFrame, format: String,
+                    dir: String): Unit = {
+    val w = df.write.mode("overwrite")
+    format match {
+      case "csv"   => w.option("header", "true").csv(dir)
+      case "jsonl" => w.json(dir)
+      case _       => w.parquet(dir)
+    }
+  }
+
+  private def read(spark: SparkSession, format: String, dir: String) =
+    format match {
+      case "csv" => spark.read.option("header", "true")
+        .option("inferSchema", "true").csv(dir)
+      case "jsonl" => spark.read.json(dir)
+      case _       => spark.read.parquet(dir)
+    }
+
   def materialize(spark: SparkSession, configPath: String, dataDir: String,
                   serveRoot: String, preview: Int = 0,
-                  out: java.io.PrintStream = System.out): Runs.RunPaths = {
-    val project = Config.parseProject(Files.readString(Paths.get(configPath)))
-    val df = ConfigRuntime.dataset(spark, dataDir, project)
-    val paths = Runs.runPaths(serveRoot, Runs.makeRunId())
-    Runs.startRun(paths)
-    try {
-      df.write.mode("overwrite").parquet(paths.datasetDir.toString)
-      Runs.finishRun(paths, "success")
-    } catch {
-      case e: Throwable =>
-        Runs.finishRun(paths, "failed", Some(String.valueOf(e.getMessage)))
-        throw e
+                  format: String = "parquet",
+                  out: java.io.PrintStream = System.out): Runs.RunPaths =
+    // one mutating command per serve root (fail-fast lock) + sweep any
+    // orphaned scratch dirs a crashed run left behind before starting
+    Hygiene.withExecutionLock(Paths.get(serveRoot)) {
+      Hygiene.cleanTempDirs(Hygiene.tempRoot(Paths.get(serveRoot)))
+      val project = Config.parseProject(Files.readString(Paths.get(configPath)))
+      val df = ConfigRuntime.dataset(spark, dataDir, project)
+      val paths = Runs.runPaths(serveRoot, Runs.makeRunId())
+      Runs.startRun(paths)
+      try {
+        write(df, format, paths.datasetDir.toString)
+        Runs.finishRun(paths, "success")
+      } catch {
+        case e: Throwable =>
+          Runs.finishRun(paths, "failed", Some(String.valueOf(e.getMessage)))
+          throw e
+      }
+      out.println(s"run ${paths.runId} -> ${paths.datasetDir}")
+      if (preview > 0)
+        Runs.writeText(read(spark, format, paths.datasetDir.toString), preview, out)
+      paths
     }
-    out.println(s"run ${paths.runId} -> ${paths.datasetDir}")
-    if (preview > 0)
-      Runs.writeText(spark.read.parquet(paths.datasetDir.toString), preview, out)
-    paths
+
+  /** Run a named profile from the project's `profiles:` section (reference
+    * config/profiles/defaults.py): the profile supplies the command, preview
+    * rows, output format and default run root; an explicit `serveRoot`
+    * argument overrides the profile's `run_root`.
+    */
+  def runProfile(spark: SparkSession, configPath: String, profileId: String,
+                 dataDir: String, serveRoot: Option[String] = None,
+                 out: java.io.PrintStream = System.out): Unit = {
+    val project = Config.parseProject(Files.readString(Paths.get(configPath)))
+    val p = project.profile(profileId)
+    def root: String = serveRoot.orElse(p.runRoot).getOrElse(
+      throw new IllegalArgumentException(
+        s"config: profile '$profileId' has no run_root and none was given"))
+    p.cmd match {
+      case "materialize" =>
+        materialize(spark, configPath, dataDir, root, p.preview, p.format, out)
+      case "materialize-streams" =>
+        materializeStreams(spark, configPath, dataDir, root, out)
+      case "stream" =>
+        streamPreview(spark, configPath, p.stream.get, dataDir, p.preview, out)
+    }
   }
 
   def streamPreview(spark: SparkSession, configPath: String, streamId: String,
@@ -62,25 +109,27 @@ object Cli {
     */
   def materializeStreams(spark: SparkSession, configPath: String,
                          dataDir: String, serveRoot: String,
-                         out: java.io.PrintStream = System.out): Runs.RunPaths = {
-    val project = Config.parseProject(Files.readString(Paths.get(configPath)))
-    val res = ConfigRuntime.resolver(spark, dataDir, project)
-    val paths = Runs.runPaths(serveRoot, Runs.makeRunId())
-    Runs.startRun(paths)
-    try {
-      project.streams.map(_.id).foreach { id =>
-        res.stream(id).write.mode("overwrite")
-          .parquet(paths.runRoot.resolve("streams").resolve(id).toString)
-        out.println(s"run ${paths.runId} stream $id -> streams/$id")
+                         out: java.io.PrintStream = System.out): Runs.RunPaths =
+    Hygiene.withExecutionLock(Paths.get(serveRoot)) {
+      Hygiene.cleanTempDirs(Hygiene.tempRoot(Paths.get(serveRoot)))
+      val project = Config.parseProject(Files.readString(Paths.get(configPath)))
+      val res = ConfigRuntime.resolver(spark, dataDir, project)
+      val paths = Runs.runPaths(serveRoot, Runs.makeRunId())
+      Runs.startRun(paths)
+      try {
+        project.streams.map(_.id).foreach { id =>
+          res.stream(id).write.mode("overwrite")
+            .parquet(paths.runRoot.resolve("streams").resolve(id).toString)
+          out.println(s"run ${paths.runId} stream $id -> streams/$id")
+        }
+        Runs.finishRun(paths, "success")
+      } catch {
+        case e: Throwable =>
+          Runs.finishRun(paths, "failed", Some(String.valueOf(e.getMessage)))
+          throw e
       }
-      Runs.finishRun(paths, "success")
-    } catch {
-      case e: Throwable =>
-        Runs.finishRun(paths, "failed", Some(String.valueOf(e.getMessage)))
-        throw e
+      paths
     }
-    paths
-  }
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -109,11 +158,16 @@ object Cli {
       val spark = session()
       try materializeStreams(spark, config, dataDir, serveRoot)
       finally spark.stop()
+    case "run" :: config :: profileId :: dataDir :: rest =>
+      val spark = session()
+      try runProfile(spark, config, profileId, dataDir, rest.headOption)
+      finally spark.stop()
     case other =>
       System.err.println(
         s"""usage: graft.Cli materialize <project.yaml> <dataDir> <serveRoot> [previewRows]
            |       graft.Cli materialize-streams <project.yaml> <dataDir> <serveRoot>
            |       graft.Cli stream <project.yaml> <streamId> <dataDir> [limit]
+           |       graft.Cli run <project.yaml> <profileId> <dataDir> [serveRoot]
            |got: ${other.mkString(" ")}""".stripMargin)
       sys.exit(2)
   }

@@ -112,17 +112,33 @@ object Config {
   final case class TicksTask(id: String, stream: String,
                              gridBy: Seq[String]) extends TaskDef
 
+  /** A named option bundle for the Cli — the graft twin of the reference
+    * profile defaults (config/profiles/defaults.py:1, serve.py, output.py):
+    * which command to run, how many preview rows, the output format, and an
+    * optional default run root, all selectable by id at the entry point.
+    */
+  final case class ProfileDef(
+      id: String,
+      cmd: String,
+      stream: Option[String] = None,
+      preview: Int = 0,
+      format: String = "parquet",
+      runRoot: Option[String] = None)
+
   final case class Project(
       sources: Seq[SourceDef],
       streams: Seq[StreamDef],
       dataset: Option[DatasetDef],
-      tasks: Seq[TaskDef] = Nil) {
+      tasks: Seq[TaskDef] = Nil,
+      profiles: Seq[ProfileDef] = Nil) {
     def source(id: String): SourceDef =
       sources.find(_.id == id).getOrElse(fail(s"unknown source '$id'"))
     def stream(id: String): StreamDef =
       streams.find(_.id == id).getOrElse(fail(s"unknown stream '$id'"))
     def task(id: String): TaskDef =
       tasks.find(_.id == id).getOrElse(fail(s"unknown task '$id'"))
+    def profile(id: String): ProfileDef =
+      profiles.find(_.id == id).getOrElse(fail(s"unknown profile '$id'"))
   }
 
   private def fail(msg: String): Nothing =
@@ -557,6 +573,35 @@ object Config {
     }
   }
 
+  /** One `profiles:` entry; strict like the reference's extra="forbid"
+    * profile models.
+    */
+  private def parseProfile(raw: Any): ProfileDef = {
+    val t = asTree(raw, "profile")
+    val id = str(t, "id", "profile")
+    val ctx = s"profile '$id'"
+    requireKeys(t, Set("id", "cmd", "stream", "preview", "format", "run_root"), ctx)
+    val cmd = str(t, "cmd", ctx)
+    if (!Set("materialize", "materialize-streams", "stream").contains(cmd))
+      fail(s"$ctx.cmd must be materialize | materialize-streams | stream, got '$cmd'")
+    val stream = strOpt(t, "stream")
+    if (cmd == "stream" && stream.isEmpty)
+      fail(s"$ctx: cmd 'stream' requires a 'stream' id")
+    if (cmd != "stream" && stream.nonEmpty)
+      fail(s"$ctx: only cmd 'stream' takes a 'stream' id")
+    val preview = intOpt(t, "preview")
+      .getOrElse(if (cmd == "stream") 20 else 0)
+    if (cmd == "stream" && preview < 1)
+      fail(s"$ctx.preview must be >= 1 for cmd 'stream', got $preview")
+    if (preview < 0) fail(s"$ctx.preview must be >= 0, got $preview")
+    val format = strOpt(t, "format").getOrElse("parquet")
+    if (!Set("parquet", "csv", "jsonl").contains(format))
+      fail(s"$ctx.format must be parquet | csv | jsonl, got '$format'")
+    if (cmd != "materialize" && t.contains("format"))
+      fail(s"$ctx: only cmd 'materialize' takes a 'format'")
+    ProfileDef(id, cmd, stream, preview, format, strOpt(t, "run_root"))
+  }
+
   /** Parse one whole project document. */
   def parseProject(yaml: String): Project = {
     val mapper = new ObjectMapper(new YAMLFactory())
@@ -564,18 +609,22 @@ object Config {
       .asInstanceOf[Tree]
     val globals = rawTree.get("globals").map(asTree(_, "globals")).getOrElse(Map.empty)
     val tree = interpolate(rawTree - "globals", globals).asInstanceOf[Tree]
-    requireKeys(tree, Set("sources", "streams", "dataset", "tasks"), "project")
+    requireKeys(tree, Set("sources", "streams", "dataset", "tasks", "profiles"),
+      "project")
     val p = Project(
       tree.get("sources").map(v => asList(v, "sources").map(parseSource)).getOrElse(Nil),
       tree.get("streams").map(v => asList(v, "streams").map(parseStream)).getOrElse(Nil),
       tree.get("dataset").map(parseDataset),
-      tree.get("tasks").map(v => asList(v, "tasks").map(parseTask)).getOrElse(Nil))
-    val dupS = p.sources.groupBy(_.id).collect { case (id, xs) if xs.length > 1 => id }
-    val dupT = p.streams.groupBy(_.id).collect { case (id, xs) if xs.length > 1 => id }
-    val dupK = p.tasks.groupBy(_.id).collect { case (id, xs) if xs.length > 1 => id }
-    if (dupS.nonEmpty) fail(s"duplicate source id(s): ${dupS.mkString(", ")}")
-    if (dupT.nonEmpty) fail(s"duplicate stream id(s): ${dupT.mkString(", ")}")
-    if (dupK.nonEmpty) fail(s"duplicate task id(s): ${dupK.mkString(", ")}")
+      tree.get("tasks").map(v => asList(v, "tasks").map(parseTask)).getOrElse(Nil),
+      tree.get("profiles").map(v => asList(v, "profiles").map(parseProfile)).getOrElse(Nil))
+    def dups[A](xs: Seq[A], id: A => String, what: String): Unit = {
+      val d = xs.groupBy(id).collect { case (k, vs) if vs.length > 1 => k }
+      if (d.nonEmpty) fail(s"duplicate $what id(s): ${d.mkString(", ")}")
+    }
+    dups(p.sources, (_: SourceDef).id, "source")
+    dups(p.streams, (_: StreamDef).id, "stream")
+    dups(p.tasks, (_: TaskDef).id, "task")
+    dups(p.profiles, (_: ProfileDef).id, "profile")
     p.tasks.foreach {
       case TicksTask(id, stream, _) =>
         if (!p.streams.exists(_.id == stream))
@@ -583,6 +632,14 @@ object Config {
       case _ =>
         if (p.dataset.isEmpty)
           fail("dataset-stage tasks require a 'dataset' section")
+    }
+    p.profiles.foreach { prof =>
+      prof.stream.foreach { s =>
+        if (!p.streams.exists(_.id == s))
+          fail(s"profile '${prof.id}': unknown stream '$s'")
+      }
+      if (prof.cmd == "materialize" && p.dataset.isEmpty)
+        fail(s"profile '${prof.id}': cmd 'materialize' requires a 'dataset' section")
     }
     p
   }

@@ -293,4 +293,39 @@ class ConfigSpec extends SparkSpec {
         |""".stripMargin))
     assert(e.getMessage.contains("require a 'dataset'"))
   }
+
+  test("profiles parse as named option bundles; invalid ones are rejected") {
+    val p = Config.parseProject(
+      """streams: [ { id: s, from: { source: x }, partition_by: [k] } ]
+        |dataset: { sample: { cadence: 1h, keys: [k] },
+        |           features: [ { id: a, stream: s, field: f } ] }
+        |profiles:
+        |  - { id: quick, cmd: materialize, preview: 5, format: csv, run_root: serve }
+        |  - { id: peek, cmd: stream, stream: s }
+        |  - { id: all, cmd: materialize-streams }
+        |""".stripMargin)
+    assert(p.profile("quick") ==
+      Config.ProfileDef("quick", "materialize", None, 5, "csv", Some("serve")))
+    assert(p.profile("peek") ==
+      Config.ProfileDef("peek", "stream", Some("s"), 20, "parquet", None))
+    assert(p.profile("all").cmd == "materialize-streams")
+    def bad(profiles: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](Config.parseProject(
+        s"""streams: [ { id: s, from: { source: x } } ]
+           |dataset: { sample: { cadence: 1h }, features: [ { id: a, stream: s, field: f } ] }
+           |profiles: [ $profiles ]
+           |""".stripMargin))
+      assert(e.getMessage.contains(needle), s"got: ${e.getMessage}")
+    }
+    bad("{ id: a, cmd: deploy }", "cmd must be")
+    bad("{ id: a, cmd: materialize, format: xml }", "format must be")
+    bad("{ id: a, cmd: stream }", "requires a 'stream' id")
+    bad("{ id: a, cmd: stream, stream: nope }", "unknown stream")
+    bad("{ id: a, cmd: materialize, stream: s }", "only cmd 'stream'")
+    bad("{ id: a, cmd: materialize-streams, format: csv }", "only cmd 'materialize'")
+    bad("{ id: a, cmd: stream, stream: s, preview: 0 }", "must be >= 1")
+    bad("{ id: a, cmd: materialize, surprise: 1 }", "unknown field")
+    bad("{ id: a, cmd: materialize }, { id: a, cmd: materialize }",
+      "duplicate profile")
+  }
 }
