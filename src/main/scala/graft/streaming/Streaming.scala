@@ -136,9 +136,12 @@ object Streaming {
     (merged +: rest).sortBy(_.start)
   }
 
-  /** Per-batch update emissions: each touched user re-emits its full session
-    * snapshot tagged with the running event total (strictly increasing per
-    * emission, so the final snapshot per user is the max-total one).
+  /** Per-batch update emissions: each touched user re-emits ONE row carrying
+    * its full span array, tagged with the running event total (strictly
+    * increasing per emission, so the final snapshot per user is the
+    * max-total one). One row per user per batch — not one per session —
+    * keeps the update log O(users × batches) and lets the final snapshot be
+    * a hash aggregate instead of a sort.
     */
   def gapSessions(spark: SparkSession, events: DataFrame,
                   gapUs: Long): DataFrame = {
@@ -147,7 +150,7 @@ object Streaming {
     events.select(col("user_id"), unix_micros(col("ts")).as("t"))
       .as[(Long, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[Seq[SessionSpan], (Long, Long, Long, Long, Long, Long)](
+      .flatMapGroupsWithState[Seq[SessionSpan], (Long, Long, Seq[(Long, Long, Long)])](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (user: Long, rows: Iterator[(Long, Long)],
          state: org.apache.spark.sql.streaming.GroupState[Seq[SessionSpan]]) =>
@@ -155,15 +158,15 @@ object Streaming {
           rows.foreach { case (_, t) => sessions = mergeEvent(sessions, t, gapUs) }
           state.update(sessions)
           val total = sessions.map(_.n).sum
-          sessions.iterator.zipWithIndex.map { case (s, i) =>
-            (user, total, i.toLong, s.n, s.start, s.end)
-          }
+          Iterator.single((user, total, sessions.map(s => (s.n, s.start, s.end))))
       }
-      .toDF("user_id", "total_n", "session_id", "n_events", "start_us", "end_us")
+      .toDF("user_id", "total_n", "spans")
   }
 
   /** Drive [[gapSessions]] over the finite input; keep each user's last
-    * (= max running total) snapshot — the exact sessionization.
+    * (= max running total) snapshot — the exact sessionization. `max_by` is
+    * a plain hash aggregate with a map-side partial, so the snapshot costs
+    * no shuffle-sort over the update log (the r5 window-max did).
     */
   def runSessionsToBatch(spark: SparkSession, sfDir: String, tableName: String,
                          gap: String = "30min"): DataFrame = {
@@ -176,12 +179,12 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val byUser = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
     spark.table(tableName)
-      .withColumn("__max_n", max(col("total_n")).over(byUser))
-      .where(col("total_n") === col("__max_n"))
-      .select(col("user_id"), col("session_id"), col("n_events"),
-        col("start_us"), col("end_us"))
+      .groupBy(col("user_id"))
+      .agg(max_by(col("spans"), col("total_n")).as("spans"))
+      .select(col("user_id"), posexplode(col("spans")).as(Seq("session_id", "s")))
+      .select(col("user_id"), col("session_id").cast("long").as("session_id"),
+        col("s._1").as("n_events"), col("s._2").as("start_us"), col("s._3").as("end_us"))
   }
 
   /** Stateful streaming as-of attach (the unbounded twin of the batch

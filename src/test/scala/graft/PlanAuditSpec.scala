@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** Explain-audit snapshots for the six bench heads (q1/q3/q5/q6,
+  * dedup_cluster, ann_lsh): the committed operator-tree skeleton under
+  * src/test/resources/plans/ is the plan we signed off on, so any Catalyst
+  * regression (a lost broadcast, a new shuffle, a filter that stops pushing)
+  * fails `sbt test` instead of waiting for a human `.explain` read.
+  *
+  * Regenerate deliberately with GRAFT_UPDATE_PLANS=1 sbt test and review the
+  * git diff like any other code change.
+  *
+  * Plan-shape invariants are asserted separately from the snapshot so a
+  * failure names the broken property, not just a text diff.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val snapDir = Paths.get("src/test/resources/plans")
+  private val update = sys.env.contains("GRAFT_UPDATE_PLANS")
+
+  private def formattedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  /** The numbered operator tree at the top of the formatted explain, with
+    * the (N) ordinals stripped — pure structure, no expression ids/paths.
+    */
+  private def skeleton(plan: String): String =
+    plan.linesIterator
+      .dropWhile(_.startsWith("=="))
+      .takeWhile(_.trim.nonEmpty)
+      .map(_.replaceAll("\\(\\d+\\)", "").replaceAll("\\s+$", ""))
+      .mkString("\n") + "\n"
+
+  private def checkSnapshot(name: String, plan: String): Unit = {
+    val file = snapDir.resolve(s"$name.plan")
+    val current = skeleton(plan)
+    if (update || !Files.exists(file)) {
+      Files.createDirectories(snapDir)
+      Files.write(file, current.getBytes(StandardCharsets.UTF_8))
+      info(s"wrote plan snapshot $file")
+    } else {
+      val committed = new String(Files.readAllBytes(file), StandardCharsets.UTF_8)
+      assert(current == committed,
+        s"""physical plan of $name drifted from the committed snapshot.
+           |If the new plan is intentional, regenerate with GRAFT_UPDATE_PLANS=1.
+           |--- committed ---
+           |$committed
+           |--- current ---
+           |$current""".stripMargin)
+    }
+  }
+
+  private def audit(name: String)(invariants: String => Unit): Unit =
+    test(s"plan audit: $name") {
+      val plan = formattedPlan(name)
+      assert(!plan.contains("CartesianProduct"), s"cartesian product in $name:\n$plan")
+      invariants(plan)
+      checkSnapshot(name, plan)
+    }
+
+  audit("q1_pricing") { plan =>
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      "q1 ship-date filter must reach the parquet scan")
+    // column pruning: exactly the 7 referenced lineitem columns, nothing else
+    assert(plan.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_tax:double,l_returnflag:string,l_linestatus:string,l_shipdate:timestamp"),
+      "q1 scan must prune to the 7 referenced columns")
+  }
+
+  audit("q6_forecast") { plan =>
+    Seq("GreaterThanOrEqual(l_shipdate,1996-01-01", "LessThan(l_shipdate,1997-01-01",
+      "GreaterThanOrEqual(l_discount,0.03)", "LessThanOrEqual(l_discount,0.07)",
+      "LessThan(l_quantity,24.0)").foreach { f =>
+      assert(plan.contains(f), s"q6 filter $f must push to the scan")
+    }
+    assert(plan.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_shipdate:timestamp"),
+      "q6 scan must prune to the 4 referenced columns")
+  }
+
+  audit("q3_topk") { plan =>
+    assert(plan.contains("TakeOrderedAndProject"),
+      "q3 orderBy+limit must plan as partial top-k, not a global sort")
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"),
+      "q3 segment filter must push to the customer scan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "q3 customer join must broadcast")
+  }
+
+  audit("q5_region") { plan =>
+    assert("BroadcastHashJoin".r.findAllMatchIn(plan.linesIterator
+      .takeWhile(_.trim.nonEmpty).mkString("\n")).size >= 2,
+      "q5 nation and region joins must broadcast")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate,1995-01-01"),
+      "q5 order-date filter must push to the orders scan")
+    assert(plan.contains("EqualTo(r_name,ASIA)"),
+      "q5 region filter must push to the region scan")
+  }
+
+  audit("ann_lsh") { plan =>
+    assert(plan.contains("BroadcastExchange"),
+      "ann_lsh query side must broadcast into the bucket join")
+    assert(plan.contains("WindowGroupLimit"),
+      "ann_lsh per-query top-k must plan as WindowGroupLimit (partial rank pushdown)")
+    assert(plan.contains("LessThan(vec_id,5)"),
+      "ann_lsh query-set filter must push to the embeddings scan")
+  }
+
+  audit("dedup_cluster") { plan =>
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "dedup_cluster must join on digest/label keys only")
+  }
+}
