@@ -4,6 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
 
+import graft.observability.Observability
 import graft.pipeline.{Config, ConfigRuntime}
 import graft.sources.{Hygiene, Runs}
 
@@ -53,9 +54,11 @@ object Cli {
     Hygiene.withExecutionLock(Paths.get(serveRoot)) {
       Hygiene.cleanTempDirs(Hygiene.tempRoot(Paths.get(serveRoot)))
       val project = Config.parseProject(Files.readString(Paths.get(configPath)))
+      val obs = Observability.start(spark, project.observability, out)
       val df = ConfigRuntime.dataset(spark, dataDir, project)
       val paths = Runs.runPaths(serveRoot, Runs.makeRunId())
       Runs.startRun(paths)
+      obs.bindRunDir(paths.runRoot)
       try {
         write(df, format, paths.datasetDir.toString)
         Runs.finishRun(paths, "success")
@@ -63,7 +66,8 @@ object Cli {
         case e: Throwable =>
           Runs.finishRun(paths, "failed", Some(String.valueOf(e.getMessage)))
           throw e
-      }
+      } finally Observability.finish(spark, obs,
+        Some(paths.runRoot.resolve("metrics.json")))
       out.println(s"run ${paths.runId} -> ${paths.datasetDir}")
       if (preview > 0)
         Runs.writeText(read(spark, format, paths.datasetDir.toString), preview, out)
@@ -113,9 +117,11 @@ object Cli {
     Hygiene.withExecutionLock(Paths.get(serveRoot)) {
       Hygiene.cleanTempDirs(Hygiene.tempRoot(Paths.get(serveRoot)))
       val project = Config.parseProject(Files.readString(Paths.get(configPath)))
+      val obs = Observability.start(spark, project.observability, out)
       val res = ConfigRuntime.resolver(spark, dataDir, project)
       val paths = Runs.runPaths(serveRoot, Runs.makeRunId())
       Runs.startRun(paths)
+      obs.bindRunDir(paths.runRoot)
       try {
         project.streams.map(_.id).foreach { id =>
           res.stream(id).write.mode("overwrite")
@@ -127,7 +133,8 @@ object Cli {
         case e: Throwable =>
           Runs.finishRun(paths, "failed", Some(String.valueOf(e.getMessage)))
           throw e
-      }
+      } finally Observability.finish(spark, obs,
+        Some(paths.runRoot.resolve("metrics.json")))
       paths
     }
 

@@ -125,12 +125,30 @@ object Config {
       format: String = "parquet",
       runRoot: Option[String] = None)
 
+  /** One logging output (reference config/observability.py LogOutputConfig):
+    * where the run's status/progress lines go. transport STDERR | STDOUT |
+    * FS; scope GLOBAL (process-wide path) | EXECUTION (path relative to the
+    * run directory).
+    */
+  final case class LogOutputDef(transport: String, scope: String = "GLOBAL",
+                                path: Option[String] = None)
+  /** reference LoggingConfig: level + ordered outputs. */
+  final case class LoggingDef(level: Option[String] = None,
+                              outputs: Seq[LogOutputDef] = Nil)
+  /** reference ObservabilityConfig: visuals ON|OFF, heartbeat seconds
+    * (0 disables), logging settings.
+    */
+  final case class ObservabilityDef(visuals: Option[String] = None,
+                                    heartbeatSeconds: Option[Double] = None,
+                                    logging: Option[LoggingDef] = None)
+
   final case class Project(
       sources: Seq[SourceDef],
       streams: Seq[StreamDef],
       dataset: Option[DatasetDef],
       tasks: Seq[TaskDef] = Nil,
-      profiles: Seq[ProfileDef] = Nil) {
+      profiles: Seq[ProfileDef] = Nil,
+      observability: Option[ObservabilityDef] = None) {
     def source(id: String): SourceDef =
       sources.find(_.id == id).getOrElse(fail(s"unknown source '$id'"))
     def stream(id: String): StreamDef =
@@ -602,6 +620,66 @@ object Config {
     ProfileDef(id, cmd, stream, preview, format, strOpt(t, "run_root"))
   }
 
+  /** `observability:` section, with the reference's exact validation matrix
+    * (config/observability.py): FS outputs need a path (GLOBAL) or a
+    * relative one (EXECUTION); console outputs take neither a path nor a
+    * non-GLOBAL scope; booleans for visuals normalize to ON/OFF.
+    */
+  private def parseObservability(raw: Any): ObservabilityDef = {
+    val t = asTree(raw, "observability")
+    requireKeys(t, Set("visuals", "heartbeat_interval_seconds", "logging"),
+      "observability")
+    val visuals = t.get("visuals").map {
+      case b: Boolean => if (b) "ON" else "OFF"
+      case v =>
+        val name = String.valueOf(v).toUpperCase
+        if (!Set("ON", "OFF")(name))
+          fail(s"observability.visuals must be ON or OFF, got '$v'")
+        name
+    }
+    val heartbeat = dblOpt(t, "heartbeat_interval_seconds")
+    heartbeat.foreach { h =>
+      if (h < 0 || h.isNaN || h.isInfinite)
+        fail(s"observability.heartbeat_interval_seconds must be >= 0, got $h")
+    }
+    val logging = t.get("logging").map { lv =>
+      val lt = asTree(lv, "observability.logging")
+      requireKeys(lt, Set("level", "outputs"), "observability.logging")
+      val level = strOpt(lt, "level").map(_.toUpperCase)
+      level.foreach { l =>
+        if (!Set("CRITICAL", "ERROR", "WARNING", "INFO", "DEBUG")(l))
+          fail(s"observability.logging.level must be CRITICAL | ERROR | WARNING | INFO | DEBUG, got '$l'")
+      }
+      val outputs = lt.get("outputs").map(v =>
+        asList(v, "observability.logging.outputs").map { ov =>
+          val ot = asTree(ov, "log output")
+          requireKeys(ot, Set("transport", "scope", "path"), "log output")
+          val transport = str(ot, "transport", "log output").toUpperCase
+          if (!Set("STDERR", "STDOUT", "FS")(transport))
+            fail(s"log output.transport must be STDERR | STDOUT | FS, got '$transport'")
+          val scope = strOpt(ot, "scope").map(_.toUpperCase).getOrElse("GLOBAL")
+          if (!Set("GLOBAL", "EXECUTION")(scope))
+            fail(s"log output.scope must be GLOBAL | EXECUTION, got '$scope'")
+          val path = strOpt(ot, "path").map(_.trim).filter(_.nonEmpty)
+          if (transport == "FS") {
+            if (scope == "EXECUTION") {
+              if (path.exists(p => java.nio.file.Paths.get(p).isAbsolute))
+                fail("log output: path must be relative when scope=EXECUTION")
+            } else if (path.isEmpty)
+              fail("log output: path must be set when transport=FS and scope=GLOBAL")
+          } else {
+            if (scope != "GLOBAL")
+              fail("log output: scope=EXECUTION requires transport=FS")
+            if (path.nonEmpty)
+              fail("log output: path is only valid when transport=FS")
+          }
+          LogOutputDef(transport, scope, path)
+        }).getOrElse(Nil)
+      LoggingDef(level, outputs)
+    }
+    ObservabilityDef(visuals, heartbeat, logging)
+  }
+
   /** Parse one whole project document. */
   def parseProject(yaml: String): Project = {
     val mapper = new ObjectMapper(new YAMLFactory())
@@ -609,14 +687,15 @@ object Config {
       .asInstanceOf[Tree]
     val globals = rawTree.get("globals").map(asTree(_, "globals")).getOrElse(Map.empty)
     val tree = interpolate(rawTree - "globals", globals).asInstanceOf[Tree]
-    requireKeys(tree, Set("sources", "streams", "dataset", "tasks", "profiles"),
-      "project")
+    requireKeys(tree, Set("sources", "streams", "dataset", "tasks", "profiles",
+      "observability"), "project")
     val p = Project(
       tree.get("sources").map(v => asList(v, "sources").map(parseSource)).getOrElse(Nil),
       tree.get("streams").map(v => asList(v, "streams").map(parseStream)).getOrElse(Nil),
       tree.get("dataset").map(parseDataset),
       tree.get("tasks").map(v => asList(v, "tasks").map(parseTask)).getOrElse(Nil),
-      tree.get("profiles").map(v => asList(v, "profiles").map(parseProfile)).getOrElse(Nil))
+      tree.get("profiles").map(v => asList(v, "profiles").map(parseProfile)).getOrElse(Nil),
+      tree.get("observability").map(parseObservability))
     def dups[A](xs: Seq[A], id: A => String, what: String): Unit = {
       val d = xs.groupBy(id).collect { case (k, vs) if vs.length > 1 => k }
       if (d.nonEmpty) fail(s"duplicate $what id(s): ${d.mkString(", ")}")
