@@ -150,7 +150,21 @@ object Cli {
     s
   }
 
+  /** List discovered + registered plugins (reference cli/commands/list_.py
+    * over the entry-point registry).
+    */
+  def listPlugins(out: java.io.PrintStream = System.out): Unit = {
+    val lines = graft.plugins.Plugins.describe
+    if (lines.isEmpty) out.println("no plugins on the classpath")
+    else lines.foreach(l => out.println(s"plugin $l"))
+  }
+
   def main(args: Array[String]): Unit = args.toList match {
+    case "plugins" :: Nil =>
+      listPlugins()
+    case "scaffold" :: "plugin" :: name :: outDir :: Nil =>
+      val root = graft.plugins.Scaffold.plugin(name, Paths.get(outDir))
+      println(s"plugin skeleton -> $root")
     case "materialize" :: config :: dataDir :: serveRoot :: rest =>
       val spark = session()
       try materialize(spark, config, dataDir, serveRoot,
@@ -175,6 +189,8 @@ object Cli {
            |       graft.Cli materialize-streams <project.yaml> <dataDir> <serveRoot>
            |       graft.Cli stream <project.yaml> <streamId> <dataDir> [limit]
            |       graft.Cli run <project.yaml> <profileId> <dataDir> [serveRoot]
+           |       graft.Cli plugins
+           |       graft.Cli scaffold plugin <name> <outDir>
            |got: ${other.mkString(" ")}""".stripMargin)
       sys.exit(2)
   }

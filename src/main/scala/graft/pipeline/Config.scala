@@ -337,6 +337,15 @@ object Config {
       case "sessionize" =>
         check("gap", "to")
         Pipeline.Sessionize(str(t, "gap", ctx), to("session_id"))
+      case "plugin" =>
+        check("name", "options")
+        val opName = str(t, "name", ctx)
+        val factory = graft.plugins.Plugins.transform(opName).getOrElse(
+          fail(s"$ctx: unknown plugin transform '$opName' (available: " +
+            s"${graft.plugins.Plugins.transformNames.toSeq.sorted.mkString(", ")})"))
+        val options = t.get("options")
+          .map(asTree(_, s"$ctx.options")).getOrElse(Map.empty)
+        Pipeline.PluginStage(opName, factory(options))
       case other => fail(s"unknown operation '$other'")
     }
   }
@@ -360,8 +369,13 @@ object Config {
     val reader = asTree(loader.getOrElse("reader", Map.empty[String, Any]),
       s"source '$id'.loader.reader")
     val format = strOpt(reader, "format").getOrElse("parquet")
-    if (!Set("csv", "jsonl", "json", "parquet").contains(format))
-      fail(s"source '$id': unknown reader format '$format'")
+    if (!Set("csv", "jsonl", "json", "parquet").contains(format) &&
+        !graft.plugins.Plugins.loaderFormats.contains(format))
+      fail(s"source '$id': unknown reader format '$format'" + {
+        val ext = graft.plugins.Plugins.loaderFormats
+        if (ext.nonEmpty) s" (plugin formats: ${ext.toSeq.sorted.mkString(", ")})"
+        else ""
+      })
     val options = (reader - "format").map { case (k, v) => k -> v.toString }
     SourceDef(id, format, str(loader, "path", s"source '$id'.loader"), options)
   }

@@ -68,6 +68,10 @@ object ConfigRuntime {
         case "csv"            => reader.option("header", "true")
           .option("inferSchema", "true").csv(path)
         case "json" | "jsonl" => reader.json(path)
+        case other            => graft.plugins.Plugins.loader(other)
+          .getOrElse(throw new IllegalArgumentException(
+            s"config: no plugin loader for format '$other'"))
+          .apply(spark, path, src.options)
       }
     }
 
@@ -116,8 +120,11 @@ object ConfigRuntime {
   }
 
   def resolver(spark: SparkSession, dataDir: String,
-               project: Config.Project): Resolver =
+               project: Config.Project): Resolver = {
+    // plugin SQL functions become addressable before any stream resolves
+    graft.plugins.Plugins.registerAllFunctions(spark)
     new Resolver(spark, dataDir, project)
+  }
 
   /** Exact decimal mean of a double column — deterministic across engines. */
   private def meanDec(c: Column): Column =

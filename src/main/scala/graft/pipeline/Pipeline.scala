@@ -44,6 +44,10 @@ object Pipeline {
   final case class EnsureCadence(cadence: String) extends Op
   final case class EncodeTime(mode: String, to: String) extends Op
   final case class Sessionize(gap: String, to: String = "session_id") extends Op
+  /** A plugin-contributed stage (graft.plugins.GraftPlugin#transforms),
+    * resolved at config-parse time and run at its declared position.
+    */
+  final case class PluginStage(name: String, op: graft.plugins.PluginOp) extends Op
 
   /** Fold the op list into one plan. */
   def run(df: DataFrame, key: StreamKey, ops: Seq[Op]): DataFrame =
@@ -71,6 +75,7 @@ object Pipeline {
           d.withColumn(to, graft.functions.TimeFns.encodeTime(
             org.apache.spark.sql.functions.col(key.timeCol), m))
         case Sessionize(g, to)    => Ordered.sessionize(d, key, g, to)
+        case PluginStage(_, op)   => op(d, key)
       }
     }
 }

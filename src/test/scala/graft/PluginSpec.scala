@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import graft.pipeline.{Config, ConfigRuntime}
+import graft.plugins.{Plugins, Scaffold}
+
+/** Plugin SPI (plugins/Plugins.scala): ServiceLoader discovery, custom
+  * reader formats, plugin transforms in a stream chain, SQL function
+  * registration, and the scaffold command — the JVM twin of the reference's
+  * entry-point plugin system (datapipeline/plugins.py, services/scaffold/).
+  */
+class PluginSpec extends SparkSpec {
+
+  test("ServiceLoader discovers the classpath plugin") {
+    assert(Plugins.all.exists(_.name == "spec-fixture"))
+    assert(Plugins.loaderFormats.contains("tsv"))
+    assert(Plugins.transformNames.contains("scale"))
+    assert(Plugins.describe.exists(l =>
+      l.contains("spec-fixture") && l.contains("tsv") && l.contains("scale")))
+  }
+
+  test("a plugin reader format and transform run inside a config stream") {
+    val root: Path = Files.createTempDirectory("graft_plugin_spec")
+    Files.writeString(root.resolve("ticks.tsv"),
+      "user_id\tts\tvalue\n" +
+        "1\t2024-01-01 00:00:00\t10.0\n" +
+        "1\t2024-01-01 00:10:00\t20.0\n" +
+        "2\t2024-01-01 00:00:00\t5.0\n")
+    val yaml =
+      """sources:
+        |  - id: src
+        |    loader: { transport: fs, path: ticks.tsv, reader: { format: tsv } }
+        |streams:
+        |  - id: s
+        |    from: { source: src }
+        |    map: { time: ts, fields: [user_id, value] }
+        |    partition_by: [user_id]
+        |    transforms:
+        |      - { operation: plugin, name: scale, options: { field: value, factor: 2 } }
+        |      - { operation: lag, field: value, periods: 1, to: value_lag }
+        |""".stripMargin
+    val project = Config.parseProject(yaml)
+    val out = ConfigRuntime.resolver(spark, root.toString, project)
+      .stream("s").collect()
+      .map(r => (r.getAs[Number]("user_id").longValue, r.getAs[Double]("value"),
+        Option(r.getAs[java.lang.Double]("value_lag")).map(_.toDouble)))
+      .sortBy(t => (t._1, t._2))
+    // plugin scale x2 runs BEFORE the builtin lag (declared order)
+    assert(out.toSeq == Seq((1L, 20.0, None), (1L, 40.0, Some(20.0)),
+      (2L, 10.0, None)))
+  }
+
+  test("plugin SQL functions register with the session") {
+    val project = Config.parseProject(
+      """sources:
+        |  - id: src
+        |    loader: { transport: fs, path: x.parquet, reader: { format: parquet } }
+        |streams:
+        |  - id: s
+        |    from: { source: src }
+        |    partition_by: [user_id]
+        |""".stripMargin)
+    ConfigRuntime.resolver(spark, "/tmp", project) // registration side effect
+    assert(spark.sql("SELECT spec_plus_one(41)").head().getLong(0) == 42L)
+  }
+
+  test("unknown plugin transform and format fail the parse with the inventory") {
+    val e = intercept[IllegalArgumentException](Config.parseOp(
+      Map("operation" -> "plugin", "name" -> "no_such_op")))
+    assert(e.getMessage.contains("unknown plugin transform 'no_such_op'"))
+    assert(e.getMessage.contains("scale"), s"should list available: ${e.getMessage}")
+    val f = intercept[IllegalArgumentException](Config.parseProject(
+      """sources:
+        |  - id: src
+        |    loader: { transport: fs, path: x.bin, reader: { format: mystery } }
+        |""".stripMargin))
+    assert(f.getMessage.contains("unknown reader format 'mystery'"))
+    assert(f.getMessage.contains("plugin formats: tsv"))
+  }
+
+  test("plugin transform factories validate options at parse time") {
+    val e = intercept[IllegalArgumentException](Config.parseOp(
+      Map("operation" -> "plugin", "name" -> "scale",
+        "options" -> Map("factor" -> 2))))
+    assert(e.getMessage.contains("'field' required"))
+  }
+
+  test("scaffold plugin writes a buildable skeleton and refuses to overwrite") {
+    val out = Files.createTempDirectory("graft_scaffold_spec")
+    val root = Scaffold.plugin("my-loader", out)
+    assert(root == out.resolve("my-loader"))
+    val cls = root.resolve("src/main/scala/my_loader/MyLoaderPlugin.scala")
+    assert(Files.exists(cls))
+    val body = Files.readString(cls)
+    assert(body.contains("package my_loader"))
+    assert(body.contains("class MyLoaderPlugin extends GraftPlugin"))
+    val services = root.resolve(
+      "src/main/resources/META-INF/services/graft.plugins.GraftPlugin")
+    assert(Files.readString(services).trim == "my_loader.MyLoaderPlugin")
+    assert(Files.exists(root.resolve("build.sbt")))
+    // reference scaffold_plugin raises FileExistsError on a second run
+    val e = intercept[IllegalArgumentException](Scaffold.plugin("my-loader", out))
+    assert(e.getMessage.contains("already exists"))
+    // bad names rejected before any IO
+    intercept[IllegalArgumentException](Scaffold.plugin("BadName", out))
+  }
+}
