@@ -58,6 +58,20 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val (streamingQ, batchQ) = selected.partition(_._1.startsWith("stream_"))
+    // Streaming twin of the batch warmup above: the FIRST streaming query in
+    // a session pays one-time micro-batch/state-store machinery init (~2-3 s
+    // observed — it made stream_windowed_agg swing 1.7-4.3 s across rounds
+    // on an identical plan). Run one trivial AvailableNow query untimed so
+    // every timed streaming query measures its plan, not the init.
+    if (streamingQ.nonEmpty) {
+      val q = graft.streaming.Streaming.readEvents(spark, sfDir)
+        .groupBy("event_type").count()
+        .writeStream.format("memory").queryName("graft_bench_stream_warmup")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val results = (batchQ ++ streamingQ).map { case (name, fn) => name -> time(name, fn) }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
