@@ -159,12 +159,66 @@ object Cli {
     else lines.foreach(l => out.println(s"plugin $l"))
   }
 
+  /** Inventory listing (reference cli/commands/list_.py): project-scoped
+    * entities from a YAML, or registry-scoped loaders/transforms (builtins
+    * plus plugin contributions).
+    */
+  def listInventory(what: String, configPath: Option[String],
+                    out: java.io.PrintStream = System.out): Unit = {
+    def project = Config.parseProject(Files.readString(Paths.get(
+      configPath.getOrElse(throw new IllegalArgumentException(
+        s"list $what requires a <project.yaml>")))))
+    val items: Seq[String] = what match {
+      case "sources"  => project.sources.map(s => s"${s.id}  (${s.format}  ${s.path})")
+      case "streams"  => project.streams.map(_.id)
+      case "tasks"    => project.tasks.map(_.id)
+      case "profiles" => project.profiles.map(p => s"${p.id}  (${p.cmd})")
+      case "loaders"  =>
+        (Seq("parquet", "csv", "jsonl", "json") ++
+          graft.plugins.Plugins.loaderFormats.toSeq.sorted.map(f => s"$f  (plugin)"))
+      case "transforms" =>
+        (Config.builtinOperations ++
+          graft.plugins.Plugins.transformNames.toSeq.sorted.map(n => s"$n  (plugin)"))
+      case other => throw new IllegalArgumentException(
+        s"list: unknown inventory '$other' (sources | streams | tasks | profiles | loaders | transforms)")
+    }
+    if (items.isEmpty) out.println(s"no $what") else items.foreach(out.println)
+  }
+
+  /** Spill-dir sweep report (reference cli/commands/clean.py): dry run by
+    * default; `--yes` deletes. Sizes/ages via Hygiene's formatters.
+    */
+  def clean(serveRoot: String, yes: Boolean, olderThan: Option[String],
+            out: java.io.PrintStream = System.out): Unit = {
+    val age = Hygiene.parseAgeMs(olderThan)
+    val res = Hygiene.cleanTempDirs(Hygiene.tempRoot(Paths.get(serveRoot)), age, yes)
+    if (res.candidates.isEmpty) {
+      out.println("No graft sort spill directories found.")
+      return
+    }
+    val action = if (yes) "Removed" else "Found"
+    val noun = if (res.candidates.length == 1) "directory" else "directories"
+    out.println(s"$action ${res.candidates.length} graft sort spill $noun:")
+    res.candidates.foreach(c => out.println(
+      s"  ${c.path}  size=${Hygiene.formatBytes(c.sizeBytes)}  age=${Hygiene.formatAge(c.ageSeconds)}"))
+    out.println(s"Total: ${Hygiene.formatBytes(res.totalBytes)}")
+    if (!yes)
+      out.println("Dry run only. Run `graft.Cli clean <serveRoot> --yes` to delete these directories.")
+  }
+
   def main(args: Array[String]): Unit = args.toList match {
     case "plugins" :: Nil =>
       listPlugins()
     case "scaffold" :: "plugin" :: name :: outDir :: Nil =>
       val root = graft.plugins.Scaffold.plugin(name, Paths.get(outDir))
       println(s"plugin skeleton -> $root")
+    case "list" :: what :: rest =>
+      listInventory(what, rest.headOption)
+    case "clean" :: serveRoot :: rest =>
+      clean(serveRoot, yes = rest.contains("--yes"),
+        olderThan = rest.sliding(2).collectFirst {
+          case Seq("--older-than", v) => v
+        })
     case "materialize" :: config :: dataDir :: serveRoot :: rest =>
       val spark = session()
       try materialize(spark, config, dataDir, serveRoot,
@@ -191,6 +245,8 @@ object Cli {
            |       graft.Cli run <project.yaml> <profileId> <dataDir> [serveRoot]
            |       graft.Cli plugins
            |       graft.Cli scaffold plugin <name> <outDir>
+           |       graft.Cli list <sources|streams|tasks|profiles|loaders|transforms> [project.yaml]
+           |       graft.Cli clean <serveRoot> [--yes] [--older-than <30m|2h|1d>]
            |got: ${other.mkString(" ")}""".stripMargin)
       sys.exit(2)
   }

@@ -261,6 +261,14 @@ object Config {
     case other     => other
   }
 
+  /** Every `operation:` discriminator [[parseOp]] accepts (for
+    * `graft.Cli list transforms`; keep in sync with the match below).
+    */
+  val builtinOperations: Seq[String] = Seq("collapse", "dedupe", "derive",
+    "encode_time", "ensure_cadence", "fill", "floor_time", "forward_fill",
+    "forward_sum", "lag", "lead", "log", "log1p", "plugin", "rolling",
+    "rolling_slope", "sessionize", "shift_time", "where")
+
   /** One flat op mapping with an `operation` discriminator → [[Pipeline.Op]].
     * Field names and defaults mirror config/transforms.py exactly; unknown
     * operations and unknown fields are errors.

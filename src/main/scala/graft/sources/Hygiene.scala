@@ -182,4 +182,19 @@ object Hygiene {
   /** The serve root's scratch area (cleaned on every locked command). */
   def tempRoot(serveRoot: Path): Path =
     serveRoot.resolve("_system").resolve("tmp")
+
+  /** Human sizes for the clean report (reference format_bytes). */
+  def formatBytes(n: Long): String = {
+    val units = Seq("B", "KiB", "MiB", "GiB", "TiB")
+    var v = n.toDouble; var i = 0
+    while (v >= 1024 && i < units.length - 1) { v /= 1024; i += 1 }
+    if (i == 0) s"$n B" else f"$v%.1f ${units(i)}"
+  }
+
+  /** Human ages for the clean report (reference format_age). */
+  def formatAge(seconds: Double): String =
+    if (seconds < 60) f"${seconds}%.0fs"
+    else if (seconds < 3600) f"${seconds / 60}%.1fm"
+    else if (seconds < 86400) f"${seconds / 3600}%.1fh"
+    else f"${seconds / 86400}%.1fd"
 }

@@ -1,0 +1,83 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+import java.nio.file.{Files, Path}
+
+import graft.sources.Hygiene
+
+/** `graft.Cli list` (reference cli/commands/list_.py) and `graft.Cli clean`
+  * (reference cli/commands/clean.py): inventory and spill-sweep reports.
+  */
+class CliInventorySpec extends SparkSpec {
+
+  private def captured(body: PrintStream => Unit): String = {
+    val buf = new ByteArrayOutputStream()
+    body(new PrintStream(buf, true, "UTF-8"))
+    buf.toString("UTF-8")
+  }
+
+  private def projectYaml(root: Path): String = {
+    val p = root.resolve("p.yaml")
+    Files.writeString(p,
+      """sources:
+        |  - id: ev
+        |    loader: { transport: fs, path: events.parquet, reader: { format: parquet } }
+        |streams:
+        |  - id: s
+        |    from: { source: ev }
+        |    partition_by: [user_id]
+        |profiles:
+        |  - { id: quick, cmd: stream, stream: s, preview: 3 }
+        |""".stripMargin)
+    p.toString
+  }
+
+  test("list prints project entities and the loader/transform registries") {
+    val root = Files.createTempDirectory("graft_cli_list")
+    val cfg = projectYaml(root)
+    assert(captured(Cli.listInventory("sources", Some(cfg), _))
+      .contains("ev  (parquet  events.parquet)"))
+    assert(captured(Cli.listInventory("streams", Some(cfg), _)).trim == "s")
+    assert(captured(Cli.listInventory("profiles", Some(cfg), _))
+      .contains("quick  (stream)"))
+    val loaders = captured(Cli.listInventory("loaders", None, _))
+    assert(loaders.contains("parquet") && loaders.contains("tsv  (plugin)"))
+    val transforms = captured(Cli.listInventory("transforms", None, _))
+    assert(transforms.contains("rolling") && transforms.contains("scale  (plugin)"))
+    val e = intercept[IllegalArgumentException](
+      Cli.listInventory("gizmos", None, new PrintStream(
+        java.io.OutputStream.nullOutputStream())))
+    assert(e.getMessage.contains("unknown inventory"))
+  }
+
+  test("clean reports a dry run and deletes with --yes") {
+    val serveRoot = Files.createTempDirectory("graft_cli_clean")
+    val tmp = Hygiene.tempRoot(serveRoot)
+    val orphan = tmp.resolve(s"${Hygiene.SpillDirPrefix}deadbeef")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("chunk-0"), "x" * 2048)
+
+    val dry = captured(Cli.clean(serveRoot.toString, yes = false, None, _))
+    assert(dry.contains("Found 1 graft sort spill directory:"), dry)
+    assert(dry.contains("size=2.0 KiB"), dry)
+    assert(dry.contains("Dry run only"), dry)
+    assert(Files.exists(orphan), "dry run must not delete")
+
+    val wet = captured(Cli.clean(serveRoot.toString, yes = true, None, _))
+    assert(wet.contains("Removed 1 graft sort spill directory:"), wet)
+    assert(!Files.exists(orphan), "--yes must delete")
+
+    assert(captured(Cli.clean(serveRoot.toString, yes = true, None, _))
+      .contains("No graft sort spill directories found."))
+  }
+
+  test("clean --older-than spares young orphans") {
+    val serveRoot = Files.createTempDirectory("graft_cli_clean_age")
+    val tmp = Hygiene.tempRoot(serveRoot)
+    val young = tmp.resolve(s"${Hygiene.SpillDirPrefix}young")
+    Files.createDirectories(young)
+    val out = captured(Cli.clean(serveRoot.toString, yes = true, Some("1h"), _))
+    assert(out.contains("No graft sort spill directories found."), out)
+    assert(Files.exists(young))
+  }
+}
