@@ -212,6 +212,12 @@ object Cli {
     case "scaffold" :: "plugin" :: name :: outDir :: Nil =>
       val root = graft.plugins.Scaffold.plugin(name, Paths.get(outDir))
       println(s"plugin skeleton -> $root")
+    case "scaffold" :: "source" :: id :: path :: format :: yaml :: Nil =>
+      graft.plugins.Scaffold.source(Paths.get(yaml), id, path, format)
+      println(s"source '$id' -> $yaml")
+    case "scaffold" :: "stream" :: id :: sourceId :: partitionKey :: yaml :: Nil =>
+      graft.plugins.Scaffold.stream(Paths.get(yaml), id, sourceId, partitionKey)
+      println(s"stream '$id' -> $yaml")
     case "list" :: what :: rest =>
       listInventory(what, rest.headOption)
     case "clean" :: serveRoot :: rest =>
@@ -245,6 +251,8 @@ object Cli {
            |       graft.Cli run <project.yaml> <profileId> <dataDir> [serveRoot]
            |       graft.Cli plugins
            |       graft.Cli scaffold plugin <name> <outDir>
+           |       graft.Cli scaffold source <id> <path> <format> <project.yaml>
+           |       graft.Cli scaffold stream <id> <sourceId> <partitionKey> <project.yaml>
            |       graft.Cli list <sources|streams|tasks|profiles|loaders|transforms> [project.yaml]
            |       graft.Cli clean <serveRoot> [--yes] [--older-than <30m|2h|1d>]
            |got: ${other.mkString(" ")}""".stripMargin)

@@ -2,6 +2,11 @@ package graft.plugins
 
 import java.nio.file.{Files, Path}
 
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+
 /** Plugin project scaffolding (reference services/scaffold/plugin.py +
   * templates/plugin_skeleton): `graft.Cli scaffold plugin <name> <outDir>`
   * writes a buildable sbt project with the ServiceLoader registration in
@@ -79,4 +84,92 @@ object Scaffold {
     write(".gitignore", "target/\n")
     root
   }
+
+  // ---- per-entity YAML scaffolds (reference services/scaffold/
+  // {source_yaml,stream_yaml}.py). The reference writes stanza files into
+  // stream dirs; graft's project is ONE document, so the twin appends a
+  // valid entry via the YAML mapper and re-validates the whole document —
+  // scaffolding can never leave the project unparseable.
+
+  private val mapper = new ObjectMapper(new YAMLFactory())
+
+  private[plugins] def validId(id: String): String = {
+    if (!id.matches("[a-z][a-z0-9_]*"))
+      throw new IllegalArgumentException(
+        s"scaffold: id must match [a-z][a-z0-9_]*, got '$id'")
+    id
+  }
+
+  private def editProject(projectYaml: Path)(
+      mutate: java.util.Map[String, Object] => Unit): Unit = {
+    val tree: java.util.Map[String, Object] =
+      if (Files.exists(projectYaml))
+        mapper.readValue(Files.readString(projectYaml),
+          classOf[java.util.LinkedHashMap[String, Object]])
+      else new java.util.LinkedHashMap[String, Object]()
+    mutate(tree)
+    val text = mapper.writeValueAsString(tree)
+    graft.pipeline.Config.parseProject(text) // must stay a valid project
+    Files.createDirectories(projectYaml.toAbsolutePath.getParent)
+    Files.writeString(projectYaml, text)
+  }
+
+  private def section(tree: java.util.Map[String, Object],
+                      key: String): java.util.List[Object] = {
+    tree.computeIfAbsent(key, _ => new java.util.ArrayList[Object]())
+      .asInstanceOf[java.util.List[Object]]
+  }
+
+  private def ids(entries: java.util.List[Object]): Set[String] =
+    entries.asScala.collect {
+      case m: java.util.Map[_, _] => m.asScala.collectFirst {
+        case (k, v) if String.valueOf(k) == "id" => String.valueOf(v)
+      }.getOrElse("")
+    }.toSet
+
+  /** Append a source entry (reference write_source_yaml): valid defaults,
+    * duplicate ids refused like the reference's FileExistsError.
+    */
+  def source(projectYaml: Path, id: String, path: String,
+             format: String = "parquet"): Unit = editProject(projectYaml) { tree =>
+    validId(id)
+    val sources = section(tree, "sources")
+    if (ids(sources).contains(id))
+      throw new IllegalArgumentException(s"scaffold: source id '$id' already exists")
+    val reader = new java.util.LinkedHashMap[String, Object]()
+    reader.put("format", format)
+    val loader = new java.util.LinkedHashMap[String, Object]()
+    loader.put("transport", "fs")
+    loader.put("path", path)
+    loader.put("reader", reader)
+    val entry = new java.util.LinkedHashMap[String, Object]()
+    entry.put("id", id)
+    entry.put("loader", loader)
+    sources.add(entry)
+  }
+
+  /** Append a source-backed stream entry (reference write_source_stream):
+    * the referenced source must exist; duplicate stream ids refused.
+    */
+  def stream(projectYaml: Path, id: String, sourceId: String,
+             partitionKey: String, timeField: String = "time"): Unit =
+    editProject(projectYaml) { tree =>
+      validId(id)
+      val streams = section(tree, "streams")
+      if (ids(streams).contains(id))
+        throw new IllegalArgumentException(s"scaffold: stream id '$id' already exists")
+      if (!ids(section(tree, "sources")).contains(sourceId))
+        throw new IllegalArgumentException(
+          s"scaffold: stream '$id' references unknown source '$sourceId'")
+      val from = new java.util.LinkedHashMap[String, Object]()
+      from.put("source", sourceId)
+      val map = new java.util.LinkedHashMap[String, Object]()
+      map.put("time", timeField)
+      val entry = new java.util.LinkedHashMap[String, Object]()
+      entry.put("id", id)
+      entry.put("from", from)
+      entry.put("map", map)
+      entry.put("partition_by", java.util.List.of[Object](partitionKey))
+      streams.add(entry)
+    }
 }

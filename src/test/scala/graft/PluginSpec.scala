@@ -105,4 +105,31 @@ class PluginSpec extends SparkSpec {
     // bad names rejected before any IO
     intercept[IllegalArgumentException](Scaffold.plugin("BadName", out))
   }
+
+  test("scaffold source/stream append valid entries and re-validate the document") {
+    val root = Files.createTempDirectory("graft_scaffold_yaml")
+    val yaml = root.resolve("project.yaml")
+    Scaffold.source(yaml, "ticks", "events.parquet")
+    Scaffold.stream(yaml, "s_ticks", "ticks", "user_id", timeField = "ts")
+    val project = Config.parseProject(Files.readString(yaml))
+    assert(project.source("ticks").format == "parquet")
+    assert(project.stream("s_ticks").partitionBy == Seq("user_id"))
+    // the scaffolded project materializes against real data as-is
+    val df = ConfigRuntime.resolver(spark, "/root/testdata/sf0.001", project)
+      .stream("s_ticks")
+    assert(df.count() > 0)
+
+    // duplicates and dangling references are refused (reference FileExistsError)
+    assert(intercept[IllegalArgumentException](
+      Scaffold.source(yaml, "ticks", "x.parquet"))
+      .getMessage.contains("already exists"))
+    assert(intercept[IllegalArgumentException](
+      Scaffold.stream(yaml, "s2", "nope", "user_id"))
+      .getMessage.contains("unknown source 'nope'"))
+    assert(intercept[IllegalArgumentException](
+      Scaffold.source(yaml, "Bad-Id", "x.parquet"))
+      .getMessage.contains("must match"))
+    // refused edits must not have corrupted the document
+    assert(Config.parseProject(Files.readString(yaml)).sources.map(_.id) == Seq("ticks"))
+  }
 }
