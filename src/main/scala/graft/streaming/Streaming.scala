@@ -12,33 +12,33 @@ import org.apache.spark.sql.types._
   */
 object Streaming {
 
-  /** Schema of the events parquet file as the streaming file source sees it
-    * (ts is TIMESTAMP(NANOS) physical → read as LongType nanos via
-    * spark.sql.legacy.parquet.nanosAsLong).
-    */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Unbounded read of the events table as a stream. The file source needs a
-    * directory; the test table is a single file, so stage it into a scratch
-    * dir (a real deployment points at the ingest directory itself).
+    * directory: a directory-shaped table (multi-file parquet, e.g. the
+    * ScaleUp output) streams in place — the real-deployment path, pointing
+    * at the ingest directory itself — while the driver's single-file table
+    * is staged into a scratch dir. Schema comes from the parquet footer, so
+    * both the NANOS-as-long layout (driver data) and plain timestamp
+    * layouts stream correctly.
     */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(s"$sfDir/events.parquet")
-    val dir = Paths.get(s"/tmp/graft_stream_src/${math.abs(sfDir.hashCode)}")
-    Files.createDirectories(dir)
-    Files.copy(src, dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val dir =
+      if (Files.isDirectory(src)) src
+      else {
+        val d = Paths.get(s"/tmp/graft_stream_src/${math.abs(sfDir.hashCode)}")
+        Files.createDirectories(d)
+        Files.copy(src, d.resolve("events.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        d
+      }
+    val schema = spark.read.parquet(dir.toString).schema
+    val raw = spark.readStream.schema(schema).parquet(dir.toString)
+    if (schema("ts").dataType == LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
   }
 
   /** Tumbling-window aggregation with a watermark — the streaming twin of the
