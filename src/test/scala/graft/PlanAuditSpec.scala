@@ -115,4 +115,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "dedup_cluster must join on digest/label keys only")
   }
+
+  audit("dedup_minhash") { plan =>
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "minhash candidates must come from the band-hash equi-join")
+  }
+
+  test("dedup_minhash signature pipeline stays inside whole-stage codegen") {
+    // codegen spans only exist in the POST-EXECUTION final plan under AQE.
+    // The registered ShingleJoin/MinhashSig expressions keep the signature
+    // computation codegen'd — interpreted HOFs would not.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries("dedup_minhash")(spark, sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.finalPhysicalPlan.toString
+      case p => p.toString
+    }
+    assert(plan.contains("*("),
+      s"no codegen span in:\n${plan.take(1500)}")
+  }
+
+  audit("config_dataset") { plan =>
+    // train-fold scaler stats attach as a one-row broadcast, never a shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "config_dataset scaler stats must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "config_dataset has no large-side join at gate scale; SMJ means a lost broadcast")
+  }
 }
