@@ -67,6 +67,36 @@ object Curation {
     df.filter(hashRatio(col(idCol), seed) < rate)
   }
 
+  /** Overlapping token-window chunking — the pre-tokenization step of an
+    * LLM training-data pipeline: split each document into windows of
+    * `chunkSize` tokens advancing by `stride` (overlap = chunkSize −
+    * stride), so no training sequence loses context at a hard boundary.
+    *
+    * Pure per-row codegen (tokens → window count → posexploded slices): no
+    * shuffle, no state — a 100 TB corpus chunks at scan speed. Chunk count
+    * per doc = 1 if n ≤ chunkSize else ceil((n − chunkSize)/stride) + 1,
+    * so every token lands in ≥1 chunk and the last window may be short
+    * (`n_tokens` carries its actual length).
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"chunkDocuments: need 0 < stride <= chunkSize, got ($chunkSize, $stride)")
+    val toks = Text.tokens(col(textCol))
+    val n = size(toks).cast("long")
+    val nChunks = when(n <= chunkSize, lit(1L))
+      .otherwise(ceil((n - chunkSize).cast("double") / stride).cast("long") + lit(1L))
+    df.select(col(idCol), toks.as("__toks"), n.as("__n"), nChunks.as("__nc"))
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0L), col("__nc") - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        least(lit(chunkSize.toLong), col("__n") - col("chunk_id") * stride)
+          .as("n_tokens"),
+        array_join(slice(col("__toks"),
+          (col("chunk_id") * stride + 1).cast("int"), lit(chunkSize)), " ")
+          .as("chunk_text"))
+  }
+
   /** Top-k rows per group by (score desc, id asc), via the bounded [[TopK]]
     * aggregator: partial top-k happens map-side, so only G×k rows shuffle —
     * a Window rank would funnel every row of a group into one partition.

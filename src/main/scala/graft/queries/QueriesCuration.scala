@@ -109,6 +109,13 @@ object QueriesCuration {
       Curation.kmeansAssign(embeddings(s, d), "vec_id", "embedding",
         k = 4, iters = 2)
         .select(col("vec_id"), col("cluster"), col("dist"))
+    },
+
+    // Overlapping token-window chunking (64-token windows, stride 48):
+    // pure per-row codegen, chunks at scan speed.
+    "curation_chunk" -> { (s, d) =>
+      Curation.chunkDocuments(documents(s, d), "doc_id", "text",
+        chunkSize = 64, stride = 48)
     }
   )
 
@@ -157,6 +164,26 @@ object QueriesCuration {
           a1 AS (${assignSql("v", "c1")}),
           c2 AS (${updateSql("a1")}),
           a2 AS (${assignSql("v", "c2")})
-          SELECT vec_id, cluster, dist FROM a2"""
+          SELECT vec_id, cluster, dist FROM a2""",
+
+    "curation_chunk" ->
+      """WITH w AS (
+           SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+           FROM documents),
+         n AS (
+           SELECT doc_id, toks, len(toks) AS n,
+                  CASE WHEN len(toks) <= 64 THEN 1
+                       ELSE CAST(CEIL((len(toks) - 64) / 48.0) AS BIGINT) + 1
+                  END AS nc
+           FROM w),
+         c AS (
+           SELECT doc_id, toks, n,
+                  unnest(generate_series(0, nc - 1)) AS chunk_id
+           FROM n)
+         SELECT doc_id, chunk_id,
+                CAST(LEAST(64, n - chunk_id * 48) AS BIGINT) AS n_tokens,
+                array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
+                  AS chunk_text
+         FROM c"""
   )
 }

@@ -158,4 +158,31 @@ class CurationSpec extends SparkSpec {
     assert(Set(0L, 1L, 4L).map(out) == Set(0))
     assert(Set(2L, 3L).map(out) == Set(2))
   }
+
+  test("chunkDocuments: overlap, short docs, and exact-boundary windows") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks: 2 chunks of 4+stride 3
+      (2L, "a b c"),                                  // short: 1 chunk, 3 tokens
+      (3L, (1 to 7).map(i => s"u$i").mkString(" "))   // 7 toks = 4 + 3: exactly 2 chunks
+    ).toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(docs, "doc_id", "text",
+      chunkSize = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1: n=10 → ceil((10-4)/3)+1 = 3 chunks; last starts at tok 7, 4 toks
+    assert(out.filter(_._1 == 1L).map(c => (c._2, c._3, c._4)).toSeq == Seq(
+      (0L, 4L, "t1 t2 t3 t4"), (1L, 4L, "t4 t5 t6 t7"), (2L, 4L, "t7 t8 t9 t10")))
+    // doc 2: single short chunk keeps its real token count
+    assert(out.filter(_._1 == 2L).map(c => (c._2, c._3, c._4)).toSeq == Seq(
+      (0L, 3L, "a b c")))
+    // doc 3: second window is the final 4 tokens (start 4), nothing dropped
+    assert(out.filter(_._1 == 3L).map(c => (c._2, c._3, c._4)).toSeq == Seq(
+      (0L, 4L, "u1 u2 u3 u4"), (1L, 4L, "u4 u5 u6 u7")))
+    // every token appears in at least one chunk (coverage, no gaps)
+    val covered = out.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+    intercept[IllegalArgumentException](
+      Curation.chunkDocuments(docs, "doc_id", "text", 4, 5))
+  }
 }
