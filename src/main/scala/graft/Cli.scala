@@ -212,6 +212,9 @@ object Cli {
     case "scaffold" :: "plugin" :: name :: outDir :: Nil =>
       val root = graft.plugins.Scaffold.plugin(name, Paths.get(outDir))
       println(s"plugin skeleton -> $root")
+    case "scaffold" :: "demo" :: outDir :: Nil =>
+      val root = graft.plugins.Scaffold.demo(Paths.get(outDir))
+      println(s"demo workspace -> $root")
     case "scaffold" :: "source" :: id :: path :: format :: yaml :: Nil =>
       graft.plugins.Scaffold.source(Paths.get(yaml), id, path, format)
       println(s"source '$id' -> $yaml")

@@ -35,8 +35,13 @@ object Config {
 
   // ------------------------------------------------------------- model
 
+  /** `transport: fs` reads `path` with `format`; `transport: synthetic`
+    * generates ticks from `options` (start/end/frequency — reference
+    * sources/synthetic/time/loader.py make_time_loader).
+    */
   final case class SourceDef(id: String, format: String, path: String,
-                             options: Map[String, String])
+                             options: Map[String, String],
+                             transport: String = "fs")
 
   sealed trait From
   final case class FromSource(source: String) extends From
@@ -369,23 +374,44 @@ object Config {
     requireKeys(t, Set("id", "loader"), s"source '$id'")
     val loader = asTree(t.getOrElse("loader",
       fail(s"source '$id' requires 'loader'")), s"source '$id'.loader")
-    requireKeys(loader, Set("transport", "path", "reader"), s"source '$id'.loader")
+    requireKeys(loader, Set("transport", "path", "reader", "args"),
+      s"source '$id'.loader")
     val transport = strOpt(loader, "transport").getOrElse("fs")
-    if (transport != "fs")
-      fail(s"source '$id': transport '$transport' is not supported " +
-        "(fs only; http is an environment-level concern — see README)")
-    val reader = asTree(loader.getOrElse("reader", Map.empty[String, Any]),
-      s"source '$id'.loader.reader")
-    val format = strOpt(reader, "format").getOrElse("parquet")
-    if (!Set("csv", "jsonl", "json", "parquet").contains(format) &&
-        !graft.plugins.Plugins.loaderFormats.contains(format))
-      fail(s"source '$id': unknown reader format '$format'" + {
-        val ext = graft.plugins.Plugins.loaderFormats
-        if (ext.nonEmpty) s" (plugin formats: ${ext.toSeq.sorted.mkString(", ")})"
-        else ""
-      })
-    val options = (reader - "format").map { case (k, v) => k -> v.toString }
-    SourceDef(id, format, str(loader, "path", s"source '$id'.loader"), options)
+    transport match {
+      case "synthetic" =>
+        // reference default_loader_config: synthetic takes args, no
+        // path/reader/format (source_yaml.py "Synthetic sources do not use
+        // a source format")
+        if (loader.contains("path") || loader.contains("reader"))
+          fail(s"source '$id': synthetic sources take 'args', not path/reader")
+        val args = asTree(loader.getOrElse("args", Map.empty[String, Any]),
+          s"source '$id'.loader.args")
+        requireKeys(args, Set("start", "end", "frequency"),
+          s"source '$id'.loader.args")
+        Seq("start", "end").foreach { k =>
+          if (!args.contains(k))
+            fail(s"source '$id': synthetic source requires args.$k")
+        }
+        SourceDef(id, "synthetic", "",
+          args.map { case (k, v) => k -> v.toString }, transport)
+      case "fs" =>
+        val reader = asTree(loader.getOrElse("reader", Map.empty[String, Any]),
+          s"source '$id'.loader.reader")
+        val format = strOpt(reader, "format").getOrElse("parquet")
+        if (!Set("csv", "jsonl", "json", "parquet").contains(format) &&
+            !graft.plugins.Plugins.loaderFormats.contains(format))
+          fail(s"source '$id': unknown reader format '$format'" + {
+            val ext = graft.plugins.Plugins.loaderFormats
+            if (ext.nonEmpty) s" (plugin formats: ${ext.toSeq.sorted.mkString(", ")})"
+            else ""
+          })
+        val options = (reader - "format").map { case (k, v) => k -> v.toString }
+        SourceDef(id, format, str(loader, "path", s"source '$id'.loader"),
+          options, transport)
+      case other =>
+        fail(s"source '$id': transport '$other' is not supported " +
+          "(fs | synthetic; http is an environment-level concern — see README)")
+    }
   }
 
   private def parseFrom(raw: Any, ctx: String): From = {

@@ -55,6 +55,10 @@ object ConfigRuntime {
       StreamKey(partitionBy(id), "time", tiebreak(id))
 
     private def readSource(src: Config.SourceDef): DataFrame = {
+      if (src.transport == "synthetic")
+        return graft.sources.Synthetic.timeTicks(spark,
+          src.options("start"), src.options("end"),
+          src.options.getOrElse("frequency", "1h"))
       val path = if (src.path.startsWith("/")) src.path
                  else s"$dataDir/${src.path}"
       // same session posture as sources.Tables: ms-precision parquet

@@ -85,6 +85,49 @@ object Scaffold {
     root
   }
 
+  /** Runnable demo workspace (reference services/scaffold/demo.py +
+    * templates/demo_skeleton): a data-free project on the synthetic tick
+    * source, runnable immediately —
+    * `graft.Cli run <out>/demo/project.yaml demo <anyDir>`.
+    */
+  def demo(outDir: Path): Path = {
+    val root = outDir.resolve("demo")
+    if (Files.exists(root))
+      throw new IllegalArgumentException(s"scaffold: $root already exists")
+    Files.createDirectories(root)
+    Files.writeString(root.resolve("project.yaml"),
+      """# graft demo: a bounded synthetic tick grid with time-encoding and
+        |# rolling transforms — no input data needed.
+        |sources:
+        |  - id: ticks
+        |    loader:
+        |      transport: synthetic
+        |      args: { start: "2024-01-01", end: "2024-01-08", frequency: 30m }
+        |streams:
+        |  - id: grid
+        |    from: { source: ticks }
+        |    transforms:
+        |      - { operation: encode_time, mode: hour_sin, to: h_sin }
+        |      - { operation: encode_time, mode: weekday_sin, to: wd_sin }
+        |      - { operation: rolling, field: h_sin, window: 8, statistic: mean, to: h_sin_smooth }
+        |profiles:
+        |  - { id: demo, cmd: stream, stream: grid, preview: 12 }
+        |  - { id: materialize, cmd: materialize-streams, run_root: runs }
+        |""".stripMargin)
+    Files.writeString(root.resolve("README.md"),
+      """# graft demo
+        |
+        |Preview twelve rows of the synthetic stream:
+        |
+        |    sbt "runMain graft.Cli run demo/project.yaml demo ."
+        |
+        |Materialize it into `runs/` (run-scoped dirs + atomic `latest`):
+        |
+        |    sbt "runMain graft.Cli run demo/project.yaml materialize ."
+        |""".stripMargin)
+    root
+  }
+
   // ---- per-entity YAML scaffolds (reference services/scaffold/
   // {source_yaml,stream_yaml}.py). The reference writes stanza files into
   // stream dirs; graft's project is ONE document, so the twin appends a

@@ -183,6 +183,27 @@ object QueriesPipeline {
           round(col("value"), 6).as("value"), col("value_str"))
     },
 
+    // Synthetic tick source from YAML (reference sources/synthetic/time/
+    // loader.py via config transport): a data-free bounded time grid with a
+    // preprocess transform, proving the `transport: synthetic` config path.
+    "config_synthetic" -> { (s, _) =>
+      val project = graft.pipeline.Config.parseProject(
+        """sources:
+          |  - id: ticks
+          |    loader:
+          |      transport: synthetic
+          |      args: { start: "2024-01-03", end: "2024-01-05 12:00:00", frequency: 90m }
+          |streams:
+          |  - id: grid
+          |    from: { source: ticks }
+          |    transforms:
+          |      - { operation: encode_time, mode: hour_sin, to: h_sin }
+          |""".stripMargin)
+      graft.pipeline.ConfigRuntime.resolver(s, "/nonexistent", project)
+        .stream("grid")
+        .select(eu(col("time")).as("t_us"), round(col("h_sin"), 6).as("h_sin"))
+    },
+
     // Series projection over events: partition identity (user_id, event_type)
     // minus sample key (user_id) → series_id suffix `@event_type:<value>`;
     // two configs fan each record into two identified series rows.
@@ -354,6 +375,14 @@ object QueriesPipeline {
          UNION ALL SELECT * FROM sc_rows
          UNION ALL SELECT * FROM meta_rows
          UNION ALL SELECT * FROM ticks_rows""",
+
+    "config_synthetic" ->
+      s"""WITH g AS (
+            SELECT unnest(generate_series(TIMESTAMP '2024-01-03',
+                     TIMESTAMP '2024-01-05 12:00:00', INTERVAL 90 MINUTE)) AS time)
+          SELECT epoch_us(time) AS t_us,
+                 ROUND(sin(${graft.functions.TimeFns.TwoPi} * CAST(hour(time) AS DOUBLE) / 24.0), 6) AS h_sin
+          FROM g""",
 
     "config_sequence" -> {
       // ratios canonicalized by label: test .25 | train .75

@@ -132,4 +132,54 @@ class PluginSpec extends SparkSpec {
     // refused edits must not have corrupted the document
     assert(Config.parseProject(Files.readString(yaml)).sources.map(_.id) == Seq("ticks"))
   }
+
+  test("scaffold demo runs out of the box: preview and materialize") {
+    val out = Files.createTempDirectory("graft_demo_spec")
+    val root = Scaffold.demo(out)
+    val yaml = root.resolve("project.yaml").toString
+
+    // preview profile: 12 rows of the synthetic grid to the console
+    val console = new java.io.ByteArrayOutputStream()
+    Cli.runProfile(spark, yaml, "demo", dataDir = "/nonexistent",
+      out = new java.io.PrintStream(console, true, "UTF-8"))
+    val lines = console.toString("UTF-8").linesIterator.toSeq
+    assert(lines.length == 12, s"expected 12 preview rows:\n${lines.mkString("\n")}")
+
+    // materialize profile: full grid parquet under a run dir + metrics.json
+    val serve = out.resolve("serve")
+    Cli.runProfile(spark, yaml, "materialize", dataDir = "/nonexistent",
+      serveRoot = Some(serve.toString),
+      out = new java.io.PrintStream(java.io.OutputStream.nullOutputStream()))
+    val latest = serve.resolve("latest")
+    assert(Files.exists(latest))
+    val grid = spark.read.parquet(
+      serve.resolve(Files.readSymbolicLink(latest).toString)
+        .resolve("streams/grid").toString)
+    // 2024-01-01 .. 2024-01-08 inclusive at 30m = 7 days * 48 + 1 ticks
+    assert(grid.count() == 7 * 48 + 1)
+    assert(grid.columns.toSet ==
+      Set("time", "h_sin", "wd_sin", "h_sin_smooth"))
+    // second scaffold refused
+    intercept[IllegalArgumentException](Scaffold.demo(out))
+  }
+
+  test("synthetic source config validation mirrors the reference") {
+    def bad(loader: String, msg: String): Unit = {
+      val e = intercept[IllegalArgumentException](Config.parseProject(
+        s"""sources:
+           |  - id: x
+           |    loader: $loader
+           |""".stripMargin))
+      assert(e.getMessage.contains(msg), s"got: ${e.getMessage}")
+    }
+    // reference source_yaml.py: "Synthetic sources do not use a source format"
+    bad("{ transport: synthetic, path: t.parquet, args: { start: \"2024-01-01\", end: \"2024-01-02\" } }",
+      "synthetic sources take 'args'")
+    bad("{ transport: synthetic, args: { end: \"2024-01-02\" } }",
+      "requires args.start")
+    bad("{ transport: synthetic, args: { start: \"2024-01-01\", end: \"2024-01-02\", surprise: 1 } }",
+      "unknown field")
+    bad("{ transport: carrier-pigeon, path: x.parquet }",
+      "transport 'carrier-pigeon' is not supported")
+  }
 }
