@@ -94,7 +94,25 @@ object Cli {
         materializeStreams(spark, configPath, dataDir, root, out)
       case "stream" =>
         streamPreview(spark, configPath, p.stream.get, dataDir, p.preview, out)
+      case "inspect" =>
+        runTask(spark, configPath, p.operation.get, dataDir, p.preview, out)
     }
+  }
+
+  /** Run ONE declared task and preview its report rows (reference
+    * InspectProfile: cmd inspect + operation = the task to run).
+    */
+  def runTask(spark: SparkSession, configPath: String, taskId: String,
+              dataDir: String, limit: Int = 20,
+              out: java.io.PrintStream = System.out): Long = {
+    import org.apache.spark.sql.functions.col
+    val project = Config.parseProject(Files.readString(Paths.get(configPath)))
+    if (!project.tasks.exists(_.id == taskId))
+      throw new IllegalArgumentException(
+        s"config: unknown task '$taskId' (declared: ${project.tasks.map(_.id).mkString(", ")})")
+    Runs.writeText(
+      ConfigRuntime.runTasks(spark, dataDir, project)
+        .filter(col("task") === taskId), limit, out)
   }
 
   def streamPreview(spark: SparkSession, configPath: String, streamId: String,
@@ -246,12 +264,18 @@ object Cli {
       val spark = session()
       try runProfile(spark, config, profileId, dataDir, rest.headOption)
       finally spark.stop()
+    case "task" :: config :: taskId :: dataDir :: rest =>
+      val spark = session()
+      try runTask(spark, config, taskId, dataDir,
+        limit = rest.headOption.map(_.toInt).getOrElse(20))
+      finally spark.stop()
     case other =>
       System.err.println(
         s"""usage: graft.Cli materialize <project.yaml> <dataDir> <serveRoot> [previewRows]
            |       graft.Cli materialize-streams <project.yaml> <dataDir> <serveRoot>
            |       graft.Cli stream <project.yaml> <streamId> <dataDir> [limit]
            |       graft.Cli run <project.yaml> <profileId> <dataDir> [serveRoot]
+           |       graft.Cli task <project.yaml> <taskId> <dataDir> [limit]
            |       graft.Cli plugins
            |       graft.Cli scaffold plugin <name> <outDir>
            |       graft.Cli scaffold source <id> <path> <format> <project.yaml>

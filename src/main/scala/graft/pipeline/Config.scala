@@ -128,7 +128,8 @@ object Config {
       stream: Option[String] = None,
       preview: Int = 0,
       format: String = "parquet",
-      runRoot: Option[String] = None)
+      runRoot: Option[String] = None,
+      operation: Option[String] = None)
 
   /** One logging output (reference config/observability.py LogOutputConfig):
     * where the run's status/progress lines go. transport STDERR | STDOUT |
@@ -646,26 +647,33 @@ object Config {
     val t = asTree(raw, "profile")
     val id = str(t, "id", "profile")
     val ctx = s"profile '$id'"
-    requireKeys(t, Set("id", "cmd", "stream", "preview", "format", "run_root"), ctx)
+    requireKeys(t, Set("id", "cmd", "stream", "preview", "format", "run_root",
+      "operation"), ctx)
     val cmd = str(t, "cmd", ctx)
-    if (!Set("materialize", "materialize-streams", "stream").contains(cmd))
-      fail(s"$ctx.cmd must be materialize | materialize-streams | stream, got '$cmd'")
+    if (!Set("materialize", "materialize-streams", "stream", "inspect").contains(cmd))
+      fail(s"$ctx.cmd must be materialize | materialize-streams | stream | inspect, got '$cmd'")
     val stream = strOpt(t, "stream")
     if (cmd == "stream" && stream.isEmpty)
       fail(s"$ctx: cmd 'stream' requires a 'stream' id")
     if (cmd != "stream" && stream.nonEmpty)
       fail(s"$ctx: only cmd 'stream' takes a 'stream' id")
+    // reference InspectProfile: cmd inspect runs one named task operation
+    val operation = strOpt(t, "operation")
+    if (cmd == "inspect" && operation.isEmpty)
+      fail(s"$ctx: cmd 'inspect' requires an 'operation' (a task id)")
+    if (cmd != "inspect" && operation.nonEmpty)
+      fail(s"$ctx: only cmd 'inspect' takes an 'operation'")
     val preview = intOpt(t, "preview")
-      .getOrElse(if (cmd == "stream") 20 else 0)
-    if (cmd == "stream" && preview < 1)
-      fail(s"$ctx.preview must be >= 1 for cmd 'stream', got $preview")
+      .getOrElse(if (cmd == "stream" || cmd == "inspect") 20 else 0)
+    if ((cmd == "stream" || cmd == "inspect") && preview < 1)
+      fail(s"$ctx.preview must be >= 1 for cmd '$cmd', got $preview")
     if (preview < 0) fail(s"$ctx.preview must be >= 0, got $preview")
     val format = strOpt(t, "format").getOrElse("parquet")
     if (!Set("parquet", "csv", "jsonl").contains(format))
       fail(s"$ctx.format must be parquet | csv | jsonl, got '$format'")
     if (cmd != "materialize" && t.contains("format"))
       fail(s"$ctx: only cmd 'materialize' takes a 'format'")
-    ProfileDef(id, cmd, stream, preview, format, strOpt(t, "run_root"))
+    ProfileDef(id, cmd, stream, preview, format, strOpt(t, "run_root"), operation)
   }
 
   /** `observability:` section, with the reference's exact validation matrix
@@ -767,6 +775,10 @@ object Config {
       }
       if (prof.cmd == "materialize" && p.dataset.isEmpty)
         fail(s"profile '${prof.id}': cmd 'materialize' requires a 'dataset' section")
+      prof.operation.foreach { op =>
+        if (!p.tasks.exists(_.id == op))
+          fail(s"profile '${prof.id}': unknown task operation '$op'")
+      }
     }
     p
   }

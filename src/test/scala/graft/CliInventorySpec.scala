@@ -71,6 +71,53 @@ class CliInventorySpec extends SparkSpec {
       .contains("No graft sort spill directories found."))
   }
 
+  test("inspect profile and task command run one declared task") {
+    val root = Files.createTempDirectory("graft_cli_task")
+    val cfg = root.resolve("p.yaml")
+    Files.writeString(cfg,
+      """sources:
+        |  - id: ev
+        |    loader: { transport: fs, path: events.parquet, reader: { format: parquet } }
+        |streams:
+        |  - id: s
+        |    from: { source: ev }
+        |    map: { time: ts, fields: [user_id, value] }
+        |    partition_by: [user_id]
+        |dataset:
+        |  sample: { cadence: 1h, keys: [user_id] }
+        |  features: [ { id: v, stream: s, field: value } ]
+        |tasks:
+        |  - { id: cov, task: coverage, threshold: 0.1, stage: assembled }
+        |  - { id: meta, task: metadata }
+        |profiles:
+        |  - { id: check, cmd: inspect, operation: cov, preview: 50 }
+        |""".stripMargin)
+
+    // profile path: only the named task's rows, bounded by preview
+    val viaProfile = captured(out => Cli.runProfile(spark, cfg.toString,
+      "check", "/root/testdata/sf0.001", out = out))
+    assert(viaProfile.nonEmpty && viaProfile.linesIterator.forall(_.startsWith("cov\t")),
+      s"expected only cov rows:\n$viaProfile")
+
+    // direct command path: the other task
+    val viaCmd = captured(out => Cli.runTask(spark, cfg.toString, "meta",
+      "/root/testdata/sf0.001", limit = 50, out = out))
+    assert(viaCmd.nonEmpty && viaCmd.linesIterator.forall(_.startsWith("meta\t")),
+      s"expected only meta rows:\n$viaCmd")
+
+    // validation: unknown operation fails the parse; misplaced operation too
+    val e = intercept[IllegalArgumentException](graft.pipeline.Config.parseProject(
+      Files.readString(cfg).replace("operation: cov", "operation: nope")))
+    assert(e.getMessage.contains("unknown task operation 'nope'"))
+    val f = intercept[IllegalArgumentException](graft.pipeline.Config.parseProject(
+      Files.readString(cfg).replace("cmd: inspect, operation: cov", "cmd: inspect")))
+    assert(f.getMessage.contains("requires an 'operation'"))
+    val g = intercept[IllegalArgumentException](
+      Cli.runTask(spark, cfg.toString, "nope", "/root/testdata/sf0.001",
+        out = new PrintStream(java.io.OutputStream.nullOutputStream())))
+    assert(g.getMessage.contains("unknown task 'nope'"))
+  }
+
   test("clean --older-than spares young orphans") {
     val serveRoot = Files.createTempDirectory("graft_cli_clean_age")
     val tmp = Hygiene.tempRoot(serveRoot)
