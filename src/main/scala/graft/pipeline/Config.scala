@@ -375,10 +375,30 @@ object Config {
     requireKeys(t, Set("id", "loader"), s"source '$id'")
     val loader = asTree(t.getOrElse("loader",
       fail(s"source '$id' requires 'loader'")), s"source '$id'.loader")
-    requireKeys(loader, Set("transport", "path", "reader", "args"),
-      s"source '$id'.loader")
+    requireKeys(loader, Set("transport", "path", "reader", "args", "url",
+      "headers", "params"), s"source '$id'.loader")
     val transport = strOpt(loader, "transport").getOrElse("fs")
     transport match {
+      case "http" =>
+        // reference HttpTransport: url + headers + merged params; parquet is
+        // rejected (source_yaml.py "HTTP sources do not support parquet")
+        if (loader.contains("path"))
+          fail(s"source '$id': http sources take 'url', not 'path'")
+        val url = str(loader, "url", s"source '$id'.loader")
+        val reader = asTree(loader.getOrElse("reader", Map.empty[String, Any]),
+          s"source '$id'.loader.reader")
+        val format = strOpt(reader, "format").getOrElse(
+          fail(s"source '$id': http sources require reader.format"))
+        if (!Set("csv", "jsonl", "json").contains(format))
+          fail(s"source '$id': HTTP sources do not support format '$format' (csv | json | jsonl)")
+        val headers = loader.get("headers")
+          .map(asTree(_, s"source '$id'.loader.headers")).getOrElse(Map.empty)
+          .map { case (k, v) => s"header.$k" -> v.toString }
+        val params = loader.get("params")
+          .map(asTree(_, s"source '$id'.loader.params")).getOrElse(Map.empty)
+          .map { case (k, v) => s"param.$k" -> v.toString }
+        val options = (reader - "format").map { case (k, v) => k -> v.toString }
+        SourceDef(id, format, url, options ++ headers ++ params, transport)
       case "synthetic" =>
         // reference default_loader_config: synthetic takes args, no
         // path/reader/format (source_yaml.py "Synthetic sources do not use

@@ -59,6 +59,28 @@ object ConfigRuntime {
         return graft.sources.Synthetic.timeTicks(spark,
           src.options("start"), src.options("end"),
           src.options.getOrElse("frequency", "1h"))
+      if (src.transport == "http") {
+        // staging transport (sources/Http.scala): fetch ONCE driver-side,
+        // then the normal distributed read. Staged under the JVM tmpdir
+        // here; a cluster deployment stages to shared storage instead.
+        val headers = src.options.collect {
+          case (k, v) if k.startsWith("header.") => k.stripPrefix("header.") -> v
+        }
+        val params = src.options.collect {
+          case (k, v) if k.startsWith("param.") => k.stripPrefix("param.") -> v
+        }.toSeq
+        val readerOpts = src.options.filterNot { case (k, _) =>
+          k.startsWith("header.") || k.startsWith("param.") }
+        val dest = s"${sys.props("java.io.tmpdir")}/graft_http_staged/" +
+          s"${math.abs(src.path.hashCode)}/${src.id}.${src.format}"
+        graft.sources.Http.fetchToLocal(src.path, dest, headers, params)
+        val reader = spark.read.options(readerOpts)
+        return src.format match {
+          case "csv" => reader.option("header", "true")
+            .option("inferSchema", "true").csv(dest)
+          case _     => reader.json(dest)
+        }
+      }
       val path = if (src.path.startsWith("/")) src.path
                  else s"$dataDir/${src.path}"
       // same session posture as sources.Tables: ms-precision parquet

@@ -163,6 +163,51 @@ class PluginSpec extends SparkSpec {
     intercept[IllegalArgumentException](Scaffold.demo(out))
   }
 
+  test("http transport in config: loopback fetch, params, and stream read") {
+    val root = Files.createTempDirectory("graft_http_cfg")
+    val payload = root.resolve("ticks.jsonl")
+    Files.writeString(payload,
+      """{"user_id": 1, "ts": "2024-01-01 00:00:00", "value": 1.5}
+        |{"user_id": 1, "ts": "2024-01-01 00:10:00", "value": 2.5}
+        |{"user_id": 2, "ts": "2024-01-01 00:00:00", "value": 9.0}
+        |""".stripMargin)
+    val (server, url) = graft.sources.Http.serveFile(payload.toString, "/ticks.jsonl")
+    try {
+      val project = Config.parseProject(
+        s"""sources:
+           |  - id: remote
+           |    loader:
+           |      transport: http
+           |      url: $url
+           |      headers: { X-Graft: spec }
+           |      params: { limit: "10" }
+           |      reader: { format: jsonl }
+           |streams:
+           |  - id: s
+           |    from: { source: remote }
+           |    map: { time: ts, fields: [user_id, value] }
+           |    partition_by: [user_id]
+           |""".stripMargin)
+      assert(project.source("remote").transport == "http")
+      val rows = ConfigRuntime.resolver(spark, root.toString, project)
+        .stream("s").collect()
+      assert(rows.length == 3)
+    } finally server.stop(0)
+    // reference: "HTTP sources do not support parquet format"
+    val e = intercept[IllegalArgumentException](Config.parseProject(
+      """sources:
+        |  - id: r
+        |    loader: { transport: http, url: "http://x/y.parquet", reader: { format: parquet } }
+        |""".stripMargin))
+    assert(e.getMessage.contains("do not support format 'parquet'"))
+    val f = intercept[IllegalArgumentException](Config.parseProject(
+      """sources:
+        |  - id: r
+        |    loader: { transport: http, path: y.csv, reader: { format: csv } }
+        |""".stripMargin))
+    assert(f.getMessage.contains("http sources take 'url'"))
+  }
+
   test("synthetic source config validation mirrors the reference") {
     def bad(loader: String, msg: String): Unit = {
       val e = intercept[IllegalArgumentException](Config.parseProject(
