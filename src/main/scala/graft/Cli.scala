@@ -100,19 +100,32 @@ object Cli {
   }
 
   /** Run ONE declared task and preview its report rows (reference
-    * InspectProfile: cmd inspect + operation = the task to run).
+    * InspectProfile: cmd inspect + operation = the task to run). With
+    * `cacheDir`, the report is served through the fingerprint-keyed
+    * artifact cache (reference artifacts/registry.py): unchanged config +
+    * unchanged source files = no Spark job.
     */
   def runTask(spark: SparkSession, configPath: String, taskId: String,
               dataDir: String, limit: Int = 20,
-              out: java.io.PrintStream = System.out): Long = {
+              out: java.io.PrintStream = System.out,
+              cacheDir: Option[java.nio.file.Path] = None): Long = {
     import org.apache.spark.sql.functions.col
     val project = Config.parseProject(Files.readString(Paths.get(configPath)))
     if (!project.tasks.exists(_.id == taskId))
       throw new IllegalArgumentException(
         s"config: unknown task '$taskId' (declared: ${project.tasks.map(_.id).mkString(", ")})")
-    Runs.writeText(
-      ConfigRuntime.runTasks(spark, dataDir, project)
-        .filter(col("task") === taskId), limit, out)
+    def compute = ConfigRuntime.runTasks(spark, dataDir, project)
+      .filter(col("task") === taskId)
+    val report = cacheDir match {
+      case None => compute
+      case Some(dir) =>
+        val fp = graft.pipeline.ArtifactCache.fingerprint(project, dataDir, taskId)
+        val (df, hit) = graft.pipeline.ArtifactCache.cached(
+          spark, dir, taskId, fp)(compute)
+        out.println(s"task $taskId ${if (hit) "cached" else "computed"} [${fp.take(12)}]")
+        df
+    }
+    Runs.writeText(report, limit, out)
   }
 
   def streamPreview(spark: SparkSession, configPath: String, streamId: String,
@@ -266,8 +279,14 @@ object Cli {
       finally spark.stop()
     case "task" :: config :: taskId :: dataDir :: rest =>
       val spark = session()
+      val cache = rest.sliding(2).collectFirst {
+        case Seq("--cache", dir) => Paths.get(dir)
+      }
       try runTask(spark, config, taskId, dataDir,
-        limit = rest.headOption.map(_.toInt).getOrElse(20))
+        limit = rest.filterNot(_.startsWith("--"))
+          .filterNot(r => cache.exists(_.toString == r))
+          .headOption.map(_.toInt).getOrElse(20),
+        cacheDir = cache)
       finally spark.stop()
     case other =>
       System.err.println(

@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fingerprint-keyed artifact cache (reference artifacts/fingerprints.py +
+  * artifacts/registry.py): a task's report is reusable iff nothing it
+  * depends on changed — the config closure (sources, streams, dataset,
+  * the task definition itself) and the stat snapshot of every filesystem
+  * input (size + mtime per file, like the reference's
+  * `file:{size}:{mtime_ns}` states). Any drift — an edited YAML, a
+  * re-written parquet, a version bump — changes the sha256 and misses the
+  * cache; identical inputs hit it and skip the whole Spark job.
+  *
+  * Layout: `<cacheDir>/<taskId>/<fingerprint>/report.parquet`. Entries are
+  * immutable (the fingerprint IS the content key), so concurrent readers
+  * need no locking; writes go through a temp dir + atomic rename.
+  */
+object ArtifactCache {
+
+  /** Bump when task semantics change without a config change (reference
+    * ARTIFACT_CACHE_VERSION).
+    */
+  val CacheVersion = 1
+
+  private def fileState(p: Path): String =
+    if (!Files.isRegularFile(p)) "missing"
+    else s"file:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+
+  /** Stat snapshot of every fs-source input under `dataDir`, sorted by
+    * source id. Directory-shaped tables (multi-file parquet) snapshot each
+    * contained regular file, sorted — a rewritten part file changes the
+    * fingerprint.
+    */
+  private def sourceStates(project: Config.Project, dataDir: String): String =
+    project.sources.sortBy(_.id).map { s =>
+      if (s.transport != "fs") s.id + "|" + s.transport + "|"
+      else {
+        val p = if (s.path.startsWith("/")) java.nio.file.Paths.get(s.path)
+                else java.nio.file.Paths.get(dataDir, s.path)
+        val state =
+          if (Files.isDirectory(p)) {
+            import scala.jdk.CollectionConverters._
+            Files.list(p).iterator().asScala.toSeq
+              .filter(Files.isRegularFile(_)).sortBy(_.toString)
+              .map(f => s"${f.getFileName}:${fileState(f)}").mkString(",")
+          } else fileState(p)
+        s.id + "|" + s.path + "|" + state + "|"
+      }
+    }.mkString
+
+  /** sha256 over (cache version, task id, task/config closure, fs input
+    * snapshots). Case-class `toString` is the canonical config rendering —
+    * deterministic for a parsed project.
+    */
+  def fingerprint(project: Config.Project, dataDir: String,
+                  taskId: String): String = {
+    val task = project.tasks.find(_.id == taskId).getOrElse(
+      throw new IllegalArgumentException(s"config: unknown task '$taskId'"))
+    val canonical = Seq(
+      s"v$CacheVersion", taskId, task.toString,
+      project.sources.sortBy(_.id).mkString("|"),
+      project.streams.sortBy(_.id).mkString("|"),
+      project.dataset.map(_.toString).getOrElse(""),
+      sourceStates(project, dataDir)
+    ).mkString("|")
+    MessageDigest.getInstance("SHA-256")
+      .digest(canonical.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Serve `compute`'s report through the cache: a hit reads the stored
+    * parquet without running the job; a miss computes, stores atomically,
+    * and returns the stored copy. Returns (frame, hit?).
+    */
+  def cached(spark: SparkSession, cacheDir: Path, taskId: String,
+             fp: String)(compute: => DataFrame): (DataFrame, Boolean) = {
+    val entry = cacheDir.resolve(taskId).resolve(fp)
+    val report = entry.resolve("report.parquet")
+    if (Files.exists(report)) (spark.read.parquet(report.toString), true)
+    else {
+      val tmp = cacheDir.resolve(taskId).resolve(s".tmp-$fp")
+      compute.write.mode("overwrite").parquet(
+        tmp.resolve("report.parquet").toString)
+      Files.createDirectories(entry.getParent)
+      try Files.move(tmp, entry, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // a concurrent run landed the same fingerprint first — theirs is
+        // byte-equivalent by construction; drop ours
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.AccessDeniedException |
+             _: java.nio.file.DirectoryNotEmptyException =>
+          org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+      }
+      (spark.read.parquet(report.toString), false)
+    }
+  }
+}

@@ -118,6 +118,56 @@ class CliInventorySpec extends SparkSpec {
     assert(g.getMessage.contains("unknown task 'nope'"))
   }
 
+  test("artifact cache: identical inputs hit, config or file drift misses") {
+    val root = Files.createTempDirectory("graft_task_cache")
+    // private copy of the source file so we can touch it for invalidation
+    val data = root.resolve("data")
+    Files.createDirectories(data)
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      data.resolve("events.parquet"))
+    val cfg = root.resolve("p.yaml")
+    def yaml(threshold: Double) =
+      s"""sources:
+         |  - id: ev
+         |    loader: { transport: fs, path: events.parquet, reader: { format: parquet } }
+         |streams:
+         |  - id: s
+         |    from: { source: ev }
+         |    map: { time: ts, fields: [user_id, value] }
+         |    partition_by: [user_id]
+         |dataset:
+         |  sample: { cadence: 1h, keys: [user_id] }
+         |  features: [ { id: v, stream: s, field: value } ]
+         |tasks:
+         |  - { id: cov, task: coverage, threshold: $threshold, stage: assembled }
+         |""".stripMargin
+    Files.writeString(cfg, yaml(0.1))
+    val cache = root.resolve("cache")
+
+    def run(): String = captured(out => Cli.runTask(spark, cfg.toString, "cov",
+      data.toString, limit = 50, out = out, cacheDir = Some(cache)))
+
+    val first = run()
+    assert(first.contains("task cov computed ["), first)
+    val second = run()
+    assert(second.contains("task cov cached ["), second)
+    // identical report either way
+    assert(first.linesIterator.drop(1).toSeq == second.linesIterator.drop(1).toSeq)
+
+    // config drift (changed threshold) → new fingerprint → recompute
+    Files.writeString(cfg, yaml(0.2))
+    assert(run().contains("task cov computed ["))
+
+    // source-file drift (rewritten bytes → new mtime/size) → recompute
+    Files.writeString(cfg, yaml(0.1))
+    assert(run().contains("task cov cached ["), "back to the first fingerprint")
+    val ev = data.resolve("events.parquet")
+    Files.setLastModifiedTime(ev,
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(ev).toMillis + 1234))
+    assert(run().contains("task cov computed ["), "touched input must miss")
+  }
+
   test("clean --older-than spares young orphans") {
     val serveRoot = Files.createTempDirectory("graft_cli_clean_age")
     val tmp = Hygiene.tempRoot(serveRoot)
