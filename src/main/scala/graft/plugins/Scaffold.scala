@@ -16,7 +16,7 @@ import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
 object Scaffold {
 
   /** kebab-or-snake plugin name → package + class names. */
-  private[plugins] def names(raw: String): (String, String) = {
+  private[graft] def names(raw: String): (String, String) = {
     if (!raw.matches("[a-z][a-z0-9_-]*"))
       throw new IllegalArgumentException(
         s"scaffold: plugin name must match [a-z][a-z0-9_-]*, got '$raw'")

@@ -136,6 +136,14 @@ class PlanAuditSpec extends SparkSpec {
       s"no codegen span in:\n${plan.take(1500)}")
   }
 
+  audit("curation_chunk") { plan =>
+    // chunking is pure per-row codegen: any Exchange means the operator
+    // stopped chunking at scan speed
+    assert(!plan.linesIterator.takeWhile(_.trim.nonEmpty)
+      .exists(_.contains("Exchange")),
+      "curation_chunk must be shuffle-free")
+  }
+
   audit("config_dataset") { plan =>
     // train-fold scaler stats attach as a one-row broadcast, never a shuffle
     assert(plan.contains("BroadcastNestedLoopJoin") ||

@@ -1,0 +1,102 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streaming.{mergeEvent, SessionSpan}
+
+/** Property-based invariants (ScalaCheck) for the pure algorithmic cores
+  * where an example-based spec can't sweep the input space: the streaming
+  * session merge (order-insensitivity is what makes late arrivals exact),
+  * cadence parsing, URL building, and scaffold naming.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop, n: Int = 300): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def fold(times: Seq[Long], gap: Long): Seq[SessionSpan] =
+    times.foldLeft(Seq.empty[SessionSpan])((acc, t) => mergeEvent(acc, t, gap))
+
+  test("mergeEvent: arrival order never changes the final sessions") {
+    // THE streaming-sessionize correctness core: late/out-of-order arrivals
+    // across micro-batches must converge to the batch answer.
+    val gen = for {
+      times <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 2000L))
+      gap <- Gen.chooseNum(1L, 300L)
+      shuffled <- Gen.const(scala.util.Random.shuffle(times))
+    } yield (times, shuffled, gap)
+    check(Prop.forAll(gen) { case (times, shuffled, gap) =>
+      fold(times.sorted, gap) == fold(shuffled, gap)
+    })
+  }
+
+  test("mergeEvent: spans are disjoint, gap-separated, and count every event") {
+    val gen = for {
+      times <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 2000L))
+      gap <- Gen.chooseNum(1L, 300L)
+    } yield (times, gap)
+    check(Prop.forAll(gen) { case (times, gap) =>
+      val spans = fold(times, gap)
+      val ordered = spans.sortBy(_.start)
+      val gapSeparated = ordered.sliding(2).forall {
+        case Seq(a, b) => b.start - a.end > gap
+        case _         => true
+      }
+      val countsMatch = spans.map(_.n).sum == times.length
+      val boundsHit = ordered.head.start == times.min &&
+        ordered.last.end == times.max
+      val withinSpan = times.forall(t => spans.exists(s =>
+        t >= s.start && t <= s.end))
+      gapSeparated && countsMatch && boundsHit && withinSpan
+    })
+  }
+
+  test("parseCadenceMillis: every unit scales its amount exactly") {
+    import graft.functions.TimeFns.parseCadenceMillis
+    val gen = for {
+      n <- Gen.chooseNum(1, 10000)
+      (suffix, ms) <- Gen.oneOf(Seq(("ms", 1L), ("s", 1000L), ("m", 60000L),
+        ("min", 60000L), ("h", 3600000L), ("d", 86400000L)))
+    } yield (n, suffix, ms)
+    check(Prop.forAll(gen) { case (n, suffix, ms) =>
+      parseCadenceMillis(s"$n$suffix") == n * ms
+    })
+  }
+
+  test("buildUrl: every param lands percent-encoded; existing query joins with &") {
+    import graft.sources.Http.buildUrl
+    val token = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val gen = for {
+      base <- token.map(t => s"http://h/$t")
+      withQuery <- Gen.oneOf(true, false)
+      params <- Gen.listOf(Gen.zip(token, token))
+    } yield (if (withQuery) s"$base?q=1" else base, withQuery, params)
+    check(Prop.forAll(gen) { case (url, hadQuery, params) =>
+      val built = buildUrl(url, params)
+      val joinedRight = params.isEmpty ||
+        built.startsWith(url + (if (hadQuery) "&" else "?"))
+      joinedRight && params.forall { case (k, v) => built.contains(s"$k=$v") }
+    })
+  }
+
+  test("scaffold names: valid ids map to a legal class; anything else throws") {
+    import graft.plugins.Scaffold.names
+    val valid = for {
+      head <- Gen.alphaLowerChar
+      tail <- Gen.listOf(Gen.oneOf(Gen.alphaLowerChar, Gen.numChar,
+        Gen.const('_'), Gen.const('-')))
+    } yield (head +: tail).mkString
+    check(Prop.forAll(valid) { raw =>
+      val (pkg, cls) = names(raw)
+      !pkg.contains("-") && cls.matches("[A-Z][A-Za-z0-9]*Plugin") &&
+        pkg == raw.replace('-', '_')
+    })
+    val invalid = Gen.oneOf("", "Upper", "9start", "sp ace", "-lead", "ünï")
+    check(Prop.forAll(invalid) { raw =>
+      Prop.throws(classOf[IllegalArgumentException])(names(raw))
+    }, n = 20)
+  }
+}
