@@ -48,31 +48,59 @@ object Cli {
   def materialize(spark: SparkSession, configPath: String, dataDir: String,
                   serveRoot: String, preview: Int = 0,
                   format: String = "parquet",
-                  out: java.io.PrintStream = System.out): Runs.RunPaths =
+                  out: java.io.PrintStream = System.out,
+                  ifChanged: Boolean = false): Runs.RunPaths =
     // one mutating command per serve root (fail-fast lock) + sweep any
     // orphaned scratch dirs a crashed run left behind before starting
     Hygiene.withExecutionLock(Paths.get(serveRoot)) {
       Hygiene.cleanTempDirs(Hygiene.tempRoot(Paths.get(serveRoot)))
       val project = Config.parseProject(Files.readString(Paths.get(configPath)))
-      val obs = Observability.start(spark, project.observability, out)
-      val df = ConfigRuntime.dataset(spark, dataDir, project)
-      val paths = Runs.runPaths(serveRoot, Runs.makeRunId())
-      Runs.startRun(paths)
-      obs.bindRunDir(paths.runRoot)
-      try {
-        write(df, format, paths.datasetDir.toString)
-        Runs.finishRun(paths, "success")
-      } catch {
-        case e: Throwable =>
-          Runs.finishRun(paths, "failed", Some(String.valueOf(e.getMessage)))
-          throw e
-      } finally Observability.finish(spark, obs,
-        Some(paths.runRoot.resolve("metrics.json")))
-      out.println(s"run ${paths.runId} -> ${paths.datasetDir}")
-      if (preview > 0)
-        Runs.writeText(read(spark, format, paths.datasetDir.toString), preview, out)
-      paths
+      // incremental materialize: unchanged config + unchanged inputs since
+      // the last SUCCESSFUL run → keep serving `latest`, run no Spark job
+      val fp = if (ifChanged)
+        Some(graft.pipeline.ArtifactCache.datasetFingerprint(project, dataDir))
+      else None
+      fp.flatMap(f => currentRun(serveRoot, f)) match {
+        case Some(live) =>
+          out.println(s"run ${live.runId} up to date [${fp.get.take(12)}]")
+          live
+        case None =>
+          val obs = Observability.start(spark, project.observability, out)
+          val df = ConfigRuntime.dataset(spark, dataDir, project)
+          val paths = Runs.runPaths(serveRoot, Runs.makeRunId())
+          Runs.startRun(paths)
+          obs.bindRunDir(paths.runRoot)
+          try {
+            write(df, format, paths.datasetDir.toString)
+            fp.foreach(f =>
+              Files.writeString(paths.runRoot.resolve("fingerprint"), f))
+            Runs.finishRun(paths, "success")
+          } catch {
+            case e: Throwable =>
+              Runs.finishRun(paths, "failed", Some(String.valueOf(e.getMessage)))
+              throw e
+          } finally Observability.finish(spark, obs,
+            Some(paths.runRoot.resolve("metrics.json")))
+          out.println(s"run ${paths.runId} -> ${paths.datasetDir}")
+          if (preview > 0)
+            Runs.writeText(read(spark, format, paths.datasetDir.toString),
+              preview, out)
+          paths
+      }
     }
+
+  /** The live (`latest`) run iff it succeeded with this fingerprint. */
+  private def currentRun(serveRoot: String, fp: String): Option[Runs.RunPaths] = {
+    val latest = Paths.get(serveRoot).resolve("latest")
+    if (!Files.isSymbolicLink(latest)) return None
+    val runId = Files.readSymbolicLink(latest).getFileName.toString
+    val paths = Runs.runPaths(serveRoot, runId)
+    val fresh = Files.exists(paths.metadataPath) &&
+      Files.readString(paths.metadataPath).contains("\"status\": \"success\"") &&
+      Files.exists(paths.runRoot.resolve("fingerprint")) &&
+      Files.readString(paths.runRoot.resolve("fingerprint")) == fp
+    if (fresh) Some(paths) else None
+  }
 
   /** Run a named profile from the project's `profiles:` section (reference
     * config/profiles/defaults.py): the profile supplies the command, preview
@@ -238,6 +266,14 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = args.toList match {
+    case "materialize" :: config :: dataDir :: serveRoot :: rest
+        if rest.contains("--if-changed") =>
+      val spark = session()
+      try materialize(spark, config, dataDir, serveRoot,
+        preview = rest.filterNot(_.startsWith("--"))
+          .headOption.map(_.toInt).getOrElse(0),
+        ifChanged = true)
+      finally spark.stop()
     case "plugins" :: Nil =>
       listPlugins()
     case "scaffold" :: "plugin" :: name :: outDir :: Nil =>

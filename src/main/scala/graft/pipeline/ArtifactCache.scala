@@ -72,6 +72,23 @@ object ArtifactCache {
       .map("%02x".format(_)).mkString
   }
 
+  /** Fingerprint of the whole dataset journey (sources + streams + dataset
+    * + fs input snapshots) — the key for incremental materialize
+    * (`graft.Cli materialize … --if-changed`).
+    */
+  def datasetFingerprint(project: Config.Project, dataDir: String): String = {
+    val canonical = Seq(
+      s"v$CacheVersion", "dataset",
+      project.sources.sortBy(_.id).mkString("|"),
+      project.streams.sortBy(_.id).mkString("|"),
+      project.dataset.map(_.toString).getOrElse(""),
+      sourceStates(project, dataDir)
+    ).mkString("|")
+    MessageDigest.getInstance("SHA-256")
+      .digest(canonical.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
   /** Serve `compute`'s report through the cache: a hit reads the stored
     * parquet without running the job; a miss computes, stores atomically,
     * and returns the stored copy. Returns (frame, hit?).

@@ -3,7 +3,7 @@ package graft
 import java.io.{ByteArrayOutputStream, PrintStream}
 import java.nio.file.{Files, Path}
 
-import graft.sources.Hygiene
+import graft.sources.{Hygiene, Runs}
 
 /** `graft.Cli list` (reference cli/commands/list_.py) and `graft.Cli clean`
   * (reference cli/commands/clean.py): inventory and spill-sweep reports.
@@ -166,6 +166,62 @@ class CliInventorySpec extends SparkSpec {
       java.nio.file.attribute.FileTime.fromMillis(
         Files.getLastModifiedTime(ev).toMillis + 1234))
     assert(run().contains("task cov computed ["), "touched input must miss")
+  }
+
+  test("materialize --if-changed: unchanged inputs keep serving latest") {
+    val root = Files.createTempDirectory("graft_inc_mat")
+    val data = root.resolve("data")
+    Files.createDirectories(data)
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      data.resolve("events.parquet"))
+    val cfg = root.resolve("p.yaml")
+    def yaml(cadence: String) =
+      s"""sources:
+         |  - id: ev
+         |    loader: { transport: fs, path: events.parquet, reader: { format: parquet } }
+         |streams:
+         |  - id: s
+         |    from: { source: ev }
+         |    map: { time: ts, fields: [user_id, value] }
+         |    partition_by: [user_id]
+         |dataset:
+         |  sample: { cadence: $cadence, keys: [user_id] }
+         |  features: [ { id: v, stream: s, field: value } ]
+         |""".stripMargin
+    Files.writeString(cfg, yaml("1h"))
+    val serve = root.resolve("serve").toString
+
+    def run(): (Runs.RunPaths, String) = {
+      val buf = new ByteArrayOutputStream()
+      val p = Cli.materialize(spark, cfg.toString, data.toString, serve,
+        out = new PrintStream(buf, true, "UTF-8"), ifChanged = true)
+      (p, buf.toString("UTF-8"))
+    }
+
+    val (first, out1) = run()
+    assert(out1.contains(s"run ${first.runId} ->"), out1)
+    val (second, out2) = run()
+    assert(second.runId == first.runId, "unchanged inputs must reuse the run")
+    assert(out2.contains("up to date ["), out2)
+
+    // config drift → a NEW run becomes latest
+    Files.writeString(cfg, yaml("30m"))
+    val (third, _) = run()
+    assert(third.runId != first.runId)
+
+    // reverting the config restores the OLD fingerprint, but latest now
+    // points at the 30m run → recompute (latest is the live contract)
+    Files.writeString(cfg, yaml("1h"))
+    val (fourth, _) = run()
+    assert(fourth.runId != first.runId && fourth.runId != third.runId)
+
+    // input file drift → recompute
+    val ev = data.resolve("events.parquet")
+    Files.setLastModifiedTime(ev,
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(ev).toMillis + 5000))
+    val (fifth, _) = run()
+    assert(fifth.runId != fourth.runId, "touched input must re-materialize")
   }
 
   test("clean --older-than spares young orphans") {
