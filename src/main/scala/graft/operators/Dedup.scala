@@ -161,7 +161,10 @@ object Dedup {
       .localCheckpoint(eager = false)
     var prevSum = Option.empty[Long]
     var iter = 0
-    var converged = false
+    // no edges → every node is a singleton; the loop's label-sum probe
+    // would read sum(empty) = NULL (surfaced by the pre-collapse path,
+    // where a corpus of exact-dup groups can yield zero near-dup edges)
+    var converged = labels.isEmpty
     while (!converged && iter < maxIter) {
       val msgs = sym.as("s").join(labels.as("l"), col("s.src") === col("l.id"))
         .select(col("s.dst").as("id"), col("l.label").as("nlabel"))
@@ -190,14 +193,59 @@ object Dedup {
   /** Duplicate clusters: connected components over the verified minhash
     * near-dup pairs (jacc ≥ threshold). cluster_id = min doc id of the
     * component; the canonical doc is the one a dedup pass would keep.
+    *
+    * Exact-duplicate pre-collapse (the standard before-near-dedup step at
+    * corpus scale): identical shingleable texts always verify at jacc = 1,
+    * so near-dup candidate generation, verification, and the CC loop run on
+    * ONE representative (min id) per distinct text; members inherit their
+    * representative's cluster by equi-join. Result-identical to the
+    * uncollapsed pipeline — cluster_id = min doc id still holds because
+    * every member id ≥ its representative's id — but minhash/CC work
+    * scales with DISTINCT texts, not documents (a 10×-duplicated corpus
+    * does ~10× less signature/join work). Docs too short to shingle are
+    * NOT collapsed: with no shingles they produce no candidate pair (their
+    * pairwise jaccard is NULL), so identical short docs must remain
+    * singletons exactly as the uncollapsed path leaves them.
     */
   def dupClusters(df: DataFrame, textCol: String, idCol: String,
                   shingleSize: Int = 3, numPerm: Int = 64, bands: Int = 16,
                   threshold: Double = 0.5): DataFrame = {
-    val edges = minhashScoredPairs(df, textCol, idCol, shingleSize, numPerm, bands)
-      .where(col("jacc") >= threshold)
-      .select(col("id_a"), col("id_b"))
-    val labels = connectedComponents(df.select(col(idCol)), edges, idCol)
+    // One cheap probe decides the path: approx_count_distinct over the text
+    // hash is partial-aggregated (per-partition HLL sketches, no row
+    // shuffle) and deterministic. A mostly-distinct corpus skips the
+    // collapse — its text-hash shuffle and member re-attach would be pure
+    // overhead (~1.5x measured at sf0.1, where every text is unique) — a
+    // duplicated corpus takes it (3.2x faster at the 10x-duplicated sf1).
+    // Both paths produce identical results by construction.
+    val probe = df.agg(count(lit(1)).as("n"),
+      approx_count_distinct(sha2(col(textCol).cast("string"), 256)).as("d")).head()
+    val collapse = probe.getLong(1) < 0.9 * probe.getLong(0)
+
+    val labels =
+      if (!collapse) {
+        val edges = minhashScoredPairs(df, textCol, idCol, shingleSize, numPerm, bands)
+          .where(col("jacc") >= threshold)
+          .select(col("id_a"), col("id_b"))
+        connectedComponents(df.select(col(idCol)), edges, idCol)
+      } else {
+        val collapsible = size(Text.tokens(col(textCol))) >= shingleSize
+        val byText = org.apache.spark.sql.expressions.Window
+          .partitionBy(sha2(col(textCol).cast("string"), 256))
+        val mapped = df.select(col(idCol), col(textCol),
+            when(collapsible, min(col(idCol)).over(byText))
+              .otherwise(col(idCol)).as("__rep"))
+          .localCheckpoint(eager = false) // feeds reps AND the member attach
+        val reps = mapped.where(col(idCol) === col("__rep"))
+          .select(col(idCol), col(textCol))
+        val edges = minhashScoredPairs(reps, textCol, idCol, shingleSize, numPerm, bands)
+          .where(col("jacc") >= threshold)
+          .select(col("id_a"), col("id_b"))
+        val repLabels = connectedComponents(reps.select(col(idCol)), edges, idCol)
+          .withColumnRenamed(idCol, "__rep_id")
+        mapped.select(col(idCol), col("__rep"))
+          .join(repLabels, col("__rep") === col("__rep_id"))
+          .select(col(idCol), col("cluster_id"))
+      }
     val byCluster = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
     labels
       .withColumn("cluster_size", count(lit(1)).over(byCluster))

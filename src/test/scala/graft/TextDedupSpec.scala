@@ -255,6 +255,31 @@ class TextDedupSpec extends SparkSpec {
     assert(out(3L) == ((3L, 1L, true)))
   }
 
+  test("dupClusters collapsed path equals the uncollapsed clustering, lifted to copies") {
+    // Duplicate the sf0.001 corpus with offset ids: the probe sees 50%
+    // distinct and takes the exact-dup pre-collapse path. Expected output
+    // has a closed form from the base (uncollapsed-path) clustering:
+    // identical-text links merge each base component with its copy, so
+    // cluster_id stays the base cluster id (all copy ids are larger),
+    // every cluster doubles in size, and only base rows can be canonical.
+    val base = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val Off = 1000000L
+    val doubled = base.union(base.select(col("doc_id") + Off, col("text")))
+    val got = Dedup.dupClusters(doubled, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    val baseClusters = Dedup.dupClusters(base, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.size == 2 * baseClusters.size)
+    baseClusters.foreach { case (id, (cid, size)) =>
+      assert(got(id) == ((cid, 2 * size, id == cid)),
+        s"base row $id: got ${got(id)}, base ($cid, $size)")
+      assert(got(id + Off) == ((cid, 2 * size, false)),
+        s"copy row ${id + Off}: got ${got(id + Off)}")
+    }
+  }
+
   test("ann_ivf: centroids partition the corpus; probing recalls most true neighbors") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter(col("vec_id") < 5)
