@@ -65,22 +65,30 @@ object Cli {
           out.println(s"run ${live.runId} up to date [${fp.get.take(12)}]")
           live
         case None =>
+          // obs lifecycle encloses EVERYTHING after start — a dataset()
+          // that fails at driver time (eager coverage/scaler collects)
+          // must still stop the heartbeat and unregister the listeners
           val obs = Observability.start(spark, project.observability, out)
-          val df = ConfigRuntime.dataset(spark, dataDir, project)
-          val paths = Runs.runPaths(serveRoot, Runs.makeRunId())
-          Runs.startRun(paths)
-          obs.bindRunDir(paths.runRoot)
-          try {
-            write(df, format, paths.datasetDir.toString)
-            fp.foreach(f =>
-              Files.writeString(paths.runRoot.resolve("fingerprint"), f))
-            Runs.finishRun(paths, "success")
-          } catch {
-            case e: Throwable =>
-              Runs.finishRun(paths, "failed", Some(String.valueOf(e.getMessage)))
-              throw e
-          } finally Observability.finish(spark, obs,
-            Some(paths.runRoot.resolve("metrics.json")))
+          var metricsPath: Option[java.nio.file.Path] = None
+          val paths =
+            try {
+              val df = ConfigRuntime.dataset(spark, dataDir, project)
+              val p = Runs.runPaths(serveRoot, Runs.makeRunId())
+              Runs.startRun(p)
+              obs.bindRunDir(p.runRoot)
+              metricsPath = Some(p.runRoot.resolve("metrics.json"))
+              try {
+                write(df, format, p.datasetDir.toString)
+                fp.foreach(f =>
+                  Files.writeString(p.runRoot.resolve("fingerprint"), f))
+                Runs.finishRun(p, "success")
+              } catch {
+                case e: Throwable =>
+                  Runs.finishRun(p, "failed", Some(String.valueOf(e.getMessage)))
+                  throw e
+              }
+              p
+            } finally Observability.finish(spark, obs, metricsPath)
           out.println(s"run ${paths.runId} -> ${paths.datasetDir}")
           if (preview > 0)
             Runs.writeText(read(spark, format, paths.datasetDir.toString),
@@ -137,13 +145,12 @@ object Cli {
               dataDir: String, limit: Int = 20,
               out: java.io.PrintStream = System.out,
               cacheDir: Option[java.nio.file.Path] = None): Long = {
-    import org.apache.spark.sql.functions.col
     val project = Config.parseProject(Files.readString(Paths.get(configPath)))
     if (!project.tasks.exists(_.id == taskId))
       throw new IllegalArgumentException(
         s"config: unknown task '$taskId' (declared: ${project.tasks.map(_.id).mkString(", ")})")
-    def compute = ConfigRuntime.runTasks(spark, dataDir, project)
-      .filter(col("task") === taskId)
+    def compute = ConfigRuntime.runTasks(spark, dataDir, project,
+      only = Some(Set(taskId)))
     val report = cacheDir match {
       case None => compute
       case Some(dir) =>
@@ -177,24 +184,27 @@ object Cli {
       Hygiene.cleanTempDirs(Hygiene.tempRoot(Paths.get(serveRoot)))
       val project = Config.parseProject(Files.readString(Paths.get(configPath)))
       val obs = Observability.start(spark, project.observability, out)
-      val res = ConfigRuntime.resolver(spark, dataDir, project)
-      val paths = Runs.runPaths(serveRoot, Runs.makeRunId())
-      Runs.startRun(paths)
-      obs.bindRunDir(paths.runRoot)
+      var metricsPath: Option[java.nio.file.Path] = None
       try {
-        project.streams.map(_.id).foreach { id =>
-          res.stream(id).write.mode("overwrite")
-            .parquet(paths.runRoot.resolve("streams").resolve(id).toString)
-          out.println(s"run ${paths.runId} stream $id -> streams/$id")
+        val res = ConfigRuntime.resolver(spark, dataDir, project)
+        val paths = Runs.runPaths(serveRoot, Runs.makeRunId())
+        Runs.startRun(paths)
+        obs.bindRunDir(paths.runRoot)
+        metricsPath = Some(paths.runRoot.resolve("metrics.json"))
+        try {
+          project.streams.map(_.id).foreach { id =>
+            res.stream(id).write.mode("overwrite")
+              .parquet(paths.runRoot.resolve("streams").resolve(id).toString)
+            out.println(s"run ${paths.runId} stream $id -> streams/$id")
+          }
+          Runs.finishRun(paths, "success")
+        } catch {
+          case e: Throwable =>
+            Runs.finishRun(paths, "failed", Some(String.valueOf(e.getMessage)))
+            throw e
         }
-        Runs.finishRun(paths, "success")
-      } catch {
-        case e: Throwable =>
-          Runs.finishRun(paths, "failed", Some(String.valueOf(e.getMessage)))
-          throw e
-      } finally Observability.finish(spark, obs,
-        Some(paths.runRoot.resolve("metrics.json")))
-      paths
+        paths
+      } finally Observability.finish(spark, obs, metricsPath)
     }
 
   private def session(): SparkSession = {

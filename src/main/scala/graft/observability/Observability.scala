@@ -175,7 +175,9 @@ object Observability {
     val outputs = obs.flatMap(_.logging).map(_.outputs).getOrElse(Nil)
     val globalSinks = outputs.flatMap { o =>
       (o.transport, o.scope) match {
-        case ("STDOUT", _) => Some(console -> false)
+        // the console is already an unconditional sink — adding it again
+        // would double every progress/heartbeat line
+        case ("STDOUT", _) => None
         case ("STDERR", _) => Some(System.err -> false)
         case ("FS", "GLOBAL") =>
           val p = java.nio.file.Paths.get(o.path.get)
@@ -206,10 +208,18 @@ object Observability {
              metricsPath: Option[Path]): Unit = {
     handle.heartbeat.foreach(_.stop())
     // the SQL-execution event for the just-finished write may still be in
-    // flight on the bus; give it a bounded moment
+    // flight on the async bus. Earlier driver-side actions (coverage
+    // collects, scaler fits) populate the log long before the final write,
+    // so "non-empty" is not "drained" — wait until the count stops moving
+    // for a settle window, bounded overall.
     val deadline = System.nanoTime() + 2000000000L
-    while (handle.actions.actions.isEmpty && System.nanoTime() < deadline)
-      Thread.sleep(20)
+    var last = -1
+    var settled = false
+    while (!settled && System.nanoTime() < deadline) {
+      val n = handle.actions.actions.size
+      if (n == last && n > 0) settled = true
+      else { last = n; Thread.sleep(100) }
+    }
     spark.sparkContext.removeSparkListener(handle.run)
     spark.listenerManager.unregister(handle.actions)
     metricsPath.foreach { p =>

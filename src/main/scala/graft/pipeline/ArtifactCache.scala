@@ -28,7 +28,10 @@ object ArtifactCache {
 
   private def fileState(p: Path): String =
     if (!Files.isRegularFile(p)) "missing"
-    else s"file:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+    // nanosecond mtime (the reference's file:{size}:{mtime_ns} contract):
+    // a same-size rewrite within one millisecond must still change the key
+    else "file:" + Files.size(p) + ":" +
+      Files.getLastModifiedTime(p).to(java.util.concurrent.TimeUnit.NANOSECONDS)
 
   /** Stat snapshot of every fs-source input under `dataDir`, sorted by
     * source id. Directory-shaped tables (multi-file parquet) snapshot each
@@ -44,9 +47,11 @@ object ArtifactCache {
         val state =
           if (Files.isDirectory(p)) {
             import scala.jdk.CollectionConverters._
-            Files.list(p).iterator().asScala.toSeq
-              .filter(Files.isRegularFile(_)).sortBy(_.toString)
-              .map(f => s"${f.getFileName}:${fileState(f)}").mkString(",")
+            scala.util.Using.resource(Files.list(p)) { listing =>
+              listing.iterator().asScala.toSeq
+                .filter(Files.isRegularFile(_)).sortBy(_.toString)
+                .map(f => s"${f.getFileName}:${fileState(f)}").mkString(",")
+            }
           } else fileState(p)
         s.id + "|" + s.path + "|" + state + "|"
       }
@@ -99,17 +104,21 @@ object ArtifactCache {
     val report = entry.resolve("report.parquet")
     if (Files.exists(report)) (spark.read.parquet(report.toString), true)
     else {
-      val tmp = cacheDir.resolve(taskId).resolve(s".tmp-$fp")
+      // UNIQUE temp dir per writer: concurrent misses on one fingerprint
+      // must not share a staging area (mode=overwrite would delete each
+      // other's in-flight files and the rename could publish a truncated
+      // entry). Each writer stages privately; the first atomic rename wins,
+      // the loser discards its byte-equivalent copy.
+      val tmp = cacheDir.resolve(taskId)
+        .resolve(s".tmp-$fp-${java.util.UUID.randomUUID().toString.take(8)}")
       compute.write.mode("overwrite").parquet(
         tmp.resolve("report.parquet").toString)
       Files.createDirectories(entry.getParent)
       try Files.move(tmp, entry, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
-        // a concurrent run landed the same fingerprint first — theirs is
-        // byte-equivalent by construction; drop ours
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.AccessDeniedException |
-             _: java.nio.file.DirectoryNotEmptyException =>
+        case _: java.nio.file.FileSystemException if Files.exists(report) =>
+          // a concurrent run landed this fingerprint first — byte-equivalent
+          // by construction; drop ours
           org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
       }
       (spark.read.parquet(report.toString), false)

@@ -431,7 +431,7 @@ object Config {
           options, transport)
       case other =>
         fail(s"source '$id': transport '$other' is not supported " +
-          "(fs | synthetic; http is an environment-level concern — see README)")
+          "(fs | http | synthetic)")
     }
   }
 

@@ -107,14 +107,21 @@ object ConfigRuntime {
       val d = project.stream(id)
       val out = d.from match {
         case Config.FromSource(srcId) =>
-          val raw = readSource(project.source(srcId))
+          val source = project.source(srcId)
+          val raw = readSource(source)
           val renamed =
             if (d.map.time == "time") raw
             else raw.withColumnRenamed(d.map.time, "time")
           // TIMESTAMP(NANOS) parquet time read as long ns (nanosAsLong) →
-          // µs-grain TimestampType, the same normalization as Tables.events
+          // µs-grain TimestampType, the same normalization as Tables.events.
+          // ONLY for fs parquet: that is the one reader nanosAsLong affects.
+          // A LongType time from csv/json/http/plugin sources is NOT nanos
+          // (it is typically epoch ms/s) — interpreting it as such would
+          // silently corrupt every timestamp, so those fail loudly
+          // downstream instead.
           val mapped0 =
-            if (renamed.columns.contains("time") &&
+            if (source.transport == "fs" && source.format == "parquet" &&
+                renamed.columns.contains("time") &&
                 renamed.schema("time").dataType ==
                   org.apache.spark.sql.types.LongType)
               renamed.withColumn("time", expr("timestamp_micros(time div 1000)"))
@@ -422,8 +429,14 @@ object ConfigRuntime {
     * so running n tasks costs one shuffle, not n.
     */
   def runTasks(spark: SparkSession, dataDir: String,
-               project: Config.Project): DataFrame = {
-    require(project.tasks.nonEmpty, "config: project declares no tasks")
+               project: Config.Project,
+               only: Option[Set[String]] = None): DataFrame = {
+    // `only` prunes BEFORE any frame is built: running one task must not
+    // pay for (or fail on) unrelated tasks' validation and driver-side
+    // collects — an inspect of the ticks task should never force the
+    // assembly shuffle of a scaler task it didn't ask for
+    val selected = project.tasks.filter(t => only.forall(_.contains(t.id)))
+    require(selected.nonEmpty, "config: project declares no matching tasks")
     val outCols = Seq(col("task"), col("item"), col("metric"),
       col("value"), col("value_str"))
     val nullStr = lit(null).cast("string")
@@ -437,7 +450,7 @@ object ConfigRuntime {
       case _           => (post.frame, post.retainedF, post.retainedT)
     }
 
-    val frames = project.tasks.map {
+    val frames = selected.map {
       case Config.CoverageTask(id, threshold, st) =>
         val (frame, fids, tids) = stage(st)
         Assembly.coverageStats(frame, fids ++ tids)
@@ -470,7 +483,7 @@ object ConfigRuntime {
             lit("status").as("metric"), nullNum.as("value"),
             col("status").as("value_str"))
 
-      case Config.ScalerTask(id, _, _, epsilon) =>
+      case Config.ScalerTask(id, withMean, withStd, epsilon) =>
         val (frame, fids, tids) = stage("postprocessed")
         val scaledIds = a.vectors.filter(_.scale).map(_.id)
           .flatMap(v => (fids ++ tids).filter(c =>
@@ -478,16 +491,22 @@ object ConfigRuntime {
         require(scaledIds.nonEmpty,
           s"config: task '$id': no scale: true vectors to fit")
         // unfolded fit over the whole stage frame (reference
-        // _fit_standard_scaler); sequence vectors observe window ELEMENTS
+        // _fit_standard_scaler); sequence vectors observe window ELEMENTS.
+        // with_mean/with_std mirror the reference scaler options: a
+        // disabled statistic reports its identity value (mean 0 / std 1 —
+        // "no centering" / "no scaling"), not a silently-fitted one.
         val perField = scaledIds.map { f =>
           val obs =
             if (a.seqById.contains(a.baseId(f)))
               frame.select(explode(col(f)).as("__x"))
             else frame.select(col(f).as("__x"))
+          val meanCol = if (withMean) meanDec(col("__x")) else lit(0.0)
+          val stdCol =
+            if (withStd) round(greatest(coalesce(stddev_pop(col("__x")),
+              lit(0.0)), lit(epsilon)), 6)
+            else lit(1.0)
           obs.agg(
-            meanDec(col("__x")).as("mean"),
-            round(greatest(coalesce(stddev_pop(col("__x")), lit(0.0)),
-              lit(epsilon)), 6).as("std"),
+            meanCol.as("mean"), stdCol.as("std"),
             count(col("__x")).cast("double").as("cnt"))
             .select(explode(array(
               struct(lit("mean").as("metric"), col("mean").as("value")),

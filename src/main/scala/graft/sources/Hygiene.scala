@@ -135,16 +135,22 @@ object Hygiene {
     } finally ch.close()
   }
 
+  // java.nio directory streams hold a file descriptor until close() — every
+  // traversal below is Using-wrapped so repeated sweeps in a long-lived JVM
+  // can't exhaust fds.
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p) && !Files.isSymbolicLink(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+      scala.util.Using.resource(Files.list(p))(
+        _.iterator().asScala.toSeq).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 
   private def directorySize(p: Path): Long =
-    Files.walk(p).iterator().asScala
-      .filter(f => Files.isRegularFile(f) && !Files.isSymbolicLink(f))
-      .map(Files.size).sum
+    scala.util.Using.resource(Files.walk(p)) { walk =>
+      walk.iterator().asScala
+        .filter(f => Files.isRegularFile(f) && !Files.isSymbolicLink(f))
+        .map(Files.size).sum
+    }
 
   /** Orphaned spill dirs under `root` older than `olderThanMs`, sorted by
     * path (reference find_temp_dirs).
@@ -152,7 +158,7 @@ object Hygiene {
   def findTempDirs(root: Path, olderThanMs: Long = 0L): Seq[TempDirCandidate] = {
     if (!Files.isDirectory(root)) return Nil
     val now = System.currentTimeMillis()
-    Files.list(root).iterator().asScala.toSeq
+    scala.util.Using.resource(Files.list(root))(_.iterator().asScala.toSeq)
       .filter(p => Files.isDirectory(p) && !Files.isSymbolicLink(p) &&
         p.getFileName.toString.startsWith(SpillDirPrefix))
       .filterNot(isActive)
