@@ -328,10 +328,14 @@ object Cli {
       val cache = rest.sliding(2).collectFirst {
         case Seq("--cache", dir) => Paths.get(dir)
       }
+      // drop flag VALUES positionally (the element after the flag), not by
+      // comparing against the normalized Path rendering — `--cache c/`
+      // normalizes to `c` and would otherwise survive into the limit parse
+      val positional = rest.zipWithIndex.filterNot { case (a, i) =>
+        a.startsWith("--") || (i > 0 && rest(i - 1) == "--cache")
+      }.map(_._1)
       try runTask(spark, config, taskId, dataDir,
-        limit = rest.filterNot(_.startsWith("--"))
-          .filterNot(r => cache.exists(_.toString == r))
-          .headOption.map(_.toInt).getOrElse(20),
+        limit = positional.headOption.map(_.toInt).getOrElse(20),
         cacheDir = cache)
       finally spark.stop()
     case other =>

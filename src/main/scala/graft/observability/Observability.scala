@@ -212,12 +212,15 @@ object Observability {
     // collects, scaler fits) populate the log long before the final write,
     // so "non-empty" is not "drained" — wait until the count stops moving
     // for a settle window, bounded overall.
+    // a stable count of ZERO settles too (after one sleep): a run that
+    // failed before its first SQL action must not busy-wait the whole
+    // deadline just to confirm nothing is coming
     val deadline = System.nanoTime() + 2000000000L
     var last = -1
     var settled = false
     while (!settled && System.nanoTime() < deadline) {
       val n = handle.actions.actions.size
-      if (n == last && n > 0) settled = true
+      if (n == last) settled = true
       else { last = n; Thread.sleep(100) }
     }
     spark.sparkContext.removeSparkListener(handle.run)
@@ -231,8 +234,10 @@ object Observability {
 
   private def metricsJson(h: Handle): String = {
     val r = h.run
+    // action names are caller-supplied (custom funcName/command labels) —
+    // escape them or a quote/backslash corrupts metrics.json
     val acts = h.actions.actions.map { a =>
-      s"""{"name": "${a.name}", "duration_ms": ${a.durationMs}, """ +
+      s"""{"name": ${graft.sources.Runs.jsonStr(a.name)}, "duration_ms": ${a.durationMs}, """ +
         s""""output_rows": ${a.outputRows.map(_.toString).getOrElse("null")}}"""
     }.mkString("[", ", ", "]")
     s"""{

@@ -33,27 +33,45 @@ object ArtifactCache {
     else "file:" + Files.size(p) + ":" +
       Files.getLastModifiedTime(p).to(java.util.concurrent.TimeUnit.NANOSECONDS)
 
-  /** Stat snapshot of every fs-source input under `dataDir`, sorted by
-    * source id. Directory-shaped tables (multi-file parquet) snapshot each
-    * contained regular file, sorted — a rewritten part file changes the
-    * fingerprint.
+  /** Stat snapshot of one fs path. Directory-shaped tables (multi-file
+    * parquet, hive-partitioned layouts) walk RECURSIVELY: every regular file
+    * under the directory contributes `relpath:file:size:mtime_ns`, and
+    * subdirectory names contribute too, so a rewritten part file inside a
+    * partition subdir — or an added/removed partition — changes the key.
+    */
+  private[pipeline] def pathState(p: Path): String =
+    if (Files.isDirectory(p)) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(p)) { walk =>
+        walk.iterator().asScala.filter(_ != p).toSeq
+          .map(f => p.relativize(f).toString -> f).sortBy(_._1)
+          .map { case (rel, f) =>
+            if (Files.isDirectory(f)) s"$rel:dir"
+            else s"$rel:${fileState(f)}"
+          }.mkString(",")
+      }
+    } else fileState(p)
+
+  /** Stat snapshot of every source input under `dataDir`, sorted by source
+    * id. Freshness is FS-ONLY (the reference contract is the same —
+    * fingerprints.py stats local files): `synthetic` sources are fully
+    * described by their config (start/end/frequency live in the SourceDef
+    * rendering); `http` sources snapshot the STAGED local copy when one
+    * exists — a re-fetch that changes the payload invalidates, but a changed
+    * remote payload that was never re-staged does not.
     */
   private def sourceStates(project: Config.Project, dataDir: String): String =
     project.sources.sortBy(_.id).map { s =>
-      if (s.transport != "fs") s.id + "|" + s.transport + "|"
-      else {
-        val p = if (s.path.startsWith("/")) java.nio.file.Paths.get(s.path)
-                else java.nio.file.Paths.get(dataDir, s.path)
-        val state =
-          if (Files.isDirectory(p)) {
-            import scala.jdk.CollectionConverters._
-            scala.util.Using.resource(Files.list(p)) { listing =>
-              listing.iterator().asScala.toSeq
-                .filter(Files.isRegularFile(_)).sortBy(_.toString)
-                .map(f => s"${f.getFileName}:${fileState(f)}").mkString(",")
-            }
-          } else fileState(p)
-        s.id + "|" + s.path + "|" + state + "|"
+      s.transport match {
+        case "fs" =>
+          val p = if (s.path.startsWith("/")) java.nio.file.Paths.get(s.path)
+                  else java.nio.file.Paths.get(dataDir, s.path)
+          s.id + "|" + s.path + "|" + pathState(p) + "|"
+        case "http" =>
+          val staged = java.nio.file.Paths.get(
+            graft.sources.Http.stagedPath(s.path, s.id, s.format))
+          s.id + "|" + s.transport + "|" + pathState(staged) + "|"
+        case _ => s.id + "|" + s.transport + "|"
       }
     }.mkString
 

@@ -71,8 +71,7 @@ object ConfigRuntime {
         }.toSeq
         val readerOpts = src.options.filterNot { case (k, _) =>
           k.startsWith("header.") || k.startsWith("param.") }
-        val dest = s"${sys.props("java.io.tmpdir")}/graft_http_staged/" +
-          s"${math.abs(src.path.hashCode)}/${src.id}.${src.format}"
+        val dest = graft.sources.Http.stagedPath(src.path, src.id, src.format)
         graft.sources.Http.fetchToLocal(src.path, dest, headers, params)
         val reader = spark.read.options(readerOpts)
         return src.format match {

@@ -30,6 +30,15 @@ object Http {
       url + sep + enc
     }
 
+  /** Canonical local staging path for an http source: one slot per
+    * (url, source id) under the JVM tmpdir. Shared by the config runtime
+    * (which fetches into it) and the artifact fingerprints (which stat it —
+    * a re-fetch that changed the payload invalidates cached artifacts).
+    */
+  def stagedPath(url: String, sourceId: String, format: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_http_staged/" +
+      s"${math.abs(url.hashCode)}/$sourceId.$format"
+
   /** Fetch `url` to local path `dest` (parent dirs created). Non-2xx is an
     * error, like the reference's HTTPError propagation. Returns `dest`.
     */

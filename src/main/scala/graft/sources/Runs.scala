@@ -41,7 +41,7 @@ object Runs {
       runRoot.resolve("dataset"), runRoot.resolve("run.json"))
   }
 
-  private def jsonStr(s: String): String =
+  private[graft] def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"

@@ -168,6 +168,55 @@ class CliInventorySpec extends SparkSpec {
     assert(run().contains("task cov computed ["), "touched input must miss")
   }
 
+  test("artifact cache fingerprints directory sources recursively") {
+    val root = Files.createTempDirectory("graft_cache_nested")
+    // directory-shaped source with a PARTITIONED layout: part files live in
+    // subdirectories, which a shallow listing would never stat
+    val data = root.resolve("data")
+    val table = data.resolve("events.parquet")
+    spark.read.format("parquet")
+      .load("/root/testdata/sf0.001/events.parquet")
+      .write.partitionBy("event_type").parquet(table.toString)
+    val cfg = root.resolve("p.yaml")
+    Files.writeString(cfg,
+      """sources:
+        |  - id: ev
+        |    loader: { transport: fs, path: events.parquet, reader: { format: parquet } }
+        |streams:
+        |  - id: s
+        |    from: { source: ev }
+        |    map: { time: ts, fields: [user_id, value] }
+        |    partition_by: [user_id]
+        |dataset:
+        |  sample: { cadence: 1h, keys: [user_id] }
+        |  features: [ { id: v, stream: s, field: value } ]
+        |tasks:
+        |  - { id: cov, task: coverage, threshold: 0.1, stage: assembled }
+        |""".stripMargin)
+    val cache = root.resolve("cache")
+    def run(): String = captured(out => Cli.runTask(spark, cfg.toString, "cov",
+      data.toString, limit = 5, out = out, cacheDir = Some(cache)))
+
+    assert(run().contains("task cov computed ["))
+    assert(run().contains("task cov cached ["))
+
+    // touch ONE nested part file → the fingerprint must change
+    import scala.jdk.CollectionConverters._
+    val nested = scala.util.Using.resource(Files.walk(table))(
+      _.iterator().asScala.find(p => Files.isRegularFile(p) &&
+        p.getParent != table && p.getFileName.toString.endsWith(".parquet")).get)
+    Files.setLastModifiedTime(nested,
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(nested).toMillis + 4321))
+    assert(run().contains("task cov computed ["),
+      "a rewrite inside a partition subdirectory must invalidate")
+
+    // an added partition directory (even before files land) invalidates too
+    Files.createDirectories(table.resolve("event_type=zzz_new"))
+    assert(run().contains("task cov computed ["),
+      "an added partition subdirectory must invalidate")
+  }
+
   test("materialize --if-changed: unchanged inputs keep serving latest") {
     val root = Files.createTempDirectory("graft_inc_mat")
     val data = root.resolve("data")
