@@ -110,6 +110,19 @@ object Cli {
     if (fresh) Some(paths) else None
   }
 
+  /** Incremental artifact build (reference cli/commands/build.py over
+    * artifacts/executor.py): classify every declared task's freshness
+    * against the artifacts root, rebuild ONLY the outdated ones, hydrate
+    * the rest from their stored reports.
+    */
+  def build(spark: SparkSession, configPath: String, dataDir: String,
+            artifactsRoot: String, force: Boolean = false,
+            out: java.io.PrintStream = System.out): graft.pipeline.ArtifactGraph.BuildResult = {
+    val project = Config.parseProject(Files.readString(Paths.get(configPath)))
+    graft.pipeline.ArtifactGraph.build(spark, dataDir, project,
+      Paths.get(artifactsRoot), force, out)
+  }
+
   /** Run a named profile from the project's `profiles:` section (reference
     * config/profiles/defaults.py): the profile supplies the command, preview
     * rows, output format and default run root; an explicit `serveRoot`
@@ -323,6 +336,11 @@ object Cli {
       val spark = session()
       try runProfile(spark, config, profileId, dataDir, rest.headOption)
       finally spark.stop()
+    case "build" :: config :: dataDir :: artifactsRoot :: rest =>
+      val spark = session()
+      try build(spark, config, dataDir, artifactsRoot,
+        force = rest.contains("--force"))
+      finally spark.stop()
     case "task" :: config :: taskId :: dataDir :: rest =>
       val spark = session()
       val cache = rest.sliding(2).collectFirst {
@@ -345,6 +363,7 @@ object Cli {
            |       graft.Cli stream <project.yaml> <streamId> <dataDir> [limit]
            |       graft.Cli run <project.yaml> <profileId> <dataDir> [serveRoot]
            |       graft.Cli task <project.yaml> <taskId> <dataDir> [limit]
+           |       graft.Cli build <project.yaml> <dataDir> <artifactsRoot> [--force]
            |       graft.Cli plugins
            |       graft.Cli scaffold plugin <name> <outDir>
            |       graft.Cli scaffold source <id> <path> <format> <project.yaml>

@@ -60,20 +60,21 @@ object ArtifactCache {
     * exists — a re-fetch that changes the payload invalidates, but a changed
     * remote payload that was never re-staged does not.
     */
+  private[pipeline] def sourceState(s: Config.SourceDef, dataDir: String): String =
+    s.transport match {
+      case "fs" =>
+        val p = if (s.path.startsWith("/")) java.nio.file.Paths.get(s.path)
+                else java.nio.file.Paths.get(dataDir, s.path)
+        s.id + "|" + s.path + "|" + pathState(p) + "|"
+      case "http" =>
+        val staged = java.nio.file.Paths.get(
+          graft.sources.Http.stagedPath(s.path, s.id, s.format))
+        s.id + "|" + s.transport + "|" + pathState(staged) + "|"
+      case _ => s.id + "|" + s.transport + "|"
+    }
+
   private def sourceStates(project: Config.Project, dataDir: String): String =
-    project.sources.sortBy(_.id).map { s =>
-      s.transport match {
-        case "fs" =>
-          val p = if (s.path.startsWith("/")) java.nio.file.Paths.get(s.path)
-                  else java.nio.file.Paths.get(dataDir, s.path)
-          s.id + "|" + s.path + "|" + pathState(p) + "|"
-        case "http" =>
-          val staged = java.nio.file.Paths.get(
-            graft.sources.Http.stagedPath(s.path, s.id, s.format))
-          s.id + "|" + s.transport + "|" + pathState(staged) + "|"
-        case _ => s.id + "|" + s.transport + "|"
-      }
-    }.mkString
+    project.sources.sortBy(_.id).map(sourceState(_, dataDir)).mkString
 
   /** sha256 over (cache version, task id, task/config closure, fs input
     * snapshots). Case-class `toString` is the canonical config rendering —

@@ -111,6 +111,82 @@ object QueriesPipeline {
       |  - { id: ticks, task: ticks, stream: ev.purchases, grid_by: [user_id] }
       |""".stripMargin
 
+  // DuckDB twin of the five-task report — shared by config_tasks (direct
+  // runTasks) and config_artifacts (the same report served through the
+  // artifact graph's build-then-hydrate path).
+  private val TasksReportSql =
+    """WITH src AS (
+         SELECT user_id, event_id, value, event_type, epoch_us(ts) AS t_us
+         FROM events),
+       asm AS (
+         SELECT user_id, t_us - t_us % 3600000000 AS st,
+                max(value) AS val,
+                max(CASE WHEN event_type = 'purchase' THEN value END) AS pval
+         FROM src GROUP BY 1, 2),
+       covstats AS (
+         SELECT count(*) AS present, count(val) AS nn_val,
+                count(pval) AS nn_pval
+         FROM asm),
+       cov AS (
+         SELECT 'val' AS item, present, nn_val AS non_null FROM covstats
+         UNION ALL
+         SELECT 'pval' AS item, present, nn_pval AS non_null FROM covstats),
+       cov_rows AS (
+         SELECT 'cov' AS task, item, 'coverage' AS metric,
+                ROUND(CAST(non_null AS DOUBLE) / present, 6) AS value,
+                CAST(NULL AS VARCHAR) AS value_str FROM cov
+         UNION ALL
+         SELECT 'cov', item, 'meets_threshold',
+                CASE WHEN CAST(non_null AS DOUBLE) / present >= 0.9
+                     THEN 1.0 ELSE 0.0 END, NULL FROM cov
+         UNION ALL
+         SELECT 'cov', item, 'non_null', CAST(non_null AS DOUBLE), NULL FROM cov
+         UNION ALL
+         SELECT 'cov', item, 'present', CAST(present AS DOUBLE), NULL FROM cov),
+       mat_rows AS (
+         SELECT 'mat' AS task,
+                'val@' || CAST(st AS VARCHAR) || ', ' || CAST(user_id AS VARCHAR) AS item,
+                'status' AS metric, CAST(NULL AS DOUBLE) AS value,
+                'present' AS value_str
+         FROM asm
+         UNION ALL
+         SELECT 'mat',
+                'pval@' || CAST(st AS VARCHAR) || ', ' || CAST(user_id AS VARCHAR),
+                'status', NULL,
+                CASE WHEN pval IS NULL THEN 'null' ELSE 'present' END
+         FROM asm),
+       scstats AS (
+         SELECT CAST(SUM(CAST(val AS DECIMAL(30,6))) AS DOUBLE) / COUNT(val) AS m,
+                ROUND(GREATEST(COALESCE(stddev_pop(val), 0.0), 1e-12), 6) AS sd,
+                CAST(COUNT(val) AS DOUBLE) AS c
+         FROM asm),
+       sc_rows AS (
+         SELECT 'sc' AS task, 'val' AS item, 'mean' AS metric,
+                ROUND(m, 6) AS value, CAST(NULL AS VARCHAR) AS value_str
+         FROM scstats
+         UNION ALL SELECT 'sc', 'val', 'std', ROUND(sd, 6), NULL FROM scstats
+         UNION ALL SELECT 'sc', 'val', 'count', c, NULL FROM scstats),
+       meta_rows AS (
+         SELECT * FROM (VALUES
+           ('meta', 'val', 'length', 0.0, 'scalar'),
+           ('meta', 'val', 'is_target', 0.0, CAST(NULL AS VARCHAR)),
+           ('meta', 'val', 'scaled', 1.0, NULL),
+           ('meta', 'pval', 'length', 0.0, 'scalar'),
+           ('meta', 'pval', 'is_target', 0.0, NULL),
+           ('meta', 'pval', 'scaled', 0.0, NULL))
+           AS t(task, item, metric, value, value_str)),
+       ticks_rows AS (
+         SELECT 'ticks' AS task, CAST(user_id AS VARCHAR) AS item,
+                'tick_us' AS metric, CAST(t_us AS DOUBLE) AS value,
+                CAST(NULL AS VARCHAR) AS value_str
+         FROM (SELECT DISTINCT user_id, t_us FROM src
+               WHERE event_type = 'purchase'))
+       SELECT * FROM cov_rows
+       UNION ALL SELECT * FROM mat_rows
+       UNION ALL SELECT * FROM sc_rows
+       UNION ALL SELECT * FROM meta_rows
+       UNION ALL SELECT * FROM ticks_rows"""
+
   private val ColumnThreshold = 0.05
   private val RowThreshold = 0.9
   private val Ratios = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -179,6 +255,30 @@ object QueriesPipeline {
     "config_tasks" -> { (s, d) =>
       val project = graft.pipeline.Config.parseProject(TasksConfigDoc)
       graft.pipeline.ConfigRuntime.runTasks(s, d, project)
+        .select(col("task"), col("item"), col("metric"),
+          round(col("value"), 6).as("value"), col("value_str"))
+    },
+
+    // Incremental artifact graph (reference artifacts/planning.py:40 +
+    // executor.py + hydration.py): build all five task artifacts into a
+    // state-tracked root, then build AGAIN — the second pass classifies
+    // every artifact current and serves the stored reports with no Spark
+    // job. The returned frame is the HYDRATED union, so the parquet
+    // round-trip through the artifact store is what the oracle checks.
+    "config_artifacts" -> { (s, d) =>
+      import java.nio.file.{Files, Paths}
+      val project = graft.pipeline.Config.parseProject(TasksConfigDoc)
+      val root = Paths.get("/tmp/graft_scratch/config_artifacts")
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+      Files.createDirectories(root)
+      val sink = new java.io.PrintStream(java.io.OutputStream.nullOutputStream())
+      val first = graft.pipeline.ArtifactGraph.build(s, d, project, root, out = sink)
+      require(first.rebuilt.length == project.tasks.length,
+        s"fresh root must rebuild everything, got ${first.rebuilt}")
+      val second = graft.pipeline.ArtifactGraph.build(s, d, project, root, out = sink)
+      require(second.rebuilt.isEmpty && second.freshness.outdated.isEmpty,
+        s"unchanged inputs must hydrate everything, got ${second.rebuilt}")
+      second.order.map(second.reports).reduce(_ unionByName _)
         .select(col("task"), col("item"), col("metric"),
           round(col("value"), 6).as("value"), col("value_str"))
     },
@@ -303,78 +403,11 @@ object QueriesPipeline {
           FROM labeled, stats"""
     },
 
-    "config_tasks" ->
-      """WITH src AS (
-           SELECT user_id, event_id, value, event_type, epoch_us(ts) AS t_us
-           FROM events),
-         asm AS (
-           SELECT user_id, t_us - t_us % 3600000000 AS st,
-                  max(value) AS val,
-                  max(CASE WHEN event_type = 'purchase' THEN value END) AS pval
-           FROM src GROUP BY 1, 2),
-         covstats AS (
-           SELECT count(*) AS present, count(val) AS nn_val,
-                  count(pval) AS nn_pval
-           FROM asm),
-         cov AS (
-           SELECT 'val' AS item, present, nn_val AS non_null FROM covstats
-           UNION ALL
-           SELECT 'pval' AS item, present, nn_pval AS non_null FROM covstats),
-         cov_rows AS (
-           SELECT 'cov' AS task, item, 'coverage' AS metric,
-                  ROUND(CAST(non_null AS DOUBLE) / present, 6) AS value,
-                  CAST(NULL AS VARCHAR) AS value_str FROM cov
-           UNION ALL
-           SELECT 'cov', item, 'meets_threshold',
-                  CASE WHEN CAST(non_null AS DOUBLE) / present >= 0.9
-                       THEN 1.0 ELSE 0.0 END, NULL FROM cov
-           UNION ALL
-           SELECT 'cov', item, 'non_null', CAST(non_null AS DOUBLE), NULL FROM cov
-           UNION ALL
-           SELECT 'cov', item, 'present', CAST(present AS DOUBLE), NULL FROM cov),
-         mat_rows AS (
-           SELECT 'mat' AS task,
-                  'val@' || CAST(st AS VARCHAR) || ', ' || CAST(user_id AS VARCHAR) AS item,
-                  'status' AS metric, CAST(NULL AS DOUBLE) AS value,
-                  'present' AS value_str
-           FROM asm
-           UNION ALL
-           SELECT 'mat',
-                  'pval@' || CAST(st AS VARCHAR) || ', ' || CAST(user_id AS VARCHAR),
-                  'status', NULL,
-                  CASE WHEN pval IS NULL THEN 'null' ELSE 'present' END
-           FROM asm),
-         scstats AS (
-           SELECT CAST(SUM(CAST(val AS DECIMAL(30,6))) AS DOUBLE) / COUNT(val) AS m,
-                  ROUND(GREATEST(COALESCE(stddev_pop(val), 0.0), 1e-12), 6) AS sd,
-                  CAST(COUNT(val) AS DOUBLE) AS c
-           FROM asm),
-         sc_rows AS (
-           SELECT 'sc' AS task, 'val' AS item, 'mean' AS metric,
-                  ROUND(m, 6) AS value, CAST(NULL AS VARCHAR) AS value_str
-           FROM scstats
-           UNION ALL SELECT 'sc', 'val', 'std', ROUND(sd, 6), NULL FROM scstats
-           UNION ALL SELECT 'sc', 'val', 'count', c, NULL FROM scstats),
-         meta_rows AS (
-           SELECT * FROM (VALUES
-             ('meta', 'val', 'length', 0.0, 'scalar'),
-             ('meta', 'val', 'is_target', 0.0, CAST(NULL AS VARCHAR)),
-             ('meta', 'val', 'scaled', 1.0, NULL),
-             ('meta', 'pval', 'length', 0.0, 'scalar'),
-             ('meta', 'pval', 'is_target', 0.0, NULL),
-             ('meta', 'pval', 'scaled', 0.0, NULL))
-             AS t(task, item, metric, value, value_str)),
-         ticks_rows AS (
-           SELECT 'ticks' AS task, CAST(user_id AS VARCHAR) AS item,
-                  'tick_us' AS metric, CAST(t_us AS DOUBLE) AS value,
-                  CAST(NULL AS VARCHAR) AS value_str
-           FROM (SELECT DISTINCT user_id, t_us FROM src
-                 WHERE event_type = 'purchase'))
-         SELECT * FROM cov_rows
-         UNION ALL SELECT * FROM mat_rows
-         UNION ALL SELECT * FROM sc_rows
-         UNION ALL SELECT * FROM meta_rows
-         UNION ALL SELECT * FROM ticks_rows""",
+    "config_tasks" -> TasksReportSql,
+
+    // same document, same report — but served through the artifact graph's
+    // build-then-hydrate path, so the oracle checks the stored round-trip
+    "config_artifacts" -> TasksReportSql,
 
     "config_synthetic" ->
       s"""WITH g AS (
@@ -383,6 +416,7 @@ object QueriesPipeline {
           SELECT epoch_us(time) AS t_us,
                  ROUND(sin(${graft.functions.TimeFns.TwoPi} * CAST(hour(time) AS DOUBLE) / 24.0), 6) AS h_sin
           FROM g""",
+
 
     "config_sequence" -> {
       // ratios canonicalized by label: test .25 | train .75

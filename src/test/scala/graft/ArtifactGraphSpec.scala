@@ -1,0 +1,188 @@
+package graft
+
+import java.io.PrintStream
+import java.nio.file.{Files, Path}
+
+import graft.pipeline.{ArtifactGraph, Config}
+
+/** Artifact dependency graph + incremental build + hydration (reference
+  * artifacts/planning.py ArtifactGraph.freshness, executor.py
+  * run_build_if_needed, hydration.py): scoped fingerprints mean touching one
+  * artifact's input rebuilds THAT artifact and its dependents only, serving
+  * everything else from the store.
+  */
+class ArtifactGraphSpec extends SparkSpec {
+
+  private val quiet = new PrintStream(java.io.OutputStream.nullOutputStream())
+
+  /** Two sources with DISJOINT artifact scopes: stream `s` (source ev)
+    * carries the dataset vectors; stream `t` (source ev2) only feeds the
+    * ticks task.
+    */
+  private def disjointYaml: String =
+    """sources:
+      |  - id: ev
+      |    loader: { transport: fs, path: ev/events.parquet, reader: { format: parquet } }
+      |  - id: ev2
+      |    loader: { transport: fs, path: ev2/events.parquet, reader: { format: parquet } }
+      |streams:
+      |  - id: s
+      |    from: { source: ev }
+      |    map: { time: ts, fields: [user_id, value] }
+      |    partition_by: [user_id]
+      |  - id: t
+      |    from: { source: ev2 }
+      |    map: { time: ts, fields: [user_id, value] }
+      |    partition_by: [user_id]
+      |dataset:
+      |  sample: { cadence: 1h, keys: [user_id] }
+      |  features: [ { id: v, stream: s, field: value, scale: true } ]
+      |tasks:
+      |  - { id: sc, task: scaler }
+      |  - { id: meta, task: metadata }
+      |  - { id: cov, task: coverage, threshold: 0.5, stage: assembled }
+      |  - { id: ticks, task: ticks, stream: t, grid_by: [user_id] }
+      |""".stripMargin
+
+  /** Same shape but the ticks task rides the VECTOR stream `s`, so scaler
+    * and metadata depend on it.
+    */
+  private def chainedYaml(gridBy: String): String =
+    s"""sources:
+       |  - id: ev
+       |    loader: { transport: fs, path: ev/events.parquet, reader: { format: parquet } }
+       |streams:
+       |  - id: s
+       |    from: { source: ev }
+       |    map: { time: ts, fields: [user_id, value] }
+       |    partition_by: [user_id]
+       |dataset:
+       |  sample: { cadence: 1h, keys: [user_id] }
+       |  features: [ { id: v, stream: s, field: value, scale: true } ]
+       |tasks:
+       |  - { id: sc, task: scaler }
+       |  - { id: meta, task: metadata }
+       |  - { id: cov, task: coverage, threshold: 0.5, stage: assembled }
+       |  - { id: ticks, task: ticks, stream: s, grid_by: [$gridBy] }
+       |""".stripMargin
+
+  private def stage(root: Path, subdirs: String*): Unit = subdirs.foreach { d =>
+    val dir = root.resolve(d)
+    Files.createDirectories(dir)
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+  }
+
+  private def touch(root: Path, subdir: String): Unit = {
+    val f = root.resolve(subdir).resolve("events.parquet")
+    Files.setLastModifiedTime(f, java.nio.file.attribute.FileTime.fromMillis(
+      Files.getLastModifiedTime(f).toMillis + 1234))
+  }
+
+  test("dependency edges mirror the reference artifact definitions") {
+    val disjoint = Config.parseProject(disjointYaml)
+    assert(ArtifactGraph.dependencies(disjoint) == Map(
+      "sc" -> Nil, "meta" -> Nil, "cov" -> Seq("meta"), "ticks" -> Nil))
+
+    val chained = Config.parseProject(chainedYaml("user_id"))
+    val deps = ArtifactGraph.dependencies(chained)
+    assert(deps("sc") == Seq("ticks"), "scaler depends on scaled-stream ticks")
+    assert(deps("meta") == Seq("ticks"), "metadata depends on input-stream ticks")
+    assert(deps("cov") == Seq("meta"))
+    assert(ArtifactGraph.dependentsOf(deps, Set("ticks")) == Set("sc", "meta", "cov"))
+    val order = ArtifactGraph.topoOrder(chained, deps)
+    assert(order.indexOf("ticks") < order.indexOf("sc"))
+    assert(order.indexOf("meta") < order.indexOf("cov"))
+  }
+
+  test("touching one source rebuilds only the artifacts scoped to it") {
+    val root = Files.createTempDirectory("graft_artifact_graph")
+    stage(root, "ev", "ev2")
+    val project = Config.parseProject(disjointYaml)
+    val store = root.resolve("artifacts")
+
+    def run() = ArtifactGraph.build(spark, root.toString, project, store,
+      out = quiet)
+
+    val first = run()
+    assert(first.rebuilt.toSet == Set("sc", "meta", "cov", "ticks"))
+    assert(first.freshness.missing == Set("sc", "meta", "cov", "ticks"))
+
+    val second = run()
+    assert(second.rebuilt.isEmpty && second.hydrated.length == 4,
+      "unchanged inputs must hydrate everything")
+    // hydrated report content identical to the built one
+    assert(second.reports("ticks").collect().toSet ==
+      first.reports("ticks").collect().toSet)
+
+    // touch the ticks-only source → ticks rebuilds, the rest hydrate
+    touch(root, "ev2")
+    val third = run()
+    assert(third.rebuilt == Seq("ticks"), s"got ${third.rebuilt}")
+    assert(third.hydrated.toSet == Set("sc", "meta", "cov"),
+      "untouched scaler/metadata/coverage must serve from the store")
+    assert(third.freshness.stale == Set("ticks"))
+
+    // touch the vector source → dataset-stage artifacts rebuild, ticks hydrates
+    touch(root, "ev")
+    val fourth = run()
+    assert(fourth.rebuilt.toSet == Set("sc", "meta", "cov"))
+    assert(fourth.hydrated == Seq("ticks"))
+  }
+
+  test("a stale dependency propagates to its transitive dependents") {
+    val root = Files.createTempDirectory("graft_artifact_chain")
+    stage(root, "ev")
+    val store = root.resolve("artifacts")
+
+    val v1 = Config.parseProject(chainedYaml("user_id"))
+    val first = ArtifactGraph.build(spark, root.toString, v1, store, out = quiet)
+    assert(first.rebuilt.length == 4)
+
+    // change ONLY the ticks task definition → ticks stale; scaler and
+    // metadata follow (dependency hash + outdated propagation); coverage
+    // follows metadata
+    // dependents classify stale too: each artifact's scoped hash folds its
+    // dependencies' hashes in (reference calculate_artifact_hashes), so a
+    // changed ticks definition shifts scaler/metadata/coverage keys as well
+    val v2 = Config.parseProject(chainedYaml(""))
+    val second = ArtifactGraph.build(spark, root.toString, v2, store, out = quiet)
+    assert(second.freshness.stale == Set("ticks", "sc", "meta", "cov"),
+      s"${second.freshness}")
+    assert(second.freshness.missing.isEmpty)
+    assert(second.rebuilt.toSet == Set("ticks", "sc", "meta", "cov"),
+      "dependents of a stale artifact must rebuild")
+  }
+
+  test("a deleted report classifies missing and rebuilds alone when nothing depends on it") {
+    val root = Files.createTempDirectory("graft_artifact_missing")
+    stage(root, "ev", "ev2")
+    val project = Config.parseProject(disjointYaml)
+    val store = root.resolve("artifacts")
+    ArtifactGraph.build(spark, root.toString, project, store, out = quiet)
+
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      store.resolve("ticks").toFile)
+    val next = ArtifactGraph.build(spark, root.toString, project, store,
+      out = quiet)
+    assert(next.freshness.missing == Set("ticks"))
+    assert(next.rebuilt == Seq("ticks") &&
+      next.hydrated.toSet == Set("sc", "meta", "cov"))
+  }
+
+  test("force rebuilds everything; build output reports the plan") {
+    val root = Files.createTempDirectory("graft_artifact_force")
+    stage(root, "ev", "ev2")
+    val project = Config.parseProject(disjointYaml)
+    val store = root.resolve("artifacts")
+    ArtifactGraph.build(spark, root.toString, project, store, out = quiet)
+
+    val buf = new java.io.ByteArrayOutputStream()
+    val res = ArtifactGraph.build(spark, root.toString, project, store,
+      force = true, out = new PrintStream(buf, true, "UTF-8"))
+    assert(res.rebuilt.length == 4)
+    val outText = buf.toString("UTF-8")
+    assert(outText.contains("artifact plan: rebuild ["), outText)
+    assert(outText.contains("artifact ticks rebuilt ["), outText)
+  }
+}
