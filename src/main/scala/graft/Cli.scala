@@ -176,6 +176,20 @@ object Cli {
     Runs.writeText(report, limit, out)
   }
 
+  /** Dump one intermediate stage of the dataset journey (reference
+    * config/preview.py PREVIEW_STAGES via `inspect`): input | canonical |
+    * records (a stream id) · series (optional vector id) · samples |
+    * postprocess (no id).
+    */
+  def inspectStage(spark: SparkSession, configPath: String, dataDir: String,
+                   stage: String, id: Option[String] = None, limit: Int = 20,
+                   out: java.io.PrintStream = System.out): Long = {
+    val project = Config.parseProject(Files.readString(Paths.get(configPath)))
+    Runs.writeText(
+      ConfigRuntime.previewStage(spark, dataDir, project, stage, id),
+      limit, out)
+  }
+
   def streamPreview(spark: SparkSession, configPath: String, streamId: String,
                     dataDir: String, limit: Int = 20,
                     out: java.io.PrintStream = System.out): Long = {
@@ -341,6 +355,18 @@ object Cli {
       try build(spark, config, dataDir, artifactsRoot,
         force = rest.contains("--force"))
       finally spark.stop()
+    case "inspect" :: config :: dataDir :: rest if rest.contains("--stage") =>
+      val spark = session()
+      def flagValue(flag: String): Option[String] = rest.sliding(2)
+        .collectFirst { case Seq(`flag`, v) => v }
+      val positional = rest.zipWithIndex.filterNot { case (a, i) =>
+        a.startsWith("--") || (i > 0 && Set("--stage", "--id")(rest(i - 1)))
+      }.map(_._1)
+      try inspectStage(spark, config, dataDir,
+        stage = flagValue("--stage").getOrElse("records"),
+        id = flagValue("--id"),
+        limit = positional.headOption.map(_.toInt).getOrElse(20))
+      finally spark.stop()
     case "task" :: config :: taskId :: dataDir :: rest =>
       val spark = session()
       val cache = rest.sliding(2).collectFirst {
@@ -364,6 +390,7 @@ object Cli {
            |       graft.Cli run <project.yaml> <profileId> <dataDir> [serveRoot]
            |       graft.Cli task <project.yaml> <taskId> <dataDir> [limit]
            |       graft.Cli build <project.yaml> <dataDir> <artifactsRoot> [--force]
+           |       graft.Cli inspect <project.yaml> <dataDir> --stage <input|canonical|records|series|samples|postprocess> [--id <streamOrVector>] [limit]
            |       graft.Cli plugins
            |       graft.Cli scaffold plugin <name> <outDir>
            |       graft.Cli scaffold source <id> <path> <format> <project.yaml>

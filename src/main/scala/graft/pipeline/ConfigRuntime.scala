@@ -100,17 +100,42 @@ object ConfigRuntime {
       }
     }
 
-    def stream(id: String): DataFrame = memo.getOrElseUpdate(id, {
-      if (!visiting.add(id))
-        throw new IllegalArgumentException(s"config: stream cycle at '$id'")
+    /** The stream's INPUT stage (reference preview stage "input",
+      * operations/runtime/dataset.py:150): a source-backed stream's raw
+      * source frame before any mapping; a derived stream's upstream output
+      * (the reference previews a derived stream through its upstream's
+      * stages the same way).
+      */
+    def raw(id: String): DataFrame = project.stream(id).from match {
+      case Config.FromSource(srcId) => readSource(project.source(srcId))
+      case Config.FromStream(parent) => stream(parent)
+      case Config.FromBroadcast(primary, bcast) =>
+        require(partitionBy(primary).nonEmpty,
+          s"config: broadcast primary '$primary' must be partitioned")
+        require(project.stream(bcast).partitionBy.isEmpty,
+          s"config: broadcast input '$bcast' must be unpartitioned")
+        Compose.broadcastJoin(stream(primary), stream(bcast), "time")
+      case Config.FromAlign(inputs) =>
+        val parts = inputs.map(partitionBy)
+        require(parts.distinct.length == 1,
+          s"config: aligned inputs must share partition_by; got $parts")
+        Compose.alignStreams(inputs.map(stream), parts.head, "time")
+    }
+
+    /** The CANONICAL stage (reference "canonical" = through map_records):
+      * for source-backed streams the time rename + field projection, before
+      * preprocess and ordered transforms; for derived streams the combined
+      * upstream frame (reference combine_records).
+      */
+    def canonical(id: String): DataFrame = {
       val d = project.stream(id)
-      val out = d.from match {
+      d.from match {
         case Config.FromSource(srcId) =>
           val source = project.source(srcId)
-          val raw = readSource(source)
+          val rawDf = raw(id)
           val renamed =
-            if (d.map.time == "time") raw
-            else raw.withColumnRenamed(d.map.time, "time")
+            if (d.map.time == "time") rawDf
+            else rawDf.withColumnRenamed(d.map.time, "time")
           // TIMESTAMP(NANOS) parquet time read as long ns (nanosAsLong) →
           // µs-grain TimestampType, the same normalization as Tables.events.
           // ONLY for fs parquet: that is the one reader nanosAsLong affects.
@@ -125,26 +150,25 @@ object ConfigRuntime {
                   org.apache.spark.sql.types.LongType)
               renamed.withColumn("time", expr("timestamp_micros(time div 1000)"))
             else renamed
-          val mapped =
-            if (d.map.fields.isEmpty) mapped0
-            else mapped0.select(("time" +: d.map.fields).distinct.map(col): _*)
-          val pre = Pipeline.run(mapped, key(id), d.preprocess)
+          if (d.map.fields.isEmpty) mapped0
+          else mapped0.select(("time" +: d.map.fields).distinct.map(col): _*)
+        case _ => raw(id)
+      }
+    }
+
+    /** The RECORDS stage (reference "records" = the full stream pipeline):
+      * preprocess + ordered transforms over the canonical frame.
+      */
+    def stream(id: String): DataFrame = memo.getOrElseUpdate(id, {
+      if (!visiting.add(id))
+        throw new IllegalArgumentException(s"config: stream cycle at '$id'")
+      val d = project.stream(id)
+      val base = canonical(id)
+      val out = d.from match {
+        case Config.FromSource(_) =>
+          val pre = Pipeline.run(base, key(id), d.preprocess)
           Pipeline.run(pre, key(id), d.transforms)
-        case Config.FromStream(parent) =>
-          Pipeline.run(stream(parent), key(id), d.transforms)
-        case Config.FromBroadcast(primary, bcast) =>
-          require(partitionBy(primary).nonEmpty,
-            s"config: broadcast primary '$primary' must be partitioned")
-          require(project.stream(bcast).partitionBy.isEmpty,
-            s"config: broadcast input '$bcast' must be unpartitioned")
-          val joined = Compose.broadcastJoin(stream(primary), stream(bcast), "time")
-          Pipeline.run(joined, key(id), d.transforms)
-        case Config.FromAlign(inputs) =>
-          val parts = inputs.map(partitionBy)
-          require(parts.distinct.length == 1,
-            s"config: aligned inputs must share partition_by; got $parts")
-          val aligned = Compose.alignStreams(inputs.map(stream), parts.head, "time")
-          Pipeline.run(aligned, key(id), d.transforms)
+        case _ => Pipeline.run(base, key(id), d.transforms)
       }
       visiting.remove(id)
       out
@@ -418,6 +442,69 @@ object ConfigRuntime {
         transform(col(f), x => (x - col(s"${f}__mean")) / col(s"${f}__std")))
     }
     out.select(ordered: _*)
+  }
+
+  /** The six preview stages of the dataset journey (reference
+    * config/preview.py PREVIEW_STAGES).
+    */
+  val PreviewStages: Seq[String] =
+    Seq("input", "canonical", "records", "series", "samples", "postprocess")
+
+  /** Dump ONE intermediate stage of the dataset journey (reference
+    * config/preview.py PREVIEW_STAGES + operations/runtime/dataset.py
+    * _serve_preview) — the config author's first debugging tool:
+    *
+    *  - `input <streamId>`:     the raw source frame, before mapping
+    *  - `canonical <streamId>`: after time rename + field projection
+    *  - `records <streamId>`:   the full stream (preprocess + transforms)
+    *  - `series [vectorId]`:    the long series projection rows feeding
+    *                            assembly (scalar vectors; a sequenced
+    *                            vector previews its input stream's records)
+    *  - `samples`:              the assembled wide frame, pre-postprocess
+    *  - `postprocess`:          after column selection / conform / row
+    *                            filtering (pre-split, pre-scale)
+    *
+    * Like the reference record previews, the three stream stages address a
+    * stream id; `series` optionally narrows to one vector id; the two
+    * sample stages take no id.
+    */
+  def previewStage(spark: SparkSession, dataDir: String,
+                   project: Config.Project, stage: String,
+                   id: Option[String] = None): DataFrame = {
+    def streamId: String = id.getOrElse(throw new IllegalArgumentException(
+      s"config: preview stage '$stage' requires a stream id " +
+        s"(declared: ${project.streams.map(_.id).mkString(", ")})"))
+    stage match {
+      case "input"     => resolver(spark, dataDir, project).raw(streamId)
+      case "canonical" => resolver(spark, dataDir, project).canonical(streamId)
+      case "records"   => resolver(spark, dataDir, project).stream(streamId)
+      case "series" =>
+        val ds = project.dataset.getOrElse(throw new IllegalArgumentException(
+          "config: preview stage 'series' requires a dataset section"))
+        val res = resolver(spark, dataDir, project)
+        val all = (ds.features ++ ds.targets).filter(_.sequence.isEmpty)
+        val selected = id match {
+          case None => all
+          case Some(v) =>
+            val hit = all.filter(_.id == v)
+            require(hit.nonEmpty, s"config: unknown scalar vector '$v' " +
+              s"(declared: ${all.map(_.id).mkString(", ")})")
+            hit
+        }
+        require(selected.nonEmpty, "config: dataset declares no scalar vectors")
+        selected.groupBy(_.stream).toSeq.sortBy(_._1).map {
+          case (sid, vs) =>
+            Series.project(res.stream(sid), res.partitionBy(sid),
+              ds.sampleKeys, "time",
+              vs.map(v => Series.SeriesConfig(v.id, v.field)))
+        }.reduce(_ unionByName _)
+      case "samples" => assemble(spark, dataDir, project).assembled
+      case "postprocess" =>
+        postprocessStage(assemble(spark, dataDir, project)).frame
+      case other => throw new IllegalArgumentException(
+        s"config: unknown preview stage '$other' " +
+          s"(${PreviewStages.mkString(" | ")})")
+    }
   }
 
   /** Run the project's declarative `tasks:` (reference config/tasks/⋆.py) and

@@ -1,0 +1,126 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+
+import graft.pipeline.{Config, ConfigRuntime, Series}
+
+/** Stage-level preview of the dataset journey (reference config/preview.py
+  * PREVIEW_STAGES + operations/runtime/dataset.py _serve_preview): every
+  * staged output must equal the corresponding standalone frame on the same
+  * fixture.
+  */
+class ConfigPreviewSpec extends SparkSpec {
+
+  private val DataDir = "/root/testdata/sf0.001"
+
+  private val Doc =
+    """sources:
+      |  - id: ev
+      |    loader: { transport: fs, path: events.parquet, reader: { format: parquet } }
+      |streams:
+      |  - id: s
+      |    from: { source: ev }
+      |    map: { time: ts, fields: [user_id, event_id, value, event_type] }
+      |    partition_by: [user_id]
+      |    tiebreak: [event_id]
+      |    preprocess:
+      |      - { operation: floor_time, cadence: 1h }
+      |    transforms:
+      |      - { operation: collapse, keep: last }
+      |  - id: purchases
+      |    from: { stream: s }
+      |    transforms:
+      |      - { operation: where, field: event_type, operator: eq, comparand: purchase }
+      |dataset:
+      |  sample: { cadence: 1h, keys: [user_id] }
+      |  features:
+      |    - { id: v, stream: s, field: value }
+      |    - { id: pv, stream: purchases, field: value }
+      |  postprocess:
+      |    samples: { features: { threshold: 0.95 } }
+      |""".stripMargin
+
+  private lazy val project = Config.parseProject(Doc)
+
+  private def stage(name: String, id: Option[String] = None): DataFrame =
+    ConfigRuntime.previewStage(spark, DataDir, project, name, id)
+
+  private def rowSet(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("input = the raw source frame, before any mapping") {
+    val staged = stage("input", Some("s"))
+    assert(staged.columns.contains("ts"), "time not yet renamed at input")
+    val direct = ConfigRuntime.resolver(spark, DataDir, project).raw("s")
+    assert(staged.count() == direct.count())
+    assert(rowSet(staged.select("event_id", "value")) ==
+      rowSet(direct.select("event_id", "value")))
+  }
+
+  test("canonical = time rename + field projection, before transforms") {
+    val staged = stage("canonical", Some("s"))
+    assert(staged.columns.toSeq ==
+      Seq("time", "user_id", "event_id", "value", "event_type"))
+    // no floor_time yet: minute-grain times survive at canonical
+    import org.apache.spark.sql.functions._
+    val offGrid = staged.filter(expr("unix_micros(time) % 3600000000") =!= 0)
+    assert(offGrid.count() > 0, "preprocess must NOT have run at canonical")
+    assert(staged.count() ==
+      spark.read.parquet(s"$DataDir/events.parquet").count())
+  }
+
+  test("records = the full stream pipeline; derived streams preview through their upstream") {
+    val res = ConfigRuntime.resolver(spark, DataDir, project)
+    assert(rowSet(stage("records", Some("s"))) == rowSet(res.stream("s")))
+    assert(rowSet(stage("records", Some("purchases"))) ==
+      rowSet(res.stream("purchases")))
+    // a derived stream's INPUT stage is its upstream's records
+    assert(rowSet(stage("input", Some("purchases"))) == rowSet(res.stream("s")))
+  }
+
+  test("series = the long projection rows feeding assembly") {
+    val res = ConfigRuntime.resolver(spark, DataDir, project)
+    val expected = Series.project(res.stream("s"), Seq("user_id"),
+      Seq("user_id"), "time", Seq(Series.SeriesConfig("v", "value")))
+    assert(rowSet(stage("series", Some("v"))) == rowSet(expected))
+    // unfiltered = union over both vectors' projections
+    val both = stage("series")
+    assert(both.count() == expected.count() +
+      Series.project(res.stream("purchases"), Seq("user_id"), Seq("user_id"),
+        "time", Seq(Series.SeriesConfig("pv", "value"))).count())
+  }
+
+  test("samples and postprocess = the assembled and postprocessed frames") {
+    val samples = stage("samples")
+    assert(samples.columns.toSet == Set("sample_time", "user_id", "v", "pv"))
+    val post = stage("postprocess")
+    // the 0.95 row threshold drops samples missing either vector
+    val kept = post.count()
+    assert(kept > 0 && kept < samples.count(),
+      s"row filter must bite: $kept of ${samples.count()}")
+    import org.apache.spark.sql.functions._
+    assert(post.filter(col("v").isNull || col("pv").isNull).count() == 0)
+  }
+
+  test("Cli inspect --stage routes and bounds the dump; unknown stage fails") {
+    val root = Files.createTempDirectory("graft_inspect_stage")
+    val cfg = root.resolve("p.yaml")
+    Files.writeString(cfg, Doc)
+    val buf = new ByteArrayOutputStream()
+    val n = Cli.inspectStage(spark, cfg.toString, DataDir, "canonical",
+      Some("s"), limit = 7, out = new PrintStream(buf, true, "UTF-8"))
+    assert(n == 7 && buf.toString("UTF-8").linesIterator.length == 7)
+
+    val e = intercept[IllegalArgumentException](
+      Cli.inspectStage(spark, cfg.toString, DataDir, "gizmo", None,
+        out = new PrintStream(java.io.OutputStream.nullOutputStream())))
+    assert(e.getMessage.contains("unknown preview stage"))
+    val f = intercept[IllegalArgumentException](
+      Cli.inspectStage(spark, cfg.toString, DataDir, "records", None,
+        out = new PrintStream(java.io.OutputStream.nullOutputStream())))
+    assert(f.getMessage.contains("requires a stream id"))
+  }
+}
