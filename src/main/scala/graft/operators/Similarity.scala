@@ -161,13 +161,21 @@ object Similarity {
     * build — metadata-scale, like the scaler-fit collect — which keeps the
     * centroid filter a plain literal pmod the scan evaluates for free (an
     * in-plan count subquery was measured 2x slower end-to-end: it turns the
-    * centroid frame into a join that every reuse re-broadcasts).
+    * centroid frame into a join that every reuse re-broadcasts). With
+    * `statsCache`, the count serves through the fingerprint-keyed stats
+    * artifact (ArtifactCache.cachedCount): repeat invocations over an
+    * unchanged corpus skip the scan entirely — the 100 TB posture.
     */
   def annIvf(queries: DataFrame, corpus: DataFrame, idCol: String,
              vecCol: String, k: Int, minStride: Long,
-             nprobe: Int): DataFrame = {
+             nprobe: Int,
+             statsCache: Option[java.nio.file.Path] = None): DataFrame = {
     registerFast(corpus)
-    val stride = math.max(minStride, math.ceil(math.sqrt(corpus.count().toDouble)).toLong)
+    val n = statsCache match {
+      case Some(dir) => graft.pipeline.ArtifactCache.cachedCount(corpus, dir)
+      case None      => corpus.count()
+    }
+    val stride = math.max(minStride, math.ceil(math.sqrt(n.toDouble)).toLong)
     val cent = corpus.filter(pmod(col(idCol), lit(stride)) === 0)
       .select(col(idCol).as("centroid_id"), toDouble(col(vecCol)).as("centv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))

@@ -113,6 +113,47 @@ object ArtifactCache {
       .map("%02x".format(_)).mkString
   }
 
+  /** Fingerprint-keyed scalar-statistics cache — the artifact story applied
+    * to PLAN-BUILD statistics (VERDICT r6: annIvf's stride needs the corpus
+    * count, an extra full scan per invocation at 100 TB). The key is the
+    * stat snapshot of the frame's backing files, so a repeat invocation
+    * over an unchanged corpus reads one tiny JSON instead of scanning; any
+    * rewritten/added/removed input file misses and recounts.
+    *
+    * Frames with no addressable input files (in-memory test frames, views)
+    * compute uncached — correct, just not amortized.
+    */
+  def cachedCount(df: org.apache.spark.sql.DataFrame, cacheDir: Path): Long = {
+    val files = df.inputFiles.sorted
+    if (files.isEmpty) return df.count()
+    cachedScalar(cacheDir, "count", files.map { f =>
+      val p = java.nio.file.Paths.get(java.net.URI.create(f).getPath)
+      f + "|" + fileState(p)
+    }.mkString("\n"))(df.count())
+  }
+
+  /** Serve a Long statistic through `<cacheDir>/stats/<name>-<sha>.txt`:
+    * hit = parse, miss = compute + atomic publish.
+    */
+  private[graft] def cachedScalar(cacheDir: Path, name: String,
+                                  canonical: String)(compute: => Long): Long = {
+    val fp = MessageDigest.getInstance("SHA-256")
+      .digest(canonical.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val entry = cacheDir.resolve("stats").resolve(s"$name-$fp.txt")
+    if (Files.exists(entry)) Files.readString(entry).trim.toLong
+    else {
+      val value = compute
+      Files.createDirectories(entry.getParent)
+      val tmp = entry.resolveSibling(
+        s".$name-$fp-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      Files.writeString(tmp, value.toString)
+      Files.move(tmp, entry, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      value
+    }
+  }
+
   /** Serve `compute`'s report through the cache: a hit reads the stored
     * parquet without running the job; a miss computes, stores atomically,
     * and returns the stored copy. Returns (frame, hit?).

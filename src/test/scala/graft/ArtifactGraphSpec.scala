@@ -170,6 +170,54 @@ class ArtifactGraphSpec extends SparkSpec {
       next.hydrated.toSet == Set("sc", "meta", "cov"))
   }
 
+  test("stats artifact: repeat counts serve from the cache, input drift misses") {
+    import graft.pipeline.ArtifactCache
+    val root = Files.createTempDirectory("graft_stats_cache")
+    val table = root.resolve("emb.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .write.parquet(table.toString)
+    val cacheDir = root.resolve("cache")
+    val df = spark.read.parquet(table.toString)
+    val n = ArtifactCache.cachedCount(df, cacheDir)
+    assert(n == df.count())
+
+    // prove the second call reads the artifact, not the corpus: poison the
+    // stored value under the SAME fingerprint and watch it come back
+    import scala.jdk.CollectionConverters._
+    val entry = scala.util.Using.resource(Files.list(cacheDir.resolve("stats")))(
+      _.iterator().asScala.toSeq.head)
+    Files.writeString(entry, (n + 7).toString)
+    assert(ArtifactCache.cachedCount(df, cacheDir) == n + 7,
+      "unchanged inputs must serve the stored statistic with no scan")
+
+    // touching a backing file changes the fingerprint → recount
+    val part = scala.util.Using.resource(Files.walk(table))(
+      _.iterator().asScala.find(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet")).get)
+    Files.setLastModifiedTime(part,
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(part).toMillis + 999))
+    assert(ArtifactCache.cachedCount(spark.read.parquet(table.toString),
+      cacheDir) == n, "touched input must recount")
+
+    // frames with no input files compute uncached
+    import spark.implicits._
+    assert(ArtifactCache.cachedCount(Seq(1, 2, 3).toDF("x"), cacheDir) == 3)
+  }
+
+  test("annIvf with a stats cache matches the uncached plan") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft_ivf_stats")
+    def run(cache: Option[java.nio.file.Path]) =
+      graft.operators.Similarity.annIvf(e.filter(col("vec_id") < 3), e,
+        "vec_id", "embedding", k = 3, minStride = 37L, nprobe = 2,
+        statsCache = cache).collect().map(_.toString).toSet
+    val uncached = run(None)
+    assert(run(Some(dir)) == uncached, "first (populating) pass")
+    assert(run(Some(dir)) == uncached, "second (cache-served) pass")
+  }
+
   test("force rebuilds everything; build output reports the plan") {
     val root = Files.createTempDirectory("graft_artifact_force")
     stage(root, "ev", "ev2")
