@@ -246,6 +246,21 @@ object Cli {
     s
   }
 
+  /** Library version tag — bumped per round; the JVM twin of the
+    * reference's importlib-metadata dist version.
+    */
+  val Version = "0.7.0"
+
+  /** `graft.Cli version` (reference cli/commands/version.py short_version +
+    * version_report): one id line plus the runtime environment.
+    */
+  def version(out: java.io.PrintStream = System.out): Unit = {
+    out.println(s"graft $Version")
+    out.println(s"spark: ${org.apache.spark.SPARK_VERSION}")
+    out.println(s"scala: ${scala.util.Properties.versionNumberString}")
+    out.println(s"java: ${sys.props.getOrElse("java.version", "unknown")}")
+  }
+
   /** List discovered + registered plugins (reference cli/commands/list_.py
     * over the entry-point registry).
     */
@@ -269,14 +284,16 @@ object Cli {
       case "streams"  => project.streams.map(_.id)
       case "tasks"    => project.tasks.map(_.id)
       case "profiles" => project.profiles.map(p => s"${p.id}  (${p.cmd})")
-      case "loaders"  =>
+      // "formats" = the reference's reader-format inventory name; "loaders"
+      // kept as the graft-historical alias
+      case "loaders" | "formats" =>
         (Seq("parquet", "csv", "jsonl", "json") ++
           graft.plugins.Plugins.loaderFormats.toSeq.sorted.map(f => s"$f  (plugin)"))
       case "transforms" =>
         (Config.builtinOperations ++
           graft.plugins.Plugins.transformNames.toSeq.sorted.map(n => s"$n  (plugin)"))
       case other => throw new IllegalArgumentException(
-        s"list: unknown inventory '$other' (sources | streams | tasks | profiles | loaders | transforms)")
+        s"list: unknown inventory '$other' (sources | streams | tasks | profiles | loaders | formats | transforms)")
     }
     if (items.isEmpty) out.println(s"no $what") else items.foreach(out.println)
   }
@@ -325,6 +342,12 @@ object Cli {
     case "scaffold" :: "stream" :: id :: sourceId :: partitionKey :: yaml :: Nil =>
       graft.plugins.Scaffold.stream(Paths.get(yaml), id, sourceId, partitionKey)
       println(s"stream '$id' -> $yaml")
+    case "scaffold" :: "inflow" :: id :: path :: format :: partitionKey :: yaml :: Nil =>
+      val streamId = graft.plugins.Scaffold.inflow(Paths.get(yaml), id, path,
+        format, partitionKey)
+      println(s"source '$id' + stream '$streamId' -> $yaml")
+    case "version" :: Nil =>
+      version()
     case "list" :: what :: rest =>
       listInventory(what, rest.headOption)
     case "clean" :: serveRoot :: rest =>
@@ -395,7 +418,9 @@ object Cli {
            |       graft.Cli scaffold plugin <name> <outDir>
            |       graft.Cli scaffold source <id> <path> <format> <project.yaml>
            |       graft.Cli scaffold stream <id> <sourceId> <partitionKey> <project.yaml>
-           |       graft.Cli list <sources|streams|tasks|profiles|loaders|transforms> [project.yaml]
+           |       graft.Cli scaffold inflow <id> <path> <format> <partitionKey> <project.yaml>
+           |       graft.Cli version
+           |       graft.Cli list <sources|streams|tasks|profiles|loaders|formats|transforms> [project.yaml]
            |       graft.Cli clean <serveRoot> [--yes] [--older-than <30m|2h|1d>]
            |got: ${other.mkString(" ")}""".stripMargin)
       sys.exit(2)

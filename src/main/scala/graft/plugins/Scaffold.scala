@@ -136,10 +136,13 @@ object Scaffold {
 
   private val mapper = new ObjectMapper(new YAMLFactory())
 
+  // dot-separated segments, like the reference's validate_source_id
+  // (source_yaml.py:70 allows `provider.dataset.variant`); single-segment
+  // ids stay legal for streams
   private[plugins] def validId(id: String): String = {
-    if (!id.matches("[a-z][a-z0-9_]*"))
+    if (!id.matches("[a-z][a-z0-9_]*(\\.[a-z][a-z0-9_]*)*"))
       throw new IllegalArgumentException(
-        s"scaffold: id must match [a-z][a-z0-9_]*, got '$id'")
+        s"scaffold: id must be dot-separated [a-z][a-z0-9_]* segments, got '$id'")
     id
   }
 
@@ -189,6 +192,39 @@ object Scaffold {
     entry.put("id", id)
     entry.put("loader", loader)
     sources.add(entry)
+  }
+
+  /** One-command project inflow (reference cli/commands/inflow.py — the
+    * guided source → stream flow, composed non-interactively): append a
+    * source AND its canonical stream in one step, then validate that the
+    * resulting document still parses. The stream id derives from the source
+    * id the reference way (layout.py source_id_parts: drop the provider
+    * segment of `provider.dataset[.variant]`; undotted ids get `.stream`).
+    * Any failure — duplicate id, unknown format, parse error — restores the
+    * document byte-for-byte, so inflow is all-or-nothing.
+    */
+  def inflow(projectYaml: Path, sourceId: String, path: String,
+             format: String, partitionKey: String,
+             timeField: String = "time"): String = {
+    val parts = sourceId.split("\\.").filter(_.nonEmpty)
+    val streamId =
+      if (parts.length >= 2) parts.drop(1).mkString(".")
+      else s"$sourceId.stream"
+    val before = if (Files.exists(projectYaml)) Some(Files.readString(projectYaml))
+                 else None
+    try {
+      source(projectYaml, sourceId, path, format)
+      stream(projectYaml, streamId, sourceId, partitionKey, timeField)
+      graft.pipeline.Config.parseProject(Files.readString(projectYaml))
+      streamId
+    } catch {
+      case e: Throwable =>
+        before match {
+          case Some(text) => Files.writeString(projectYaml, text)
+          case None       => Files.deleteIfExists(projectYaml)
+        }
+        throw e
+    }
   }
 
   /** Append a source-backed stream entry (reference write_source_stream):

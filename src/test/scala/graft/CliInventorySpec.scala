@@ -273,6 +273,51 @@ class CliInventorySpec extends SparkSpec {
     assert(fifth.runId != fourth.runId, "touched input must re-materialize")
   }
 
+  test("scaffold inflow appends source + derived stream atomically") {
+    val root = Files.createTempDirectory("graft_inflow")
+    val yaml = root.resolve("p.yaml")
+
+    // provider.dataset id → stream id drops the provider segment
+    val sid = graft.plugins.Scaffold.inflow(yaml, "acme.events",
+      "events.parquet", "parquet", "user_id")
+    assert(sid == "events")
+    val project = graft.pipeline.Config.parseProject(Files.readString(yaml))
+    assert(project.sources.map(_.id) == Seq("acme.events"))
+    assert(project.streams.map(_.id) == Seq("events"))
+    assert(project.streams.head.partitionBy == Seq("user_id"))
+
+    // undotted id → `<id>.stream`
+    assert(graft.plugins.Scaffold.inflow(yaml, "ticks", "ticks.csv", "csv",
+      "venue") == "ticks.stream")
+
+    // failure (duplicate source) restores the document byte-for-byte
+    val before = Files.readString(yaml)
+    val e = intercept[IllegalArgumentException](graft.plugins.Scaffold.inflow(
+      yaml, "acme.events", "other.parquet", "parquet", "user_id"))
+    assert(e.getMessage.contains("already exists"))
+    assert(Files.readString(yaml) == before, "failed inflow must roll back")
+
+    // derived-stream collision rolls back the source half too
+    val f = intercept[IllegalArgumentException](graft.plugins.Scaffold.inflow(
+      yaml, "other.events", "other.parquet", "parquet", "user_id"))
+    assert(f.getMessage.contains("stream id 'events' already exists"))
+    assert(Files.readString(yaml) == before, "half-applied inflow must roll back")
+  }
+
+  test("version prints the library tag and runtime environment") {
+    val out = captured(Cli.version)
+    assert(out.startsWith(s"graft ${Cli.Version}"), out)
+    assert(out.contains(s"spark: ${org.apache.spark.SPARK_VERSION}"), out)
+    assert(out.contains("scala: 2.13"), out)
+    assert(out.contains("java: "), out)
+  }
+
+  test("list formats mirrors loaders including plugin contributions") {
+    val formats = captured(Cli.listInventory("formats", None, _))
+    assert(formats == captured(Cli.listInventory("loaders", None, _)))
+    assert(formats.contains("parquet") && formats.contains("tsv  (plugin)"))
+  }
+
   test("clean --older-than spares young orphans") {
     val serveRoot = Files.createTempDirectory("graft_cli_clean_age")
     val tmp = Hygiene.tempRoot(serveRoot)

@@ -128,7 +128,7 @@ class PluginSpec extends SparkSpec {
       .getMessage.contains("unknown source 'nope'"))
     assert(intercept[IllegalArgumentException](
       Scaffold.source(yaml, "Bad-Id", "x.parquet"))
-      .getMessage.contains("must match"))
+      .getMessage.contains("must be dot-separated"))
     // refused edits must not have corrupted the document
     assert(Config.parseProject(Files.readString(yaml)).sources.map(_.id) == Seq("ticks"))
   }
