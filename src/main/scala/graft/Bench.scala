@@ -110,8 +110,14 @@ object Bench {
     val firstPass = (batchQ ++ streamingQ).map { case (name, fn) => name -> time(name, fn) }
 
     // outlier pass: anything over 2x its recorded floor is more likely
-    // co-tenant noise than a plan regression — one more best-of-2, keep min
-    val floors = baselineFloors()
+    // co-tenant noise than a plan regression — one more best-of-2, keep min.
+    // The floors are sf0.1 measurements, so the pass only arms at the sf0.1
+    // dir (at sf1 every query is legitimately past 2x floor and the pass
+    // would just triple the sweep); SPARK_GRAFT_NO_RERUN=1 disables it.
+    val floors =
+      if (sys.env.contains("SPARK_GRAFT_NO_RERUN") || !sfDir.contains("sf0.1"))
+        Map.empty[String, Double]
+      else baselineFloors()
     val byName = (batchQ ++ streamingQ).toMap
     val outliers = firstPass.collect {
       case (name, v) if v > 0 && floors.get(name).exists(v > 2 * _) => name

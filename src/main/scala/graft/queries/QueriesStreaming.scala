@@ -12,6 +12,16 @@ object QueriesStreaming {
 
   private val runId = new AtomicInteger(0)
 
+  /** SPARK_GRAFT_STREAM_SINK=parquet routes the two result-linear queries
+    * (stream_attach, stream_asof) through a distributed parquet sink
+    * instead of the driver-side memory table — the sf1 sweep sets it so
+    * their 10x points time the operator, not a 1M-row driver collect. The
+    * gate runs unset (memory sink, exact same rows).
+    */
+  private def fileSink(name: String): Option[String] =
+    sys.env.get("SPARK_GRAFT_STREAM_SINK").filter(_ == "parquet")
+      .map(_ => s"/tmp/graft_stream_sink/$name")
+
   val queries: Map[String, QueryFn] = Map(
     "stream_windowed_agg" -> { (s, d) =>
       Streaming.runToBatch(s, d, s"graft_stream_agg_${runId.incrementAndGet()}")
@@ -35,13 +45,15 @@ object QueriesStreaming {
     },
     // Stream-static dimension attach equals the batch equi-join.
     "stream_attach" -> { (s, d) =>
-      Streaming.attachStatic(s, d,
-        s"graft_stream_attach_${runId.incrementAndGet()}")
+      val run = runId.incrementAndGet()
+      Streaming.attachStatic(s, d, s"graft_stream_attach_$run",
+        fileSink(s"attach_$run"))
     },
     // Stateful as-of attach equals DuckDB's native ASOF LEFT JOIN.
     "stream_asof" -> { (s, d) =>
-      Streaming.asofAttach(s, d,
-        s"graft_stream_asof_${runId.incrementAndGet()}")
+      val run = runId.incrementAndGet()
+      Streaming.asofAttach(s, d, s"graft_stream_asof_$run",
+        fileSink(s"asof_$run"))
     }
   )
 

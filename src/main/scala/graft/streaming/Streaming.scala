@@ -202,19 +202,23 @@ object Streaming {
     * — the standard streaming caveat that a reference arriving later than
     * the watermark cannot retro-attach.
     */
-  def asofAttach(spark: SparkSession, sfDir: String,
-                 tableName: String): DataFrame = {
+  def asofAttach(spark: SparkSession, sfDir: String, tableName: String,
+                 sinkDir: Option[String] = None): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    // file sinks are append-only; each event emits exactly once in its own
+    // micro-batch, so Append and Update carry identical rows here — the
+    // operator's declared mode just has to match the query's
+    val mode = if (sinkDir.isDefined) OutputMode.Append() else OutputMode.Update()
     val tagged = readEvents(spark, sfDir)
       .select(col("user_id"), unix_micros(col("ts")).as("t"),
         col("event_id"), col("value"),
         (col("event_type") === "purchase").as("is_ref"))
       .as[(Long, Long, Long, Double, Boolean)]
-    val q = tagged
+    val attached = tagged
       .groupByKey(_._1)
       .flatMapGroupsWithState[Map[Long, Double], (Long, Long, Long, Option[Double])](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        mode, GroupStateTimeout.NoTimeout()) {
         (user: Long, rows: Iterator[(Long, Long, Long, Double, Boolean)],
          state: org.apache.spark.sql.streaming.GroupState[Map[Long, Double]]) =>
           val batch = rows.toVector
@@ -236,15 +240,33 @@ object Streaming {
           }
       }
       .toDF("event_id", "user_id", "t_us", "last_purchase")
-      .writeStream
-      .format("memory")
-      .queryName(tableName)
-      .outputMode("update")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(tableName)
+    sinkTo(spark, attached, tableName, "update", sinkDir)
   }
+
+  /** Route a finished streaming frame to the verification sink: in-memory
+    * table (gate scale — rows collect on the driver) or a parquet directory
+    * (the DISTRIBUTED path — executors write shards, nothing funnels
+    * through the driver; this is what a deployment does and what the sf1
+    * sweep times, since a driver-side memory sink turns a 1M-row result
+    * into a linear collect that measures the harness, not the operator).
+    */
+  private def sinkTo(spark: SparkSession, df: DataFrame, tableName: String,
+                     memoryMode: String, sinkDir: Option[String]): DataFrame =
+    sinkDir match {
+      case None =>
+        val q = df.writeStream.format("memory").queryName(tableName)
+          .outputMode(memoryMode).trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        spark.table(tableName)
+      case Some(dir) =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        val q = df.writeStream.format("parquet")
+          .option("path", s"$dir/out")
+          .option("checkpointLocation", s"$dir/_chk")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        spark.read.parquet(s"$dir/out")
+    }
 
   /** Stream-static join: attach dimension attributes to an unbounded event
     * stream — the streaming twin of the batch broadcast attach
@@ -253,22 +275,15 @@ object Streaming {
     * dim broadcast stays fresh without any state store; append mode, no
     * watermark needed (a join adds no unbounded state for stream-static).
     */
-  def attachStatic(spark: SparkSession, sfDir: String,
-                   tableName: String): DataFrame = {
+  def attachStatic(spark: SparkSession, sfDir: String, tableName: String,
+                   sinkDir: Option[String] = None): DataFrame = {
     val dim = graft.sources.Tables.customer(spark, sfDir)
       .select(col("c_custkey"), col("c_acctbal"))
-    val q = readEvents(spark, sfDir)
+    val joined = readEvents(spark, sfDir)
       .join(dim, col("user_id") === col("c_custkey"))
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("c_acctbal"))
-      .writeStream
-      .format("memory")
-      .queryName(tableName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(tableName)
+    sinkTo(spark, joined, tableName, "append", sinkDir)
   }
 
   /** Run the streaming query to completion over the finite test input
