@@ -43,6 +43,37 @@ object Curation {
         (coalesce(col("n_contaminated"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Fuzzy benchmark decontamination: flag training documents that
+    * NEAR-duplicate a benchmark doc — exact n-gram overlap
+    * ([[decontaminate]]) misses paraphrased or lightly-edited test-set
+    * leaks, so production pipelines run this minhash variant beside it.
+    *
+    * Shape: minhash band buckets on both sides, candidates where a corpus
+    * doc shares a bucket with a benchmark doc (benchmark side broadcast —
+    * the corpus is never shuffled or self-joined), exact Jaccard confirm on
+    * candidates only, per-doc left-joined report:
+    * `(id, n_candidates, n_matches, max_jacc, keep)` with
+    * keep = no candidate at-or-above `threshold`.
+    */
+  def decontaminateFuzzy(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         threshold: Double = 0.5, shingleSize: Int = 3,
+                         numPerm: Int = 64, bands: Int = 16): DataFrame = {
+    val pairs = Dedup.minhashCrossScoredPairs(corpus, benchmark, textCol,
+      idCol, shingleSize, numPerm, bands)
+    val perDoc = pairs.groupBy(col("corpus_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("jacc") >= threshold, 1L).otherwise(0L)).as("n_matches"),
+        max(col("jacc")).as("max_jacc"))
+    corpus.select(col(idCol))
+      .join(perDoc, col(idCol) === col("corpus_id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("max_jacc"),
+        (coalesce(col("n_matches"), lit(0L)) === 0).as("keep"))
+  }
+
   /** The deterministic sha256 53-bit ratio in [0,1) behind hash splitting —
     * same bucketing as [[Assembly.hashSplitLabel]] (reference HashLabeler).
     */

@@ -91,29 +91,39 @@ object Dedup {
     * per-doc report ([[minhashDedup]]) and duplicate clustering
     * ([[dupClusters]]). Returns (id_a, id_b, jacc), id_a < id_b.
     */
-  def minhashScoredPairs(df: DataFrame, textCol: String, idCol: String,
-                         shingleSize: Int = 3, numPerm: Int = 64,
-                         bands: Int = 16): DataFrame = {
-    val rows = numPerm / bands
+  /** (id, sh, sig): shingle set + minhash signature per document — the
+    * shared first stage of every minhash pipeline. Shingles via the
+    * codegen'd ShingleJoin (the HOF construction is CodegenFallback —
+    * interpreted per element, ~20x slower; spec-proven equal). Materialized
+    * ONCE (localCheckpoint, not persist: block storage is RDD-scoped, so
+    * the ContextCleaner frees it when the plan is garbage-collected —
+    * repeated invocations in one session don't accumulate pinned cache
+    * entries. Tradeoff: lineage is cut, so lost blocks fail the job instead
+    * of recomputing — acceptable for a deterministic batch stage that would
+    * rerun anyway).
+    */
+  private[graft] def signedShingles(df: DataFrame, textCol: String,
+                                    idCol: String, shingleSize: Int,
+                                    numPerm: Int): DataFrame = {
     val spark = df.sparkSession
     val shingleFn = graft.functions.ShingleJoin.register(spark, shingleSize)
     val hashFn = graft.functions.PortableHashArr.register(spark, MersennePrime)
     val sigFn = graft.functions.MinhashSig.register(spark,
       permParams(numPerm), MersennePrime)
-    // Shingles via the codegen'd ShingleJoin (the HOF construction is
-    // CodegenFallback — interpreted per element, ~20x slower; spec-proven
-    // equal). Materialize shingles + signature ONCE: this frame feeds both
-    // sides of the candidate self-join and the verify join. localCheckpoint
-    // (not persist): block storage is RDD-scoped, so the ContextCleaner
-    // frees it when the plan is garbage-collected — repeated invocations in
-    // one session don't accumulate pinned cache entries. Tradeoff: lineage
-    // is cut, so lost blocks fail the job instead of recomputing —
-    // acceptable for a deterministic batch stage that would rerun anyway.
-    val base = df.select(col(idCol),
+    df.select(col(idCol),
       call_function(shingleFn, Text.tokens(col(textCol))).as("sh"))
       .withColumn("sig", call_function(sigFn,
         call_function(hashFn, col("sh"))))
       .localCheckpoint(eager = false)
+  }
+
+  def minhashScoredPairs(df: DataFrame, textCol: String, idCol: String,
+                         shingleSize: Int = 3, numPerm: Int = 64,
+                         bands: Int = 16): DataFrame = {
+    val rows = numPerm / bands
+    // the base frame feeds both sides of the candidate self-join and the
+    // verify join — one materialization
+    val base = signedShingles(df, textCol, idCol, shingleSize, numPerm)
     val signed = base.select(col(idCol), col("sig"), col("sh"))
     val cands = minhashCandidates(signed, idCol, "sig", bands, rows)
     cands
@@ -121,6 +131,42 @@ object Dedup {
       .join(base.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         Text.jaccard(col("sh_a"), col("sh_b")).as("jacc"))
+  }
+
+  /** Cross-corpus minhash candidate pairs with exact Jaccard — the fuzzy
+    * half of benchmark decontamination (corpus docs near-duplicating a
+    * held-out benchmark doc): band-fold buckets on BOTH sides, candidates
+    * where a corpus doc shares a bucket with a benchmark doc, exact Jaccard
+    * on candidates only. Returns (corpus_id, bench_id, jacc).
+    *
+    * Scale posture: the benchmark side is small by nature (a benchmark,
+    * not a corpus) — its banded keys and shingle sets BROADCAST, so the
+    * corpus is never shuffled and never self-joined; per-corpus-doc work is
+    * bounded by bucket collisions, the same bound as within-corpus minhash.
+    */
+  def minhashCrossScoredPairs(corpus: DataFrame, benchmark: DataFrame,
+                              textCol: String, idCol: String,
+                              shingleSize: Int = 3, numPerm: Int = 64,
+                              bands: Int = 16): DataFrame = {
+    val rows = numPerm / bands
+    val spark = corpus.sparkSession
+    val cb = signedShingles(corpus, textCol, idCol, shingleSize, numPerm)
+    val bb = signedShingles(benchmark, textCol, idCol, shingleSize, numPerm)
+    val foldFn = graft.functions.BandFold.register(spark, bands, rows,
+      BandFoldPrime)
+    def banded(f: DataFrame, as: String) = f.select(col(idCol).as(as),
+      posexplode(call_function(foldFn, col("sig")))
+        .as(Seq("band", "band_hash")))
+    val cands = banded(cb, "corpus_id")
+      .join(broadcast(banded(bb, "bench_id")), Seq("band", "band_hash"))
+      .select(col("corpus_id"), col("bench_id")).distinct()
+    cands
+      .join(cb.select(col(idCol).as("corpus_id"), col("sh").as("sh_c")),
+        "corpus_id")
+      .join(broadcast(bb.select(col(idCol).as("bench_id"), col("sh").as("sh_b"))),
+        "bench_id")
+      .select(col("corpus_id"), col("bench_id"),
+        Text.jaccard(col("sh_c"), col("sh_b")).as("jacc"))
   }
 
   /** Full minhash dedup report: per-doc candidate count and verified-duplicate

@@ -314,6 +314,62 @@ object QueriesLlm {
         Text.qualityScore(col("text")).as("quality"))
     },
 
+    // Fuzzy benchmark decontamination: corpus docs (doc_id % 50 != 0)
+    // screened against a held-out benchmark slice (doc_id % 50 == 0) via
+    // minhash buckets + exact-Jaccard confirm — the near-duplicate leak
+    // check exact n-gram decontam (curation_decontam) can't catch. The
+    // benchmark side broadcasts; the corpus never self-joins.
+    "decontam_fuzzy" -> { (s, d) =>
+      val docs = documents(s, d)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      graft.operators.Curation.decontaminateFuzzy(corpus, bench,
+        "doc_id", "text", threshold = 0.5)
+        .select(col("doc_id"), col("n_candidates"), col("n_matches"),
+          round(col("max_jacc"), 6).as("max_jacc"), col("keep"))
+    },
+
+    // Corpus vocabulary construction: global top-k tokens by frequency with
+    // a deterministic (count desc, word asc) tiebreak — the first pass of
+    // tokenizer training. Two-phase: partial counts map-side, then a global
+    // TakeOrdered over the distinct-token set (bounded by vocabulary, not
+    // corpus size).
+    "vocab_topk" -> { (s, d) =>
+      val k = 50
+      val counts = documents(s, d)
+        .select(explode(Text.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word").asc).limit(k)
+      counts.withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("word").asc)).cast("int"))
+    },
+
+    // Per-document salient terms by tf-idf (top 3, term-asc tiebreak) —
+    // the keyword/topic feature a curation pipeline derives per doc. The
+    // per-doc window is bounded by document vocabulary (≤ doc length), so
+    // the rank never funnels unbounded cardinality; df comes from one
+    // vocabulary-sized aggregate joined back.
+    "tfidf_topterms" -> { (s, d) =>
+      val docs = documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(Text.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.select(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          col("tf") * log(col("n_docs").cast("double") / col("df")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term").asc)
+      scored.withColumn("rnk", row_number().over(w).cast("int"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("term"),
+          round(col("tfidf"), 6).as("tfidf"), col("rnk"))
+    },
+
     "token_count" -> { (s, d) =>
       documents(s, d).select(col("doc_id"),
         Text.tokenCountWs(col("text")).cast("long").as("ws_tokens"),
@@ -480,8 +536,98 @@ object QueriesLlm {
     }
   )
 
+  /** decontam_fuzzy twin: the full cross-corpus minhash pipeline per side
+    * (corpus = doc_id % 50 != 0, benchmark = the rest), bucket-join
+    * candidates, exact-Jaccard confirm, per-corpus-doc report.
+    */
+  private def decontamFuzzySql: String = {
+    val p = Dedup.MersennePrime
+    val fp = Dedup.BandFoldPrime
+    val sigEntries = Dedup.permParams(64).map { case (a, b) =>
+      s"list_min([(h * $a + $b) % $p for h in hs])"
+    }.mkString(",\n              ")
+    def side(name: String, pred: String) =
+      s"""${name}_words AS (
+          SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+          FROM documents WHERE $pred),
+        ${name}_base AS (
+          SELECT doc_id, $shinglesSql AS sh FROM ${name}_words),
+        ${name}_hashed AS (
+          SELECT doc_id, sh,
+                 [${Text.portableHashSql("x")} % $p for x in sh] AS hs
+          FROM ${name}_base),
+        ${name}_sig AS (
+          SELECT doc_id,
+              [$sigEntries] AS sig
+          FROM ${name}_hashed),
+        ${name}_banded AS (
+          SELECT doc_id, band,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     sig[band * 4 + 1 : band * 4 + 4]),
+                   (acc, h) -> (acc * 31 + h) % $fp) AS band_hash
+          FROM ${name}_sig, (SELECT unnest(generate_series(0, 15)) AS band) bands)"""
+    s"""WITH ${side("c", "doc_id % 50 != 0")},
+        ${side("b", "doc_id % 50 = 0")},
+        cands AS (
+          SELECT DISTINCT l.doc_id AS corpus_id, r.doc_id AS bench_id
+          FROM c_banded l JOIN b_banded r
+            ON l.band = r.band AND l.band_hash = r.band_hash),
+        verified AS (
+          SELECT corpus_id, bench_id,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jacc
+          FROM cands
+          JOIN c_base a ON a.doc_id = cands.corpus_id
+          JOIN b_base b ON b.doc_id = cands.bench_id),
+        perdoc AS (
+          SELECT corpus_id,
+                 CAST(count(*) AS BIGINT) AS n_candidates,
+                 CAST(sum(CASE WHEN jacc >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+                 max(jacc) AS max_jacc
+          FROM verified GROUP BY corpus_id)
+        SELECT d.doc_id,
+               coalesce(p.n_candidates, 0) AS n_candidates,
+               coalesce(p.n_matches, 0) AS n_matches,
+               ROUND(p.max_jacc, 6) AS max_jacc,
+               coalesce(p.n_matches, 0) = 0 AS keep
+        FROM documents d LEFT JOIN perdoc p ON p.corpus_id = d.doc_id
+        WHERE d.doc_id % 50 != 0"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "dedup_minhash" -> minhashSql,
+    "decontam_fuzzy" -> decontamFuzzySql,
+
+    "vocab_topk" ->
+      """WITH toks AS (
+           SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+           FROM documents),
+         counts AS (SELECT word, count(*) AS n FROM toks GROUP BY word),
+         ranked AS (
+           SELECT word, n,
+                  CAST(row_number() OVER (ORDER BY n DESC, word) AS INT) AS rnk
+           FROM counts)
+         SELECT word, n, rnk FROM ranked WHERE rnk <= 50""",
+
+    "tfidf_topterms" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT doc_id, term,
+                  tf * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
+           FROM tf JOIN dfreq USING (term), n),
+         ranked AS (
+           SELECT doc_id, term, tfidf,
+                  CAST(row_number() OVER (PARTITION BY doc_id
+                         ORDER BY tfidf DESC, term) AS INT) AS rnk
+           FROM scored)
+         SELECT doc_id, term, ROUND(tfidf, 6) AS tfidf, rnk
+         FROM ranked WHERE rnk <= 3""",
     "dedup_cluster" -> dedupClusterSql,
     "dedup_simhash" -> simhashSql,
     "ann_lsh" -> annLshSql,

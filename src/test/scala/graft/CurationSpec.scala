@@ -39,6 +39,47 @@ class CurationSpec extends SparkSpec {
     assert(out == Map(1L -> false, 2L -> false, 3L -> true))
   }
 
+  test("decontaminateFuzzy flags near-duplicates of benchmark docs, keeps clean ones") {
+    // doc 1 is a light edit of the benchmark doc (one word changed at the
+    // end: high Jaccard over 3-shingles); doc 2 shares a few shingles but
+    // stays under threshold; doc 3 is unrelated
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (2L, "alpha beta gamma completely different tail of words here now"),
+      (3L, "totally unrelated text with no overlap whatsoever at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val out = Curation.decontaminateFuzzy(train, bench, "doc_id", "text",
+      threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getBoolean(4)))).toMap
+    assert(out(1L)._1 >= 1L && !out(1L)._2, "near-dup must be dropped")
+    assert(out(2L) == ((0L, true)), "sub-threshold overlap keeps")
+    assert(out(3L) == ((0L, true)), "unrelated doc keeps")
+    // every corpus doc reports exactly once
+    assert(out.keySet == Set(1L, 2L, 3L))
+  }
+
+  test("decontaminateFuzzy across corpora matches the within-corpus scorer on a union") {
+    // cross pairs over (corpus, bench) = the corpus-x-bench slice of
+    // self-join pairs over the union — the bucket/verify math is shared
+    val corpus = Seq(
+      (1L, "one two three four five six seven"),
+      (2L, "something else entirely in this row")
+    ).toDF("doc_id", "text")
+    val bench = Seq((10L, "one two three four five six seven")).toDF("doc_id", "text")
+    val cross = graft.operators.Dedup.minhashCrossScoredPairs(
+      corpus, bench, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val self = graft.operators.Dedup.minhashScoredPairs(
+      corpus.unionByName(bench), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a < 10) != (b < 10) }
+      .map { case (a, b, j) => if (a < 10) (a, b, j) else (b, a, j) }.toSet
+    assert(cross == self && cross.exists(_._3 == 1.0))
+  }
+
   test("shingles of a short/empty token array is empty, not an error") {
     val df = Seq("a b", "").toDF("t")
       .select(size(Text.shingles(Text.tokens(col("t")), 3)).as("n"))

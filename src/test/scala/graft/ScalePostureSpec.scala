@@ -89,7 +89,8 @@ class ScalePostureSpec extends SparkSpec {
       "standard_scaler",  // one-row stats broadcast
       "dataset_pipeline", // one-row train-fold stats broadcast
       "config_dataset",   // one-row train-fold stats broadcast
-      "ensure_ticks"      // one-row (min,max) grid bounds broadcast
+      "ensure_ticks",     // one-row (min,max) grid bounds broadcast
+      "tfidf_topterms"    // one-row corpus-count broadcast into the idf term
     )
     val skip = Set("sink_roundtrip", "sink_run_dir", "src_http", "src_csv",
       "src_jsonl") // side-effecting writes; plans are plain re-reads
