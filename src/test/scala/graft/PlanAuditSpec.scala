@@ -152,4 +152,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       "config_dataset has no large-side join at gate scale; SMJ means a lost broadcast")
   }
+
+  audit("decontam_fuzzy") { plan =>
+    // the benchmark side broadcasts into both the bucket join and the
+    // shingle-verify join — the corpus is never shuffled against itself
+    assert(plan.contains("BroadcastHashJoin"),
+      "benchmark buckets/shingles must attach as broadcast hash joins")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "fuzzy decontam candidates must come from the band-hash equi-join")
+  }
+
+  audit("vocab_topk") { plan =>
+    // global top-k = partial counts then TakeOrdered over the vocabulary —
+    // never a single-partition global sort of all counts
+    assert(plan.contains("TakeOrderedAndProject"),
+      "vocab_topk must rank via TakeOrderedAndProject")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      "token counts must partially aggregate map-side")
+  }
 }
