@@ -49,12 +49,20 @@ object Cli {
                   serveRoot: String, preview: Int = 0,
                   format: String = "parquet",
                   out: java.io.PrintStream = System.out,
-                  ifChanged: Boolean = false): Runs.RunPaths =
+                  ifChanged: Boolean = false,
+                  artifactsRoot: Option[String] = None): Runs.RunPaths =
     // one mutating command per serve root (fail-fast lock) + sweep any
     // orphaned scratch dirs a crashed run left behind before starting
     Hygiene.withExecutionLock(Paths.get(serveRoot)) {
       Hygiene.cleanTempDirs(Hygiene.tempRoot(Paths.get(serveRoot)))
       val project = Config.parseProject(Files.readString(Paths.get(configPath)))
+      // prepare declared task artifacts FIRST (reference profiles/
+      // orchestration.py: run_build_if_needed precedes every runtime op) —
+      // incremental, so a fresh store costs one stat+hash pass, no jobs
+      artifactsRoot.filter(_ => project.tasks.nonEmpty).foreach { root =>
+        graft.pipeline.ArtifactGraph.build(spark, dataDir, project,
+          Paths.get(root), out = out)
+      }
       // incremental materialize: unchanged config + unchanged inputs since
       // the last SUCCESSFUL run → keep serving `latest`, run no Spark job
       val fp = if (ifChanged)
@@ -320,13 +328,17 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = args.toList match {
-    case "materialize" :: config :: dataDir :: serveRoot :: rest
-        if rest.contains("--if-changed") =>
+    case "materialize" :: config :: dataDir :: serveRoot :: rest =>
       val spark = session()
+      val positional = rest.zipWithIndex.filterNot { case (a, i) =>
+        a.startsWith("--") || (i > 0 && rest(i - 1) == "--artifacts")
+      }.map(_._1)
       try materialize(spark, config, dataDir, serveRoot,
-        preview = rest.filterNot(_.startsWith("--"))
-          .headOption.map(_.toInt).getOrElse(0),
-        ifChanged = true)
+        preview = positional.headOption.map(_.toInt).getOrElse(0),
+        ifChanged = rest.contains("--if-changed"),
+        artifactsRoot = rest.sliding(2).collectFirst {
+          case Seq("--artifacts", dir) => dir
+        })
       finally spark.stop()
     case "plugins" :: Nil =>
       listPlugins()
@@ -355,11 +367,6 @@ object Cli {
         olderThan = rest.sliding(2).collectFirst {
           case Seq("--older-than", v) => v
         })
-    case "materialize" :: config :: dataDir :: serveRoot :: rest =>
-      val spark = session()
-      try materialize(spark, config, dataDir, serveRoot,
-        preview = rest.headOption.map(_.toInt).getOrElse(0))
-      finally spark.stop()
     case "stream" :: config :: streamId :: dataDir :: rest =>
       val spark = session()
       try streamPreview(spark, config, streamId, dataDir,
@@ -407,7 +414,7 @@ object Cli {
       finally spark.stop()
     case other =>
       System.err.println(
-        s"""usage: graft.Cli materialize <project.yaml> <dataDir> <serveRoot> [previewRows]
+        s"""usage: graft.Cli materialize <project.yaml> <dataDir> <serveRoot> [previewRows] [--if-changed] [--artifacts <root>]
            |       graft.Cli materialize-streams <project.yaml> <dataDir> <serveRoot>
            |       graft.Cli stream <project.yaml> <streamId> <dataDir> [limit]
            |       graft.Cli run <project.yaml> <profileId> <dataDir> [serveRoot]

@@ -218,6 +218,32 @@ class ArtifactGraphSpec extends SparkSpec {
     assert(run(Some(dir)) == uncached, "second (cache-served) pass")
   }
 
+  test("materialize --artifacts prepares task artifacts before the dataset run") {
+    val root = Files.createTempDirectory("graft_mat_artifacts")
+    stage(root, "ev", "ev2")
+    val cfg = root.resolve("p.yaml")
+    Files.writeString(cfg, disjointYaml)
+    val store = root.resolve("artifacts")
+    val serve = root.resolve("serve").toString
+
+    def run(): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Cli.materialize(spark, cfg.toString, root.toString, serve,
+        out = new PrintStream(buf, true, "UTF-8"),
+        artifactsRoot = Some(store.toString))
+      buf.toString("UTF-8")
+    }
+
+    val first = run()
+    assert(first.contains("artifact ticks rebuilt ["), first)
+    assert(first.contains("run "), "dataset run must follow the build")
+    assert(Files.exists(store.resolve("ticks").resolve("report.parquet")))
+
+    // unchanged inputs: the prepare pass hydrates (no jobs), run proceeds
+    val second = run()
+    assert(second.contains("artifact ticks hydrated ["), second)
+  }
+
   test("force rebuilds everything; build output reports the plan") {
     val root = Files.createTempDirectory("graft_artifact_force")
     stage(root, "ev", "ev2")
