@@ -191,11 +191,21 @@ object Cli {
     */
   def inspectStage(spark: SparkSession, configPath: String, dataDir: String,
                    stage: String, id: Option[String] = None, limit: Int = 20,
-                   out: java.io.PrintStream = System.out): Long = {
+                   out: java.io.PrintStream = System.out,
+                   outDir: Option[String] = None): Long = {
     val project = Config.parseProject(Files.readString(Paths.get(configPath)))
-    Runs.writeText(
-      ConfigRuntime.previewStage(spark, dataDir, project, stage, id),
-      limit, out)
+    val frame = ConfigRuntime.previewStage(spark, dataDir, project, stage, id)
+    outDir match {
+      case None => Runs.writeText(frame, limit, out)
+      case Some(dir) =>
+        // parquet dump of the staged frame (reference serve --preview with
+        // a parquet target; graft stages are all DataFrames, so every stage
+        // is dumpable, not just samples/postprocess)
+        frame.write.mode("overwrite").parquet(dir)
+        val n = spark.read.parquet(dir).count()
+        out.println(s"stage $stage -> $dir ($n rows)")
+        n
+    }
   }
 
   def streamPreview(spark: SparkSession, configPath: String, streamId: String,
@@ -390,12 +400,14 @@ object Cli {
       def flagValue(flag: String): Option[String] = rest.sliding(2)
         .collectFirst { case Seq(`flag`, v) => v }
       val positional = rest.zipWithIndex.filterNot { case (a, i) =>
-        a.startsWith("--") || (i > 0 && Set("--stage", "--id")(rest(i - 1)))
+        a.startsWith("--") ||
+          (i > 0 && Set("--stage", "--id", "--out")(rest(i - 1)))
       }.map(_._1)
       try inspectStage(spark, config, dataDir,
         stage = flagValue("--stage").getOrElse("records"),
         id = flagValue("--id"),
-        limit = positional.headOption.map(_.toInt).getOrElse(20))
+        limit = positional.headOption.map(_.toInt).getOrElse(20),
+        outDir = flagValue("--out"))
       finally spark.stop()
     case "task" :: config :: taskId :: dataDir :: rest =>
       val spark = session()
@@ -420,7 +432,7 @@ object Cli {
            |       graft.Cli run <project.yaml> <profileId> <dataDir> [serveRoot]
            |       graft.Cli task <project.yaml> <taskId> <dataDir> [limit]
            |       graft.Cli build <project.yaml> <dataDir> <artifactsRoot> [--force]
-           |       graft.Cli inspect <project.yaml> <dataDir> --stage <input|canonical|records|series|samples|postprocess> [--id <streamOrVector>] [limit]
+           |       graft.Cli inspect <project.yaml> <dataDir> --stage <input|canonical|records|series|samples|postprocess> [--id <streamOrVector>] [--out <parquetDir>] [limit]
            |       graft.Cli plugins
            |       graft.Cli scaffold plugin <name> <outDir>
            |       graft.Cli scaffold source <id> <path> <format> <project.yaml>

@@ -114,6 +114,16 @@ class ConfigPreviewSpec extends SparkSpec {
       Some("s"), limit = 7, out = new PrintStream(buf, true, "UTF-8"))
     assert(n == 7 && buf.toString("UTF-8").linesIterator.length == 7)
 
+    // --out dumps the staged frame as parquet instead of text
+    val dump = root.resolve("dump").toString
+    val written = Cli.inspectStage(spark, cfg.toString, DataDir, "samples",
+      None, out = new PrintStream(java.io.OutputStream.nullOutputStream()),
+      outDir = Some(dump))
+    val back = spark.read.parquet(dump)
+    assert(written == back.count() && written > 7,
+      "parquet dump carries the WHOLE stage, not the preview limit")
+    assert(back.columns.toSet == Set("sample_time", "user_id", "v", "pv"))
+
     val e = intercept[IllegalArgumentException](
       Cli.inspectStage(spark, cfg.toString, DataDir, "gizmo", None,
         out = new PrintStream(java.io.OutputStream.nullOutputStream())))
