@@ -133,7 +133,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // a query whose outlier RE-RUN failed but whose first-pass time was
+    // kept is healthy — only queries with no successful run count as failed
+    val trulyFailed = failed.distinct.filter(n =>
+      results.find(_._1 == n).forall(_._2 < 0))
+    val failedJson = trulyFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val rerunJson = outliers.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"rerun":$rerunJson,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"sf":"$sfDir"}""")
     spark.stop()

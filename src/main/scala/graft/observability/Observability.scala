@@ -212,16 +212,25 @@ object Observability {
     // collects, scaler fits) populate the log long before the final write,
     // so "non-empty" is not "drained" — wait until the count stops moving
     // for a settle window, bounded overall.
-    // a stable count of ZERO settles too (after one sleep): a run that
-    // failed before its first SQL action must not busy-wait the whole
-    // deadline just to confirm nothing is coming
+    // a stable count of ZERO settles too — but only after a LONGER stable
+    // window (5 consecutive 100ms reads): the final write's listener event
+    // may still be in flight on the async bus, and settling zero after one
+    // sleep would unregister before it lands, losing every action from
+    // metrics.json. A run that failed before any SQL action still exits in
+    // ~0.5s instead of busy-waiting the whole 2s deadline.
     val deadline = System.nanoTime() + 2000000000L
     var last = -1
+    var stableZero = 0
     var settled = false
     while (!settled && System.nanoTime() < deadline) {
       val n = handle.actions.actions.size
-      if (n == last) settled = true
-      else { last = n; Thread.sleep(100) }
+      if (n == last && n > 0) settled = true
+      else if (n == 0 && last == 0 && stableZero >= 4) settled = true
+      else {
+        if (n == 0 && last == 0) stableZero += 1
+        last = n
+        Thread.sleep(100)
+      }
     }
     spark.sparkContext.removeSparkListener(handle.run)
     spark.listenerManager.unregister(handle.actions)

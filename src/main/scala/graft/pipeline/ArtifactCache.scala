@@ -26,6 +26,11 @@ object ArtifactCache {
     */
   val CacheVersion = 1
 
+  private[pipeline] def sha256Hex(canonical: String): String =
+    MessageDigest.getInstance("SHA-256")
+      .digest(canonical.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
   private def fileState(p: Path): String =
     if (!Files.isRegularFile(p)) "missing"
     // nanosecond mtime (the reference's file:{size}:{mtime_ns} contract):
@@ -56,9 +61,11 @@ object ArtifactCache {
     * id. Freshness is FS-ONLY (the reference contract is the same —
     * fingerprints.py stats local files): `synthetic` sources are fully
     * described by their config (start/end/frequency live in the SourceDef
-    * rendering); `http` sources snapshot the STAGED local copy when one
-    * exists — a re-fetch that changes the payload invalidates, but a changed
-    * remote payload that was never re-staged does not.
+    * rendering); `http` sources digest the STAGED local copy's CONTENT when
+    * one exists — every run re-fetches (new mtime), so a stat snapshot
+    * would self-invalidate forever, while a byte digest hits on identical
+    * payloads and misses exactly when the payload changed. A changed remote
+    * payload that was never re-staged still goes unseen (documented).
     */
   private[pipeline] def sourceState(s: Config.SourceDef, dataDir: String): String =
     s.transport match {
@@ -69,7 +76,12 @@ object ArtifactCache {
       case "http" =>
         val staged = java.nio.file.Paths.get(
           graft.sources.Http.stagedPath(s.path, s.id, s.format))
-        s.id + "|" + s.transport + "|" + pathState(staged) + "|"
+        val state =
+          if (Files.isRegularFile(staged))
+            "sha256:" + MessageDigest.getInstance("SHA-256")
+              .digest(Files.readAllBytes(staged)).map("%02x".format(_)).mkString
+          else "missing"
+        s.id + "|" + s.transport + "|" + state + "|"
       case _ => s.id + "|" + s.transport + "|"
     }
 
@@ -91,9 +103,7 @@ object ArtifactCache {
       project.dataset.map(_.toString).getOrElse(""),
       sourceStates(project, dataDir)
     ).mkString("|")
-    MessageDigest.getInstance("SHA-256")
-      .digest(canonical.getBytes(StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
+    sha256Hex(canonical)
   }
 
   /** Fingerprint of the whole dataset journey (sources + streams + dataset
@@ -108,9 +118,7 @@ object ArtifactCache {
       project.dataset.map(_.toString).getOrElse(""),
       sourceStates(project, dataDir)
     ).mkString("|")
-    MessageDigest.getInstance("SHA-256")
-      .digest(canonical.getBytes(StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
+    sha256Hex(canonical)
   }
 
   /** Fingerprint-keyed scalar-statistics cache — the artifact story applied
@@ -126,7 +134,11 @@ object ArtifactCache {
   def cachedCount(df: org.apache.spark.sql.DataFrame, cacheDir: Path): Long = {
     val files = df.inputFiles.sorted
     if (files.isEmpty) return df.count()
-    cachedScalar(cacheDir, "count", files.map { f =>
+    // the key carries the CANONICALIZED plan too, not just the backing
+    // files: two different frames over the same parquet (a filtered corpus
+    // vs the full one) must not serve each other's count
+    val plan = df.queryExecution.analyzed.canonicalized.toString
+    cachedScalar(cacheDir, "count", plan + "\n" + files.map { f =>
       val p = java.nio.file.Paths.get(java.net.URI.create(f).getPath)
       f + "|" + fileState(p)
     }.mkString("\n"))(df.count())
@@ -137,9 +149,7 @@ object ArtifactCache {
     */
   private[graft] def cachedScalar(cacheDir: Path, name: String,
                                   canonical: String)(compute: => Long): Long = {
-    val fp = MessageDigest.getInstance("SHA-256")
-      .digest(canonical.getBytes(StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
+    val fp = sha256Hex(canonical)
     val entry = cacheDir.resolve("stats").resolve(s"$name-$fp.txt")
     if (Files.exists(entry)) Files.readString(entry).trim.toLong
     else {

@@ -186,31 +186,29 @@ object ArtifactGraph {
           .sortBy(_.id).mkString("|")
         (s"$extra||$streamDefs||$sourceDefs", sourceIds)
       }
+      // dataset-stage tasks scope WIDER than the reference's _artifact_inputs
+      // because graft computes them differently: the reference fits its
+      // scaler on the scaled series pre-assembly, graft's scaler/metadata
+      // reports run on the POSTPROCESSED frame, whose surviving rows and
+      // retained columns depend on every vector's stream AND the postprocess
+      // thresholds — so all of those belong in the hash (a scaled-streams-
+      // only scope would serve stale statistics after a non-scaled vector's
+      // source or the row threshold changed)
+      def datasetScope(t: Config.TaskDef): (String, Set[String]) = {
+        val d = ds.get
+        val post = t match {
+          case m: Config.MatrixTask if m.stage != "postprocessed" => ""
+          case c: Config.CoverageTask if c.stage != "postprocessed" => ""
+          case _ => d.postprocess.toString
+        }
+        closure(vectors(project).map(_.stream),
+          s"${d.cadence}|${d.sampleKeys.mkString(",")}|$post|" +
+            s"${d.split.map(_.toString).getOrElse("")}|" +
+            (d.features ++ d.targets).mkString("|"))
+      }
       task match {
         case t: Config.TicksTask => closure(Seq(t.stream), "")
-        case _: Config.ScalerTask =>
-          val d = ds.get
-          val scaled = vectors(project).filter(_.scale)
-          closure(scaled.map(_.stream),
-            s"${d.cadence}|${d.sampleKeys.mkString(",")}|" +
-              s"${d.split.map(_.toString).getOrElse("")}|" +
-              scaled.mkString("|"))
-        case _: Config.MetadataTask =>
-          val d = ds.get
-          closure(vectors(project).map(_.stream),
-            s"${d.cadence}|${d.sampleKeys.mkString(",")}|" +
-              (d.features ++ d.targets).mkString("|"))
-        case t: Config.CoverageTask =>
-          val d = ds.get
-          val post = if (t.stage == "postprocessed") d.postprocess.toString else ""
-          closure(vectors(project).map(_.stream),
-            s"${d.cadence}|${d.sampleKeys.mkString(",")}|$post|" +
-              (d.features ++ d.targets).mkString("|"))
-        case _: Config.MatrixTask =>
-          val d = ds.get
-          closure(vectors(project).map(_.stream),
-            s"${d.cadence}|${d.sampleKeys.mkString(",")}|" +
-              (d.features ++ d.targets).mkString("|"))
+        case t => datasetScope(t)
       }
     }
 
@@ -246,7 +244,10 @@ object ArtifactGraph {
       s"""  ${jsonStr(key)}: {"hash": ${jsonStr(a.hash)}, "files": $files}"""
     }.mkString(",\n")
     Files.createDirectories(root)
-    val tmp = stateFile(root).resolveSibling(".state.json.tmp")
+    // unique temp per writer: two concurrent builds must not interleave
+    // writes into one staging file (the move stays atomic either way)
+    val tmp = stateFile(root).resolveSibling(
+      s".state-${java.util.UUID.randomUUID().toString.take(8)}.json.tmp")
     Files.writeString(tmp, s"{\n$entries\n}\n")
     Files.move(tmp, stateFile(root),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
@@ -332,7 +333,19 @@ object ArtifactGraph {
     */
   def build(spark: SparkSession, dataDir: String, project: Config.Project,
             root: Path, force: Boolean = false,
-            out: java.io.PrintStream = System.out): BuildResult = {
+            out: java.io.PrintStream = System.out): BuildResult =
+    // one build per artifacts root at a time (fail-fast, like the serve
+    // root's execution lock): concurrent builds would race on state.json
+    // and overwrite each other's report directories mid-write
+    graft.sources.Hygiene.withFileLock(
+      root.resolve("_system").resolve("artifacts.lock"),
+      s"Another graft build is using artifacts root '$root'.") {
+      buildLocked(spark, dataDir, project, root, force, out)
+    }
+
+  private def buildLocked(spark: SparkSession, dataDir: String,
+                          project: Config.Project, root: Path, force: Boolean,
+                          out: java.io.PrintStream): BuildResult = {
     require(project.tasks.nonEmpty, "config: project declares no tasks")
     val deps = dependencies(project)
     val order = topoOrder(project, deps)

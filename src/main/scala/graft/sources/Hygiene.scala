@@ -37,8 +37,16 @@ object Hygiene {
     * same-process overlap surfaces as OverlappingFileLockException — mapped
     * to the same busy error.
     */
-  def withExecutionLock[A](serveRoot: Path)(body: => A): A = {
-    val path = executionLockPath(serveRoot)
+  def withExecutionLock[A](serveRoot: Path)(body: => A): A =
+    withFileLock(executionLockPath(serveRoot),
+      s"Another graft command is using serve root '$serveRoot'.")(body)
+
+  /** Fail-fast exclusive lock on an arbitrary lock file (the artifact
+    * builds lock their store with this, under a different file name than
+    * the serve-root execution lock so `materialize --artifacts` pointing
+    * both at one directory cannot self-deadlock).
+    */
+  def withFileLock[A](path: Path, busyMessage: String)(body: => A): A = {
     Files.createDirectories(path.getParent)
     val ch = FileChannel.open(path, StandardOpenOption.CREATE,
       StandardOpenOption.WRITE)
@@ -47,8 +55,7 @@ object Hygiene {
       catch { case _: OverlappingFileLockException => null }
     if (lock == null) {
       ch.close()
-      throw new ExecutionBusyException(
-        s"Another graft command is using serve root '$serveRoot'.")
+      throw new ExecutionBusyException(busyMessage)
     }
     try body
     finally { lock.release(); ch.close() }

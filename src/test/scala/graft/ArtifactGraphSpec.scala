@@ -154,6 +154,77 @@ class ArtifactGraphSpec extends SparkSpec {
       "dependents of a stale artifact must rebuild")
   }
 
+  test("postprocess drift invalidates the dataset-stage artifacts, not ticks") {
+    // the scaler/metadata reports run on the POSTPROCESSED frame, so the
+    // row threshold belongs in their scoped hash even though the reference
+    // scopes its (pre-assembly) scaler narrower
+    def yaml(thr: Double): String =
+      s"""sources:
+         |  - id: ev
+         |    loader: { transport: fs, path: ev/events.parquet, reader: { format: parquet } }
+         |  - id: ev2
+         |    loader: { transport: fs, path: ev2/events.parquet, reader: { format: parquet } }
+         |streams:
+         |  - id: s
+         |    from: { source: ev }
+         |    map: { time: ts, fields: [user_id, value, event_type] }
+         |    partition_by: [user_id]
+         |  - id: p
+         |    from: { stream: s }
+         |    transforms:
+         |      - { operation: where, field: event_type, operator: eq, comparand: purchase }
+         |  - id: t
+         |    from: { source: ev2 }
+         |    map: { time: ts, fields: [user_id, value] }
+         |    partition_by: [user_id]
+         |dataset:
+         |  sample: { cadence: 1h, keys: [user_id] }
+         |  features:
+         |    - { id: v, stream: s, field: value, scale: true }
+         |    - { id: pv, stream: p, field: value }
+         |  postprocess:
+         |    samples: { features: { threshold: $thr } }
+         |tasks:
+         |  - { id: sc, task: scaler }
+         |  - { id: meta, task: metadata }
+         |  - { id: ticks, task: ticks, stream: t, grid_by: [user_id] }
+         |""".stripMargin
+    val root = Files.createTempDirectory("graft_artifact_post")
+    stage(root, "ev", "ev2")
+    val store = root.resolve("artifacts")
+    val first = ArtifactGraph.build(spark, root.toString,
+      Config.parseProject(yaml(0.95)), store, out = quiet)
+    assert(first.rebuilt.length == 3)
+    // changed row threshold → scaler + metadata stale; ticks untouched
+    val second = ArtifactGraph.build(spark, root.toString,
+      Config.parseProject(yaml(0.5)), store, out = quiet)
+    assert(second.rebuilt.toSet == Set("sc", "meta"), s"${second.rebuilt}")
+    assert(second.hydrated == Seq("ticks"))
+
+    // a NON-scaled vector's source feeds the scaler's surviving rows, so
+    // touching it must invalidate the scaler too (stream p reads ev)
+    touch(root, "ev")
+    val third = ArtifactGraph.build(spark, root.toString,
+      Config.parseProject(yaml(0.5)), store, out = quiet)
+    assert(third.rebuilt.toSet == Set("sc", "meta"))
+  }
+
+  test("concurrent builds on one artifacts root fail fast instead of racing") {
+    val root = Files.createTempDirectory("graft_artifact_lock")
+    stage(root, "ev", "ev2")
+    val project = Config.parseProject(disjointYaml)
+    val store = root.resolve("artifacts")
+    graft.sources.Hygiene.withFileLock(
+      store.resolve("_system").resolve("artifacts.lock"), "held by test") {
+      val e = intercept[graft.sources.Hygiene.ExecutionBusyException](
+        ArtifactGraph.build(spark, root.toString, project, store, out = quiet))
+      assert(e.getMessage.contains("artifacts root"))
+    }
+    // lock released → builds proceed
+    assert(ArtifactGraph.build(spark, root.toString, project, store,
+      out = quiet).rebuilt.length == 4)
+  }
+
   test("a deleted report classifies missing and rebuilds alone when nothing depends on it") {
     val root = Files.createTempDirectory("graft_artifact_missing")
     stage(root, "ev", "ev2")
@@ -203,6 +274,16 @@ class ArtifactGraphSpec extends SparkSpec {
     // frames with no input files compute uncached
     import spark.implicits._
     assert(ArtifactCache.cachedCount(Seq(1, 2, 3).toDF("x"), cacheDir) == 3)
+
+    // two DIFFERENT frames over the same files must not share a key: a
+    // filtered corpus and the full one have distinct canonicalized plans
+    import org.apache.spark.sql.functions.col
+    val full = spark.read.parquet(table.toString)
+    val filtered = full.filter(col("vec_id") < 5)
+    val nFiltered = ArtifactCache.cachedCount(filtered, cacheDir)
+    assert(nFiltered == filtered.count() &&
+      nFiltered != ArtifactCache.cachedCount(full, cacheDir),
+      "plan shape must discriminate the cache key")
   }
 
   test("annIvf with a stats cache matches the uncached plan") {

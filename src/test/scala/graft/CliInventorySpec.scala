@@ -273,6 +273,45 @@ class CliInventorySpec extends SparkSpec {
     assert(fifth.runId != fourth.runId, "touched input must re-materialize")
   }
 
+  test("http sources fingerprint by staged CONTENT, so a re-fetch of an identical payload still hits") {
+    val root = Files.createTempDirectory("graft_http_fp")
+    val payload = root.resolve("remote.csv")
+    Files.writeString(payload, "user_id,value\n1,10.5\n2,20.25\n")
+    val (server, url) = graft.sources.Http.serveFile(payload.toString, "/data.csv")
+    try {
+      val cfg = root.resolve("p.yaml")
+      Files.writeString(cfg,
+        s"""sources:
+           |  - id: web
+           |    loader:
+           |      transport: http
+           |      url: $url
+           |      reader: { format: csv }
+           |streams:
+           |  - id: s
+           |    from: { source: web }
+           |    map: { time: value }
+           |""".stripMargin)
+      val project = graft.pipeline.Config.parseProject(Files.readString(cfg))
+      val staged = graft.sources.Http.stagedPath(url, "web", "csv")
+
+      graft.sources.Http.fetchToLocal(url, staged)
+      val fp1 = graft.pipeline.ArtifactCache.datasetFingerprint(project, root.toString)
+      Thread.sleep(5)
+      // re-fetch the SAME payload: new mtime, same bytes → same fingerprint
+      graft.sources.Http.fetchToLocal(url, staged)
+      assert(graft.pipeline.ArtifactCache.datasetFingerprint(project,
+        root.toString) == fp1,
+        "a byte-identical re-fetch must not self-invalidate the cache")
+
+      // changed payload → re-fetch → different fingerprint
+      Files.writeString(payload, "user_id,value\n1,10.5\n2,20.25\n3,30.0\n")
+      graft.sources.Http.fetchToLocal(url, staged)
+      assert(graft.pipeline.ArtifactCache.datasetFingerprint(project,
+        root.toString) != fp1, "a changed staged payload must invalidate")
+    } finally server.stop(0)
+  }
+
   test("scaffold inflow appends source + derived stream atomically") {
     val root = Files.createTempDirectory("graft_inflow")
     val yaml = root.resolve("p.yaml")
