@@ -594,6 +594,33 @@ object QueriesLlm {
         WHERE d.doc_id % 50 != 0"""
   }
 
+  /** corpus_filter twin — shared with the streaming query
+    * (stream_corpus_filter applies the identical gate at ingest).
+    */
+  private[queries] def corpusFilterSql: String = {
+    val scoreCols = Text.LangPriority
+      .map(l => s"${scoreSql(l)} AS sc_$l").mkString(", ")
+    val m = Text.LangPriority.map(l => s"sc_$l").mkString("greatest(", ", ", ")")
+    val cases = Text.LangPriority.dropRight(1)
+      .map(l => s"WHEN sc_$l = m THEN '$l'").mkString(" ")
+    val stops = Text.StopMarkers.map(occSql).mkString(" + ")
+    s"""SELECT doc_id,
+          (CASE $cases ELSE '${Text.LangPriority.last}' END) = 'en' AS lang_ok,
+          q >= 0.3 AS quality_ok,
+          rep <= 0.8 AS repetition_ok,
+          ((CASE $cases ELSE '${Text.LangPriority.last}' END) = 'en'
+            AND q >= 0.3 AND rep <= 0.8) AS keep
+          FROM (SELECT doc_id, $scoreCols, $m AS m,
+                  ROUND(LEAST(1.0, CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) / 100.0)
+                    * (1.0 - CAST(length(text) - length(translate(text, '${Text.PunctChars}', '')) AS DOUBLE)
+                        / GREATEST(length(text), 1))
+                    * (0.5 + LEAST(($stops) / CAST(GREATEST(len(regexp_extract_all(text, '\\S+')), 1) AS DOUBLE) * 2.0, 0.5)),
+                  6) AS q,
+                  ROUND(1.0 - CAST(len(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS DOUBLE) /
+                    CAST(GREATEST(len(regexp_split_to_array(lower(text), '\\s+')), 1) AS DOUBLE), 6) AS rep
+                FROM documents)"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "dedup_minhash" -> minhashSql,
     "decontam_fuzzy" -> decontamFuzzySql,
@@ -837,29 +864,7 @@ object QueriesLlm {
                FROM embeddings) AS u(label, pos, x)
          GROUP BY label, pos""",
 
-    "corpus_filter" -> {
-      val scoreCols = Text.LangPriority
-        .map(l => s"${scoreSql(l)} AS sc_$l").mkString(", ")
-      val m = Text.LangPriority.map(l => s"sc_$l").mkString("greatest(", ", ", ")")
-      val cases = Text.LangPriority.dropRight(1)
-        .map(l => s"WHEN sc_$l = m THEN '$l'").mkString(" ")
-      val stops = Text.StopMarkers.map(occSql).mkString(" + ")
-      s"""SELECT doc_id,
-          (CASE $cases ELSE '${Text.LangPriority.last}' END) = 'en' AS lang_ok,
-          q >= 0.3 AS quality_ok,
-          rep <= 0.8 AS repetition_ok,
-          ((CASE $cases ELSE '${Text.LangPriority.last}' END) = 'en'
-            AND q >= 0.3 AND rep <= 0.8) AS keep
-          FROM (SELECT doc_id, $scoreCols, $m AS m,
-                  ROUND(LEAST(1.0, CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) / 100.0)
-                    * (1.0 - CAST(length(text) - length(translate(text, '${Text.PunctChars}', '')) AS DOUBLE)
-                        / GREATEST(length(text), 1))
-                    * (0.5 + LEAST(($stops) / CAST(GREATEST(len(regexp_extract_all(text, '\\S+')), 1) AS DOUBLE) * 2.0, 0.5)),
-                  6) AS q,
-                  ROUND(1.0 - CAST(len(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS DOUBLE) /
-                    CAST(GREATEST(len(regexp_split_to_array(lower(text), '\\s+')), 1) AS DOUBLE), 6) AS rep
-                FROM documents)"""
-    },
+    "corpus_filter" -> corpusFilterSql,
 
     "dedup_keep" ->
       s"""WITH RECURSIVE $minhashCtes,

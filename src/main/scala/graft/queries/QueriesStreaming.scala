@@ -54,6 +54,12 @@ object QueriesStreaming {
       val run = runId.incrementAndGet()
       Streaming.asofAttach(s, d, s"graft_stream_asof_$run",
         fileSink(s"asof_$run"))
+    },
+    // Streaming corpus curation: the quality gate applied at ingest equals
+    // the batch corpus_filter verdicts.
+    "stream_corpus_filter" -> { (s, d) =>
+      Streaming.corpusFilter(s, d,
+        s"graft_stream_corpus_${runId.incrementAndGet()}")
     }
   )
 
@@ -93,6 +99,8 @@ object QueriesStreaming {
          ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value
                          FROM events WHERE event_type = 'purchase'
                          GROUP BY user_id, ts) p
-           ON e.user_id = p.user_id AND p.ts <= e.ts"""
+           ON e.user_id = p.user_id AND p.ts <= e.ts""",
+    // identical gate, identical verdicts — at ingest instead of at rest
+    "stream_corpus_filter" -> QueriesLlm.corpusFilterSql
   )
 }

@@ -20,23 +20,33 @@ object Streaming {
     * both the NANOS-as-long layout (driver data) and plain timestamp
     * layouts stream correctly.
     */
-  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Unbounded read of ANY single table as a stream (same staging rules as
+    * [[readEvents]]): directory-shaped tables stream in place, single-file
+    * driver tables stage into a per-table scratch dir. Footer-inferred
+    * schema.
+    */
+  def readTable(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val src = Paths.get(s"$sfDir/events.parquet")
+    val src = Paths.get(s"$sfDir/$table.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val dir =
       if (Files.isDirectory(src)) src
       else {
-        val d = Paths.get(s"/tmp/graft_stream_src/${math.abs(sfDir.hashCode)}")
+        val d = Paths.get(
+          s"/tmp/graft_stream_src/${math.abs(sfDir.hashCode)}_$table")
         Files.createDirectories(d)
-        Files.copy(src, d.resolve("events.parquet"),
+        Files.copy(src, d.resolve(s"$table.parquet"),
           StandardCopyOption.REPLACE_EXISTING)
         d
       }
     val schema = spark.read.parquet(dir.toString).schema
-    val raw = spark.readStream.schema(schema).parquet(dir.toString)
-    if (schema("ts").dataType == LongType)
+    spark.readStream.schema(schema).parquet(dir.toString)
+  }
+
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = readTable(spark, sfDir, "events")
+    if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else raw
   }
@@ -284,6 +294,27 @@ object Streaming {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("c_acctbal"))
     sinkTo(spark, joined, tableName, "append", sinkDir)
+  }
+
+  /** Streaming corpus curation: the composed quality gate (language
+    * allowlist ∧ quality floor ∧ repetition ceiling) applied to documents
+    * AS THEY ARRIVE — the ingest-time filter of a continuously-fed training
+    * corpus. Stateless (pure codegen'd column expressions, no watermark, no
+    * state store), so it scales with scan throughput and emits in append
+    * mode to any sink.
+    */
+  def corpusFilter(spark: SparkSession, sfDir: String, tableName: String,
+                   sinkDir: Option[String] = None): DataFrame = {
+    import graft.functions.Text
+    val t = col("text")
+    val gated = readTable(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        (Text.langId(t) === "en").as("lang_ok"),
+        (Text.qualityScore(t) >= 0.3).as("quality_ok"),
+        (Text.repetitionRatio(t) <= 0.8).as("repetition_ok"))
+      .withColumn("keep",
+        col("lang_ok") && col("quality_ok") && col("repetition_ok"))
+    sinkTo(spark, gated, tableName, "append", sinkDir)
   }
 
   /** Run the streaming query to completion over the finite test input
