@@ -117,6 +117,38 @@ object Config {
   final case class TicksTask(id: String, stream: String,
                              gridBy: Seq[String]) extends TaskDef
 
+  /** One step of the declarative corpus-curation journey (`corpus:` —
+    * graft's config surface for the §2.7 LLM-training-data operators; the
+    * reference has no corpus twin, its YAML drives only the dataset
+    * journey).
+    */
+  sealed trait CorpusStep
+  /** Quality gate: language allowlist ∧ quality floor ∧ repetition ceiling
+    * (any subset) — Text.langId/qualityScore/repetitionRatio.
+    */
+  final case class CorpusFilter(lang: Option[String],
+                                minQuality: Option[Double],
+                                maxRepetition: Option[Double]) extends CorpusStep
+  /** Exact dedup: keep the smallest-id document per identical text. */
+  final case class CorpusDedupExact() extends CorpusStep
+  /** Near-dup dedup: minhash clustering, keep each cluster's canonical
+    * (smallest-id) document — Dedup.dupClusters.
+    */
+  final case class CorpusDedupFuzzy(threshold: Double) extends CorpusStep
+  /** Benchmark n-gram decontamination: drop documents sharing any word
+    * n-gram with the benchmark source — Curation.decontaminate.
+    */
+  final case class CorpusDecontaminate(benchmark: String,
+                                       ngram: Int) extends CorpusStep
+  /** Overlapping token-window chunking (terminal step — it reshapes rows)
+    * — Curation.chunkDocuments.
+    */
+  final case class CorpusChunk(size: Int, stride: Int) extends CorpusStep
+
+  /** The `corpus:` section: a document source + ordered curation steps. */
+  final case class CorpusDef(source: String, idCol: String, textCol: String,
+                             steps: Seq[CorpusStep])
+
   /** A named option bundle for the Cli — the graft twin of the reference
     * profile defaults (config/profiles/defaults.py:1, serve.py, output.py):
     * which command to run, how many preview rows, the output format, and an
@@ -154,7 +186,8 @@ object Config {
       dataset: Option[DatasetDef],
       tasks: Seq[TaskDef] = Nil,
       profiles: Seq[ProfileDef] = Nil,
-      observability: Option[ObservabilityDef] = None) {
+      observability: Option[ObservabilityDef] = None,
+      corpus: Option[CorpusDef] = None) {
     def source(id: String): SourceDef =
       sources.find(_.id == id).getOrElse(fail(s"unknown source '$id'"))
     def stream(id: String): StreamDef =
@@ -756,6 +789,61 @@ object Config {
     ObservabilityDef(visuals, heartbeat, logging)
   }
 
+  /** One `corpus.steps` entry with a `step` discriminator. */
+  private def parseCorpusStep(raw: Any): CorpusStep = {
+    val t = asTree(raw, "corpus step")
+    val step = str(t, "step", "corpus step")
+    def ctx = s"corpus step '$step'"
+    def check(allowed: String*): Unit =
+      requireKeys(t, allowed.toSet + "step", ctx)
+    step match {
+      case "filter" =>
+        check("lang", "min_quality", "max_repetition")
+        val f = CorpusFilter(strOpt(t, "lang"), dblOpt(t, "min_quality"),
+          dblOpt(t, "max_repetition"))
+        if (f.lang.isEmpty && f.minQuality.isEmpty && f.maxRepetition.isEmpty)
+          fail(s"$ctx needs at least one of lang/min_quality/max_repetition")
+        f
+      case "dedup_exact" =>
+        check(); CorpusDedupExact()
+      case "dedup_fuzzy" =>
+        check("threshold")
+        val thr = dblOpt(t, "threshold").getOrElse(0.5)
+        if (thr <= 0.0 || thr > 1.0)
+          fail(s"$ctx.threshold must be in (0, 1], got $thr")
+        CorpusDedupFuzzy(thr)
+      case "decontaminate" =>
+        check("benchmark", "ngram")
+        val n = intOpt(t, "ngram").getOrElse(8)
+        if (n <= 0) fail(s"$ctx.ngram must be > 0, got $n")
+        CorpusDecontaminate(str(t, "benchmark", ctx), n)
+      case "chunk" =>
+        check("size", "stride")
+        val size = intOf(t, "size", ctx)
+        val stride = intOpt(t, "stride").getOrElse(size)
+        if (size <= 0 || stride <= 0 || stride > size)
+          fail(s"$ctx needs 0 < stride <= size, got ($size, $stride)")
+        CorpusChunk(size, stride)
+      case other => fail(s"unknown corpus step '$other'")
+    }
+  }
+
+  private def parseCorpus(raw: Any): CorpusDef = {
+    val t = asTree(raw, "corpus")
+    requireKeys(t, Set("source", "id", "text", "steps"), "corpus")
+    val steps = t.get("steps").map(v =>
+      asList(v, "corpus.steps").map(parseCorpusStep)).getOrElse(Nil)
+    // chunk reshapes rows (doc → chunks), so nothing can follow it
+    steps.zipWithIndex.foreach {
+      case (_: CorpusChunk, i) if i != steps.length - 1 =>
+        fail("corpus: 'chunk' must be the last step (it reshapes rows)")
+      case _ => ()
+    }
+    CorpusDef(str(t, "source", "corpus"),
+      strOpt(t, "id").getOrElse("doc_id"),
+      strOpt(t, "text").getOrElse("text"), steps)
+  }
+
   /** Parse one whole project document. */
   def parseProject(yaml: String): Project = {
     val mapper = new ObjectMapper(new YAMLFactory())
@@ -764,14 +852,15 @@ object Config {
     val globals = rawTree.get("globals").map(asTree(_, "globals")).getOrElse(Map.empty)
     val tree = interpolate(rawTree - "globals", globals).asInstanceOf[Tree]
     requireKeys(tree, Set("sources", "streams", "dataset", "tasks", "profiles",
-      "observability"), "project")
+      "observability", "corpus"), "project")
     val p = Project(
       tree.get("sources").map(v => asList(v, "sources").map(parseSource)).getOrElse(Nil),
       tree.get("streams").map(v => asList(v, "streams").map(parseStream)).getOrElse(Nil),
       tree.get("dataset").map(parseDataset),
       tree.get("tasks").map(v => asList(v, "tasks").map(parseTask)).getOrElse(Nil),
       tree.get("profiles").map(v => asList(v, "profiles").map(parseProfile)).getOrElse(Nil),
-      tree.get("observability").map(parseObservability))
+      tree.get("observability").map(parseObservability),
+      tree.get("corpus").map(parseCorpus))
     def dups[A](xs: Seq[A], id: A => String, what: String): Unit = {
       val d = xs.groupBy(id).collect { case (k, vs) if vs.length > 1 => k }
       if (d.nonEmpty) fail(s"duplicate $what id(s): ${d.mkString(", ")}")
@@ -787,6 +876,16 @@ object Config {
       case _ =>
         if (p.dataset.isEmpty)
           fail("dataset-stage tasks require a 'dataset' section")
+    }
+    p.corpus.foreach { c =>
+      if (!p.sources.exists(_.id == c.source))
+        fail(s"corpus: unknown source '${c.source}'")
+      c.steps.foreach {
+        case CorpusDecontaminate(bench, _) =>
+          if (!p.sources.exists(_.id == bench))
+            fail(s"corpus: decontaminate references unknown source '$bench'")
+        case _ => ()
+      }
     }
     p.profiles.foreach { prof =>
       prof.stream.foreach { s =>

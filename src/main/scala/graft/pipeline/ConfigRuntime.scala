@@ -54,6 +54,11 @@ object ConfigRuntime {
     private def key(id: String): StreamKey =
       StreamKey(partitionBy(id), "time", tiebreak(id))
 
+    /** Read one declared source by id (the corpus journey consumes raw
+      * document sources without the stream machinery's time contract).
+      */
+    def sourceFrame(id: String): DataFrame = readSource(project.source(id))
+
     private def readSource(src: Config.SourceDef): DataFrame = {
       if (src.transport == "synthetic")
         return graft.sources.Synthetic.timeTicks(spark,
@@ -442,6 +447,59 @@ object ConfigRuntime {
         transform(col(f), x => (x - col(s"${f}__mean")) / col(s"${f}__std")))
     }
     out.select(ordered: _*)
+  }
+
+  /** Execute the project's `corpus:` journey — the config surface for the
+    * §2.7 curation operators: read the document source, then fold the
+    * declared steps (quality gate → exact dedup → near-dup dedup →
+    * benchmark decontamination → chunking) into ONE declarative plan.
+    *
+    * Scale posture per step: filter is a pure codegen'd predicate; exact
+    * dedup shuffles sha256 digests (never bodies) and keeps min-id; fuzzy
+    * dedup is the bucketed minhash + connected-components path
+    * (Dedup.dupClusters — no all-pairs join); decontaminate broadcasts the
+    * benchmark n-grams; chunk is per-row codegen. The only corpus-sized
+    * shuffles are the dedup keys.
+    */
+  def corpus(spark: SparkSession, dataDir: String,
+             project: Config.Project): DataFrame = {
+    import graft.functions.Text
+    val c = project.corpus.getOrElse(throw new IllegalArgumentException(
+      "config: project has no corpus section"))
+    val res = resolver(spark, dataDir, project)
+    val id = col(c.idCol)
+    val text = col(c.textCol)
+    c.steps.foldLeft(res.sourceFrame(c.source)) { (df, step) =>
+      step match {
+        case Config.CorpusFilter(lang, minQ, maxR) =>
+          val conds = Seq(
+            lang.map(l => Text.langId(text) === l),
+            minQ.map(q => Text.qualityScore(text) >= q),
+            maxR.map(r => Text.repetitionRatio(text) <= r)).flatten
+          df.filter(conds.reduce(_ && _))
+        case Config.CorpusDedupExact() =>
+          // keep the smallest id per identical text; the shuffle key is the
+          // text DIGEST, so long bodies never cross the wire twice
+          val hashed = df.withColumn("__h", sha2(text.cast("string"), 256))
+          val keepers = hashed.groupBy(col("__h"))
+            .agg(min(id).as(c.idCol))
+          hashed.join(keepers, Seq("__h", c.idCol)).drop("__h")
+        case Config.CorpusDedupFuzzy(threshold) =>
+          val canonical = graft.operators.Dedup
+            .dupClusters(df, c.textCol, c.idCol, threshold = threshold)
+            .where(col(c.idCol) === col("cluster_id"))
+            .select(col(c.idCol))
+          df.join(canonical, Seq(c.idCol))
+        case Config.CorpusDecontaminate(bench, n) =>
+          val clean = graft.operators.Curation
+            .decontaminate(df, res.sourceFrame(bench), c.idCol, c.textCol, n)
+            .where(!col("contaminated")).select(col(c.idCol))
+          df.join(clean, Seq(c.idCol))
+        case Config.CorpusChunk(size, stride) =>
+          graft.operators.Curation.chunkDocuments(df, c.idCol, c.textCol,
+            size, stride)
+      }
+    }
   }
 
   /** The six preview stages of the dataset journey (reference

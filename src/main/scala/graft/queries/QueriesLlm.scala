@@ -39,8 +39,10 @@ object QueriesLlm {
   /** Shared CTE chain of the minhash pipelines (shingle → portable hash →
     * 64-perm signature → 16-band fold-hash buckets → candidate pairs → exact
     * Jaccard verify), mirroring Dedup.minhashScoredPairs stage for stage.
+    * `src` names the (doc_id, text) relation the chain reads — "documents"
+    * for the whole corpus, a CTE name for a curated subset (config_corpus).
     */
-  private def minhashCtes: String = {
+  private[queries] def minhashCtes(src: String = "documents"): String = {
     val p = Dedup.MersennePrime
     val fp = Dedup.BandFoldPrime
     val sigEntries = Dedup.permParams(64).map { case (a, b) =>
@@ -48,7 +50,7 @@ object QueriesLlm {
     }.mkString(",\n              ")
     s"""words AS (
           SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
-          FROM documents),
+          FROM $src),
         base AS (
           SELECT doc_id, $shinglesSql AS sh FROM words),
         hashed AS (
@@ -81,7 +83,7 @@ object QueriesLlm {
 
   /** Per-doc minhash dedup report on top of [[minhashCtes]]. */
   private def minhashSql: String =
-    s"""WITH $minhashCtes,
+    s"""WITH ${minhashCtes()},
         perdoc AS (
           SELECT doc_id,
                  CAST(count(*) AS BIGINT) AS n_candidates,
@@ -97,7 +99,7 @@ object QueriesLlm {
     * closure via a recursive CTE, component label = min reachable doc id.
     */
   private def dedupClusterSql: String =
-    s"""WITH RECURSIVE $minhashCtes,
+    s"""WITH RECURSIVE ${minhashCtes()},
         e AS (
           SELECT id_a AS src, id_b AS dst FROM verified WHERE jacc >= 0.5
           UNION ALL
@@ -867,7 +869,7 @@ object QueriesLlm {
     "corpus_filter" -> corpusFilterSql,
 
     "dedup_keep" ->
-      s"""WITH RECURSIVE $minhashCtes,
+      s"""WITH RECURSIVE ${minhashCtes()},
           e AS (
             SELECT id_a AS src, id_b AS dst FROM verified WHERE jacc >= 0.5
             UNION ALL

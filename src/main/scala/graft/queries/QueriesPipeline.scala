@@ -187,6 +187,73 @@ object QueriesPipeline {
        UNION ALL SELECT * FROM meta_rows
        UNION ALL SELECT * FROM ticks_rows"""
 
+  // --- config_corpus: the declarative corpus-curation journey — quality
+  // gate → exact dedup → near-dup dedup → chunking, all from one `corpus:`
+  // section (graft's config surface for the §2.7 operators).
+  private val CorpusConfigDoc =
+    """sources:
+      |  - id: docs
+      |    loader: { transport: fs, path: documents.parquet, reader: { format: parquet } }
+      |corpus:
+      |  source: docs
+      |  id: doc_id
+      |  text: text
+      |  steps:
+      |    - { step: filter, lang: en, min_quality: 0.3, max_repetition: 0.8 }
+      |    - { step: dedup_exact }
+      |    - { step: dedup_fuzzy, threshold: 0.5 }
+      |    - { step: chunk, size: 64, stride: 48 }
+      |""".stripMargin
+
+  /** DuckDB twin of the corpus journey: filter verdicts → min-id exact
+    * dedup → minhash cluster canonical-keep (recursive closure over the
+    * CURATED subset) → overlapping token chunks.
+    */
+  private def corpusJourneySql: String =
+    s"""WITH RECURSIVE
+        verdicts AS (${QueriesLlm.corpusFilterSql}),
+        kept0 AS (
+          SELECT d.doc_id, d.text FROM documents d
+          JOIN verdicts f USING (doc_id) WHERE f.keep),
+        kept1 AS (
+          SELECT k.doc_id, k.text FROM kept0 k
+          JOIN (SELECT text, min(doc_id) AS doc_id
+                FROM kept0 GROUP BY text) m
+            ON m.text = k.text AND m.doc_id = k.doc_id),
+        ${QueriesLlm.minhashCtes("kept1")},
+        e AS (
+          SELECT id_a AS src, id_b AS dst FROM verified WHERE jacc >= 0.5
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM verified WHERE jacc >= 0.5),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM kept1
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+        lab AS (
+          SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        kept2 AS (
+          SELECT k.doc_id, k.text FROM kept1 k
+          JOIN lab ON lab.doc_id = k.doc_id
+          WHERE lab.doc_id = lab.cluster_id),
+        tw AS (
+          SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+          FROM kept2),
+        tn AS (
+          SELECT doc_id, toks, len(toks) AS n,
+                 CASE WHEN len(toks) <= 64 THEN 1
+                      ELSE CAST(CEIL((len(toks) - 64) / 48.0) AS BIGINT) + 1
+                 END AS nc
+          FROM tw),
+        tc AS (
+          SELECT doc_id, toks, n,
+                 unnest(generate_series(0, nc - 1)) AS chunk_id
+          FROM tn)
+        SELECT doc_id, chunk_id,
+               CAST(LEAST(64, n - chunk_id * 48) AS BIGINT) AS n_tokens,
+               array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
+                 AS chunk_text
+        FROM tc"""
+
   private val ColumnThreshold = 0.05
   private val RowThreshold = 0.9
   private val Ratios = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -281,6 +348,17 @@ object QueriesPipeline {
       second.order.map(second.reports).reduce(_ unionByName _)
         .select(col("task"), col("item"), col("metric"),
           round(col("value"), 6).as("value"), col("value_str"))
+    },
+
+    // The declarative corpus-curation journey from ONE `corpus:` section:
+    // quality gate → exact dedup (digest-keyed min-id keep) → near-dup
+    // minhash clustering (canonical keep) → overlapping token chunks —
+    // the config surface a training-data pipeline drives at 100 TB.
+    "config_corpus" -> { (s, d) =>
+      val project = graft.pipeline.Config.parseProject(CorpusConfigDoc)
+      graft.pipeline.ConfigRuntime.corpus(s, d, project)
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+          col("chunk_text"))
     },
 
     // Synthetic tick source from YAML (reference sources/synthetic/time/
@@ -408,6 +486,8 @@ object QueriesPipeline {
     // same document, same report — but served through the artifact graph's
     // build-then-hydrate path, so the oracle checks the stored round-trip
     "config_artifacts" -> TasksReportSql,
+
+    "config_corpus" -> corpusJourneySql,
 
     "config_synthetic" ->
       s"""WITH g AS (

@@ -328,4 +328,46 @@ class ConfigSpec extends SparkSpec {
     bad("{ id: a, cmd: materialize }, { id: a, cmd: materialize }",
       "duplicate profile")
   }
+
+  test("corpus section parses ordered curation steps; invalid ones are rejected") {
+    def doc(steps: String) =
+      s"""sources:
+         |  - id: docs
+         |    loader: { transport: fs, path: documents.parquet, reader: { format: parquet } }
+         |  - id: bench
+         |    loader: { transport: fs, path: bench.parquet, reader: { format: parquet } }
+         |corpus:
+         |  source: docs
+         |  steps: [ $steps ]
+         |""".stripMargin
+    val p = Config.parseProject(doc(
+      """{ step: filter, lang: en, min_quality: 0.3 },
+        |{ step: dedup_exact },
+        |{ step: dedup_fuzzy, threshold: 0.5 },
+        |{ step: decontaminate, benchmark: bench, ngram: 8 },
+        |{ step: chunk, size: 64, stride: 48 }""".stripMargin))
+    val c = p.corpus.get
+    assert(c.source == "docs" && c.idCol == "doc_id" && c.textCol == "text")
+    assert(c.steps == Seq(
+      Config.CorpusFilter(Some("en"), Some(0.3), None),
+      Config.CorpusDedupExact(),
+      Config.CorpusDedupFuzzy(0.5),
+      Config.CorpusDecontaminate("bench", 8),
+      Config.CorpusChunk(64, 48)))
+
+    def bad(steps: String, msg: String): Unit = {
+      val e = intercept[IllegalArgumentException](Config.parseProject(doc(steps)))
+      assert(e.getMessage.contains(msg), e.getMessage)
+    }
+    bad("{ step: gizmo }", "unknown corpus step")
+    bad("{ step: filter }", "at least one of")
+    bad("{ step: chunk, size: 64 }, { step: dedup_exact }",
+      "must be the last step")
+    bad("{ step: chunk, size: 8, stride: 9 }", "0 < stride <= size")
+    bad("{ step: decontaminate, benchmark: nope }", "unknown source 'nope'")
+    bad("{ step: dedup_fuzzy, threshold: 1.5 }", "threshold must be in (0, 1]")
+    val e = intercept[IllegalArgumentException](Config.parseProject(
+      doc("{ step: dedup_exact }").replace("source: docs", "source: nope")))
+    assert(e.getMessage.contains("corpus: unknown source 'nope'"))
+  }
 }
