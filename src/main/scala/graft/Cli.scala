@@ -80,7 +80,13 @@ object Cli {
           var metricsPath: Option[java.nio.file.Path] = None
           val paths =
             try {
-              val df = ConfigRuntime.dataset(spark, dataDir, project)
+              // a project materializes its dataset journey; a corpus-only
+              // project (no dataset section) materializes its curation
+              // journey — same run lifecycle either way
+              val df =
+                if (project.dataset.nonEmpty)
+                  ConfigRuntime.dataset(spark, dataDir, project)
+                else ConfigRuntime.corpus(spark, dataDir, project)
               val p = Runs.runPaths(serveRoot, Runs.makeRunId())
               Runs.startRun(p)
               obs.bindRunDir(p.runRoot)

@@ -892,8 +892,8 @@ object Config {
         if (!p.streams.exists(_.id == s))
           fail(s"profile '${prof.id}': unknown stream '$s'")
       }
-      if (prof.cmd == "materialize" && p.dataset.isEmpty)
-        fail(s"profile '${prof.id}': cmd 'materialize' requires a 'dataset' section")
+      if (prof.cmd == "materialize" && p.dataset.isEmpty && p.corpus.isEmpty)
+        fail(s"profile '${prof.id}': cmd 'materialize' requires a 'dataset' or 'corpus' section")
       prof.operation.foreach { op =>
         if (!p.tasks.exists(_.id == op))
           fail(s"profile '${prof.id}': unknown task operation '$op'")

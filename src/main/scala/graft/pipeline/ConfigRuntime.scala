@@ -465,7 +465,7 @@ object ConfigRuntime {
              project: Config.Project): DataFrame = {
     import graft.functions.Text
     val c = project.corpus.getOrElse(throw new IllegalArgumentException(
-      "config: project has no corpus section"))
+      "config: project has neither a dataset nor a corpus section to materialize"))
     val res = resolver(spark, dataDir, project)
     val id = col(c.idCol)
     val text = col(c.textCol)

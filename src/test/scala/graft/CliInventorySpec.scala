@@ -357,6 +357,28 @@ class CliInventorySpec extends SparkSpec {
     assert(formats.contains("parquet") && formats.contains("tsv  (plugin)"))
   }
 
+  test("materialize runs a corpus-only project's curation journey") {
+    val root = Files.createTempDirectory("graft_mat_corpus")
+    val cfg = root.resolve("p.yaml")
+    Files.writeString(cfg,
+      """sources:
+        |  - id: docs
+        |    loader: { transport: fs, path: documents.parquet, reader: { format: parquet } }
+        |corpus:
+        |  source: docs
+        |  steps:
+        |    - { step: filter, min_quality: 0.3 }
+        |    - { step: chunk, size: 64, stride: 48 }
+        |""".stripMargin)
+    val paths = Cli.materialize(spark, cfg.toString, "/root/testdata/sf0.001",
+      root.resolve("serve").toString,
+      out = new PrintStream(java.io.OutputStream.nullOutputStream()))
+    val out = spark.read.parquet(paths.datasetDir.toString)
+    assert(out.columns.toSet ==
+      Set("doc_id", "chunk_id", "n_tokens", "chunk_text"))
+    assert(out.count() > 0)
+  }
+
   test("clean --older-than spares young orphans") {
     val serveRoot = Files.createTempDirectory("graft_cli_clean_age")
     val tmp = Hygiene.tempRoot(serveRoot)
