@@ -99,4 +99,56 @@ class PropertySpec extends AnyFunSuite {
       Prop.throws(classOf[IllegalArgumentException])(names(raw))
     }, n = 20)
   }
+
+  test("artifact graph: random projects topo-sort consistently with dependentsOf") {
+    import graft.pipeline.{ArtifactGraph, Config}
+    // random well-formed projects: N sources/streams, a dataset whose
+    // vectors ride a random stream subset, a random mix of declared tasks
+    val gen = for {
+      nStreams <- Gen.chooseNum(1, 4)
+      scaledIdx <- Gen.chooseNum(0, nStreams - 1)
+      ticksOn <- Gen.someOf(0 until nStreams)
+      withMeta <- Gen.oneOf(true, false)
+      withCov <- Gen.oneOf(true, false)
+    } yield {
+      val sources = (0 until nStreams).map(i =>
+        s"  - id: src$i\n    loader: { transport: fs, path: t$i.parquet, reader: { format: parquet } }")
+      val streams = (0 until nStreams).map(i =>
+        s"  - id: s$i\n    from: { source: src$i }\n    partition_by: [k]")
+      val vectors = (0 until nStreams).map(i =>
+        s"    - { id: v$i, stream: s$i, field: x, scale: ${i == scaledIdx} }")
+      val tasks =
+        Seq("  - { id: sc, task: scaler }") ++
+          (if (withMeta) Seq("  - { id: meta, task: metadata }") else Nil) ++
+          (if (withCov) Seq("  - { id: cov, task: coverage, threshold: 0.5, stage: assembled }") else Nil) ++
+          ticksOn.map(i => s"  - { id: ticks$i, task: ticks, stream: s$i, grid_by: [k] }")
+      Config.parseProject(
+        s"""sources:
+           |${sources.mkString("\n")}
+           |streams:
+           |${streams.mkString("\n")}
+           |dataset:
+           |  sample: { cadence: 1h, keys: [k] }
+           |  features:
+           |${vectors.mkString("\n")}
+           |tasks:
+           |${tasks.mkString("\n")}
+           |""".stripMargin)
+    }
+    check(Prop.forAll(gen) { project =>
+      val deps = ArtifactGraph.dependencies(project)
+      val order = ArtifactGraph.topoOrder(project, deps)
+      // topo order: every dependency precedes its dependent; one slot per task
+      val pos = order.zipWithIndex.toMap
+      val topoOk = deps.forall { case (k, ds) => ds.forall(d => pos(d) < pos(k)) }
+      val complete = order.sorted == project.tasks.map(_.id).sorted
+      // dependentsOf inverts the edge relation transitively
+      val dependentsOk = project.tasks.map(_.id).forall { k =>
+        val dependents = ArtifactGraph.dependentsOf(deps, Set(k))
+        val direct = deps.collect { case (d, ds) if ds.contains(k) => d }.toSet
+        direct.subsetOf(dependents) && !dependents.contains(k)
+      }
+      topoOk && complete && dependentsOk
+    }, n = 100)
+  }
 }
