@@ -438,7 +438,7 @@ object Cli {
            |       graft.Cli run <project.yaml> <profileId> <dataDir> [serveRoot]
            |       graft.Cli task <project.yaml> <taskId> <dataDir> [limit]
            |       graft.Cli build <project.yaml> <dataDir> <artifactsRoot> [--force]
-           |       graft.Cli inspect <project.yaml> <dataDir> --stage <input|canonical|records|series|samples|postprocess> [--id <streamOrVector>] [--out <parquetDir>] [limit]
+           |       graft.Cli inspect <project.yaml> <dataDir> --stage <input|canonical|records|series|samples|postprocess|corpus> [--id <streamOrVector|stepCount>] [--out <parquetDir>] [limit]
            |       graft.Cli plugins
            |       graft.Cli scaffold plugin <name> <outDir>
            |       graft.Cli scaffold source <id> <path> <format> <project.yaml>

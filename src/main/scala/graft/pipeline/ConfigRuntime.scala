@@ -462,14 +462,27 @@ object ConfigRuntime {
     * shuffles are the dedup keys.
     */
   def corpus(spark: SparkSession, dataDir: String,
-             project: Config.Project): DataFrame = {
+             project: Config.Project): DataFrame =
+    corpusThrough(spark, dataDir, project, through = None)
+
+  /** The corpus journey cut after `through` steps (None = all) — the
+    * per-step preview behind `inspect --stage corpus [--id <k>]`.
+    */
+  def corpusThrough(spark: SparkSession, dataDir: String,
+                    project: Config.Project,
+                    through: Option[Int]): DataFrame = {
     import graft.functions.Text
     val c = project.corpus.getOrElse(throw new IllegalArgumentException(
       "config: project has neither a dataset nor a corpus section to materialize"))
+    through.foreach { k =>
+      require(k >= 0 && k <= c.steps.length,
+        s"config: corpus has ${c.steps.length} steps; cannot preview step $k")
+    }
     val res = resolver(spark, dataDir, project)
     val id = col(c.idCol)
     val text = col(c.textCol)
-    c.steps.foldLeft(res.sourceFrame(c.source)) { (df, step) =>
+    val steps = through.fold(c.steps)(c.steps.take)
+    steps.foldLeft(res.sourceFrame(c.source)) { (df, step) =>
       step match {
         case Config.CorpusFilter(lang, minQ, maxR) =>
           val conds = Seq(
@@ -512,7 +525,8 @@ object ConfigRuntime {
     * config/preview.py PREVIEW_STAGES).
     */
   val PreviewStages: Seq[String] =
-    Seq("input", "canonical", "records", "series", "samples", "postprocess")
+    Seq("input", "canonical", "records", "series", "samples", "postprocess",
+      "corpus")
 
   /** Dump ONE intermediate stage of the dataset journey (reference
     * config/preview.py PREVIEW_STAGES + operations/runtime/dataset.py
@@ -527,6 +541,8 @@ object ConfigRuntime {
     *  - `samples`:              the assembled wide frame, pre-postprocess
     *  - `postprocess`:          after column selection / conform / row
     *                            filtering (pre-split, pre-scale)
+    *  - `corpus [k]`:           the corpus journey after k steps (0 = the
+    *                            raw document source; omitted = all steps)
     *
     * Like the reference record previews, the three stream stages address a
     * stream id; `series` optionally narrows to one vector id; the two
@@ -565,6 +581,17 @@ object ConfigRuntime {
       case "samples" => assemble(spark, dataDir, project).assembled
       case "postprocess" =>
         postprocessStage(assemble(spark, dataDir, project)).frame
+      case "corpus" =>
+        // optional id = how many steps to run (0 = the raw source); no id
+        // previews the whole journey
+        val through = id.map { k =>
+          try k.toInt
+          catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"config: corpus preview takes a step count, got '$k'")
+          }
+        }
+        corpusThrough(spark, dataDir, project, through)
       case other => throw new IllegalArgumentException(
         s"config: unknown preview stage '$other' " +
           s"(${PreviewStages.mkString(" | ")})")

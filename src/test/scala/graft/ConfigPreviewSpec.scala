@@ -105,6 +105,34 @@ class ConfigPreviewSpec extends SparkSpec {
     assert(post.filter(col("v").isNull || col("pv").isNull).count() == 0)
   }
 
+  test("corpus stage previews the journey cut after k steps") {
+    val doc =
+      """sources:
+        |  - id: docs
+        |    loader: { transport: fs, path: documents.parquet, reader: { format: parquet } }
+        |corpus:
+        |  source: docs
+        |  steps:
+        |    - { step: filter, min_quality: 0.3 }
+        |    - { step: chunk, size: 64, stride: 48 }
+        |""".stripMargin
+    val project = Config.parseProject(doc)
+    def cut(k: Option[String]) =
+      ConfigRuntime.previewStage(spark, DataDir, project, "corpus", k)
+    val raw = cut(Some("0"))
+    val filtered = cut(Some("1"))
+    val full = cut(None)
+    assert(raw.count() == 500, "step 0 = the raw source")
+    assert(filtered.count() < raw.count(), "the quality gate must bite")
+    assert(filtered.columns.sameElements(raw.columns), "filter keeps the schema")
+    assert(full.columns.contains("chunk_text") && full.count() > filtered.count())
+
+    val e = intercept[IllegalArgumentException](cut(Some("7")))
+    assert(e.getMessage.contains("cannot preview step 7"))
+    val f = intercept[IllegalArgumentException](cut(Some("chunky")))
+    assert(f.getMessage.contains("takes a step count"))
+  }
+
   test("Cli inspect --stage routes and bounds the dump; unknown stage fails") {
     val root = Files.createTempDirectory("graft_inspect_stage")
     val cfg = root.resolve("p.yaml")
