@@ -206,6 +206,38 @@ object Similarity {
         col("cos"), col("rank"))
   }
 
+  /** Semantic duplicate clustering over embeddings (the SemDeDup shape a
+    * training pipeline runs after text-level dedup): hyperplane-LSH buckets
+    * bound the candidate pairs, exact cosine verifies bucket-mates, and
+    * connected components label the duplicate groups — cluster_id = min
+    * vec_id, `is_canonical` marks the one representative a dedup pass
+    * keeps.
+    *
+    * Scale posture: identical to text minhash clustering — candidate
+    * degree is bounded by bucket size (never an all-pairs join), the CC
+    * loop moves one scalar per round through the driver, and only
+    * edge-touched vectors enter it.
+    */
+  def semanticClusters(df: DataFrame, idCol: String, vecCol: String,
+                       planes: Int, dim: Int, threshold: Double): DataFrame = {
+    registerFast(df)
+    val sig = lshSignature(col(vecCol), planes, dim)
+    val v = df.select(col(idCol), toDouble(col(vecCol)).as("__v"),
+      sig.as("__b")).localCheckpoint(eager = false)
+    val l = v.select(col(idCol).as("id_a"), col("__v").as("va"), col("__b"))
+    val r = v.select(col(idCol).as("id_b"), col("__v").as("vb"), col("__b"))
+    val edges = l.join(r, Seq("__b"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosineF(col("va"), col("vb")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val labels = Dedup.connectedComponents(df.select(col(idCol)), edges, idCol)
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    labels
+      .withColumn("cluster_size", count(lit(1)).over(byCluster))
+      .withColumn("is_canonical", col(idCol) === col("cluster_id"))
+  }
+
   /** Near-duplicate pairs by embedding cosine over a bounded neighbor window
     * (id, id+1..id+lookahead) — the oracle-checkable linear-pair variant; the
     * LSH path above is the unbounded-scale variant.

@@ -151,23 +151,30 @@ object QueriesLlm {
         GROUP BY banded.doc_id, banded.simhash"""
   }
 
-  /** ann_lsh twin: hyperplane constants embedded from the same Scala LCG;
-    * dot-product sign, bucket join and rerank all reproduce exactly.
+  /** Hyperplane-LSH bucket key over an `embedding` column — constants from
+    * the same Scala LCG as Similarity.planeWeights, so dot-product SIGN
+    * agrees bit-for-bit (shared by ann_lsh and dedup_semantic).
     */
-  private def annLshSql: String = {
-    val w = Similarity.planeWeights(6, 64)
+  private def lshBucketSql(planes: Int = 6, dim: Int = 64): String = {
+    val w = Similarity.planeWeights(planes, dim)
     def dotPlane(p: Int): String = {
       val lst = w(p).map(_.toString).mkString("[", ", ", "]")
       s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
         s"[CAST(embedding[i] AS DOUBLE) * ($lst)[i] " +
         s"for i in generate_series(1, len(embedding))]), (acc, x) -> acc + x)"
     }
-    val bucketExpr = (0 until 6).map { p =>
+    (0 until planes).map { p =>
       s"(CASE WHEN ${dotPlane(p)} >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("\n               + ")
+  }
+
+  /** ann_lsh twin: hyperplane constants embedded from the same Scala LCG;
+    * dot-product sign, bucket join and rerank all reproduce exactly.
+    */
+  private def annLshSql: String = {
     s"""WITH sig AS (
           SELECT vec_id, embedding,
-                 CAST($bucketExpr AS BIGINT) AS bucket
+                 CAST(${lshBucketSql()} AS BIGINT) AS bucket
           FROM embeddings),
         q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
               FROM sig WHERE vec_id < 5),
@@ -263,6 +270,27 @@ object QueriesLlm {
         lookahead = 3, threshold = 0.95)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"),
           col("is_near_dup"))
+    },
+
+    // Semantic duplicate clustering (SemDeDup shape): LSH buckets bound the
+    // pairs, exact cosine verifies, connected components label clusters.
+    // The synthetic embeddings are near-orthogonal (max pair cosine ~0.48),
+    // so both engines plant the SAME deterministic duplicates — one copy of
+    // every 10th vector, a second copy of every 50th — and the clustering
+    // path (bucket agreement, threshold edges, transitive closure,
+    // canonical keep) is what's under test, the same pattern pii_scrub uses
+    // for a PII-free corpus.
+    "dedup_semantic" -> { (s, d) =>
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      def planted(mod: Int, offset: Long) =
+        e.filter(pmod(col("vec_id"), lit(mod)) === 0)
+          .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
+      val corpus = e.unionByName(planted(10, 100000L))
+        .unionByName(planted(50, 200000L))
+      Similarity.semanticClusters(corpus, "vec_id", "embedding",
+        planes = 6, dim = 64, threshold = 0.95)
+        .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+          col("is_canonical"))
     },
 
     "ann_bruteforce" -> { (s, d) =>
@@ -626,6 +654,37 @@ object QueriesLlm {
   val oracleSql: Map[String, String] = Map(
     "dedup_minhash" -> minhashSql,
     "decontam_fuzzy" -> decontamFuzzySql,
+
+    "dedup_semantic" ->
+      s"""WITH RECURSIVE corpus AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 10 = 0
+            UNION ALL
+            SELECT vec_id + 200000, embedding FROM embeddings WHERE vec_id % 50 = 0),
+          sig AS (
+            SELECT vec_id, embedding,
+                   CAST(${lshBucketSql()} AS BIGINT) AS bucket
+            FROM corpus),
+          pairs AS (
+            SELECT l.vec_id AS id_a, r.vec_id AS id_b
+            FROM sig l JOIN sig r
+              ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+            WHERE ${cosSql("l.embedding", "r.embedding")} >= 0.95),
+          e AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM pairs),
+          reach(id, rr) AS (
+            SELECT vec_id, vec_id FROM corpus
+            UNION
+            SELECT e.dst, reach.rr FROM reach JOIN e ON e.src = reach.id),
+          lab AS (
+            SELECT id AS vec_id, min(rr) AS cluster_id FROM reach GROUP BY id)
+          SELECT vec_id, cluster_id,
+                 count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+                 vec_id = cluster_id AS is_canonical
+          FROM lab""",
 
     "vocab_topk" ->
       """WITH toks AS (

@@ -317,6 +317,31 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Set((1L, 0L, true), (2L, 0L, false), (2L, 1L, false)))
   }
 
+  test("semantic clusters: near-identical vectors group, orthogonal ones stay singletons") {
+    // 64-dim so the 6-plane signature has room to separate directions;
+    // scaling the WHOLE vector keeps the direction (and thus the LSH
+    // signature) exactly identical — a partially-scaled copy can drift
+    // across a hyperplane and land in another bucket
+    def vec(axis: Int, scale: Float): Array[Float] = {
+      val a = Array.fill(64)(0.01f)
+      a(axis) = 1.0f
+      a.map(_ * scale)
+    }
+    val df = Seq(
+      (0L, vec(0, 1.0f)), (1L, vec(0, 1.5f)),   // same direction → cluster
+      (2L, vec(9, 1.0f)),                       // orthogonal → singleton
+      (3L, vec(20, 1.0f)), (4L, vec(20, 2.0f)), (5L, vec(20, 0.5f)) // trio
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticClusters(df, "vec_id", "embedding",
+      planes = 6, dim = 64, threshold = 0.95)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(0L) == ((0L, 2L, true)) && out(1L) == ((0L, 2L, false)))
+    assert(out(2L) == ((2L, 1L, true)))
+    assert(out(3L) == ((3L, 3L, true)))
+    assert(out(4L) == ((3L, 3L, false)) && out(5L) == ((3L, 3L, false)))
+  }
+
   test("multimodal: typed raw decode agrees with the column path") {
     val docs = Seq((7L, "hello world")).toDF("doc_id", "text")
     val media = Multimodal.asMediaTable(docs, "doc_id", "text")
