@@ -206,6 +206,14 @@ object Similarity {
         col("cos"), col("rank"))
   }
 
+  /** Plane count holding expected LSH bucket occupancy ~constant (~32
+    * vectors) as the corpus grows: ceil(log2(n/32)), clamped to [4, 20]
+    * (2^20 buckets ≈ 1M — beyond that occupancy is IO-bound anyway).
+    */
+  private[graft] def adaptivePlanes(n: Long): Int =
+    math.min(20, math.max(4,
+      math.ceil(math.log(math.max(n, 1L).toDouble / 32.0) / math.log(2.0)).toInt))
+
   /** Semantic duplicate clustering over embeddings (the SemDeDup shape a
     * training pipeline runs after text-level dedup): hyperplane-LSH buckets
     * bound the candidate pairs, exact cosine verifies bucket-mates, and
@@ -216,12 +224,24 @@ object Similarity {
     * Scale posture: identical to text minhash clustering — candidate
     * degree is bounded by bucket size (never an all-pairs join), the CC
     * loop moves one scalar per round through the driver, and only
-    * edge-touched vectors enter it.
+    * edge-touched vectors enter it. Within-bucket pair work grows
+    * n²/2^planes, so the plane count must TRACK corpus size (the same
+    * lesson as annIvf's adaptive stride): `planes <= 0` selects
+    * [[adaptivePlanes]] — ceil(log2(n/32)) clamped to [4, 20], holding
+    * expected bucket occupancy ~constant. Callers pinning an oracle pass
+    * an explicit count (the hyperplane constants depend on it).
     */
   def semanticClusters(df: DataFrame, idCol: String, vecCol: String,
-                       planes: Int, dim: Int, threshold: Double): DataFrame = {
+                       planes: Int, dim: Int, threshold: Double,
+                       statsCache: Option[java.nio.file.Path] = None): DataFrame = {
     registerFast(df)
-    val sig = lshSignature(col(vecCol), planes, dim)
+    val p =
+      if (planes > 0) planes
+      else adaptivePlanes(statsCache match {
+        case Some(dir) => graft.pipeline.ArtifactCache.cachedCount(df, dir)
+        case None      => df.count()
+      })
+    val sig = lshSignature(col(vecCol), p, dim)
     val v = df.select(col(idCol), toDouble(col(vecCol)).as("__v"),
       sig.as("__b")).localCheckpoint(eager = false)
     val l = v.select(col(idCol).as("id_a"), col("__v").as("va"), col("__b"))

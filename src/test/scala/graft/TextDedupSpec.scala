@@ -340,6 +340,17 @@ class TextDedupSpec extends SparkSpec {
     assert(out(2L) == ((2L, 1L, true)))
     assert(out(3L) == ((3L, 3L, true)))
     assert(out(4L) == ((3L, 3L, false)) && out(5L) == ((3L, 3L, false)))
+
+    // adaptive planes track corpus size (constant expected bucket occupancy)
+    assert(Similarity.adaptivePlanes(100) == 4)
+    assert(Similarity.adaptivePlanes(2048) == 6)
+    assert(Similarity.adaptivePlanes(2049) == 7)
+    assert(Similarity.adaptivePlanes(1L << 40) == 20, "clamped at 20 planes")
+    // planes <= 0 routes through the adaptive rule and still clusters
+    val adaptive = Similarity.semanticClusters(df, "vec_id", "embedding",
+      planes = -1, dim = 64, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(adaptive(1L) == 0L && adaptive(4L) == 3L && adaptive(5L) == 3L)
   }
 
   test("multimodal: typed raw decode agrees with the column path") {
