@@ -15,6 +15,11 @@ object QueriesCuration {
 
   /** Sampling strata for curation_sample (must match the oracle CASE). */
   private val SampleRates = Seq("de" -> 0.25, "en" -> 0.5)
+  // per-cluster keep rates for curation_diversity (cluster ids as strings —
+  // the stratum column contract)
+  private val DiversityRates =
+    Map("0" -> 0.2, "1" -> 0.5, "2" -> 0.5, "3" -> 1.0)
+  private val DiversitySeed = 13
   private val SampleDefault = 0.1
   private val SampleSeed = 42
 
@@ -116,6 +121,23 @@ object QueriesCuration {
     "curation_chunk" -> { (s, d) =>
       Curation.chunkDocuments(documents(s, d), "doc_id", "text",
         chunkSize = 64, stride = 48)
+    },
+
+    // Cluster-balanced diversity sampling (the embedding-space twin of
+    // language-stratified sampling): k-means assigns every vector to a
+    // cluster, then per-cluster deterministic rates down-sample the
+    // over-represented regions — the curation move that keeps a corpus
+    // from being dominated by one dense mode. Both stages are
+    // engine-reproducible (deterministic k-means + sha256-ratio filter),
+    // so the composition oracle-checks end to end.
+    "curation_diversity" -> { (s, d) =>
+      val assigned = Curation.kmeansAssign(embeddings(s, d), "vec_id",
+        "embedding", k = 4, iters = 2)
+        .select(col("vec_id"), col("cluster"),
+          col("cluster").cast("string").as("cluster_s"))
+      Curation.stratifiedSample(assigned, "cluster_s", "vec_id",
+        DiversityRates, defaultRate = 1.0, seed = DiversitySeed)
+        .select(col("vec_id"), col("cluster"))
     }
   )
 
@@ -165,6 +187,27 @@ object QueriesCuration {
           c2 AS (${updateSql("a1")}),
           a2 AS (${assignSql("v", "c2")})
           SELECT vec_id, cluster, dist FROM a2""",
+
+    "curation_diversity" -> {
+      val rate = DiversityRates.toSeq.sortBy(_._1).foldLeft("1.0") {
+        case (acc, (c, p)) =>
+          s"CASE WHEN CAST(cluster AS VARCHAR) = '$c' THEN $p ELSE $acc END"
+      }
+      s"""WITH v AS (
+            SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+            FROM embeddings),
+          c0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                     AS cluster, v
+            FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 4)),
+          a0 AS (${assignSql("v", "c0")}),
+          c1 AS (${updateSql("a0")}),
+          a1 AS (${assignSql("v", "c1")}),
+          c2 AS (${updateSql("a1")}),
+          a2 AS (${assignSql("v", "c2")})
+          SELECT vec_id, cluster FROM a2
+          WHERE ${ratioSql("vec_id", DiversitySeed)} < ($rate)"""
+    },
 
     "curation_chunk" ->
       """WITH w AS (

@@ -160,6 +160,28 @@ class CurationSpec extends SparkSpec {
 
   // --- kmeansAssign -------------------------------------------------------
 
+  test("diversity sampling: per-cluster rates bite exactly where assigned") {
+    // two tight, separable modes → k-means splits them; rate 0 empties one
+    // mode, rate 1 keeps the other whole
+    val vecs = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) 0.0f else 10.0f
+      (i, Array(base + (i % 5) * 0.01f, base))
+    }.toDF("vec_id", "embedding")
+    val assigned = Curation.kmeansAssign(vecs, "vec_id", "embedding",
+      k = 2, iters = 2)
+      .select(col("vec_id"), col("cluster"),
+        col("cluster").cast("string").as("cluster_s"))
+    val byCluster = assigned.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val keptCluster = byCluster(0L)
+    val kept = Curation.stratifiedSample(assigned, "cluster_s", "vec_id",
+      Map(keptCluster.toString -> 1.0), defaultRate = 0.0, seed = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == byCluster.collect {
+      case (id, c) if c == keptCluster => id
+    }.toSet, "rate 1 keeps the whole cluster; rate 0 empties the other")
+  }
+
   test("kmeansAssign converges on a separable fixture") {
     // two tight blobs; k=2, init = two smallest ids (one in each blob)
     val vecs = Seq(
