@@ -116,6 +116,9 @@ object ArtifactCache {
       project.sources.sortBy(_.id).mkString("|"),
       project.streams.sortBy(_.id).mkString("|"),
       project.dataset.map(_.toString).getOrElse(""),
+      // corpus-only projects materialize their curation journey, so its
+      // definition is part of the incremental key too
+      project.corpus.map(_.toString).getOrElse(""),
       sourceStates(project, dataDir)
     ).mkString("|")
     sha256Hex(canonical)

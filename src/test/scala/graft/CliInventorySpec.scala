@@ -360,23 +360,36 @@ class CliInventorySpec extends SparkSpec {
   test("materialize runs a corpus-only project's curation journey") {
     val root = Files.createTempDirectory("graft_mat_corpus")
     val cfg = root.resolve("p.yaml")
-    Files.writeString(cfg,
-      """sources:
-        |  - id: docs
-        |    loader: { transport: fs, path: documents.parquet, reader: { format: parquet } }
-        |corpus:
-        |  source: docs
-        |  steps:
-        |    - { step: filter, min_quality: 0.3 }
-        |    - { step: chunk, size: 64, stride: 48 }
-        |""".stripMargin)
+    def yaml(minQuality: Double) =
+      s"""sources:
+         |  - id: docs
+         |    loader: { transport: fs, path: documents.parquet, reader: { format: parquet } }
+         |corpus:
+         |  source: docs
+         |  steps:
+         |    - { step: filter, min_quality: $minQuality }
+         |    - { step: chunk, size: 64, stride: 48 }
+         |""".stripMargin
+    Files.writeString(cfg, yaml(0.3))
+    val serve = root.resolve("serve").toString
+    val quiet = new PrintStream(java.io.OutputStream.nullOutputStream())
     val paths = Cli.materialize(spark, cfg.toString, "/root/testdata/sf0.001",
-      root.resolve("serve").toString,
-      out = new PrintStream(java.io.OutputStream.nullOutputStream()))
+      serve, out = quiet, ifChanged = true)
     val out = spark.read.parquet(paths.datasetDir.toString)
     assert(out.columns.toSet ==
       Set("doc_id", "chunk_id", "n_tokens", "chunk_text"))
     assert(out.count() > 0)
+
+    // --if-changed: unchanged corpus config reuses the run; an edited STEP
+    // (new threshold) must re-materialize — the corpus definition is part
+    // of the incremental fingerprint
+    val second = Cli.materialize(spark, cfg.toString, "/root/testdata/sf0.001",
+      serve, out = quiet, ifChanged = true)
+    assert(second.runId == paths.runId, "unchanged corpus config must reuse")
+    Files.writeString(cfg, yaml(0.5))
+    val third = Cli.materialize(spark, cfg.toString, "/root/testdata/sf0.001",
+      serve, out = quiet, ifChanged = true)
+    assert(third.runId != paths.runId, "edited corpus step must re-materialize")
   }
 
   test("clean --older-than spares young orphans") {
