@@ -803,6 +803,13 @@ object Config {
           dblOpt(t, "max_repetition"))
         if (f.lang.isEmpty && f.minQuality.isEmpty && f.maxRepetition.isEmpty)
           fail(s"$ctx needs at least one of lang/min_quality/max_repetition")
+        // langId only ever predicts from the classifier's label set — an
+        // unknown code would silently filter the whole corpus to zero
+        f.lang.foreach { l =>
+          val known = graft.functions.Text.LangPriority
+          if (!known.contains(l))
+            fail(s"$ctx.lang must be one of ${known.mkString(", ")}, got '$l'")
+        }
         f
       case "dedup_exact" =>
         check(); CorpusDedupExact()

@@ -492,8 +492,16 @@ object ConfigRuntime {
           df.filter(conds.reduce(_ && _))
         case Config.CorpusDedupExact() =>
           // keep the smallest id per identical text; the shuffle key is the
-          // text DIGEST, so long bodies never cross the wire twice
-          val hashed = df.withColumn("__h", sha2(text.cast("string"), 256))
+          // text DIGEST, so long bodies never cross the wire twice. NULL
+          // texts dedup as their own group (the "null:" sentinel cannot
+          // collide with a real text's "t:"-prefixed digest) — a null-unsafe
+          // join key would silently drop every null-text document instead
+          // of keeping one. Checkpoint: the digest frame feeds both the
+          // keeper aggregate and the join-back.
+          val hashed = df.withColumn("__h",
+            sha2(coalesce(concat(lit("t:"), text.cast("string")),
+              lit("null:")), 256))
+            .localCheckpoint(eager = false)
           val keepers = hashed.groupBy(col("__h"))
             .agg(min(id).as(c.idCol))
           hashed.join(keepers, Seq("__h", c.idCol)).drop("__h")
@@ -510,10 +518,14 @@ object ConfigRuntime {
             .select(col(c.idCol))
           snap.join(canonical, Seq(c.idCol))
         case Config.CorpusDecontaminate(bench, n) =>
+          // same multi-consumer shape as dedup_fuzzy: the curated frame
+          // feeds the n-gram explode, the report spine, and the join-back —
+          // snapshot once
+          val snap = df.localCheckpoint(eager = false)
           val clean = graft.operators.Curation
-            .decontaminate(df, res.sourceFrame(bench), c.idCol, c.textCol, n)
+            .decontaminate(snap, res.sourceFrame(bench), c.idCol, c.textCol, n)
             .where(!col("contaminated")).select(col(c.idCol))
-          df.join(clean, Seq(c.idCol))
+          snap.join(clean, Seq(c.idCol))
         case Config.CorpusChunk(size, stride) =>
           graft.operators.Curation.chunkDocuments(df, c.idCol, c.textCol,
             size, stride)
@@ -582,6 +594,8 @@ object ConfigRuntime {
       case "postprocess" =>
         postprocessStage(assemble(spark, dataDir, project)).frame
       case "corpus" =>
+        require(project.corpus.nonEmpty,
+          "config: preview stage 'corpus' requires a corpus section")
         // optional id = how many steps to run (0 = the raw source); no id
         // previews the whole journey
         val through = id.map { k =>

@@ -209,24 +209,31 @@ object QueriesCuration {
           WHERE ${ratioSql("vec_id", DiversitySeed)} < ($rate)"""
     },
 
-    "curation_chunk" ->
-      """WITH w AS (
-           SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
-           FROM documents),
-         n AS (
-           SELECT doc_id, toks, len(toks) AS n,
-                  CASE WHEN len(toks) <= 64 THEN 1
-                       ELSE CAST(CEIL((len(toks) - 64) / 48.0) AS BIGINT) + 1
-                  END AS nc
-           FROM w),
-         c AS (
-           SELECT doc_id, toks, n,
-                  unnest(generate_series(0, nc - 1)) AS chunk_id
-           FROM n)
-         SELECT doc_id, chunk_id,
-                CAST(LEAST(64, n - chunk_id * 48) AS BIGINT) AS n_tokens,
-                array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
-                  AS chunk_text
-         FROM c"""
+    "curation_chunk" -> s"WITH ${chunkTailSql("documents", 64, 48)}"
   )
+
+  /** Overlapping token-window chunk CTEs + final select over `rel` —
+    * shared with the corpus-journey oracle (QueriesPipeline) so the window
+    * arithmetic cannot drift between the two.
+    */
+  private[queries] def chunkTailSql(rel: String, size: Int,
+                                    stride: Int): String =
+    s"""ck_w AS (
+          SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+          FROM $rel),
+        ck_n AS (
+          SELECT doc_id, toks, len(toks) AS n,
+                 CASE WHEN len(toks) <= $size THEN 1
+                      ELSE CAST(CEIL((len(toks) - $size) / $stride.0) AS BIGINT) + 1
+                 END AS nc
+          FROM ck_w),
+        ck_c AS (
+          SELECT doc_id, toks, n,
+                 unnest(generate_series(0, nc - 1)) AS chunk_id
+          FROM ck_n)
+        SELECT doc_id, chunk_id,
+               CAST(LEAST($size, n - chunk_id * $stride) AS BIGINT) AS n_tokens,
+               array_to_string(toks[chunk_id * $stride + 1 : chunk_id * $stride + $size], ' ')
+                 AS chunk_text
+        FROM ck_c"""
 }

@@ -81,6 +81,24 @@ object QueriesLlm {
           JOIN base b ON b.doc_id = cands.id_b)"""
   }
 
+  /** Min-label transitive closure over the `verified` near-dup pairs
+    * (jacc ≥ 0.5), seeded from `seedRel`'s doc_ids — the recursive-CTE
+    * twin of Dedup.connectedComponents, shared by dedup_cluster,
+    * dedup_keep, and the corpus journey so the closure text cannot drift
+    * between oracles. Yields `lab(doc_id, cluster_id)`.
+    */
+  private[queries] def minhashClosureCtes(seedRel: String): String =
+    s"""e AS (
+          SELECT id_a AS src, id_b AS dst FROM verified WHERE jacc >= 0.5
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM verified WHERE jacc >= 0.5),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM $seedRel
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+        lab AS (
+          SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)"""
+
   /** Per-doc minhash dedup report on top of [[minhashCtes]]. */
   private def minhashSql: String =
     s"""WITH ${minhashCtes()},
@@ -100,16 +118,7 @@ object QueriesLlm {
     */
   private def dedupClusterSql: String =
     s"""WITH RECURSIVE ${minhashCtes()},
-        e AS (
-          SELECT id_a AS src, id_b AS dst FROM verified WHERE jacc >= 0.5
-          UNION ALL
-          SELECT id_b AS src, id_a AS dst FROM verified WHERE jacc >= 0.5),
-        reach(id, r) AS (
-          SELECT doc_id, doc_id FROM documents
-          UNION
-          SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
-        lab AS (
-          SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+        ${minhashClosureCtes("documents")}
         SELECT doc_id, cluster_id,
                count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
                doc_id = cluster_id AS is_canonical
@@ -282,11 +291,15 @@ object QueriesLlm {
     // for a PII-free corpus.
     "dedup_semantic" -> { (s, d) =>
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      // planted ids offset RELATIVE to max(vec_id) so no scale factor can
+      // collide a copy with a real vector (a fixed +100000 breaks once the
+      // corpus outgrows it); one metadata-scale max per invocation
+      val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
       def planted(mod: Int, offset: Long) =
         e.filter(pmod(col("vec_id"), lit(mod)) === 0)
           .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
-      val corpus = e.unionByName(planted(10, 100000L))
-        .unionByName(planted(50, 200000L))
+      val corpus = e.unionByName(planted(10, maxId + 1))
+        .unionByName(planted(50, 2 * maxId + 2))
       Similarity.semanticClusters(corpus, "vec_id", "embedding",
         planes = 6, dim = 64, threshold = 0.95)
         .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
@@ -656,12 +669,15 @@ object QueriesLlm {
     "decontam_fuzzy" -> decontamFuzzySql,
 
     "dedup_semantic" ->
-      s"""WITH RECURSIVE corpus AS (
+      s"""WITH RECURSIVE mx AS (SELECT max(vec_id) AS m FROM embeddings),
+          corpus AS (
             SELECT vec_id, embedding FROM embeddings
             UNION ALL
-            SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 10 = 0
+            SELECT vec_id + m + 1, embedding FROM embeddings, mx
+            WHERE vec_id % 10 = 0
             UNION ALL
-            SELECT vec_id + 200000, embedding FROM embeddings WHERE vec_id % 50 = 0),
+            SELECT vec_id + 2 * m + 2, embedding FROM embeddings, mx
+            WHERE vec_id % 50 = 0),
           sig AS (
             SELECT vec_id, embedding,
                    CAST(${lshBucketSql()} AS BIGINT) AS bucket
@@ -929,16 +945,7 @@ object QueriesLlm {
 
     "dedup_keep" ->
       s"""WITH RECURSIVE ${minhashCtes()},
-          e AS (
-            SELECT id_a AS src, id_b AS dst FROM verified WHERE jacc >= 0.5
-            UNION ALL
-            SELECT id_b AS src, id_a AS dst FROM verified WHERE jacc >= 0.5),
-          reach(id, r) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
-          lab AS (
-            SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+          ${minhashClosureCtes("documents")}
           SELECT doc_id FROM lab WHERE doc_id = cluster_id"""
   )
 }

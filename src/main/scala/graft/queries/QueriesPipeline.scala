@@ -219,40 +219,14 @@ object QueriesPipeline {
           SELECT k.doc_id, k.text FROM kept0 k
           JOIN (SELECT text, min(doc_id) AS doc_id
                 FROM kept0 GROUP BY text) m
-            ON m.text = k.text AND m.doc_id = k.doc_id),
+            ON m.text IS NOT DISTINCT FROM k.text AND m.doc_id = k.doc_id),
         ${QueriesLlm.minhashCtes("kept1")},
-        e AS (
-          SELECT id_a AS src, id_b AS dst FROM verified WHERE jacc >= 0.5
-          UNION ALL
-          SELECT id_b AS src, id_a AS dst FROM verified WHERE jacc >= 0.5),
-        reach(id, r) AS (
-          SELECT doc_id, doc_id FROM kept1
-          UNION
-          SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
-        lab AS (
-          SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        ${QueriesLlm.minhashClosureCtes("kept1")},
         kept2 AS (
           SELECT k.doc_id, k.text FROM kept1 k
           JOIN lab ON lab.doc_id = k.doc_id
           WHERE lab.doc_id = lab.cluster_id),
-        tw AS (
-          SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
-          FROM kept2),
-        tn AS (
-          SELECT doc_id, toks, len(toks) AS n,
-                 CASE WHEN len(toks) <= 64 THEN 1
-                      ELSE CAST(CEIL((len(toks) - 64) / 48.0) AS BIGINT) + 1
-                 END AS nc
-          FROM tw),
-        tc AS (
-          SELECT doc_id, toks, n,
-                 unnest(generate_series(0, nc - 1)) AS chunk_id
-          FROM tn)
-        SELECT doc_id, chunk_id,
-               CAST(LEAST(64, n - chunk_id * 48) AS BIGINT) AS n_tokens,
-               array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
-                 AS chunk_text
-        FROM tc"""
+        ${QueriesCuration.chunkTailSql("kept2", 64, 48)}"""
 
   private val ColumnThreshold = 0.05
   private val RowThreshold = 0.9

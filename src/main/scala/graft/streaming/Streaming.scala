@@ -12,18 +12,12 @@ import org.apache.spark.sql.types._
   */
 object Streaming {
 
-  /** Unbounded read of the events table as a stream. The file source needs a
-    * directory: a directory-shaped table (multi-file parquet, e.g. the
+  /** Unbounded read of ANY single table as a stream. The file source needs
+    * a directory: a directory-shaped table (multi-file parquet, e.g. the
     * ScaleUp output) streams in place — the real-deployment path, pointing
-    * at the ingest directory itself — while the driver's single-file table
-    * is staged into a scratch dir. Schema comes from the parquet footer, so
-    * both the NANOS-as-long layout (driver data) and plain timestamp
-    * layouts stream correctly.
-    */
-  /** Unbounded read of ANY single table as a stream (same staging rules as
-    * [[readEvents]]): directory-shaped tables stream in place, single-file
-    * driver tables stage into a per-table scratch dir. Footer-inferred
-    * schema.
+    * at the ingest directory itself — while a single-file driver table is
+    * staged into a per-table scratch dir. Schema comes from the parquet
+    * footer.
     */
   def readTable(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
@@ -44,6 +38,9 @@ object Streaming {
     spark.readStream.schema(schema).parquet(dir.toString)
   }
 
+  /** The events table as a stream, with its TIMESTAMP(NANOS)-as-long layout
+    * (driver data) normalized to µs-grain timestamps.
+    */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = readTable(spark, sfDir, "events")
     if (raw.schema("ts").dataType == LongType)

@@ -361,6 +361,7 @@ class ConfigSpec extends SparkSpec {
     }
     bad("{ step: gizmo }", "unknown corpus step")
     bad("{ step: filter }", "at least one of")
+    bad("{ step: filter, lang: english }", "lang must be one of")
     bad("{ step: chunk, size: 64 }, { step: dedup_exact }",
       "must be the last step")
     bad("{ step: chunk, size: 8, stride: 9 }", "0 < stride <= size")
