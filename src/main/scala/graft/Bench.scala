@@ -42,6 +42,15 @@ object Bench {
     }.toMap
   }
 
+  /** The outlier re-run pass arms only when the data dir IS the sf0.1
+    * directory the floors were measured at — matched on the terminal path
+    * component, not a substring (a `sf0.15` or `sf0.1_backup` dir must not
+    * get min-of-rerun flattery against floors from a different scale).
+    */
+  private[graft] def isFloorScale(sfDir: String): Boolean =
+    try java.nio.file.Paths.get(sfDir).getFileName.toString == "sf0.1"
+    catch { case _: Exception => false }
+
   private def loadAvg(): Double =
     try java.nio.file.Files.readString(
       java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
@@ -115,7 +124,7 @@ object Bench {
     // dir (at sf1 every query is legitimately past 2x floor and the pass
     // would just triple the sweep); SPARK_GRAFT_NO_RERUN=1 disables it.
     val floors =
-      if (sys.env.contains("SPARK_GRAFT_NO_RERUN") || !sfDir.contains("sf0.1"))
+      if (sys.env.contains("SPARK_GRAFT_NO_RERUN") || !isFloorScale(sfDir))
         Map.empty[String, Double]
       else baselineFloors()
     val byName = (batchQ ++ streamingQ).toMap
@@ -139,7 +148,17 @@ object Bench {
       results.find(_._1 == n).forall(_._2 < 0))
     val failedJson = trulyFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val rerunJson = outliers.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"rerun":$rerunJson,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"rerun":$rerunJson,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"sf":"$sfDir"}"""
+    println(json)
+    // the driver's round artifact keeps only the tail of stdout, which
+    // truncated the first ~44 per-query timings out of the permanent record
+    // in round 7 — persist the full map to a file as well
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")), json)
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write bench_full.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

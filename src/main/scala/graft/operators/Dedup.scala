@@ -5,6 +5,15 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Text
 
+/** Raised when [[Dedup.minhashCrossScoredPairs]]'s benchmark side exceeds the
+  * broadcast row budget. The operator's whole scale posture is "benchmark
+  * broadcasts, corpus never shuffles"; silently planning a corpus-wide
+  * shuffle join against an oversized benchmark would be a 100 TB cliff, so
+  * the contract fails loudly instead.
+  */
+final class BenchmarkTooLargeException(message: String)
+  extends IllegalArgumentException(message)
+
 /** Deduplication operators for LLM-training-data pipelines (SURVEY.md §2.7).
   *
   * Scale posture: every method is a shuffle-on-key pipeline — no driver
@@ -143,11 +152,28 @@ object Dedup {
     * not a corpus) — its banded keys and shingle sets BROADCAST, so the
     * corpus is never shuffled and never self-joined; per-corpus-doc work is
     * bounded by bucket collisions, the same bound as within-corpus minhash.
+    *
+    * That posture is a hard contract, not a hope: a cheap count probe of the
+    * benchmark side (metadata-pushdown for parquet; one scan otherwise)
+    * guards the broadcast, and an oversized benchmark raises
+    * [[BenchmarkTooLargeException]] instead of silently planning a shuffle
+    * join of the full corpus. The dominant broadcast payload is the shingle
+    * sets (~1 KB/doc), so the default budget of 100k docs bounds it at
+    * ~100 MB — the outer edge of a sane executor broadcast; real benchmark
+    * suites are thousands of docs.
     */
   def minhashCrossScoredPairs(corpus: DataFrame, benchmark: DataFrame,
                               textCol: String, idCol: String,
                               shingleSize: Int = 3, numPerm: Int = 64,
-                              bands: Int = 16): DataFrame = {
+                              bands: Int = 16,
+                              maxBenchmarkDocs: Long = 100000L): DataFrame = {
+    val nBench = benchmark.count()
+    if (nBench > maxBenchmarkDocs)
+      throw new BenchmarkTooLargeException(
+        s"decontamination benchmark side has $nBench docs, over the " +
+          s"$maxBenchmarkDocs broadcast budget; a benchmark this large would " +
+          "force a corpus-wide shuffle join — pre-aggregate or split the " +
+          "benchmark, or raise maxBenchmarkDocs explicitly")
     val rows = numPerm / bands
     val spark = corpus.sparkSession
     val cb = signedShingles(corpus, textCol, idCol, shingleSize, numPerm)

@@ -137,14 +137,30 @@ object ArtifactCache {
   def cachedCount(df: org.apache.spark.sql.DataFrame, cacheDir: Path): Long = {
     val files = df.inputFiles.sorted
     if (files.isEmpty) return df.count()
+    // Only LOCAL files have a freshness signal we can observe (mtime+size).
+    // A non-file scheme (hdfs://, s3a://) or an unresolvable/missing path
+    // would stat as a constant "missing", making the key stable regardless
+    // of remote data changes — so any such input bypasses the cache and
+    // computes directly instead of serving a potentially stale count.
+    val states = files.map { f =>
+      try {
+        val uri = java.net.URI.create(f)
+        val scheme = Option(uri.getScheme)
+        if (scheme.exists(_ != "file")) None
+        else {
+          val p = java.nio.file.Paths.get(
+            Option(uri.getPath).getOrElse(f))
+          if (!Files.exists(p)) None else Some(f + "|" + fileState(p))
+        }
+      } catch { case _: Exception => None }
+    }
+    if (states.exists(_.isEmpty)) return df.count()
     // the key carries the CANONICALIZED plan too, not just the backing
     // files: two different frames over the same parquet (a filtered corpus
     // vs the full one) must not serve each other's count
     val plan = df.queryExecution.analyzed.canonicalized.toString
-    cachedScalar(cacheDir, "count", plan + "\n" + files.map { f =>
-      val p = java.nio.file.Paths.get(java.net.URI.create(f).getPath)
-      f + "|" + fileState(p)
-    }.mkString("\n"))(df.count())
+    cachedScalar(cacheDir, "count",
+      plan + "\n" + states.flatten.mkString("\n"))(df.count())
   }
 
   /** Serve a Long statistic through `<cacheDir>/stats/<name>-<sha>.txt`:

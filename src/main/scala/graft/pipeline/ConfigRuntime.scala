@@ -574,22 +574,33 @@ object ConfigRuntime {
         val ds = project.dataset.getOrElse(throw new IllegalArgumentException(
           "config: preview stage 'series' requires a dataset section"))
         val res = resolver(spark, dataDir, project)
-        val all = (ds.features ++ ds.targets).filter(_.sequence.isEmpty)
-        val selected = id match {
-          case None => all
-          case Some(v) =>
-            val hit = all.filter(_.id == v)
-            require(hit.nonEmpty, s"config: unknown scalar vector '$v' " +
-              s"(declared: ${all.map(_.id).mkString(", ")})")
-            hit
+        val vectors = ds.features ++ ds.targets
+        val all = vectors.filter(_.sequence.isEmpty)
+        // a sequenced vector has no long-series projection — as documented,
+        // its preview IS its input stream's records (the frame the sequence
+        // windows are cut from)
+        val sequenced =
+          id.flatMap(v => vectors.filter(_.sequence.nonEmpty).find(_.id == v))
+        sequenced match {
+          case Some(v) => res.stream(v.stream)
+          case None =>
+            val selected = id match {
+              case None => all
+              case Some(v) =>
+                val hit = all.filter(_.id == v)
+                require(hit.nonEmpty, s"config: unknown vector '$v' " +
+                  s"(declared: ${vectors.map(_.id).mkString(", ")})")
+                hit
+            }
+            require(selected.nonEmpty,
+              "config: dataset declares no scalar vectors")
+            selected.groupBy(_.stream).toSeq.sortBy(_._1).map {
+              case (sid, vs) =>
+                Series.project(res.stream(sid), res.partitionBy(sid),
+                  ds.sampleKeys, "time",
+                  vs.map(v => Series.SeriesConfig(v.id, v.field)))
+            }.reduce(_ unionByName _)
         }
-        require(selected.nonEmpty, "config: dataset declares no scalar vectors")
-        selected.groupBy(_.stream).toSeq.sortBy(_._1).map {
-          case (sid, vs) =>
-            Series.project(res.stream(sid), res.partitionBy(sid),
-              ds.sampleKeys, "time",
-              vs.map(v => Series.SeriesConfig(v.id, v.field)))
-        }.reduce(_ unionByName _)
       case "samples" => assemble(spark, dataDir, project).assembled
       case "postprocess" =>
         postprocessStage(assemble(spark, dataDir, project)).frame

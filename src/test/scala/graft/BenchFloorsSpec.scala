@@ -31,6 +31,15 @@ class BenchFloorsSpec extends AnyFunSuite {
       "q1_pricing" -> 0.188, "q3_topk" -> 0.571, "floor_time" -> 0.099))
   }
 
+  test("the outlier pass arms only at the exact sf0.1 terminal dir") {
+    assert(Bench.isFloorScale("/root/testdata/sf0.1"))
+    assert(Bench.isFloorScale("sf0.1"))
+    assert(!Bench.isFloorScale("/root/testdata/sf0.15"))
+    assert(!Bench.isFloorScale("/data/sf0.1_backup"))
+    assert(!Bench.isFloorScale("/data/sf0.1/subset"))
+    assert(!Bench.isFloorScale("data/sf1"))
+  }
+
   test("missing file or section yields an empty map") {
     assert(Bench.baselineFloors(
       java.nio.file.Paths.get("/nonexistent/BASELINE.md")).isEmpty)

@@ -93,6 +93,21 @@ class ConfigPreviewSpec extends SparkSpec {
         "time", Seq(Series.SeriesConfig("pv", "value"))).count())
   }
 
+  test("series routes a sequenced vector to its input stream's records") {
+    val doc = Doc.replace("- { id: pv, stream: purchases, field: value }",
+      "- { id: pv, stream: purchases, field: value, sequence: { size: 3, stride: 1 } }")
+    val p = Config.parseProject(doc)
+    val staged = ConfigRuntime.previewStage(spark, DataDir, p, "series", Some("pv"))
+    val res = ConfigRuntime.resolver(spark, DataDir, p)
+    assert(rowSet(staged) == rowSet(res.stream("purchases")),
+      "a sequenced vector previews the records its windows are cut from")
+    // a genuinely unknown id still fails with the full vector inventory
+    val e = intercept[IllegalArgumentException](
+      ConfigRuntime.previewStage(spark, DataDir, p, "series", Some("nope")))
+    assert(e.getMessage.contains("unknown vector") &&
+      e.getMessage.contains("pv"))
+  }
+
   test("samples and postprocess = the assembled and postprocessed frames") {
     val samples = stage("samples")
     assert(samples.columns.toSet == Set("sample_time", "user_id", "v", "pv"))
@@ -131,6 +146,48 @@ class ConfigPreviewSpec extends SparkSpec {
     assert(e.getMessage.contains("cannot preview step 7"))
     val f = intercept[IllegalArgumentException](cut(Some("chunky")))
     assert(f.getMessage.contains("takes a step count"))
+  }
+
+  test("corpus decontaminate step = Curation.decontaminate's keep set") {
+    import spark.implicits._
+    // the one corpus step with a second source: a fixture dataDir carries
+    // both the documents and the benchmark, and the runtime branch's output
+    // must equal the standalone operator composition (ADVICE r7: this
+    // shipped branch had no executing test)
+    val dir = Files.createTempDirectory("graft_corpus_decontam")
+    Seq(
+      (1L, "alpha beta gamma irrelevant tail words here"),
+      (2L, "completely unrelated text with other content"),
+      (3L, "prefix words then gamma delta epsilon inside"),
+      (4L, "another clean document nothing shared at all"))
+      .toDF("doc_id", "text")
+      .write.parquet(dir.resolve("documents.parquet").toString)
+    Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+      .write.parquet(dir.resolve("bench.parquet").toString)
+    val doc =
+      """sources:
+        |  - id: docs
+        |    loader: { transport: fs, path: documents.parquet, reader: { format: parquet } }
+        |  - id: bench
+        |    loader: { transport: fs, path: bench.parquet, reader: { format: parquet } }
+        |corpus:
+        |  source: docs
+        |  steps:
+        |    - { step: decontaminate, benchmark: bench, ngram: 3 }
+        |""".stripMargin
+    val p = Config.parseProject(doc)
+    val out = ConfigRuntime.corpus(spark, dir.toString, p)
+    val docs = spark.read.parquet(dir.resolve("documents.parquet").toString)
+    val bench = spark.read.parquet(dir.resolve("bench.parquet").toString)
+    val keep = graft.operators.Curation
+      .decontaminate(docs, bench, "doc_id", "text", 3)
+      .filter(!org.apache.spark.sql.functions.col("contaminated"))
+      .select("doc_id")
+    val expected = docs.join(keep, Seq("doc_id"))
+    assert(rowSet(out) == rowSet(expected))
+    // the gate bites exactly the docs sharing a 3-gram with the benchmark
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 4L))
   }
 
   test("Cli inspect --stage routes and bounds the dump; unknown stage fails") {

@@ -80,6 +80,21 @@ class CurationSpec extends SparkSpec {
     assert(cross == self && cross.exists(_._3 == 1.0))
   }
 
+  test("an oversized benchmark side fails loudly instead of planning a corpus shuffle") {
+    val corpus = Seq((1L, "one two three four five")).toDF("doc_id", "text")
+    val bench = (100L to 104L).map(i => (i, s"benchmark doc number $i words"))
+      .toDF("doc_id", "text")
+    val e = intercept[graft.operators.BenchmarkTooLargeException] {
+      graft.operators.Dedup.minhashCrossScoredPairs(
+        corpus, bench, "text", "doc_id", maxBenchmarkDocs = 3L)
+    }
+    assert(e.getMessage.contains("5 docs") &&
+      e.getMessage.contains("broadcast budget"))
+    // at/under the budget the pipeline runs
+    assert(graft.operators.Dedup.minhashCrossScoredPairs(
+      corpus, bench, "text", "doc_id", maxBenchmarkDocs = 5L).count() >= 0)
+  }
+
   test("shingles of a short/empty token array is empty, not an error") {
     val df = Seq("a b", "").toDF("t")
       .select(size(Text.shingles(Text.tokens(col("t")), 3)).as("n"))
