@@ -163,6 +163,41 @@ class PlanAuditSpec extends SparkSpec {
       "fuzzy decontam candidates must come from the band-hash equi-join")
   }
 
+  audit("dedup_semantic") { plan =>
+    // SemDeDup: hyperplane-LSH buckets → exact cosine edges → connected
+    // components. The CC labels enter the final plan through a checkpoint
+    // boundary, and every join is an equi-join — candidates come from the
+    // bucket keys, never an all-pairs nested loop.
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "semantic-dup candidates must come from the LSH bucket equi-join")
+    assert(plan.contains("Scan ExistingRDD"),
+      "the CC label frame must attach through its checkpoint boundary " +
+        "(otherwise the whole bucket/edge subtree recomputes per action)")
+  }
+
+  audit("curation_diversity") { plan =>
+    // after the plan-build kmeans rounds (each one bounded aggregate job,
+    // k×dim centroids through the driver), the FINAL plan is a single
+    // map-side pass: cluster assignment is a pure expression over literal
+    // centroids and the sha256-ratio gate is a row filter — zero Exchange.
+    assert(!plan.linesIterator.takeWhile(_.trim.nonEmpty)
+      .exists(_.contains("Exchange")),
+      "diversity sampling must assign + sample in one shuffle-free pass")
+  }
+
+  audit("config_corpus") { plan =>
+    // the composed corpus journey: the curated frame is checkpointed once
+    // (filter/dedup subtree computes once across the probe, signatures, CC
+    // rounds and join-back), joins are digest/id equi-joins, and chunking
+    // explodes via Generate at the top
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "corpus joins are digest/id equi-joins")
+    assert(plan.contains("Scan ExistingRDD"),
+      "the curated frame must enter through its checkpoint boundary")
+    assert(plan.contains("Generate"),
+      "chunking must plan as a Generate explode, not a join")
+  }
+
   audit("vocab_topk") { plan =>
     // global top-k = partial counts then TakeOrdered over the vocabulary —
     // never a single-partition global sort of all counts
