@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Byte-pair-encoding merge training (SURVEY §2.7 #55g follow-on: vocab_topk
+  * is "the first pass of tokenizer training"; this is the second) — the
+  * distributed half of training a BPE tokenizer over a corpus. Reference
+  * scope anchor: the reference's vocabulary tooling stops at token counts;
+  * the merge loop is the standard Sennrich et al. 2016 algorithm (public),
+  * re-expressed in Spark's partial-aggregation shape.
+  *
+  * Scale posture: the ONE corpus-sized job is the initial word-frequency
+  * aggregate (explode tokens → groupBy word), whose shuffle keys are words
+  * and whose output is vocabulary-sized. Every merge round after that runs
+  * on the VOCABULARY (words × their symbol splits), not the corpus: one
+  * partial-aggregated pair count + a TakeOrdered top-1 per round, with the
+  * winning pair — a 2-string driver value, like curation_kmeans's k×dim
+  * centroids — folded back in as a literal. Per-round frames are
+  * checkpointed, so round r+1's plan is rooted at round r's materialized
+  * RDD: plan depth and shuffle count per round stay CONSTANT as rounds
+  * grow.
+  *
+  * Words ride as space-joined symbol strings (symbols are space-free by
+  * construction), so the merge step is a string left-fold that DuckDB
+  * reproduces verbatim with `list_reduce` — the engine-parity trick the
+  * minhash band fold uses (Dedup.bandHash).
+  */
+object Bpe {
+
+  /** One BPE merge applied to a space-joined symbol string: the standard
+    * leftmost-first, non-overlapping merge is a left fold — append each
+    * symbol, except that `r` arriving while the accumulator's LAST symbol
+    * is exactly `l` replaces that tail with the merged symbol `l+r`.
+    * A freshly merged tail never re-merges within the round (its symbol is
+    * `l+r`, not `l`) — exactly the Sennrich semantics.
+    */
+  private[graft] def applyMerge(syms: Column, l: String, r: String): Column = {
+    val toks = split(syms, " ")
+    val rest = slice(toks, lit(2), size(toks) - 1)
+    aggregate(rest, element_at(toks, 1), (acc, s) =>
+      when(s === lit(r) && (acc === lit(l) || acc.endsWith(lit(" " + l))),
+        concat(acc.substr(lit(1), length(acc) - lit(l.length)), lit(l + r)))
+        .otherwise(concat(acc, lit(" "), s)))
+  }
+
+  /** Vocabulary frame (syms = space-joined characters, n = corpus word
+    * frequency): the one corpus-wide aggregate, checkpointed because every
+    * round reads it.
+    */
+  private[graft] def initVocab(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(Text.tokens(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      // split between characters only: the lookaheads exclude the start AND
+      // end positions (Spark's split keeps trailing empty matches, so a
+      // bare (?!^) would append a phantom empty symbol to every word)
+      .select(concat_ws(" ", split(col("w"), "(?!^)(?!$)")).as("syms"), col("n"))
+      .localCheckpoint(eager = false)
+
+  /** The round's winning pair: vocabulary-bounded pair counts (bigram
+    * shingles over the symbol string, weighted by word frequency, partially
+    * aggregated map-side) ranked by (count desc, lhs asc, rhs asc) — plans
+    * as one aggregate + TakeOrderedAndProject, never a global sort.
+    */
+  private[graft] def bestPair(vocab: DataFrame): DataFrame = {
+    val pair = split(col("pair"), " ")
+    vocab
+      .select(col("n"),
+        explode(Text.shingles(split(col("syms"), " "), 2)).as("pair"))
+      .select(element_at(pair, 1).as("lhs"), element_at(pair, 2).as("rhs"),
+        col("n"))
+      .groupBy(col("lhs"), col("rhs")).agg(sum(col("n")).as("cnt"))
+      .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
+      .limit(1)
+  }
+
+  /** Train `rounds` BPE merges over the corpus; returns the merge table
+    * (rnd 1-based, lhs, rhs, cnt) — ≤ rounds rows, driver-side by design
+    * (the merge table IS the tokenizer artifact). Stops early if the
+    * vocabulary runs out of adjacent pairs.
+    */
+  def merges(df: DataFrame, textCol: String,
+             rounds: Int): Seq[(Int, String, String, Long)] = {
+    require(rounds > 0, s"bpe: rounds must be > 0, got $rounds")
+    var vocab = initVocab(df, textCol)
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var rnd = 1
+    var exhausted = false
+    while (rnd <= rounds && !exhausted) {
+      bestPair(vocab).collect().headOption match {
+        case None => exhausted = true
+        case Some(row) =>
+          val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+          out += ((rnd, l, r, c))
+          // fold the winner back in as a literal and cut the lineage: the
+          // next round's plan roots at this round's RDD, not the full chain
+          vocab = vocab.withColumn("syms", applyMerge(col("syms"), l, r))
+            .localCheckpoint(eager = false)
+          rnd += 1
+      }
+    }
+    out.result()
+  }
+
+  /** [[merges]] as a DataFrame for the gated query/bench surface. */
+  def mergesFrame(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    merges(df, textCol, rounds).toDF("rnd", "lhs", "rhs", "cnt")
+  }
+}

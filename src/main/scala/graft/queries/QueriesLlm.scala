@@ -388,6 +388,15 @@ object QueriesLlm {
           .orderBy(col("n").desc, col("word").asc)).cast("int"))
     },
 
+    // BPE merge training (the second pass of tokenizer training, after
+    // vocab_topk's counts): k rounds of corpus-weighted adjacent-pair
+    // counting → deterministic best pair (count desc, pair asc) → leftmost
+    // non-overlapping merge. One corpus-sized aggregate up front; every
+    // round after runs on the vocabulary with a constant per-round plan.
+    "bpe_merges" -> { (s, d) =>
+      graft.operators.Bpe.mergesFrame(documents(s, d), "text", BpeRounds)
+    },
+
     // Per-document salient terms by tf-idf (top 3, term-asc tiebreak) —
     // the keyword/topic feature a curation pipeline derives per doc. The
     // per-doc window is bounded by document vocabulary (≤ doc length), so
@@ -637,6 +646,57 @@ object QueriesLlm {
         WHERE d.doc_id % 50 != 0"""
   }
 
+  /** Rounds for bpe_merges — shared by the Spark query and the unrolled
+    * oracle so the two cannot drift.
+    */
+  private[queries] val BpeRounds = 8
+
+  /** DuckDB twin of Bpe.merges: the k rounds unrolled as CTE blocks (the
+    * curation_kmeans pattern). The merge step is the same left fold Spark's
+    * aggregate() runs, via list_reduce over the split symbol string — and
+    * the pair rank carries the identical (count desc, lhs, rhs) tiebreak.
+    */
+  private def bpeMergesSql(rounds: Int): String = {
+    def roundCtes(i: Int) =
+      s"""p$i AS (
+            SELECT u.lhs, u.rhs, CAST(SUM(u.n) AS BIGINT) AS cnt FROM (
+              SELECT n, unnest([{'lhs': s[i], 'rhs': s[i+1]}
+                                for i in generate_series(1, len(s) - 1)],
+                       recursive := true) AS _
+              FROM (SELECT string_split(syms, ' ') AS s, n FROM w$i)
+            ) AS u(n, lhs, rhs)
+            GROUP BY u.lhs, u.rhs),
+          b$i AS (
+            SELECT lhs, rhs, cnt FROM p$i
+            ORDER BY cnt DESC, lhs, rhs LIMIT 1)"""
+    def mergeCte(i: Int) =
+      s"""w${i + 1} AS (
+            SELECT list_reduce(string_split(w.syms, ' '), (acc, s) ->
+                     CASE WHEN s = b.rhs
+                            AND (acc = b.lhs OR ends_with(acc, ' ' || b.lhs))
+                          THEN substr(acc, 1, len(acc) - len(b.lhs))
+                               || b.lhs || b.rhs
+                          ELSE acc || ' ' || s END) AS syms,
+                   w.n AS n
+            FROM w$i w, b$i b)"""
+    val blocks = (1 to rounds).map { i =>
+      if (i < rounds) roundCtes(i) + ",\n" + mergeCte(i) else roundCtes(i)
+    }.mkString(",\n")
+    val finals = (1 to rounds).map { i =>
+      s"SELECT $i AS rnd, lhs, rhs, cnt FROM b$i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH wsrc AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+            FROM documents)
+          WHERE word != '' GROUP BY word),
+        w1 AS (
+          SELECT array_to_string([word[i] for i in generate_series(1, len(word))], ' ') AS syms, n
+          FROM wsrc),
+        $blocks
+        $finals"""
+  }
+
   /** corpus_filter twin — shared with the streaming query
     * (stream_corpus_filter applies the identical gate at ingest).
     */
@@ -667,6 +727,7 @@ object QueriesLlm {
   val oracleSql: Map[String, String] = Map(
     "dedup_minhash" -> minhashSql,
     "decontam_fuzzy" -> decontamFuzzySql,
+    "bpe_merges" -> bpeMergesSql(BpeRounds),
 
     "dedup_semantic" ->
       s"""WITH RECURSIVE mx AS (SELECT max(vec_id) AS m FROM embeddings),

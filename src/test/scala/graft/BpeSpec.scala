@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+/** BPE merge training (operators/Bpe.scala): hand-computed merges on a
+  * micro corpus, the leftmost-non-overlapping merge fold, early exhaustion,
+  * and the per-round plan shape (one aggregate + TakeOrdered, constant
+  * across rounds).
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("merge table matches the hand-computed Sennrich rounds") {
+    // vocab: aaab n=3, ab n=3.
+    // r1: (a,a)=6 ties (a,b)=6 → pair-asc picks (a,a); aaab → "aa a b"
+    // r2: (a,b)=6 beats (aa,a)=3; "aa a b" → "aa ab", ab → "ab"
+    // r3: (aa,ab)=3; then no pairs remain → early stop before round 4
+    val docs = Seq("aaab aaab ab", "aaab ab ab").toDF("text")
+    val got = Bpe.merges(docs, "text", rounds = 4)
+    assert(got == Seq((1, "a", "a", 6L), (2, "a", "b", 6L), (3, "aa", "ab", 3L)))
+  }
+
+  test("merge fold is leftmost and non-overlapping") {
+    val df = Seq("a a a a", "a a a", "b a a", "a", "xy a a").toDF("syms")
+    val out = df.select(Bpe.applyMerge(col("syms"), "a", "a").as("m"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("aa aa", "aa a", "b aa", "a", "xy aa"))
+    // a symbol merely ENDING in l must not merge: last token check is exact
+    val sneaky = Seq("ba a").toDF("syms")
+      .select(Bpe.applyMerge(col("syms"), "a", "a").as("m"))
+      .collect().head.getString(0)
+    assert(sneaky == "ba a")
+  }
+
+  test("single-character vocabulary exhausts immediately") {
+    val docs = Seq("a b c", "b c a").toDF("text")
+    // every word is one symbol: zero pairs, zero merges
+    assert(Bpe.merges(docs, "text", rounds = 3).isEmpty)
+  }
+
+  test("per-round plan: one partial aggregate + TakeOrdered, constant across rounds") {
+    val docs = Seq("aaab aaab ab", "aaab ab ab").toDF("text")
+    def skeleton(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+        .linesIterator.dropWhile(_.startsWith("=="))
+        .takeWhile(_.trim.nonEmpty).mkString("\n")
+    var vocab = Bpe.initVocab(docs, "text")
+    val round1 = skeleton(Bpe.bestPair(vocab))
+    assert(round1.contains("TakeOrderedAndProject"),
+      "top-1 must plan as TakeOrdered, not a global sort")
+    assert(!round1.contains("Sort "), "no global sort stage")
+    val shuffles1 = round1.linesIterator.count(_.contains("Exchange"))
+    // drive three real rounds; the plan rooted at the round's checkpoint
+    // must keep the same shuffle count — no growth with rounds
+    (1 to 3).foreach { _ =>
+      val best = Bpe.bestPair(vocab).collect().head
+      vocab = vocab.withColumn("syms",
+        Bpe.applyMerge(col("syms"), best.getString(0), best.getString(1)))
+        .localCheckpoint(eager = false)
+    }
+    val round4 = skeleton(Bpe.bestPair(vocab))
+    val shuffles4 = round4.linesIterator.count(_.contains("Exchange"))
+    assert(shuffles4 == shuffles1,
+      s"per-round shuffle count grew: $shuffles1 -> $shuffles4\n$round4")
+    assert(round4.contains("Scan ExistingRDD"),
+      "round plans must root at the previous round's checkpoint")
+  }
+}
