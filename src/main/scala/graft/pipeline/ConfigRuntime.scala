@@ -484,12 +484,8 @@ object ConfigRuntime {
     val steps = through.fold(c.steps)(c.steps.take)
     steps.foldLeft(res.sourceFrame(c.source)) { (df, step) =>
       step match {
-        case Config.CorpusFilter(lang, minQ, maxR) =>
-          val conds = Seq(
-            lang.map(l => Text.langId(text) === l),
-            minQ.map(q => Text.qualityScore(text) >= q),
-            maxR.map(r => Text.repetitionRatio(text) <= r)).flatten
-          df.filter(conds.reduce(_ && _))
+        case f: Config.CorpusFilter =>
+          df.filter(corpusFilterCond(text, f))
         case Config.CorpusDedupExact() =>
           // keep the smallest id per identical text; the shuffle key is the
           // text DIGEST, so long bodies never cross the wire twice. NULL
@@ -530,6 +526,79 @@ object ConfigRuntime {
           graft.operators.Curation.chunkDocuments(df, c.idCol, c.textCol,
             size, stride)
       }
+    }
+  }
+
+  /** The corpus quality gate as one predicate — shared by the batch journey
+    * and the streaming variant so the two gates cannot drift.
+    */
+  private[graft] def corpusFilterCond(text: Column,
+                                      f: Config.CorpusFilter): Column = {
+    import graft.functions.Text
+    Seq(
+      f.lang.map(l => Text.langId(text) === l),
+      f.minQuality.map(q => Text.qualityScore(text) >= q),
+      f.maxRepetition.map(r => Text.repetitionRatio(text) <= r))
+      .flatten.reduce(_ && _)
+  }
+
+  /** The `corpus:` journey as a STREAMING plan — a continuously-fed crawl
+    * curated and exact-deduped at ingest, in one job. Stateless steps
+    * (filter, chunk) apply unchanged; `dedup_exact` becomes a watermarked
+    * digest `dropDuplicates` (each arriving doc hashes once, state holds
+    * digests only and is evicted past the watermark horizon — the property
+    * that makes it deployable on an infinite crawl; the finite verification
+    * harness evicts nothing, so the result is the exact distinct set).
+    * Near-dup dedup and decontamination need corpus-at-rest passes
+    * (signatures + connected components / a benchmark join over the whole
+    * corpus) and are rejected by name — run the batch journey for those.
+    *
+    * Streaming keeps FIRST-ARRIVAL per digest where batch keeps min-id, so
+    * downstream consumers get one representative per distinct text with
+    * arrival-dependent identity — selecting digest-deterministic columns
+    * (the digest, the text) is the caller's contract for exact equality
+    * with the batch prefix.
+    */
+  def corpusStream(spark: SparkSession, dataDir: String,
+                   project: Config.Project,
+                   watermark: String = "10 minutes"): DataFrame = {
+    val c = project.corpus.getOrElse(throw new IllegalArgumentException(
+      "config: project has no corpus section to stream"))
+    val src = project.source(c.source)
+    require(src.transport == "fs" && src.format == "parquet",
+      s"config: corpus streaming needs an fs parquet source, " +
+        s"got ${src.transport}/${src.format}")
+    val path = if (src.path.startsWith("/")) src.path
+               else s"$dataDir/${src.path}"
+    val text = col(c.textCol)
+    c.steps.foldLeft(graft.streaming.Streaming.readParquetStream(spark, path)) {
+      (df, step) =>
+        step match {
+          case f: Config.CorpusFilter =>
+            df.filter(corpusFilterCond(text, f))
+          case Config.CorpusDedupExact() =>
+            // same digest scheme as the batch step (ConfigRuntime
+            // CorpusDedupExact): "t:"-prefixed text digest, null sentinel
+            df.withColumn("__ingest", current_timestamp())
+              .withWatermark("__ingest", watermark)
+              .withColumn("__h",
+                sha2(coalesce(concat(lit("t:"), text.cast("string")),
+                  lit("null:")), 256))
+              .dropDuplicates("__h")
+              .drop("__h", "__ingest")
+          case Config.CorpusChunk(size, stride) =>
+            graft.operators.Curation.chunkDocuments(df, c.idCol, c.textCol,
+              size, stride)
+          case other =>
+            val name = other match {
+              case _: Config.CorpusDedupFuzzy    => "dedup_fuzzy"
+              case _: Config.CorpusDecontaminate => "decontaminate"
+              case o                             => o.getClass.getSimpleName
+            }
+            throw new IllegalArgumentException(
+              s"config: corpus step '$name' is not streamable (needs a " +
+                "corpus-at-rest pass); run the batch corpus journey instead")
+        }
     }
   }
 

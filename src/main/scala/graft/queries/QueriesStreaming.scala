@@ -60,6 +60,26 @@ object QueriesStreaming {
     "stream_corpus_filter" -> { (s, d) =>
       Streaming.corpusFilter(s, d,
         s"graft_stream_corpus_${runId.incrementAndGet()}")
+    },
+    // The `corpus:` config journey streamed: quality gate + watermarked
+    // exact dedup at ingest — a crawl lands curated AND deduped in one job.
+    // Output is the digest set (digest-deterministic where the kept doc_id
+    // is arrival-dependent), equal to the batch filter→dedup_exact prefix.
+    "stream_corpus_dedup" -> { (s, d) =>
+      import org.apache.spark.sql.functions.{col, sha2}
+      val project = graft.pipeline.Config.parseProject(
+        """sources:
+          |  - id: docs
+          |    loader: { transport: fs, path: documents.parquet, reader: { format: parquet } }
+          |corpus:
+          |  source: docs
+          |  steps:
+          |    - { step: filter, lang: en, min_quality: 0.3, max_repetition: 0.8 }
+          |    - { step: dedup_exact }
+          |""".stripMargin)
+      Streaming.runCorpusStream(s, d, project,
+        s"graft_stream_corpus_dedup_${runId.incrementAndGet()}")
+        .select(sha2(col("text").cast("string"), 256).as("content_hash"))
     }
   )
 
@@ -101,6 +121,12 @@ object QueriesStreaming {
                          GROUP BY user_id, ts) p
            ON e.user_id = p.user_id AND p.ts <= e.ts""",
     // identical gate, identical verdicts — at ingest instead of at rest
-    "stream_corpus_filter" -> QueriesLlm.corpusFilterSql
-  )
+    "stream_corpus_filter" -> QueriesLlm.corpusFilterSql,
+    // the batch filter→dedup_exact prefix of the corpus journey, projected
+    // to the digest set (the arrival-independent identity)
+    "stream_corpus_dedup" ->
+      s"""WITH verdicts AS (${QueriesLlm.corpusFilterSql})
+          SELECT DISTINCT sha256(d.text) AS content_hash
+          FROM documents d JOIN verdicts f USING (doc_id)
+          WHERE f.keep""")
 }

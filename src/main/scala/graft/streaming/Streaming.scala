@@ -19,18 +19,26 @@ object Streaming {
     * staged into a per-table scratch dir. Schema comes from the parquet
     * footer.
     */
-  def readTable(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+  def readTable(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    readParquetStream(spark, s"$sfDir/$table.parquet")
+
+  /** Unbounded read of any parquet path as a stream (see [[readTable]]):
+    * directories stream in place, single driver files stage into a
+    * per-path scratch dir. Also the streaming entry for config-declared
+    * corpus sources (ConfigRuntime.corpusStream).
+    */
+  def readParquetStream(spark: SparkSession, path: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val src = Paths.get(s"$sfDir/$table.parquet")
+    val src = Paths.get(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val dir =
       if (Files.isDirectory(src)) src
       else {
         val d = Paths.get(
-          s"/tmp/graft_stream_src/${math.abs(sfDir.hashCode)}_$table")
+          s"/tmp/graft_stream_src/${math.abs(src.getParent.toString.hashCode)}_${src.getFileName}")
         Files.createDirectories(d)
-        Files.copy(src, d.resolve(s"$table.parquet"),
+        Files.copy(src, d.resolve(src.getFileName),
           StandardCopyOption.REPLACE_EXISTING)
         d
       }
@@ -313,6 +321,19 @@ object Streaming {
         col("lang_ok") && col("quality_ok") && col("repetition_ok"))
     sinkTo(spark, gated, tableName, "append", sinkDir)
   }
+
+  /** Drive a config-declared streaming corpus journey
+    * (ConfigRuntime.corpusStream — quality gate + watermarked exact dedup
+    * at ingest) over the finite input and return the batch result. Append
+    * mode: every step emits each surviving doc exactly once.
+    */
+  def runCorpusStream(spark: SparkSession, dataDir: String,
+                      project: graft.pipeline.Config.Project,
+                      tableName: String,
+                      sinkDir: Option[String] = None): DataFrame =
+    sinkTo(spark,
+      graft.pipeline.ConfigRuntime.corpusStream(spark, dataDir, project),
+      tableName, "append", sinkDir)
 
   /** Run the streaming query to completion over the finite test input
     * (Trigger.AvailableNow) into an in-memory table; returns the final

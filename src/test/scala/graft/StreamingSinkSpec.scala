@@ -33,4 +33,40 @@ class StreamingSinkSpec extends SparkSpec {
     assert(viaFile == viaMemory)
     assert(viaFile.nonEmpty)
   }
+
+  private val CorpusDoc =
+    """sources:
+      |  - id: docs
+      |    loader: { transport: fs, path: documents.parquet, reader: { format: parquet } }
+      |corpus:
+      |  source: docs
+      |  steps:
+      |    - { step: filter, lang: en, min_quality: 0.3, max_repetition: 0.8 }
+      |    - { step: dedup_exact }
+      |""".stripMargin
+
+  test("streaming corpus journey equals the batch filter→dedup_exact prefix") {
+    import org.apache.spark.sql.functions.{col, sha2}
+    val project = graft.pipeline.Config.parseProject(CorpusDoc)
+    val streamed = Streaming.runCorpusStream(spark, DataDir, project,
+      "sink_spec_corpus_dedup")
+      .select(sha2(col("text").cast("string"), 256).as("h"))
+    val batch = graft.pipeline.ConfigRuntime
+      .corpusThrough(spark, DataDir, project, through = None)
+      .select(sha2(col("text").cast("string"), 256).as("h"))
+    assert(rowSet(streamed) == rowSet(batch))
+    assert(streamed.count() == batch.count(),
+      "one representative per distinct curated text")
+  }
+
+  test("corpus steps needing corpus-at-rest passes are rejected by name") {
+    val doc = CorpusDoc.replace("- { step: dedup_exact }",
+      "- { step: dedup_fuzzy, threshold: 0.5 }")
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.ConfigRuntime.corpusStream(spark, DataDir,
+        graft.pipeline.Config.parseProject(doc))
+    }
+    assert(e.getMessage.contains("dedup_fuzzy") &&
+      e.getMessage.contains("not streamable"))
+  }
 }
