@@ -258,6 +258,28 @@ object QueriesLlm {
           col("is_canonical"))
     },
 
+    // Cross-run incremental dedup: build the persisted minhash index from
+    // the base corpus (run 1), ingest the increment against the STORED
+    // index (run 2 — only increment signatures computed), then label the
+    // union. Must equal from-scratch dupClusters on the whole table, which
+    // is exactly what the dedup_cluster oracle computes.
+    "dedup_incremental" -> { (s, d) =>
+      import graft.operators.IncrementalDedup
+      val root = java.nio.file.Paths.get("/tmp/graft_scratch/dedup_incremental")
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+      val docs = documents(s, d)
+      IncrementalDedup.update(s, root,
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "text", "doc_id",
+        genKey = "run-base")
+      IncrementalDedup.update(s, root,
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), "text", "doc_id",
+        genKey = "run-increment")
+      IncrementalDedup.clusters(s, root)
+        .select(col("doc_id"), col("cluster_id"),
+          col("cluster_size").cast("long").as("cluster_size"),
+          col("is_canonical"))
+    },
+
     "dedup_simhash" -> { (s, d) =>
       Dedup.simhashDedup(documents(s, d), "text", "doc_id")
         .select(col("doc_id"), col("simhash"),
@@ -794,6 +816,9 @@ object QueriesLlm {
          SELECT doc_id, term, ROUND(tfidf, 6) AS tfidf, rnk
          FROM ranked WHERE rnk <= 3""",
     "dedup_cluster" -> dedupClusterSql,
+    // the increment+index composition must land exactly where a from-scratch
+    // clustering of the union corpus lands — same oracle as dedup_cluster
+    "dedup_incremental" -> dedupClusterSql,
     "dedup_simhash" -> simhashSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,

@@ -325,6 +325,64 @@ class ArtifactGraphSpec extends SparkSpec {
     assert(second.contains("artifact ticks hydrated ["), second)
   }
 
+  test("incremental dedup index: the second run computes signatures for the increment only") {
+    import graft.operators.{Dedup, IncrementalDedup}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_dedup_index")
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "an entirely different document about something else here"))
+      .toDF("doc_id", "text")
+    val inc = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "completely fresh increment content with no duplicate at all"))
+      .toDF("doc_id", "text")
+
+    val r1 = IncrementalDedup.update(spark, idx, base, "text", "doc_id", "crawl-1")
+    assert(!r1.skipped && r1.gen == 1 && r1.newSignatures == 3)
+    val gen1Files = Files.list(idx.resolve("signatures").resolve("gen=1"))
+      .toArray.map(_.toString).sorted.toSeq
+    val gen1Mtimes = gen1Files.map(f =>
+      Files.getLastModifiedTime(java.nio.file.Paths.get(f)).toMillis)
+
+    val r2 = IncrementalDedup.update(spark, idx, inc, "text", "doc_id", "crawl-2")
+    assert(!r2.skipped && r2.gen == 2, "second run appends a generation")
+    assert(r2.newSignatures == 2,
+      "run 2 must compute signatures for the increment only")
+    // the stored generation is untouched: same files, same stats
+    val gen1After = Files.list(idx.resolve("signatures").resolve("gen=1"))
+      .toArray.map(_.toString).sorted.toSeq
+    assert(gen1After == gen1Files && gen1After.map(f =>
+      Files.getLastModifiedTime(java.nio.file.Paths.get(f)).toMillis) == gen1Mtimes,
+      "run 2 must not rewrite run 1's stored signatures")
+    // gen-2's signature store holds increment rows only
+    assert(spark.read.parquet(idx.resolve("signatures").resolve("gen=2")
+      .toString).count() == 2)
+
+    // increment+index equals from-scratch dupClusters on the union corpus
+    val viaIndex = IncrementalDedup.clusters(spark, idx)
+      .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+      .collect().map(_.toSeq).toSet
+    val scratch = Dedup.dupClusters(base.unionByName(inc), "text", "doc_id")
+      .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+      .collect().map(_.toSeq).toSet
+    assert(viaIndex == scratch)
+    // the cross-run duplicate landed in one cluster
+    assert(viaIndex.exists(r => r(0) == 10L && r(1) == 1L))
+
+    // idempotent replay: a committed generation key is a no-op
+    val r3 = IncrementalDedup.update(spark, idx, inc, "text", "doc_id", "crawl-2")
+    assert(r3.skipped && r3.gen == 2 && r3.newSignatures == 0)
+    // parameter drift fails loudly instead of mixing incomparable signatures
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.update(spark, idx, inc, "text", "doc_id", "crawl-3",
+        IncrementalDedup.Params(numPerm = 32))
+    }
+    assert(e.getMessage.contains("incomparable"))
+  }
+
   test("force rebuilds everything; build output reports the plan") {
     val root = Files.createTempDirectory("graft_artifact_force")
     stage(root, "ev", "ev2")
