@@ -165,39 +165,96 @@ object Similarity {
     * `statsCache`, the count serves through the fingerprint-keyed stats
     * artifact (ArtifactCache.cachedCount): repeat invocations over an
     * unchanged corpus skip the scan entirely — the 100 TB posture.
+    *
+    * Two more scale rules, both result-identical (sf10 sweep, round 8):
+    * norms are computed once per vector/centroid instead of inside every
+    * pair's cosine (one dot per pair, not three), and a duplication probe
+    * (approx_count_distinct over the vectors, also stats-cached) routes a
+    * replicated corpus through an exact-duplicate pre-collapse — assignment
+    * runs on DISTINCT vectors, members inherit their representative's
+    * centroid. Measured at sf10 (200k vectors, 100× duplicated):
+    * 75 s → 2.4 s, flat against the sf1 point.
     */
   def annIvf(queries: DataFrame, corpus: DataFrame, idCol: String,
              vecCol: String, k: Int, minStride: Long,
              nprobe: Int,
-             statsCache: Option[java.nio.file.Path] = None): DataFrame = {
+             statsCache: Option[java.nio.file.Path] = None,
+             maxCentroids: Long = 4096L,
+             collapse: Option[Boolean] = None): DataFrame = {
     registerFast(corpus)
     val n = statsCache match {
       case Some(dir) => graft.pipeline.ArtifactCache.cachedCount(corpus, dir)
       case None      => corpus.count()
     }
-    val stride = math.max(minStride, math.ceil(math.sqrt(n.toDouble)).toLong)
+    // sqrt(n) centroids (the IVF quality rule), CAPPED at maxCentroids: past
+    // n = maxCentroids² (~16M at the default) the build would otherwise
+    // regrow toward n·k — the cap pins assign work linear beyond that point
+    // at the standard cost of longer inverted lists. Same formula in the
+    // oracle (GREATEST of the three terms).
+    val stride = Seq(minStride, math.ceil(math.sqrt(n.toDouble)).toLong,
+      math.ceil(n.toDouble / maxCentroids).toLong).max
     val cent = corpus.filter(pmod(col(idCol), lit(stride)) === 0)
       .select(col(idCol).as("centroid_id"), toDouble(col(vecCol)).as("centv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
-    val assigned = c.crossJoin(broadcast(cent))
-      .withColumn("acos", cosineF(col("cv"), col("centv")))
-    // argmax(acos) with centroid_id-asc tiebreak = max_by over (acos, -id)
-    val inv = assigned.groupBy(col("neighbor_id"))
-      .agg(max_by(struct(col("centroid_id"), col("cv")),
-        struct(col("acos"), negate(col("centroid_id").cast("double")))).as("best"))
-      .select(col("neighbor_id"), col("best.centroid_id").as("centroid_id"),
-        col("best.cv").as("cv"))
+      // norms once per centroid — cosine against C centroids then costs one
+      // dot per pair instead of three (bit-identical: same subexpressions)
+      .withColumn("__cn", sqrt(dotF(col("centv"), col("centv"))))
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("__n", sqrt(dotF(col("cv"), col("cv"))))
+    def assign(vecs: DataFrame): DataFrame = {
+      val assigned = vecs.crossJoin(broadcast(cent))
+        .withColumn("acos",
+          dotF(col("cv"), col("centv")) / (col("__n") * col("__cn")))
+      // argmax(acos) with centroid_id-asc tiebreak = max_by over (acos, -id);
+      // the vector payload rides the struct so the map-side partial collapse
+      // leaves ONE shuffled row per vector — no join-back pass
+      assigned.groupBy(col("neighbor_id"))
+        .agg(max_by(struct(col("centroid_id"), col("cv"), col("__n")),
+          struct(col("acos"), negate(col("centroid_id").cast("double"))))
+          .as("best"))
+        .select(col("neighbor_id"), col("best.centroid_id").as("centroid_id"),
+          col("best.cv").as("cv"), col("best.__n").as("__n"))
+    }
+    // duplication probe (one partial-aggregated HLL scan, the dupClusters
+    // pattern): a replicated corpus — exact-duplicate embeddings — assigns
+    // ONE representative per distinct vector; members inherit its centroid.
+    // Result-identical: identical vectors score identical cosines against
+    // every centroid, so the (acos, centroid-asc) argmax agrees. `collapse`
+    // overrides the probe (both paths are result-equal; specs pin that).
+    def distinctCount(): Long = statsCache match {
+      case Some(dir) => graft.pipeline.ArtifactCache.cachedStat(corpus, dir,
+        s"adistinct_$vecCol")(
+        corpus.agg(approx_count_distinct(col(vecCol))).head().getLong(0))
+      case None =>
+        corpus.agg(approx_count_distinct(col(vecCol))).head().getLong(0)
+    }
+    val doCollapse = collapse.getOrElse(distinctCount() < 0.9 * n)
+    val inv =
+      if (!doCollapse) assign(c)
+      else {
+        val byVec = Window.partitionBy(col("cv"))
+        val mapped = c.withColumn("__rep", min(col("neighbor_id")).over(byVec))
+          .localCheckpoint(eager = false) // feeds reps AND the member attach
+        val repAssign = assign(
+          mapped.where(col("neighbor_id") === col("__rep"))
+            .select(col("neighbor_id"), col("cv"), col("__n")))
+          .select(col("neighbor_id").as("__rep"), col("centroid_id"))
+        mapped.join(repAssign, Seq("__rep"))
+          .select(col("neighbor_id"), col("centroid_id"), col("cv"), col("__n"))
+      }
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("__qn", sqrt(dotF(col("qv"), col("qv"))))
     val probes = q.crossJoin(broadcast(cent))
-      .withColumn("pcos", cosineF(col("qv"), col("centv")))
+      .withColumn("pcos",
+        dotF(col("qv"), col("centv")) / (col("__qn") * col("__cn")))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("pcos").desc, col("centroid_id").asc)
     val probed = probes.withColumn("r", row_number().over(wProbe))
       .where(col("r") <= nprobe)
-      .select(col("query_id"), col("qv"), col("centroid_id"))
+      .select(col("query_id"), col("qv"), col("__qn"), col("centroid_id"))
     val scored = inv.join(broadcast(probed), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosineF(col("qv"), col("cv")))
+      .withColumn("cos", dotF(col("qv"), col("cv")) / (col("__qn") * col("__n")))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(wRank))
@@ -233,25 +290,67 @@ object Similarity {
     */
   def semanticClusters(df: DataFrame, idCol: String, vecCol: String,
                        planes: Int, dim: Int, threshold: Double,
-                       statsCache: Option[java.nio.file.Path] = None): DataFrame = {
+                       statsCache: Option[java.nio.file.Path] = None,
+                       collapse: Option[Boolean] = None): DataFrame = {
     registerFast(df)
-    val p =
-      if (planes > 0) planes
-      else adaptivePlanes(statsCache match {
-        case Some(dir) => graft.pipeline.ArtifactCache.cachedCount(df, dir)
-        case None      => df.count()
-      })
-    val sig = lshSignature(col(vecCol), p, dim)
-    val v = df.select(col(idCol), toDouble(col(vecCol)).as("__v"),
-      sig.as("__b")).localCheckpoint(eager = false)
-    val l = v.select(col(idCol).as("id_a"), col("__v").as("va"), col("__b"))
-    val r = v.select(col(idCol).as("id_b"), col("__v").as("vb"), col("__b"))
-    val edges = l.join(r, Seq("__b"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosineF(col("va"), col("vb")))
-      .where(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"))
-    val labels = Dedup.connectedComponents(df.select(col(idCol)), edges, idCol)
+    val n = statsCache match {
+      case Some(dir) => graft.pipeline.ArtifactCache.cachedCount(df, dir)
+      case None      => df.count()
+    }
+    val p = if (planes > 0) planes else adaptivePlanes(n)
+    val sig = lshSignature(col("__v"), p, dim)
+    val v0 = df.select(col(idCol), toDouble(col(vecCol)).as("__v"))
+
+    // Exact-duplicate pre-collapse behind a duplication probe (the
+    // dupClusters pattern, applied here after the sf10 sweep): identical
+    // embeddings ALWAYS share every bucket and verify at cosine 1, so a
+    // replicated corpus signs, bucket-joins and CC-labels one
+    // representative per distinct vector; members inherit its cluster.
+    // Result-identical — cluster_id = min id still holds because every
+    // member id ≥ its representative's id. Zero vectors are NOT collapsed:
+    // their pairwise cosine is NaN (0/0), so identical zero vectors stay
+    // singletons exactly as the uncollapsed path leaves them. `collapse`
+    // overrides the probe (both paths are result-equal; specs pin that).
+    def distinctCount(): Long = statsCache match {
+      case Some(dir) => graft.pipeline.ArtifactCache.cachedStat(df, dir,
+        s"adistinct_$vecCol")(
+        df.agg(approx_count_distinct(col(vecCol))).head().getLong(0))
+      case None => df.agg(approx_count_distinct(col(vecCol))).head().getLong(0)
+    }
+
+    def bucketEdges(signed: DataFrame): DataFrame = {
+      val l = signed.select(col(idCol).as("id_a"), col("__v").as("va"), col("__b"))
+      val r = signed.select(col(idCol).as("id_b"), col("__v").as("vb"), col("__b"))
+      l.join(r, Seq("__b"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos", cosineF(col("va"), col("vb")))
+        .where(col("cos") >= threshold)
+        .select(col("id_a"), col("id_b"))
+    }
+
+    val doCollapse = collapse.getOrElse(distinctCount() < 0.9 * n)
+    val labels =
+      if (!doCollapse) {
+        val signed = v0.withColumn("__b", sig).localCheckpoint(eager = false)
+        Dedup.connectedComponents(df.select(col(idCol)), bucketEdges(signed),
+          idCol)
+      } else {
+        val collapsible = dotF(col("__v"), col("__v")) > 0.0
+        val byVec = Window.partitionBy(col("__v"))
+        val mapped = v0.select(col(idCol), col("__v"),
+          when(collapsible, min(col(idCol)).over(byVec))
+            .otherwise(col(idCol)).as("__rep"))
+          .localCheckpoint(eager = false) // feeds reps AND the member attach
+        val reps = mapped.where(col(idCol) === col("__rep"))
+          .select(col(idCol), col("__v")).withColumn("__b", sig)
+          .localCheckpoint(eager = false)
+        val repLabels = Dedup.connectedComponents(
+          reps.select(col(idCol)), bucketEdges(reps), idCol)
+          .withColumnRenamed(idCol, "__rep_id")
+        mapped.select(col(idCol), col("__rep"))
+          .join(repLabels, col("__rep") === col("__rep_id"))
+          .select(col(idCol), col("cluster_id"))
+      }
     val byCluster = Window.partitionBy(col("cluster_id"))
     labels
       .withColumn("cluster_size", count(lit(1)).over(byCluster))

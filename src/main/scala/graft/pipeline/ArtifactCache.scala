@@ -134,9 +134,18 @@ object ArtifactCache {
     * Frames with no addressable input files (in-memory test frames, views)
     * compute uncached — correct, just not amortized.
     */
-  def cachedCount(df: org.apache.spark.sql.DataFrame, cacheDir: Path): Long = {
+  def cachedCount(df: org.apache.spark.sql.DataFrame, cacheDir: Path): Long =
+    cachedStat(df, cacheDir, "count")(df.count())
+
+  /** Any Long plan-build statistic served through the same fingerprint
+    * keying as [[cachedCount]] (e.g. annIvf's duplication probe): key =
+    * canonicalized plan + input-file stats; non-local or unobservable
+    * inputs bypass the cache.
+    */
+  def cachedStat(df: org.apache.spark.sql.DataFrame, cacheDir: Path,
+                 name: String)(compute: => Long): Long = {
     val files = df.inputFiles.sorted
-    if (files.isEmpty) return df.count()
+    if (files.isEmpty) return compute
     // Only LOCAL files have a freshness signal we can observe (mtime+size).
     // A non-file scheme (hdfs://, s3a://) or an unresolvable/missing path
     // would stat as a constant "missing", making the key stable regardless
@@ -154,13 +163,13 @@ object ArtifactCache {
         }
       } catch { case _: Exception => None }
     }
-    if (states.exists(_.isEmpty)) return df.count()
+    if (states.exists(_.isEmpty)) return compute
     // the key carries the CANONICALIZED plan too, not just the backing
     // files: two different frames over the same parquet (a filtered corpus
-    // vs the full one) must not serve each other's count
+    // vs the full one) must not serve each other's statistic
     val plan = df.queryExecution.analyzed.canonicalized.toString
-    cachedScalar(cacheDir, "count",
-      plan + "\n" + states.flatten.mkString("\n"))(df.count())
+    cachedScalar(cacheDir, name,
+      plan + "\n" + states.flatten.mkString("\n"))(compute)
   }
 
   /** Serve a Long statistic through `<cacheDir>/stats/<name>-<sha>.txt`:

@@ -202,15 +202,19 @@ object QueriesLlm {
         FROM r WHERE rnk <= 5"""
   }
 
-  /** ann_ivf twin: same adaptive-stride centroids (max(37, ceil(sqrt(n))) —
-    * the sqrt(n)-centroids rule), nearest-centroid assignment, nprobe=2
-    * probing, in-list rerank — stage for stage.
+  /** ann_ivf twin: same adaptive-stride centroids (max(37, ceil(sqrt(n)),
+    * ceil(n/4096)) — the sqrt(n)-centroids rule with the linear-regime cap),
+    * nearest-centroid assignment, nprobe=2 probing, in-list rerank — stage
+    * for stage. The operator's duplicate pre-collapse is result-identical,
+    * so the oracle stays the from-scratch pipeline.
     */
   private def annIvfSql: String =
     s"""WITH cent AS (
           SELECT vec_id AS centroid_id, embedding AS centv
           FROM embeddings
-          WHERE vec_id % (SELECT GREATEST(37, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))
+          WHERE vec_id % (SELECT GREATEST(37,
+                            CAST(CEIL(SQRT(COUNT(*))) AS BIGINT),
+                            CAST(CEIL(COUNT(*) / 4096.0) AS BIGINT))
                           FROM embeddings) = 0),
         a AS (
           SELECT e.vec_id AS neighbor_id, e.embedding AS cv, centroid_id,

@@ -280,6 +280,47 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("annIvf collapsed path equals the uncollapsed assignment exactly") {
+    // doubled corpus: the duplicate probe collapses assignment to one
+    // representative per distinct vector; forcing collapse off must give
+    // the identical result (identical vectors argmax identically)
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val doubled = e.union(e.select(col("vec_id") + 1000000L, col("embedding")))
+    val q = e.filter(col("vec_id") < 3)
+    def run(collapse: Boolean) =
+      Similarity.annIvf(q, doubled, "vec_id", "embedding", k = 5,
+        minStride = 37L, nprobe = 2, collapse = Some(collapse))
+        .collect().map(_.toSeq).toSet
+    assert(run(true) == run(false) && run(true).nonEmpty)
+    // and the auto probe on this 50%-distinct corpus picks the same answer
+    val auto = Similarity.annIvf(q, doubled, "vec_id", "embedding", k = 5,
+      minStride = 37L, nprobe = 2).collect().map(_.toSeq).toSet
+    assert(auto == run(true))
+  }
+
+  test("semanticClusters collapsed path equals the uncollapsed clustering") {
+    val base = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val dim = base.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    val doubled = base
+      .union(base.select(col("vec_id") + 1000000L, col("embedding")))
+    def run(collapse: Boolean) =
+      Similarity.semanticClusters(doubled, "vec_id", "embedding",
+        planes = 6, dim = dim, threshold = 0.95, collapse = Some(collapse))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+        .toMap
+    val collapsed = run(true)
+    val uncollapsed = run(false)
+    assert(collapsed == uncollapsed)
+    // every duplicated pair landed in one cluster (cosine(v,v) = 1), with
+    // the base id canonical
+    assert(collapsed(1000000L)._1 == collapsed(0L)._1)
+    assert(collapsed(0L)._3 && !collapsed(1000000L)._3)
+  }
+
   test("ann_ivf: centroids partition the corpus; probing recalls most true neighbors") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter(col("vec_id") < 5)
