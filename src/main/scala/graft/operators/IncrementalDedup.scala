@@ -3,6 +3,7 @@ package graft.operators
 import java.nio.file.{Files, Path}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -12,37 +13,46 @@ import graft.functions.Text
   * run_build_if_needed) applied to a minhash signature index. A real
   * training pipeline dedups each new crawl INCREMENT against the existing
   * corpus without recomputing the corpus's signatures; this module persists
-  * the per-doc minhash state as a generation-append index:
+  * the per-text minhash state as a generation-append index:
   *
   * {{{
   * indexDir/
-  *   signatures/gen=N/   (id, sh, sig) for generation N's docs ONLY
-  *   edges/gen=N/        verified near-dup pairs contributed by gen N
-  *                       (within-increment ∪ increment-×-stored)
-  *   meta.json           params + committed generations — written LAST,
-  *                       atomically, so a crashed update is invisible
+  *   reps/gen=N/        (digest, rep_id): the NEW distinct shingleable
+  *                      texts generation N introduced
+  *   members/gen=N/     (id, rep_id): EVERY doc generation N ingested,
+  *                      mapped to its text's representative
+  *   signatures/gen=N/  (id, sh, sig) for generation N's new reps ONLY
+  *   edges/gen=N/       verified near-dup pairs contributed by gen N
+  *                      (within-new ∪ new-×-stored, reps only)
+  *   meta.json          params + committed generations — written LAST,
+  *                      atomically, so a crashed update is invisible
   * }}}
   *
-  * [[update]] computes signatures for the increment alone (the stored
-  * generations are READ, never recomputed or rewritten — the property
-  * ArtifactGraphSpec pins), bucket-joins the increment's band keys against
-  * the stored index for cross-run candidates, verifies exact Jaccard on
-  * candidates only, and appends one generation. Updates are idempotent by
-  * generation key: re-submitting a committed key is a no-op (the freshness
-  * check of the artifact story).
+  * Incrementality is TWO-LEVEL, which is what makes it hold on real crawls
+  * (mostly exact re-crawls of the existing corpus): an increment doc whose
+  * text digest is already in the stored rep map becomes a membership row
+  * and computes NOTHING; only new DISTINCT shingleable texts compute
+  * signatures, bucket-join the stored band keys for cross-run candidates,
+  * and verify exact Jaccard on candidates. Stored generations are read,
+  * never recomputed or rewritten (ArtifactGraphSpec pins both properties).
+  * Updates are idempotent by generation key — re-submitting a committed key
+  * is a no-op, the freshness check of the artifact story. Docs too short to
+  * shingle are their own representatives and never enter the rep map:
+  * identical short docs must stay separate singletons, exactly as
+  * [[Dedup.dupClusters]] leaves them.
   *
   * [[clusters]] equals from-scratch [[Dedup.dupClusters]] on the union
-  * corpus BY CONSTRUCTION: band buckets are per-doc (independent of which
-  * run computed them), so stored-gen edges ∪ increment edges is exactly the
-  * union corpus's verified candidate-pair set, and the same
-  * connected-components + min-id labeling runs over it.
+  * corpus: components are sets of TEXT-GROUPS (identical texts carry
+  * identical shingle sets, so which doc represents a group cannot change
+  * the verified edge set), membership attaches every doc to its group, and
+  * cluster_id/size recompute as min-id/count over the component's members —
+  * the same labeling dupClusters produces.
   *
-  * Scale posture: the index is O(corpus) parquet — the standard cost of
-  * incremental dedup — and an update's work is O(increment signatures +
-  * bucket collisions against the index), never O(corpus). The CC label pass
-  * reruns over the union edge set, which is candidate-graph-sized, not
-  * corpus-sized; signature computation (the dominant cost) is strictly
-  * incremental.
+  * Scale posture: the index is O(distinct texts) parquet; an update's work
+  * is O(increment) digests + O(new distinct texts) signatures + bucket
+  * collisions against the index — never O(corpus). The CC pass reruns over
+  * the rep edge graph (candidate-sized); the member attach is one
+  * digest-keyed join.
   */
 object IncrementalDedup {
 
@@ -54,14 +64,15 @@ object IncrementalDedup {
   final case class Meta(idCol: String, textCol: String, params: Params,
                         gens: Seq[Generation])
 
+  /** newSignatures counts the signatures this update computed = the NEW
+    * distinct shingleable texts — an exact-dup-only increment reports 0.
+    */
   final case class UpdateReport(gen: Int, newSignatures: Long,
                                 newEdges: Long, skipped: Boolean)
 
   private def metaFile(indexDir: Path): Path = indexDir.resolve("meta.json")
-  private def sigDir(indexDir: Path, gen: Int): Path =
-    indexDir.resolve("signatures").resolve(s"gen=$gen")
-  private def edgeDir(indexDir: Path, gen: Int): Path =
-    indexDir.resolve("edges").resolve(s"gen=$gen")
+  private def dir(indexDir: Path, kind: String, gen: Int): Path =
+    indexDir.resolve(kind).resolve(s"gen=$gen")
 
   // ---------------------------------------------------------------- meta io
 
@@ -71,7 +82,7 @@ object IncrementalDedup {
       s"""{"gen": ${g.gen}, "key": ${jsonStr(g.key)}, "n_docs": ${g.nDocs}}"""
     }.mkString("[", ", ", "]")
     val json =
-      s"""{"version": 1, "id_col": ${jsonStr(m.idCol)},
+      s"""{"version": 2, "id_col": ${jsonStr(m.idCol)},
          | "text_col": ${jsonStr(m.textCol)},
          | "shingle_size": ${m.params.shingleSize},
          | "num_perm": ${m.params.numPerm}, "bands": ${m.params.bands},
@@ -102,8 +113,8 @@ object IncrementalDedup {
   // ---------------------------------------------------------------- update
 
   /** Ingest one increment under `genKey`. Stored generations are read-only
-    * inputs; only the increment's signatures are computed. Re-submitting a
-    * committed key skips all work (idempotent replay).
+    * inputs; signatures are computed for the increment's NEW DISTINCT
+    * shingleable texts only. Re-submitting a committed key skips all work.
     */
   def update(spark: SparkSession, indexDir: Path, increment: DataFrame,
              textCol: String, idCol: String, genKey: String,
@@ -137,35 +148,72 @@ object IncrementalDedup {
                      genKey: String, params: Params,
                      meta: Option[Meta]): UpdateReport = {
     val gen = meta.map(_.gens.map(_.gen).max + 1).getOrElse(1)
-    val rows = params.numPerm / params.bands
+    val storedGens = meta.map(_.gens.map(_.gen)).getOrElse(Nil)
+    def storedUnion(kind: String): Option[DataFrame] = storedGens match {
+      case Nil  => None
+      case gens => Some(spark.read.parquet(
+        gens.map(g => dir(indexDir, kind, g).toString): _*))
+    }
 
-    // the increment's signatures — the ONLY signature computation this
-    // update runs — written first (invisible until the meta commit), then
-    // read back so candidates and verification reuse the stored bytes
-    Dedup.signedShingles(increment, textCol, idCol,
-      params.shingleSize, params.numPerm)
-      .write.mode("overwrite").parquet(sigDir(indexDir, gen).toString)
-    val mySigs = spark.read.parquet(sigDir(indexDir, gen).toString)
+    // digest + shingleability once per doc ("t:"-prefix/null-sentinel — the
+    // corpus journey's digest scheme); the frame feeds the rep join, the
+    // member map and the new-rep signature build
+    val inc = increment.select(col(idCol), col(textCol),
+      sha2(coalesce(concat(lit("t:"), col(textCol).cast("string")),
+        lit("null:")), 256).as("__d"),
+      (size(Text.tokens(col(textCol))) >= params.shingleSize).as("__ok"))
+      .localCheckpoint(eager = false)
+
+    // LEVEL 1: docs whose text the index already knows become membership
+    // rows — zero signature work. (Only shingleable texts live in the rep
+    // map, and shingleability is a function of the text, so a digest match
+    // implies a shingleable doc.)
+    val storedReps = storedUnion("reps")
+    val joined = storedReps match {
+      case None     => inc.withColumn("rep_id", lit(null).cast("long"))
+      case Some(sr) => inc.join(sr, Seq("__d"), "left")
+    }
+    val matched = joined.where(col("rep_id").isNotNull)
+      .select(col(idCol), col("rep_id"))
+    // LEVEL 2: new texts collapse to a min-id representative per digest;
+    // docs too short to shingle are their own reps and never join the map
+    val byDigest = Window.partitionBy(col("__d"))
+    val fresh = joined.where(col("rep_id").isNull)
+      .select(col(idCol), col(textCol), col("__d"), col("__ok"),
+        when(col("__ok"), min(col(idCol)).over(byDigest))
+          .otherwise(col(idCol)).as("__rep"))
+      .localCheckpoint(eager = false) // feeds reps, members AND signatures
+    val newRepDocs = fresh
+      .where(col(idCol) === col("__rep") && col("__ok"))
+
+    // the ONLY signature computation this update runs — written first
+    // (invisible until the meta commit), read back so candidates and
+    // verification reuse the stored bytes
+    Dedup.signedShingles(newRepDocs.select(col(idCol), col(textCol)),
+      textCol, idCol, params.shingleSize, params.numPerm)
+      .write.mode("overwrite").parquet(dir(indexDir, "signatures", gen).toString)
+    val mySigs = spark.read.parquet(dir(indexDir, "signatures", gen).toString)
     val nNew = mySigs.count()
 
+    newRepDocs.select(col("__d"), col(idCol).as("rep_id"))
+      .write.mode("overwrite").parquet(dir(indexDir, "reps", gen).toString)
+    matched
+      .unionByName(fresh.select(col(idCol), col("__rep").as("rep_id")))
+      .write.mode("overwrite").parquet(dir(indexDir, "members", gen).toString)
+
+    // candidates: within the new reps (id_a < id_b) plus cross-run — new
+    // band keys bucket-join the STORED signatures; degree bounded by bucket
+    // size, the corpus never re-signs
+    val rows = params.numPerm / params.bands
     val foldFn = graft.functions.BandFold.register(spark, params.bands, rows,
       Dedup.BandFoldPrime)
     def banded(f: DataFrame, as: String): DataFrame =
       f.select(col(idCol).as(as),
         posexplode(call_function(foldFn, col("sig")))
           .as(Seq("band", "band_hash")))
-
-    // within-increment candidates (id_a < id_b, the dupClusters norm) plus
-    // cross-run candidates: increment band keys bucket-join the STORED
-    // index — degree bounded by bucket size, corpus never re-signed
     val within = Dedup.minhashCandidates(mySigs.select(col(idCol), col("sig")),
       idCol, "sig", params.bands, rows)
-    val storedGens = meta.map(_.gens.map(_.gen)).getOrElse(Nil)
-    val stored = storedGens match {
-      case Nil  => None
-      case gens => Some(spark.read.parquet(
-        gens.map(g => sigDir(indexDir, g).toString): _*))
-    }
+    val stored = storedUnion("signatures")
     val cands = stored match {
       case None => within
       case Some(st) =>
@@ -176,44 +224,46 @@ object IncrementalDedup {
           .distinct()
         within.unionByName(cross)
     }
-
-    // exact-Jaccard verify on candidates only, shingle sets served from the
-    // index (stored gens + the new one)
     val allSigs = stored.fold(mySigs)(_.unionByName(mySigs))
     val edges = cands
       .join(allSigs.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(allSigs.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
       .where(Text.jaccard(col("sh_a"), col("sh_b")) >= params.threshold)
       .select(col("id_a"), col("id_b"))
-    edges.write.mode("overwrite").parquet(edgeDir(indexDir, gen).toString)
-    val nEdges = spark.read.parquet(edgeDir(indexDir, gen).toString).count()
+    edges.write.mode("overwrite").parquet(dir(indexDir, "edges", gen).toString)
+    val nEdges = spark.read.parquet(dir(indexDir, "edges", gen).toString).count()
 
     saveMeta(indexDir, Meta(idCol, textCol, params,
-      meta.map(_.gens).getOrElse(Nil) :+ Generation(gen, genKey, nNew)))
+      meta.map(_.gens).getOrElse(Nil) :+
+        Generation(gen, genKey, increment.count())))
     UpdateReport(gen, nNew, nEdges, skipped = false)
   }
 
   // --------------------------------------------------------------- clusters
 
   /** Duplicate clusters over EVERYTHING the index has ingested — equal to
-    * [[Dedup.dupClusters]] run from scratch on the union corpus: same
-    * candidate set (band buckets are per-doc), same verified edges, same
-    * min-id connected-components labeling.
+    * [[Dedup.dupClusters]] run from scratch on the union corpus: connected
+    * components over the rep edge graph, membership attach, then
+    * cluster_id = min member id and cluster_size = member count per
+    * component (recomputed over members, so the labeling is exact whatever
+    * the id ordering across generations).
     */
   def clusters(spark: SparkSession, indexDir: Path): DataFrame = {
     val m = loadMeta(indexDir).getOrElse(throw new IllegalArgumentException(
       s"dedup index '$indexDir' has no committed generations"))
     val gens = m.gens.map(_.gen)
-    val nodes = spark.read
-      .parquet(gens.map(g => sigDir(indexDir, g).toString): _*)
-      .select(col(m.idCol))
-    val edges = spark.read
-      .parquet(gens.map(g => edgeDir(indexDir, g).toString): _*)
-    val labels = Dedup.connectedComponents(nodes, edges, m.idCol)
-    val byCluster = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cluster_id"))
-    labels
-      .withColumn("cluster_size", count(lit(1)).over(byCluster))
+    def read(kind: String): DataFrame =
+      spark.read.parquet(gens.map(g => dir(indexDir, kind, g).toString): _*)
+    val members = read("members")
+    val edges = read("edges")
+    val nodes = members.select(col("rep_id").as(m.idCol)).distinct()
+    val repLabels = Dedup.connectedComponents(nodes, edges, m.idCol)
+      .select(col(m.idCol).as("rep_id"), col("cluster_id").as("__lab"))
+    val byLab = Window.partitionBy(col("__lab"))
+    members.join(repLabels, Seq("rep_id"))
+      .select(col(m.idCol),
+        min(col(m.idCol)).over(byLab).as("cluster_id"),
+        count(lit(1)).over(byLab).as("cluster_size"))
       .withColumn("is_canonical", col(m.idCol) === col("cluster_id"))
   }
 }

@@ -349,16 +349,21 @@ class ArtifactGraphSpec extends SparkSpec {
 
     val r2 = IncrementalDedup.update(spark, idx, inc, "text", "doc_id", "crawl-2")
     assert(!r2.skipped && r2.gen == 2, "second run appends a generation")
-    assert(r2.newSignatures == 2,
-      "run 2 must compute signatures for the increment only")
+    // doc 10 is an exact re-crawl of doc 1's text: membership row, no
+    // signature — only doc 11's genuinely new text signs
+    assert(r2.newSignatures == 1,
+      "run 2 must compute signatures for the increment's NEW texts only")
     // the stored generation is untouched: same files, same stats
     val gen1After = Files.list(idx.resolve("signatures").resolve("gen=1"))
       .toArray.map(_.toString).sorted.toSeq
     assert(gen1After == gen1Files && gen1After.map(f =>
       Files.getLastModifiedTime(java.nio.file.Paths.get(f)).toMillis) == gen1Mtimes,
       "run 2 must not rewrite run 1's stored signatures")
-    // gen-2's signature store holds increment rows only
+    // gen-2's signature store holds the one new text; its member map holds
+    // both increment docs
     assert(spark.read.parquet(idx.resolve("signatures").resolve("gen=2")
+      .toString).count() == 1)
+    assert(spark.read.parquet(idx.resolve("members").resolve("gen=2")
       .toString).count() == 2)
 
     // increment+index equals from-scratch dupClusters on the union corpus
