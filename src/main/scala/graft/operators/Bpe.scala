@@ -46,9 +46,11 @@ object Bpe {
         .otherwise(concat(acc, lit(" "), s)))
   }
 
-  /** Vocabulary frame (syms = space-joined characters, n = corpus word
-    * frequency): the one corpus-wide aggregate, checkpointed because every
-    * round reads it.
+  /** Vocabulary frame (w = the word, syms = space-joined characters, n =
+    * corpus word frequency): the one corpus-wide aggregate, checkpointed
+    * because every round reads it. The word rides along untouched so the
+    * fully-merged final vocabulary doubles as the ENCODE map (word → its
+    * trained segmentation) — training and encoding share the same frame.
     */
   private[graft] def initVocab(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(Text.tokens(col(textCol))).as("w"))
@@ -57,7 +59,8 @@ object Bpe {
       // split between characters only: the lookaheads exclude the start AND
       // end positions (Spark's split keeps trailing empty matches, so a
       // bare (?!^) would append a phantom empty symbol to every word)
-      .select(concat_ws(" ", split(col("w"), "(?!^)(?!$)")).as("syms"), col("n"))
+      .select(col("w"), concat_ws(" ", split(col("w"), "(?!^)(?!$)")).as("syms"),
+        col("n"))
       .localCheckpoint(eager = false)
 
   /** The round's winning pair: vocabulary-bounded pair counts (bigram
@@ -77,13 +80,19 @@ object Bpe {
       .limit(1)
   }
 
-  /** Train `rounds` BPE merges over the corpus; returns the merge table
-    * (rnd 1-based, lhs, rhs, cnt) — ≤ rounds rows, driver-side by design
-    * (the merge table IS the tokenizer artifact). Stops early if the
+  /** A trained tokenizer: the merge table (rnd 1-based, lhs, rhs, cnt —
+    * ≤ rounds rows, driver-side by design; the merge table IS the portable
+    * artifact) plus the fully-merged vocabulary frame (w, syms, n) the
+    * training loop materialized anyway — word → trained segmentation, i.e.
+    * the corpus encode map, vocabulary-sized and already checkpointed.
+    */
+  final case class Model(merges: Seq[(Int, String, String, Long)],
+                         vocab: DataFrame)
+
+  /** Train `rounds` BPE merges over the corpus. Stops early if the
     * vocabulary runs out of adjacent pairs.
     */
-  def merges(df: DataFrame, textCol: String,
-             rounds: Int): Seq[(Int, String, String, Long)] = {
+  def train(df: DataFrame, textCol: String, rounds: Int): Model = {
     require(rounds > 0, s"bpe: rounds must be > 0, got $rounds")
     var vocab = initVocab(df, textCol)
     val out = Seq.newBuilder[(Int, String, String, Long)]
@@ -102,7 +111,42 @@ object Bpe {
           rnd += 1
       }
     }
-    out.result()
+    Model(out.result(), vocab)
+  }
+
+  /** The merge table alone (see [[train]]). */
+  def merges(df: DataFrame, textCol: String,
+             rounds: Int): Seq[(Int, String, String, Long)] =
+    train(df, textCol, rounds).merges
+
+  /** Apply a trained tokenizer back to the corpus: per-document token
+    * accounting under the learned merges (n_words, n_chars, n_tokens —
+    * n_tokens shrinks toward n_words as merges bite; without any merge it
+    * equals n_chars). Documents with no non-empty token are absent, matching
+    * the vocabulary's domain.
+    *
+    * Scale posture: the encode map is [[train]]'s final vocabulary — word →
+    * size of its merged segmentation, VOCABULARY-sized. The corpus-sized
+    * side is first collapsed to per-document term frequencies (partial
+    * aggregation map-side, shuffle keyed by (id, word)), so the join against
+    * the encode map moves per-doc-vocabulary rows, not raw token
+    * occurrences, and AQE broadcasts the map when it is small. No row ever
+    * re-runs the merge fold over document text.
+    */
+  def encodeStats(df: DataFrame, idCol: String, textCol: String,
+                  rounds: Int): DataFrame = {
+    val model = train(df, textCol, rounds)
+    val tokMap = model.vocab.select(col("w"),
+      size(split(col("syms"), " ")).cast("long").as("wtoks"))
+    val tf = df
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+    tf.join(tokMap, "w")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).cast("long").as("n_words"),
+        sum(col("tf") * length(col("w"))).cast("long").as("n_chars"),
+        sum(col("tf") * col("wtoks")).cast("long").as("n_tokens"))
   }
 
   /** [[merges]] as a DataFrame for the gated query/bench surface. */

@@ -423,6 +423,16 @@ object QueriesLlm {
       graft.operators.Bpe.mergesFrame(documents(s, d), "text", BpeRounds)
     },
 
+    // Tokenizer APPLICATION (the third pass, closing the loop after
+    // vocab_topk's counts and bpe_merges' training): per-document token
+    // accounting under the trained merges. The encode map is the training
+    // loop's fully-merged vocabulary; documents collapse to term
+    // frequencies before joining it, so no corpus row re-runs a merge fold.
+    "bpe_encode" -> { (s, d) =>
+      graft.operators.Bpe.encodeStats(documents(s, d), "doc_id", "text",
+        BpeRounds)
+    },
+
     // Per-document salient terms by tf-idf (top 3, term-asc tiebreak) —
     // the keyword/topic feature a curation pipeline derives per doc. The
     // per-doc window is bounded by document vocabulary (≤ doc length), so
@@ -677,12 +687,16 @@ object QueriesLlm {
     */
   private[queries] val BpeRounds = 8
 
-  /** DuckDB twin of Bpe.merges: the k rounds unrolled as CTE blocks (the
-    * curation_kmeans pattern). The merge step is the same left fold Spark's
-    * aggregate() runs, via list_reduce over the split symbol string — and
-    * the pair rank carries the identical (count desc, lhs, rhs) tiebreak.
+  /** Shared CTE chain of the BPE twins: k training rounds unrolled as CTE
+    * blocks (the curation_kmeans pattern). The merge step is the same left
+    * fold Spark's aggregate() runs, via list_reduce over the split symbol
+    * string — and the pair rank carries the identical (count desc, lhs,
+    * rhs) tiebreak. The word rides through every w$i so w${rounds+1} — the
+    * fully-merged vocabulary — is the encode map, exactly as in Bpe.train.
+    * DuckDB inlines unreferenced CTEs away, so bpe_merges pays nothing for
+    * the final merge block it never reads.
     */
-  private def bpeMergesSql(rounds: Int): String = {
+  private def bpeCtes(rounds: Int): String = {
     def roundCtes(i: Int) =
       s"""p$i AS (
             SELECT u.lhs, u.rhs, CAST(SUM(u.n) AS BIGINT) AS cnt FROM (
@@ -697,7 +711,8 @@ object QueriesLlm {
             ORDER BY cnt DESC, lhs, rhs LIMIT 1)"""
     def mergeCte(i: Int) =
       s"""w${i + 1} AS (
-            SELECT list_reduce(string_split(w.syms, ' '), (acc, s) ->
+            SELECT w.word AS word,
+                   list_reduce(string_split(w.syms, ' '), (acc, s) ->
                      CASE WHEN s = b.rhs
                             AND (acc = b.lhs OR ends_with(acc, ' ' || b.lhs))
                           THEN substr(acc, 1, len(acc) - len(b.lhs))
@@ -705,23 +720,51 @@ object QueriesLlm {
                           ELSE acc || ' ' || s END) AS syms,
                    w.n AS n
             FROM w$i w, b$i b)"""
-    val blocks = (1 to rounds).map { i =>
-      if (i < rounds) roundCtes(i) + ",\n" + mergeCte(i) else roundCtes(i)
-    }.mkString(",\n")
-    val finals = (1 to rounds).map { i =>
-      s"SELECT $i AS rnd, lhs, rhs, cnt FROM b$i"
-    }.mkString("\nUNION ALL ")
-    s"""WITH wsrc AS (
+    val blocks = (1 to rounds)
+      .map(i => roundCtes(i) + ",\n" + mergeCte(i)).mkString(",\n")
+    s"""wsrc AS (
           SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
             SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
             FROM documents)
           WHERE word != '' GROUP BY word),
         w1 AS (
-          SELECT array_to_string([word[i] for i in generate_series(1, len(word))], ' ') AS syms, n
+          SELECT word,
+                 array_to_string([word[i] for i in generate_series(1, len(word))], ' ') AS syms,
+                 n
           FROM wsrc),
-        $blocks
+        $blocks"""
+  }
+
+  /** DuckDB twin of Bpe.merges: the per-round winners. */
+  private def bpeMergesSql(rounds: Int): String = {
+    val finals = (1 to rounds).map { i =>
+      s"SELECT $i AS rnd, lhs, rhs, cnt FROM b$i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${bpeCtes(rounds)}
         $finals"""
   }
+
+  /** DuckDB twin of Bpe.encodeStats: the fully-merged vocabulary w${k+1} is
+    * the word → token-count map; documents collapse to term frequencies and
+    * join it, mirroring the Spark plan's tf-compressed join.
+    */
+  private def bpeEncodeSql(rounds: Int): String =
+    s"""WITH ${bpeCtes(rounds)},
+        tokmap AS (
+          SELECT word, CAST(len(string_split(syms, ' ')) AS BIGINT) AS wtoks
+          FROM w${rounds + 1}),
+        tf AS (
+          SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+            FROM documents)
+          WHERE word != '' GROUP BY doc_id, word)
+        SELECT doc_id,
+               CAST(SUM(tf) AS BIGINT) AS n_words,
+               CAST(SUM(tf * len(word)) AS BIGINT) AS n_chars,
+               CAST(SUM(tf * wtoks) AS BIGINT) AS n_tokens
+        FROM tf JOIN tokmap USING (word)
+        GROUP BY doc_id"""
 
   /** corpus_filter twin — shared with the streaming query
     * (stream_corpus_filter applies the identical gate at ingest).
@@ -754,6 +797,7 @@ object QueriesLlm {
     "dedup_minhash" -> minhashSql,
     "decontam_fuzzy" -> decontamFuzzySql,
     "bpe_merges" -> bpeMergesSql(BpeRounds),
+    "bpe_encode" -> bpeEncodeSql(BpeRounds),
 
     "dedup_semantic" ->
       s"""WITH RECURSIVE mx AS (SELECT max(vec_id) AS m FROM embeddings),

@@ -34,6 +34,26 @@ class BpeSpec extends SparkSpec {
     assert(sneaky == "ba a")
   }
 
+  test("encodeStats applies the trained merges per document") {
+    // merges after 3 rounds (see the hand-computed case above):
+    // aaab → "aaab" (1 token), ab → "ab" (1 token)
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab ab ab"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = Bpe.encodeStats(docs, "doc_id", "text", rounds = 4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // (doc_id, n_words, n_chars, n_tokens); doc 3 has no tokens → absent
+    assert(got == Seq((1L, 3L, 10L, 3L), (2L, 3L, 8L, 3L)))
+  }
+
+  test("encodeStats under fewer rounds leaves words partially merged") {
+    // 1 round merges only (a,a): aaab → "aa a b" (3), ab → "a b" (2)
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val r = Bpe.encodeStats(docs, "doc_id", "text", rounds = 1).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 10L, 8L)))
+  }
+
   test("single-character vocabulary exhausts immediately") {
     val docs = Seq("a b c", "b c a").toDF("text")
     // every word is one symbol: zero pairs, zero merges

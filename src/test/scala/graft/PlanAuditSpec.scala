@@ -198,6 +198,19 @@ class PlanAuditSpec extends SparkSpec {
       "chunking must plan as a Generate explode, not a join")
   }
 
+  audit("bpe_encode") { plan =>
+    // tokenizer application: the encode map is the training loop's final
+    // checkpointed vocabulary (enters as ExistingRDD), the corpus collapses
+    // to per-doc term frequencies map-side before the join, and candidates
+    // attach by word equality — never a nested loop
+    assert(plan.contains("Scan ExistingRDD"),
+      "the encode map must enter through the training checkpoint boundary")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      "term frequencies must partially aggregate before the encode-map join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "the encode map attaches by word equi-join")
+  }
+
   audit("vocab_topk") { plan =>
     // global top-k = partial counts then TakeOrdered over the vocabulary —
     // never a single-partition global sort of all counts
