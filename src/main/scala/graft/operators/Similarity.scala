@@ -40,6 +40,16 @@ object Similarity {
   private def cosineF(a: Column, b: Column): Column =
     dotF(a, b) / (sqrt(dotF(a, a)) * sqrt(dotF(b, b)))
 
+  /** Zero vectors have no direction: cosine against anything is 0/0 — an
+    * ANSI DIVIDE_BY_ZERO job-killer, and under non-ANSI Spark orders the
+    * resulting NaN ABOVE every real number, so a zero pair would rank
+    * first and pass any threshold. Every cosine path therefore excludes
+    * zero vectors up front (they can never genuinely satisfy a similarity
+    * predicate); at corpus scale this is the one-malformed-row-kills-the-
+    * job guard.
+    */
+  private def nonZero(vec: Column): Column = dotF(vec, vec) > 0.0
+
   /** Unit-normalize a vector (zero vectors pass through as zeros). */
   def l2Normalize(a: Column): Column = {
     val n = norm(a)
@@ -54,7 +64,9 @@ object Similarity {
                     vecCol: String, k: Int): DataFrame = {
     registerFast(corpus)
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .where(nonZero(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .where(nonZero(col("cv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosineF(col("qv"), col("cv")))
@@ -76,7 +88,9 @@ object Similarity {
     import spark.implicits._
     registerFast(corpus)
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .where(nonZero(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .where(nonZero(col("cv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), cosineF(col("qv"), col("cv")).as("cos"),
@@ -128,8 +142,10 @@ object Similarity {
     val sig = lshSignature(col(vecCol), planes, dim)
     val q = queries.select(col(idCol).as("query_id"),
       toDouble(col(vecCol)).as("qv"), sig.as("bucket"))
+      .where(nonZero(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       toDouble(col(vecCol)).as("cv"), sig.as("bucket"))
+      .where(nonZero(col("cv")))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosineF(col("qv"), col("cv")))
@@ -195,11 +211,13 @@ object Similarity {
       math.ceil(n.toDouble / maxCentroids).toLong).max
     val cent = corpus.filter(pmod(col(idCol), lit(stride)) === 0)
       .select(col(idCol).as("centroid_id"), toDouble(col(vecCol)).as("centv"))
+      .where(nonZero(col("centv")))
       // norms once per centroid — cosine against C centroids then costs one
       // dot per pair instead of three (bit-identical: same subexpressions)
       .withColumn("__cn", sqrt(dotF(col("centv"), col("centv"))))
     val c = corpus
       .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .where(nonZero(col("cv")))
       .withColumn("__n", sqrt(dotF(col("cv"), col("cv"))))
     def assign(vecs: DataFrame): DataFrame = {
       val assigned = vecs.crossJoin(broadcast(cent))
@@ -243,6 +261,7 @@ object Similarity {
           .select(col("neighbor_id"), col("centroid_id"), col("cv"), col("__n"))
       }
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .where(nonZero(col("qv")))
       .withColumn("__qn", sqrt(dotF(col("qv"), col("qv"))))
     val probes = q.crossJoin(broadcast(cent))
       .withColumn("pcos",
@@ -307,9 +326,9 @@ object Similarity {
     // replicated corpus signs, bucket-joins and CC-labels one
     // representative per distinct vector; members inherit its cluster.
     // Result-identical — cluster_id = min id still holds because every
-    // member id ≥ its representative's id. Zero vectors are NOT collapsed:
-    // their pairwise cosine is NaN (0/0), so identical zero vectors stay
-    // singletons exactly as the uncollapsed path leaves them. `collapse`
+    // member id ≥ its representative's id. Zero vectors are NOT collapsed
+    // and never bucket (cosine is 0/0 — undefined; see nonZero): identical
+    // zero vectors stay separate singletons in both paths. `collapse`
     // overrides the probe (both paths are result-equal; specs pin that).
     def distinctCount(): Long = statsCache match {
       case Some(dir) => graft.pipeline.ArtifactCache.cachedStat(df, dir,
@@ -331,7 +350,10 @@ object Similarity {
     val doCollapse = collapse.getOrElse(distinctCount() < 0.9 * n)
     val labels =
       if (!doCollapse) {
-        val signed = v0.withColumn("__b", sig).localCheckpoint(eager = false)
+        // zero vectors never bucket (see nonZero) — they reattach as
+        // singletons through the CC left join over ALL ids
+        val signed = v0.where(nonZero(col("__v")))
+          .withColumn("__b", sig).localCheckpoint(eager = false)
         Dedup.connectedComponents(df.select(col(idCol)), bucketEdges(signed),
           idCol)
       } else {
@@ -344,8 +366,11 @@ object Similarity {
         val reps = mapped.where(col(idCol) === col("__rep"))
           .select(col(idCol), col("__v")).withColumn("__b", sig)
           .localCheckpoint(eager = false)
+        // CC nodes = ALL reps (zero-vector reps label themselves); only
+        // nonzero reps enter the bucket join
         val repLabels = Dedup.connectedComponents(
-          reps.select(col(idCol)), bucketEdges(reps), idCol)
+          reps.select(col(idCol)),
+          bucketEdges(reps.where(nonZero(col("__v")))), idCol)
           .withColumnRenamed(idCol, "__rep_id")
         mapped.select(col(idCol), col("__rep"))
           .join(repLabels, col("__rep") === col("__rep_id"))
@@ -359,7 +384,10 @@ object Similarity {
 
   /** Near-duplicate pairs by embedding cosine over a bounded neighbor window
     * (id, id+1..id+lookahead) — the oracle-checkable linear-pair variant; the
-    * LSH path above is the unbounded-scale variant.
+    * LSH path above is the unbounded-scale variant. Emits one row per pair
+    * unconditionally, so inputs must be nonzero vectors (a zero vector's
+    * cosine is 0/0 — undefined); the LSH/cluster paths exclude zero vectors
+    * instead of erroring.
     */
   def embedCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                        lookahead: Int, threshold: Double): DataFrame = {

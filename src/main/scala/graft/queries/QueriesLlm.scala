@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -124,6 +125,44 @@ object QueriesLlm {
                doc_id = cluster_id AS is_canonical
         FROM lab"""
 
+  /** dedup_semantic twin (shared with dedup_incremental_semantic): the
+    * planted-duplicate corpus of [[semanticCorpus]], pinned-6-plane LSH
+    * buckets, exact-cosine edges, transitive closure via a recursive CTE.
+    */
+  private def dedupSemanticSql: String =
+    s"""WITH RECURSIVE mx AS (SELECT max(vec_id) AS m FROM embeddings),
+        corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + m + 1, embedding FROM embeddings, mx
+          WHERE vec_id % 10 = 0
+          UNION ALL
+          SELECT vec_id + 2 * m + 2, embedding FROM embeddings, mx
+          WHERE vec_id % 50 = 0),
+        sig AS (
+          SELECT vec_id, embedding,
+                 CAST(${lshBucketSql()} AS BIGINT) AS bucket
+          FROM corpus),
+        pairs AS (
+          SELECT l.vec_id AS id_a, r.vec_id AS id_b
+          FROM sig l JOIN sig r
+            ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+          WHERE ${cosSql("l.embedding", "r.embedding")} >= 0.95),
+        e AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach(id, rr) AS (
+          SELECT vec_id, vec_id FROM corpus
+          UNION
+          SELECT e.dst, reach.rr FROM reach JOIN e ON e.src = reach.id),
+        lab AS (
+          SELECT id AS vec_id, min(rr) AS cluster_id FROM reach GROUP BY id)
+        SELECT vec_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+               vec_id = cluster_id AS is_canonical
+        FROM lab"""
+
   /** Full simhash pipeline in DuckDB: token → portable hash → 60 bit-sign
     * sums → signature → 4×15-bit band bucket counts.
     */
@@ -246,6 +285,25 @@ object QueriesLlm {
                           ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM sc)
         WHERE rnk <= 5"""
 
+  /** The semantic-dedup test corpus, shared by dedup_semantic and
+    * dedup_incremental_semantic: the synthetic embeddings are
+    * near-orthogonal (max pair cosine ~0.48), so both engines plant the
+    * SAME deterministic duplicates — one copy of every 10th vector, a
+    * second copy of every 50th. Planted ids offset RELATIVE to max(vec_id)
+    * so no scale factor can collide a copy with a real vector (a fixed
+    * +100000 breaks once the corpus outgrows it); one metadata-scale max
+    * per invocation.
+    */
+  private def semanticCorpus(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+    def planted(mod: Int, offset: Long) =
+      e.filter(pmod(col("vec_id"), lit(mod)) === 0)
+        .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
+    e.unionByName(planted(10, maxId + 1))
+      .unionByName(planted(50, 2 * maxId + 2))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "dedup_exact" -> { (s, d) =>
       Dedup.exact(documents(s, d), "text", "doc_id")
@@ -284,6 +342,32 @@ object QueriesLlm {
           col("is_canonical"))
     },
 
+    // Cross-run incremental SEMANTIC dedup: the same rebuild-only-stale
+    // discipline applied to the SemDeDup embedding index — build the
+    // persisted pinned-plane LSH index from the base crawl, ingest the
+    // increment against the STORED vectors (level 1 absorbs re-crawled
+    // identical embeddings as membership rows; only new distinct vectors
+    // bucket), then label the union. Must equal from-scratch
+    // semanticClusters on the whole corpus — the dedup_semantic oracle.
+    "dedup_incremental_semantic" -> { (s, d) =>
+      import graft.operators.IncrementalSemanticDedup
+      val root = java.nio.file.Paths.get(
+        "/tmp/graft_scratch/dedup_incremental_semantic")
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+      val corpus = semanticCorpus(s, d)
+      val p = IncrementalSemanticDedup.Params(planes = 6, dim = 64,
+        threshold = 0.95)
+      IncrementalSemanticDedup.update(s, root,
+        corpus.filter(pmod(col("vec_id"), lit(5)) =!= 0), "embedding",
+        "vec_id", genKey = "crawl-base", p)
+      IncrementalSemanticDedup.update(s, root,
+        corpus.filter(pmod(col("vec_id"), lit(5)) === 0), "embedding",
+        "vec_id", genKey = "crawl-increment", p)
+      IncrementalSemanticDedup.clusters(s, root)
+        .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+          col("is_canonical"))
+    },
+
     "dedup_simhash" -> { (s, d) =>
       Dedup.simhashDedup(documents(s, d), "text", "doc_id")
         .select(col("doc_id"), col("simhash"),
@@ -309,24 +393,12 @@ object QueriesLlm {
 
     // Semantic duplicate clustering (SemDeDup shape): LSH buckets bound the
     // pairs, exact cosine verifies, connected components label clusters.
-    // The synthetic embeddings are near-orthogonal (max pair cosine ~0.48),
-    // so both engines plant the SAME deterministic duplicates — one copy of
-    // every 10th vector, a second copy of every 50th — and the clustering
-    // path (bucket agreement, threshold edges, transitive closure,
-    // canonical keep) is what's under test, the same pattern pii_scrub uses
-    // for a PII-free corpus.
+    // The clustering path (bucket agreement, threshold edges, transitive
+    // closure, canonical keep) over semanticCorpus's planted duplicates is
+    // what's under test, the same pattern pii_scrub uses for a PII-free
+    // corpus.
     "dedup_semantic" -> { (s, d) =>
-      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
-      // planted ids offset RELATIVE to max(vec_id) so no scale factor can
-      // collide a copy with a real vector (a fixed +100000 breaks once the
-      // corpus outgrows it); one metadata-scale max per invocation
-      val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
-      def planted(mod: Int, offset: Long) =
-        e.filter(pmod(col("vec_id"), lit(mod)) === 0)
-          .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
-      val corpus = e.unionByName(planted(10, maxId + 1))
-        .unionByName(planted(50, 2 * maxId + 2))
-      Similarity.semanticClusters(corpus, "vec_id", "embedding",
+      Similarity.semanticClusters(semanticCorpus(s, d), "vec_id", "embedding",
         planes = 6, dim = 64, threshold = 0.95)
         .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
           col("is_canonical"))
@@ -799,39 +871,11 @@ object QueriesLlm {
     "bpe_merges" -> bpeMergesSql(BpeRounds),
     "bpe_encode" -> bpeEncodeSql(BpeRounds),
 
-    "dedup_semantic" ->
-      s"""WITH RECURSIVE mx AS (SELECT max(vec_id) AS m FROM embeddings),
-          corpus AS (
-            SELECT vec_id, embedding FROM embeddings
-            UNION ALL
-            SELECT vec_id + m + 1, embedding FROM embeddings, mx
-            WHERE vec_id % 10 = 0
-            UNION ALL
-            SELECT vec_id + 2 * m + 2, embedding FROM embeddings, mx
-            WHERE vec_id % 50 = 0),
-          sig AS (
-            SELECT vec_id, embedding,
-                   CAST(${lshBucketSql()} AS BIGINT) AS bucket
-            FROM corpus),
-          pairs AS (
-            SELECT l.vec_id AS id_a, r.vec_id AS id_b
-            FROM sig l JOIN sig r
-              ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-            WHERE ${cosSql("l.embedding", "r.embedding")} >= 0.95),
-          e AS (
-            SELECT id_a AS src, id_b AS dst FROM pairs
-            UNION ALL
-            SELECT id_b AS src, id_a AS dst FROM pairs),
-          reach(id, rr) AS (
-            SELECT vec_id, vec_id FROM corpus
-            UNION
-            SELECT e.dst, reach.rr FROM reach JOIN e ON e.src = reach.id),
-          lab AS (
-            SELECT id AS vec_id, min(rr) AS cluster_id FROM reach GROUP BY id)
-          SELECT vec_id, cluster_id,
-                 count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
-                 vec_id = cluster_id AS is_canonical
-          FROM lab""",
+    "dedup_semantic" -> dedupSemanticSql,
+    // the increment+index composition must land exactly where a
+    // from-scratch semantic clustering of the union corpus lands — same
+    // oracle as dedup_semantic
+    "dedup_incremental_semantic" -> dedupSemanticSql,
 
     "vocab_topk" ->
       """WITH toks AS (

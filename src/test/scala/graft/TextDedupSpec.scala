@@ -358,6 +358,31 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Set((1L, 0L, true), (2L, 0L, false), (2L, 1L, false)))
   }
 
+  test("zero vectors are excluded from every cosine path instead of killing the job") {
+    // cosine(0, x) is 0/0: under ANSI the division errors the whole job,
+    // and under non-ANSI Spark orders NaN above every real so a zero pair
+    // would rank first and pass any threshold — exclusion is the only
+    // correct posture (surfaced by the incremental semantic index spec)
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(2.0f, 0.0f)), // same direction
+      (2L, Array(0.0f, 0.0f)), (3L, Array(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val brute = Similarity.annBruteForce(df, df, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // zero queries and zero neighbors are absent; the real pair survives
+    assert(brute == Set((0L, 1L), (1L, 0L)))
+    val lsh = Similarity.annLsh(df, df, "vec_id", "embedding", k = 2,
+      planes = 4, dim = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!lsh.exists(p => p._1 >= 2L || p._2 >= 2L))
+    val clusters = Similarity.semanticClusters(df, "vec_id", "embedding",
+      planes = 4, dim = 2, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // identical zero vectors stay SEPARATE singletons
+    assert(clusters(2L) == ((2L, 1L)) && clusters(3L) == ((3L, 1L)))
+    assert(clusters(0L) == ((0L, 2L)) && clusters(1L) == ((0L, 2L)))
+  }
+
   test("semantic clusters: near-identical vectors group, orthogonal ones stay singletons") {
     // 64-dim so the 6-plane signature has room to separate directions;
     // scaling the WHOLE vector keeps the direction (and thus the LSH
