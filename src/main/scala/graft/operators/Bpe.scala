@@ -119,6 +119,64 @@ object Bpe {
              rounds: Int): Seq[(Int, String, String, Long)] =
     train(df, textCol, rounds).merges
 
+  // ------------------------------------------------------- tokenizer I/O
+  // The merge table is the PORTABLE tokenizer artifact (reference
+  // artifact discipline, artifacts/scaler.py save/load shape): train once
+  // on the reference crawl, encode every later corpus by hydrating the
+  // JSON — no retraining run. json4s ships with Spark.
+
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  def saveTokenizer(path: String,
+                    merges: Seq[(Int, String, String, Long)]): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    val json = JObject(
+      "kind" -> JString("bpe_tokenizer"),
+      "version" -> JInt(1),
+      "merges" -> JArray(merges.sortBy(_._1).map { case (rnd, l, r, c) =>
+        JObject("rnd" -> JInt(rnd), "lhs" -> JString(l),
+          "rhs" -> JString(r), "cnt" -> JLong(c)): JValue
+      }.toList))
+    java.nio.file.Files.writeString(p,
+      JsonMethods.pretty(JsonMethods.render(json)))
+  }
+
+  def loadTokenizer(path: String): Seq[(Int, String, String, Long)] = {
+    val j = JsonMethods.parse(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    require((j \ "kind") == JString("bpe_tokenizer"),
+      s"not a bpe_tokenizer artifact: $path")
+    (j \ "merges") match {
+      case JArray(ms) => ms.map { m =>
+        def s(f: String) = (m \ f).asInstanceOf[JString].s
+        def l(f: String) = (m \ f) match {
+          case JInt(x)  => x.toLong
+          case JLong(x) => x
+          case other    => throw new IllegalArgumentException(s"bad $f: $other")
+        }
+        (l("rnd").toInt, s("lhs"), s("rhs"), l("cnt"))
+      }.sortBy(_._1)
+      case other => throw new IllegalArgumentException(s"bad merges: $other")
+    }
+  }
+
+  /** Fold an already-trained merge table over an arbitrary corpus's
+    * vocabulary — the tokenizer-APPLICATION half of the artifact round
+    * trip. Words the training corpus never saw still segment (characters +
+    * whichever learned merges apply), the standard BPE open-vocabulary
+    * behavior. Same per-round checkpoint discipline as [[train]] (constant
+    * plan depth however many merges the artifact holds); each round is a
+    * pure vocabulary-sized map — no pair counting, no shuffle at all.
+    */
+  private[graft] def applyMergeTable(vocab: DataFrame,
+                                     merges: Seq[(Int, String, String, Long)]): DataFrame =
+    merges.sortBy(_._1).foldLeft(vocab) { case (v, (_, l, r, _)) =>
+      v.withColumn("syms", applyMerge(col("syms"), l, r))
+        .localCheckpoint(eager = false)
+    }
+
   /** Apply a trained tokenizer back to the corpus: per-document token
     * accounting under the learned merges (n_words, n_chars, n_tokens —
     * n_tokens shrinks toward n_words as merges bite; without any merge it
@@ -134,9 +192,25 @@ object Bpe {
     * re-runs the merge fold over document text.
     */
   def encodeStats(df: DataFrame, idCol: String, textCol: String,
-                  rounds: Int): DataFrame = {
-    val model = train(df, textCol, rounds)
-    val tokMap = model.vocab.select(col("w"),
+                  rounds: Int): DataFrame =
+    encodeJoin(df, idCol, textCol, train(df, textCol, rounds).vocab)
+
+  /** [[encodeStats]] under a LOADED merge table (the artifact round trip:
+    * train elsewhere, [[saveTokenizer]], hydrate, encode THIS corpus) —
+    * the encode map is this corpus's vocabulary folded through the stored
+    * merges, so out-of-training-vocabulary words segment too.
+    */
+  def encodeStatsWith(df: DataFrame, idCol: String, textCol: String,
+                      merges: Seq[(Int, String, String, Long)]): DataFrame =
+    encodeJoin(df, idCol, textCol,
+      applyMergeTable(initVocab(df, textCol), merges))
+
+  /** The tf-compressed encode join shared by [[encodeStats]] and
+    * [[encodeStatsWith]] (see encodeStats's scale posture).
+    */
+  private def encodeJoin(df: DataFrame, idCol: String, textCol: String,
+                         vocab: DataFrame): DataFrame = {
+    val tokMap = vocab.select(col("w"),
       size(split(col("syms"), " ")).cast("long").as("wtoks"))
     val tf = df
       .select(col(idCol), explode(Text.tokens(col(textCol))).as("w"))

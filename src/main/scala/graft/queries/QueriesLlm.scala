@@ -505,6 +505,21 @@ object QueriesLlm {
         BpeRounds)
     },
 
+    // The tokenizer ARTIFACT round trip (the reference's save/load_scaler
+    // discipline applied to the merge table): train on the 4/5 split, save
+    // the JSON artifact, hydrate it, encode the FULL corpus — words the
+    // training split never saw still segment (characters + whichever
+    // learned merges apply), the open-vocabulary BPE behavior. No
+    // retraining job runs on the encode side.
+    "bpe_artifact" -> { (s, d) =>
+      import graft.operators.Bpe
+      val docs = documents(s, d)
+      val path = "/tmp/graft_scratch/bpe_artifact/tokenizer.json"
+      Bpe.saveTokenizer(path, Bpe.merges(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "text", BpeRounds))
+      Bpe.encodeStatsWith(docs, "doc_id", "text", Bpe.loadTokenizer(path))
+    },
+
     // Per-document salient terms by tf-idf (top 3, term-asc tiebreak) —
     // the keyword/topic feature a curation pipeline derives per doc. The
     // per-doc window is bounded by document vocabulary (≤ doc length), so
@@ -766,9 +781,36 @@ object QueriesLlm {
     * rhs) tiebreak. The word rides through every w$i so w${rounds+1} — the
     * fully-merged vocabulary — is the encode map, exactly as in Bpe.train.
     * DuckDB inlines unreferenced CTEs away, so bpe_merges pays nothing for
-    * the final merge block it never reads.
+    * the final merge block it never reads. `trainWhere` restricts the
+    * TRAINING corpus (the bpe_artifact split); the merge fold itself is
+    * prefix-generalized so the artifact twin can run a second, full-corpus
+    * apply chain off the same b$i winners.
     */
-  private def bpeCtes(rounds: Int): String = {
+  private def bpeVocabCte(prefix: String, where: String): String =
+    s"""${prefix}src AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+            FROM documents $where)
+          WHERE word != '' GROUP BY word),
+        ${prefix}1 AS (
+          SELECT word,
+                 array_to_string([word[i] for i in generate_series(1, len(word))], ' ') AS syms,
+                 n
+          FROM ${prefix}src)"""
+
+  private def bpeMergeCte(prefix: String, i: Int): String =
+    s"""${prefix}${i + 1} AS (
+          SELECT w.word AS word,
+                 list_reduce(string_split(w.syms, ' '), (acc, s) ->
+                   CASE WHEN s = b.rhs
+                          AND (acc = b.lhs OR ends_with(acc, ' ' || b.lhs))
+                        THEN substr(acc, 1, len(acc) - len(b.lhs))
+                             || b.lhs || b.rhs
+                        ELSE acc || ' ' || s END) AS syms,
+                 w.n AS n
+          FROM ${prefix}$i w, b$i b)"""
+
+  private def bpeCtes(rounds: Int, trainWhere: String = ""): String = {
     def roundCtes(i: Int) =
       s"""p$i AS (
             SELECT u.lhs, u.rhs, CAST(SUM(u.n) AS BIGINT) AS cnt FROM (
@@ -781,29 +823,9 @@ object QueriesLlm {
           b$i AS (
             SELECT lhs, rhs, cnt FROM p$i
             ORDER BY cnt DESC, lhs, rhs LIMIT 1)"""
-    def mergeCte(i: Int) =
-      s"""w${i + 1} AS (
-            SELECT w.word AS word,
-                   list_reduce(string_split(w.syms, ' '), (acc, s) ->
-                     CASE WHEN s = b.rhs
-                            AND (acc = b.lhs OR ends_with(acc, ' ' || b.lhs))
-                          THEN substr(acc, 1, len(acc) - len(b.lhs))
-                               || b.lhs || b.rhs
-                          ELSE acc || ' ' || s END) AS syms,
-                   w.n AS n
-            FROM w$i w, b$i b)"""
     val blocks = (1 to rounds)
-      .map(i => roundCtes(i) + ",\n" + mergeCte(i)).mkString(",\n")
-    s"""wsrc AS (
-          SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
-            SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
-            FROM documents)
-          WHERE word != '' GROUP BY word),
-        w1 AS (
-          SELECT word,
-                 array_to_string([word[i] for i in generate_series(1, len(word))], ' ') AS syms,
-                 n
-          FROM wsrc),
+      .map(i => roundCtes(i) + ",\n" + bpeMergeCte("w", i)).mkString(",\n")
+    s"""${bpeVocabCte("w", trainWhere)},
         $blocks"""
   }
 
@@ -816,15 +838,13 @@ object QueriesLlm {
         $finals"""
   }
 
-  /** DuckDB twin of Bpe.encodeStats: the fully-merged vocabulary w${k+1} is
-    * the word → token-count map; documents collapse to term frequencies and
-    * join it, mirroring the Spark plan's tf-compressed join.
+  /** The tf-compressed encode join (Bpe.encodeJoin's twin): `vocabRel` is
+    * the fully-merged vocabulary serving as the word → token-count map.
     */
-  private def bpeEncodeSql(rounds: Int): String =
-    s"""WITH ${bpeCtes(rounds)},
-        tokmap AS (
+  private def bpeEncodeTail(vocabRel: String): String =
+    s"""tokmap AS (
           SELECT word, CAST(len(string_split(syms, ' ')) AS BIGINT) AS wtoks
-          FROM w${rounds + 1}),
+          FROM $vocabRel),
         tf AS (
           SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM (
             SELECT doc_id,
@@ -837,6 +857,28 @@ object QueriesLlm {
                CAST(SUM(tf * wtoks) AS BIGINT) AS n_tokens
         FROM tf JOIN tokmap USING (word)
         GROUP BY doc_id"""
+
+  /** DuckDB twin of Bpe.encodeStats: the fully-merged vocabulary w${k+1} is
+    * the word → token-count map; documents collapse to term frequencies and
+    * join it, mirroring the Spark plan's tf-compressed join.
+    */
+  private def bpeEncodeSql(rounds: Int): String =
+    s"""WITH ${bpeCtes(rounds)},
+        ${bpeEncodeTail(s"w${rounds + 1}")}"""
+
+  /** DuckDB twin of the bpe_artifact round trip: the b$i winners train on
+    * the doc_id % 5 != 0 split only, then a SECOND merge chain (va*) folds
+    * those same winners over the FULL corpus vocabulary — so words the
+    * training split never saw still segment, exactly as
+    * Bpe.encodeStatsWith does after hydrating the stored merge table.
+    */
+  private def bpeArtifactSql(rounds: Int): String = {
+    val applyBlocks = (1 to rounds).map(bpeMergeCte("va", _)).mkString(",\n")
+    s"""WITH ${bpeCtes(rounds, "WHERE doc_id % 5 != 0")},
+        ${bpeVocabCte("va", "")},
+        $applyBlocks,
+        ${bpeEncodeTail(s"va${rounds + 1}")}"""
+  }
 
   /** corpus_filter twin — shared with the streaming query
     * (stream_corpus_filter applies the identical gate at ingest).
@@ -870,6 +912,7 @@ object QueriesLlm {
     "decontam_fuzzy" -> decontamFuzzySql,
     "bpe_merges" -> bpeMergesSql(BpeRounds),
     "bpe_encode" -> bpeEncodeSql(BpeRounds),
+    "bpe_artifact" -> bpeArtifactSql(BpeRounds),
 
     "dedup_semantic" -> dedupSemanticSql,
     // the increment+index composition must land exactly where a

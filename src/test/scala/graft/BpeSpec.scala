@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.functions._
 
 import graft.operators.Bpe
@@ -52,6 +54,41 @@ class BpeSpec extends SparkSpec {
     val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
     val r = Bpe.encodeStats(docs, "doc_id", "text", rounds = 1).collect().head
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 10L, 8L)))
+  }
+
+  test("tokenizer artifact round-trips and encodes without retraining") {
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab ab ab")).toDF("doc_id", "text")
+    val trained = Bpe.merges(docs, "text", rounds = 4)
+    val path = Files.createTempDirectory("graft_bpe").resolve("tok.json")
+    Bpe.saveTokenizer(path.toString, trained)
+    val loaded = Bpe.loadTokenizer(path.toString)
+    assert(loaded == trained, "save/load must round-trip the merge table")
+    // encoding under the hydrated artifact equals train-and-encode in place
+    val direct = Bpe.encodeStats(docs, "doc_id", "text", rounds = 4)
+      .collect().map(_.toSeq).toSet
+    val hydrated = Bpe.encodeStatsWith(docs, "doc_id", "text", loaded)
+      .collect().map(_.toSeq).toSet
+    assert(hydrated == direct)
+  }
+
+  test("hydrated merges segment out-of-training-vocabulary words too") {
+    val train = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val merges = Bpe.merges(train, "text", rounds = 4)
+    // "zzz" was never seen: pure characters (3 tokens); "aaab" fully merges
+    val corpus = Seq((1L, "aaab zzz")).toDF("doc_id", "text")
+    val r = Bpe.encodeStatsWith(corpus, "doc_id", "text", merges)
+      .collect().head
+    // (n_words, n_chars, n_tokens) = (2, 7, 1 + 3)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 7L, 4L)))
+  }
+
+  test("loadTokenizer rejects a foreign artifact") {
+    val p = Files.createTempDirectory("graft_bpe").resolve("bad.json")
+    Files.writeString(p, """{"kind": "standard_scaler", "version": 3}""")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.loadTokenizer(p.toString)
+    }
+    assert(e.getMessage.contains("bpe_tokenizer"))
   }
 
   test("single-character vocabulary exhausts immediately") {

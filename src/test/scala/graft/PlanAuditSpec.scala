@@ -211,6 +211,21 @@ class PlanAuditSpec extends SparkSpec {
       "the encode map attaches by word equi-join")
   }
 
+  audit("bpe_artifact") { plan =>
+    // the artifact round trip encodes under HYDRATED merges: same plan
+    // contract as bpe_encode (checkpointed encode map, tf partial
+    // aggregation, word equi-join) — and no training aggregate may appear
+    // on the encode side (the merge table comes from the JSON artifact)
+    assert(plan.contains("Scan ExistingRDD"),
+      "the encode map must enter through a checkpoint boundary")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      "term frequencies must partially aggregate before the encode-map join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "the encode map attaches by word equi-join")
+    assert(!plan.contains("TakeOrderedAndProject"),
+      "no best-pair ranking may run on the encode side — merges are loaded")
+  }
+
   audit("vocab_topk") { plan =>
     // global top-k = partial counts then TakeOrdered over the vocabulary —
     // never a single-partition global sort of all counts
