@@ -144,6 +144,22 @@ object Config {
     * — Curation.chunkDocuments.
     */
   final case class CorpusChunk(size: Int, stride: Int) extends CorpusStep
+  /** CROSS-RUN incremental near-dup dedup against a PERSISTED minhash
+    * index (operators/IncrementalDedup): the curated increment ingests
+    * under `generation` (idempotent by key), and only documents canonical
+    * across the UNION corpus survive — a re-crawl of an already-indexed
+    * text drops entirely, the each-crawl-against-the-archive semantics a
+    * 100 TB pipeline needs.
+    */
+  final case class CorpusDedupIncremental(index: String, generation: String,
+                                          threshold: Double) extends CorpusStep
+  /** Per-document token accounting under a PERSISTED BPE tokenizer
+    * artifact (operators/Bpe): hydrate `artifact` if it exists, else train
+    * `rounds` merges on the curated frame and save it — train-if-missing,
+    * the rebuild-only-stale artifact discipline on the config surface.
+    */
+  final case class CorpusTokenize(artifact: String,
+                                  rounds: Int) extends CorpusStep
 
   /** The `corpus:` section: a document source + ordered curation steps. */
   final case class CorpusDef(source: String, idCol: String, textCol: String,
@@ -831,6 +847,18 @@ object Config {
         if (size <= 0 || stride <= 0 || stride > size)
           fail(s"$ctx needs 0 < stride <= size, got ($size, $stride)")
         CorpusChunk(size, stride)
+      case "dedup_incremental" =>
+        check("index", "generation", "threshold")
+        val thr = dblOpt(t, "threshold").getOrElse(0.5)
+        if (thr <= 0.0 || thr > 1.0)
+          fail(s"$ctx.threshold must be in (0, 1], got $thr")
+        CorpusDedupIncremental(str(t, "index", ctx),
+          str(t, "generation", ctx), thr)
+      case "tokenize" =>
+        check("artifact", "rounds")
+        val r = intOpt(t, "rounds").getOrElse(8)
+        if (r <= 0) fail(s"$ctx.rounds must be > 0, got $r")
+        CorpusTokenize(str(t, "artifact", ctx), r)
       case other => fail(s"unknown corpus step '$other'")
     }
   }

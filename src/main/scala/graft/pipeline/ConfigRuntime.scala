@@ -525,8 +525,46 @@ object ConfigRuntime {
         case Config.CorpusChunk(size, stride) =>
           graft.operators.Curation.chunkDocuments(df, c.idCol, c.textCol,
             size, stride)
+        case Config.CorpusDedupIncremental(index, genKey, threshold) =>
+          // ingest the curated increment into the persisted index (only
+          // NEW distinct texts sign — IncrementalDedup's two-level path),
+          // then keep the increment docs canonical across the UNION corpus:
+          // a re-crawl of an indexed text has a stored canonical and drops
+          val snap = df.localCheckpoint(eager = false)
+          val dir = resolvePath(dataDir, index)
+          graft.operators.IncrementalDedup.update(spark, dir, snap,
+            c.textCol, c.idCol, genKey,
+            graft.operators.IncrementalDedup.Params(threshold = threshold))
+          val canonical = graft.operators.IncrementalDedup.clusters(spark, dir)
+            .where(col("is_canonical")).select(col(c.idCol))
+          snap.join(canonical, Seq(c.idCol))
+        case Config.CorpusTokenize(artifact, rounds) =>
+          // train-if-missing: the first run trains on the curated frame and
+          // writes the artifact; every later run hydrates the stored merge
+          // table and only the vocabulary-sized apply/encode passes run
+          val snap = df.localCheckpoint(eager = false)
+          val path = resolvePath(dataDir, artifact)
+          import graft.operators.Bpe
+          val merges =
+            if (java.nio.file.Files.exists(path)) Bpe.loadTokenizer(path.toString)
+            else {
+              val m = Bpe.merges(snap, c.textCol, rounds)
+              Bpe.saveTokenizer(path.toString, m)
+              m
+            }
+          snap.join(Bpe.encodeStatsWith(snap, c.idCol, c.textCol, merges),
+            Seq(c.idCol), "left")
+            .na.fill(0L, Seq("n_words", "n_chars", "n_tokens"))
       }
     }
+  }
+
+  /** A config-declared filesystem location, resolved against the data dir
+    * when relative (the source-path rule, applied to artifact/index paths).
+    */
+  private def resolvePath(dataDir: String, p: String): java.nio.file.Path = {
+    val path = java.nio.file.Paths.get(p)
+    if (path.isAbsolute) path else java.nio.file.Paths.get(dataDir).resolve(p)
   }
 
   /** The corpus quality gate as one predicate — shared by the batch journey
@@ -591,9 +629,11 @@ object ConfigRuntime {
               size, stride)
           case other =>
             val name = other match {
-              case _: Config.CorpusDedupFuzzy    => "dedup_fuzzy"
-              case _: Config.CorpusDecontaminate => "decontaminate"
-              case o                             => o.getClass.getSimpleName
+              case _: Config.CorpusDedupFuzzy        => "dedup_fuzzy"
+              case _: Config.CorpusDecontaminate     => "decontaminate"
+              case _: Config.CorpusDedupIncremental  => "dedup_incremental"
+              case _: Config.CorpusTokenize          => "tokenize"
+              case o                                 => o.getClass.getSimpleName
             }
             throw new IllegalArgumentException(
               s"config: corpus step '$name' is not streamable (needs a " +

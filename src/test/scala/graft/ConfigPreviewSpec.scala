@@ -190,6 +190,84 @@ class ConfigPreviewSpec extends SparkSpec {
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 4L))
   }
 
+  test("corpus dedup_incremental step drops re-crawls against the persisted index") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_corpus_incr")
+    val crawl1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "an entirely different document about something else here"))
+      .toDF("doc_id", "text")
+    val crawl2 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // re-crawl
+      (11L, "completely fresh increment content with no duplicate at all"),
+      (12L, "completely fresh increment content with no duplicate at all"))
+      .toDF("doc_id", "text")
+    crawl1.write.parquet(dir.resolve("crawl1.parquet").toString)
+    crawl2.write.parquet(dir.resolve("crawl2.parquet").toString)
+    def doc(src: String, gen: String) =
+      s"""sources:
+         |  - id: docs
+         |    loader: { transport: fs, path: $src.parquet, reader: { format: parquet } }
+         |corpus:
+         |  source: docs
+         |  steps:
+         |    - { step: dedup_incremental, index: idx, generation: $gen }
+         |""".stripMargin
+    val first = ConfigRuntime.corpus(spark, dir.toString,
+      Config.parseProject(doc("crawl1", "gen-1")))
+    assert(first.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L), "first crawl: everything is canonical")
+    val second = ConfigRuntime.corpus(spark, dir.toString,
+      Config.parseProject(doc("crawl2", "gen-2")))
+    // doc 10 re-crawls doc 1's text (its canonical is STORED) and drops;
+    // the fresh duplicated pair keeps its min id only
+    assert(second.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(11L), "re-crawl drops, new text keeps its canonical")
+    // idempotent: re-running the committed generation is read-only and
+    // returns the same keep set
+    val again = ConfigRuntime.corpus(spark, dir.toString,
+      Config.parseProject(doc("crawl2", "gen-2")))
+    assert(rowSet(again) == rowSet(second))
+  }
+
+  test("corpus tokenize step trains the artifact once, then hydrates") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_corpus_tok")
+    Seq((1L, "aaab aaab ab"), (2L, "aaab ab ab"), (3L, ""))
+      .toDF("doc_id", "text")
+      .write.parquet(dir.resolve("documents.parquet").toString)
+    val doc =
+      """sources:
+        |  - id: docs
+        |    loader: { transport: fs, path: documents.parquet, reader: { format: parquet } }
+        |corpus:
+        |  source: docs
+        |  steps:
+        |    - { step: tokenize, artifact: tok.json, rounds: 4 }
+        |""".stripMargin
+    val p = Config.parseProject(doc)
+    val out = ConfigRuntime.corpus(spark, dir.toString, p)
+      .select("doc_id", "n_words", "n_chars", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // hand-computed under 3 effective merges (BpeSpec): both words fully
+    // merge; the empty doc survives the journey with zero counts
+    assert(out == Set((1L, 3L, 10L, 3L), (2L, 3L, 8L, 3L), (3L, 0L, 0L, 0L)))
+    val artifact = dir.resolve("tok.json")
+    assert(Files.exists(artifact), "first run must write the artifact")
+    val bytes = Files.readAllBytes(artifact).toSeq
+    val mtime = Files.getLastModifiedTime(artifact)
+    // second run hydrates — identical output, artifact untouched
+    val again = ConfigRuntime.corpus(spark, dir.toString, p)
+      .select("doc_id", "n_words", "n_chars", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(again == out)
+    assert(Files.readAllBytes(artifact).toSeq == bytes &&
+      Files.getLastModifiedTime(artifact) == mtime,
+      "the second run must hydrate, not retrain")
+  }
+
   test("Cli inspect --stage routes and bounds the dump; unknown stage fails") {
     val root = Files.createTempDirectory("graft_inspect_stage")
     val cfg = root.resolve("p.yaml")

@@ -344,7 +344,9 @@ class ConfigSpec extends SparkSpec {
       """{ step: filter, lang: en, min_quality: 0.3 },
         |{ step: dedup_exact },
         |{ step: dedup_fuzzy, threshold: 0.5 },
+        |{ step: dedup_incremental, index: idx/minhash, generation: crawl-7 },
         |{ step: decontaminate, benchmark: bench, ngram: 8 },
+        |{ step: tokenize, artifact: tok/bpe.json, rounds: 12 },
         |{ step: chunk, size: 64, stride: 48 }""".stripMargin))
     val c = p.corpus.get
     assert(c.source == "docs" && c.idCol == "doc_id" && c.textCol == "text")
@@ -352,7 +354,9 @@ class ConfigSpec extends SparkSpec {
       Config.CorpusFilter(Some("en"), Some(0.3), None),
       Config.CorpusDedupExact(),
       Config.CorpusDedupFuzzy(0.5),
+      Config.CorpusDedupIncremental("idx/minhash", "crawl-7", 0.5),
       Config.CorpusDecontaminate("bench", 8),
+      Config.CorpusTokenize("tok/bpe.json", 12),
       Config.CorpusChunk(64, 48)))
 
     def bad(steps: String, msg: String): Unit = {
@@ -367,6 +371,12 @@ class ConfigSpec extends SparkSpec {
     bad("{ step: chunk, size: 8, stride: 9 }", "0 < stride <= size")
     bad("{ step: decontaminate, benchmark: nope }", "unknown source 'nope'")
     bad("{ step: dedup_fuzzy, threshold: 1.5 }", "threshold must be in (0, 1]")
+    bad("{ step: dedup_incremental, index: i }", "requires 'generation'")
+    bad("{ step: dedup_incremental, index: i, generation: g, threshold: 0.0 }",
+      "threshold must be in (0, 1]")
+    bad("{ step: tokenize }", "requires 'artifact'")
+    bad("{ step: tokenize, artifact: t.json, rounds: 0 }",
+      "rounds must be > 0")
     val e = intercept[IllegalArgumentException](Config.parseProject(
       doc("{ step: dedup_exact }").replace("source: docs", "source: nope")))
     assert(e.getMessage.contains("corpus: unknown source 'nope'"))
