@@ -185,4 +185,104 @@ object Multimodal {
       }
     }
   }
+
+  // ------------------------------------------------------------------ video
+
+  case class VideoFeatures(media_id: Long, width: Long, height: Long,
+                           n_frames: Long, n_sampled: Long, mean_luma: Double)
+
+  /** The synthetic clip geometry: 8×4 luma-only frames (32 bytes each), and
+    * the frame-sampling stride (every 2nd frame, starting at frame 0) —
+    * shared with the DuckDB twin.
+    */
+  val VideoWidth = 8
+  val VideoHeight = 4
+  val VideoSampleStride = 2
+
+  /** A valid luma-only YUV4MPEG2 (y4m) clip wrapping `data` as consecutive
+    * Y planes (the public uncompressed-video interchange format — plain
+    * ASCII stream header, `FRAME` markers, raw planes; no codec). The last
+    * frame zero-pads; an empty payload still yields one black frame, so
+    * every media row is a well-formed clip.
+    */
+  def buildY4m(data: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val fb = w * h
+    val nf = math.max(1, (data.length + fb - 1) / fb)
+    val out = new java.io.ByteArrayOutputStream(64 + nf * (6 + fb))
+    out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 Cmono\n".getBytes("US-ASCII"))
+    (0 until nf).foreach { f =>
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      val frame = new Array[Byte](fb)
+      val start = f * fb
+      val n = math.min(fb, math.max(0, data.length - start))
+      if (n > 0) System.arraycopy(data, start, frame, 0, n)
+      out.write(frame)
+    }
+    out.toByteArray
+  }
+
+  /** Real video frame-sampling path: each payload becomes a synthetic y4m
+    * clip ([[buildY4m]] — deterministic: text bytes are the luma planes),
+    * then a genuine container parse runs executor-side — stream-header
+    * validation (magic, W/H/C parameters), `FRAME` marker iteration, fixed
+    * -size plane reads — and every [[VideoSampleStride]]-th frame is
+    * sampled for the luma stats. Width/height/frame count come from the
+    * PARSED container, not the synthesis constants, so a header or framing
+    * bug fails the oracle hash; a malformed clip fails the task loudly.
+    * This is the frame-sample plumbing a real video corpus needs, with the
+    * synthetic clip swapped for codec output (an external decoder feeding
+    * the same per-partition iterator) when real containers arrive.
+    */
+  def videoFeatures(spark: SparkSession, media: DataFrame): Dataset[VideoFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map(r => parseY4m(
+        buildY4m(r.payload, VideoWidth, VideoHeight), r.media_id))
+    }
+  }
+
+  /** The container parse + frame-sample pass (package-private so the spec
+    * can feed it corrupted clips directly).
+    */
+  private[graft] def parseY4m(clip: Array[Byte], mediaId: Long): VideoFeatures = {
+    // --- stream header: "YUV4MPEG2 W<w> H<h> ... C<sampling>\n"
+    val nl = clip.indexOf('\n'.toByte)
+    require(nl > 0, s"y4m: missing stream header for media_id=$mediaId")
+    val header = new String(clip, 0, nl, "US-ASCII").split(" ")
+    require(header.head == "YUV4MPEG2",
+      s"y4m: bad magic '${header.head}' for media_id=$mediaId")
+    def param(p: Char): Option[String] =
+      header.tail.find(_.head == p).map(_.tail)
+    val w = param('W').map(_.toInt).getOrElse(
+      throw new IllegalArgumentException("y4m: missing width"))
+    val h = param('H').map(_.toInt).getOrElse(
+      throw new IllegalArgumentException("y4m: missing height"))
+    val sampling = param('C').getOrElse("420jpeg")
+    require(sampling == "mono",
+      s"y4m: unsupported chroma sampling C$sampling (luma-only parser)")
+    val fb = w * h
+    // --- frames: "FRAME[ params]\n" then one w*h luma plane each
+    var pos = nl + 1
+    var nFrames = 0L
+    var nSampled = 0L
+    var lumaSum = 0L
+    while (pos < clip.length) {
+      val mark = clip.indexOf('\n'.toByte, pos)
+      require(mark >= pos + 5 &&
+        new String(clip, pos, 5, "US-ASCII") == "FRAME",
+        s"y4m: bad FRAME marker at byte $pos for media_id=$mediaId")
+      pos = mark + 1
+      require(pos + fb <= clip.length,
+        s"y4m: truncated frame $nFrames for media_id=$mediaId")
+      if (nFrames % VideoSampleStride == 0) {
+        var i = 0
+        while (i < fb) { lumaSum += clip(pos + i) & 0xFF; i += 1 }
+        nSampled += 1
+      }
+      nFrames += 1
+      pos += fb
+    }
+    VideoFeatures(mediaId, w.toLong, h.toLong, nFrames, nSampled,
+      lumaSum.toDouble / (fb.toDouble * nSampled))
+  }
 }

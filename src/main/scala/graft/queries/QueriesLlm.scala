@@ -579,6 +579,19 @@ object QueriesLlm {
           col("n_frames"), col("mean_amplitude"))
     },
 
+    // Real container-level video frame sampling: payload bytes → synthetic
+    // luma-only y4m clip → genuine stream parse (magic, W/H/C params, FRAME
+    // markers, fixed-size plane reads) → every 2nd frame sampled for luma
+    // stats. Width/height/frame count come from the PARSED container, so a
+    // header or framing bug fails the hash; the oracle recomputes the
+    // sampled-frame luma sum straight off the text bytes.
+    "multimodal_video" -> { (s, d) =>
+      val media = Multimodal.asMediaTable(documents(s, d), "doc_id", "text")
+      Multimodal.videoFeatures(s, media).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_frames"), col("n_sampled"), col("mean_luma"))
+    },
+
     "text_normalize" -> { (s, d) =>
       documents(s, d).select(col("doc_id"),
         Text.normalize(col("text")).as("norm_text"))
@@ -1080,6 +1093,32 @@ object QueriesLlm {
               (acc, c) -> acc + c) AS DOUBLE) / length(text)
           END AS mean_amplitude
           FROM documents""",
+
+    // ascii(char) == luma byte on the ASCII corpus; frame f covers text
+    // positions (f*fb+1 .. f*fb+fb), zero-padded, every 2nd frame sampled.
+    "multimodal_video" -> {
+      val fb = Multimodal.VideoWidth * Multimodal.VideoHeight
+      val k = Multimodal.VideoSampleStride
+      s"""WITH v AS (
+            SELECT doc_id, text,
+                   CASE WHEN length(text) = 0 THEN CAST(1 AS BIGINT)
+                        ELSE CAST(ceil(length(text) / $fb.0) AS BIGINT)
+                   END AS n_frames
+            FROM documents)
+          SELECT doc_id AS media_id,
+                 CAST(${Multimodal.VideoWidth} AS BIGINT) AS width,
+                 CAST(${Multimodal.VideoHeight} AS BIGINT) AS height,
+                 n_frames,
+                 (n_frames + ${k - 1}) // $k AS n_sampled,
+                 CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     [CASE WHEN (CAST((i - 1) // $fb AS BIGINT) % $k) = 0
+                           THEN CAST(ascii(text[i]) AS BIGINT)
+                           ELSE CAST(0 AS BIGINT) END
+                      for i in generate_series(1, length(text))]),
+                   (acc, c) -> acc + c) AS DOUBLE)
+                 / ($fb.0 * ((n_frames + ${k - 1}) // $k)) AS mean_luma
+          FROM v"""
+    },
 
     "text_normalize" ->
       s"""SELECT doc_id,

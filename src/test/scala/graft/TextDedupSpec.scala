@@ -483,6 +483,36 @@ class TextDedupSpec extends SparkSpec {
         new java.io.ByteArrayInputStream("not a wav".getBytes)))
   }
 
+  test("multimodal video: y4m round-trip, frame sampling, empty payload safe") {
+    import spark.implicits._
+    // 70 bytes = 3 frames of 32 (last zero-padded); frames 0 and 2 sample
+    val text70 = ("A" * 32) + ("B" * 32) + ("C" * 6)
+    val media = Multimodal.asMediaTable(
+      Seq((7L, text70), (8L, "")).toDF("doc_id", "text"), "doc_id", "text")
+    val out = Multimodal.videoFeatures(spark, media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(out(7L).width == 8L && out(7L).height == 4L,
+      "dimensions must come from the parsed stream header")
+    assert(out(7L).n_frames == 3L && out(7L).n_sampled == 2L)
+    // sampled luma: frame 0 = 32×'A'(65), frame 2 = 6×'C'(67) + 26 zeros
+    assert(out(7L).mean_luma == (32 * 65 + 6 * 67) / (32.0 * 2))
+    // empty payload = one black frame, still a well-formed clip
+    assert(out(8L).n_frames == 1L && out(8L).n_sampled == 1L &&
+      out(8L).mean_luma == 0.0)
+    // corrupt containers fail the PRODUCTION parser loudly, not silently
+    val clip = Multimodal.buildY4m("x".getBytes("US-ASCII"), 8, 4)
+    val magic = intercept[IllegalArgumentException](Multimodal.parseY4m(
+      "XUV4MPEG2".getBytes("US-ASCII") ++ clip.drop(9), 9L))
+    assert(magic.getMessage.contains("bad magic"))
+    val truncated = intercept[IllegalArgumentException](
+      Multimodal.parseY4m(clip.dropRight(1), 9L))
+    assert(truncated.getMessage.contains("truncated frame"))
+    val chroma = intercept[IllegalArgumentException](Multimodal.parseY4m(
+      new String(clip, "ISO-8859-1").replace("Cmono", "C420jpeg")
+        .getBytes("ISO-8859-1"), 9L))
+    assert(chroma.getMessage.contains("unsupported chroma"))
+  }
+
   test("l2Normalize produces unit vectors; zero vectors pass through") {
     val df = Seq((0L, Array(3.0f, 4.0f)), (1L, Array(0.0f, 0.0f)))
       .toDF("vec_id", "embedding")
