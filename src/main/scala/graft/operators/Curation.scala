@@ -166,18 +166,40 @@ object Curation {
     * Euclidean distance as a sequential fold (round-6 for the cross-engine
     * contract), argmin with centroid-index tiebreak via struct ordering.
     */
-  private def assign(v: DataFrame, centroids: Seq[(Int, Array[Double])]): DataFrame = {
-    val cands = centroids.map { case (i, c) =>
+  private[operators] def assign(v: DataFrame,
+                                centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    v.withColumn("best", array_min(array(distStructs(centroids): _*)))
+      .select(col("vec_id"), col("v"),
+        col("best.cluster").as("cluster"), col("best.dist").as("dist"))
+  }
+
+  /** The per-centroid (dist, cluster) candidate structs against a
+    * (vec_id, v) frame — codegen'd literals, no join (shared by the argmin
+    * assignment and the IVF n-nearest probe).
+    */
+  private def distStructs(centroids: Seq[(Int, Array[Double])]): Seq[Column] =
+    centroids.map { case (i, c) =>
       val carr = array(c.map(lit(_)): _*)
       val d2 = aggregate(
         zip_with(col("v"), carr, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, e) => acc + e)
       struct(round(d2, 6).as("dist"), lit(i).as("cluster"))
     }
-    v.withColumn("best", array_min(array(cands: _*)))
+
+  /** The `n` nearest centroids per vector (dist asc, cluster asc — the
+    * assignment tiebreak), one output row each: the IVF probe pass. Sorting
+    * the ≤k-element candidate array happens per row inside codegen; nothing
+    * shuffles.
+    */
+  private[operators] def assignN(v: DataFrame,
+                                 centroids: Seq[(Int, Array[Double])],
+                                 n: Int): DataFrame =
+    v.withColumn("near",
+      slice(array_sort(array(distStructs(centroids): _*)), 1, n))
+      .select(col("vec_id"), col("v"),
+        posexplode(col("near")).as(Seq("probe_pos", "best")))
       .select(col("vec_id"), col("v"),
         col("best.cluster").as("cluster"), col("best.dist").as("dist"))
-  }
 
   /** Deterministic Lloyd k-means over an embedding column: init = the k
     * vectors with the smallest ids, `iters` update rounds (exact decimal
@@ -192,6 +214,17 @@ object Curation {
     */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String, k: Int,
                    iters: Int): DataFrame = {
+    val v = df.select(col(idCol).as("vec_id"),
+      Similarity.toDouble(col(vecCol)).as("v"))
+    assign(v, kmeansCentroids(df, idCol, vecCol, k, iters)).drop("v")
+  }
+
+  /** The trained centroids alone — [[kmeansAssign]]'s Lloyd loop without
+    * the final assignment, for callers that feed a coarse quantizer
+    * (Similarity.annIvfTrained). k×dim doubles, driver-side by design.
+    */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                      iters: Int): Seq[(Int, Array[Double])] = {
     require(k > 0 && iters >= 0, "k-means needs k > 0, iters >= 0")
     val v = df.select(col(idCol).as("vec_id"),
       Similarity.toDouble(col(vecCol)).as("v"))
@@ -214,6 +247,6 @@ object Curation {
         .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
         .sortBy(_._1)
     }
-    assign(v, centroids).drop("v")
+    centroids
   }
 }

@@ -282,6 +282,50 @@ object Similarity {
         col("cos"), col("rank"))
   }
 
+  /** IVF with TRAINED centroids (the "swap in trained centroids" slot
+    * [[annIvf]]'s doc promises): a deterministic Lloyd k-means
+    * (Curation.kmeansCentroids — exact-decimal means, k×dim doubles
+    * through the driver per round) trains the coarse quantizer, corpus
+    * vectors assign to their nearest centroid and queries probe their
+    * `nprobe` nearest BY THE TRAINING METRIC (squared Euclidean, the
+    * k-means objective — probing must match the metric the partition was
+    * built under), then the in-list rerank scores exact cosine, the
+    * output contract shared with [[annIvf]].
+    *
+    * Scale posture: centroids enter the plan as codegen'd LITERAL structs
+    * (no centroid join at all — cheaper than a broadcast); assignment
+    * collapses map-side to one row per vector; probes broadcast Q×nprobe
+    * rows; rerank degree is bounded by inverted-list size. Training cost
+    * is iters × (one partial-aggregated pass); at corpus scale the
+    * centroids would train on a sample — the assignment plan is unchanged
+    * either way.
+    */
+  def annIvfTrained(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, k: Int, kCentroids: Int, iters: Int,
+                    nprobe: Int): DataFrame = {
+    registerFast(corpus)
+    val cents = Curation.kmeansCentroids(corpus, idCol, vecCol, kCentroids,
+      iters)
+    val c = corpus.select(col(idCol).as("vec_id"),
+      toDouble(col(vecCol)).as("v")).where(nonZero(col("v")))
+    val inv = Curation.assign(c, cents)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("cluster"))
+    val q = queries.select(col(idCol).as("vec_id"),
+      toDouble(col(vecCol)).as("v")).where(nonZero(col("v")))
+    val probed = Curation.assignN(q, cents, nprobe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cluster"))
+    val scored = inv.join(broadcast(probed), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosineF(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("cluster").as("centroid_id"), col("cos"), col("rank"))
+  }
+
   /** Plane count holding expected LSH bucket occupancy ~constant (~32
     * vectors) as the corpus grows: ceil(log2(n/32)), clamped to [4, 20]
     * (2^20 buckets ≈ 1M — beyond that occupancy is IO-bound anyway).

@@ -46,7 +46,7 @@ object QueriesCuration {
     * sequential left fold Spark's aggregate(zip_with(...)) runs — the per
     * element op order is identical, so the rounded double matches bitwise.
     */
-  private def dist2Sql(a: String, b: String): String =
+  private[queries] def dist2Sql(a: String, b: String): String =
     s"""ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
           [($a[i] - $b[i]) * ($a[i] - $b[i])
            for i in generate_series(1, len($a))]),
@@ -55,7 +55,7 @@ object QueriesCuration {
   /** One k-means assignment CTE body: nearest centroid of `cents` per vector
     * of `vecs` (dist asc, cluster asc tiebreak — Spark's struct array_min).
     */
-  private def assignSql(vecs: String, cents: String): String =
+  private[queries] def assignSql(vecs: String, cents: String): String =
     s"""SELECT vec_id, v, cluster, dist FROM (
           SELECT vec_id, v, cluster, dist,
                  row_number() OVER (PARTITION BY vec_id
@@ -68,7 +68,7 @@ object QueriesCuration {
   /** Centroid-update CTE body: element-wise exact decimal mean (round 6) of
     * the vectors assigned by `assigned`, rebuilt as an ordered list.
     */
-  private def updateSql(assigned: String): String =
+  private[queries] def updateSql(assigned: String): String =
     s"""SELECT cluster, list(m ORDER BY pos) AS v FROM (
           SELECT cluster, u.pos AS pos,
                  ROUND(CAST(SUM(CAST(u.x AS DECIMAL(30,6))) AS DOUBLE)

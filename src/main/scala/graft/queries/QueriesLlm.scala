@@ -285,6 +285,50 @@ object QueriesLlm {
                           ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM sc)
         WHERE rnk <= 5"""
 
+  /** ann_ivf_trained twin: the curation_kmeans CTE chain (k=4, 2 update
+    * rounds — QueriesCuration's assign/update builders, so the training
+    * arithmetic cannot drift between the two queries) trains the
+    * centroids; a2 IS the inverted lists; queries probe their 2 nearest
+    * centroids by the training metric and the in-list rerank scores
+    * exact cosine — stage for stage the Spark composition.
+    */
+  private def annIvfTrainedSql: String = {
+    import QueriesCuration.{assignSql, dist2Sql, updateSql}
+    s"""WITH v AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+          FROM embeddings),
+        c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                   AS cluster, v
+          FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 4)),
+        a0 AS (${assignSql("v", "c0")}),
+        c1 AS (${updateSql("a0")}),
+        a1 AS (${assignSql("v", "c1")}),
+        c2 AS (${updateSql("a1")}),
+        a2 AS (${assignSql("v", "c2")}),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 5),
+        p AS (
+          SELECT query_id, qv, cluster
+          FROM (SELECT query_id, qv, cluster,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY dist, cluster) AS r
+                FROM (SELECT q.query_id, q.qv, c.cluster,
+                             ${dist2Sql("q.qv", "c.v")} AS dist
+                      FROM q, c2 c))
+          WHERE r <= 2),
+        sc AS (
+          SELECT query_id, neighbor_id, cluster,
+                 ${cosSql("qv", "cv")} AS cos
+          FROM (SELECT vec_id AS neighbor_id, v AS cv, cluster FROM a2) inv
+          JOIN p USING (cluster)
+          WHERE query_id != neighbor_id)
+        SELECT query_id, neighbor_id, cluster AS centroid_id,
+               ROUND(cos, 6) AS cos, rnk
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM sc)
+        WHERE rnk <= 5"""
+  }
+
   /** The semantic-dedup test corpus, shared by dedup_semantic and
     * dedup_incremental_semantic: the synthetic embeddings are
     * near-orthogonal (max pair cosine ~0.48), so both engines plant the
@@ -428,6 +472,20 @@ object QueriesLlm {
       Similarity.annIvf(e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
         k = 5, minStride = 37L, nprobe = 2,
         statsCache = Some(java.nio.file.Paths.get("/tmp/graft_scratch/ivf_stats")))
+        .select(col("query_id"), col("neighbor_id"), col("centroid_id"),
+          round(col("cos"), 6).as("cos"), col("rank").as("rnk"))
+    },
+
+    // IVF over a TRAINED coarse quantizer (the annIvf doc's promised slot):
+    // deterministic Lloyd k-means (the curation_kmeans discipline, k=4,
+    // 2 rounds) trains the centroids, assignment and probing run in the
+    // training metric (squared Euclidean), the in-list rerank scores exact
+    // cosine. The oracle re-runs the identical composition: the kmeans CTE
+    // chain feeds the probe/rerank CTEs.
+    "ann_ivf_trained" -> { (s, d) =>
+      val e = embeddings(s, d)
+      Similarity.annIvfTrained(e.filter(col("vec_id") < 5), e, "vec_id",
+        "embedding", k = 5, kCentroids = 4, iters = 2, nprobe = 2)
         .select(col("query_id"), col("neighbor_id"), col("centroid_id"),
           round(col("cos"), 6).as("cos"), col("rank").as("rnk"))
     },
@@ -970,6 +1028,7 @@ object QueriesLlm {
     "dedup_simhash" -> simhashSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
+    "ann_ivf_trained" -> annIvfTrainedSql,
 
     "dedup_exact" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,

@@ -338,6 +338,25 @@ class TextDedupSpec extends SparkSpec {
     assert(recall >= 0.2, s"IVF recall $recall vs bruteforce")
   }
 
+  test("ann_ivf_trained: k-means centroids partition; probing recalls true neighbors") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 5)
+    val ivf = Similarity.annIvfTrained(q, e, "vec_id", "embedding",
+      k = 5, kCentroids = 4, iters = 2, nprobe = 2)
+    assert(ivf.groupBy("query_id").count().collect().forall(_.getLong(1) == 5),
+      "every query returns k results")
+    // probed centroid ids are genuine trained-cluster labels (0..k-1)
+    val cents = ivf.select("centroid_id").collect().map(_.getInt(0)).toSet
+    assert(cents.subsetOf(Set(0, 1, 2, 3)))
+    val exact = Similarity.annBruteForceAgg(q, e, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = ivf.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.2, s"trained-IVF recall $recall vs bruteforce")
+  }
+
   test("top-k aggregator ANN matches the window-rank ANN exactly") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter(col("vec_id") < 3)
