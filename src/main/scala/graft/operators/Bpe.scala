@@ -223,6 +223,45 @@ object Bpe {
         sum(col("tf") * col("wtoks")).cast("long").as("n_tokens"))
   }
 
+  /** Per-ROW (n_words, n_chars, n_tokens) under a fixed merge table — the
+    * streaming-safe twin of [[encodeStatsWith]]: the identical per-word
+    * merge fold, applied inline to each document instead of joined through
+    * the corpus vocabulary, so it needs no corpus-at-rest pass and no
+    * state (ConfigRuntime.corpusStream's `tokenize` step). Result-equal to
+    * the join path because the fold is a pure function of the word.
+    *
+    * Scale note: the expression inlines one fold per merge (fine for the
+    * gate's k; the batch join path amortizes the fold over DISTINCT words
+    * and is the pick for production-sized merge tables).
+    */
+  /** Let-binding for a column expression: evaluate `e` ONCE as a lambda
+    * variable and reference it cheaply inside `f`. [[applyMerge]] reads its
+    * `syms` argument four times, so folding k merges NAIVELY multiplies the
+    * accumulated tree ~4x per level — 4^k nodes, and Catalyst spins for
+    * minutes at k = 8 (measured). With each level bound, references are
+    * variable reads and the tree stays O(k). Runtime cost: one 1-element
+    * array per level, negligible.
+    */
+  private def bound(e: Column)(f: Column => Column): Column =
+    element_at(transform(array(e), f), 1)
+
+  def tokenStats(textCol: Column,
+                 merges: Seq[(Int, String, String, Long)]): Column = {
+    val words = filter(Text.tokens(textCol), w => w =!= "")
+    val segs = transform(words, w => {
+      val init = concat_ws(" ", split(w, "(?!^)(?!$)"))
+      merges.sortBy(_._1).foldLeft(init) { case (acc, (_, l, r, _)) =>
+        bound(acc)(applyMerge(_, l, r))
+      }
+    })
+    struct(
+      size(words).cast("long").as("n_words"),
+      aggregate(words, lit(0L), (a, w) => a + length(w).cast("long"))
+        .as("n_chars"),
+      aggregate(segs, lit(0L), (a, s) => a + size(split(s, " ")).cast("long"))
+        .as("n_tokens"))
+  }
+
   /** [[merges]] as a DataFrame for the gated query/bench surface. */
   def mergesFrame(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
     val spark = df.sparkSession

@@ -582,14 +582,18 @@ object ConfigRuntime {
 
   /** The `corpus:` journey as a STREAMING plan — a continuously-fed crawl
     * curated and exact-deduped at ingest, in one job. Stateless steps
-    * (filter, chunk) apply unchanged; `dedup_exact` becomes a watermarked
-    * digest `dropDuplicates` (each arriving doc hashes once, state holds
-    * digests only and is evicted past the watermark horizon — the property
-    * that makes it deployable on an infinite crawl; the finite verification
-    * harness evicts nothing, so the result is the exact distinct set).
-    * Near-dup dedup and decontamination need corpus-at-rest passes
-    * (signatures + connected components / a benchmark join over the whole
-    * corpus) and are rejected by name — run the batch journey for those.
+    * (filter, chunk) apply unchanged; `tokenize` streams under an ALREADY
+    * -TRAINED artifact (the merge table hydrates at plan build, a per-row
+    * fold annotates each arriving doc — training itself needs the batch
+    * journey); `dedup_exact` becomes a watermarked digest `dropDuplicates`
+    * (each arriving doc hashes once, state holds digests only and is
+    * evicted past the watermark horizon — the property that makes it
+    * deployable on an infinite crawl; the finite verification harness
+    * evicts nothing, so the result is the exact distinct set). Near-dup
+    * dedup (single-shot and incremental) and decontamination need
+    * corpus-at-rest passes (signatures + connected components / a
+    * benchmark join over the whole corpus) and are rejected by name — run
+    * the batch journey for those.
     *
     * Streaming keeps FIRST-ARRIVAL per digest where batch keeps min-id, so
     * downstream consumers get one representative per distinct text with
@@ -627,12 +631,27 @@ object ConfigRuntime {
           case Config.CorpusChunk(size, stride) =>
             graft.operators.Curation.chunkDocuments(df, c.idCol, c.textCol,
               size, stride)
+          case Config.CorpusTokenize(artifact, _) =>
+            // streamable ONLY under an already-trained artifact: the merge
+            // table hydrates at plan build and the per-row fold expression
+            // (Bpe.tokenStats) annotates each arriving doc — no state, no
+            // corpus-at-rest pass. Training needs the batch journey.
+            val path = resolvePath(dataDir, artifact)
+            require(java.nio.file.Files.exists(path),
+              s"config: streaming tokenize needs a trained artifact at " +
+                s"'$path' — run the batch corpus journey (train-if-missing) first")
+            val stats = graft.operators.Bpe.tokenStats(text,
+              graft.operators.Bpe.loadTokenizer(path.toString))
+            df.withColumn("__ts", stats)
+              .withColumn("n_words", col("__ts.n_words"))
+              .withColumn("n_chars", col("__ts.n_chars"))
+              .withColumn("n_tokens", col("__ts.n_tokens"))
+              .drop("__ts")
           case other =>
             val name = other match {
               case _: Config.CorpusDedupFuzzy        => "dedup_fuzzy"
               case _: Config.CorpusDecontaminate     => "decontaminate"
               case _: Config.CorpusDedupIncremental  => "dedup_incremental"
-              case _: Config.CorpusTokenize          => "tokenize"
               case o                                 => o.getClass.getSimpleName
             }
             throw new IllegalArgumentException(

@@ -881,7 +881,7 @@ object QueriesLlm {
                  w.n AS n
           FROM ${prefix}$i w, b$i b)"""
 
-  private def bpeCtes(rounds: Int, trainWhere: String = ""): String = {
+  private[queries] def bpeCtes(rounds: Int, trainWhere: String = ""): String = {
     def roundCtes(i: Int) =
       s"""p$i AS (
             SELECT u.lhs, u.rhs, CAST(SUM(u.n) AS BIGINT) AS cnt FROM (
@@ -909,10 +909,12 @@ object QueriesLlm {
         $finals"""
   }
 
-  /** The tf-compressed encode join (Bpe.encodeJoin's twin): `vocabRel` is
+  /** The tf-compressed encode join (Bpe.encodeJoin's twin) as CTEs ending
+    * in `bpe_stats` (doc_id, n_words, n_chars, n_tokens): `vocabRel` is
     * the fully-merged vocabulary serving as the word → token-count map.
+    * Shared with the streaming tokenize oracle (QueriesStreaming).
     */
-  private def bpeEncodeTail(vocabRel: String): String =
+  private[queries] def bpeStatsCtes(vocabRel: String): String =
     s"""tokmap AS (
           SELECT word, CAST(len(string_split(syms, ' ')) AS BIGINT) AS wtoks
           FROM $vocabRel),
@@ -921,13 +923,18 @@ object QueriesLlm {
             SELECT doc_id,
                    unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
             FROM documents)
-          WHERE word != '' GROUP BY doc_id, word)
-        SELECT doc_id,
-               CAST(SUM(tf) AS BIGINT) AS n_words,
-               CAST(SUM(tf * len(word)) AS BIGINT) AS n_chars,
-               CAST(SUM(tf * wtoks) AS BIGINT) AS n_tokens
-        FROM tf JOIN tokmap USING (word)
-        GROUP BY doc_id"""
+          WHERE word != '' GROUP BY doc_id, word),
+        bpe_stats AS (
+          SELECT doc_id,
+                 CAST(SUM(tf) AS BIGINT) AS n_words,
+                 CAST(SUM(tf * len(word)) AS BIGINT) AS n_chars,
+                 CAST(SUM(tf * wtoks) AS BIGINT) AS n_tokens
+          FROM tf JOIN tokmap USING (word)
+          GROUP BY doc_id)"""
+
+  private def bpeEncodeTail(vocabRel: String): String =
+    s"""${bpeStatsCtes(vocabRel)}
+        SELECT doc_id, n_words, n_chars, n_tokens FROM bpe_stats"""
 
   /** DuckDB twin of Bpe.encodeStats: the fully-merged vocabulary w${k+1} is
     * the word → token-count map; documents collapse to term frequencies and

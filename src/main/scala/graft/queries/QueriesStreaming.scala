@@ -80,6 +80,32 @@ object QueriesStreaming {
       Streaming.runCorpusStream(s, d, project,
         s"graft_stream_corpus_dedup_${runId.incrementAndGet()}")
         .select(sha2(col("text").cast("string"), 256).as("content_hash"))
+    },
+
+    // The crawl annotated AT INGEST under a pre-trained tokenizer: quality
+    // gate + per-row token accounting from the hydrated merge artifact —
+    // no state, no corpus-at-rest pass. The artifact trains batch-side on
+    // the full corpus first (the deploy shape: train once, every later
+    // crawl streams through it); output rows are arrival-independent.
+    "stream_corpus_tokenize" -> { (s, d) =>
+      import org.apache.spark.sql.functions.col
+      import graft.operators.Bpe
+      val path = "/tmp/graft_scratch/stream_tok/tokenizer.json"
+      Bpe.saveTokenizer(path, Bpe.merges(
+        graft.sources.Tables.documents(s, d), "text", QueriesLlm.BpeRounds))
+      val project = graft.pipeline.Config.parseProject(
+        s"""sources:
+           |  - id: docs
+           |    loader: { transport: fs, path: documents.parquet, reader: { format: parquet } }
+           |corpus:
+           |  source: docs
+           |  steps:
+           |    - { step: filter, lang: en, min_quality: 0.3, max_repetition: 0.8 }
+           |    - { step: tokenize, artifact: $path, rounds: ${QueriesLlm.BpeRounds} }
+           |""".stripMargin)
+      Streaming.runCorpusStream(s, d, project,
+        s"graft_stream_corpus_tokenize_${runId.incrementAndGet()}")
+        .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_tokens"))
     }
   )
 
@@ -128,5 +154,22 @@ object QueriesStreaming {
       s"""WITH verdicts AS (${QueriesLlm.corpusFilterSql})
           SELECT DISTINCT sha256(d.text) AS content_hash
           FROM documents d JOIN verdicts f USING (doc_id)
+          WHERE f.keep""",
+    // the batch filter gate + encode stats under merges trained on the
+    // FULL corpus (the artifact's training set) — per-row streaming fold
+    // and vocabulary join are the same function of each word, so the
+    // composed CTEs land exactly where the stream lands; filtered docs
+    // with no tokens count zeros
+    "stream_corpus_tokenize" ->
+      s"""WITH verdicts AS (${QueriesLlm.corpusFilterSql}),
+          ${QueriesLlm.bpeCtes(QueriesLlm.BpeRounds)},
+          ${QueriesLlm.bpeStatsCtes(s"w${QueriesLlm.BpeRounds + 1}")}
+          SELECT d.doc_id,
+                 coalesce(s.n_words, CAST(0 AS BIGINT)) AS n_words,
+                 coalesce(s.n_chars, CAST(0 AS BIGINT)) AS n_chars,
+                 coalesce(s.n_tokens, CAST(0 AS BIGINT)) AS n_tokens
+          FROM documents d
+          JOIN verdicts f USING (doc_id)
+          LEFT JOIN bpe_stats s USING (doc_id)
           WHERE f.keep""")
 }

@@ -82,6 +82,29 @@ class BpeSpec extends SparkSpec {
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 7L, 4L)))
   }
 
+  test("per-row tokenStats equals the vocabulary-join encode path") {
+    // the streaming-safe expression and the batch join are the same
+    // function of each word; zero-token docs count zeros per-row where the
+    // join path leaves them absent
+    val train = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val merges = Bpe.merges(train, "text", rounds = 8)
+    val docs = Seq((1L, "aaab zz ab aaab"), (2L, "xyz"), (3L, ""))
+      .toDF("doc_id", "text")
+    val perRow = docs
+      .withColumn("s", Bpe.tokenStats(col("text"), merges))
+      .select(col("doc_id"), col("s.n_words"), col("s.n_chars"),
+        col("s.n_tokens"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val joined = Bpe.encodeStatsWith(docs, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(perRow(3L) == ((0L, 0L, 0L)))
+    assert(joined.forall { case (id, s) => perRow(id) == s })
+    assert(joined.keySet == Set(1L, 2L))
+  }
+
   test("loadTokenizer rejects a foreign artifact") {
     val p = Files.createTempDirectory("graft_bpe").resolve("bad.json")
     Files.writeString(p, """{"kind": "standard_scaler", "version": 3}""")

@@ -69,4 +69,16 @@ class StreamingSinkSpec extends SparkSpec {
     assert(e.getMessage.contains("dedup_fuzzy") &&
       e.getMessage.contains("not streamable"))
   }
+
+  test("streaming tokenize requires an already-trained artifact") {
+    val doc = CorpusDoc.replace("- { step: dedup_exact }",
+      "- { step: tokenize, artifact: /tmp/graft_no_such_tok.json, rounds: 4 }")
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.ConfigRuntime.corpusStream(spark, DataDir,
+        graft.pipeline.Config.parseProject(doc))
+    }
+    assert(e.getMessage.contains("trained artifact") &&
+      e.getMessage.contains("batch corpus journey"),
+      e.getMessage)
+  }
 }
