@@ -211,6 +211,30 @@ class PlanAuditSpec extends SparkSpec {
       "the encode map attaches by word equi-join")
   }
 
+  audit("ann_ivf_trained") { plan =>
+    // trained centroids enter as codegen'd LITERAL structs — assignment and
+    // probing must not plan any centroid join, and the rerank attaches the
+    // Q×nprobe probe rows by broadcast cluster equi-join
+    assert(!plan.contains("CartesianProduct"),
+      "no cartesian product anywhere in the trained-IVF plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "probes attach by cluster equi-join, never a nested loop")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the Q×nprobe probe side must broadcast into the rerank join")
+  }
+
+  audit("dedup_incremental_semantic") { plan =>
+    // the union labeling reads the persisted index: members/edges parquet
+    // scans, a bucket-bounded candidate graph (never all-pairs), and the
+    // CC labels attach by equi-join
+    assert(plan.contains("Scan parquet"),
+      "clusters() must read the persisted generations, not recompute them")
+    assert(!plan.contains("CartesianProduct"),
+      "no all-pairs join in the incremental semantic labeling")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "membership and labels attach by equi-join")
+  }
+
   audit("bpe_artifact") { plan =>
     // the artifact round trip encodes under HYDRATED merges: same plan
     // contract as bpe_encode (checkpointed encode map, tf partial
