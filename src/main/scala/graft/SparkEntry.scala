@@ -24,6 +24,7 @@ object SparkEntry {
       (QueriesCompose.queries, QueriesCompose.oracleSql),
       (QueriesAssembly.queries, QueriesAssembly.oracleSql),
       (QueriesLlm.queries, QueriesLlm.oracleSql),
+      (QueriesCorpus.queries, QueriesCorpus.oracleSql),
       (QueriesCuration.queries, QueriesCuration.oracleSql),
       (QueriesPipeline.queries, QueriesPipeline.oracleSql),
       (QueriesStreaming.queries, QueriesStreaming.oracleSql)

@@ -35,6 +35,48 @@ object Dedup {
     df.groupBy(sha2(col(textCol), 256).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Segment-level exact dedup (the "Deduplicating Training Data Makes
+    * Language Models Better" substring posture, at token-block granularity):
+    * each doc is chopped into consecutive non-overlapping `segTokens`-token
+    * blocks, every block is hashed, and a block occurring more than once in
+    * the whole corpus is a duplicated passage. Per-doc report: block count,
+    * duplicated-block count, duplicated fraction.
+    *
+    * Scale posture: blocks shuffle as 60-bit hashes (bodies never shuffle),
+    * the frequency table is a partial-aggregated groupBy on the hash, and
+    * the join back to blocks is keyed on the same hash — two hash
+    * exchanges, no self-join, no candidate blow-up. Docs shorter than one
+    * block contribute no segments and report zeros.
+    */
+  def segmentDedup(df: DataFrame, textCol: String, idCol: String,
+                   segTokens: Int = 10): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    val nseg = floor(size(toks) / segTokens).cast("int")
+    // per-row block hashes; sequence() needs start <= stop, so short docs
+    // are filtered out of the segment relation and re-attached by the
+    // left join below
+    val segs = df
+      .select(col(idCol), toks.as("__toks"), nseg.as("__nseg"))
+      .where(col("__nseg") >= 1)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), col("__nseg") - 1),
+        i => Text.portableHash(
+          concat_ws(" ", slice(col("__toks"), i * segTokens + 1, lit(segTokens))))))
+        .as("h"))
+    val freq = segs.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    val perDoc = segs.join(freq, Seq("h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_segments"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_segments"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("n_dup_segments"), lit(0L)).as("n_dup_segments"))
+      .withColumn("dup_fraction",
+        round(col("n_dup_segments").cast("double") /
+          greatest(col("n_segments"), lit(1L)), 6))
+  }
+
   // ---------------------------------------------------------------- minhash
 
   private[graft] val MersennePrime = 2147483647L // 2^31 - 1

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.queries.Q.sumDec
+
+/** Data-selection operators for LLM pretraining corpora: hashed-feature
+  * importance scoring (the DSIR shape — "Data Selection for Language Models
+  * via Importance Resampling", Xie et al. 2023) and temperature-scaled
+  * domain mixture reweighting (the multilingual/multi-domain sampling rule
+  * popularized by mBERT/XLM-R-style training).
+  *
+  * Scale posture: every model here is a BOUNDED side table — the hashed
+  * feature space is a fixed `buckets`-row frame and the domain table is one
+  * row per source — so the corpus-sized relation joins them broadcast and
+  * is never shuffled. Totals enter the plans as broadcast one-row
+  * aggregates, not driver actions.
+  *
+  * Cross-engine determinism: bucket log-ratios and per-token logs are
+  * rounded to 6 decimals and summed through exact decimals (sumDec), so the
+  * per-doc score is independent of Spark's aggregation order and matches
+  * the DuckDB oracle bit for bit.
+  */
+object Importance {
+
+  /** Hashed-unigram bucket id in [0, buckets). */
+  def bucket(tok: Column, buckets: Int): Column =
+    pmod(Text.portableHash(tok), lit(buckets)).cast("int")
+
+  /** DSIR-style importance scores: per-doc mean log-ratio of the target
+    * unigram distribution over the raw distribution, both estimated on
+    * `buckets` hashed features with add-one smoothing.
+    *
+    * `targetPred` marks the in-domain rows (the distribution we want more
+    * of); the raw distribution is the whole frame. Output: one row per doc
+    * — (idCol, n_tokens, dsir_score, keep) with keep = score > 0 (the doc
+    * looks more target-like than corpus-like).
+    */
+  def dsirScores(df: DataFrame, idCol: String, textCol: String,
+                 targetPred: Column, buckets: Int): DataFrame = {
+    val toks = df.select(col(idCol), targetPred.as("__t"),
+        explode(Text.tokens(col(textCol))).as("tok"))
+      .select(col(idCol), col("__t"),
+        bucket(col("tok"), buckets).as("b"))
+    // bounded feature tables: `buckets` rows each, counted in one pass
+    val cnt = toks.groupBy(col("b")).agg(
+      count(lit(1)).as("raw_cnt"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("tgt_cnt"))
+    val totals = toks.agg(
+      count(lit(1)).as("raw_total"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("tgt_total"))
+    // add-one smoothed log-ratio per bucket; numerator/denominator are
+    // assembled in the SAME operation order as the SQL twin (IEEE-exact)
+    val lr = cnt.crossJoin(broadcast(totals))
+      .select(col("b"), round(log(
+        ((col("tgt_cnt") + 1.0) * (col("raw_total") + buckets.toDouble)) /
+          ((col("raw_cnt") + 1.0) * (col("tgt_total") + buckets.toDouble))),
+        6).as("lr"))
+    val scored = toks.join(broadcast(lr), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        round(sumDec(col("lr"), 6) / count(lit(1)), 6).as("dsir_score"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("dsir_score"),
+        (coalesce(col("dsir_score"), lit(0.0)) > 0.0).as("keep"))
+  }
+
+  /** Temperature-scaled domain mixture: per-domain target weight w_d ∝
+    * n_d^alpha (alpha = 0.5 → sqrt, the multilingual-sampling default),
+    * per-domain deterministic keep rate = min(1, T·w_d / n_d), applied as a
+    * sha256-ratio filter per row — reproducible across runs and engines,
+    * no RNG state. Upweights small domains, downsamples large ones, leaves
+    * the expected total near T.
+    *
+    * Output: one row per input row — (idCol, domainCol, rate, keep).
+    */
+  def domainMix(df: DataFrame, idCol: String, domainCol: String,
+                tokCount: Column, seed: Int): DataFrame = {
+    val perDom = df.groupBy(col(domainCol))
+      .agg(sum(tokCount.cast("long")).as("n_toks"))
+    // exact totals: long token sum; sqrt weights rounded then decimal-summed
+    // so the normalizer is aggregation-order-free
+    val totals = perDom.agg(
+      sum(col("n_toks")).as("t_total"),
+      sumDec(round(sqrt(col("n_toks").cast("double")), 6), 6).as("w_total"))
+    val rates = perDom.crossJoin(broadcast(totals))
+      .select(col(domainCol),
+        round(least(lit(1.0),
+          col("t_total").cast("double") *
+            (round(sqrt(col("n_toks").cast("double")), 6) / col("w_total")) /
+            col("n_toks").cast("double")), 6).as("rate"))
+    df.join(broadcast(rates), Seq(domainCol))
+      .select(col(idCol), col(domainCol), col("rate"),
+        (Curation.hashRatio(col(idCol), seed) < col("rate")).as("keep"))
+  }
+}

@@ -445,4 +445,80 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"),
         (col("cos") >= threshold).as("is_near_dup"))
   }
+
+  /** Product-quantized ANN (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search"): vectors split into `m` subspaces, each encoded as
+    * its nearest codeword in a `ks`-entry per-subspace codebook, queries
+    * scored by asymmetric distance (ADC) — the sum over subspaces of the
+    * query-to-codeword distance looked up by the stored code. The memory
+    * story at 100 TB: a 64-dim float vector compresses to `m` bytes, so the
+    * scan side touches codes, never raw vectors.
+    *
+    * Codebooks here are a deterministic stride-sample of the corpus (the
+    * annIvf discipline — the oracle-able stand-in for per-subspace k-means;
+    * trained codebooks swap in without touching the plan shape).
+    *
+    * Plan shape: the codebook is `ks` rows — broadcast everywhere, never
+    * shuffled. Encoding crossJoins corpus × broadcast(codebook) and
+    * collapses map-side via per-subspace min_by aggregates: ONE shuffled
+    * row per corpus vector. The ADC join matches exploded (subspace, code)
+    * rows against a broadcast Q×ks×m lookup table and partial-aggregates
+    * to one row per (query, vector) before the shuffle. Per-subspace
+    * distances are rounded to 6 and ADC-summed through exact decimals, so
+    * ranking is aggregation-order-free and oracle-exact.
+    */
+  def annPq(queries: DataFrame, corpus: DataFrame, idCol: String,
+            vecCol: String, k: Int, dim: Int = 64, m: Int = 8,
+            ks: Int = 16): DataFrame = {
+    require(dim % m == 0, s"annPq: dim $dim must split into $m subspaces")
+    val n = corpus.count() // metadata-scale, like annIvf's stride count
+    val stride = math.max(1L, n / ks)
+    val cb = corpus
+      .filter(pmod(col(idCol), lit(stride)) === 0 &&
+        (col(idCol) / stride).cast("long") < ks)
+      .select((col(idCol) / stride).cast("int").as("code"),
+        toDouble(col(vecCol)).as("cbv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("v"))
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("qv"))
+    // squared L2 between subspace slices as the same sequential fold the
+    // oracle's list_reduce runs; rounded so argmin/ADC are portable
+    def subD(a: Column, b: Column, mIdx: Int, dSub: Int): Column =
+      round(aggregate(
+        zip_with(slice(a, mIdx * dSub + 1, dSub),
+          slice(b, mIdx * dSub + 1, dSub),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x), 6)
+    val dSub = dim / m
+    // encode: per-subspace argmin over the broadcast codebook, all m
+    // subspaces collapsed in ONE aggregate — one shuffled row per vector
+    val codeAggs = (0 until m).map { mi =>
+      min_by(col("code"), struct(subD(col("v"), col("cbv"), mi, dSub),
+        col("code"))).as(s"c$mi")
+    }
+    val enc = c.crossJoin(broadcast(cb))
+      .groupBy(col("neighbor_id"))
+      .agg(codeAggs.head, codeAggs.tail: _*)
+    val encLong = enc.select(col("neighbor_id"),
+      posexplode(array((0 until m).map(mi => col(s"c$mi")): _*))
+        .as(Seq("m", "code")))
+    // ADC lookup table: Q × ks × m rows, broadcast
+    val lut = q.crossJoin(broadcast(cb))
+      .select(col("query_id") +: col("code") +:
+        (0 until m).map(mi => subD(col("qv"), col("cbv"), mi, dSub)
+          .as(s"d$mi")): _*)
+      .select(col("query_id"), col("code"),
+        posexplode(array((0 until m).map(mi => col(s"d$mi")): _*))
+        .as(Seq("m", "d")))
+    val adc = encLong.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(graft.queries.Q.sumDec(col("d"), 6).as("adist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    adc.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
+  }
 }

@@ -1,0 +1,277 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.operators.{Dedup, Importance, Sharding, Similarity}
+import Q._
+
+/** Round-9 corpus-scale operators (SURVEY.md §2.7 extensions): segment-level
+  * exact dedup, DSIR-style importance selection, temperature-scaled domain
+  * mixing, bigram language-model scoring, product-quantized ANN, and
+  * deterministic training-shard manifests. Every DuckDB oracle is generated
+  * from the SAME constants as the Spark plan so the two sides cannot drift.
+  */
+object QueriesCorpus {
+
+  // shared constants — the Spark plans and the oracle SQL both read these
+  private val SegTokens = 10
+  private val DsirBuckets = 256
+  private val MixSeed = 7
+  private val ShardBudget = 2000L
+  private val PqM = 8
+  private val PqKs = 16
+  private val PqDim = 64
+  private val PqK = 5
+
+  /** sha256 53-bit ratio twin (same fold as Curation.hashRatio). */
+  private def ratioSql(tokenExpr: String, seed: Int): String =
+    s"CAST(CAST('0x' || substr(sha256('$seed|' || CAST($tokenExpr AS VARCHAR)), 3, 14) AS BIGINT) & 9007199254740991 AS DOUBLE) / 9007199254740992.0"
+
+  private val wordsCte =
+    """words AS (
+         SELECT doc_id, lang, source,
+                regexp_split_to_array(lower(text), '\s+') AS w
+         FROM documents)"""
+
+  // ------------------------------------------------------------ oracle SQL
+
+  private def substringDedupSql: String =
+    s"""WITH $wordsCte,
+        segs AS (
+          SELECT doc_id, unnest([
+            ${Text.portableHashSql(
+              s"array_to_string(w[(i-1)*$SegTokens+1 : i*$SegTokens], ' ')")}
+            for i in generate_series(1, len(w) // $SegTokens)]) AS h
+          FROM words),
+        freq AS (SELECT h, CAST(count(*) AS BIGINT) AS cnt FROM segs GROUP BY h),
+        per AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_segments,
+                 CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_segments
+          FROM segs JOIN freq USING (h) GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(p.n_segments, 0) AS n_segments,
+               coalesce(p.n_dup_segments, 0) AS n_dup_segments,
+               ROUND(CAST(coalesce(p.n_dup_segments, 0) AS DOUBLE) /
+                     GREATEST(coalesce(p.n_segments, 0), 1), 6) AS dup_fraction
+        FROM documents d LEFT JOIN per p USING (doc_id)"""
+
+  private def dsirSelectSql: String = {
+    val b = DsirBuckets
+    s"""WITH $wordsCte,
+        toks AS (
+          SELECT doc_id, lang = 'en' AS t,
+                 CAST(${Text.portableHashSql("tok")} % $b AS INTEGER) AS bkt
+          FROM (SELECT doc_id, lang, unnest(w) AS tok FROM words)),
+        cnt AS (
+          SELECT bkt,
+                 CAST(count(*) AS BIGINT) AS raw_cnt,
+                 CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS tgt_cnt
+          FROM toks GROUP BY bkt),
+        totals AS (
+          SELECT CAST(count(*) AS BIGINT) AS raw_total,
+                 CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS tgt_total
+          FROM toks),
+        lr AS (
+          SELECT bkt,
+                 ROUND(ln(((tgt_cnt + 1.0) * (raw_total + $b.0)) /
+                          ((raw_cnt + 1.0) * (tgt_total + $b.0))), 6) AS lr
+          FROM cnt, totals),
+        scored AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 ROUND(CAST(SUM(CAST(lr AS DECIMAL(30,6))) AS DOUBLE)
+                       / count(*), 6) AS dsir_score
+          FROM toks JOIN lr USING (bkt) GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(s.n_tokens, 0) AS n_tokens,
+               s.dsir_score,
+               coalesce(s.dsir_score, 0.0) > 0.0 AS keep
+        FROM documents d LEFT JOIN scored s USING (doc_id)"""
+  }
+
+  private def domainMixSql: String =
+    s"""WITH per_src AS (
+          SELECT source,
+                 CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+                   AS n_toks
+          FROM documents GROUP BY source),
+        totals AS (
+          SELECT CAST(SUM(n_toks) AS BIGINT) AS t_total,
+                 CAST(SUM(CAST(ROUND(sqrt(CAST(n_toks AS DOUBLE)), 6)
+                               AS DECIMAL(30,6))) AS DOUBLE) AS w_total
+          FROM per_src),
+        rates AS (
+          SELECT source,
+                 ROUND(LEAST(1.0,
+                   CAST(t_total AS DOUBLE) *
+                     (ROUND(sqrt(CAST(n_toks AS DOUBLE)), 6) / w_total) /
+                     CAST(n_toks AS DOUBLE)), 6) AS rate
+          FROM per_src, totals)
+        SELECT d.doc_id, d.source, r.rate,
+               ${ratioSql("d.doc_id", MixSeed)} < r.rate AS keep
+        FROM documents d JOIN rates r USING (source)"""
+
+  private def bigramLogprobSql: String =
+    s"""WITH $wordsCte,
+        bigrams AS (
+          SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+            for i in generate_series(1, len(w) - 1)]) AS bg
+          FROM words),
+        bcnt AS (SELECT bg, CAST(count(*) AS BIGINT) AS bc
+                 FROM bigrams GROUP BY bg),
+        ucnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS uc FROM
+                   (SELECT unnest(w) AS tok FROM words) GROUP BY tok),
+        scored AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_bigrams,
+                 ROUND(CAST(SUM(CAST(ROUND(ln(CAST(bc AS DOUBLE) / uc), 6)
+                                     AS DECIMAL(30,6))) AS DOUBLE)
+                       / count(*), 6) AS mean_logprob
+          FROM (SELECT doc_id, bg, string_split(bg, ' ')[1] AS prefix
+                FROM bigrams)
+          JOIN bcnt USING (bg)
+          JOIN ucnt ON tok = prefix
+          GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(s.n_bigrams, 0) AS n_bigrams,
+               s.mean_logprob
+        FROM documents d LEFT JOIN scored s USING (doc_id)"""
+
+  private def shardManifestSql: String =
+    s"""WITH toked AS (
+          SELECT doc_id, source, text,
+                 CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                   AS n_tokens
+          FROM documents),
+        assigned AS (
+          SELECT doc_id, source, text, n_tokens,
+                 CAST(coalesce(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   // $ShardBudget AS BIGINT) AS shard_id
+          FROM toked)
+        SELECT source, shard_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               MIN(doc_id) AS min_doc_id,
+               MAX(doc_id) AS max_doc_id,
+               bit_xor(${Text.portableHashSql("text")}) AS digest
+        FROM assigned GROUP BY source, shard_id"""
+
+  private def annPqSql: String = {
+    val dSub = PqDim / PqM
+    def foldSql(a: String, b: String): String =
+      s"""ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            [($a[mm.m*$dSub+i] - $b[mm.m*$dSub+i]) *
+             ($a[mm.m*$dSub+i] - $b[mm.m*$dSub+i])
+             for i in generate_series(1, $dSub)]),
+            (acc, x) -> acc + x), 6)"""
+    s"""WITH v AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+          FROM embeddings),
+        nn AS (SELECT GREATEST(count(*) // $PqKs, 1) AS stride FROM v),
+        cb AS (
+          SELECT CAST(vec_id // stride AS INTEGER) AS code, v
+          FROM v, nn
+          WHERE vec_id % stride = 0 AND vec_id // stride < $PqKs),
+        mm AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+        enc AS (
+          SELECT vec_id AS neighbor_id, m, code FROM (
+            SELECT t.vec_id, mm.m, c.code,
+                   row_number() OVER (PARTITION BY t.vec_id, mm.m
+                     ORDER BY ${foldSql("t.v", "c.v")}, c.code) AS r
+            FROM v t, cb c, mm)
+          WHERE r = 1),
+        lut AS (
+          SELECT q.vec_id AS query_id, mm.m, c.code,
+                 ${foldSql("q.v", "c.v")} AS d
+          FROM v q, cb c, mm
+          WHERE q.vec_id < 5),
+        adc AS (
+          SELECT query_id, neighbor_id,
+                 CAST(SUM(CAST(d AS DECIMAL(30,6))) AS DOUBLE) AS adist
+          FROM enc e JOIN lut l ON l.m = e.m AND l.code = e.code
+          WHERE l.query_id != e.neighbor_id
+          GROUP BY query_id, neighbor_id)
+        SELECT query_id, neighbor_id, adist, rnk
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY adist ASC, neighbor_id ASC) AS rnk FROM adc)
+        WHERE rnk <= $PqK"""
+  }
+
+  // --------------------------------------------------------------- queries
+
+  val queries: Map[String, QueryFn] = Map(
+    "substring_dedup" -> { (s, d) =>
+      Dedup.segmentDedup(documents(s, d), "text", "doc_id", SegTokens)
+    },
+
+    "dsir_select" -> { (s, d) =>
+      Importance.dsirScores(documents(s, d), "doc_id", "text",
+        col("lang") === "en", DsirBuckets)
+    },
+
+    "domain_mix" -> { (s, d) =>
+      Importance.domainMix(documents(s, d), "doc_id", "source",
+        Text.tokenCountWs(col("text")), MixSeed)
+    },
+
+    // Bigram language-model scoring (the next-order quality signal after
+    // unigram_logprob): per-doc mean log P(w_i | w_{i-1}) under corpus
+    // bigram/unigram maximum-likelihood counts. The unigram table is
+    // vocabulary-bounded (broadcast); bigram counts partial-aggregate and
+    // join keyed on the bigram — no unbounded state.
+    "bigram_logprob" -> { (s, d) =>
+      val docs = documents(s, d)
+      val toks = Text.tokens(col("text"))
+      val bigrams = docs
+        .where(size(toks) >= 2)
+        .select(col("doc_id"), explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+      val bcnt = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("bc"))
+      val ucnt = docs
+        .select(explode(toks).as("tok")).groupBy(col("tok"))
+        .agg(count(lit(1)).as("uc"))
+      val scored = bigrams
+        .withColumn("prefix", split(col("bg"), " ").getItem(0))
+        .join(bcnt, Seq("bg"))
+        .join(broadcast(ucnt), col("prefix") === col("tok"))
+        .select(col("doc_id"),
+          round(log(col("bc").cast("double") / col("uc")), 6).as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
+          round(sumDec(col("lp"), 6) / count(lit(1)), 6).as("mean_logprob"))
+      docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          col("mean_logprob"))
+    },
+
+    "shard_manifest" -> { (s, d) =>
+      Sharding.manifest(documents(s, d), "doc_id", "source", "text",
+        Text.tokenCountWs(col("text")), ShardBudget)
+    },
+
+    "ann_pq" -> { (s, d) =>
+      val e = embeddings(s, d)
+      Similarity.annPq(e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
+        k = PqK, dim = PqDim, m = PqM, ks = PqKs)
+        .select(col("query_id"), col("neighbor_id"), col("adist"),
+          col("rank").as("rnk"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "substring_dedup" -> substringDedupSql,
+    "dsir_select" -> dsirSelectSql,
+    "domain_mix" -> domainMixSql,
+    "bigram_logprob" -> bigramLogprobSql,
+    "shard_manifest" -> shardManifestSql,
+    "ann_pq" -> annPqSql
+  )
+}
