@@ -258,4 +258,67 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
       "token counts must partially aggregate map-side")
   }
+
+  audit("substring_dedup") { plan =>
+    // segment blocks shuffle as 60-bit hashes: the frequency table and the
+    // join back are keyed on the hash — equi-joins only, and the block
+    // counts must partially aggregate before any exchange
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "segment frequency must attach by hash equi-join")
+    assert(plan.contains("HashAggregate"),
+      "block frequencies must partially aggregate map-side")
+  }
+
+  audit("dsir_select") { plan =>
+    // the hashed feature space is a bounded `buckets`-row table — it must
+    // attach to the corpus-sized token relation as a broadcast, never a
+    // shuffle join
+    assert(plan.contains("BroadcastHashJoin"),
+      "the bucket log-ratio table must broadcast onto the token relation")
+    // the only nested-loop join allowed is the Cross attach of the one-row
+    // totals frame to the buckets-row count table (bounded × bounded)
+    assert(!plan.linesIterator.takeWhile(_.trim.nonEmpty).exists(l =>
+      l.contains("BroadcastNestedLoopJoin") && !l.contains("Cross")),
+      "log-ratios attach by bucket equi-join")
+  }
+
+  audit("domain_mix") { plan =>
+    // the per-domain rate table is one row per source — broadcast onto the
+    // corpus; the keep gate is a pure sha256-ratio row filter
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-domain rates must broadcast onto the corpus")
+    assert(!plan.contains("SortMergeJoin"),
+      "a sort-merge join here means the bounded rate table got shuffled")
+  }
+
+  audit("bigram_logprob") { plan =>
+    // the unigram table is vocabulary-bounded → broadcast; bigram counts
+    // partial-aggregate and join keyed on the bigram string
+    assert(plan.contains("BroadcastHashJoin"),
+      "the unigram prefix table must broadcast")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "bigram counts attach by bigram equi-join")
+  }
+
+  audit("shard_manifest") { plan =>
+    // one hash exchange on source feeds the running-token window, and the
+    // manifest groupBy(source, shard_id) reuses that partitioning
+    // (HashPartitioning(source) satisfies the clustered distribution) —
+    // a second Exchange means the reuse broke
+    val exchanges = plan.linesIterator.takeWhile(_.trim.nonEmpty)
+      .count(_.contains("Exchange"))
+    assert(exchanges <= 1,
+      s"shard manifest must shuffle once on source, saw $exchanges exchanges")
+  }
+
+  audit("ann_pq") { plan =>
+    // the ks-row codebook attaches as a broadcast cross join (encoding and
+    // the ADC lookup table both read it); the ADC join itself is a
+    // (subspace, code) broadcast equi-join; per-(query, vector) distances
+    // partial-aggregate before the shuffle
+    assert(plan.contains("BroadcastHashJoin"),
+      "the ADC lookup table must broadcast-join on (subspace, code)")
+    assert(plan.contains("HashAggregate"),
+      "ADC partial sums must aggregate map-side")
+  }
 }
