@@ -69,6 +69,79 @@ object Importance {
         (coalesce(col("dsir_score"), lit(0.0)) > 0.0).as("keep"))
   }
 
+  // ---------------------------------------------------------- DSIR model
+  // The trained selector as a PERSISTED artifact (the save/load_scaler
+  // discipline applied to the bucket table): fit once on a reference
+  // corpus, save the dense bucket→log-ratio array as JSON, hydrate and
+  // score any later crawl — including AT INGEST on a stream, because
+  // scoring under a hydrated model is a pure per-row fold (the bounded
+  // model enters the plan as a literal map: zero shuffle, zero state).
+
+  /** Fit the dense bucket model: log-ratio per bucket 0..buckets-1 (add-one
+    * smoothing covers never-observed buckets with the prior ratio). The
+    * collected state is `buckets` doubles — metadata-scale, like the
+    * kmeans centroids — produced by one partial-aggregated corpus pass.
+    * Rounding matches Spark's round() (HALF_UP on the shortest decimal
+    * form) so fitted values are identical to the in-plan fit.
+    */
+  def dsirModel(df: DataFrame, textCol: String, targetPred: Column,
+                buckets: Int): Array[Double] = {
+    val toks = df.select(targetPred.as("__t"),
+        explode(Text.tokens(col(textCol))).as("tok"))
+      .select(col("__t"), bucket(col("tok"), buckets).as("b"))
+    val cnt = toks.groupBy(col("b")).agg(
+      count(lit(1)).as("raw_cnt"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("tgt_cnt"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val rawTotal = cnt.values.map(_._1).sum
+    val tgtTotal = cnt.values.map(_._2).sum
+    Array.tabulate(buckets) { b =>
+      val (raw, tgt) = cnt.getOrElse(b, (0L, 0L))
+      val v = math.log(((tgt + 1.0) * (rawTotal + buckets.toDouble)) /
+        ((raw + 1.0) * (tgtTotal + buckets.toDouble)))
+      BigDecimal(java.lang.Double.toString(v))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+  }
+
+  /** Persist the model as JSON (`{"buckets": B, "lr": [...]}`).
+    * Double.toString round-trips exactly, so hydrate == fit.
+    */
+  def saveModel(path: String, lr: Array[Double]): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    val json = s"""{"buckets": ${lr.length}, "lr": [${lr.mkString(", ")}]}"""
+    java.nio.file.Files.writeString(p, json)
+  }
+
+  def loadModel(path: String): Array[Double] = {
+    val json = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    val arr = json.split("\\[")(1).split("\\]")(0).trim
+    if (arr.isEmpty) Array.empty
+    else arr.split(",").map(_.trim.toDouble)
+  }
+
+  /** Per-row importance score under a trained model: mean bucket log-ratio
+    * of the document's tokens, folded through an exact DECIMAL accumulator
+    * (aggregation-order-free — lands exactly where a decimal groupBy sum
+    * lands, which is what the oracle runs). The model enters the plan as a
+    * literal map: pure codegen'd row expression, no shuffle, no state —
+    * the shape that scores a crawl at ingest.
+    */
+  def dsirScoreExpr(text: Column, lr: Array[Double]): Column = {
+    val buckets = lr.length
+    val lrMap = map(lr.zipWithIndex.flatMap { case (v, i) =>
+      Seq(lit(i), lit(v))
+    }: _*)
+    val toks = Text.tokens(text)
+    // re-cast after each add: decimal addition widens the type and the fold
+    // accumulator must stay decimal(30,6)
+    val dec = aggregate(toks, lit(0).cast("decimal(30,6)"),
+      (acc, t) => (acc + element_at(lrMap, bucket(t, buckets))
+        .cast("decimal(30,6)")).cast("decimal(30,6)"))
+    round(dec.cast("double") / size(toks), 6)
+  }
+
   /** Temperature-scaled domain mixture: per-domain target weight w_d ∝
     * n_d^alpha (alpha = 0.5 → sqrt, the multilingual-sampling default),
     * per-domain deterministic keep rate = min(1, T·w_d / n_d), applied as a
@@ -78,8 +151,12 @@ object Importance {
     *
     * Output: one row per input row — (idCol, domainCol, rate, keep).
     */
-  def domainMix(df: DataFrame, idCol: String, domainCol: String,
-                tokCount: Column, seed: Int): DataFrame = {
+  /** The per-domain keep-rate table (one row per domain) behind
+    * [[domainMix]] — exposed so the config journey can join-and-filter
+    * while keeping the document schema.
+    */
+  def domainMixRates(df: DataFrame, domainCol: String,
+                     tokCount: Column): DataFrame = {
     val perDom = df.groupBy(col(domainCol))
       .agg(sum(tokCount.cast("long")).as("n_toks"))
     // exact totals: long token sum; sqrt weights rounded then decimal-summed
@@ -87,12 +164,17 @@ object Importance {
     val totals = perDom.agg(
       sum(col("n_toks")).as("t_total"),
       sumDec(round(sqrt(col("n_toks").cast("double")), 6), 6).as("w_total"))
-    val rates = perDom.crossJoin(broadcast(totals))
+    perDom.crossJoin(broadcast(totals))
       .select(col(domainCol),
         round(least(lit(1.0),
           col("t_total").cast("double") *
             (round(sqrt(col("n_toks").cast("double")), 6) / col("w_total")) /
             col("n_toks").cast("double")), 6).as("rate"))
+  }
+
+  def domainMix(df: DataFrame, idCol: String, domainCol: String,
+                tokCount: Column, seed: Int): DataFrame = {
+    val rates = domainMixRates(df, domainCol, tokCount)
     df.join(broadcast(rates), Seq(domainCol))
       .select(col(idCol), col(domainCol), col("rate"),
         (Curation.hashRatio(col(idCol), seed) < col("rate")).as("keep"))

@@ -160,6 +160,25 @@ object Config {
     */
   final case class CorpusTokenize(artifact: String,
                                   rounds: Int) extends CorpusStep
+  /** DSIR-style importance selection (operators/Importance): keep documents
+    * whose hashed-feature log-ratio score vs the `targetLang` unigram
+    * distribution exceeds `minScore`. With `artifact`, train-if-missing:
+    * the dense bucket model persists as JSON and later runs (including the
+    * STREAMING journey) hydrate and score without a fitting pass.
+    */
+  final case class CorpusSelect(targetLang: String, buckets: Int,
+                                minScore: Double,
+                                artifact: Option[String]) extends CorpusStep
+  /** Temperature-scaled domain mixture (Importance.domainMixRates): keep
+    * rate min(1, T·sqrt-weight/n_d) per `by`-domain, applied as the
+    * deterministic sha256-ratio filter.
+    */
+  final case class CorpusMix(by: String, seed: Int) extends CorpusStep
+  /** Token-budgeted training-shard assignment (operators/Sharding): append
+    * n_tokens + shard_id within each `by`-partition. Terminal like chunk —
+    * it appends serving columns.
+    */
+  final case class CorpusShard(by: String, budget: Long) extends CorpusStep
 
   /** The `corpus:` section: a document source + ordered curation steps. */
   final case class CorpusDef(source: String, idCol: String, textCol: String,
@@ -859,6 +878,24 @@ object Config {
         val r = intOpt(t, "rounds").getOrElse(8)
         if (r <= 0) fail(s"$ctx.rounds must be > 0, got $r")
         CorpusTokenize(str(t, "artifact", ctx), r)
+      case "select" =>
+        check("target_lang", "buckets", "min_score", "artifact")
+        val lang = str(t, "target_lang", ctx)
+        val known = graft.functions.Text.LangPriority
+        if (!known.contains(lang))
+          fail(s"$ctx.target_lang must be one of ${known.mkString(", ")}, got '$lang'")
+        val b = intOpt(t, "buckets").getOrElse(256)
+        if (b <= 0) fail(s"$ctx.buckets must be > 0, got $b")
+        CorpusSelect(lang, b, dblOpt(t, "min_score").getOrElse(0.0),
+          strOpt(t, "artifact"))
+      case "mix" =>
+        check("by", "seed")
+        CorpusMix(str(t, "by", ctx), intOpt(t, "seed").getOrElse(0))
+      case "shard" =>
+        check("by", "budget")
+        val budget = intOpt(t, "budget").getOrElse(fail(s"$ctx needs a budget"))
+        if (budget <= 0) fail(s"$ctx.budget must be > 0, got $budget")
+        CorpusShard(str(t, "by", ctx), budget.toLong)
       case other => fail(s"unknown corpus step '$other'")
     }
   }
@@ -868,10 +905,13 @@ object Config {
     requireKeys(t, Set("source", "id", "text", "steps"), "corpus")
     val steps = t.get("steps").map(v =>
       asList(v, "corpus.steps").map(parseCorpusStep)).getOrElse(Nil)
-    // chunk reshapes rows (doc → chunks), so nothing can follow it
+    // chunk reshapes rows (doc → chunks) and shard appends serving columns,
+    // so nothing can follow either
     steps.zipWithIndex.foreach {
       case (_: CorpusChunk, i) if i != steps.length - 1 =>
         fail("corpus: 'chunk' must be the last step (it reshapes rows)")
+      case (_: CorpusShard, i) if i != steps.length - 1 =>
+        fail("corpus: 'shard' must be the last step (it appends serving columns)")
       case _ => ()
     }
     CorpusDef(str(t, "source", "corpus"),

@@ -555,6 +555,43 @@ object ConfigRuntime {
           snap.join(Bpe.encodeStatsWith(snap, c.idCol, c.textCol, merges),
             Seq(c.idCol), "left")
             .na.fill(0L, Seq("n_words", "n_chars", "n_tokens"))
+        case Config.CorpusSelect(lang, buckets, minScore, artifact) =>
+          // DSIR selection: fit the dense bucket model on the curated frame
+          // (train-if-missing under `artifact` — and score under the
+          // HYDRATED copy so the save/load path is always the one
+          // exercised); scoring is a pure per-row fold over a literal map,
+          // zero shuffle
+          import graft.operators.Importance
+          val snap = df.localCheckpoint(eager = false)
+          val model = artifact match {
+            case Some(a) =>
+              val path = resolvePath(dataDir, a)
+              if (!java.nio.file.Files.exists(path))
+                Importance.saveModel(path.toString, Importance.dsirModel(
+                  snap, c.textCol, Text.langId(text) === lang, buckets))
+              Importance.loadModel(path.toString)
+            case None => Importance.dsirModel(
+              snap, c.textCol, Text.langId(text) === lang, buckets)
+          }
+          snap.withColumn("dsir_score",
+            Importance.dsirScoreExpr(text, model))
+            .filter(col("dsir_score") > minScore)
+        case Config.CorpusMix(by, seed) =>
+          // domain mixture: the bounded rate table (one row per domain)
+          // broadcasts back onto the frame; the keep gate is the
+          // deterministic sha256-ratio row filter
+          import graft.operators.{Curation, Importance}
+          val snap = df.localCheckpoint(eager = false)
+          val rates = Importance.domainMixRates(snap, by,
+            Text.tokenCountWs(text))
+          snap.join(broadcast(rates), Seq(by))
+            .filter(Curation.hashRatio(id, seed) < col("rate"))
+            .drop("rate")
+        case Config.CorpusShard(by, budget) =>
+          // terminal serving step: token-budgeted shard ids appended within
+          // each `by` partition (one hash exchange, sequence_pack's rule)
+          graft.operators.Sharding.shardAssign(df, c.idCol, by,
+            Text.tokenCountWs(text), budget)
       }
     }
   }
@@ -647,11 +684,29 @@ object ConfigRuntime {
               .withColumn("n_chars", col("__ts.n_chars"))
               .withColumn("n_tokens", col("__ts.n_tokens"))
               .drop("__ts")
+          case Config.CorpusSelect(_, _, minScore, artifact) =>
+            // streamable ONLY under a trained model (same contract as
+            // tokenize): the dense bucket table hydrates at plan build and
+            // scoring is a pure per-row fold over a literal map — the
+            // importance gate applied to a crawl AT INGEST, zero state
+            val a = artifact.getOrElse(throw new IllegalArgumentException(
+              "config: streaming select needs an 'artifact' — fitting is a " +
+                "corpus-at-rest pass"))
+            val path = resolvePath(dataDir, a)
+            require(java.nio.file.Files.exists(path),
+              s"config: streaming select needs a trained model at '$path' " +
+                "— run the batch corpus journey (train-if-missing) first")
+            val model = graft.operators.Importance.loadModel(path.toString)
+            df.withColumn("dsir_score",
+              graft.operators.Importance.dsirScoreExpr(text, model))
+              .filter(col("dsir_score") > minScore)
           case other =>
             val name = other match {
               case _: Config.CorpusDedupFuzzy        => "dedup_fuzzy"
               case _: Config.CorpusDecontaminate     => "decontaminate"
               case _: Config.CorpusDedupIncremental  => "dedup_incremental"
+              case _: Config.CorpusMix               => "mix"
+              case _: Config.CorpusShard             => "shard"
               case o                                 => o.getClass.getSimpleName
             }
             throw new IllegalArgumentException(

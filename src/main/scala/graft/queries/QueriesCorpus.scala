@@ -202,6 +202,118 @@ object QueriesCorpus {
         WHERE rnk <= $PqK"""
   }
 
+  // ---------------------------------------------- the serve config journey
+
+  /** langId as a CASE over the SAME marker tables as Text.langId. */
+  private def occSql(m: String, rel: String): String =
+    s"(length($rel.text) - length(replace($rel.text, '$m', ''))) / ${m.length}"
+
+  private def langIdCaseSql(rel: String): String = {
+    val scores = Text.LangPriority.map(l =>
+      l -> Text.LangMarkers.toMap.apply(l).map(occSql(_, rel)).mkString(" + "))
+    val m = scores.map(_._2).map(s => s"($s)").mkString("greatest(", ", ", ")")
+    val cases = scores.dropRight(1)
+      .map { case (l, s) => s"WHEN ($s) = $m THEN '$l'" }.mkString(" ")
+    s"(CASE $cases ELSE '${Text.LangPriority.last}' END)"
+  }
+
+  /** repetitionRatio twin on a (doc_id, text) relation. */
+  private def repSql(rel: String): String =
+    s"""ROUND(1.0 - CAST(len(list_distinct(regexp_split_to_array(lower($rel.text), '\\s+'))) AS DOUBLE) /
+        CAST(GREATEST(len(regexp_split_to_array(lower($rel.text), '\\s+')), 1) AS DOUBLE), 6)"""
+
+  /** The dense DSIR model + per-doc score CTEs over `src` (a (doc_id, text)
+    * relation): target = langId(text) == 'en', `b` hashed buckets, add-one
+    * smoothing, decimal-exact mean log-ratio — mirrors Importance.dsirModel
+    * + dsirScoreExpr (the fold's decimal sum equals the groupBy decimal
+    * sum exactly). Yields `dscored(doc_id, dsir_score)`.
+    */
+  private def dsirModelCtes(src: String, b: Int): String =
+    s"""dwords AS (
+          SELECT doc_id, regexp_split_to_array(lower($src.text), '\\s+') AS w,
+                 ${langIdCaseSql(src)} = 'en' AS t
+          FROM $src),
+        dtoks AS (
+          SELECT doc_id, t,
+                 CAST(${Text.portableHashSql("tok")} % $b AS INTEGER) AS bkt
+          FROM (SELECT doc_id, t, unnest(w) AS tok FROM dwords)),
+        dcnt AS (
+          SELECT bkt,
+                 CAST(count(*) AS BIGINT) AS raw_cnt,
+                 CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS tgt_cnt
+          FROM dtoks GROUP BY bkt),
+        dtot AS (
+          SELECT CAST(count(*) AS BIGINT) AS raw_total,
+                 CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS tgt_total
+          FROM dtoks),
+        dspine AS (SELECT unnest(generate_series(0, ${b - 1})) AS bkt),
+        dlr AS (
+          SELECT s.bkt,
+                 ROUND(ln(((coalesce(c.tgt_cnt, 0) + 1.0) * (raw_total + $b.0)) /
+                          ((coalesce(c.raw_cnt, 0) + 1.0) * (tgt_total + $b.0))),
+                   6) AS lr
+          FROM dspine s LEFT JOIN dcnt c USING (bkt) CROSS JOIN dtot),
+        dscored AS (
+          SELECT doc_id,
+                 ROUND(CAST(SUM(CAST(lr AS DECIMAL(30,6))) AS DOUBLE)
+                       / count(*), 6) AS dsir_score
+          FROM dtoks JOIN dlr USING (bkt) GROUP BY doc_id)"""
+
+  /** The declarative serve journey: quality gate → DSIR selection (model
+    * trained on the curated frame, scored under the hydrated artifact) →
+    * domain mixture → token-budgeted shards.
+    */
+  private def configCorpusServeSql: String =
+    s"""WITH kept0 AS (
+          SELECT d.doc_id, d.source, d.text FROM documents d
+          WHERE ${repSql("d")} <= 0.8),
+        ${dsirModelCtes("kept0", DsirBuckets)},
+        kept1 AS (
+          SELECT k.doc_id, k.source, k.text, s.dsir_score
+          FROM kept0 k JOIN dscored s USING (doc_id)
+          WHERE s.dsir_score > 0.0),
+        per_src AS (
+          SELECT source,
+                 CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+                   AS n_toks
+          FROM kept1 GROUP BY source),
+        mtot AS (
+          SELECT CAST(SUM(n_toks) AS BIGINT) AS t_total,
+                 CAST(SUM(CAST(ROUND(sqrt(CAST(n_toks AS DOUBLE)), 6)
+                               AS DECIMAL(30,6))) AS DOUBLE) AS w_total
+          FROM per_src),
+        rates AS (
+          SELECT source,
+                 ROUND(LEAST(1.0,
+                   CAST(t_total AS DOUBLE) *
+                     (ROUND(sqrt(CAST(n_toks AS DOUBLE)), 6) / w_total) /
+                     CAST(n_toks AS DOUBLE)), 6) AS rate
+          FROM per_src, mtot),
+        kept2 AS (
+          SELECT k.doc_id, k.source, k.text, k.dsir_score
+          FROM kept1 k JOIN rates r USING (source)
+          WHERE ${ratioSql("k.doc_id", MixSeed)} < r.rate),
+        assigned AS (
+          SELECT doc_id, source, dsir_score,
+                 CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                   AS n_tokens,
+                 CAST(coalesce(SUM(CAST(len(regexp_extract_all(text, '\\S+'))
+                     AS BIGINT)) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   // $ShardBudget AS BIGINT) AS shard_id
+          FROM kept2)
+        SELECT doc_id, source, dsir_score, n_tokens, shard_id FROM assigned"""
+
+  /** Streaming select: the quality gate + importance gate at ingest under a
+    * model trained batch-side on the FULL corpus.
+    */
+  private def streamCorpusSelectSql: String =
+    s"""WITH ${dsirModelCtes("documents", DsirBuckets)}
+        SELECT d.doc_id, s.dsir_score
+        FROM documents d JOIN dscored s USING (doc_id)
+        WHERE ${repSql("d")} <= 0.8 AND s.dsir_score > 0.0"""
+
   // --------------------------------------------------------------- queries
 
   val queries: Map[String, QueryFn] = Map(
@@ -263,8 +375,64 @@ object QueriesCorpus {
         k = PqK, dim = PqDim, m = PqM, ks = PqKs)
         .select(col("query_id"), col("neighbor_id"), col("adist"),
           col("rank").as("rnk"))
+    },
+
+    // The declarative SERVE journey: quality gate → DSIR importance
+    // selection (model trained on the curated frame, persisted as a JSON
+    // artifact, scored under the HYDRATED copy) → temperature-scaled
+    // domain mixture → token-budgeted shard assignment — the config
+    // surface that takes a crawl to trainer-ready shards in one
+    // materialize. The artifact is cleared first so every invocation
+    // proves the full train→save→hydrate→score round trip.
+    "config_corpus_serve" -> { (s, d) =>
+      val art = "/tmp/graft_scratch/serve_dsir/model.json"
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(art))
+      val project = graft.pipeline.Config.parseProject(
+        s"""sources:
+           |  - id: docs
+           |    loader: { transport: fs, path: documents.parquet, reader: { format: parquet } }
+           |corpus:
+           |  source: docs
+           |  id: doc_id
+           |  text: text
+           |  steps:
+           |    - { step: filter, max_repetition: 0.8 }
+           |    - { step: select, target_lang: en, buckets: $DsirBuckets, min_score: 0.0, artifact: $art }
+           |    - { step: mix, by: source, seed: $MixSeed }
+           |    - { step: shard, by: source, budget: $ShardBudget }
+           |""".stripMargin)
+      graft.pipeline.ConfigRuntime.corpus(s, d, project)
+        .select(col("doc_id"), col("source"), col("dsir_score"),
+          col("n_tokens"), col("shard_id"))
+    },
+
+    // The importance gate AT INGEST: the model trains batch-side on the
+    // full corpus (the deploy shape — train once, every crawl streams
+    // through it), then the streaming corpus journey applies quality gate +
+    // hydrated-model scoring as pure per-row folds — no state store.
+    "stream_corpus_select" -> { (s, d) =>
+      import graft.operators.Importance
+      val art = "/tmp/graft_scratch/stream_dsir/model.json"
+      Importance.saveModel(art, Importance.dsirModel(
+        documents(s, d), "text",
+        Text.langId(col("text")) === "en", DsirBuckets))
+      val project = graft.pipeline.Config.parseProject(
+        s"""sources:
+           |  - id: docs
+           |    loader: { transport: fs, path: documents.parquet, reader: { format: parquet } }
+           |corpus:
+           |  source: docs
+           |  steps:
+           |    - { step: filter, max_repetition: 0.8 }
+           |    - { step: select, target_lang: en, buckets: $DsirBuckets, min_score: 0.0, artifact: $art }
+           |""".stripMargin)
+      graft.streaming.Streaming.runCorpusStream(s, d, project,
+        s"graft_stream_select_${StreamRun.incrementAndGet()}")
+        .select(col("doc_id"), col("dsir_score"))
     }
   )
+
+  private val StreamRun = new java.util.concurrent.atomic.AtomicInteger(0)
 
   val oracleSql: Map[String, String] = Map(
     "substring_dedup" -> substringDedupSql,
@@ -272,6 +440,8 @@ object QueriesCorpus {
     "domain_mix" -> domainMixSql,
     "bigram_logprob" -> bigramLogprobSql,
     "shard_manifest" -> shardManifestSql,
-    "ann_pq" -> annPqSql
+    "ann_pq" -> annPqSql,
+    "config_corpus_serve" -> configCorpusServeSql,
+    "stream_corpus_select" -> streamCorpusSelectSql
   )
 }

@@ -268,6 +268,105 @@ class ConfigPreviewSpec extends SparkSpec {
       "the second run must hydrate, not retrain")
   }
 
+  test("corpus select step trains the model once, then scores under the hydrated artifact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_corpus_select")
+    Seq(
+      (1L, "alpha the and of beta the and of"),   // en-marked, target-like
+      (2L, "gamma der und die delta der und die") // de-marked, off-target
+    ).toDF("doc_id", "text")
+      .write.parquet(dir.resolve("documents.parquet").toString)
+    val doc =
+      """sources:
+        |  - id: docs
+        |    loader: { transport: fs, path: documents.parquet, reader: { format: parquet } }
+        |corpus:
+        |  source: docs
+        |  steps:
+        |    - { step: select, target_lang: en, buckets: 32, min_score: 0.0, artifact: dsir.json }
+        |""".stripMargin
+    val p = Config.parseProject(doc)
+    val out = ConfigRuntime.corpus(spark, dir.toString, p)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L), "only the target-like doc clears min_score 0")
+    val artifact = dir.resolve("dsir.json")
+    assert(Files.exists(artifact), "first run must write the model artifact")
+    // replace the model with all-zero log-ratios: a second run must score
+    // under the STORED model (every score 0, nothing clears min_score > 0)
+    // — if it refit instead, doc 1 would survive again
+    graft.operators.Importance.saveModel(artifact.toString,
+      Array.fill(32)(0.0))
+    val again = ConfigRuntime.corpus(spark, dir.toString, p)
+      .select("doc_id").collect()
+    assert(again.isEmpty, "the second run must hydrate the artifact, not retrain")
+  }
+
+  test("corpus mix + shard steps compose into the serve tail") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_corpus_serve")
+    ((1L to 40L).map(i => (i, "big", ("tok " * 30).trim)) :+
+      ((100L, "small", "tok tok tok")))
+      .toDF("doc_id", "source", "text")
+      .write.parquet(dir.resolve("documents.parquet").toString)
+    val doc =
+      """sources:
+        |  - id: docs
+        |    loader: { transport: fs, path: documents.parquet, reader: { format: parquet } }
+        |corpus:
+        |  source: docs
+        |  steps:
+        |    - { step: mix, by: source, seed: 7 }
+        |    - { step: shard, by: source, budget: 60 }
+        |""".stripMargin
+    val out = ConfigRuntime.corpus(spark, dir.toString, Config.parseProject(doc))
+    val rows = out.select("doc_id", "source", "n_tokens", "shard_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // the small domain is upweighted to rate 1.0 — its doc always survives
+    assert(rows.exists(_._1 == 100L))
+    // shards are token-budgeted per source: 30-token docs pack 2 per shard
+    val bigShards = rows.filter(_._2 == "big").sortBy(_._1).map(_._4)
+    assert(bigShards.nonEmpty && bigShards.grouped(2).forall(g => g.distinct.size == 1),
+      s"big-source docs must pack two per 60-token shard, got ${bigShards.toSeq}")
+    // shard must be terminal
+    val bad = doc.replace(
+      "    - { step: shard, by: source, budget: 60 }\n", "") +
+      "    - { step: shard, by: source, budget: 60 }\n    - { step: dedup_exact }\n"
+    val e = intercept[IllegalArgumentException](Config.parseProject(bad))
+    assert(e.getMessage.contains("'shard' must be the last step"))
+  }
+
+  test("streaming corpus rejects mix/shard and untrained select") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_corpus_stream_sel")
+    Seq((1L, "a the and of b")).toDF("doc_id", "text")
+      .write.parquet(dir.resolve("documents.parquet").toString)
+    def proj(steps: String) = Config.parseProject(
+      s"""sources:
+         |  - id: docs
+         |    loader: { transport: fs, path: documents.parquet, reader: { format: parquet } }
+         |corpus:
+         |  source: docs
+         |  steps:
+         |$steps""".stripMargin)
+    def streamed(steps: String) =
+      ConfigRuntime.corpusStream(spark, dir.toString, proj(steps))
+    val mix = intercept[IllegalArgumentException](
+      streamed("    - { step: mix, by: source, seed: 1 }\n"))
+    assert(mix.getMessage.contains("'mix' is not streamable"))
+    val sel = intercept[IllegalArgumentException](
+      streamed("    - { step: select, target_lang: en, artifact: missing.json }\n"))
+    assert(sel.getMessage.contains("trained model"))
+    val selNoArt = intercept[IllegalArgumentException](
+      streamed("    - { step: select, target_lang: en }\n"))
+    assert(selNoArt.getMessage.contains("artifact"))
+    // trained artifact → the stream plans (select gate is stateless)
+    graft.operators.Importance.saveModel(
+      dir.resolve("m.json").toString, Array.fill(16)(0.5))
+    val ok = streamed(
+      "    - { step: select, target_lang: en, buckets: 16, min_score: 0.0, artifact: m.json }\n")
+    assert(ok.isStreaming)
+  }
+
   test("Cli inspect --stage routes and bounds the dump; unknown stage fails") {
     val root = Files.createTempDirectory("graft_inspect_stage")
     val cfg = root.resolve("p.yaml")

@@ -90,7 +90,11 @@ class ScalePostureSpec extends SparkSpec {
       "dataset_pipeline", // one-row train-fold stats broadcast
       "config_dataset",   // one-row train-fold stats broadcast
       "ensure_ticks",     // one-row (min,max) grid bounds broadcast
-      "tfidf_topterms"    // one-row corpus-count broadcast into the idf term
+      "tfidf_topterms",   // one-row corpus-count broadcast into the idf term
+      "dsir_select",      // one-row token totals onto the buckets-row table
+      "domain_mix",       // one-row mixture totals onto the per-domain table
+      "config_corpus_serve", // same one-row mixture totals (the mix step)
+      "ann_pq"            // ks-row codebook cross into encode + ADC LUT
     )
     val skip = Set("sink_roundtrip", "sink_run_dir", "src_http", "src_csv",
       "src_jsonl") // side-effecting writes; plans are plain re-reads
