@@ -81,11 +81,19 @@ object Bench {
     // and steady-state latency is the honest number for plan quality.
     // A query that throws records -1 (sentinel) and lands in `failed`,
     // so a broken query can't silently inflate the total.
+    //
+    // The action is a noop-sink WRITE, not count(): count() lets Catalyst
+    // prune everything the row count doesn't need — a per-doc report built
+    // as `documents LEFT JOIN <grouped scores>` collapses to a bare scan
+    // because the grouped side is key-unique (measured at sf10:
+    // dsir_select 0.99 s under count() vs 28.5 s for the real plan). The
+    // noop sink materializes every output row distributed, no driver
+    // collect — the honest cost of producing the result.
     def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           Some((System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable =>

@@ -186,6 +186,95 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------------------ phash
+
+  case class PhashRecord(media_id: Long, phash: Long)
+
+  /** dHash grid edge: 8×8 pixels → 8 rows × 7 adjacent comparisons = 56
+    * bits (kept under the sign bit so band shifts agree across engines).
+    */
+  val PhashGrid = 8
+  val PhashBits: Int = PhashGrid * (PhashGrid - 1)
+  val PhashBands = 4
+  val PhashBandBits: Int = PhashBits / PhashBands
+  val PhashBandMask: Long = (1L << PhashBandBits) - 1
+
+  /** Perceptual dHash over a REAL image-codec round trip: the payload
+    * bytes paint an 8×8 grayscale image (pixel(r,c) = payload[(r·8+c) mod
+    * len]), the image is ENCODED as PNG and DECODED back via
+    * `javax.imageio` (a genuine JDK codec pass — header, IDAT inflate,
+    * raster reconstruction), and the 56-bit dHash compares adjacent
+    * DECODED pixels per row. PNG grayscale is lossless, so the decoded
+    * luma equals the painted byte — the oracle recomputes the hash
+    * straight off the payload bytes, and any codec or round-trip bug
+    * fails the hash. This is the thumbnail-dHash plumbing an image corpus
+    * runs after its resize stage (swap the synthetic painter for the real
+    * decoder + 8×8 average pool; the hash and banding below are
+    * unchanged).
+    */
+  def phash(spark: SparkSession, media: DataFrame): Dataset[PhashRecord] = {
+    import spark.implicits._
+    val g = PhashGrid
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        val len = r.payload.length
+        val img = new java.awt.image.BufferedImage(g, g,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var i = 0
+        while (i < g * g) {
+          val v = if (len == 0) 0 else r.payload(i % len) & 0xFF
+          raster.setSample(i % g, i / g, 0, v)
+          i += 1
+        }
+        val png = new java.io.ByteArrayOutputStream()
+        ImageIO.write(img, "png", png)
+        val back = ImageIO.read(new ByteArrayInputStream(png.toByteArray))
+        require(back != null && back.getWidth == g && back.getHeight == g,
+          s"png round trip failed for media_id=${r.media_id}")
+        val p = back.getRaster
+        var hash = 0L
+        var b = 0
+        while (b < PhashBits) {
+          val row = b / (g - 1)
+          val c = b % (g - 1)
+          if (p.getSample(c, row, 0) > p.getSample(c + 1, row, 0))
+            hash |= 1L << b
+          b += 1
+        }
+        PhashRecord(r.media_id, hash)
+      }
+    }
+  }
+
+  /** Per-media near-dup report over the banded dHash space (the simhash
+    * banding discipline on image hashes): n_candidates = band-bucket mates
+    * (bucket size via an unordered window — the hash frame computes once),
+    * n_exact = identical-hash copies. Candidate degree is bounded by
+    * bucket size; hashes shuffle, pixels never do.
+    */
+  def phashDedup(spark: SparkSession, media: DataFrame): DataFrame = {
+    val hashed = phash(spark, media).toDF()
+    val byHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("phash"))
+    val withExact = hashed
+      .withColumn("n_exact", count(lit(1)).over(byHash) - 1)
+    val banded = withExact.select(col("media_id"), col("phash"),
+      col("n_exact"), posexplode(
+        transform(sequence(lit(0), lit(PhashBands - 1)),
+          b => call_function("shiftright", col("phash"), b * PhashBandBits)
+            .bitwiseAND(lit(PhashBandMask))))
+        .as(Seq("band", "band_val")))
+    val bucketW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_val"))
+    banded.withColumn("bucket_n", count(lit(1)).over(bucketW))
+      .groupBy(col("media_id"), col("phash"), col("n_exact"))
+      .agg(sum(col("bucket_n") - 1).as("n_candidates"))
+      .select(col("media_id"), col("phash"),
+        col("n_candidates").cast("long").as("n_candidates"),
+        col("n_exact").cast("long").as("n_exact"))
+  }
+
   // ------------------------------------------------------------------ video
 
   case class VideoFeatures(media_id: Long, width: Long, height: Long,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
-import graft.operators.{Dedup, Importance, Sharding, Similarity}
+import graft.operators.{Dedup, Importance, Multimodal, Sharding, Similarity}
 import Q._
 
 /** Round-9 corpus-scale operators (SURVEY.md §2.7 extensions): segment-level
@@ -305,6 +305,51 @@ object QueriesCorpus {
           FROM kept2)
         SELECT doc_id, source, dsir_score, n_tokens, shard_id FROM assigned"""
 
+  /** multimodal_phash twin: the dHash recomputed straight off the payload
+    * bytes (ascii(char) == luma byte on the ASCII corpus — the audio/video
+    * precedent), then the same 14-bit band buckets and exact-copy counts.
+    * The planted duplicates (every 10th doc re-attached past max id) give
+    * the banding real collisions to count.
+    */
+  private def multimodalPhashSql: String = {
+    val g = Multimodal.PhashGrid
+    val bits = Multimodal.PhashBits
+    val bandBits = Multimodal.PhashBandBits
+    val mask = Multimodal.PhashBandMask
+    s"""WITH maxid AS (SELECT max(doc_id) AS m FROM documents),
+        corpus AS (
+          SELECT doc_id AS media_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + m + 1 AS media_id, text
+          FROM documents, maxid WHERE doc_id % 10 = 0),
+        px AS (
+          SELECT media_id,
+                 [CASE WHEN length(text) = 0 THEN 0
+                       ELSE ascii(substr(text, ((i - 1) % length(text)) + 1, 1))
+                  END for i in generate_series(1, ${g * g})] AS p
+          FROM corpus),
+        hashed AS (
+          SELECT media_id,
+                 CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [CASE WHEN p[(i // ${g - 1}) * $g + (i % ${g - 1}) + 1] >
+                              p[(i // ${g - 1}) * $g + (i % ${g - 1}) + 2]
+                         THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT)
+                    END for i in generate_series(0, ${bits - 1})]),
+                   (acc, x) -> acc + x) AS BIGINT) AS phash
+          FROM px),
+        ex AS (SELECT phash, count(*) AS c FROM hashed GROUP BY phash),
+        banded AS (
+          SELECT media_id, phash, b, (phash >> (b * $bandBits)) & $mask AS bv
+          FROM hashed, (SELECT unnest(generate_series(0, ${Multimodal.PhashBands - 1})) AS b) bs),
+        buckets AS (SELECT b, bv, count(*) AS n FROM banded GROUP BY b, bv)
+        SELECT c.media_id, c.phash, c.n_candidates,
+               CAST(e.c - 1 AS BIGINT) AS n_exact
+        FROM (SELECT media_id, phash, CAST(SUM(n - 1) AS BIGINT) AS n_candidates
+              FROM banded JOIN buckets USING (b, bv)
+              GROUP BY media_id, phash) c
+        JOIN ex e USING (phash)"""
+  }
+
   /** Streaming select: the quality gate + importance gate at ingest under a
     * model trained batch-side on the FULL corpus.
     */
@@ -406,6 +451,21 @@ object QueriesCorpus {
           col("n_tokens"), col("shard_id"))
     },
 
+    // Image near-dup detection over the REAL PNG codec round trip: payloads
+    // paint 8x8 grayscale thumbnails, encode/decode through javax.imageio,
+    // dHash over the DECODED pixels, 14-bit band buckets count near-dup
+    // candidates. Planted copies (every 10th doc past max id) exercise the
+    // exact-copy path, the semanticCorpus discipline.
+    "multimodal_phash" -> { (s, d) =>
+      val docs = documents(s, d)
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + maxId + 1).as("doc_id"), col("text")))
+      Multimodal.phashDedup(s,
+        Multimodal.asMediaTable(corpus, "doc_id", "text"))
+    },
+
     // The importance gate AT INGEST: the model trains batch-side on the
     // full corpus (the deploy shape — train once, every crawl streams
     // through it), then the streaming corpus journey applies quality gate +
@@ -442,6 +502,7 @@ object QueriesCorpus {
     "shard_manifest" -> shardManifestSql,
     "ann_pq" -> annPqSql,
     "config_corpus_serve" -> configCorpusServeSql,
-    "stream_corpus_select" -> streamCorpusSelectSql
+    "stream_corpus_select" -> streamCorpusSelectSql,
+    "multimodal_phash" -> multimodalPhashSql
   )
 }

@@ -122,6 +122,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rev(("s", 0L)) == m(("s", 0L))._3)
   }
 
+  // --- phash --------------------------------------------------------------
+
+  test("phash survives the PNG round trip and matches the byte-domain hash") {
+    import graft.operators.Multimodal
+    val docs = Seq(
+      (1L, "abcdefgh" * 8),        // monotone rows -> every comparison false
+      (2L, "hgfedcba" * 8),        // descending -> every comparison true
+      (3L, "")                      // empty payload -> all-zero pixels
+    ).toDF("doc_id", "text")
+    val out = Multimodal.phash(spark,
+      Multimodal.asMediaTable(docs, "doc_id", "text"))
+      .collect().map(r => r.media_id -> r.phash).toMap
+    // 'a'<'b'<...: p(r,c) > p(r,c+1) never holds -> hash 0
+    assert(out(1L) == 0L)
+    // descending run: every adjacent comparison true -> all 56 bits set
+    assert(out(2L) == (1L << Multimodal.PhashBits) - 1)
+    assert(out(3L) == 0L)
+  }
+
+  test("phashDedup counts exact copies and band-bucket candidates") {
+    import graft.operators.Multimodal
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog once"),
+      (2L, "the quick brown fox jumps over the lazy dog once"), // exact copy
+      (3L, "a completely different payload with other letters")
+    ).toDF("doc_id", "text")
+    val out = Multimodal.phashDedup(spark,
+      Multimodal.asMediaTable(docs, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // identical payloads: same phash -> 1 exact copy, >= 4 band collisions
+    assert(out(1L)._2 == 1L && out(2L)._2 == 1L)
+    assert(out(1L)._1 >= 4L)
+    assert(out(3L)._2 == 0L)
+  }
+
   // --- annPq --------------------------------------------------------------
 
   test("annPq scores an exact duplicate at the minimal ADC distance") {
