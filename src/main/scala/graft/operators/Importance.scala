@@ -38,19 +38,30 @@ object Importance {
     * — (idCol, n_tokens, dsir_score, keep) with keep = score > 0 (the doc
     * looks more target-like than corpus-like).
     */
+  /** (idCol, b) token-bucket relation of `frame`. The target predicate is
+    * applied as a doc-level FILTER before the explode, never carried as a
+    * projected flag: Catalyst hoists generator-adjacent projections above
+    * the Generate, so a flag column would re-evaluate its expression per
+    * TOKEN row (measured: a langId target predicate at 40M tokens turned a
+    * ~25 s fit into 209 s).
+    */
+  private def bucketed(frame: DataFrame, idCol: String, textCol: String,
+                       buckets: Int): DataFrame =
+    frame.select(col(idCol), explode(Text.tokens(col(textCol))).as("tok"))
+      .select(col(idCol), bucket(col("tok"), buckets).as("b"))
+
   def dsirScores(df: DataFrame, idCol: String, textCol: String,
                  targetPred: Column, buckets: Int): DataFrame = {
-    val toks = df.select(col(idCol), targetPred.as("__t"),
-        explode(Text.tokens(col(textCol))).as("tok"))
-      .select(col(idCol), col("__t"),
-        bucket(col("tok"), buckets).as("b"))
-    // bounded feature tables: `buckets` rows each, counted in one pass
-    val cnt = toks.groupBy(col("b")).agg(
-      count(lit(1)).as("raw_cnt"),
-      sum(when(col("__t"), 1L).otherwise(0L)).as("tgt_cnt"))
-    val totals = toks.agg(
-      count(lit(1)).as("raw_total"),
-      sum(when(col("__t"), 1L).otherwise(0L)).as("tgt_total"))
+    val toks = bucketed(df, idCol, textCol, buckets)
+    val tgtToks = bucketed(df.filter(targetPred), idCol, textCol, buckets)
+    // bounded feature tables: `buckets` rows each, counted in one pass per
+    // side (raw = every doc, target = the filtered docs)
+    val cnt = toks.groupBy(col("b")).agg(count(lit(1)).as("raw_cnt"))
+      .join(tgtToks.groupBy(col("b")).agg(count(lit(1)).as("tgt_cnt")),
+        Seq("b"), "left")
+      .na.fill(0L, Seq("tgt_cnt"))
+    val totals = toks.agg(count(lit(1)).as("raw_total")).crossJoin(
+      tgtToks.agg(count(lit(1)).as("tgt_total")))
     // add-one smoothed log-ratio per bucket; numerator/denominator are
     // assembled in the SAME operation order as the SQL twin (IEEE-exact)
     val lr = cnt.crossJoin(broadcast(totals))
@@ -86,19 +97,22 @@ object Importance {
     */
   def dsirModel(df: DataFrame, textCol: String, targetPred: Column,
                 buckets: Int): Array[Double] = {
-    val toks = df.select(targetPred.as("__t"),
-        explode(Text.tokens(col(textCol))).as("tok"))
-      .select(col("__t"), bucket(col("tok"), buckets).as("b"))
-    val cnt = toks.groupBy(col("b")).agg(
-      count(lit(1)).as("raw_cnt"),
-      sum(when(col("__t"), 1L).otherwise(0L)).as("tgt_cnt"))
-      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    val rawTotal = cnt.values.map(_._1).sum
-    val tgtTotal = cnt.values.map(_._2).sum
+    def counts(frame: DataFrame): Map[Int, Long] =
+      frame.select(explode(Text.tokens(col(textCol))).as("tok"))
+        .select(bucket(col("tok"), buckets).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // target tokens come from a doc-level FILTER before the explode — see
+    // [[bucketed]] for why the predicate must never ride through Generate
+    val raw = counts(df)
+    val tgt = counts(df.filter(targetPred))
+    val rawTotal = raw.values.sum
+    val tgtTotal = tgt.values.sum
     Array.tabulate(buckets) { b =>
-      val (raw, tgt) = cnt.getOrElse(b, (0L, 0L))
-      val v = math.log(((tgt + 1.0) * (rawTotal + buckets.toDouble)) /
-        ((raw + 1.0) * (tgtTotal + buckets.toDouble)))
+      val rawB = raw.getOrElse(b, 0L)
+      val tgtB = tgt.getOrElse(b, 0L)
+      val v = math.log(((tgtB + 1.0) * (rawTotal + buckets.toDouble)) /
+        ((rawB + 1.0) * (tgtTotal + buckets.toDouble)))
       BigDecimal(java.lang.Double.toString(v))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
@@ -129,15 +143,28 @@ object Importance {
     * the shape that scores a crawl at ingest.
     */
   def dsirScoreExpr(text: Column, lr: Array[Double]): Column = {
+    graft.functions.DsirFold.register(
+      org.apache.spark.sql.SparkSession.active)
+    // model micros are exact: lr values are 6-decimal-rounded, so the
+    // nearest long of v*1e6 recovers the decimal exactly
+    val micros = lr.map(v => math.round(v * 1e6))
+    call_function("dsir_fold", Text.tokens(text),
+      array(micros.map(lit(_)): _*))
+  }
+
+  /** The same score as a built-in higher-order fold — the interpreted
+    * reference implementation DsirFold is spec-proven against (the
+    * MinhashExprs discipline). Not for hot paths: ArrayAggregate is
+    * CodegenFallback and walks an interpreted tree per token.
+    */
+  private[graft] def dsirScoreExprHof(text: Column, lr: Array[Double]): Column = {
     val buckets = lr.length
-    val lrMap = map(lr.zipWithIndex.flatMap { case (v, i) =>
-      Seq(lit(i), lit(v))
-    }: _*)
+    val lrArr = array(lr.map(lit(_)): _*)
     val toks = Text.tokens(text)
     // re-cast after each add: decimal addition widens the type and the fold
     // accumulator must stay decimal(30,6)
     val dec = aggregate(toks, lit(0).cast("decimal(30,6)"),
-      (acc, t) => (acc + element_at(lrMap, bucket(t, buckets))
+      (acc, t) => (acc + element_at(lrArr, bucket(t, buckets) + 1)
         .cast("decimal(30,6)")).cast("decimal(30,6)"))
     round(dec.cast("double") / size(toks), 6)
   }

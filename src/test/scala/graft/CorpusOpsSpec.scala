@@ -66,6 +66,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(1L)._2 && !out(2L)._2)
   }
 
+  test("codegen'd DsirFold equals the interpreted HOF fold") {
+    // the MinhashExprs discipline: the tight-loop expression must land
+    // bit-identically where the built-in higher-order fold lands
+    val docs = (1L to 50L).map(i =>
+      (i, (1 to 20).map(j => s"tok${(i * 7 + j * 3) % 40}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val lr = Array.tabulate(32)(b => math.round((b - 16) * 0.017 * 1e6) / 1e6)
+    val both = docs.select(col("doc_id"),
+      Importance.dsirScoreExpr(col("text"), lr).as("fast"),
+      Importance.dsirScoreExprHof(col("text"), lr).as("ref"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(1) == r.getDouble(2),
+      s"doc ${r.getLong(0)}: fast ${r.getDouble(1)} != ref ${r.getDouble(2)}"))
+  }
+
   // --- domainMix ----------------------------------------------------------
 
   test("domainMix upweights small domains and downsamples large ones") {
