@@ -25,6 +25,7 @@ object SparkEntry {
       (QueriesAssembly.queries, QueriesAssembly.oracleSql),
       (QueriesLlm.queries, QueriesLlm.oracleSql),
       (QueriesCorpus.queries, QueriesCorpus.oracleSql),
+      (QueriesCrawl.queries, QueriesCrawl.oracleSql),
       (QueriesCuration.queries, QueriesCuration.oracleSql),
       (QueriesPipeline.queries, QueriesPipeline.oracleSql),
       (QueriesStreaming.queries, QueriesStreaming.oracleSql)

@@ -1,0 +1,234 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Crawl front-end operators — the steps a web-scale training-data pipeline
+  * runs BEFORE the quality/dedup journey the rest of §2.7 covers: HTML text
+  * extraction, URL canonicalization + URL-level dedup, the Gopher-style
+  * composite quality rule set, and corpus-wide duplicated-line removal (the
+  * C4/CCNet boilerplate pass).
+  *
+  * Reference anchor: the reference pipeline ingests already-clean records
+  * (`sources/decoders.py`); these four are the upstream reality of a crawl
+  * corpus, kept first-class per the brief.
+  *
+  * Scale posture: extraction, normalization, and the rule set are pure
+  * codegen'd per-row string expressions — zero shuffle, they run at scan
+  * speed. URL dedup shuffles one normalized-URL string per page (never the
+  * body). Line dedup shuffles 60-bit line hashes for the frequency table and
+  * pays exactly one document-keyed exchange to rebuild bodies.
+  *
+  * Every regex stays inside the RE2 subset (no backrefs, no lookaround) so
+  * the DuckDB oracle runs character-identical patterns.
+  */
+object Crawl {
+
+  // --- HTML extraction ----------------------------------------------------
+  // Shared with the oracle SQL (QueriesCrawl) so the two engines cannot
+  // drift. `(?s)` makes `.` span newlines in both Java regex and RE2.
+
+  val ScriptPattern = "(?s)<script[^>]*>.*?</script>"
+  val StylePattern = "(?s)<style[^>]*>.*?</style>"
+  val CommentPattern = "(?s)<!--.*?-->"
+  val TagPattern = "<[^>]*>"
+  val TitlePattern = "(?s)<title>(.*?)</title>"
+
+  /** Entity decode table, applied in order — `&amp;` LAST so a literal
+    * `&amp;lt;` decodes to `&lt;` (one level), not `<`.
+    */
+  val Entities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Visible text of an HTML document: script/style/comment blocks removed
+    * (their content is code, not prose), remaining tags replaced by spaces
+    * (so `</p><p>` never glues words), entities decoded, whitespace
+    * collapsed. A chain of codegen'd `regexp_replace`/`replace` — linear
+    * per row.
+    */
+  def htmlText(html: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(
+        regexp_replace(html, ScriptPattern, " "),
+        StylePattern, " "),
+      CommentPattern, " ")
+    val noTags = regexp_replace(noBlocks, TagPattern, " ")
+    val decoded = Entities.foldLeft(noTags) {
+      case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** `<title>` content (entity-decoded, trimmed); empty when absent. */
+  def htmlTitle(html: Column): Column = {
+    val raw = regexp_extract(html, TitlePattern, 1)
+    val decoded = Entities.foldLeft(raw) {
+      case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Per-document extraction report: `(id, title, text, n_words)`. */
+  def extractHtml(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val text = htmlText(col(htmlCol))
+    df.select(col(idCol), htmlTitle(col(htmlCol)).as("title"),
+      text.as("text"), Text.tokenCountWs(text).cast("long").as("n_words"))
+  }
+
+  // --- URL canonicalization + URL-level dedup -----------------------------
+
+  val SchemePattern = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+  /** Query parameters that never identify content (tracking state). */
+  val TrackingParamPattern = "^(utm_[a-z0-9_]*|ref|fbclid|gclid)(=|$)"
+
+  /** Canonical form of a URL: lowercased scheme and host, default port
+    * dropped, fragment dropped, tracking parameters removed, trailing
+    * slashes collapsed (empty path → `/`). Path case and parameter ORDER are
+    * preserved — both are content-significant. Pure per-row expression.
+    */
+  def normalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, SchemePattern, 1))
+    val rest = regexp_replace(url, SchemePattern, "")
+    val noFrag = regexp_replace(rest, "#.*$", "")
+    val hostport = lower(regexp_extract(noFrag, "^([^/?#]+)", 1))
+    val host = when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .otherwise(hostport)
+    val pq = regexp_replace(noFrag, "^[^/?#]+", "")
+    val path0 = regexp_replace(regexp_extract(pq, "^([^?]*)", 1), "/+$", "")
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query = array_join(
+      filter(split(regexp_extract(pq, "\\?(.*)$", 1), "&"),
+        p => !p.rlike(TrackingParamPattern)),
+      "&")
+    concat(scheme, lit("://"), host, path,
+      when(length(query) > 0, concat(lit("?"), query)).otherwise(lit("")))
+  }
+
+  /** Host of a normalized URL. */
+  def urlHost(urlNorm: Column): Column =
+    regexp_extract(urlNorm, "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+
+  /** URL-level dedup: normalize, then one page per canonical URL (min id
+    * wins — the deterministic keep), with a host blocklist flag. The only
+    * shuffle carries `(id, url_norm)` — bodies never move; the blocklist is
+    * a literal predicate (crawl blocklists are config-sized).
+    *
+    * Output: `(id, url_norm, host, blocked, canonical_id, keep)` where
+    * keep = not blocked ∧ id == canonical_id.
+    */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String,
+               blockedHosts: Seq[String]): DataFrame = {
+    val norm = df.select(col(idCol), normalizeUrl(col(urlCol)).as("url_norm"))
+      .withColumn("host", urlHost(col("url_norm")))
+    val canonical = min(col(idCol)).over(Window.partitionBy(col("url_norm")))
+    norm
+      .withColumn("blocked", col("host").isin(blockedHosts: _*))
+      .withColumn("canonical_id", canonical)
+      .withColumn("keep", !col("blocked") && col(idCol) === col("canonical_id"))
+  }
+
+  // --- Gopher-style composite quality rules -------------------------------
+
+  /** Stop words whose PRESENCE (not ratio) signals natural language — the
+    * Gopher rule counts how many distinct members appear.
+    */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher-style repetition-free quality rule set (Rae et al. 2021,
+    * §A1.1 — public), each signal emitted beside its verdict so a curation
+    * run can audit WHICH rule dropped a document:
+    *
+    *  - word count within `[minWords, maxWords]`
+    *  - mean word length within `[minMeanLen, maxMeanLen]`
+    *  - symbol-to-word ratio (`#` and `...`) at most `maxSymbolRatio`
+    *  - fraction of words containing an alphabetic character at least
+    *    `minAlphaFrac`
+    *  - at least `minStops` distinct stop words present
+    *
+    * One codegen'd pass; zero shuffle.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Long = 50, maxWords: Long = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1,
+                  minAlphaFrac: Double = 0.8,
+                  minStops: Int = 2): DataFrame = {
+    val text = col(textCol)
+    val toks = split(text, "\\s+")
+    val nWords = size(toks).cast("long")
+    val nWordsSafe = greatest(nWords, lit(1L)).cast("double")
+    val meanLen = round(
+      length(regexp_replace(text, "\\s+", "")).cast("double") / nWordsSafe, 6)
+    val hashes = length(text) - length(replace(text, lit("#"), lit("")))
+    val ellipses = (length(text) - length(replace(text, lit("..."), lit("")))) / 3
+    val symbolRatio = round((hashes + ellipses).cast("double") / nWordsSafe, 6)
+    val alphaFrac = round(
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / nWordsSafe, 6)
+    val nStops = size(array_intersect(
+      array_distinct(split(lower(text), "\\s+")),
+      array(GopherStops.map(lit): _*))).cast("long")
+    df.select(col(idCol),
+      nWords.as("n_words"),
+      meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      alphaFrac.as("alpha_frac"),
+      nStops.as("n_stops"),
+      (nWords >= minWords && nWords <= maxWords).as("keep_words"),
+      (meanLen >= minMeanLen && meanLen <= maxMeanLen).as("keep_mean_len"),
+      (symbolRatio <= maxSymbolRatio).as("keep_symbol"),
+      (alphaFrac >= minAlphaFrac).as("keep_alpha"),
+      (nStops >= minStops).as("keep_stops"))
+      .withColumn("keep",
+        col("keep_words") && col("keep_mean_len") && col("keep_symbol") &&
+          col("keep_alpha") && col("keep_stops"))
+  }
+
+  // --- Corpus-wide duplicated-line removal --------------------------------
+
+  /** The C4/CCNet boilerplate pass: any LINE whose exact text occurs at
+    * least `minFreq` times corpus-wide is removed from every document
+    * (navigation, cookie banners, footers — the lines that repeat across a
+    * crawl), and documents are rebuilt with their surviving lines in
+    * original order.
+    *
+    * Shape: lines explode once; the frequency table aggregates portable
+    * 60-bit LINE HASHES (bodies never enter that shuffle — partial
+    * aggregation collapses each partition's repeats map-side); the
+    * boilerplate hash set (frequency ≥ minFreq) is tiny relative to the
+    * corpus and joins back against the exploded lines; one document-keyed
+    * exchange rebuilds bodies. Dropping a 60-bit-collision false positive is
+    * the accepted trade at 100 TB (same posture as segmentDedup).
+    *
+    * Output: `(id, n_lines, n_dropped, text_clean)`.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                minFreq: Long = 2): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n"))
+        .as(Seq("pos", "line")))
+      .withColumn("h", Text.portableHash(col("line")))
+    val boiler = lines.groupBy(col("h"))
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
+      .select(col("h"), lit(true).as("dup"))
+    val flagged = lines.join(boiler, Seq("h"), "left")
+      .withColumn("dup", coalesce(col("dup"), lit(false)))
+    flagged.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("dup"), struct(col("pos"), col("line"))))),
+            x => x.getField("line")),
+          "\n").as("text_clean"))
+  }
+}

@@ -1,0 +1,279 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Crawl
+import Q._
+
+/** Crawl front-end queries (SURVEY.md §2.7): HTML text extraction, URL
+  * canonicalization + dedup, the Gopher composite quality gate, and
+  * corpus-wide duplicated-line removal. The synthetic corpus carries no
+  * HTML/URLs/line structure, so both engines CONSTRUCT the same
+  * deterministic structure from `(doc_id, source, lang, text)` and then run
+  * the operator — the extraction/normalization/dedup path is what's under
+  * test, the multimodal/pii precedent. All construction constants are
+  * shared between the Spark plan and the oracle SQL so the sides cannot
+  * drift.
+  */
+object QueriesCrawl {
+
+  // --- shared construction constants --------------------------------------
+
+  // HTML wrapper: title carries an entity; script carries a raw '<' (must
+  // not survive as a tag boundary); a comment and list markup surround the
+  // body text; a second paragraph carries an entity-bearing tail.
+  private val H1 = "<html><head><title>Doc "
+  private val H2 = " &amp; "
+  private val H3 = "</title><style>p{color:red}</style>" +
+    "<script>var x = 1 < 2; send(x);</script></head><body><!-- nav -->\n<h1>"
+  private val H4 = "</h1><p>"
+  private val H5 = "</p>\n<ul><li>Home</li><li>Next &gt;</li></ul>\n<p>Lang: "
+  private val H6 = "</p></body></html>"
+
+  // URL: uppercase scheme/host + default port + trailing slash (on every
+  // 4th doc) + tracking params + an occasional content param + fragment —
+  // every normalization rule fires, and stripped variants collide.
+  private val U1 = "HTTPS://"
+  private val U2 = ".Example.COM:443/Docs/"
+  private val U3 = "?utm_source=feed&ref="
+  private val BlockedHosts = Seq("src3.example.com")
+
+  // Gopher thresholds fitted so each rule discriminates on this corpus
+  // (words 10-99, mean word length 3.7-5.3, stop presence 382/500).
+  private val MinWords = 30L
+  private val MaxWords = 100000L
+  private val MinMeanLen = 4.0
+  private val MaxMeanLen = 5.2
+  private val MaxSymbolRatio = 0.1
+  private val MinAlphaFrac = 0.8
+  private val MinStops = 1
+
+  // Line construction: 8-token lines, a newsletter banner on every doc and
+  // a rights footer on even docs — the corpus-frequent boilerplate the pass
+  // must remove.
+  private val LineTokens = 8
+  private val Boiler1 = "subscribe to our newsletter"
+  private val Boiler2 = "all rights reserved"
+  private val LineMinFreq = 2L
+
+  // --- oracle SQL ---------------------------------------------------------
+
+  /** DuckDB twin of the [[Crawl.Entities]] decode fold ('' escapes '). */
+  private def entitySql(inner: String): String =
+    Crawl.Entities.foldLeft(inner) { case (acc, (ent, ch)) =>
+      s"replace($acc, '$ent', '${ch.replace("'", "''")}')"
+    }
+
+  private def htmlExtractSql: String = {
+    val html = s"'$H1' || CAST(doc_id AS VARCHAR) || '$H2' || source || " +
+      s"'$H3' || source || '$H4' || text || '$H5' || lang || '$H6'"
+    val stripped =
+      s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+          '${Crawl.ScriptPattern}', ' ', 'g'),
+          '${Crawl.StylePattern}', ' ', 'g'),
+          '${Crawl.CommentPattern}', ' ', 'g'),
+          '${Crawl.TagPattern}', ' ', 'g')"""
+    s"""WITH h AS (SELECT doc_id, $html AS html FROM documents),
+        x AS (
+          SELECT doc_id,
+            trim(regexp_replace(${entitySql(
+              s"regexp_extract(html, '${Crawl.TitlePattern}', 1)")},
+              '\\s+', ' ', 'g')) AS title,
+            trim(regexp_replace(${entitySql(stripped)},
+              '\\s+', ' ', 'g')) AS text
+          FROM h)
+        SELECT doc_id, title, text,
+               CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words
+        FROM x"""
+  }
+
+  private def urlDedupSql: String = {
+    val url = s"'$U1' || upper(source) || '$U2' || CAST(doc_id % 40 AS VARCHAR)" +
+      s" || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)" +
+      s" || '$U3' || CAST(doc_id % 5 AS VARCHAR)" +
+      s" || (CASE WHEN doc_id % 3 = 0 THEN '&page=' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END)" +
+      s" || '#sec' || CAST(doc_id % 4 AS VARCHAR)"
+    s"""WITH u AS (SELECT doc_id, $url AS url FROM documents),
+        p AS (
+          SELECT doc_id,
+            lower(regexp_extract(url, '${Crawl.SchemePattern}', 1)) AS scheme,
+            regexp_replace(regexp_replace(url, '${Crawl.SchemePattern}', ''),
+              '#.*$$', '') AS nofrag
+          FROM u),
+        q AS (
+          SELECT doc_id, scheme,
+            lower(regexp_extract(nofrag, '^([^/?#]+)', 1)) AS hostport,
+            regexp_replace(nofrag, '^[^/?#]+', '') AS pq
+          FROM p),
+        r AS (
+          SELECT doc_id, scheme,
+            CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+                 WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+                 ELSE hostport END AS host,
+            regexp_replace(regexp_extract(pq, '^([^?]*)', 1), '/+$$', '') AS path0,
+            array_to_string(list_filter(
+              string_split(regexp_extract(pq, '\\?(.*)$$', 1), '&'),
+              x -> NOT regexp_matches(x, '${Crawl.TrackingParamPattern}')),
+              '&') AS query
+          FROM q),
+        n AS (
+          SELECT doc_id,
+            scheme || '://' || host ||
+            (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+            (CASE WHEN length(query) > 0 THEN '?' || query ELSE '' END)
+              AS url_norm,
+            host
+          FROM r),
+        f AS (
+          SELECT doc_id, url_norm, host,
+            host IN (${BlockedHosts.map(h => s"'$h'").mkString(", ")}) AS blocked,
+            min(doc_id) OVER (PARTITION BY url_norm) AS canonical_id
+          FROM n)
+        SELECT doc_id, url_norm, host, blocked, canonical_id,
+               (NOT blocked AND doc_id = canonical_id) AS keep
+        FROM f"""
+  }
+
+  private def qualityGopherSql: String = {
+    val stops = Crawl.GopherStops.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH w AS (
+          SELECT doc_id, text,
+                 regexp_split_to_array(text, '\\s+') AS w
+          FROM documents),
+        sig AS (
+          SELECT doc_id,
+            CAST(len(w) AS BIGINT) AS n_words,
+            ROUND(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                  / GREATEST(len(w), 1), 6) AS mean_word_len,
+            ROUND(CAST((length(text) - length(replace(text, '#', '')))
+                  + (length(text) - length(replace(text, '...', ''))) / 3
+                  AS DOUBLE) / GREATEST(len(w), 1), 6) AS symbol_ratio,
+            ROUND(CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))
+                  AS DOUBLE) / GREATEST(len(w), 1), 6) AS alpha_frac,
+            CAST(len(list_intersect(list_distinct([lower(x) for x in w]),
+                  $stops)) AS BIGINT) AS n_stops
+          FROM w)
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+               n_stops,
+               (n_words >= $MinWords AND n_words <= $MaxWords) AS keep_words,
+               (mean_word_len >= $MinMeanLen AND mean_word_len <= $MaxMeanLen)
+                 AS keep_mean_len,
+               (symbol_ratio <= $MaxSymbolRatio) AS keep_symbol,
+               (alpha_frac >= $MinAlphaFrac) AS keep_alpha,
+               (n_stops >= $MinStops) AS keep_stops,
+               (n_words >= $MinWords AND n_words <= $MaxWords
+                AND mean_word_len >= $MinMeanLen AND mean_word_len <= $MaxMeanLen
+                AND symbol_ratio <= $MaxSymbolRatio
+                AND alpha_frac >= $MinAlphaFrac
+                AND n_stops >= $MinStops) AS keep
+        FROM sig"""
+  }
+
+  private def lineDedupSql: String = {
+    import graft.functions.Text.portableHashSql
+    s"""WITH w AS (
+          SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
+          FROM documents),
+        ml AS (
+          SELECT doc_id,
+            '$Boiler1' || chr(10) ||
+            array_to_string([array_to_string(
+                w[(i-1)*$LineTokens+1 : i*$LineTokens], ' ')
+              for i in generate_series(1,
+                CAST(ceil(len(w) / $LineTokens.0) AS INTEGER))], chr(10)) ||
+            (CASE WHEN doc_id % 2 = 0 THEN chr(10) || '$Boiler2' ELSE '' END)
+              AS text
+          FROM w),
+        ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM ml),
+        flat AS (
+          SELECT doc_id, pl['pos'] AS pos, pl['line'] AS line FROM (
+            SELECT doc_id, unnest([{'pos': i, 'line': ls[i]}
+              for i in generate_series(1, len(ls))]) AS pl
+            FROM ls)),
+        freq AS (
+          SELECT ${portableHashSql("line")} AS h, count(*) AS c
+          FROM flat GROUP BY 1 HAVING count(*) >= $LineMinFreq),
+        flagged AS (
+          SELECT f.doc_id, f.pos, f.line, (fr.h IS NOT NULL) AS dup
+          FROM (SELECT doc_id, pos, line, ${portableHashSql("line")} AS h
+                FROM flat) f
+          LEFT JOIN freq fr USING (h))
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dropped,
+               coalesce(array_to_string(list(line ORDER BY pos)
+                 FILTER (WHERE NOT dup), chr(10)), '') AS text_clean
+        FROM flagged GROUP BY doc_id"""
+  }
+
+  // --- queries ------------------------------------------------------------
+
+  val queries: Map[String, QueryFn] = Map(
+    // HTML text extraction: the first step of a web-crawl pipeline. Both
+    // engines wrap each document in the same deterministic HTML (entities,
+    // script with a raw '<', comments, list markup) and extract title +
+    // visible text — pure codegen'd string work, zero shuffle.
+    "html_extract" -> { (s, d) =>
+      val html = concat(
+        lit(H1), col("doc_id").cast("string"), lit(H2), col("source"),
+        lit(H3), col("source"), lit(H4), col("text"),
+        lit(H5), col("lang"), lit(H6))
+      Crawl.extractHtml(
+        documents(s, d).withColumn("html", html), "doc_id", "html")
+    },
+
+    // URL canonicalization + URL-level dedup: normalize (case, default
+    // port, fragment, tracking params, trailing slash), keep min-id per
+    // canonical URL, flag blocklisted hosts. Only (id, url_norm) shuffles.
+    "url_dedup" -> { (s, d) =>
+      val url = concat(
+        lit(U1), upper(col("source")), lit(U2),
+        pmod(col("doc_id"), lit(40)).cast("string"),
+        when(pmod(col("doc_id"), lit(4)) === 0, "/").otherwise(""),
+        lit(U3), pmod(col("doc_id"), lit(5)).cast("string"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("&page="), pmod(col("doc_id"), lit(7)).cast("string")))
+          .otherwise(""),
+        lit("#sec"), pmod(col("doc_id"), lit(4)).cast("string"))
+      Crawl.urlDedup(
+        documents(s, d).withColumn("url", url), "doc_id", "url", BlockedHosts)
+    },
+
+    // The Gopher composite quality gate: five public rule signals computed
+    // in one codegen'd pass, each emitted beside its verdict.
+    "quality_gopher" -> { (s, d) =>
+      Crawl.gopherRules(documents(s, d), "doc_id", "text",
+        minWords = MinWords, maxWords = MaxWords,
+        minMeanLen = MinMeanLen, maxMeanLen = MaxMeanLen,
+        maxSymbolRatio = MaxSymbolRatio, minAlphaFrac = MinAlphaFrac,
+        minStops = MinStops)
+    },
+
+    // Corpus-wide duplicated-line removal (the C4/CCNet boilerplate pass):
+    // both engines build the same line structure (8-token lines + planted
+    // banner/footer boilerplate), then drop every line occurring >= 2 times
+    // corpus-wide and rebuild documents in original line order.
+    "line_dedup" -> { (s, d) =>
+      val w = split(col("text"), "\\s+")
+      val nLines = ceil(size(w) / lit(LineTokens.toDouble)).cast("int")
+      val body = array_join(
+        transform(sequence(lit(1), nLines),
+          i => array_join(slice(w, (i - 1) * LineTokens + 1, lit(LineTokens)), " ")),
+        "\n")
+      val ml = concat(
+        lit(Boiler1), lit("\n"), body,
+        when(pmod(col("doc_id"), lit(2)) === 0, concat(lit("\n"), lit(Boiler2)))
+          .otherwise(""))
+      Crawl.lineDedup(
+        documents(s, d).withColumn("ml", ml), "doc_id", "ml", LineMinFreq)
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "html_extract" -> htmlExtractSql,
+    "url_dedup" -> urlDedupSql,
+    "quality_gopher" -> qualityGopherSql,
+    "line_dedup" -> lineDedupSql
+  )
+}

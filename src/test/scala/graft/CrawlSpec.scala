@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Crawl
+
+/** Crawl front-end operators: HTML extraction, URL canonicalization +
+  * dedup, Gopher quality rules, corpus-wide line dedup.
+  */
+class CrawlSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- htmlText / htmlTitle -----------------------------------------------
+
+  test("htmlText strips script/style/comments, decodes entities, keeps prose") {
+    val html =
+      """<html><head><title>T</title><style>p { color: red }</style>
+        |<script>if (1 < 2) { go(); }</script></head>
+        |<body><!-- hidden -->
+        |<h1>Hello</h1><p>one &amp; two &lt;three&gt;</p></body></html>"""
+        .stripMargin
+    val out = Seq(html).toDF("html")
+      .select(Crawl.htmlText(col("html")).as("t")).head().getString(0)
+    assert(out == "T Hello one & two <three>")
+  }
+
+  test("htmlText single-level entity decode: &amp;lt; becomes &lt;, not <") {
+    val out = Seq("<p>&amp;lt;tag&amp;gt;</p>").toDF("html")
+      .select(Crawl.htmlText(col("html"))).head().getString(0)
+    assert(out == "&lt;tag&gt;")
+  }
+
+  test("htmlTitle extracts decoded title; empty when absent") {
+    val df = Seq("<title>A &quot;B&quot;</title>", "<p>no title</p>")
+      .toDF("html").select(Crawl.htmlTitle(col("html")).as("t"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("A \"B\"", ""))
+  }
+
+  // --- normalizeUrl -------------------------------------------------------
+
+  private def norm(url: String): String =
+    Seq(url).toDF("u").select(Crawl.normalizeUrl(col("u"))).head().getString(0)
+
+  test("normalizeUrl lowercases scheme+host, preserves path case") {
+    assert(norm("HTTPS://WWW.Ex.COM/Docs/A") == "https://www.ex.com/Docs/A")
+  }
+
+  test("normalizeUrl drops the default port only for its scheme") {
+    assert(norm("https://ex.com:443/a") == "https://ex.com/a")
+    assert(norm("http://ex.com:80/a") == "http://ex.com/a")
+    assert(norm("http://ex.com:443/a") == "http://ex.com:443/a")
+    assert(norm("https://ex.com:8443/a") == "https://ex.com:8443/a")
+  }
+
+  test("normalizeUrl strips fragment, tracking params, trailing slashes") {
+    assert(norm("https://ex.com/a/?utm_source=x&id=3&ref=7#frag") ==
+      "https://ex.com/a?id=3")
+    // all-tracking query -> no '?'; empty path -> '/'
+    assert(norm("https://ex.com?utm_campaign=z") == "https://ex.com/")
+    assert(norm("https://ex.com/p//") == "https://ex.com/p")
+  }
+
+  test("normalizeUrl preserves the order of surviving params") {
+    assert(norm("https://ex.com/x?b=2&utm_medium=m&a=1") ==
+      "https://ex.com/x?b=2&a=1")
+  }
+
+  // --- urlDedup -----------------------------------------------------------
+
+  test("urlDedup keeps min id per canonical URL and flags blocked hosts") {
+    val df = Seq(
+      (1L, "https://a.com/x?utm_source=s"),
+      (2L, "HTTPS://A.COM/x"),            // same canonical as 1
+      (3L, "https://bad.com/y"),
+      (4L, "https://a.com/z")
+    ).toDF("id", "url")
+    val out = Crawl.urlDedup(df, "id", "url", Seq("bad.com"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getBoolean(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(out(1L) == (("https://a.com/x", false, 1L, true)))
+    assert(out(2L) == (("https://a.com/x", false, 1L, false))) // dup loses
+    assert(out(3L)._2 && !out(3L)._4)                          // blocked
+    assert(out(4L)._4)                                         // unique keeps
+  }
+
+  // --- gopherRules --------------------------------------------------------
+
+  test("gopherRules: each rule flips on its crafted document") {
+    val good = (1 to 60).map(i => Seq("the", "area", "windy", "stone")(i % 4))
+      .mkString(" ")
+    val docs = Seq(
+      (1L, good),                                   // passes all
+      (2L, "the tiny one"),                         // too few words
+      (3L, (1 to 60).map(_ => "the incomprehensibilities")
+        .mkString(" ")),                            // mean length too high
+      (4L, good + " " + (1 to 30).map(_ => "#").mkString(" ")), // symbols
+      (5L, ((1 to 60).map(_.toString) :+ "the").mkString(" ")), // numerals
+      (6L, (1 to 60).map(_ => "zzz qqq").mkString(" "))         // no stops
+    ).toDF("doc_id", "text")
+    val out = Crawl.gopherRules(docs, "doc_id", "text",
+      minWords = 50, maxWords = 1000, minMeanLen = 3.0, maxMeanLen = 10.0,
+      maxSymbolRatio = 0.1, minAlphaFrac = 0.8, minStops = 1)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(11), "good doc must pass")
+    assert(!out(2L).getBoolean(6) && !out(2L).getBoolean(11))
+    assert(!out(3L).getBoolean(7))
+    assert(!out(4L).getBoolean(8))
+    assert(!out(5L).getBoolean(9))
+    assert(!out(6L).getBoolean(10))
+  }
+
+  // --- lineDedup ----------------------------------------------------------
+
+  test("lineDedup drops corpus-frequent lines and rebuilds in order") {
+    val docs = Seq(
+      (1L, "unique alpha\ncookie banner\nunique beta"),
+      (2L, "cookie banner\nunique gamma"),
+      (3L, "solo line")
+    ).toDF("doc_id", "text")
+    val out = Crawl.lineDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3L, 1L, "unique alpha\nunique beta")))
+    assert(out(2L) == ((2L, 1L, "unique gamma")))
+    assert(out(3L) == ((1L, 0L, "solo line")))
+  }
+
+  test("lineDedup counts within-doc repeats toward the corpus frequency") {
+    val docs = Seq((1L, "dup\ndup\nkeep")).toDF("doc_id", "text")
+    val out = Crawl.lineDedup(docs, "doc_id", "text").collect().head
+    assert(out.getLong(1) == 3L && out.getLong(2) == 2L &&
+      out.getString(3) == "keep")
+  }
+
+  test("lineDedup yields empty text when every line is boilerplate") {
+    val docs = Seq((1L, "x"), (2L, "x")).toDF("doc_id", "text")
+    val out = Crawl.lineDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(1L) == "" && out(2L) == "")
+  }
+}

@@ -321,4 +321,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"),
       "ADC partial sums must aggregate map-side")
   }
+
+  audit("html_extract") { plan =>
+    // extraction is a chain of codegen'd string expressions over the scan:
+    // any Exchange means it stopped running at scan speed
+    assert(!plan.linesIterator.takeWhile(_.trim.nonEmpty)
+      .exists(_.contains("Exchange")),
+      "html_extract must be shuffle-free")
+  }
+
+  audit("quality_gopher") { plan =>
+    // the five rule signals compute in one per-row pass — shuffle-free
+    assert(!plan.linesIterator.takeWhile(_.trim.nonEmpty)
+      .exists(_.contains("Exchange")),
+      "quality_gopher must be shuffle-free")
+  }
+
+  audit("url_dedup") { plan =>
+    // exactly one exchange: the url_norm hash partitioning that feeds the
+    // min-id window; a second one means normalization stopped being
+    // per-row or the window re-partitioned
+    val exchanges = plan.linesIterator.takeWhile(_.trim.nonEmpty)
+      .count(_.contains("Exchange"))
+    assert(exchanges == 1,
+      s"url_dedup must shuffle once on url_norm, saw $exchanges exchanges")
+    assert(plan.contains("Window"), "canonical id must come from a window")
+  }
+
+  audit("line_dedup") { plan =>
+    // the frequency side aggregates line hashes (partial aggregate before
+    // its exchange), the boilerplate set joins back, and one doc-keyed
+    // exchange rebuilds bodies — no cartesian, no BNLJ
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "boilerplate join must stay an equi-join")
+    assert(plan.contains("HashAggregate"),
+      "line-hash frequencies must partial-aggregate map-side")
+  }
 }
