@@ -37,6 +37,16 @@ object Crawl {
   val TagPattern = "<[^>]*>"
   val TitlePattern = "(?s)<title>(.*?)</title>"
 
+  /** Closing tags of block-level elements (and `<br>`): these become LINE
+    * BREAKS in the extracted text, so extraction preserves the block
+    * structure a downstream line-level boilerplate pass keys on — C4's
+    * "lines" ARE extraction blocks. Source whitespace (including raw
+    * newlines between tags) is normalized away FIRST; only block boundaries
+    * make lines.
+    */
+  val BlockBreakPattern =
+    "(?i)</(p|div|li|ul|ol|h[1-6]|tr|table|title|blockquote)>|<br[ /]*>"
+
   /** Entity decode table, applied in order — `&amp;` LAST so a literal
     * `&amp;lt;` decodes to `&lt;` (one level), not `<`.
     */
@@ -44,11 +54,13 @@ object Crawl {
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
     "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
 
-  /** Visible text of an HTML document: script/style/comment blocks removed
-    * (their content is code, not prose), remaining tags replaced by spaces
-    * (so `</p><p>` never glues words), entities decoded, whitespace
-    * collapsed. A chain of codegen'd `regexp_replace`/`replace` — linear
-    * per row.
+  /** Visible text of an HTML document, one line per block element:
+    * script/style/comment blocks removed (their content is code, not
+    * prose), source whitespace normalized (raw newlines between tags do
+    * NOT make lines), block-closing tags become `\n`, remaining tags become
+    * spaces (so `</span><span>` never glues words), entities decoded,
+    * spaces collapsed, empty lines dropped. A chain of codegen'd
+    * `regexp_replace`/`replace` — linear per row.
     */
   def htmlText(html: Column): Column = {
     val noBlocks = regexp_replace(
@@ -56,11 +68,16 @@ object Crawl {
         regexp_replace(html, ScriptPattern, " "),
         StylePattern, " "),
       CommentPattern, " ")
-    val noTags = regexp_replace(noBlocks, TagPattern, " ")
+    val flat = regexp_replace(noBlocks, "\\s+", " ")
+    val broken = regexp_replace(flat, BlockBreakPattern, "\n")
+    val noTags = regexp_replace(broken, TagPattern, " ")
     val decoded = Entities.foldLeft(noTags) {
       case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
     }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    val tidy = regexp_replace(
+      regexp_replace(decoded, "[ \t]+", " "),
+      "[ ]*\n[\n ]*", "\n")
+    trim(regexp_replace(tidy, "^\n+|\n+$", ""))
   }
 
   /** `<title>` content (entity-decoded, trimmed); empty when absent. */
@@ -141,6 +158,50 @@ object Crawl {
   val GopherStops: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** The five Gopher signal columns of a text column:
+    * `(n_words, mean_word_len, symbol_ratio, alpha_frac, n_stops)` — shared
+    * by the report operator ([[gopherRules]]) and the config journey's gate
+    * predicate ([[gopherKeep]]) so the two cannot drift.
+    */
+  private def gopherSignals(text: Column)
+      : (Column, Column, Column, Column, Column) = {
+    val toks = split(text, "\\s+")
+    val nWords = size(toks).cast("long")
+    val nWordsSafe = greatest(nWords, lit(1L)).cast("double")
+    val meanLen = round(
+      length(regexp_replace(text, "\\s+", "")).cast("double") / nWordsSafe, 6)
+    val hashes = length(text) - length(replace(text, lit("#"), lit("")))
+    val ellipses = (length(text) - length(replace(text, lit("..."), lit("")))) / 3
+    val symbolRatio = round((hashes + ellipses).cast("double") / nWordsSafe, 6)
+    val alphaFrac = round(
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / nWordsSafe, 6)
+    val nStops = size(array_intersect(
+      array_distinct(split(lower(text), "\\s+")),
+      array(GopherStops.map(lit): _*))).cast("long")
+    (nWords, meanLen, symbolRatio, alphaFrac, nStops)
+  }
+
+  /** The Gopher gate as ONE predicate over any subset of bounds — the
+    * config journey's filter form (None = rule not applied). Same signal
+    * expressions (and rounding) as [[gopherRules]].
+    */
+  def gopherKeep(text: Column,
+                 minWords: Option[Long], maxWords: Option[Long],
+                 minMeanLen: Option[Double], maxMeanLen: Option[Double],
+                 maxSymbolRatio: Option[Double],
+                 minAlphaFrac: Option[Double],
+                 minStops: Option[Int]): Column = {
+    val (nWords, meanLen, symbolRatio, alphaFrac, nStops) = gopherSignals(text)
+    val conds = Seq(
+      minWords.map(v => nWords >= v), maxWords.map(v => nWords <= v),
+      minMeanLen.map(v => meanLen >= v), maxMeanLen.map(v => meanLen <= v),
+      maxSymbolRatio.map(v => symbolRatio <= v),
+      minAlphaFrac.map(v => alphaFrac >= v),
+      minStops.map(v => nStops >= v.toLong)).flatten
+    require(conds.nonEmpty, "gopherKeep needs at least one bound")
+    conds.reduce(_ && _)
+  }
+
   /** The Gopher-style repetition-free quality rule set (Rae et al. 2021,
     * §A1.1 — public), each signal emitted beside its verdict so a curation
     * run can audit WHICH rule dropped a document:
@@ -161,19 +222,7 @@ object Crawl {
                   minAlphaFrac: Double = 0.8,
                   minStops: Int = 2): DataFrame = {
     val text = col(textCol)
-    val toks = split(text, "\\s+")
-    val nWords = size(toks).cast("long")
-    val nWordsSafe = greatest(nWords, lit(1L)).cast("double")
-    val meanLen = round(
-      length(regexp_replace(text, "\\s+", "")).cast("double") / nWordsSafe, 6)
-    val hashes = length(text) - length(replace(text, lit("#"), lit("")))
-    val ellipses = (length(text) - length(replace(text, lit("..."), lit("")))) / 3
-    val symbolRatio = round((hashes + ellipses).cast("double") / nWordsSafe, 6)
-    val alphaFrac = round(
-      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / nWordsSafe, 6)
-    val nStops = size(array_intersect(
-      array_distinct(split(lower(text), "\\s+")),
-      array(GopherStops.map(lit): _*))).cast("long")
+    val (nWords, meanLen, symbolRatio, alphaFrac, nStops) = gopherSignals(text)
     df.select(col(idCol),
       nWords.as("n_words"),
       meanLen.as("mean_word_len"),

@@ -179,6 +179,27 @@ object Config {
     * it appends serving columns.
     */
   final case class CorpusShard(by: String, budget: Long) extends CorpusStep
+  /** Crawl text extraction (operators/Crawl.htmlText): the text column is
+    * replaced by the visible text, one line per block element — the step
+    * that makes a raw-HTML source enter the journey. Stateless per-row →
+    * streams.
+    */
+  final case class CorpusExtract(format: String) extends CorpusStep
+  /** The Gopher composite quality gate (Crawl.gopherKeep) over any subset
+    * of bounds. Stateless per-row → streams.
+    */
+  final case class CorpusGopher(minWords: Option[Long], maxWords: Option[Long],
+                                minMeanLen: Option[Double],
+                                maxMeanLen: Option[Double],
+                                maxSymbolRatio: Option[Double],
+                                minAlphaFrac: Option[Double],
+                                minStops: Option[Int]) extends CorpusStep
+  /** Corpus-wide duplicated-line removal (Crawl.lineDedup): lines occurring
+    * ≥ minFreq times across the corpus are dropped from every document and
+    * bodies rebuilt in original order. Needs corpus-at-rest frequencies —
+    * batch only.
+    */
+  final case class CorpusDedupLines(minFreq: Long) extends CorpusStep
 
   /** The `corpus:` section: a document source + ordered curation steps. */
   final case class CorpusDef(source: String, idCol: String, textCol: String,
@@ -896,6 +917,30 @@ object Config {
         val budget = intOpt(t, "budget").getOrElse(fail(s"$ctx needs a budget"))
         if (budget <= 0) fail(s"$ctx.budget must be > 0, got $budget")
         CorpusShard(str(t, "by", ctx), budget.toLong)
+      case "extract" =>
+        check("format")
+        val fmt = strOpt(t, "format").getOrElse("html")
+        if (fmt != "html")
+          fail(s"$ctx.format: only 'html' is supported, got '$fmt'")
+        CorpusExtract(fmt)
+      case "gopher" =>
+        check("min_words", "max_words", "min_mean_len", "max_mean_len",
+          "max_symbol_ratio", "min_alpha_frac", "min_stops")
+        val g = CorpusGopher(
+          intOpt(t, "min_words").map(_.toLong),
+          intOpt(t, "max_words").map(_.toLong),
+          dblOpt(t, "min_mean_len"), dblOpt(t, "max_mean_len"),
+          dblOpt(t, "max_symbol_ratio"), dblOpt(t, "min_alpha_frac"),
+          intOpt(t, "min_stops"))
+        if (Seq(g.minWords, g.maxWords, g.minMeanLen, g.maxMeanLen,
+          g.maxSymbolRatio, g.minAlphaFrac, g.minStops).forall(_.isEmpty))
+          fail(s"$ctx needs at least one bound")
+        g
+      case "dedup_lines" =>
+        check("min_freq")
+        val f = intOpt(t, "min_freq").getOrElse(2)
+        if (f < 2) fail(s"$ctx.min_freq must be >= 2, got $f")
+        CorpusDedupLines(f.toLong)
       case other => fail(s"unknown corpus step '$other'")
     }
   }

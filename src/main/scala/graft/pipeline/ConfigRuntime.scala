@@ -592,9 +592,34 @@ object ConfigRuntime {
           // each `by` partition (one hash exchange, sequence_pack's rule)
           graft.operators.Sharding.shardAssign(df, c.idCol, by,
             Text.tokenCountWs(text), budget)
+        case Config.CorpusExtract(_) =>
+          // crawl text extraction: the text column becomes the visible
+          // text, one line per block element — per-row codegen, no shuffle
+          df.withColumn(c.textCol, graft.operators.Crawl.htmlText(text))
+        case g: Config.CorpusGopher =>
+          df.filter(corpusGopherCond(text, g))
+        case Config.CorpusDedupLines(minFreq) =>
+          // corpus-wide duplicated-line removal: the frequency table
+          // aggregates line hashes only; one doc-keyed exchange rebuilds
+          // bodies. Snapshot once — the frame feeds the explode AND the
+          // join-back.
+          val snap = df.localCheckpoint(eager = false)
+          val rebuilt = graft.operators.Crawl
+            .lineDedup(snap, c.idCol, c.textCol, minFreq)
+            .select(col(c.idCol), col("text_clean"))
+          snap.drop(c.textCol)
+            .join(rebuilt.withColumnRenamed("text_clean", c.textCol),
+              Seq(c.idCol))
       }
     }
   }
+
+  /** The Gopher gate as one predicate (batch + streaming share it). */
+  private[graft] def corpusGopherCond(text: Column,
+                                      g: Config.CorpusGopher): Column =
+    graft.operators.Crawl.gopherKeep(text, g.minWords, g.maxWords,
+      g.minMeanLen, g.maxMeanLen, g.maxSymbolRatio, g.minAlphaFrac,
+      g.minStops)
 
   /** A config-declared filesystem location, resolved against the data dir
     * when relative (the source-path rule, applied to artifact/index paths).
@@ -700,6 +725,11 @@ object ConfigRuntime {
             df.withColumn("dsir_score",
               graft.operators.Importance.dsirScoreExpr(text, model))
               .filter(col("dsir_score") > minScore)
+          case Config.CorpusExtract(_) =>
+            // extraction is per-row — a crawl enters the stream as raw HTML
+            df.withColumn(c.textCol, graft.operators.Crawl.htmlText(text))
+          case g: Config.CorpusGopher =>
+            df.filter(corpusGopherCond(text, g))
           case other =>
             val name = other match {
               case _: Config.CorpusDedupFuzzy        => "dedup_fuzzy"
@@ -707,6 +737,7 @@ object ConfigRuntime {
               case _: Config.CorpusDedupIncremental  => "dedup_incremental"
               case _: Config.CorpusMix               => "mix"
               case _: Config.CorpusShard             => "shard"
+              case _: Config.CorpusDedupLines        => "dedup_lines"
               case o                                 => o.getClass.getSimpleName
             }
             throw new IllegalArgumentException(

@@ -64,23 +64,44 @@ object QueriesCrawl {
       s"replace($acc, '$ent', '${ch.replace("'", "''")}')"
     }
 
-  private def htmlExtractSql: String = {
-    val html = s"'$H1' || CAST(doc_id AS VARCHAR) || '$H2' || source || " +
+  /** The deterministic HTML wrapper, as a SQL expression over `documents`
+    * columns — shared by the extraction query and the config journeys.
+    */
+  private def htmlBuildSql: String =
+    s"'$H1' || CAST(doc_id AS VARCHAR) || '$H2' || source || " +
       s"'$H3' || source || '$H4' || text || '$H5' || lang || '$H6'"
-    val stripped =
-      s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
-          '${Crawl.ScriptPattern}', ' ', 'g'),
-          '${Crawl.StylePattern}', ' ', 'g'),
-          '${Crawl.CommentPattern}', ' ', 'g'),
-          '${Crawl.TagPattern}', ' ', 'g')"""
-    s"""WITH h AS (SELECT doc_id, $html AS html FROM documents),
+
+  /** The extraction chain over a column named `html` — the same ordered
+    * chain as Crawl.htmlText: blocks out -> source whitespace flattened ->
+    * block closes become newlines -> tags become spaces -> entities ->
+    * space collapse / newline tidy / edge strip.
+    */
+  private def extractChainSql: String = {
+    val noTags =
+      s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(html,
+            '${Crawl.ScriptPattern}', ' ', 'g'),
+            '${Crawl.StylePattern}', ' ', 'g'),
+            '${Crawl.CommentPattern}', ' ', 'g'),
+            '\\s+', ' ', 'g'),
+            '${Crawl.BlockBreakPattern}', chr(10), 'g'),
+            '${Crawl.TagPattern}', ' ', 'g')"""
+    s"""trim(regexp_replace(regexp_replace(regexp_replace(
+        ${entitySql(noTags)},
+        '[ \\t]+', ' ', 'g'),
+        '[ ]*\\n[\\n ]*', chr(10), 'g'),
+        '^\\n+|\\n+$$', '', 'g'))"""
+  }
+
+  private def htmlExtractSql: String = {
+    val tidied = extractChainSql
+    s"""WITH h AS (SELECT doc_id, $htmlBuildSql AS html FROM documents),
         x AS (
           SELECT doc_id,
             trim(regexp_replace(${entitySql(
               s"regexp_extract(html, '${Crawl.TitlePattern}', 1)")},
               '\\s+', ' ', 'g')) AS title,
-            trim(regexp_replace(${entitySql(stripped)},
-              '\\s+', ' ', 'g')) AS text
+            $tidied AS text
           FROM h)
         SELECT doc_id, title, text,
                CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words
@@ -207,6 +228,86 @@ object QueriesCrawl {
         FROM flagged GROUP BY doc_id"""
   }
 
+  // --- the declarative crawl journey --------------------------------------
+
+  // Gate bounds for the config journey, applied to the EXTRACTED text
+  // (~12 wrapper words on top of the 10-99 body words).
+  private val CrawlGateMinWords = 40
+  private val CrawlGateMinStops = 1
+
+  /** CTEs `h` (wrapper) → `ex` (extracted) → `gated` (Gopher gate) over
+    * `documents` — the shared prefix of the batch and streaming journeys.
+    */
+  private def crawlPrefixCtes: String = {
+    val stops = Crawl.GopherStops.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""h AS (SELECT doc_id, source, $htmlBuildSql AS html FROM documents),
+        ex AS (SELECT doc_id, source, $extractChainSql AS text FROM h),
+        gated AS (
+          SELECT doc_id, source, text FROM ex
+          WHERE len(regexp_split_to_array(text, '\\s+')) >= $CrawlGateMinWords
+            AND len(list_intersect(
+                  list_distinct([lower(x)
+                    for x in regexp_split_to_array(text, '\\s+')]),
+                  $stops)) >= $CrawlGateMinStops)"""
+  }
+
+  /** extract → gopher → dedup_lines, fully composed: the wrapper's menu /
+    * heading / lang lines are corpus-frequent and must vanish; body lines
+    * survive.
+    */
+  private def configCorpusCrawlSql: String = {
+    import graft.functions.Text.portableHashSql
+    s"""WITH $crawlPrefixCtes,
+        ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM gated),
+        flat AS (
+          SELECT doc_id, pl['pos'] AS pos, pl['line'] AS line FROM (
+            SELECT doc_id, unnest([{'pos': i, 'line': ls[i]}
+              for i in generate_series(1, len(ls))]) AS pl
+            FROM ls)),
+        freq AS (
+          SELECT ${portableHashSql("line")} AS h, count(*) AS c
+          FROM flat GROUP BY 1 HAVING count(*) >= $LineMinFreq),
+        flagged AS (
+          SELECT f.doc_id, f.pos, f.line, (fr.h IS NOT NULL) AS dup
+          FROM (SELECT doc_id, pos, line, ${portableHashSql("line")} AS h
+                FROM flat) f
+          LEFT JOIN freq fr USING (h))
+        SELECT doc_id,
+               coalesce(array_to_string(list(line ORDER BY pos)
+                 FILTER (WHERE NOT dup), chr(10)), '') AS text
+        FROM flagged GROUP BY doc_id"""
+  }
+
+  private def streamCorpusExtractSql: String =
+    s"""WITH $crawlPrefixCtes
+        SELECT doc_id, text FROM gated"""
+
+  /** Write the deterministic HTML corpus once per invocation (overwrite) —
+    * the raw-crawl source both config journeys read.
+    */
+  private def writeHtmlCorpus(s: org.apache.spark.sql.SparkSession,
+                              d: String, scratch: String): Unit = {
+    val html = concat(
+      lit(H1), col("doc_id").cast("string"), lit(H2), col("source"),
+      lit(H3), col("source"), lit(H4), col("text"),
+      lit(H5), col("lang"), lit(H6))
+    documents(s, d)
+      .select(col("doc_id"), col("source"), html.as("text"))
+      .write.mode("overwrite").parquet(s"$scratch/docs.parquet")
+  }
+
+  private def crawlYaml(scratch: String, steps: String): String =
+    s"""sources:
+       |  - id: docs
+       |    loader: { transport: fs, path: $scratch/docs.parquet, reader: { format: parquet } }
+       |corpus:
+       |  source: docs
+       |  id: doc_id
+       |  text: text
+       |  steps:
+       |$steps
+       |""".stripMargin
+
   // --- queries ------------------------------------------------------------
 
   val queries: Map[String, QueryFn] = Map(
@@ -254,6 +355,37 @@ object QueriesCrawl {
     // both engines build the same line structure (8-token lines + planted
     // banner/footer boilerplate), then drop every line occurring >= 2 times
     // corpus-wide and rebuild documents in original line order.
+    // The declarative CRAWL journey: a raw-HTML corpus enters the config
+    // surface and comes out curated — extract (block-aware visible text) →
+    // gopher gate → corpus-wide duplicated-line removal, folded into one
+    // plan. The wrapper's menu/heading/lang lines are corpus-frequent and
+    // vanish; unique body lines survive in order.
+    "config_corpus_crawl" -> { (s, d) =>
+      val scratch = "/tmp/graft_scratch/crawl_html"
+      writeHtmlCorpus(s, d, scratch)
+      val project = graft.pipeline.Config.parseProject(crawlYaml(scratch,
+        s"""    - { step: extract, format: html }
+           |    - { step: gopher, min_words: $CrawlGateMinWords, min_stops: $CrawlGateMinStops }
+           |    - { step: dedup_lines, min_freq: $LineMinFreq }""".stripMargin))
+      graft.pipeline.ConfigRuntime.corpus(s, d, project)
+        .select(col("doc_id"), col("text"))
+    },
+
+    // The crawl front-end AT INGEST: extraction + the Gopher gate are pure
+    // per-row expressions, so the same config document streams — each
+    // arriving page is extracted and gated with zero state. Corpus-at-rest
+    // steps (dedup_lines) are rejected by name on the stream.
+    "stream_corpus_extract" -> { (s, d) =>
+      val scratch = "/tmp/graft_scratch/crawl_html"
+      writeHtmlCorpus(s, d, scratch)
+      val project = graft.pipeline.Config.parseProject(crawlYaml(scratch,
+        s"""    - { step: extract, format: html }
+           |    - { step: gopher, min_words: $CrawlGateMinWords, min_stops: $CrawlGateMinStops }""".stripMargin))
+      graft.streaming.Streaming.runCorpusStream(s, d, project,
+        s"graft_stream_extract_${StreamRun.incrementAndGet()}")
+        .select(col("doc_id"), col("text"))
+    },
+
     "line_dedup" -> { (s, d) =>
       val w = split(col("text"), "\\s+")
       val nLines = ceil(size(w) / lit(LineTokens.toDouble)).cast("int")
@@ -270,10 +402,14 @@ object QueriesCrawl {
     }
   )
 
+  private val StreamRun = new java.util.concurrent.atomic.AtomicInteger(0)
+
   val oracleSql: Map[String, String] = Map(
     "html_extract" -> htmlExtractSql,
     "url_dedup" -> urlDedupSql,
     "quality_gopher" -> qualityGopherSql,
-    "line_dedup" -> lineDedupSql
+    "line_dedup" -> lineDedupSql,
+    "config_corpus_crawl" -> configCorpusCrawlSql,
+    "stream_corpus_extract" -> streamCorpusExtractSql
   )
 }

@@ -353,6 +353,9 @@ class ConfigPreviewSpec extends SparkSpec {
     val mix = intercept[IllegalArgumentException](
       streamed("    - { step: mix, by: source, seed: 1 }\n"))
     assert(mix.getMessage.contains("'mix' is not streamable"))
+    val lines = intercept[IllegalArgumentException](
+      streamed("    - { step: dedup_lines, min_freq: 2 }\n"))
+    assert(lines.getMessage.contains("'dedup_lines' is not streamable"))
     val sel = intercept[IllegalArgumentException](
       streamed("    - { step: select, target_lang: en, artifact: missing.json }\n"))
     assert(sel.getMessage.contains("trained model"))

@@ -363,7 +363,20 @@ class ConfigSpec extends SparkSpec {
       val e = intercept[IllegalArgumentException](Config.parseProject(doc(steps)))
       assert(e.getMessage.contains(msg), e.getMessage)
     }
+    // the crawl front-end steps parse with their bounds
+    val crawl = Config.parseProject(doc(
+      """{ step: extract, format: html },
+        |{ step: gopher, min_words: 40, min_stops: 1 },
+        |{ step: dedup_lines, min_freq: 2 }""".stripMargin)).corpus.get
+    assert(crawl.steps == Seq(
+      Config.CorpusExtract("html"),
+      Config.CorpusGopher(Some(40L), None, None, None, None, None, Some(1)),
+      Config.CorpusDedupLines(2L)))
+
     bad("{ step: gizmo }", "unknown corpus step")
+    bad("{ step: extract, format: pdf }", "only 'html' is supported")
+    bad("{ step: gopher }", "at least one bound")
+    bad("{ step: dedup_lines, min_freq: 1 }", "min_freq must be >= 2")
     bad("{ step: filter }", "at least one of")
     bad("{ step: filter, lang: english }", "lang must be one of")
     bad("{ step: chunk, size: 64 }, { step: dedup_exact }",

@@ -21,7 +21,15 @@ class CrawlSpec extends SparkSpec {
         .stripMargin
     val out = Seq(html).toDF("html")
       .select(Crawl.htmlText(col("html")).as("t")).head().getString(0)
-    assert(out == "T Hello one & two <three>")
+    assert(out == "T\nHello\none & two <three>")
+  }
+
+  test("htmlText: block closes make lines, raw source newlines do not") {
+    val html = "<body><p>one\ntwo</p><div>three</div><span>four\n" +
+      "five</span><br>six</body>"
+    val out = Seq(html).toDF("html")
+      .select(Crawl.htmlText(col("html"))).head().getString(0)
+    assert(out == "one two\nthree\nfour five\nsix")
   }
 
   test("htmlText single-level entity decode: &amp;lt; becomes &lt;, not <") {

@@ -348,6 +348,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Window"), "canonical id must come from a window")
   }
 
+  audit("config_corpus_crawl") { plan =>
+    // extract + gopher fold into the scan side; the line-frequency side
+    // broadcasts back; no cartesian, no BNLJ anywhere in the journey
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "the crawl journey must stay equi-join only")
+  }
+
   audit("line_dedup") { plan =>
     // the frequency side aggregates line hashes (partial aggregate before
     // its exchange), the boilerplate set joins back, and one doc-keyed
