@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.queries.Q.sumDec
+
+/** Trained quality classifier for LLM-training-data curation: logistic
+  * regression over hashed bag-of-words features, fitted by full-batch
+  * gradient descent — the learned quality gate (the fastText/CCNet-style
+  * "looks like the reference corpus" filter) that production pipelines run
+  * beside the rule-based gates ([[Crawl.gopherRules]]) and the closed-form
+  * importance ratio ([[Importance.dsirScores]]). Distinct from DSIR by
+  * design: DSIR is a generative count ratio fitted in one pass; this is a
+  * DISCRIMINATIVE model fitted by iterated optimization — the two-pillar
+  * pairing real curation stacks deploy.
+  *
+  * Scale posture (the curation_kmeans discipline, applied to GD):
+  *  - the sparse feature relation `(id, pos, x)` is built ONCE — one
+  *    doc-keyed aggregation — and checkpointed; every round reuses it;
+  *  - per round: scores are one doc-keyed aggregate with the weight vector
+  *    entering as a constant-folded array LITERAL (no weight join), and the
+  *    gradient is one partial-aggregated `buckets+1`-row aggregate — only
+  *    the bounded weight/gradient vectors ever cross the driver;
+  *  - scoring under a trained model is a broadcast-free per-row fold —
+  *    the shape that gates a crawl at ingest.
+  *
+  * Cross-engine determinism: products of 6-decimal factors sit exactly on
+  * the 1e-12 grid, so round12 + exact-decimal sums are lossless and
+  * order-free; scores round to 6 IN DECIMAL SPACE; the link is a hard
+  * sigmoid computed in integer micros (no libm in the loop); whole-number
+  * eta keeps every weight update on the 1e-6 grid — the DuckDB oracle
+  * replays the identical rounds bit for bit.
+  */
+object Classifier {
+
+  /** Bias feature position = `buckets` (its x is 1.0 on every doc). */
+  def biasPos(buckets: Int): Int = buckets
+
+  /** The sparse hashed-feature relation `(idCol, pos, x)` of a corpus:
+    * x = round6(bucket token count / doc token count) for OBSERVED buckets
+    * only, plus the bias row — at most `min(n_tokens, buckets) + 1` rows
+    * per doc. Zero-count buckets contribute nothing to any score or
+    * gradient, so sparsity is free (and is the realistic posture: real
+    * vocabularies hash into 2^20 buckets, docs touch a few hundred).
+    */
+  def features(df: DataFrame, idCol: String, textCol: String,
+               buckets: Int): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(Text.tokens(col(textCol))).as("tok"))
+      .select(col(idCol), Importance.bucket(col("tok"), buckets).as("pos"))
+    val cnt = tok.groupBy(col(idCol), col("pos"))
+      .agg(count(lit(1)).as("c"))
+    val perDoc = cnt.groupBy(col(idCol)).agg(sum(col("c")).as("n"))
+    val sparse = cnt.join(perDoc, Seq(idCol))
+      .select(col(idCol), col("pos"),
+        round(col("c").cast("double") / col("n").cast("double"), 6).as("x"))
+    val bias = df.select(col(idCol), lit(biasPos(buckets)).as("pos"),
+      lit(1.0).as("x"))
+    sparse.unionByName(bias)
+  }
+
+  /** Per-doc decision score under a weight vector: order-free exact-decimal
+    * sum of round12(w_pos * x) over the doc's feature rows (products of two
+    * 6-decimal factors sit exactly on the 1e-12 grid, so round12 recovers
+    * them losslessly), rounded to 6 IN DECIMAL SPACE before the double cast
+    * — no double-rounding boundary can disagree across engines. The weights
+    * enter as one constant-folded array literal.
+    */
+  private def scores(feats: DataFrame, idCol: String,
+                     w: Array[Double]): DataFrame = {
+    val wLit = array(w.map(lit(_)): _*)
+    feats
+      .withColumn("wx", round(element_at(wLit, col("pos") + 1) * col("x"), 12))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("wx").cast("decimal(30,12)")), 6)
+        .cast("double").as("s"))
+  }
+
+  /** Hard-sigmoid link (the piecewise-linear logistic stand-in from the
+    * quantized-inference literature): p = clamp(s/4 + 1/2, 0, 1), computed
+    * in INTEGER MICROS — round-trip through `exp` would hand the replay
+    * gate to libm ulp differences (measured: 7/500 sf0.01 probabilities
+    * flip their 6th decimal between JVM and DuckDB), integer arithmetic
+    * cannot disagree. `s` must be a 6-decimal score; the result sits
+    * exactly on the 1e-6 grid.
+    */
+  def sigmoid(s: Column): Column = {
+    val sMicros = round(s * 1e6, 0).cast("long")
+    val pMicros = least(lit(1000000L),
+      greatest(lit(0L), lit(500000L) + floor(sMicros / 4.0).cast("long")))
+    pMicros.cast("double") / 1e6
+  }
+
+  /** Fit by `iters` rounds of full-batch gradient descent (start w = 0,
+    * rate `eta`): per round ONE doc-keyed score aggregate and ONE bounded
+    * gradient aggregate; `buckets+1` doubles cross the driver. `labels` is
+    * `(idCol, y)` with y in {0.0, 1.0}; `nDocs` its row count (metadata-
+    * scale, computed once by the caller). `eta` must be a whole number so
+    * `eta * gradient` stays on the 1e-6 grid and the weight update needs no
+    * cross-engine rounding (a fractional eta puts updates exactly ON round6
+    * boundaries — the half-ulp coin-flip the replay gate cannot tolerate).
+    */
+  def fitLogReg(feats: DataFrame, labels: DataFrame, idCol: String,
+                buckets: Int, iters: Int, eta: Double,
+                nDocs: Long): Array[Double] = {
+    require(eta == math.rint(eta) && eta > 0,
+      s"eta must be a positive whole number for grid-exact updates, got $eta")
+    var w = Array.fill(buckets + 1)(0.0)
+    for (_ <- 0 until iters) {
+      val err = scores(feats, idCol, w)
+        .join(labels, Seq(idCol))
+        .select(col(idCol), (sigmoid(col("s")) - col("y")).as("err"))
+      val grad = feats.join(err, Seq(idCol))
+        .withColumn("ex", round(col("err") * col("x"), 12))
+        .groupBy(col("pos"))
+        .agg(round(sumDec(col("ex"), 12) / nDocs.toDouble, 6).as("g"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      w = w.zipWithIndex.map { case (wj, j) =>
+        BigDecimal(java.lang.Double.toString(wj - eta * grad.getOrElse(j, 0.0)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    w
+  }
+
+  /** Per-doc report under a trained model: `(idCol, prob, predicted)` —
+    * one doc-keyed aggregate over the sparse features, weights as a
+    * literal. `predicted` = prob at or above `threshold`.
+    */
+  def classify(feats: DataFrame, idCol: String, w: Array[Double],
+               threshold: Double = 0.5): DataFrame =
+    scores(feats, idCol, w)
+      .select(col(idCol), sigmoid(col("s")).as("prob"))
+      .withColumn("predicted", col("prob") >= threshold)
+
+  /** Per-row probability of a text column under a trained model: the
+    * document's tf fractions fold against the weight literal with the SAME
+    * rounding chain as the relational path (round12 products into an exact
+    * decimal accumulator, round6 score, round6 sigmoid) — sums regroup but
+    * decimals don't care. Pure expression: zero shuffle, no state — the
+    * shape that scores a crawl AT INGEST.
+    */
+  def probExpr(text: Column, w: Array[Double], buckets: Int): Column = {
+    val wLit = array(w.map(lit(_)): _*)
+    val toks = Text.tokens(text)
+    val n = size(toks).cast("double")
+    // one feature row per DISTINCT bucket: x = round6(count/n) — replay the
+    // per-bucket tf fractions, then the same weighted fold
+    val perTok = transform(toks,
+      t => Importance.bucket(t, buckets))
+    val distinctB = array_distinct(perTok)
+    val wx = transform(distinctB, b =>
+      round(element_at(wLit, b + 1) *
+        round(size(filter(perTok, p => p === b)).cast("double") / n, 6), 12))
+    val withBias = concat(wx,
+      array(round(element_at(wLit, lit(biasPos(buckets) + 1)) * lit(1.0), 12)))
+    val dec = aggregate(withBias, lit(0).cast("decimal(30,12)"),
+      (acc, v) => (acc + v.cast("decimal(30,12)")).cast("decimal(30,12)"))
+    sigmoid(round(dec, 6).cast("double"))
+  }
+
+  // ------------------------------------------------------------- artifact
+  // The trained gate as a PERSISTED artifact (the save/load_scaler
+  // discipline): fit once, save the dense weight vector as JSON, hydrate
+  // and score any later crawl — including on a stream, because probExpr is
+  // a pure per-row expression.
+
+  def saveModel(path: String, w: Array[Double]): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(p,
+      s"""{"buckets": ${w.length - 1}, "w": [${w.mkString(", ")}]}""")
+  }
+
+  /** Double.toString round-trips exactly, so hydrate == fit. */
+  def loadModel(path: String): Array[Double] = {
+    val json = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    val arr = json.split("\\[")(1).split("\\]")(0).trim
+    if (arr.isEmpty) Array.empty else arr.split(",").map(_.trim.toDouble)
+  }
+}

@@ -74,6 +74,64 @@ object Curation {
         (coalesce(col("n_matches"), lit(0L)) === 0).as("keep"))
   }
 
+  /** Bloom-filter benchmark decontamination — the LARGE-benchmark scale
+    * path. [[decontaminate]] broadcasts the raw benchmark n-gram set, which
+    * stops fitting when the held-out suite reaches hundreds of millions of
+    * n-grams; a Bloom bitmap is FIXED-SIZE (`mBits` bits) regardless of
+    * benchmark cardinality, the standard posture for membership tests at
+    * 100 TB.
+    *
+    * Build: distinct benchmark n-grams hash to `numHashes` positions; the
+    * positions OR into a bitmap of `mBits/64` longs via a partial-aggregated
+    * `bit_or` — at most `mBits/64` rows reach the driver (metadata-scale,
+    * the k-means-centroids discipline).
+    *
+    * Probe: the bitmap enters the plan as ONE constant-folded array literal;
+    * each corpus document counts its distinct n-grams whose every position
+    * bit is set — a pure per-row expression, ZERO shuffle on the corpus
+    * ([[decontaminate]]'s n-gram equi-join disappears entirely).
+    *
+    * False positives are the Bloom trade (never false negatives) —
+    * deterministic given the hash family, so the DuckDB oracle reproduces
+    * them bit for bit. Output: `(id, n_flagged, contaminated)`.
+    */
+  def decontaminateBloom(train: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, n: Int,
+                         mBits: Int = 1 << 16,
+                         numHashes: Int = 2): DataFrame = {
+    require(mBits % 64 == 0, "mBits must be a multiple of 64")
+    def ngrams = array_distinct(Text.shingles(Text.tokens(col(textCol)), n))
+    val benchNg = benchmark.select(explode(ngrams).as("ngram")).distinct()
+    val positions = (0 until numHashes)
+      .map(i => benchNg.select(bloomPos(col("ngram"), i, mBits).as("p")))
+      .reduce(_ unionAll _)
+    val words = positions
+      .select(floor(col("p") / 64).cast("int").as("w"),
+        call_function("shiftleft", lit(1L),
+          pmod(col("p"), lit(64)).cast("int")).as("bit"))
+      .groupBy(col("w")).agg(expr("bit_or(bit)").as("word"))
+      .collect()
+    val bitmap = Array.fill(mBits / 64)(0L)
+    words.foreach(r => bitmap(r.getInt(0)) = r.getLong(1))
+    val bitmapLit = array(bitmap.map(lit(_)): _*)
+    def hit(g: Column): Column = (0 until numHashes).map { i =>
+      val p = bloomPos(g, i, mBits)
+      val word = element_at(bitmapLit, floor(p / 64).cast("int") + 1)
+      word.bitwiseAND(call_function("shiftleft", lit(1L),
+        pmod(p, lit(64)).cast("int"))) =!= 0L
+    }.reduce(_ && _)
+    val nFlagged = size(filter(ngrams, hit(_))).cast("long")
+    train.select(col(idCol), nFlagged.as("n_flagged"))
+      .withColumn("contaminated", col("n_flagged") > 0L)
+  }
+
+  /** Position of hash family member `i` for an n-gram, in [0, mBits) —
+    * shared (via [[graft.functions.Text.portableHash]]) with the oracle SQL
+    * so the bitmap is engine-reproducible.
+    */
+  def bloomPos(ngram: Column, i: Int, mBits: Int): Column =
+    pmod(Text.portableHash(concat(lit(s"bloom$i:"), ngram)), lit(mBits.toLong))
+
   /** The deterministic sha256 53-bit ratio in [0,1) behind hash splitting —
     * same bucketing as [[Assembly.hashSplitLabel]] (reference HashLabeler).
     */

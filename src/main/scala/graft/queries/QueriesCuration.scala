@@ -22,6 +22,13 @@ object QueriesCuration {
   private val DiversitySeed = 13
   private val SampleDefault = 0.1
   private val SampleSeed = 42
+  // Bloom decontamination sizing (must match the oracle's hash exprs)
+  private val BloomBits = 1 << 16
+  private val BloomHashes = 2
+  // quality classifier: hashed-feature logistic regression (full-batch GD)
+  private[queries] val ClsBuckets = 64
+  private[queries] val ClsIters = 3
+  private[queries] val ClsEta = 1.0 // whole-number: updates stay on the 1e-6 grid
 
   /** Shared distinct-3-gram CTE (the guard against <3-token docs is implicit
     * in DuckDB: generate_series(1, 0) is empty, unlike Spark's sequence).
@@ -81,6 +88,67 @@ object QueriesCuration {
           GROUP BY cluster, u.pos)
         GROUP BY cluster"""
 
+  /** The iterated full-batch-GD CTE chain behind quality_classifier's
+    * oracle: sparse tf features → w0 = 0 → per round (decimal-summed score
+    * → round6 sigmoid → gradient → round6 weight update). Every rounding
+    * site mirrors graft.operators.Classifier exactly.
+    */
+  /** DuckDB twin of Classifier.sigmoid — the integer-micros hard sigmoid
+    * (no libm, no double-rounding boundary). `s` may be DECIMAL or DOUBLE.
+    */
+  private def hardSigmoidSql(s: String): String =
+    s"CAST(least(1000000, greatest(0, 500000 + " +
+      s"CAST(floor(CAST(ROUND(($s) * 1000000, 0) AS BIGINT) / 4.0) AS BIGINT)" +
+      s")) AS DOUBLE) / 1000000.0"
+
+  private def logRegCtes(buckets: Int, iters: Int, eta: Double): String = {
+    import graft.functions.Text.portableHashSql
+    val base =
+      s"""cls_docs AS (
+            SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+            FROM documents),
+          cls_tok AS (
+            SELECT doc_id, CAST(${portableHashSql("t")} % $buckets AS INTEGER) AS pos
+            FROM (SELECT doc_id,
+                         unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+                  FROM documents)),
+          cls_cnt AS (SELECT doc_id, pos, count(*) AS c FROM cls_tok GROUP BY 1, 2),
+          cls_n AS (SELECT doc_id, sum(c) AS n FROM cls_cnt GROUP BY 1),
+          cls_fx AS (
+            SELECT c.doc_id, c.pos,
+                   ROUND(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE), 6) AS x
+            FROM cls_cnt c JOIN cls_n n USING (doc_id)
+            UNION ALL
+            SELECT doc_id, $buckets AS pos, 1.0 AS x FROM documents),
+          cls_w0 AS (
+            SELECT unnest(generate_series(0, $buckets)) AS pos, 0.0 AS w)"""
+    val rounds = (0 until iters).map { r =>
+      s"""cls_s$r AS (
+            SELECT f.doc_id,
+                   CAST(ROUND(SUM(CAST(ROUND(w.w * f.x, 12) AS DECIMAL(30,12))),
+                         6) AS DOUBLE) AS s
+            FROM cls_fx f JOIN cls_w$r w USING (pos) GROUP BY 1),
+          cls_e$r AS (
+            SELECT d.doc_id, ${hardSigmoidSql("s.s")} - d.y AS err
+            FROM cls_docs d JOIN cls_s$r s USING (doc_id)),
+          cls_g$r AS (
+            SELECT f.pos,
+                   ROUND(CAST(SUM(CAST(ROUND(e.err * f.x, 12) AS DECIMAL(30,12)))
+                         AS DOUBLE) / (SELECT count(*) FROM cls_docs), 6) AS g
+            FROM cls_fx f JOIN cls_e$r e USING (doc_id) GROUP BY 1),
+          cls_w${r + 1} AS (
+            SELECT w.pos, ROUND(w.w - $eta * coalesce(g.g, 0.0), 6) AS w
+            FROM cls_w$r w LEFT JOIN cls_g$r g USING (pos))"""
+    }
+    (base +: rounds).mkString(",\n          ") +
+      s""",
+          cls_sF AS (
+            SELECT f.doc_id,
+                   CAST(ROUND(SUM(CAST(ROUND(w.w * f.x, 12) AS DECIMAL(30,12))),
+                         6) AS DOUBLE) AS s
+            FROM cls_fx f JOIN cls_w$iters w USING (pos) GROUP BY 1)"""
+  }
+
   val queries: Map[String, QueryFn] = Map(
     // Benchmark n-gram decontamination: benchmark = every 17th document (a
     // deterministic stand-in for a held-out eval suite), train = the whole
@@ -89,6 +157,38 @@ object QueriesCuration {
       val docs = documents(s, d)
       Curation.decontaminate(docs, docs.filter(pmod(col("doc_id"), lit(17)) === 0),
         "doc_id", "text", n = 3)
+    },
+
+    // Bloom-filter decontamination (the large-benchmark scale path): the
+    // benchmark n-gram set collapses to a fixed 64Kbit bitmap literal and
+    // the corpus probe is a pure per-row expression — zero shuffle, no
+    // join. Same benchmark as curation_decontam; Bloom false positives are
+    // deterministic and reproduced by the oracle.
+    "decontam_bloom" -> { (s, d) =>
+      val docs = documents(s, d)
+      Curation.decontaminateBloom(docs,
+        docs.filter(pmod(col("doc_id"), lit(17)) === 0),
+        "doc_id", "text", n = 3, mBits = BloomBits, numHashes = BloomHashes)
+    },
+
+    // Trained quality classifier (the fastText/CCNet-style learned gate):
+    // logistic regression over 64 hashed bag-of-words features, fitted by 3
+    // rounds of full-batch gradient descent — per round one doc-keyed score
+    // aggregate (weights enter as a literal) and one 65-row gradient
+    // aggregate; only the weight vector crosses the driver. The oracle
+    // replays the identical rounds as an iterated CTE chain.
+    "quality_classifier" -> { (s, d) =>
+      val docs = documents(s, d)
+      val labels = docs.select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      val feats = graft.operators.Classifier
+        .features(docs, "doc_id", "text", ClsBuckets).localCheckpoint()
+      val w = graft.operators.Classifier.fitLogReg(feats, labels, "doc_id",
+        ClsBuckets, ClsIters, ClsEta, nDocs = labels.count())
+      graft.operators.Classifier.classify(feats, "doc_id", w)
+        .join(labels, Seq("doc_id"))
+        .select(col("doc_id"), (col("y") === 1.0).as("label"),
+          col("prob"), col("predicted"))
     },
 
     // Deterministic stratified sampling by language: sha256-ratio filter,
@@ -155,6 +255,44 @@ object QueriesCuration {
                  coalesce(o.n_contaminated, 0) AS n_contaminated,
                  coalesce(o.n_contaminated, 0) > 0 AS contaminated
           FROM documents d LEFT JOIN overlap o USING (doc_id)""",
+
+    "decontam_bloom" -> {
+      import graft.functions.Text.portableHashSql
+      def posSql(i: Int, e: String) =
+        s"${portableHashSql(s"'bloom$i:' || $e")} % $BloomBits"
+      val unionPos = (0 until BloomHashes)
+        .map(i => s"SELECT ${posSql(i, "ngram")} AS p FROM bench_ng")
+        .mkString("\n            UNION ALL\n            ")
+      val hCols = (0 until BloomHashes)
+        .map(i => s"${posSql(i, "ngram")} AS h$i").mkString(",\n               ")
+      val allSet = (0 until BloomHashes)
+        .map(i => s"h$i IN (SELECT p FROM pos)").mkString(" AND ")
+      s"""WITH $ngramCte,
+          bench_ng AS (SELECT DISTINCT unnest(sh) AS ngram FROM ng
+                       WHERE doc_id % 17 = 0),
+          pos AS (SELECT DISTINCT p FROM (
+            $unionPos)),
+          train_ng AS (
+            SELECT doc_id,
+               $hCols
+            FROM (SELECT doc_id, unnest(sh) AS ngram FROM ng)),
+          hit AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged
+            FROM train_ng
+            WHERE $allSet
+            GROUP BY doc_id)
+          SELECT d.doc_id,
+                 coalesce(h.n_flagged, CAST(0 AS BIGINT)) AS n_flagged,
+                 coalesce(h.n_flagged, 0) > 0 AS contaminated
+          FROM documents d LEFT JOIN hit h USING (doc_id)"""
+    },
+
+    "quality_classifier" ->
+      s"""WITH ${logRegCtes(ClsBuckets, ClsIters, ClsEta)}
+          SELECT d.doc_id, d.y = 1.0 AS label,
+                 ${hardSigmoidSql("s.s")} AS prob,
+                 ${hardSigmoidSql("s.s")} >= 0.5 AS predicted
+          FROM cls_docs d JOIN cls_sF s USING (doc_id)""",
 
     "curation_sample" -> {
       val rate = SampleRates.foldLeft(SampleDefault.toString) {

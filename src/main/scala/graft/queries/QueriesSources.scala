@@ -65,6 +65,36 @@ object QueriesSources {
         schemaDDL = Some("n_nationkey INT, n_name STRING, n_regionkey INT"))
     },
 
+    // WARC crawl-archive ingestion (ISO 28500 — the format raw crawl data
+    // actually arrives in): stage the documents table as a real WARC file
+    // (headers + Content-Length-framed blocks + a warcinfo lead record),
+    // then read it back SPLITTABLE (record magic as the Hadoop line
+    // delimiter — no pre-pass) and parse with pure codegen'd expressions.
+    // The oracle recomputes the expected records straight from documents,
+    // so any framing/parse drift fails the hash.
+    "src_warc" -> { (s, d) =>
+      import graft.sources.Warc
+      val out = scratch("docs_warc")
+      val uri = concat(lit("https://"), col("source"),
+        lit(".example.com/doc/"), col("doc_id").cast("string"))
+      val info = documents(s, d).limit(1).select(
+        Warc.record(lit("warcinfo"), lit("urn:graft:warcinfo"),
+          lit("https://graft.invalid/info"),
+          lit("software: graft\r\n")).as("rec"))
+      val responses = documents(s, d).select(
+        Warc.record(lit("response"),
+          concat(lit("urn:graft:"), col("doc_id").cast("string")),
+          uri, col("text")).as("rec"))
+      info.unionByName(responses).write.mode("overwrite").text(out)
+      Warc.readWarc(s, out)
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("record_id"), "urn:graft:([0-9]+)", 1)
+            .cast("long").as("doc_id"),
+          col("target_uri"), col("n_bytes"), col("length_ok"),
+          col("payload"))
+    },
+
     // Run-scoped sink (reference io/runs.py): write into
     // serve_root/runs/<run_id>/dataset, mark success, re-read through the
     // refreshed `latest` symlink.
@@ -118,6 +148,14 @@ object QueriesSources {
     "src_http" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "src_jsonl" -> "SELECT r_regionkey, r_name FROM region",
     "sink_run_dir" -> "SELECT r_regionkey, r_name FROM region",
+    "src_warc" ->
+      """SELECT doc_id,
+                'https://' || source || '.example.com/doc/' ||
+                  CAST(doc_id AS VARCHAR) AS target_uri,
+                CAST(length(text) AS BIGINT) AS n_bytes,
+                TRUE AS length_ok,
+                text AS payload
+         FROM documents""",
     "src_ticks" ->
       """SELECT epoch_us(g) AS t_us
          FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31',

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Classifier
+
+/** Trained quality classifier (operators/Classifier.scala): hashed-feature
+  * logistic regression with the integer-micros hard-sigmoid link.
+  */
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val B = 32
+
+  private def fixture = Seq(
+    (1L, "good clean prose with varied words", 1.0),
+    (2L, "more good clean prose here too", 1.0),
+    (3L, "good words clean text varied prose", 1.0),
+    (4L, "spam spam spam buy now spam", 0.0),
+    (5L, "buy buy now now spam buy", 0.0),
+    (6L, "now spam buy spam now buy", 0.0)
+  ).toDF("doc_id", "text", "y")
+
+  test("fitLogReg separates a separable fixture and classify scores it") {
+    val docs = fixture
+    val labels = docs.select(col("doc_id"), col("y"))
+    val feats = Classifier.features(docs, "doc_id", "text", B)
+    val w = Classifier.fitLogReg(feats, labels, "doc_id", B,
+      iters = 8, eta = 1.0, nDocs = 6L)
+    val out = Classifier.classify(feats, "doc_id", w)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // every positive doc must score above every negative doc
+    val pos = Seq(1L, 2L, 3L).map(out)
+    val neg = Seq(4L, 5L, 6L).map(out)
+    assert(pos.min > neg.max,
+      s"positives $pos must outrank negatives $neg")
+  }
+
+  test("probExpr (per-row fold) equals classify (relational aggregate)") {
+    val docs = fixture
+    val labels = docs.select(col("doc_id"), col("y"))
+    val feats = Classifier.features(docs, "doc_id", "text", B)
+    val w = Classifier.fitLogReg(feats, labels, "doc_id", B,
+      iters = 3, eta = 1.0, nDocs = 6L)
+    val relational = Classifier.classify(feats, "doc_id", w)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val perRow = docs
+      .select(col("doc_id"), Classifier.probExpr(col("text"), w, B).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(perRow == relational) // bit-exact: same rounding chain
+  }
+
+  test("model artifact round-trips exactly; fractional eta fails loudly") {
+    val w = Array(0.125, -3.000001, 0.0, 1e-6)
+    val path = java.nio.file.Files.createTempDirectory("cls").toString + "/m.json"
+    Classifier.saveModel(path, w)
+    assert(Classifier.loadModel(path).toSeq == w.toSeq)
+    val docs = fixture
+    val feats = Classifier.features(docs, "doc_id", "text", B)
+    val err = intercept[IllegalArgumentException] {
+      Classifier.fitLogReg(feats, docs.select(col("doc_id"), col("y")),
+        "doc_id", B, iters = 1, eta = 0.5, nDocs = 6L)
+    }
+    assert(err.getMessage.contains("whole number"))
+  }
+
+  test("hard sigmoid: clamps, midpoint, and grid exactness") {
+    val out = Seq(0.0, 0.123456, -0.123456, 8.0, -8.0, 1.999998)
+      .toDF("s").select(Classifier.sigmoid(col("s")).as("p"))
+      .collect().map(_.getDouble(0))
+    assert(out(0) == 0.5)
+    assert(out(1) == 0.530864) // 500000 + floor(123456/4) micros
+    assert(out(2) == 0.469136)
+    assert(out(3) == 1.0 && out(4) == 0.0) // clamped
+    assert(out(5) == 0.999999)
+  }
+}

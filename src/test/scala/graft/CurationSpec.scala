@@ -95,6 +95,40 @@ class CurationSpec extends SparkSpec {
       corpus, bench, "text", "doc_id", maxBenchmarkDocs = 5L).count() >= 0)
   }
 
+  // --- decontaminateBloom -------------------------------------------------
+
+  test("decontaminateBloom never misses (superset of exact) and converges to it when roomy") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over fences"),
+      (2L, "completely unrelated training text with no overlap"),
+      (3L, "a quick brown fox appears again"),
+      (4L, "short")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "quick brown fox riddle")).toDF("doc_id", "text")
+    val exact = Curation.decontaminate(train, bench, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val bloom = Curation.decontaminateBloom(train, bench, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // no false negatives, ever
+    exact.foreach { case (id, c) => if (c) assert(bloom(id)) }
+    // at 64Kbits over a handful of n-grams, no false positives either
+    assert(bloom == exact)
+    // short docs (< n tokens) report 0 flags, not an error
+    assert(!bloom(4L))
+  }
+
+  test("decontaminateBloom: a saturated bitmap flags everything (false-positive path)") {
+    // 64 bits + many benchmark n-grams → every probe lands on set bits; the
+    // report must stay deterministic (flag counts = distinct n-grams)
+    val train = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val bench = Seq((9L, (1 to 80).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Curation.decontaminateBloom(train, bench, "doc_id", "text", 3,
+      mBits = 64, numHashes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.head._2 == 2L && out.head._3) // both distinct 3-grams flagged
+  }
+
   test("shingles of a short/empty token array is empty, not an error") {
     val df = Seq("a b", "").toDF("t")
       .select(size(Text.shingles(Text.tokens(col("t")), 3)).as("n"))
