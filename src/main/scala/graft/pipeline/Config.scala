@@ -169,6 +169,17 @@ object Config {
   final case class CorpusSelect(targetLang: String, buckets: Int,
                                 minScore: Double,
                                 artifact: Option[String]) extends CorpusStep
+  /** TRAINED quality-classifier gate (operators/Classifier): logistic
+    * regression over hashed bag-of-words features, the discriminative
+    * pillar beside select's generative DSIR ratio. With `artifact`,
+    * train-if-missing: labels come from langId(text) == targetLang, the
+    * dense weight vector persists as JSON, and scoring always runs under
+    * the HYDRATED copy as a pure per-row fold (zero shuffle) — the shape
+    * that also streams. Keeps documents with prob >= minProb.
+    */
+  final case class CorpusClassify(targetLang: String, buckets: Int,
+                                  iters: Int, eta: Double, minProb: Double,
+                                  artifact: Option[String]) extends CorpusStep
   /** Temperature-scaled domain mixture (Importance.domainMixRates): keep
     * rate min(1, T·sqrt-weight/n_d) per `by`-domain, applied as the
     * deterministic sha256-ratio filter.
@@ -909,6 +920,26 @@ object Config {
         if (b <= 0) fail(s"$ctx.buckets must be > 0, got $b")
         CorpusSelect(lang, b, dblOpt(t, "min_score").getOrElse(0.0),
           strOpt(t, "artifact"))
+      case "classify" =>
+        check("target_lang", "buckets", "iters", "eta", "min_prob", "artifact")
+        val lang = str(t, "target_lang", ctx)
+        val known = graft.functions.Text.LangPriority
+        if (!known.contains(lang))
+          fail(s"$ctx.target_lang must be one of ${known.mkString(", ")}, got '$lang'")
+        val b = intOpt(t, "buckets").getOrElse(64)
+        if (b <= 0) fail(s"$ctx.buckets must be > 0, got $b")
+        val it = intOpt(t, "iters").getOrElse(3)
+        if (it <= 0) fail(s"$ctx.iters must be > 0, got $it")
+        val eta = dblOpt(t, "eta").getOrElse(1.0)
+        // whole-number eta keeps weight updates on the 1e-6 grid (the
+        // replay-exactness contract Classifier.fitLogReg enforces) — fail
+        // at parse time, not after a training pass
+        if (eta <= 0.0 || eta != math.rint(eta))
+          fail(s"$ctx.eta must be a positive whole number, got $eta")
+        val p = dblOpt(t, "min_prob").getOrElse(0.5)
+        if (p < 0.0 || p > 1.0)
+          fail(s"$ctx.min_prob must be in [0, 1], got $p")
+        CorpusClassify(lang, b, it, eta, p, strOpt(t, "artifact"))
       case "mix" =>
         check("by", "seed")
         CorpusMix(str(t, "by", ctx), intOpt(t, "seed").getOrElse(0))

@@ -576,6 +576,34 @@ object ConfigRuntime {
           snap.withColumn("dsir_score",
             Importance.dsirScoreExpr(text, model))
             .filter(col("dsir_score") > minScore)
+        case Config.CorpusClassify(lang, buckets, iters, eta, minProb, artifact) =>
+          // trained quality gate: fit the hashed-feature logistic model on
+          // the curated frame (train-if-missing under `artifact` — and
+          // score under the HYDRATED copy so the save/load path is always
+          // the one exercised); scoring is a pure per-row fold over the
+          // weight literal, zero shuffle — probExpr replays the relational
+          // rounding chain bit for bit
+          import graft.operators.Classifier
+          val snap = df.localCheckpoint(eager = false)
+          def fit(): Array[Double] = {
+            val labels = snap.select(id,
+              when(Text.langId(text) === lang, 1.0).otherwise(0.0).as("y"))
+            val feats = Classifier.features(snap, c.idCol, c.textCol, buckets)
+              .localCheckpoint()
+            Classifier.fitLogReg(feats, labels, c.idCol, buckets, iters, eta,
+              nDocs = labels.count())
+          }
+          val w = artifact match {
+            case Some(a) =>
+              val path = resolvePath(dataDir, a)
+              if (!java.nio.file.Files.exists(path))
+                Classifier.saveModel(path.toString, fit())
+              Classifier.loadModel(path.toString)
+            case None => fit()
+          }
+          snap.withColumn("quality_prob",
+            Classifier.probExpr(text, w, buckets))
+            .filter(col("quality_prob") >= minProb)
         case Config.CorpusMix(by, seed) =>
           // domain mixture: the bounded rate table (one row per domain)
           // broadcasts back onto the frame; the keep gate is the
@@ -725,6 +753,22 @@ object ConfigRuntime {
             df.withColumn("dsir_score",
               graft.operators.Importance.dsirScoreExpr(text, model))
               .filter(col("dsir_score") > minScore)
+          case Config.CorpusClassify(_, buckets, _, _, minProb, artifact) =>
+            // streamable ONLY under a trained model (the select/tokenize
+            // contract): the weight vector hydrates at plan build and the
+            // probability is a pure per-row fold — the learned quality gate
+            // applied to a crawl AT INGEST, zero state
+            val a = artifact.getOrElse(throw new IllegalArgumentException(
+              "config: streaming classify needs an 'artifact' — fitting is " +
+                "a corpus-at-rest pass"))
+            val path = resolvePath(dataDir, a)
+            require(java.nio.file.Files.exists(path),
+              s"config: streaming classify needs a trained model at '$path' " +
+                "— run the batch corpus journey (train-if-missing) first")
+            val w = graft.operators.Classifier.loadModel(path.toString)
+            df.withColumn("quality_prob",
+              graft.operators.Classifier.probExpr(text, w, buckets))
+              .filter(col("quality_prob") >= minProb)
           case Config.CorpusExtract(_) =>
             // extraction is per-row — a crawl enters the stream as raw HTML
             df.withColumn(c.textCol, graft.operators.Crawl.htmlText(text))

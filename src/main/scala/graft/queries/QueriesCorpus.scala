@@ -359,6 +359,41 @@ object QueriesCorpus {
         FROM documents d JOIN dscored s USING (doc_id)
         WHERE ${repSql("d")} <= 0.8 AND s.dsir_score > 0.0"""
 
+  /** Label twin of the classify step's langId(text) == 'en' training rule. */
+  private def clsLabelSql(rel: String): String =
+    s"CASE WHEN ${langIdCaseSql(rel)} = 'en' THEN 1.0 ELSE 0.0 END"
+
+  /** The learned-gate journey: quality gate → classifier trained on the
+    * CURATED frame (the batch train-if-missing path), scored and gated at
+    * min_prob. Training replay shared with quality_classifier
+    * (QueriesCuration.logRegCtes) so arithmetic cannot drift.
+    */
+  private def configCorpusClassifySql: String = {
+    val sig = QueriesCuration.hardSigmoidSql("s.s")
+    s"""WITH kept0 AS (
+          SELECT d.doc_id, d.source, d.text FROM documents d
+          WHERE ${repSql("d")} <= 0.8),
+        ${QueriesCuration.logRegCtes(QueriesCuration.ClsBuckets,
+          QueriesCuration.ClsIters, QueriesCuration.ClsEta,
+          rel = "kept0", labelSql = clsLabelSql("kept0"))}
+        SELECT k.doc_id, k.source, $sig AS quality_prob
+        FROM kept0 k JOIN cls_sF s USING (doc_id)
+        WHERE $sig >= 0.5"""
+  }
+
+  /** Stream twin: the model trains batch-side on the FULL corpus, the
+    * stream applies gate + hydrated-model scoring per row.
+    */
+  private def streamCorpusClassifySql: String = {
+    val sig = QueriesCuration.hardSigmoidSql("s.s")
+    s"""WITH ${QueriesCuration.logRegCtes(QueriesCuration.ClsBuckets,
+          QueriesCuration.ClsIters, QueriesCuration.ClsEta,
+          rel = "documents", labelSql = clsLabelSql("documents"))}
+        SELECT d.doc_id, $sig AS quality_prob
+        FROM documents d JOIN cls_sF s USING (doc_id)
+        WHERE ${repSql("d")} <= 0.8 AND $sig >= 0.5"""
+  }
+
   // --------------------------------------------------------------- queries
 
   val queries: Map[String, QueryFn] = Map(
@@ -466,6 +501,60 @@ object QueriesCorpus {
         Multimodal.asMediaTable(corpus, "doc_id", "text"))
     },
 
+    // The declarative LEARNED-GATE journey: quality gate → trained
+    // classifier (hashed-feature logistic regression fitted on the curated
+    // frame, persisted as a JSON artifact, scored under the HYDRATED copy
+    // as a pure per-row fold). The artifact is cleared first so every
+    // invocation proves the full train→save→hydrate→score round trip.
+    "config_corpus_classify" -> { (s, d) =>
+      val art = "/tmp/graft_scratch/classify_lr/model.json"
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(art))
+      val project = graft.pipeline.Config.parseProject(
+        s"""sources:
+           |  - id: docs
+           |    loader: { transport: fs, path: documents.parquet, reader: { format: parquet } }
+           |corpus:
+           |  source: docs
+           |  id: doc_id
+           |  text: text
+           |  steps:
+           |    - { step: filter, max_repetition: 0.8 }
+           |    - { step: classify, target_lang: en, buckets: ${QueriesCuration.ClsBuckets}, iters: ${QueriesCuration.ClsIters}, eta: ${QueriesCuration.ClsEta.toInt}, min_prob: 0.5, artifact: $art }
+           |""".stripMargin)
+      graft.pipeline.ConfigRuntime.corpus(s, d, project)
+        .select(col("doc_id"), col("source"), col("quality_prob"))
+    },
+
+    // The learned quality gate AT INGEST: the classifier trains batch-side
+    // once (train once, every crawl streams through it), then the streaming
+    // corpus journey hydrates the artifact and scores each arriving doc
+    // with the same per-row fold — no state store.
+    "stream_corpus_classify" -> { (s, d) =>
+      import graft.operators.Classifier
+      val art = "/tmp/graft_scratch/stream_classify/model.json"
+      val docs = documents(s, d)
+      val labels = docs.select(col("doc_id"),
+        when(Text.langId(col("text")) === "en", 1.0).otherwise(0.0).as("y"))
+      val feats = Classifier.features(docs, "doc_id", "text",
+        QueriesCuration.ClsBuckets).localCheckpoint()
+      Classifier.saveModel(art, Classifier.fitLogReg(feats, labels, "doc_id",
+        QueriesCuration.ClsBuckets, QueriesCuration.ClsIters,
+        QueriesCuration.ClsEta, nDocs = labels.count()))
+      val project = graft.pipeline.Config.parseProject(
+        s"""sources:
+           |  - id: docs
+           |    loader: { transport: fs, path: documents.parquet, reader: { format: parquet } }
+           |corpus:
+           |  source: docs
+           |  steps:
+           |    - { step: filter, max_repetition: 0.8 }
+           |    - { step: classify, target_lang: en, buckets: ${QueriesCuration.ClsBuckets}, iters: ${QueriesCuration.ClsIters}, eta: ${QueriesCuration.ClsEta.toInt}, min_prob: 0.5, artifact: $art }
+           |""".stripMargin)
+      graft.streaming.Streaming.runCorpusStream(s, d, project,
+        s"graft_stream_classify_${StreamRun.incrementAndGet()}")
+        .select(col("doc_id"), col("quality_prob"))
+    },
+
     // The importance gate AT INGEST: the model trains batch-side on the
     // full corpus (the deploy shape — train once, every crawl streams
     // through it), then the streaming corpus journey applies quality gate +
@@ -502,7 +591,9 @@ object QueriesCorpus {
     "shard_manifest" -> shardManifestSql,
     "ann_pq" -> annPqSql,
     "config_corpus_serve" -> configCorpusServeSql,
+    "config_corpus_classify" -> configCorpusClassifySql,
     "stream_corpus_select" -> streamCorpusSelectSql,
+    "stream_corpus_classify" -> streamCorpusClassifySql,
     "multimodal_phash" -> multimodalPhashSql
   )
 }

@@ -96,22 +96,33 @@ object QueriesCuration {
   /** DuckDB twin of Classifier.sigmoid — the integer-micros hard sigmoid
     * (no libm, no double-rounding boundary). `s` may be DECIMAL or DOUBLE.
     */
-  private def hardSigmoidSql(s: String): String =
+  private[queries] def hardSigmoidSql(s: String): String =
     s"CAST(least(1000000, greatest(0, 500000 + " +
       s"CAST(floor(CAST(ROUND(($s) * 1000000, 0) AS BIGINT) / 4.0) AS BIGINT)" +
       s")) AS DOUBLE) / 1000000.0"
 
-  private def logRegCtes(buckets: Int, iters: Int, eta: Double): String = {
+  /** The full gradient-descent replay as CTEs over `rel` (a (doc_id, text)
+    * relation; `labelSql` is the y expression over rel's columns) — yields
+    * `cls_docs(doc_id, y)` and `cls_sF(doc_id, s)`. Shared by the
+    * standalone quality_classifier oracle and the composed `classify`
+    * config-journey oracles (QueriesCorpus) so training arithmetic cannot
+    * drift between them.
+    */
+  private[queries] def logRegCtes(buckets: Int, iters: Int, eta: Double,
+                                  rel: String = "documents",
+                                  labelSql: String =
+                                    "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END")
+      : String = {
     import graft.functions.Text.portableHashSql
     val base =
       s"""cls_docs AS (
-            SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
-            FROM documents),
+            SELECT doc_id, $labelSql AS y
+            FROM $rel),
           cls_tok AS (
             SELECT doc_id, CAST(${portableHashSql("t")} % $buckets AS INTEGER) AS pos
             FROM (SELECT doc_id,
                          unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
-                  FROM documents)),
+                  FROM $rel)),
           cls_cnt AS (SELECT doc_id, pos, count(*) AS c FROM cls_tok GROUP BY 1, 2),
           cls_n AS (SELECT doc_id, sum(c) AS n FROM cls_cnt GROUP BY 1),
           cls_fx AS (
@@ -119,7 +130,7 @@ object QueriesCuration {
                    ROUND(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE), 6) AS x
             FROM cls_cnt c JOIN cls_n n USING (doc_id)
             UNION ALL
-            SELECT doc_id, $buckets AS pos, 1.0 AS x FROM documents),
+            SELECT doc_id, $buckets AS pos, 1.0 AS x FROM $rel),
           cls_w0 AS (
             SELECT unnest(generate_series(0, $buckets)) AS pos, 0.0 AS w)"""
     val rounds = (0 until iters).map { r =>

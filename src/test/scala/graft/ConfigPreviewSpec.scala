@@ -362,6 +362,13 @@ class ConfigPreviewSpec extends SparkSpec {
     val selNoArt = intercept[IllegalArgumentException](
       streamed("    - { step: select, target_lang: en }\n"))
     assert(selNoArt.getMessage.contains("artifact"))
+    // classify shares the trained-artifact contract
+    val clsNoArt = intercept[IllegalArgumentException](
+      streamed("    - { step: classify, target_lang: en }\n"))
+    assert(clsNoArt.getMessage.contains("artifact"))
+    val clsUntrained = intercept[IllegalArgumentException](
+      streamed("    - { step: classify, target_lang: en, artifact: missing_cls.json }\n"))
+    assert(clsUntrained.getMessage.contains("trained model"))
     // trained artifact → the stream plans (select gate is stateless)
     graft.operators.Importance.saveModel(
       dir.resolve("m.json").toString, Array.fill(16)(0.5))

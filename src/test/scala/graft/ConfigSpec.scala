@@ -390,6 +390,19 @@ class ConfigSpec extends SparkSpec {
     bad("{ step: tokenize }", "requires 'artifact'")
     bad("{ step: tokenize, artifact: t.json, rounds: 0 }",
       "rounds must be > 0")
+    // the trained-classifier gate parses with defaults and validates hard
+    val cls = Config.parseProject(doc(
+      "{ step: classify, target_lang: en, artifact: cls/lr.json }"))
+      .corpus.get.steps.head
+    assert(cls == Config.CorpusClassify("en", 64, 3, 1.0, 0.5,
+      Some("cls/lr.json")))
+    bad("{ step: classify }", "requires 'target_lang'")
+    bad("{ step: classify, target_lang: xx }", "target_lang must be one of")
+    bad("{ step: classify, target_lang: en, eta: 0.5 }",
+      "eta must be a positive whole number")
+    bad("{ step: classify, target_lang: en, min_prob: 1.5 }",
+      "min_prob must be in [0, 1]")
+    bad("{ step: classify, target_lang: en, iters: 0 }", "iters must be > 0")
     val e = intercept[IllegalArgumentException](Config.parseProject(
       doc("{ step: dedup_exact }").replace("source: docs", "source: nope")))
     assert(e.getMessage.contains("corpus: unknown source 'nope'"))

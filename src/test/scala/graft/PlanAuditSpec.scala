@@ -355,6 +355,43 @@ class PlanAuditSpec extends SparkSpec {
       "the crawl journey must stay equi-join only")
   }
 
+  audit("decontam_bloom") { plan =>
+    // the benchmark bitmap folded into the plan as a literal at build time:
+    // the corpus probe must be a pure per-row expression over the scan —
+    // any Exchange or Join means the zero-shuffle contract broke
+    val ops = plan.linesIterator.takeWhile(_.trim.nonEmpty).toSeq
+    assert(!ops.exists(_.contains("Exchange")),
+      "decontam_bloom corpus probe must be shuffle-free")
+    assert(!ops.exists(_.contains("Join")),
+      "decontam_bloom must not join — the bitmap is a plan literal")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string"),
+      "decontam_bloom scan must prune to (doc_id, text)")
+  }
+
+  audit("quality_classifier") { plan =>
+    // training ran at plan-build time over the checkpointed feature
+    // relation; the served plan is score-aggregate + label join only
+    assert(plan.contains("Scan ExistingRDD"),
+      "scoring must reuse the checkpointed feature relation, not recompute it")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "label join must stay an equi-join")
+    assert(plan.contains("HashAggregate"),
+      "per-doc scores must partial-aggregate map-side")
+  }
+
+  audit("config_corpus_classify") { plan =>
+    // training ran at plan-build time over the curated checkpoint; the
+    // served journey is per-row scoring + the prob gate — any Exchange or
+    // Join means the zero-shuffle serving contract broke
+    val ops = plan.linesIterator.takeWhile(_.trim.nonEmpty).toSeq
+    assert(!ops.exists(_.contains("Exchange")),
+      "the classify journey must serve shuffle-free")
+    assert(!ops.exists(_.contains("Join")),
+      "no join — the weight vector is a plan literal")
+    assert(plan.contains("Scan ExistingRDD"),
+      "scoring must run over the checkpointed curated frame")
+  }
+
   audit("line_dedup") { plan =>
     // the frequency side aggregates line hashes (partial aggregate before
     // its exchange), the boilerplate set joins back, and one doc-keyed
