@@ -136,13 +136,32 @@ object Classifier {
       .withColumn("predicted", col("prob") >= threshold)
 
   /** Per-row probability of a text column under a trained model: the
-    * document's tf fractions fold against the weight literal with the SAME
+    * document's tf fractions fold against the weight vector with the SAME
     * rounding chain as the relational path (round12 products into an exact
-    * decimal accumulator, round6 score, round6 sigmoid) — sums regroup but
-    * decimals don't care. Pure expression: zero shuffle, no state — the
-    * shape that scores a crawl AT INGEST.
+    * accumulator, round6 score, integer-micros sigmoid) — sums regroup but
+    * exact arithmetic doesn't care. Pure codegen'd expression
+    * (functions/ClsProbFold — one histogram pass per doc, the DsirFold
+    * discipline): zero shuffle, no state — the shape that scores a crawl
+    * AT INGEST.
     */
   def probExpr(text: Column, w: Array[Double], buckets: Int): Column = {
+    require(w.length == buckets + 1,
+      s"weight vector must have buckets+1 entries, got ${w.length} for $buckets")
+    graft.functions.ClsProbFold.register(
+      org.apache.spark.sql.SparkSession.active)
+    // 6-decimal weights are exact in integer micros
+    val micros = w.map(v => math.round(v * 1e6))
+    call_function("cls_prob_fold", Text.tokens(text),
+      array(micros.map(lit(_)): _*))
+  }
+
+  /** The same probability as built-in higher-order folds — the interpreted
+    * reference implementation ClsProbFold is spec-proven against (the
+    * DsirFold discipline). Not for hot paths: CodegenFallback AND
+    * O(distinct_buckets × n_tokens) lambda evaluations per document.
+    */
+  private[graft] def probExprHof(text: Column, w: Array[Double],
+                                 buckets: Int): Column = {
     val wLit = array(w.map(lit(_)): _*)
     val toks = Text.tokens(text)
     val n = size(toks).cast("double")

@@ -114,15 +114,32 @@ object Curation {
     val bitmap = Array.fill(mBits / 64)(0L)
     words.foreach(r => bitmap(r.getInt(0)) = r.getLong(1))
     val bitmapLit = array(bitmap.map(lit(_)): _*)
+    // probe: one codegen'd pass per document (functions/BloomNgramHits —
+    // n-gram build + distinct + numHashes digests in a tight loop; the
+    // higher-order filter formulation it replaced is kept below as the
+    // spec-proven interpreted reference)
+    graft.functions.BloomNgramHits.register(
+      org.apache.spark.sql.SparkSession.active)
+    val nFlagged = call_function("bloom_ngram_hits",
+      Text.tokens(col(textCol)), bitmapLit, lit(n), lit(numHashes))
+    train.select(col(idCol), nFlagged.as("n_flagged"))
+      .withColumn("contaminated", col("n_flagged") > 0L)
+  }
+
+  /** The Bloom probe as built-in higher-order folds — the interpreted
+    * reference implementation BloomNgramHits is spec-proven against (the
+    * DsirFold discipline). Not for hot paths: CodegenFallback, every
+    * n-gram walks an interpreted tree around its digests.
+    */
+  private[graft] def bloomHitsHof(toks: Column, bitmapLit: Column, n: Int,
+                                  mBits: Int, numHashes: Int): Column = {
     def hit(g: Column): Column = (0 until numHashes).map { i =>
       val p = bloomPos(g, i, mBits)
       val word = element_at(bitmapLit, floor(p / 64).cast("int") + 1)
       word.bitwiseAND(call_function("shiftleft", lit(1L),
         pmod(p, lit(64)).cast("int"))) =!= 0L
     }.reduce(_ && _)
-    val nFlagged = size(filter(ngrams, hit(_))).cast("long")
-    train.select(col(idCol), nFlagged.as("n_flagged"))
-      .withColumn("contaminated", col("n_flagged") > 0L)
+    size(filter(array_distinct(Text.shingles(toks, n)), hit(_))).cast("long")
   }
 
   /** Position of hash family member `i` for an n-gram, in [0, mBits) —

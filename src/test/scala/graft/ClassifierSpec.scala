@@ -50,6 +50,24 @@ class ClassifierSpec extends SparkSpec {
     assert(perRow == relational) // bit-exact: same rounding chain
   }
 
+  test("codegen'd ClsProbFold equals the interpreted HOF fold (incl. edges)") {
+    // negative + positive weights, a weight that rounds at the .5 micro
+    // boundary, empty-ish and single-token docs
+    val docs = fixture.unionByName(Seq(
+      (7L, "", 0.0), (8L, "solo", 1.0),
+      (9L, "x x x x x x x x x x x x x", 0.0)).toDF("doc_id", "text", "y"))
+    val w = Array.tabulate(B + 1)(i =>
+      BigDecimal((if (i % 2 == 0) 1 else -1) * (i * 137 % 997) / 997.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val fast = docs.select(col("doc_id"),
+      Classifier.probExpr(col("text"), w, B).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val slow = docs.select(col("doc_id"),
+      Classifier.probExprHof(col("text"), w, B).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fast == slow)
+  }
+
   test("model artifact round-trips exactly; fractional eta fails loudly") {
     val w = Array(0.125, -3.000001, 0.0, 1e-6)
     val path = java.nio.file.Files.createTempDirectory("cls").toString + "/m.json"

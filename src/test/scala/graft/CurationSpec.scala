@@ -129,6 +129,29 @@ class CurationSpec extends SparkSpec {
     assert(out.head._2 == 2L && out.head._3) // both distinct 3-grams flagged
   }
 
+  test("codegen'd BloomNgramHits equals the interpreted HOF probe") {
+    // an adversarial bitmap (alternating + sign-bit words) so word/bit
+    // indexing, the 60-bit hash, and the distinct rule are all exercised
+    val mBits = 256
+    val words = Array.tabulate(mBits / 64)(i =>
+      if (i % 2 == 0) 0xAAAAAAAAAAAAAAAAL else 0x5555555555555555L)
+    val bitmapLit = array(words.map(lit(_)): _*)
+    val docs = Seq(
+      "the quick brown fox jumps over fences",
+      "dup gram dup gram dup gram dup gram", // repeated n-grams count once
+      "short", "",
+      (1 to 50).map(i => s"w$i").mkString(" ")).toDF("text")
+    graft.functions.BloomNgramHits.register(spark)
+    val out = docs.select(
+      call_function("bloom_ngram_hits",
+        Text.tokens(col("text")), bitmapLit, lit(3), lit(2)).as("fast"),
+      Curation.bloomHitsHof(Text.tokens(col("text")), bitmapLit, 3,
+        mBits, 2).as("slow"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    out.foreach { case (fast, slow) => assert(fast == slow, out.toSeq) }
+    assert(out.exists(_._1 > 0L), "fixture must exercise the hit path")
+  }
+
   test("shingles of a short/empty token array is empty, not an error") {
     val df = Seq("a b", "").toDF("t")
       .select(size(Text.shingles(Text.tokens(col("t")), 3)).as("n"))
