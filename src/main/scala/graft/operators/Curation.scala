@@ -99,6 +99,19 @@ object Curation {
                          idCol: String, textCol: String, n: Int,
                          mBits: Int = 1 << 16,
                          numHashes: Int = 2): DataFrame = {
+    val bitmap = bloomBitmap(benchmark, textCol, n, mBits, numHashes)
+    val nFlagged = bloomFlags(col(textCol), bitmap, n, numHashes)
+    train.select(col(idCol), nFlagged.as("n_flagged"))
+      .withColumn("contaminated", col("n_flagged") > 0L)
+  }
+
+  /** The benchmark's Bloom bitmap (mBits/64 longs): distinct n-grams hash
+    * to numHashes positions, positions OR into words via a partial
+    * -aggregated bit_or — metadata-scale driver hop regardless of benchmark
+    * size. Runs its Spark job at call (plan-build) time.
+    */
+  def bloomBitmap(benchmark: DataFrame, textCol: String, n: Int,
+                  mBits: Int, numHashes: Int): Array[Long] = {
     require(mBits % 64 == 0, "mBits must be a multiple of 64")
     def ngrams = array_distinct(Text.shingles(Text.tokens(col(textCol)), n))
     val benchNg = benchmark.select(explode(ngrams).as("ngram")).distinct()
@@ -113,17 +126,24 @@ object Curation {
       .collect()
     val bitmap = Array.fill(mBits / 64)(0L)
     words.foreach(r => bitmap(r.getInt(0)) = r.getLong(1))
-    val bitmapLit = array(bitmap.map(lit(_)): _*)
-    // probe: one codegen'd pass per document (functions/BloomNgramHits —
-    // n-gram build + distinct + numHashes digests in a tight loop; the
-    // higher-order filter formulation it replaced is kept below as the
-    // spec-proven interpreted reference)
+    bitmap
+  }
+
+  /** Per-row count of distinct word n-grams testing positive against a
+    * bitmap literal: one codegen'd pass per document
+    * (functions/BloomNgramHits — n-gram build + distinct + numHashes
+    * digests in a tight loop; the higher-order filter formulation it
+    * replaced is kept below as the spec-proven interpreted reference).
+    * Pure expression, zero shuffle, no state — the decontamination shape
+    * that gates a crawl AT INGEST.
+    */
+  def bloomFlags(text: Column, bitmap: Array[Long], n: Int,
+                 numHashes: Int): Column = {
     graft.functions.BloomNgramHits.register(
       org.apache.spark.sql.SparkSession.active)
-    val nFlagged = call_function("bloom_ngram_hits",
-      Text.tokens(col(textCol)), bitmapLit, lit(n), lit(numHashes))
-    train.select(col(idCol), nFlagged.as("n_flagged"))
-      .withColumn("contaminated", col("n_flagged") > 0L)
+    call_function("bloom_ngram_hits",
+      Text.tokens(text), array(bitmap.map(lit(_)): _*), lit(n),
+      lit(numHashes))
   }
 
   /** The Bloom probe as built-in higher-order folds — the interpreted

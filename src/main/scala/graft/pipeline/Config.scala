@@ -136,10 +136,15 @@ object Config {
     */
   final case class CorpusDedupFuzzy(threshold: Double) extends CorpusStep
   /** Benchmark n-gram decontamination: drop documents sharing any word
-    * n-gram with the benchmark source — Curation.decontaminate.
+    * n-gram with the benchmark source. `method: exact` (default) is the
+    * n-gram equi-join (Curation.decontaminate — batch only); `method:
+    * bloom` collapses the benchmark into a fixed bitmap probed per row
+    * (Curation.decontaminateBloom — zero corpus shuffle, and the form that
+    * STREAMS: the bitmap builds batch-side at plan build, each arriving doc
+    * probes it at ingest).
     */
-  final case class CorpusDecontaminate(benchmark: String,
-                                       ngram: Int) extends CorpusStep
+  final case class CorpusDecontaminate(benchmark: String, ngram: Int,
+                                       method: String = "exact") extends CorpusStep
   /** Overlapping token-window chunking (terminal step — it reshapes rows)
     * — Curation.chunkDocuments.
     */
@@ -887,10 +892,13 @@ object Config {
           fail(s"$ctx.threshold must be in (0, 1], got $thr")
         CorpusDedupFuzzy(thr)
       case "decontaminate" =>
-        check("benchmark", "ngram")
+        check("benchmark", "ngram", "method")
         val n = intOpt(t, "ngram").getOrElse(8)
         if (n <= 0) fail(s"$ctx.ngram must be > 0, got $n")
-        CorpusDecontaminate(str(t, "benchmark", ctx), n)
+        val method = strOpt(t, "method").getOrElse("exact")
+        if (method != "exact" && method != "bloom")
+          fail(s"$ctx.method must be 'exact' or 'bloom', got '$method'")
+        CorpusDecontaminate(str(t, "benchmark", ctx), n, method)
       case "chunk" =>
         check("size", "stride")
         val size = intOf(t, "size", ctx)
@@ -1032,7 +1040,7 @@ object Config {
       if (!p.sources.exists(_.id == c.source))
         fail(s"corpus: unknown source '${c.source}'")
       c.steps.foreach {
-        case CorpusDecontaminate(bench, _) =>
+        case CorpusDecontaminate(bench, _, _) =>
           if (!p.sources.exists(_.id == bench))
             fail(s"corpus: decontaminate references unknown source '$bench'")
         case _ => ()

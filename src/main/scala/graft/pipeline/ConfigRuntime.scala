@@ -513,10 +513,19 @@ object ConfigRuntime {
             .where(col(c.idCol) === col("cluster_id"))
             .select(col(c.idCol))
           snap.join(canonical, Seq(c.idCol))
-        case Config.CorpusDecontaminate(bench, n) =>
-          // same multi-consumer shape as dedup_fuzzy: the curated frame
-          // feeds the n-gram explode, the report spine, and the join-back —
-          // snapshot once
+        case Config.CorpusDecontaminate(bench, n, "bloom") =>
+          // the benchmark collapses into a fixed bitmap at plan build; the
+          // gate is a pure per-row probe — no corpus shuffle, no join, no
+          // snapshot needed (the frame is consumed exactly once)
+          val bitmap = graft.operators.Curation.bloomBitmap(
+            res.sourceFrame(bench), c.textCol, n,
+            mBits = 1 << 16, numHashes = 2)
+          df.filter(graft.operators.Curation
+            .bloomFlags(text, bitmap, n, numHashes = 2) === 0L)
+        case Config.CorpusDecontaminate(bench, n, _) =>
+          // exact method: same multi-consumer shape as dedup_fuzzy — the
+          // curated frame feeds the n-gram explode, the report spine, and
+          // the join-back — snapshot once
           val snap = df.localCheckpoint(eager = false)
           val clean = graft.operators.Curation
             .decontaminate(snap, res.sourceFrame(bench), c.idCol, c.textCol, n)
@@ -769,6 +778,20 @@ object ConfigRuntime {
             df.withColumn("quality_prob",
               graft.operators.Classifier.probExpr(text, w, buckets))
               .filter(col("quality_prob") >= minProb)
+          case Config.CorpusDecontaminate(bench, n, method) =>
+            // streams ONLY as method: bloom — the benchmark (a batch
+            // source) collapses into its bitmap at plan build and each
+            // arriving doc probes it per row, zero state; the exact n-gram
+            // equi-join needs a corpus-at-rest pass
+            require(method == "bloom",
+              "config: corpus step 'decontaminate' streams only with " +
+                "method: bloom (the exact n-gram join needs a " +
+                "corpus-at-rest pass); run the batch corpus journey instead")
+            val bitmap = graft.operators.Curation.bloomBitmap(
+              resolver(spark, dataDir, project).sourceFrame(bench),
+              c.textCol, n, mBits = 1 << 16, numHashes = 2)
+            df.filter(graft.operators.Curation
+              .bloomFlags(text, bitmap, n, numHashes = 2) === 0L)
           case Config.CorpusExtract(_) =>
             // extraction is per-row — a crawl enters the stream as raw HTML
             df.withColumn(c.textCol, graft.operators.Crawl.htmlText(text))
@@ -777,7 +800,6 @@ object ConfigRuntime {
           case other =>
             val name = other match {
               case _: Config.CorpusDedupFuzzy        => "dedup_fuzzy"
-              case _: Config.CorpusDecontaminate     => "decontaminate"
               case _: Config.CorpusDedupIncremental  => "dedup_incremental"
               case _: Config.CorpusMix               => "mix"
               case _: Config.CorpusShard             => "shard"

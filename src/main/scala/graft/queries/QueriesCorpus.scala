@@ -359,6 +359,21 @@ object QueriesCorpus {
         FROM documents d JOIN dscored s USING (doc_id)
         WHERE ${repSql("d")} <= 0.8 AND s.dsir_score > 0.0"""
 
+  /** The Bloom-decontamination journey: quality gate → per-row bitmap
+    * probe, survivors only. Bitmap replay shared with decontam_bloom
+    * (QueriesCuration.bloomDecontamCtes) so the hash family cannot drift.
+    * The stream twin runs the identical per-row chain, so one builder
+    * serves both.
+    */
+  private def corpusDecontamSql: String =
+    s"""WITH kept0 AS (
+          SELECT d.doc_id, d.source, d.text FROM documents d
+          WHERE ${repSql("d")} <= 0.8),
+        ${QueriesCuration.bloomDecontamCtes("kept0")}
+        SELECT k.doc_id, k.source
+        FROM kept0 k LEFT JOIN bl_hit h USING (doc_id)
+        WHERE coalesce(h.n_flagged, 0) = 0"""
+
   /** Label twin of the classify step's langId(text) == 'en' training rule. */
   private def clsLabelSql(rel: String): String =
     s"CASE WHEN ${langIdCaseSql(rel)} = 'en' THEN 1.0 ELSE 0.0 END"
@@ -501,6 +516,58 @@ object QueriesCorpus {
         Multimodal.asMediaTable(corpus, "doc_id", "text"))
     },
 
+    // The declarative Bloom-DECONTAMINATION journey: quality gate →
+    // decontaminate(method: bloom) — the benchmark (a staged parquet
+    // source, every 17th document) collapses into its 64Kbit bitmap at
+    // plan build and the gate is one per-row probe: no corpus shuffle, no
+    // join, the large-benchmark posture on the config surface.
+    "config_corpus_decontam" -> { (s, d) =>
+      val benchPath = "/tmp/graft_scratch/bloom_bench_docs.parquet"
+      documents(s, d).filter(pmod(col("doc_id"), lit(17)) === 0)
+        .write.mode("overwrite").parquet(benchPath)
+      val project = graft.pipeline.Config.parseProject(
+        s"""sources:
+           |  - id: docs
+           |    loader: { transport: fs, path: documents.parquet, reader: { format: parquet } }
+           |  - id: bench
+           |    loader: { transport: fs, path: $benchPath, reader: { format: parquet } }
+           |corpus:
+           |  source: docs
+           |  id: doc_id
+           |  text: text
+           |  steps:
+           |    - { step: filter, max_repetition: 0.8 }
+           |    - { step: decontaminate, benchmark: bench, ngram: 3, method: bloom }
+           |""".stripMargin)
+      graft.pipeline.ConfigRuntime.corpus(s, d, project)
+        .select(col("doc_id"), col("source"))
+    },
+
+    // Benchmark decontamination AT INGEST: because the Bloom method's gate
+    // is a pure per-row probe of a plan-literal bitmap, the SAME config
+    // document streams — each arriving doc is gated against the benchmark
+    // with zero state (method: exact is rejected by name on the stream).
+    "stream_corpus_decontam" -> { (s, d) =>
+      val benchPath = "/tmp/graft_scratch/bloom_bench_docs.parquet"
+      documents(s, d).filter(pmod(col("doc_id"), lit(17)) === 0)
+        .write.mode("overwrite").parquet(benchPath)
+      val project = graft.pipeline.Config.parseProject(
+        s"""sources:
+           |  - id: docs
+           |    loader: { transport: fs, path: documents.parquet, reader: { format: parquet } }
+           |  - id: bench
+           |    loader: { transport: fs, path: $benchPath, reader: { format: parquet } }
+           |corpus:
+           |  source: docs
+           |  steps:
+           |    - { step: filter, max_repetition: 0.8 }
+           |    - { step: decontaminate, benchmark: bench, ngram: 3, method: bloom }
+           |""".stripMargin)
+      graft.streaming.Streaming.runCorpusStream(s, d, project,
+        s"graft_stream_decontam_${StreamRun.incrementAndGet()}")
+        .select(col("doc_id"), col("source"))
+    },
+
     // The declarative LEARNED-GATE journey: quality gate → trained
     // classifier (hashed-feature logistic regression fitted on the curated
     // frame, persisted as a JSON artifact, scored under the HYDRATED copy
@@ -592,6 +659,8 @@ object QueriesCorpus {
     "ann_pq" -> annPqSql,
     "config_corpus_serve" -> configCorpusServeSql,
     "config_corpus_classify" -> configCorpusClassifySql,
+    "config_corpus_decontam" -> corpusDecontamSql,
+    "stream_corpus_decontam" -> corpusDecontamSql,
     "stream_corpus_select" -> streamCorpusSelectSql,
     "stream_corpus_classify" -> streamCorpusClassifySql,
     "multimodal_phash" -> multimodalPhashSql

@@ -96,6 +96,47 @@ object QueriesCuration {
   /** DuckDB twin of Classifier.sigmoid — the integer-micros hard sigmoid
     * (no libm, no double-rounding boundary). `s` may be DECIMAL or DOUBLE.
     */
+  /** The Bloom decontamination replay as CTEs over `trainRel` (a (doc_id,
+    * text) relation): benchmark = every 17th document of the FULL corpus
+    * (the standing benchmark stand-in), BloomBits/BloomHashes sizing —
+    * yields `bl_hit(doc_id, n_flagged)` for trainRel's documents. Shared by
+    * the standalone decontam_bloom oracle and the composed
+    * decontaminate-journey oracles (QueriesCorpus) so the hash family and
+    * bitmap arithmetic cannot drift between them.
+    */
+  private[queries] def bloomDecontamCtes(trainRel: String): String = {
+    import graft.functions.Text.portableHashSql
+    def posSql(i: Int, e: String) =
+      s"${portableHashSql(s"'bloom$i:' || $e")} % $BloomBits"
+    val unionPos = (0 until BloomHashes)
+      .map(i => s"SELECT ${posSql(i, "ngram")} AS p FROM bl_bench_ng")
+      .mkString("\n            UNION ALL\n            ")
+    val hCols = (0 until BloomHashes)
+      .map(i => s"${posSql(i, "ngram")} AS h$i").mkString(",\n               ")
+    val allSet = (0 until BloomHashes)
+      .map(i => s"h$i IN (SELECT p FROM bl_pos)").mkString(" AND ")
+    def ngList(rel: String) =
+      s"""SELECT doc_id,
+                 list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                for i in generate_series(1, greatest(len(w) - 2, 0))]) AS sh
+          FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+                FROM $rel)"""
+    s"""bl_bench_ng AS (
+          SELECT DISTINCT unnest(sh) AS ngram
+          FROM (${ngList("(SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0)")})),
+        bl_pos AS (SELECT DISTINCT p FROM (
+          $unionPos)),
+        bl_train_ng AS (
+          SELECT doc_id,
+             $hCols
+          FROM (SELECT doc_id, unnest(sh) AS ngram FROM (${ngList(trainRel)}))),
+        bl_hit AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged
+          FROM bl_train_ng
+          WHERE $allSet
+          GROUP BY doc_id)"""
+  }
+
   private[queries] def hardSigmoidSql(s: String): String =
     s"CAST(least(1000000, greatest(0, 500000 + " +
       s"CAST(floor(CAST(ROUND(($s) * 1000000, 0) AS BIGINT) / 4.0) AS BIGINT)" +
@@ -267,36 +308,12 @@ object QueriesCuration {
                  coalesce(o.n_contaminated, 0) > 0 AS contaminated
           FROM documents d LEFT JOIN overlap o USING (doc_id)""",
 
-    "decontam_bloom" -> {
-      import graft.functions.Text.portableHashSql
-      def posSql(i: Int, e: String) =
-        s"${portableHashSql(s"'bloom$i:' || $e")} % $BloomBits"
-      val unionPos = (0 until BloomHashes)
-        .map(i => s"SELECT ${posSql(i, "ngram")} AS p FROM bench_ng")
-        .mkString("\n            UNION ALL\n            ")
-      val hCols = (0 until BloomHashes)
-        .map(i => s"${posSql(i, "ngram")} AS h$i").mkString(",\n               ")
-      val allSet = (0 until BloomHashes)
-        .map(i => s"h$i IN (SELECT p FROM pos)").mkString(" AND ")
-      s"""WITH $ngramCte,
-          bench_ng AS (SELECT DISTINCT unnest(sh) AS ngram FROM ng
-                       WHERE doc_id % 17 = 0),
-          pos AS (SELECT DISTINCT p FROM (
-            $unionPos)),
-          train_ng AS (
-            SELECT doc_id,
-               $hCols
-            FROM (SELECT doc_id, unnest(sh) AS ngram FROM ng)),
-          hit AS (
-            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged
-            FROM train_ng
-            WHERE $allSet
-            GROUP BY doc_id)
+    "decontam_bloom" ->
+      s"""WITH ${bloomDecontamCtes("documents")}
           SELECT d.doc_id,
                  coalesce(h.n_flagged, CAST(0 AS BIGINT)) AS n_flagged,
                  coalesce(h.n_flagged, 0) > 0 AS contaminated
-          FROM documents d LEFT JOIN hit h USING (doc_id)"""
-    },
+          FROM documents d LEFT JOIN bl_hit h USING (doc_id)""",
 
     "quality_classifier" ->
       s"""WITH ${logRegCtes(ClsBuckets, ClsIters, ClsEta)}

@@ -362,6 +362,14 @@ class ConfigPreviewSpec extends SparkSpec {
     val selNoArt = intercept[IllegalArgumentException](
       streamed("    - { step: select, target_lang: en }\n"))
     assert(selNoArt.getMessage.contains("artifact"))
+    // decontaminate: the exact join is corpus-at-rest, the Bloom probe
+    // (bitmap built batch-side at plan build) streams
+    val decExact = intercept[IllegalArgumentException](
+      streamed("    - { step: decontaminate, benchmark: docs, ngram: 3 }\n"))
+    assert(decExact.getMessage.contains("method: bloom"))
+    val decBloom = ConfigRuntime.corpusStream(spark, dir.toString, proj(
+      "    - { step: decontaminate, benchmark: docs, ngram: 3, method: bloom }\n"))
+    assert(decBloom.isStreaming)
     // classify shares the trained-artifact contract
     val clsNoArt = intercept[IllegalArgumentException](
       streamed("    - { step: classify, target_lang: en }\n"))

@@ -383,6 +383,12 @@ class ConfigSpec extends SparkSpec {
       "must be the last step")
     bad("{ step: chunk, size: 8, stride: 9 }", "0 < stride <= size")
     bad("{ step: decontaminate, benchmark: nope }", "unknown source 'nope'")
+    bad("{ step: decontaminate, benchmark: docs, method: fuzzy }",
+      "method must be 'exact' or 'bloom'")
+    assert(Config.parseProject(doc(
+      "{ step: decontaminate, benchmark: docs, ngram: 3, method: bloom }"))
+      .corpus.get.steps.head ==
+      Config.CorpusDecontaminate("docs", 3, "bloom"))
     bad("{ step: dedup_fuzzy, threshold: 1.5 }", "threshold must be in (0, 1]")
     bad("{ step: dedup_incremental, index: i }", "requires 'generation'")
     bad("{ step: dedup_incremental, index: i, generation: g, threshold: 0.0 }",

@@ -392,6 +392,18 @@ class PlanAuditSpec extends SparkSpec {
       "scoring must run over the checkpointed curated frame")
   }
 
+  audit("config_corpus_decontam") { plan =>
+    // the whole journey — quality gate + benchmark-bitmap probe — is one
+    // per-row pass over the parquet scan: no Exchange, no Join anywhere
+    val ops = plan.linesIterator.takeWhile(_.trim.nonEmpty).toSeq
+    assert(!ops.exists(_.contains("Exchange")),
+      "the Bloom decontamination journey must be shuffle-free")
+    assert(!ops.exists(_.contains("Join")),
+      "no join — the benchmark bitmap is a plan literal")
+    assert(plan.contains("Scan parquet"),
+      "the gate must fold into the corpus scan")
+  }
+
   audit("line_dedup") { plan =>
     // the frequency side aggregates line hashes (partial aggregate before
     // its exchange), the boilerplate set joins back, and one doc-keyed
