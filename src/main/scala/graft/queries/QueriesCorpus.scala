@@ -114,8 +114,12 @@ object QueriesCorpus {
                ${ratioSql("d.doc_id", MixSeed)} < r.rate AS keep
         FROM documents d JOIN rates r USING (source)"""
 
-  private def bigramLogprobSql: String =
-    s"""WITH $wordsCte,
+  /** The bigram-LM scoring chain as CTEs — yields `scored(doc_id,
+    * n_bigrams, mean_logprob)` for documents with ≥ 1 bigram. Shared by
+    * the bigram_logprob and perplexity_bucket oracles.
+    */
+  private def bigramLogprobCtes: String =
+    s"""$wordsCte,
         bigrams AS (
           SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
             for i in generate_series(1, len(w) - 1)]) AS bg
@@ -134,11 +138,41 @@ object QueriesCorpus {
                 FROM bigrams)
           JOIN bcnt USING (bg)
           JOIN ucnt ON tok = prefix
-          GROUP BY doc_id)
+          GROUP BY doc_id)"""
+
+  private def bigramLogprobSql: String =
+    s"""WITH $bigramLogprobCtes
         SELECT d.doc_id,
                coalesce(s.n_bigrams, 0) AS n_bigrams,
                s.mean_logprob
         FROM documents d LEFT JOIN scored s USING (doc_id)"""
+
+  /** Tertile thresholds from the grid-bounded score histogram (the same
+    * integer-division rank cutoffs the Spark driver walk computes), then a
+    * pure per-row CASE.
+    */
+  private def perplexityBucketSql: String =
+    s"""WITH $bigramLogprobCtes,
+        blp AS (
+          SELECT d.doc_id, s.mean_logprob
+          FROM documents d LEFT JOIN scored s USING (doc_id)),
+        sc AS (SELECT mean_logprob FROM blp WHERE mean_logprob IS NOT NULL),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc),
+        hist AS (SELECT mean_logprob, CAST(count(*) AS BIGINT) AS c
+                 FROM sc GROUP BY 1),
+        cum AS (SELECT mean_logprob,
+                       SUM(c) OVER (ORDER BY mean_logprob) AS cc
+                FROM hist),
+        t1 AS (SELECT min(mean_logprob) AS v FROM cum, nn
+               WHERE cc >= (n + 2) // 3),
+        t2 AS (SELECT min(mean_logprob) AS v FROM cum, nn
+               WHERE cc >= (2 * n + 2) // 3)
+        SELECT b.doc_id, b.mean_logprob,
+               CASE WHEN b.mean_logprob IS NULL THEN 'unscored'
+                    WHEN b.mean_logprob > (SELECT v FROM t2) THEN 'head'
+                    WHEN b.mean_logprob > (SELECT v FROM t1) THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM blp b"""
 
   private def shardManifestSql: String =
     s"""WITH toked AS (
@@ -411,6 +445,40 @@ object QueriesCorpus {
 
   // --------------------------------------------------------------- queries
 
+  /** Per-doc bigram-LM score frame `(doc_id, n_bigrams, mean_logprob)` —
+    * shared by bigram_logprob and perplexity_bucket so the LM arithmetic
+    * cannot drift. The unigram prefix table is vocabulary-bounded and
+    * broadcast; bigram counts partial-aggregate before their join.
+    */
+  private def bigramScores(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = documents(s, d)
+    val toks = Text.tokens(col("text"))
+    val bigrams = docs
+      .where(size(toks) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+    val bcnt = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("bc"))
+    val ucnt = docs
+      .select(explode(toks).as("tok")).groupBy(col("tok"))
+      .agg(count(lit(1)).as("uc"))
+    val scored = bigrams
+      .withColumn("prefix", split(col("bg"), " ").getItem(0))
+      .join(bcnt, Seq("bg"))
+      .join(broadcast(ucnt), col("prefix") === col("tok"))
+      .select(col("doc_id"),
+        round(log(col("bc").cast("double") / col("uc")), 6).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(sumDec(col("lp"), 6) / count(lit(1)), 6).as("mean_logprob"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("mean_logprob"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "substring_dedup" -> { (s, d) =>
       Dedup.segmentDedup(documents(s, d), "text", "doc_id", SegTokens)
@@ -432,31 +500,42 @@ object QueriesCorpus {
     // vocabulary-bounded (broadcast); bigram counts partial-aggregate and
     // join keyed on the bigram — no unbounded state.
     "bigram_logprob" -> { (s, d) =>
-      val docs = documents(s, d)
-      val toks = Text.tokens(col("text"))
-      val bigrams = docs
-        .where(size(toks) >= 2)
-        .select(col("doc_id"), explode(zip_with(
-          slice(toks, lit(1), size(toks) - 1),
-          slice(toks, lit(2), size(toks) - 1),
-          (a, b) => concat(a, lit(" "), b))).as("bg"))
-      val bcnt = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("bc"))
-      val ucnt = docs
-        .select(explode(toks).as("tok")).groupBy(col("tok"))
-        .agg(count(lit(1)).as("uc"))
-      val scored = bigrams
-        .withColumn("prefix", split(col("bg"), " ").getItem(0))
-        .join(bcnt, Seq("bg"))
-        .join(broadcast(ucnt), col("prefix") === col("tok"))
-        .select(col("doc_id"),
-          round(log(col("bc").cast("double") / col("uc")), 6).as("lp"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).cast("long").as("n_bigrams"),
-          round(sumDec(col("lp"), 6) / count(lit(1)), 6).as("mean_logprob"))
-      docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-          col("mean_logprob"))
+      bigramScores(s, d)
+        .select(col("doc_id"), col("n_bigrams"), col("mean_logprob"))
+    },
+
+    // CCNet-style perplexity bucketing: the corpus partitions into
+    // head/middle/tail TERTILES by bigram-LM score (head = most fluent
+    // third — the slice CCNet keeps preferentially). Thresholds come from
+    // an exact histogram over the round-6 score values — the histogram is
+    // bounded by the DECIMAL GRID (≤ a few million distinct values at any
+    // corpus size), not by the row count, so the cumulative walk is a
+    // metadata-scale driver hop (the k-means-centroids discipline); the
+    // assignment is then a pure per-row comparison. Ties share a score
+    // value and land in one bucket — the deterministic value-threshold
+    // semantics both engines reproduce exactly.
+    "perplexity_bucket" -> { (s, d) =>
+      val blp = bigramScores(s, d).localCheckpoint()
+      val hist = blp.filter(col("mean_logprob").isNotNull)
+        .groupBy(col("mean_logprob")).agg(count(lit(1)).as("c"))
+        .orderBy(col("mean_logprob"))
+        .collect()
+      val n = hist.map(_.getLong(1)).sum
+      val (k1, k2) = ((n + 2) / 3, (2 * n + 2) / 3)
+      var cum = 0L
+      var t1 = Double.NaN
+      var t2 = Double.NaN
+      hist.foreach { r =>
+        cum += r.getLong(1)
+        if (t1.isNaN && cum >= k1) t1 = r.getDouble(0)
+        if (t2.isNaN && cum >= k2) t2 = r.getDouble(0)
+      }
+      blp.withColumn("bucket",
+        when(col("mean_logprob").isNull, lit("unscored"))
+          .when(col("mean_logprob") > t2, lit("head"))
+          .when(col("mean_logprob") > t1, lit("middle"))
+          .otherwise(lit("tail")))
+        .select(col("doc_id"), col("mean_logprob"), col("bucket"))
     },
 
     "shard_manifest" -> { (s, d) =>
@@ -655,6 +734,7 @@ object QueriesCorpus {
     "dsir_select" -> dsirSelectSql,
     "domain_mix" -> domainMixSql,
     "bigram_logprob" -> bigramLogprobSql,
+    "perplexity_bucket" -> perplexityBucketSql,
     "shard_manifest" -> shardManifestSql,
     "ann_pq" -> annPqSql,
     "config_corpus_serve" -> configCorpusServeSql,

@@ -404,6 +404,16 @@ class PlanAuditSpec extends SparkSpec {
       "the gate must fold into the corpus scan")
   }
 
+  audit("perplexity_bucket") { plan =>
+    // scoring + thresholds ran at plan-build time; the served assignment
+    // is one per-row CASE over the checkpointed score frame
+    val ops = plan.linesIterator.takeWhile(_.trim.nonEmpty).toSeq
+    assert(!ops.exists(_.contains("Exchange")),
+      "tertile assignment must be shuffle-free")
+    assert(plan.contains("Scan ExistingRDD"),
+      "assignment must run over the checkpointed score frame")
+  }
+
   audit("line_dedup") { plan =>
     // the frequency side aggregates line hashes (partial aggregate before
     // its exchange), the boilerplate set joins back, and one doc-keyed
