@@ -408,6 +408,69 @@ object QueriesCorpus {
         FROM kept0 k LEFT JOIN bl_hit h USING (doc_id)
         WHERE coalesce(h.n_flagged, 0) = 0"""
 
+  /** The CAPSTONE journey oracle: quality gate → min-id exact dedup →
+    * Bloom decontamination → trained-classifier gate → sqrt-temperature
+    * domain mixture → token-budgeted shards, each stage the SAME shared
+    * builder its standalone oracle uses (bloomDecontamCtes, logRegCtes,
+    * the serve journey's rate/shard SQL) — composition is the only new
+    * code, so no stage can drift from its standalone twin.
+    */
+  private def corpusFullSql: String = {
+    val sig = QueriesCuration.hardSigmoidSql("s.s")
+    s"""WITH kept0 AS (
+          SELECT d.doc_id, d.source, d.text FROM documents d
+          WHERE ${repSql("d")} <= 0.8),
+        kept1 AS (
+          SELECT k.doc_id, k.source, k.text FROM kept0 k
+          JOIN (SELECT text, min(doc_id) AS doc_id
+                FROM kept0 GROUP BY text) m ON k.doc_id = m.doc_id),
+        ${QueriesCuration.bloomDecontamCtes("kept1")},
+        kept2 AS (
+          SELECT k.doc_id, k.source, k.text
+          FROM kept1 k LEFT JOIN bl_hit h USING (doc_id)
+          WHERE coalesce(h.n_flagged, 0) = 0),
+        ${QueriesCuration.logRegCtes(QueriesCuration.ClsBuckets,
+          QueriesCuration.ClsIters, QueriesCuration.ClsEta,
+          rel = "kept2", labelSql = clsLabelSql("kept2"))},
+        kept3 AS (
+          SELECT k.doc_id, k.source, k.text, $sig AS quality_prob
+          FROM kept2 k JOIN cls_sF s USING (doc_id)
+          WHERE $sig >= 0.5),
+        per_src AS (
+          SELECT source,
+                 CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+                   AS n_toks
+          FROM kept3 GROUP BY source),
+        mtot AS (
+          SELECT CAST(SUM(n_toks) AS BIGINT) AS t_total,
+                 CAST(SUM(CAST(ROUND(sqrt(CAST(n_toks AS DOUBLE)), 6)
+                               AS DECIMAL(30,6))) AS DOUBLE) AS w_total
+          FROM per_src),
+        rates AS (
+          SELECT source,
+                 ROUND(LEAST(1.0,
+                   CAST(t_total AS DOUBLE) *
+                     (ROUND(sqrt(CAST(n_toks AS DOUBLE)), 6) / w_total) /
+                     CAST(n_toks AS DOUBLE)), 6) AS rate
+          FROM per_src, mtot),
+        kept4 AS (
+          SELECT k.doc_id, k.source, k.text, k.quality_prob
+          FROM kept3 k JOIN rates r USING (source)
+          WHERE ${ratioSql("k.doc_id", MixSeed)} < r.rate),
+        assigned AS (
+          SELECT doc_id, source, quality_prob,
+                 CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                   AS n_tokens,
+                 CAST(coalesce(SUM(CAST(len(regexp_extract_all(text, '\\S+'))
+                     AS BIGINT)) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   // $ShardBudget AS BIGINT) AS shard_id
+          FROM kept4)
+        SELECT doc_id, source, quality_prob, n_tokens, shard_id
+        FROM assigned"""
+  }
+
   /** Label twin of the classify step's langId(text) == 'en' training rule. */
   private def clsLabelSql(rel: String): String =
     s"CASE WHEN ${langIdCaseSql(rel)} = 'en' THEN 1.0 ELSE 0.0 END"
@@ -647,6 +710,43 @@ object QueriesCorpus {
         .select(col("doc_id"), col("source"))
     },
 
+    // The CAPSTONE journey: one `corpus:` document takes a raw corpus to
+    // trainer-ready shards through SIX composed stages — quality gate →
+    // exact dedup → Bloom decontamination (staged benchmark source) →
+    // trained-classifier gate (train-if-missing JSON artifact) →
+    // sqrt-temperature domain mixture → token-budgeted shard assignment.
+    // Every stage is the same implementation its standalone query gates,
+    // and the oracle composes the same shared builders — the proof that
+    // the declarative surface COMPOSES, not just that each step works.
+    "config_corpus_full" -> { (s, d) =>
+      val benchPath = "/tmp/graft_scratch/bloom_bench_docs.parquet"
+      documents(s, d).filter(pmod(col("doc_id"), lit(17)) === 0)
+        .write.mode("overwrite").parquet(benchPath)
+      val art = "/tmp/graft_scratch/full_classify/model.json"
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(art))
+      val project = graft.pipeline.Config.parseProject(
+        s"""sources:
+           |  - id: docs
+           |    loader: { transport: fs, path: documents.parquet, reader: { format: parquet } }
+           |  - id: bench
+           |    loader: { transport: fs, path: $benchPath, reader: { format: parquet } }
+           |corpus:
+           |  source: docs
+           |  id: doc_id
+           |  text: text
+           |  steps:
+           |    - { step: filter, max_repetition: 0.8 }
+           |    - { step: dedup_exact }
+           |    - { step: decontaminate, benchmark: bench, ngram: 3, method: bloom }
+           |    - { step: classify, target_lang: en, buckets: ${QueriesCuration.ClsBuckets}, iters: ${QueriesCuration.ClsIters}, eta: ${QueriesCuration.ClsEta.toInt}, min_prob: 0.5, artifact: $art }
+           |    - { step: mix, by: source, seed: $MixSeed }
+           |    - { step: shard, by: source, budget: $ShardBudget }
+           |""".stripMargin)
+      graft.pipeline.ConfigRuntime.corpus(s, d, project)
+        .select(col("doc_id"), col("source"), col("quality_prob"),
+          col("n_tokens"), col("shard_id"))
+    },
+
     // The declarative LEARNED-GATE journey: quality gate → trained
     // classifier (hashed-feature logistic regression fitted on the curated
     // frame, persisted as a JSON artifact, scored under the HYDRATED copy
@@ -740,6 +840,7 @@ object QueriesCorpus {
     "config_corpus_serve" -> configCorpusServeSql,
     "config_corpus_classify" -> configCorpusClassifySql,
     "config_corpus_decontam" -> corpusDecontamSql,
+    "config_corpus_full" -> corpusFullSql,
     "stream_corpus_decontam" -> corpusDecontamSql,
     "stream_corpus_select" -> streamCorpusSelectSql,
     "stream_corpus_classify" -> streamCorpusClassifySql,

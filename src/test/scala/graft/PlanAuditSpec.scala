@@ -404,6 +404,17 @@ class PlanAuditSpec extends SparkSpec {
       "the gate must fold into the corpus scan")
   }
 
+  audit("config_corpus_full") { plan =>
+    // six stages, one plan: the gate/dedup/decontam/classify prefix is
+    // per-row over the curated checkpoint (training + bitmap ran at plan
+    // build), the mix rate table joins back broadcast, the shard window
+    // partitions once by source
+    assert(plan.contains("Window"),
+      "shard assignment must come from a per-source window")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "the domain rate table must broadcast back, not shuffle the corpus")
+  }
+
   audit("perplexity_bucket") { plan =>
     // scoring + thresholds ran at plan-build time; the served assignment
     // is one per-row CASE over the checkpointed score frame
