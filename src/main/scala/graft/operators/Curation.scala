@@ -129,6 +129,41 @@ object Curation {
     bitmap
   }
 
+  /** The bitmap as a PERSISTED artifact (the save/load_scaler discipline —
+    * benchmark suites are static, so the build runs once and every later
+    * run, including streams, hydrates): JSON with the sizing parameters so
+    * parameter drift on load fails loudly instead of probing garbage.
+    */
+  def saveBloom(path: String, bitmap: Array[Long], n: Int, mBits: Int,
+                numHashes: Int): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(p,
+      s"""{"ngram": $n, "m_bits": $mBits, "num_hashes": $numHashes, """ +
+        s""""words": [${bitmap.mkString(", ")}]}""")
+  }
+
+  def loadBloom(path: String, n: Int, mBits: Int,
+                numHashes: Int): Array[Long] = {
+    val json = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    def field(k: String): Long =
+      s""""$k":\\s*(-?\\d+)""".r.findFirstMatchIn(json)
+        .getOrElse(throw new IllegalArgumentException(
+          s"bloom artifact $path: missing field '$k'"))
+        .group(1).toLong
+    val (fn, fm, fh) = (field("ngram"), field("m_bits"), field("num_hashes"))
+    require(fn == n && fm == mBits && fh == numHashes,
+      s"bloom artifact $path was built with (ngram=$fn, m_bits=$fm, " +
+        s"num_hashes=$fh) but the step asks for ($n, $mBits, $numHashes) — " +
+        "rebuild the artifact or align the step")
+    val arr = json.split("\\[")(1).split("\\]")(0).trim
+    val words = if (arr.isEmpty) Array.empty[Long]
+                else arr.split(",").map(_.trim.toLong)
+    require(words.length == mBits / 64,
+      s"bloom artifact $path has ${words.length} words, expected ${mBits / 64}")
+    words
+  }
+
   /** Per-row count of distinct word n-grams testing positive against a
     * bitmap literal: one codegen'd pass per document
     * (functions/BloomNgramHits — n-gram build + distinct + numHashes

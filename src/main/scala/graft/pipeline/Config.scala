@@ -141,10 +141,14 @@ object Config {
     * bloom` collapses the benchmark into a fixed bitmap probed per row
     * (Curation.decontaminateBloom — zero corpus shuffle, and the form that
     * STREAMS: the bitmap builds batch-side at plan build, each arriving doc
-    * probes it at ingest).
+    * probes it at ingest). With `artifact` (bloom only), train-if-missing:
+    * the bitmap persists as JSON — benchmark suites are static, so the
+    * build runs once and later runs hydrate; sizing drift fails loudly.
     */
   final case class CorpusDecontaminate(benchmark: String, ngram: Int,
-                                       method: String = "exact") extends CorpusStep
+                                       method: String = "exact",
+                                       artifact: Option[String] = None)
+    extends CorpusStep
   /** Overlapping token-window chunking (terminal step — it reshapes rows)
     * — Curation.chunkDocuments.
     */
@@ -892,13 +896,16 @@ object Config {
           fail(s"$ctx.threshold must be in (0, 1], got $thr")
         CorpusDedupFuzzy(thr)
       case "decontaminate" =>
-        check("benchmark", "ngram", "method")
+        check("benchmark", "ngram", "method", "artifact")
         val n = intOpt(t, "ngram").getOrElse(8)
         if (n <= 0) fail(s"$ctx.ngram must be > 0, got $n")
         val method = strOpt(t, "method").getOrElse("exact")
         if (method != "exact" && method != "bloom")
           fail(s"$ctx.method must be 'exact' or 'bloom', got '$method'")
-        CorpusDecontaminate(str(t, "benchmark", ctx), n, method)
+        val art = strOpt(t, "artifact")
+        if (art.isDefined && method != "bloom")
+          fail(s"$ctx.artifact requires method: bloom (the exact join has no bitmap to persist)")
+        CorpusDecontaminate(str(t, "benchmark", ctx), n, method, art)
       case "chunk" =>
         check("size", "stride")
         val size = intOf(t, "size", ctx)
@@ -1040,9 +1047,9 @@ object Config {
       if (!p.sources.exists(_.id == c.source))
         fail(s"corpus: unknown source '${c.source}'")
       c.steps.foreach {
-        case CorpusDecontaminate(bench, _, _) =>
-          if (!p.sources.exists(_.id == bench))
-            fail(s"corpus: decontaminate references unknown source '$bench'")
+        case dec: CorpusDecontaminate =>
+          if (!p.sources.exists(_.id == dec.benchmark))
+            fail(s"corpus: decontaminate references unknown source '${dec.benchmark}'")
         case _ => ()
       }
     }

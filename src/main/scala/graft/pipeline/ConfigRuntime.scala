@@ -513,16 +513,17 @@ object ConfigRuntime {
             .where(col(c.idCol) === col("cluster_id"))
             .select(col(c.idCol))
           snap.join(canonical, Seq(c.idCol))
-        case Config.CorpusDecontaminate(bench, n, "bloom") =>
+        case Config.CorpusDecontaminate(bench, n, "bloom", artifact) =>
           // the benchmark collapses into a fixed bitmap at plan build; the
           // gate is a pure per-row probe — no corpus shuffle, no join, no
-          // snapshot needed (the frame is consumed exactly once)
-          val bitmap = graft.operators.Curation.bloomBitmap(
-            res.sourceFrame(bench), c.textCol, n,
-            mBits = 1 << 16, numHashes = 2)
+          // snapshot needed (the frame is consumed exactly once). With an
+          // artifact: train-if-missing — the bitmap persists as JSON and
+          // later runs hydrate without touching the benchmark
+          val bitmap = bloomBitmapFor(spark, dataDir, project, bench,
+            c.textCol, n, artifact)
           df.filter(graft.operators.Curation
-            .bloomFlags(text, bitmap, n, numHashes = 2) === 0L)
-        case Config.CorpusDecontaminate(bench, n, _) =>
+            .bloomFlags(text, bitmap, n, numHashes = BloomHashes) === 0L)
+        case Config.CorpusDecontaminate(bench, n, _, _) =>
           // exact method: same multi-consumer shape as dedup_fuzzy — the
           // curated frame feeds the n-gram explode, the report spine, and
           // the join-back — snapshot once
@@ -648,6 +649,36 @@ object ConfigRuntime {
             .join(rebuilt.withColumnRenamed("text_clean", c.textCol),
               Seq(c.idCol))
       }
+    }
+  }
+
+  /** Bloom-decontamination sizing shared by the batch and streaming
+    * journeys (and baked into any persisted bitmap artifact, which
+    * validates them on load).
+    */
+  private val BloomMBits = 1 << 16
+  private[graft] val BloomHashes = 2
+
+  /** The benchmark's Bloom bitmap for a `decontaminate method: bloom` step:
+    * hydrate the artifact when present, else build from the benchmark
+    * source (and persist when an artifact path is declared) — the
+    * train-if-missing discipline applied to a bitmap.
+    */
+  private def bloomBitmapFor(spark: SparkSession, dataDir: String,
+                             project: Config.Project, bench: String,
+                             textCol: String, n: Int,
+                             artifact: Option[String]): Array[Long] = {
+    import graft.operators.Curation
+    def build() = Curation.bloomBitmap(
+      resolver(spark, dataDir, project).sourceFrame(bench), textCol, n,
+      BloomMBits, BloomHashes)
+    artifact match {
+      case Some(a) =>
+        val path = resolvePath(dataDir, a)
+        if (!java.nio.file.Files.exists(path))
+          Curation.saveBloom(path.toString, build(), n, BloomMBits, BloomHashes)
+        Curation.loadBloom(path.toString, n, BloomMBits, BloomHashes)
+      case None => build()
     }
   }
 
@@ -778,20 +809,20 @@ object ConfigRuntime {
             df.withColumn("quality_prob",
               graft.operators.Classifier.probExpr(text, w, buckets))
               .filter(col("quality_prob") >= minProb)
-          case Config.CorpusDecontaminate(bench, n, method) =>
+          case Config.CorpusDecontaminate(bench, n, method, artifact) =>
             // streams ONLY as method: bloom — the benchmark (a batch
             // source) collapses into its bitmap at plan build and each
             // arriving doc probes it per row, zero state; the exact n-gram
-            // equi-join needs a corpus-at-rest pass
+            // equi-join needs a corpus-at-rest pass. The artifact hydrates
+            // (or builds once) exactly as on the batch journey.
             require(method == "bloom",
               "config: corpus step 'decontaminate' streams only with " +
                 "method: bloom (the exact n-gram join needs a " +
                 "corpus-at-rest pass); run the batch corpus journey instead")
-            val bitmap = graft.operators.Curation.bloomBitmap(
-              resolver(spark, dataDir, project).sourceFrame(bench),
-              c.textCol, n, mBits = 1 << 16, numHashes = 2)
+            val bitmap = bloomBitmapFor(spark, dataDir, project, bench,
+              c.textCol, n, artifact)
             df.filter(graft.operators.Curation
-              .bloomFlags(text, bitmap, n, numHashes = 2) === 0L)
+              .bloomFlags(text, bitmap, n, numHashes = BloomHashes) === 0L)
           case Config.CorpusExtract(_) =>
             // extraction is per-row — a crawl enters the stream as raw HTML
             df.withColumn(c.textCol, graft.operators.Crawl.htmlText(text))

@@ -471,6 +471,25 @@ object QueriesCorpus {
         FROM assigned"""
   }
 
+  /** The composed curation stream: gate + bitmap probe + classifier prob,
+    * three per-row conditions over the full-corpus-trained model and the
+    * %17 benchmark bitmap — shared builders end to end.
+    */
+  private def streamCorpusCurateSql: String = {
+    val sig = QueriesCuration.hardSigmoidSql("s.s")
+    s"""WITH ${QueriesCuration.bloomDecontamCtes("documents")},
+        ${QueriesCuration.logRegCtes(QueriesCuration.ClsBuckets,
+          QueriesCuration.ClsIters, QueriesCuration.ClsEta,
+          rel = "documents", labelSql = clsLabelSql("documents"))}
+        SELECT d.doc_id, d.source, $sig AS quality_prob
+        FROM documents d
+        LEFT JOIN bl_hit h USING (doc_id)
+        JOIN cls_sF s USING (doc_id)
+        WHERE ${repSql("d")} <= 0.8
+          AND coalesce(h.n_flagged, 0) = 0
+          AND $sig >= 0.5"""
+  }
+
   /** Label twin of the classify step's langId(text) == 'en' training rule. */
   private def clsLabelSql(rel: String): String =
     s"CASE WHEN ${langIdCaseSql(rel)} = 'en' THEN 1.0 ELSE 0.0 END"
@@ -801,6 +820,45 @@ object QueriesCorpus {
         .select(col("doc_id"), col("quality_prob"))
     },
 
+    // The COMPOSED curation stream: quality gate + Bloom decontamination
+    // (bitmap persisted as a train-if-missing artifact — built once here,
+    // hydrated by the stream) + trained-classifier gate, all at ingest in
+    // one job — three per-row stages composed with zero state, the
+    // multi-stage crawl gate a production pipeline deploys.
+    "stream_corpus_curate" -> { (s, d) =>
+      import graft.operators.Classifier
+      val benchPath = "/tmp/graft_scratch/bloom_bench_docs.parquet"
+      documents(s, d).filter(pmod(col("doc_id"), lit(17)) === 0)
+        .write.mode("overwrite").parquet(benchPath)
+      val bloomArt = "/tmp/graft_scratch/stream_curate/bloom.json"
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(bloomArt))
+      val clsArt = "/tmp/graft_scratch/stream_curate/cls.json"
+      val docs = documents(s, d)
+      val labels = docs.select(col("doc_id"),
+        when(Text.langId(col("text")) === "en", 1.0).otherwise(0.0).as("y"))
+      val feats = Classifier.features(docs, "doc_id", "text",
+        QueriesCuration.ClsBuckets).localCheckpoint()
+      Classifier.saveModel(clsArt, Classifier.fitLogReg(feats, labels,
+        "doc_id", QueriesCuration.ClsBuckets, QueriesCuration.ClsIters,
+        QueriesCuration.ClsEta, nDocs = labels.count()))
+      val project = graft.pipeline.Config.parseProject(
+        s"""sources:
+           |  - id: docs
+           |    loader: { transport: fs, path: documents.parquet, reader: { format: parquet } }
+           |  - id: bench
+           |    loader: { transport: fs, path: $benchPath, reader: { format: parquet } }
+           |corpus:
+           |  source: docs
+           |  steps:
+           |    - { step: filter, max_repetition: 0.8 }
+           |    - { step: decontaminate, benchmark: bench, ngram: 3, method: bloom, artifact: $bloomArt }
+           |    - { step: classify, target_lang: en, buckets: ${QueriesCuration.ClsBuckets}, iters: ${QueriesCuration.ClsIters}, eta: ${QueriesCuration.ClsEta.toInt}, min_prob: 0.5, artifact: $clsArt }
+           |""".stripMargin)
+      graft.streaming.Streaming.runCorpusStream(s, d, project,
+        s"graft_stream_curate_${StreamRun.incrementAndGet()}")
+        .select(col("doc_id"), col("source"), col("quality_prob"))
+    },
+
     // The importance gate AT INGEST: the model trains batch-side on the
     // full corpus (the deploy shape — train once, every crawl streams
     // through it), then the streaming corpus journey applies quality gate +
@@ -842,6 +900,7 @@ object QueriesCorpus {
     "config_corpus_decontam" -> corpusDecontamSql,
     "config_corpus_full" -> corpusFullSql,
     "stream_corpus_decontam" -> corpusDecontamSql,
+    "stream_corpus_curate" -> streamCorpusCurateSql,
     "stream_corpus_select" -> streamCorpusSelectSql,
     "stream_corpus_classify" -> streamCorpusClassifySql,
     "multimodal_phash" -> multimodalPhashSql

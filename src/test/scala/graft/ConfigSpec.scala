@@ -385,6 +385,8 @@ class ConfigSpec extends SparkSpec {
     bad("{ step: decontaminate, benchmark: nope }", "unknown source 'nope'")
     bad("{ step: decontaminate, benchmark: docs, method: fuzzy }",
       "method must be 'exact' or 'bloom'")
+    bad("{ step: decontaminate, benchmark: docs, artifact: b.json }",
+      "artifact requires method: bloom")
     assert(Config.parseProject(doc(
       "{ step: decontaminate, benchmark: docs, ngram: 3, method: bloom }"))
       .corpus.get.steps.head ==

@@ -152,6 +152,17 @@ class CurationSpec extends SparkSpec {
     assert(out.exists(_._1 > 0L), "fixture must exercise the hit path")
   }
 
+  test("bloom bitmap artifact round-trips exactly; sizing drift fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom_art")
+    val path = dir.resolve("bloom.json").toString
+    val bitmap = Array(0L, -1L, 0x123456789ABCDEFL, Long.MinValue)
+    Curation.saveBloom(path, bitmap, n = 3, mBits = 256, numHashes = 2)
+    assert(Curation.loadBloom(path, 3, 256, 2).toSeq == bitmap.toSeq)
+    val drift = intercept[IllegalArgumentException](
+      Curation.loadBloom(path, 4, 256, 2))
+    assert(drift.getMessage.contains("rebuild the artifact"))
+  }
+
   test("shingles of a short/empty token array is empty, not an error") {
     val df = Seq("a b", "").toDF("t")
       .select(size(Text.shingles(Text.tokens(col("t")), 3)).as("n"))

@@ -94,6 +94,7 @@ class ScalePostureSpec extends SparkSpec {
       "dsir_select",      // one-row token totals onto the buckets-row table
       "domain_mix",       // one-row mixture totals onto the per-domain table
       "config_corpus_serve", // same one-row mixture totals (the mix step)
+      "config_corpus_full",  // same one-row mixture totals (the mix step)
       "ann_pq"            // ks-row codebook cross into encode + ADC LUT
     )
     val skip = Set("sink_roundtrip", "sink_run_dir", "src_http", "src_csv",
