@@ -141,10 +141,23 @@ object Text {
   }
 
   /** Word n-gram shingles (space-joined) from a token array. Documents with
-    * fewer than n tokens yield an empty array — without the guard,
+    * fewer than n tokens yield an empty array. Codegen'd
+    * (functions/ShingleArray — one tight loop per row; the interpreted
+    * higher-order formulation it replaced is kept below as the spec-proven
+    * reference).
+    */
+  def shingles(toks: Column, n: Int): Column = {
+    graft.functions.ShingleArray.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("shingle_array", toks, lit(n))
+  }
+
+  /** The same shingling as built-in higher-order functions — the
+    * interpreted reference ShingleArray is spec-proven against (the
+    * DsirFold discipline). The size guard matters: without it,
     * sequence(1, 0) descends to [1, 0] and element_at(toks, 0) throws.
     */
-  def shingles(toks: Column, n: Int): Column =
+  private[graft] def shinglesHof(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))

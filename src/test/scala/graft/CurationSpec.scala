@@ -169,6 +169,20 @@ class CurationSpec extends SparkSpec {
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(0, 0))
   }
 
+  test("codegen'd ShingleArray equals the interpreted HOF shingles") {
+    val docs = Seq("the quick brown fox jumps", "a b c", "a b", "one", "",
+      "x  y   z").toDF("t")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val out = docs.select(
+        Text.shingles(Text.tokens(col("t")), n).as("fast"),
+        graft.functions.Text.shinglesHof(Text.tokens(col("t")), n).as("slow"))
+        .collect().map(r => (r.getSeq[String](0), r.getSeq[String](1)))
+      out.foreach { case (fast, slow) =>
+        assert(fast == slow, s"n=$n: $fast != $slow")
+      }
+    }
+  }
+
   // --- stratifiedSample ---------------------------------------------------
 
   test("stratifiedSample honors per-stratum rates deterministically") {
