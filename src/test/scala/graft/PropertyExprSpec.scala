@@ -1,0 +1,125 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{BloomNgramHits, ClsProbFold, DsirFold, ShingleArray}
+
+/** Property-based cross-checks for the native codegen'd expressions'
+  * `compute` cores — each checked against an INDEPENDENT reference
+  * implementation: the reference derives the 60-bit portable hash by
+  * parsing the first 15 hex characters of the digest (the oracle's
+  * `conv(substr(sha2(x,256),1,15),16,10)` form), where the expressions
+  * read digest bytes with shifts — so a bit error in either derivation
+  * fails here, not in a cross-engine hash mismatch at the gate.
+  */
+class PropertyExprSpec extends AnyFunSuite {
+
+  private def check(p: Prop, n: Int = 200): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def arr(toks: Seq[String]): ArrayData =
+    new GenericArrayData(toks.map(t => UTF8String.fromString(t): Any).toArray)
+  private def larr(v: Seq[Long]): ArrayData =
+    new GenericArrayData(v.toArray[Any])
+
+  /** Hex-parse derivation of the 60-bit portable hash. */
+  private def hex60(s: String): Long = {
+    val md = MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  private val token: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(6)),
+    Gen.const(""),
+    Gen.oneOf("the", "a", "b", "spam", "München", "naïve", "x y"))
+  private val tokens: Gen[List[String]] = Gen.listOf(token)
+
+  test("ShingleArray == sliding-window reference (all n)") {
+    val gen = for { ts <- tokens; n <- Gen.chooseNum(1, 5) } yield (ts, n)
+    check(Prop.forAll(gen) { case (ts, n) =>
+      val got = ShingleArray(null, n).compute(arr(ts))
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      val want =
+        if (ts.length < n) Seq.empty[String]
+        else ts.sliding(n).map(_.mkString(" ")).toSeq
+      got == want
+    })
+  }
+
+  test("DsirFold == hex-parse reference mean") {
+    val gen = for {
+      ts <- tokens
+      b <- Gen.chooseNum(1, 64)
+      lr <- Gen.listOfN(b, Gen.chooseNum(-20000000L, 20000000L))
+    } yield (ts, lr)
+    check(Prop.forAll(gen) { case (ts, lr) =>
+      val got = DsirFold(null, null).compute(arr(ts), larr(lr))
+      val want =
+        if (ts.isEmpty) 0.0
+        else {
+          val acc = ts.map(t => lr((hex60(t) % lr.length).toInt)).sum
+          BigDecimal(java.lang.Double.toString((acc / 1e6) / ts.length))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      got == want
+    })
+  }
+
+  test("ClsProbFold == BigDecimal reference probability") {
+    val gen = for {
+      ts <- tokens
+      b <- Gen.chooseNum(1, 48)
+      w <- Gen.listOfN(b + 1, Gen.chooseNum(-5000000L, 5000000L))
+    } yield (ts, w)
+    check(Prop.forAll(gen) { case (ts, w) =>
+      val buckets = w.length - 1
+      val got = ClsProbFold(null, null).compute(arr(ts), larr(w))
+      var picos = BigInt(w(buckets)) * 1000000
+      if (ts.nonEmpty && buckets > 0) {
+        ts.groupBy(t => (hex60(t) % buckets).toInt).foreach { case (b, grp) =>
+          val x = BigDecimal(java.lang.Double.toString(
+            grp.length.toDouble / ts.length))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          picos += BigInt(w(b)) * math.round(x * 1e6)
+        }
+      }
+      val sMicros = (BigDecimal(picos) / 1000000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val pMicros = math.min(1000000L,
+        math.max(0L, 500000L + Math.floorDiv(sMicros, 4)))
+      val onGrid = got * 1e6 == math.rint(got * 1e6)
+      got == pMicros.toDouble / 1e6 && got >= 0.0 && got <= 1.0 && onGrid
+    })
+  }
+
+  test("BloomNgramHits == hex-parse set-membership reference") {
+    val gen = for {
+      ts <- tokens
+      n <- Gen.chooseNum(1, 4)
+      nh <- Gen.chooseNum(1, 3)
+      words <- Gen.listOfN(4, Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    } yield (ts, n, nh, words)
+    check(Prop.forAll(gen) { case (ts, n, nh, words) =>
+      val got = BloomNgramHits(null, null, n, nh).compute(arr(ts), larr(words))
+      val mBits = words.length * 64L
+      val grams = if (ts.length < n) Seq.empty[String]
+                  else ts.sliding(n).map(_.mkString(" ")).toSeq.distinct
+      val want = grams.count { g =>
+        (0 until nh).forall { i =>
+          val p = hex60(s"bloom$i:" + g) % mBits
+          (words((p / 64).toInt) & (1L << (p % 64).toInt)) != 0L
+        }
+      }.toLong
+      got == want
+    })
+  }
+}
