@@ -242,14 +242,69 @@ object Dedup {
     */
   def minhashDedup(df: DataFrame, textCol: String, idCol: String,
                    shingleSize: Int = 3, numPerm: Int = 64, bands: Int = 16,
-                   threshold: Double = 0.5): DataFrame = {
-    val perDoc = minhashScoredPairs(df, textCol, idCol, shingleSize, numPerm, bands)
-      .select(explode(array(col("id_a"), col("id_b"))).as(idCol), col("jacc"))
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_candidates"),
-        sum(when(col("jacc") >= threshold, 1L).otherwise(0L)).as("n_dups"))
-    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
-      .na.fill(0, Seq("n_candidates", "n_dups"))
+                   threshold: Double = 0.5,
+                   collapseOverride: Option[Boolean] = None): DataFrame = {
+    // The dupClusters exact-duplicate pre-collapse, applied to the REPORT
+    // head: identical texts share identical signatures, hence identical
+    // band buckets — a d-fold duplicated corpus otherwise explodes into
+    // d²/2 candidate pairs per distinct text (at the 100x point, ~100
+    // copies ≈ 5,000 pairs per text, each paying an exact-Jaccard array
+    // pass). Representative-level pairs + group sizes reconstruct the
+    // per-doc report EXACTLY: a doc in a g-member group has (g-1)
+    // within-group candidates at jacc 1.0 (identical shingle sets), and
+    // for each rep-level candidate pair (G, H) every member of G gains
+    // |H| candidates at jacc(G, H) — the bucket sets are signature-
+    // determined, so member pairs are candidates iff their rep pair is.
+    val probe = df.agg(count(lit(1)).as("n"),
+      approx_count_distinct(sha2(col(textCol).cast("string"), 256)).as("d")).head()
+    val collapse = collapseOverride.getOrElse(
+      probe.getLong(1) < 0.9 * probe.getLong(0))
+    if (!collapse) {
+      val perDoc = minhashScoredPairs(df, textCol, idCol, shingleSize, numPerm, bands)
+        .select(explode(array(col("id_a"), col("id_b"))).as(idCol), col("jacc"))
+        .groupBy(idCol)
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("jacc") >= threshold, 1L).otherwise(0L)).as("n_dups"))
+      df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+        .na.fill(0, Seq("n_candidates", "n_dups"))
+    } else {
+      // short (< shingleSize tokens) docs never collapse — their empty
+      // shingle sets make them their own representatives, exactly as the
+      // direct path treats them
+      val collapsible = size(Text.tokens(col(textCol))) >= shingleSize
+      val byText = org.apache.spark.sql.expressions.Window
+        .partitionBy(sha2(col(textCol).cast("string"), 256))
+      val mapped = df.select(col(idCol), col(textCol),
+          when(collapsible, min(col(idCol)).over(byText))
+            .otherwise(col(idCol)).as("__rep"))
+        .localCheckpoint(eager = false) // feeds reps, sizes, AND the re-attach
+      val groupSize = mapped.groupBy(col("__rep"))
+        .agg(count(lit(1)).as("__g"))
+      val reps = mapped.where(col(idCol) === col("__rep"))
+        .select(col(idCol), col(textCol))
+      val repPairs =
+        minhashScoredPairs(reps, textCol, idCol, shingleSize, numPerm, bands)
+          .localCheckpoint(eager = false) // consumed from both directions
+      val directed = repPairs
+        .select(col("id_a").as("__rep"), col("id_b").as("__other"), col("jacc"))
+        .unionAll(repPairs
+          .select(col("id_b").as("__rep"), col("id_a").as("__other"), col("jacc")))
+      val cross = directed
+        .join(groupSize.select(col("__rep").as("__other"), col("__g").as("__h")),
+          "__other")
+        .groupBy(col("__rep"))
+        .agg(sum(col("__h")).as("__c_cross"),
+          sum(when(col("jacc") >= threshold, col("__h")).otherwise(0L))
+            .as("__d_cross"))
+      val within = when(lit(1.0 >= threshold), col("__g") - 1).otherwise(lit(0L))
+      mapped.select(col(idCol), col("__rep"))
+        .join(groupSize, "__rep")
+        .join(cross, Seq("__rep"), "left")
+        .select(col(idCol),
+          (col("__g") - 1 + coalesce(col("__c_cross"), lit(0L)))
+            .as("n_candidates"),
+          (within + coalesce(col("__d_cross"), lit(0L))).as("n_dups"))
+    }
   }
 
   // --------------------------------------------------- duplicate clustering

@@ -280,6 +280,30 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("minhashDedup collapsed path equals the direct report exactly") {
+    // Triple the sf0.001 corpus with offset ids (plus one short doc per
+    // copy that must NOT collapse): the rep-pair + group-size expansion
+    // must land row-for-row where the full pair computation lands.
+    val base = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .union(Seq((900000L, "tiny")).toDF("doc_id", "text"))
+    val Off = 1000000L
+    val tripled = base
+      .union(base.select(col("doc_id") + Off, col("text")))
+      .union(base.select(col("doc_id") + 2 * Off, col("text")))
+    def run(collapse: Boolean) =
+      Dedup.minhashDedup(tripled, "text", "doc_id",
+        collapseOverride = Some(collapse))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    val direct = run(false)
+    val collapsed = run(true)
+    assert(collapsed == direct)
+    // the duplication actually exercises the expansion: every replicated
+    // doc has at least its 2 exact copies as verified duplicates
+    assert(direct(0L)._2 >= 2L)
+  }
+
   test("annIvf collapsed path equals the uncollapsed assignment exactly") {
     // doubled corpus: the duplicate probe collapses assignment to one
     // representative per distinct vector; forcing collapse off must give
