@@ -206,4 +206,52 @@ object Importance {
       .select(col(idCol), col(domainCol), col("rate"),
         (Curation.hashRatio(col(idCol), seed) < col("rate")).as("keep"))
   }
+
+  // --------------------------------------------------- mix-rates artifact
+  // The per-domain keep-rate table as a PERSISTED artifact (the
+  // save/load_scaler discipline): rates fit on the corpus at rest, and a
+  // later run — including a STREAM — hydrates the table and applies the
+  // gate as a pure per-row expression (rate lookup against a literal map +
+  // the sha256-ratio filter). Domains are JSON-escaped; rates round-trip
+  // through Double.toString exactly.
+
+  def saveRates(path: String, rates: Map[String, Double]): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    def esc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val body = rates.toSeq.sortBy(_._1)
+      .map { case (d, r) => s""""${esc(d)}": $r""" }.mkString(", ")
+    java.nio.file.Files.writeString(p, s"{$body}")
+  }
+
+  def loadRates(path: String): Map[String, Double] = {
+    val json = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*(-?[\d.eE+]+)""".r
+    entry.findAllMatchIn(json).map { m =>
+      val d = m.group(1)
+        .replace("\\\"", "\"").replace("\\\\", "\\")
+      d -> m.group(2).toDouble
+    }.toMap
+  }
+
+  /** The per-row mixture gate under a HYDRATED rate table: keep iff
+    * sha256-ratio(id) < rate(domain), rates entering the plan as a literal
+    * map (unknown domains keep nothing — they were absent when rates were
+    * fitted, the conservative streaming posture). Zero shuffle, no state.
+    */
+  def mixKeepExpr(id: Column, domain: Column, seed: Int,
+                  rates: Map[String, Double]): Column = {
+    val rateLit =
+      if (rates.isEmpty) lit(0.0)
+      else element_at(
+        map(rates.toSeq.sortBy(_._1)
+          .flatMap { case (d, r) => Seq(lit(d), lit(r)) }: _*),
+        domain)
+    Curation.hashRatio(id, seed) < coalesce(rateLit, lit(0.0))
+  }
 }

@@ -191,9 +191,14 @@ object Config {
                                   artifact: Option[String]) extends CorpusStep
   /** Temperature-scaled domain mixture (Importance.domainMixRates): keep
     * rate min(1, T·sqrt-weight/n_d) per `by`-domain, applied as the
-    * deterministic sha256-ratio filter.
+    * deterministic sha256-ratio filter. With `artifact`, train-if-missing:
+    * the bounded rate table persists as JSON and the gate always applies
+    * under the HYDRATED copy as a pure per-row expression — which is why
+    * the step then also STREAMS (rates fit on the corpus at rest; domains
+    * unseen at fit time keep nothing).
     */
-  final case class CorpusMix(by: String, seed: Int) extends CorpusStep
+  final case class CorpusMix(by: String, seed: Int,
+                             artifact: Option[String] = None) extends CorpusStep
   /** Token-budgeted training-shard assignment (operators/Sharding): append
     * n_tokens + shard_id within each `by`-partition. Terminal like chunk —
     * it appends serving columns.
@@ -956,8 +961,9 @@ object Config {
           fail(s"$ctx.min_prob must be in [0, 1], got $p")
         CorpusClassify(lang, b, it, eta, p, strOpt(t, "artifact"))
       case "mix" =>
-        check("by", "seed")
-        CorpusMix(str(t, "by", ctx), intOpt(t, "seed").getOrElse(0))
+        check("by", "seed", "artifact")
+        CorpusMix(str(t, "by", ctx), intOpt(t, "seed").getOrElse(0),
+          strOpt(t, "artifact"))
       case "shard" =>
         check("by", "budget")
         val budget = intOpt(t, "budget").getOrElse(fail(s"$ctx needs a budget"))

@@ -614,17 +614,31 @@ object ConfigRuntime {
           snap.withColumn("quality_prob",
             Classifier.probExpr(text, w, buckets))
             .filter(col("quality_prob") >= minProb)
-        case Config.CorpusMix(by, seed) =>
+        case Config.CorpusMix(by, seed, artifact) =>
           // domain mixture: the bounded rate table (one row per domain)
-          // broadcasts back onto the frame; the keep gate is the
-          // deterministic sha256-ratio row filter
+          // gates the frame with the deterministic sha256-ratio filter.
+          // With an artifact: train-if-missing, and the gate applies under
+          // the HYDRATED copy as a pure per-row map lookup (the streaming
+          // shape); without, the fitted table broadcasts back directly.
           import graft.operators.{Curation, Importance}
           val snap = df.localCheckpoint(eager = false)
-          val rates = Importance.domainMixRates(snap, by,
-            Text.tokenCountWs(text))
-          snap.join(broadcast(rates), Seq(by))
-            .filter(Curation.hashRatio(id, seed) < col("rate"))
-            .drop("rate")
+          def fitRates(): Map[String, Double] =
+            Importance.domainMixRates(snap, by, Text.tokenCountWs(text))
+              .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+          artifact match {
+            case Some(a) =>
+              val path = resolvePath(dataDir, a)
+              if (!java.nio.file.Files.exists(path))
+                Importance.saveRates(path.toString, fitRates())
+              snap.filter(Importance.mixKeepExpr(id, col(by), seed,
+                Importance.loadRates(path.toString)))
+            case None =>
+              val rates = Importance.domainMixRates(snap, by,
+                Text.tokenCountWs(text))
+              snap.join(broadcast(rates), Seq(by))
+                .filter(Curation.hashRatio(id, seed) < col("rate"))
+                .drop("rate")
+          }
         case Config.CorpusShard(by, budget) =>
           // terminal serving step: token-budgeted shard ids appended within
           // each `by` partition (one hash exchange, sequence_pack's rule)
@@ -823,6 +837,21 @@ object ConfigRuntime {
               c.textCol, n, artifact)
             df.filter(graft.operators.Curation
               .bloomFlags(text, bitmap, n, numHashes = BloomHashes) === 0L)
+          case Config.CorpusMix(by, seed, artifact) =>
+            // streamable ONLY under fitted rates (the classify/select
+            // contract): the bounded rate table hydrates at plan build and
+            // the gate is a per-row map lookup + sha256-ratio filter —
+            // zero state; fitting rates needs the corpus at rest
+            val a = artifact.getOrElse(throw new IllegalArgumentException(
+              "config: streaming mix needs an 'artifact' — fitting the " +
+                "rate table is a corpus-at-rest pass"))
+            val path = resolvePath(dataDir, a)
+            require(java.nio.file.Files.exists(path),
+              s"config: streaming mix needs a fitted rate table at '$path' " +
+                "— run the batch corpus journey (train-if-missing) first")
+            df.filter(graft.operators.Importance.mixKeepExpr(
+              col(c.idCol), col(by), seed,
+              graft.operators.Importance.loadRates(path.toString)))
           case Config.CorpusExtract(_) =>
             // extraction is per-row — a crawl enters the stream as raw HTML
             df.withColumn(c.textCol, graft.operators.Crawl.htmlText(text))
@@ -832,7 +861,6 @@ object ConfigRuntime {
             val name = other match {
               case _: Config.CorpusDedupFuzzy        => "dedup_fuzzy"
               case _: Config.CorpusDedupIncremental  => "dedup_incremental"
-              case _: Config.CorpusMix               => "mix"
               case _: Config.CorpusShard             => "shard"
               case _: Config.CorpusDedupLines        => "dedup_lines"
               case o                                 => o.getClass.getSimpleName

@@ -490,6 +490,33 @@ object QueriesCorpus {
           AND $sig >= 0.5"""
   }
 
+  /** Stream mix twin: rates fit over the FULL corpus, the gate is the
+    * filter prefix + the sha256-ratio threshold under those rates — the
+    * same rate CTEs as the serve journey, over documents.
+    */
+  private def streamCorpusMixSql: String =
+    s"""WITH per_src AS (
+          SELECT source,
+                 CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+                   AS n_toks
+          FROM documents GROUP BY source),
+        mtot AS (
+          SELECT CAST(SUM(n_toks) AS BIGINT) AS t_total,
+                 CAST(SUM(CAST(ROUND(sqrt(CAST(n_toks AS DOUBLE)), 6)
+                               AS DECIMAL(30,6))) AS DOUBLE) AS w_total
+          FROM per_src),
+        rates AS (
+          SELECT source,
+                 ROUND(LEAST(1.0,
+                   CAST(t_total AS DOUBLE) *
+                     (ROUND(sqrt(CAST(n_toks AS DOUBLE)), 6) / w_total) /
+                     CAST(n_toks AS DOUBLE)), 6) AS rate
+          FROM per_src, mtot)
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN rates r USING (source)
+        WHERE ${repSql("d")} <= 0.8
+          AND ${ratioSql("d.doc_id", MixSeed)} < r.rate"""
+
   /** Label twin of the classify step's langId(text) == 'en' training rule. */
   private def clsLabelSql(rel: String): String =
     s"CASE WHEN ${langIdCaseSql(rel)} = 'en' THEN 1.0 ELSE 0.0 END"
@@ -683,7 +710,7 @@ object QueriesCorpus {
     // plan build and the gate is one per-row probe: no corpus shuffle, no
     // join, the large-benchmark posture on the config surface.
     "config_corpus_decontam" -> { (s, d) =>
-      val benchPath = "/tmp/graft_scratch/bloom_bench_docs.parquet"
+      val benchPath = "/tmp/graft_scratch/bench_decontam/docs.parquet"
       documents(s, d).filter(pmod(col("doc_id"), lit(17)) === 0)
         .write.mode("overwrite").parquet(benchPath)
       val project = graft.pipeline.Config.parseProject(
@@ -709,7 +736,7 @@ object QueriesCorpus {
     // document streams — each arriving doc is gated against the benchmark
     // with zero state (method: exact is rejected by name on the stream).
     "stream_corpus_decontam" -> { (s, d) =>
-      val benchPath = "/tmp/graft_scratch/bloom_bench_docs.parquet"
+      val benchPath = "/tmp/graft_scratch/bench_stream_decontam/docs.parquet"
       documents(s, d).filter(pmod(col("doc_id"), lit(17)) === 0)
         .write.mode("overwrite").parquet(benchPath)
       val project = graft.pipeline.Config.parseProject(
@@ -738,7 +765,7 @@ object QueriesCorpus {
     // and the oracle composes the same shared builders — the proof that
     // the declarative surface COMPOSES, not just that each step works.
     "config_corpus_full" -> { (s, d) =>
-      val benchPath = "/tmp/graft_scratch/bloom_bench_docs.parquet"
+      val benchPath = "/tmp/graft_scratch/bench_full/docs.parquet"
       documents(s, d).filter(pmod(col("doc_id"), lit(17)) === 0)
         .write.mode("overwrite").parquet(benchPath)
       val art = "/tmp/graft_scratch/full_classify/model.json"
@@ -827,7 +854,7 @@ object QueriesCorpus {
     // multi-stage crawl gate a production pipeline deploys.
     "stream_corpus_curate" -> { (s, d) =>
       import graft.operators.Classifier
-      val benchPath = "/tmp/graft_scratch/bloom_bench_docs.parquet"
+      val benchPath = "/tmp/graft_scratch/bench_curate/docs.parquet"
       documents(s, d).filter(pmod(col("doc_id"), lit(17)) === 0)
         .write.mode("overwrite").parquet(benchPath)
       val bloomArt = "/tmp/graft_scratch/stream_curate/bloom.json"
@@ -857,6 +884,33 @@ object QueriesCorpus {
       graft.streaming.Streaming.runCorpusStream(s, d, project,
         s"graft_stream_curate_${StreamRun.incrementAndGet()}")
         .select(col("doc_id"), col("source"), col("quality_prob"))
+    },
+
+    // The domain-mixture gate AT INGEST: rates fit batch-side on the full
+    // corpus (one bounded row per domain, persisted as a JSON artifact),
+    // then the streaming journey gates each arriving doc with a per-row
+    // map lookup + sha256-ratio filter — zero state; fitting on a stream
+    // is rejected by name.
+    "stream_corpus_mix" -> { (s, d) =>
+      import graft.operators.Importance
+      val art = "/tmp/graft_scratch/stream_mix/rates.json"
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(art))
+      Importance.saveRates(art, Importance.domainMixRates(documents(s, d),
+        "source", Text.tokenCountWs(col("text")))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap)
+      val project = graft.pipeline.Config.parseProject(
+        s"""sources:
+           |  - id: docs
+           |    loader: { transport: fs, path: documents.parquet, reader: { format: parquet } }
+           |corpus:
+           |  source: docs
+           |  steps:
+           |    - { step: filter, max_repetition: 0.8 }
+           |    - { step: mix, by: source, seed: $MixSeed, artifact: $art }
+           |""".stripMargin)
+      graft.streaming.Streaming.runCorpusStream(s, d, project,
+        s"graft_stream_mix_${StreamRun.incrementAndGet()}")
+        .select(col("doc_id"), col("source"))
     },
 
     // The importance gate AT INGEST: the model trains batch-side on the
@@ -901,6 +955,7 @@ object QueriesCorpus {
     "config_corpus_full" -> corpusFullSql,
     "stream_corpus_decontam" -> corpusDecontamSql,
     "stream_corpus_curate" -> streamCorpusCurateSql,
+    "stream_corpus_mix" -> streamCorpusMixSql,
     "stream_corpus_select" -> streamCorpusSelectSql,
     "stream_corpus_classify" -> streamCorpusClassifySql,
     "multimodal_phash" -> multimodalPhashSql

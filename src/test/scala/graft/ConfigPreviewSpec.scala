@@ -350,9 +350,13 @@ class ConfigPreviewSpec extends SparkSpec {
          |$steps""".stripMargin)
     def streamed(steps: String) =
       ConfigRuntime.corpusStream(spark, dir.toString, proj(steps))
+    // mix streams only under fitted rates (the classify/select contract)
     val mix = intercept[IllegalArgumentException](
       streamed("    - { step: mix, by: source, seed: 1 }\n"))
-    assert(mix.getMessage.contains("'mix' is not streamable"))
+    assert(mix.getMessage.contains("streaming mix needs an 'artifact'"))
+    val mixUntrained = intercept[IllegalArgumentException](
+      streamed("    - { step: mix, by: source, seed: 1, artifact: missing_rates.json }\n"))
+    assert(mixUntrained.getMessage.contains("fitted rate table"))
     val lines = intercept[IllegalArgumentException](
       streamed("    - { step: dedup_lines, min_freq: 2 }\n"))
     assert(lines.getMessage.contains("'dedup_lines' is not streamable"))

@@ -103,6 +103,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(k1.sameElements(k2))
   }
 
+  test("mix-rates artifact round-trips (escaped domains); hydrated gate == join gate") {
+    val docs = (1L to 100L).map(i => (i, "big", ("tok " * 50).trim))
+      .union(Seq((101L, "sm\"all\\x", "tok tok tok")))
+      .toDF("doc_id", "domain", "text")
+    val rates = Importance.domainMixRates(docs, "domain",
+      Text.tokenCountWs(col("text")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val path = java.nio.file.Files.createTempDirectory("graft_rates")
+      .resolve("rates.json").toString
+    Importance.saveRates(path, rates)
+    assert(Importance.loadRates(path) == rates)
+    // the per-row hydrated gate keeps exactly what the broadcast-join
+    // gate keeps
+    val joined = Importance.domainMix(docs, "doc_id", "domain",
+      Text.tokenCountWs(col("text")), seed = 7)
+      .filter(col("keep")).select("doc_id").as[Long].collect().sorted
+    val hydrated = docs.filter(Importance.mixKeepExpr(col("doc_id"),
+      col("domain"), 7, Importance.loadRates(path)))
+      .select("doc_id").as[Long].collect().sorted
+    assert(hydrated.sameElements(joined))
+    // a domain unseen at fit time keeps nothing
+    val stranger = Seq((999L, "never-seen", "tok")).toDF("doc_id", "domain", "text")
+    assert(stranger.filter(Importance.mixKeepExpr(col("doc_id"),
+      col("domain"), 7, rates)).count() == 0)
+  }
+
   // --- shard manifest -----------------------------------------------------
 
   test("shardAssign packs document-atomic token-budget shards per source") {

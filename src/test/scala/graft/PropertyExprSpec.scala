@@ -96,8 +96,10 @@ class PropertyExprSpec extends AnyFunSuite {
         .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
       val pMicros = math.min(1000000L,
         math.max(0L, 500000L + Math.floorDiv(sMicros, 4)))
-      val onGrid = got * 1e6 == math.rint(got * 1e6)
-      got == pMicros.toDouble / 1e6 && got >= 0.0 && got <= 1.0 && onGrid
+      // bit-equality against pMicros/1e6 IS the 1e-6-grid guarantee — a
+      // naive `got*1e6 == rint(got*1e6)` check false-fails on doubles like
+      // 0.500002 whose *1e6 lands a few ulps off the integer
+      got == pMicros.toDouble / 1e6 && got >= 0.0 && got <= 1.0
     })
   }
 
