@@ -27,6 +27,7 @@ object SparkEntry {
       (QueriesCorpus.queries, QueriesCorpus.oracleSql),
       (QueriesCrawl.queries, QueriesCrawl.oracleSql),
       (QueriesCuration.queries, QueriesCuration.oracleSql),
+      (QueriesServe.queries, QueriesServe.oracleSql),
       (QueriesPipeline.queries, QueriesPipeline.oracleSql),
       (QueriesStreaming.queries, QueriesStreaming.oracleSql)
     )

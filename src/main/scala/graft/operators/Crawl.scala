@@ -280,4 +280,30 @@ object Crawl {
             x => x.getField("line")),
           "\n").as("text_clean"))
   }
+
+  /** Crawl-generation diff: classify every page id across two crawl
+    * snapshots as `added` (new generation only), `removed` (old only),
+    * `changed` (both, content digest differs), or `unchanged` — the
+    * planning input of an incremental pipeline (what dedup_incremental's
+    * increment IS: the added ∪ changed set; the reference's artifact
+    * freshness walk applies the same stale/fresh discipline to derived
+    * artifacts, `artifacts/planning.py`).
+    *
+    * Scale posture: bodies never move — each side collapses to
+    * (id, sha256 digest) in the scan projection, and the diff is one
+    * full-outer hash join on the id. Output: `(id, status)`.
+    */
+  def corpusDiff(oldGen: DataFrame, newGen: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val o = oldGen.select(col(idCol),
+      sha2(col(textCol).cast("string"), 256).as("__od"))
+    val n = newGen.select(col(idCol),
+      sha2(col(textCol).cast("string"), 256).as("__nd"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__od").isNull, lit("added"))
+          .when(col("__nd").isNull, lit("removed"))
+          .when(col("__od") === col("__nd"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }

@@ -421,6 +421,30 @@ object Dedup {
       .withColumn("is_canonical", col(idCol) === col("cluster_id"))
   }
 
+  /** Quality-aware canonical selection over the near-dup clusters: keep the
+    * BEST document per cluster by (`score` desc, id asc) instead of
+    * [[dupClusters]]'s min-id convention — what a curation pipeline actually
+    * wants when duplicates differ in extraction quality (reference keeps the
+    * first-seen record, `pipeline/stream/dedupe.py`; a quality-ranked keep is
+    * the corpus-curation refinement of that rule).
+    *
+    * `score` is evaluated against `df`'s columns in the scan projection, so
+    * document bodies never shuffle: only (id, cluster_id, score) enters the
+    * per-cluster ranking window — one hash exchange on cluster_id, the same
+    * partitioning the cluster_size window already established.
+    */
+  def keepBest(df: DataFrame, textCol: String, idCol: String,
+               score: Column, threshold: Double = 0.5): DataFrame = {
+    val clusters = dupClusters(df, textCol, idCol, threshold = threshold)
+      .select(col(idCol), col("cluster_id"), col("cluster_size"))
+    val scored = df.select(col(idCol), score.as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col(idCol).asc)
+    clusters.join(scored, Seq(idCol))
+      .withColumn("keep", row_number().over(w) === 1)
+  }
+
   // ---------------------------------------------------------------- simhash
 
   /** SimHash signature width: 60 bits — the width of [[Text.portableHash]]

@@ -48,4 +48,31 @@ object Sharding {
         min(col(idCol)).as("min_doc_id"),
         max(col(idCol)).as("max_doc_id"),
         expr("bit_xor(__h)").as("digest"))
+
+  /** Deterministic training-order shuffle (the "epoch shuffle" a trainer
+    * consumes): token-budgeted [[shardAssign]] shards, a shuffled
+    * WITHIN-shard position (`pos` = rank of the doc's sha256 ratio inside
+    * its shard), and a shuffled SHARD order key (`shard_key` = the sha256
+    * ratio of the shard's identity) — the WebDataset-style two-level
+    * shuffle: shards are read in `shard_key` order, documents within a
+    * shard in `pos` order. Zero RNG state: both levels are seeded sha256
+    * ratios, so the epoch order is reproducible across runs and engines
+    * (re-seed for the next epoch).
+    *
+    * Scale posture: no global ordering anywhere — `pos` is a window inside
+    * the (source, shard_id) partition key (bounded by shard budget), and
+    * `shard_key` is a pure per-row expression; the trainer sorts the
+    * manifest-scale shard list itself. One hash exchange on source (shared
+    * with the assignment window), bodies never shuffle.
+    */
+  def shuffleOrder(df: DataFrame, idCol: String, srcCol: String,
+                   tokCount: Column, budget: Long, seed: Int): DataFrame = {
+    val w = Window.partitionBy(col(srcCol), col("shard_id"))
+      .orderBy(Curation.hashRatio(col(idCol), seed).asc, col(idCol).asc)
+    shardAssign(df, idCol, srcCol, tokCount, budget)
+      .withColumn("pos", row_number().over(w))
+      .withColumn("shard_key",
+        Curation.hashRatio(
+          concat_ws("/", col(srcCol), col("shard_id")), seed))
+  }
 }

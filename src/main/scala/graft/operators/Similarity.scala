@@ -521,4 +521,109 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
   }
+
+  /** IVF-ADC — the composed FAISS-at-scale index (Jégou et al. §V): a
+    * coarse quantizer partitions the corpus into inverted lists, vectors
+    * store only the `m`-byte PQ code of their RESIDUAL (v − centroid), and
+    * queries probe the `nprobe` nearest lists scoring asymmetric distance
+    * against a per-(query, probed-list) residual lookup table. This is the
+    * memory-AND-compute story at 100 TB: the scan side touches codes inside
+    * probed lists only — never raw vectors, never unprobed lists.
+    *
+    * Coarse centroids and residual codebooks are deterministic stride
+    * samples (the [[annIvf]]/[[annPq]] discipline — trained quantizers swap
+    * in without touching the plan; [[annIvfTrained]] shows the trained
+    * path). Metric is squared Euclidean throughout — the quantizer's
+    * objective, per-subspace distances rounded to 6 and ADC-summed through
+    * exact decimals, so ranking is aggregation-order-free and oracle-exact.
+    *
+    * Plan shape: centroids are kc×dim literal structs (assignment and
+    * probing are join-free per-row argmins); the centroid ATTACH for
+    * residuals is a broadcast hash join keyed on the assigned list; the
+    * codebook is ks rows broadcast into the one-aggregate encode (ONE
+    * shuffled row per corpus vector, all m subspaces collapsed map-side);
+    * the ADC join matches (list, subspace, code) against a broadcast
+    * Q×nprobe×ks×m LUT and partial-aggregates to one row per
+    * (query, vector) before the shuffle.
+    */
+  def annIvfPq(queries: DataFrame, corpus: DataFrame, idCol: String,
+               vecCol: String, k: Int, dim: Int = 64, m: Int = 8,
+               ks: Int = 16, kc: Int = 8, nprobe: Int = 2): DataFrame = {
+    require(dim % m == 0, s"annIvfPq: dim $dim must split into $m subspaces")
+    val n = corpus.count() // metadata-scale, the annIvf stride count
+    val cStride = math.max(1L, n / kc)
+    val v = corpus.select(col(idCol).as("vec_id"),
+      toDouble(col(vecCol)).as("v"))
+    // coarse centroids: kc stride-sampled vectors, collected as literal
+    // structs (kc×dim doubles through the driver — the kmeansCentroids
+    // artifact-scale hop; assignment/probing then need no join at all)
+    val cents: Seq[(Int, Array[Double])] = v
+      .filter(pmod(col("vec_id"), lit(cStride)) === 0 &&
+        (col("vec_id") / cStride).cast("long") < kc)
+      .select((col("vec_id") / cStride).cast("int").as("cid"), col("v"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    val centFrame = broadcast(
+      corpus.sparkSession.createDataFrame(
+        cents.map { case (i, c) => (i, c.toSeq) }
+      ).toDF("cluster", "centv"))
+    // assign each vector to its nearest list and take the residual
+    val resid = Curation.assign(v, cents)
+      .join(centFrame, Seq("cluster")) // broadcast attach, map-side
+      .select(col("vec_id"), col("cluster"),
+        zip_with(col("v"), col("centv"), (x, y) => x - y).as("rv"))
+    // residual codebook: ks stride-sampled RESIDUALS, broadcast
+    val rStride = math.max(1L, n / ks)
+    val cb = resid
+      .filter(pmod(col("vec_id"), lit(rStride)) === 0 &&
+        (col("vec_id") / rStride).cast("long") < ks)
+      .select((col("vec_id") / rStride).cast("int").as("code"),
+        col("rv").as("cbv"))
+    val dSub = dim / m
+    def subD(a: Column, b: Column, mIdx: Int): Column =
+      round(aggregate(
+        zip_with(slice(a, mIdx * dSub + 1, dSub),
+          slice(b, mIdx * dSub + 1, dSub),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x), 6)
+    // encode: per-subspace argmin over the broadcast codebook, all m
+    // subspaces collapsed in ONE aggregate — one shuffled row per vector
+    val codeAggs = (0 until m).map { mi =>
+      min_by(col("code"), struct(subD(col("rv"), col("cbv"), mi),
+        col("code"))).as(s"c$mi")
+    }
+    val enc = resid.crossJoin(broadcast(cb))
+      .groupBy(col("vec_id"), col("cluster"))
+      .agg(codeAggs.head, codeAggs.tail: _*)
+    val encLong = enc.select(col("vec_id").as("neighbor_id"), col("cluster"),
+      posexplode(array((0 until m).map(mi => col(s"c$mi")): _*))
+        .as(Seq("m", "code")))
+    // queries probe their nprobe nearest lists IN THE QUANTIZER METRIC and
+    // build the residual LUT per probed list: Q×nprobe×ks×m rows, broadcast
+    val q = queries.select(col(idCol).as("vec_id"),
+      toDouble(col(vecCol)).as("v"))
+    val qres = Curation.assignN(q, cents, nprobe)
+      .join(centFrame, Seq("cluster"))
+      .select(col("vec_id").as("query_id"), col("cluster"),
+        zip_with(col("v"), col("centv"), (x, y) => x - y).as("qr"))
+    val lut = qres.crossJoin(broadcast(cb))
+      .select(col("query_id") +: col("cluster") +: col("code") +:
+        (0 until m).map(mi => subD(col("qr"), col("cbv"), mi).as(s"d$mi")): _*)
+      .select(col("query_id"), col("cluster"), col("code"),
+        posexplode(array((0 until m).map(mi => col(s"d$mi")): _*))
+        .as(Seq("m", "d")))
+    val adc = encLong.join(broadcast(lut), Seq("cluster", "m", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(graft.queries.Q.sumDec(col("d"), 6).as("adist"),
+        // a neighbor lives in exactly one list and a query probes that
+        // list at most once, so cluster is constant per group
+        min(col("cluster")).as("centroid_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    adc.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("centroid_id"),
+        col("adist"), col("rank"))
+  }
 }

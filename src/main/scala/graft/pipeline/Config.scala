@@ -131,10 +131,13 @@ object Config {
                                 maxRepetition: Option[Double]) extends CorpusStep
   /** Exact dedup: keep the smallest-id document per identical text. */
   final case class CorpusDedupExact() extends CorpusStep
-  /** Near-dup dedup: minhash clustering, keep each cluster's canonical
-    * (smallest-id) document — Dedup.dupClusters.
+  /** Near-dup dedup: minhash clustering, keep one document per cluster —
+    * `keep: min_id` (default, Dedup.dupClusters' canonical) or
+    * `keep: best_quality` (the highest-qualityScore copy, ties to min id —
+    * Dedup.keepBest).
     */
-  final case class CorpusDedupFuzzy(threshold: Double) extends CorpusStep
+  final case class CorpusDedupFuzzy(threshold: Double,
+                                    keep: String = "min_id") extends CorpusStep
   /** Benchmark n-gram decontamination: drop documents sharing any word
     * n-gram with the benchmark source. `method: exact` (default) is the
     * n-gram equi-join (Curation.decontaminate — batch only); `method:
@@ -203,7 +206,9 @@ object Config {
     * n_tokens + shard_id within each `by`-partition. Terminal like chunk —
     * it appends serving columns.
     */
-  final case class CorpusShard(by: String, budget: Long) extends CorpusStep
+  final case class CorpusShard(by: String, budget: Long,
+                               shuffleSeed: Option[Int] = None)
+    extends CorpusStep
   /** Crawl text extraction (operators/Crawl.htmlText): the text column is
     * replaced by the visible text, one line per block element — the step
     * that makes a raw-HTML source enter the journey. Stateless per-row →
@@ -895,11 +900,14 @@ object Config {
       case "dedup_exact" =>
         check(); CorpusDedupExact()
       case "dedup_fuzzy" =>
-        check("threshold")
+        check("threshold", "keep")
         val thr = dblOpt(t, "threshold").getOrElse(0.5)
         if (thr <= 0.0 || thr > 1.0)
           fail(s"$ctx.threshold must be in (0, 1], got $thr")
-        CorpusDedupFuzzy(thr)
+        val keep = strOpt(t, "keep").getOrElse("min_id")
+        if (keep != "min_id" && keep != "best_quality")
+          fail(s"$ctx.keep must be 'min_id' or 'best_quality', got '$keep'")
+        CorpusDedupFuzzy(thr, keep)
       case "decontaminate" =>
         check("benchmark", "ngram", "method", "artifact")
         val n = intOpt(t, "ngram").getOrElse(8)
@@ -965,10 +973,11 @@ object Config {
         CorpusMix(str(t, "by", ctx), intOpt(t, "seed").getOrElse(0),
           strOpt(t, "artifact"))
       case "shard" =>
-        check("by", "budget")
+        check("by", "budget", "shuffle_seed")
         val budget = intOpt(t, "budget").getOrElse(fail(s"$ctx needs a budget"))
         if (budget <= 0) fail(s"$ctx.budget must be > 0, got $budget")
-        CorpusShard(str(t, "by", ctx), budget.toLong)
+        CorpusShard(str(t, "by", ctx), budget.toLong,
+          intOpt(t, "shuffle_seed"))
       case "extract" =>
         check("format")
         val fmt = strOpt(t, "format").getOrElse("html")

@@ -501,17 +501,26 @@ object ConfigRuntime {
           val keepers = hashed.groupBy(col("__h"))
             .agg(min(id).as(c.idCol))
           hashed.join(keepers, Seq("__h", c.idCol)).drop("__h")
-        case Config.CorpusDedupFuzzy(threshold) =>
+        case Config.CorpusDedupFuzzy(threshold, keep) =>
           // snapshot the curated-so-far frame ONCE: the clustering consumes
           // it several times (duplication probe, signature build, CC
           // rounds) and the canonical set joins back against it — without
           // the checkpoint the upstream filter/dedup subtree recomputes per
           // action (measured 6.5 s → ~3.8-4.3 s at sf0.1, similar load)
           val snap = df.localCheckpoint(eager = false)
-          val canonical = graft.operators.Dedup
-            .dupClusters(snap, c.textCol, c.idCol, threshold = threshold)
-            .where(col(c.idCol) === col("cluster_id"))
-            .select(col(c.idCol))
+          val canonical =
+            if (keep == "best_quality")
+              // quality-ranked keep: the highest-qualityScore copy per
+              // cluster survives (ties to min id) — Dedup.keepBest
+              graft.operators.Dedup
+                .keepBest(snap, c.textCol, c.idCol,
+                  Text.qualityScore(text), threshold = threshold)
+                .where(col("keep")).select(col(c.idCol))
+            else
+              graft.operators.Dedup
+                .dupClusters(snap, c.textCol, c.idCol, threshold = threshold)
+                .where(col(c.idCol) === col("cluster_id"))
+                .select(col(c.idCol))
           snap.join(canonical, Seq(c.idCol))
         case Config.CorpusDecontaminate(bench, n, "bloom", artifact) =>
           // the benchmark collapses into a fixed bitmap at plan build; the
@@ -639,11 +648,19 @@ object ConfigRuntime {
                 .filter(Curation.hashRatio(id, seed) < col("rate"))
                 .drop("rate")
           }
-        case Config.CorpusShard(by, budget) =>
+        case Config.CorpusShard(by, budget, shuffleSeed) =>
           // terminal serving step: token-budgeted shard ids appended within
-          // each `by` partition (one hash exchange, sequence_pack's rule)
-          graft.operators.Sharding.shardAssign(df, c.idCol, by,
-            Text.tokenCountWs(text), budget)
+          // each `by` partition (one hash exchange, sequence_pack's rule);
+          // with shuffle_seed, the deterministic epoch order (pos within
+          // shard + shard order key) rides the same exchange
+          shuffleSeed match {
+            case Some(seed) =>
+              graft.operators.Sharding.shuffleOrder(df, c.idCol, by,
+                Text.tokenCountWs(text), budget, seed)
+            case None =>
+              graft.operators.Sharding.shardAssign(df, c.idCol, by,
+                Text.tokenCountWs(text), budget)
+          }
         case Config.CorpusExtract(_) =>
           // crawl text extraction: the text column becomes the visible
           // text, one line per block element — per-row codegen, no shuffle

@@ -1,0 +1,324 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.operators.{Crawl, Dedup, Sharding, Similarity}
+import Q._
+
+/** Round-9 serving/reporting heads: quality-aware dedup canonical selection,
+  * deterministic training-order shuffle, the per-source corpus report card,
+  * crawl-generation diff, and the composed IVF+PQ ANN index. Oracles are
+  * generated from the SAME constants as the Spark plans (house rule — the
+  * two sides cannot drift).
+  */
+object QueriesServe {
+
+  // shared constants — the Spark plans and the oracle SQL both read these
+  private val ShardBudget = 2000L
+  private val ShuffleSeed = 11
+  private val IpqDim = 64
+  private val IpqM = 8
+  private val IpqKs = 16
+  private val IpqKc = 8
+  private val IpqNprobe = 2
+  private val IpqK = 5
+
+  // --- SQL twins of graft.functions.Text ----------------------------------
+
+  private def occSql(m: String): String =
+    s"(length(text) - length(replace(text, '$m', ''))) / ${m.length}"
+
+  /** Text.qualityScore twin (same op order, rounded 6). */
+  private def qualitySql: String = {
+    val stops = Text.StopMarkers.map(occSql).mkString(" + ")
+    s"""ROUND(LEAST(1.0, CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) / 100.0)
+        * (1.0 - CAST(length(text) - length(translate(text, '${Text.PunctChars}', '')) AS DOUBLE)
+                 / GREATEST(length(text), 1))
+        * (0.5 + LEAST(($stops) / CAST(GREATEST(len(regexp_extract_all(text, '\\S+')), 1) AS DOUBLE) * 2.0, 0.5)),
+        6)"""
+  }
+
+  /** Curation.hashRatio twin: sha256 53-bit ratio in [0,1). */
+  private def ratioSql(tokenExpr: String, seed: Int): String =
+    s"CAST(CAST('0x' || substr(sha256('$seed|' || CAST($tokenExpr AS VARCHAR)), 3, 14) AS BIGINT) & 9007199254740991 AS DOUBLE) / 9007199254740992.0"
+
+  // ------------------------------------------------------------ oracle SQL
+
+  private def dedupKeepBestSql: String =
+    s"""WITH RECURSIVE ${QueriesLlm.minhashCtes()},
+        ${QueriesLlm.minhashClosureCtes("documents")},
+        quality AS (SELECT doc_id, $qualitySql AS score FROM documents),
+        sized AS (
+          SELECT doc_id, cluster_id,
+                 count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+          FROM lab)
+        SELECT s.doc_id, s.cluster_id, s.cluster_size, q.score,
+               row_number() OVER (PARTITION BY s.cluster_id
+                 ORDER BY q.score DESC, s.doc_id ASC) = 1 AS keep
+        FROM sized s JOIN quality q USING (doc_id)"""
+
+  private def shardShuffleSql: String =
+    s"""WITH toked AS (
+          SELECT doc_id, source,
+                 CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                   AS n_tokens
+          FROM documents),
+        assigned AS (
+          SELECT doc_id, source, n_tokens,
+                 CAST(coalesce(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   // $ShardBudget AS BIGINT) AS shard_id
+          FROM toked)
+        SELECT doc_id, source, shard_id, n_tokens,
+               row_number() OVER (PARTITION BY source, shard_id
+                 ORDER BY ${ratioSql("doc_id", ShuffleSeed)}, doc_id) AS pos,
+               ${ratioSql("source || '/' || CAST(shard_id AS VARCHAR)",
+                 ShuffleSeed)} AS shard_key
+        FROM assigned"""
+
+  private def corpusStatsSql: String =
+    s"""SELECT source,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+            AS n_tokens,
+          ROUND(CAST(SUM(CAST(q AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6)
+            AS mean_quality,
+          CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_en
+        FROM (SELECT source, lang, text, $qualitySql AS q FROM documents)
+        GROUP BY source"""
+
+  private def corpusDiffSql: String =
+    s"""WITH ga AS (
+          SELECT doc_id, sha256(text) AS dgst
+          FROM documents WHERE doc_id % 3 != 0),
+        gb AS (
+          SELECT doc_id,
+                 sha256(CASE WHEN doc_id % 7 = 0 THEN text || ' (rev)'
+                             ELSE text END) AS dgst
+          FROM documents WHERE doc_id % 5 != 0)
+        SELECT coalesce(ga.doc_id, gb.doc_id) AS doc_id,
+               CASE WHEN ga.dgst IS NULL THEN 'added'
+                    WHEN gb.dgst IS NULL THEN 'removed'
+                    WHEN ga.dgst = gb.dgst THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM ga FULL OUTER JOIN gb ON ga.doc_id = gb.doc_id"""
+
+  /** config_corpus_order twin: quality gate → best-quality near-dup keep →
+    * shuffled token-budgeted sharding, fully composed (shared builders:
+    * QueriesLlm.corpusFilterSql / minhashCtes / minhashClosureCtes,
+    * [[qualitySql]], [[ratioSql]]).
+    */
+  private def corpusOrderSql: String =
+    s"""WITH RECURSIVE
+        verdicts AS (${QueriesLlm.corpusFilterSql}),
+        kept0 AS (
+          SELECT d.doc_id, d.text, d.source FROM documents d
+          JOIN verdicts f USING (doc_id) WHERE f.keep),
+        ${QueriesLlm.minhashCtes("kept0")},
+        ${QueriesLlm.minhashClosureCtes("kept0")},
+        quality AS (SELECT doc_id, $qualitySql AS score FROM kept0),
+        keepers AS (
+          SELECT doc_id FROM (
+            SELECT l.doc_id,
+                   row_number() OVER (PARTITION BY l.cluster_id
+                     ORDER BY q.score DESC, l.doc_id ASC) AS r
+            FROM lab l JOIN quality q USING (doc_id))
+          WHERE r = 1),
+        kept1 AS (
+          SELECT k.doc_id, k.text, k.source FROM kept0 k
+          JOIN keepers USING (doc_id)),
+        toked AS (
+          SELECT doc_id, source,
+                 CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                   AS n_tokens
+          FROM kept1),
+        assigned AS (
+          SELECT doc_id, source, n_tokens,
+                 CAST(coalesce(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   // $ShardBudget AS BIGINT) AS shard_id
+          FROM toked)
+        SELECT doc_id, source, shard_id, n_tokens,
+               row_number() OVER (PARTITION BY source, shard_id
+                 ORDER BY ${ratioSql("doc_id", ShuffleSeed)}, doc_id) AS pos,
+               ${ratioSql("source || '/' || CAST(shard_id AS VARCHAR)",
+                 ShuffleSeed)} AS shard_key
+        FROM assigned"""
+
+  private def annIvfPqSql: String = {
+    val dSub = IpqDim / IpqM
+    // sequential-fold squared L2 over a subspace slice, rounded 6 — the
+    // SAME fold order as Similarity's aggregate(zip_with(...))
+    def subFold(a: String, b: String): String =
+      s"""ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            [($a[mm.m*$dSub+i] - $b[mm.m*$dSub+i]) *
+             ($a[mm.m*$dSub+i] - $b[mm.m*$dSub+i])
+             for i in generate_series(1, $dSub)]),
+            (acc, x) -> acc + x), 6)"""
+    def fullFold(a: String, b: String): String =
+      s"""ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            [($a[i] - $b[i]) * ($a[i] - $b[i])
+             for i in generate_series(1, $IpqDim)]),
+            (acc, x) -> acc + x), 6)"""
+    s"""WITH v AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+          FROM embeddings),
+        nn AS (SELECT GREATEST(count(*) // $IpqKc, 1) AS cstride,
+                      GREATEST(count(*) // $IpqKs, 1) AS rstride
+               FROM v),
+        cents AS (
+          SELECT CAST(vec_id // cstride AS INTEGER) AS cluster, v AS cv
+          FROM v, nn
+          WHERE vec_id % cstride = 0 AND vec_id // cstride < $IpqKc),
+        assigned AS (
+          SELECT vec_id, v, cluster, cv FROM (
+            SELECT t.vec_id, t.v, c.cluster, c.cv,
+                   row_number() OVER (PARTITION BY t.vec_id
+                     ORDER BY ${fullFold("t.v", "c.cv")}, c.cluster) AS r
+            FROM v t, cents c)
+          WHERE r = 1),
+        resid AS (
+          SELECT vec_id, cluster,
+                 [v[i] - cv[i] for i in generate_series(1, $IpqDim)] AS rv
+          FROM assigned),
+        cb AS (
+          SELECT CAST(vec_id // rstride AS INTEGER) AS code, rv AS cbv
+          FROM resid, nn
+          WHERE vec_id % rstride = 0 AND vec_id // rstride < $IpqKs),
+        mm AS (SELECT unnest(generate_series(0, ${IpqM - 1})) AS m),
+        enc AS (
+          SELECT vec_id AS neighbor_id, cluster, m, code FROM (
+            SELECT r.vec_id, r.cluster, mm.m, c.code,
+                   row_number() OVER (PARTITION BY r.vec_id, mm.m
+                     ORDER BY ${subFold("r.rv", "c.cbv")}, c.code) AS rr
+            FROM resid r, cb c, mm)
+          WHERE rr = 1),
+        probes AS (
+          SELECT vec_id AS query_id, v, cluster, cv FROM (
+            SELECT t.vec_id, t.v, c.cluster, c.cv,
+                   row_number() OVER (PARTITION BY t.vec_id
+                     ORDER BY ${fullFold("t.v", "c.cv")}, c.cluster) AS r
+            FROM v t, cents c WHERE t.vec_id < $IpqK)
+          WHERE r <= $IpqNprobe),
+        qres AS (
+          SELECT query_id, cluster,
+                 [v[i] - cv[i] for i in generate_series(1, $IpqDim)] AS qr
+          FROM probes),
+        lut AS (
+          SELECT q.query_id, q.cluster, c.code, mm.m,
+                 ${subFold("q.qr", "c.cbv")} AS d
+          FROM qres q, cb c, mm),
+        adc AS (
+          SELECT l.query_id, e.neighbor_id,
+                 MIN(e.cluster) AS centroid_id,
+                 CAST(SUM(CAST(d AS DECIMAL(30,6))) AS DOUBLE) AS adist
+          FROM enc e
+          JOIN lut l ON l.cluster = e.cluster AND l.m = e.m
+                    AND l.code = e.code
+          WHERE l.query_id != e.neighbor_id
+          GROUP BY l.query_id, e.neighbor_id)
+        SELECT query_id, neighbor_id, centroid_id, adist, rnk
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY adist ASC, neighbor_id ASC) AS rnk FROM adc)
+        WHERE rnk <= $IpqK"""
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, QueryFn] = Map(
+
+    // Quality-aware canonical selection: within each near-dup cluster keep
+    // the BEST doc by (quality desc, id asc) — the curation refinement of
+    // dedup_keep's min-id rule.
+    "dedup_keep_best" -> { (s, d) =>
+      Dedup.keepBest(documents(s, d), "text", "doc_id",
+        Text.qualityScore(col("text")))
+    },
+
+    // Deterministic two-level training-order shuffle: token-budgeted shards,
+    // sha256-ratio within-shard positions, sha256-ratio shard order keys —
+    // the trainer-consumable epoch order, zero RNG state.
+    "shard_shuffle" -> { (s, d) =>
+      Sharding.shuffleOrder(documents(s, d), "doc_id", "source",
+        Text.tokenCountWs(col("text")), ShardBudget, ShuffleSeed)
+        .select(col("doc_id"), col("source"), col("shard_id"),
+          col("n_tokens"), col("pos"), col("shard_key"))
+    },
+
+    // The per-source corpus report card: doc/token counts, exact-decimal
+    // mean quality, language spread — ONE partial-aggregated groupBy.
+    "corpus_stats" -> { (s, d) =>
+      val q = Text.qualityScore(col("text"))
+      documents(s, d)
+        .select(col("source"), col("lang"), q.as("q"),
+          Text.tokenCountWs(col("text")).cast("long").as("t"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("t")).as("n_tokens"),
+          round(Q.sumDec(col("q"), 6) / count(lit(1)), 6).as("mean_quality"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+    },
+
+    // Crawl-generation diff: gen A = doc_id % 3 != 0, gen B = doc_id % 5
+    // != 0 with a content revision planted at doc_id % 7 == 0 — every
+    // status fires. The per-page status set feeds incremental planning.
+    "corpus_diff" -> { (s, d) =>
+      val docs = documents(s, d)
+      val genA = docs.filter(col("doc_id") % 3 =!= 0)
+      val genB = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" (rev)")))
+            .otherwise(col("text")))
+      Crawl.corpusDiff(genA, genB, "doc_id", "text")
+    },
+
+    // The declarative SERVE-ORDER journey: `corpus:` quality gate →
+    // near-dup dedup with keep: best_quality (the quality-ranked canonical)
+    // → shard with shuffle_seed (the deterministic epoch order) — the new
+    // serving steps composed from YAML vs a fully composed oracle.
+    "config_corpus_order" -> { (s, d) =>
+      val project = graft.pipeline.Config.parseProject(
+        """sources:
+          |  - id: docs
+          |    loader: { transport: fs, path: documents.parquet, reader: { format: parquet } }
+          |corpus:
+          |  source: docs
+          |  id: doc_id
+          |  text: text
+          |  steps:
+          |    - { step: filter, lang: en, min_quality: 0.3, max_repetition: 0.8 }
+          |    - { step: dedup_fuzzy, threshold: 0.5, keep: best_quality }
+          |    - { step: shard, by: source, budget: 2000, shuffle_seed: 11 }
+          |""".stripMargin)
+      graft.pipeline.ConfigRuntime.corpus(s, d, project)
+        .select(col("doc_id"), col("source"), col("shard_id"),
+          col("n_tokens"), col("pos"), col("shard_key"))
+    },
+
+    // IVF-ADC: coarse lists + residual PQ codes + probed-list ADC scan —
+    // the composed memory-bounded ANN at 100 TB.
+    "ann_ivfpq" -> { (s, d) =>
+      val e = embeddings(s, d)
+      Similarity.annIvfPq(e.filter(col("vec_id") < IpqK), e, "vec_id",
+        "embedding", k = IpqK, dim = IpqDim, m = IpqM, ks = IpqKs,
+        kc = IpqKc, nprobe = IpqNprobe)
+        .select(col("query_id"), col("neighbor_id"), col("centroid_id"),
+          col("adist"), col("rank").as("rnk"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_keep_best" -> dedupKeepBestSql,
+    "shard_shuffle" -> shardShuffleSql,
+    "corpus_stats" -> corpusStatsSql,
+    "corpus_diff" -> corpusDiffSql,
+    "config_corpus_order" -> corpusOrderSql,
+    "ann_ivfpq" -> annIvfPqSql
+  )
+}

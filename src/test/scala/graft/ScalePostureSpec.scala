@@ -95,7 +95,8 @@ class ScalePostureSpec extends SparkSpec {
       "domain_mix",       // one-row mixture totals onto the per-domain table
       "config_corpus_serve", // same one-row mixture totals (the mix step)
       "config_corpus_full",  // same one-row mixture totals (the mix step)
-      "ann_pq"            // ks-row codebook cross into encode + ADC LUT
+      "ann_pq",           // ks-row codebook cross into encode + ADC LUT
+      "ann_ivfpq"         // ks-row residual codebook cross into encode + LUT
     )
     val skip = Set("sink_roundtrip", "sink_run_dir", "src_http", "src_csv",
       "src_jsonl") // side-effecting writes; plans are plain re-reads

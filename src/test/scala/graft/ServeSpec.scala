@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Crawl, Dedup, Sharding, Similarity}
+
+/** Round-9 serving/reporting operators: quality-aware dedup keep, the
+  * deterministic training-order shuffle, crawl-generation diff, and the
+  * composed IVF+PQ ANN.
+  */
+class ServeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- Dedup.keepBest -----------------------------------------------------
+
+  private val dupDocs = Seq(
+    // a near-dup cluster: same text, one copy longer/higher quality
+    (1L, "the quick brown fox jumps over the lazy dog again and again ok"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"),
+    // an unrelated singleton
+    (3L, "completely different text about distributed query engines")
+  ).toDF("doc_id", "text")
+
+  test("keepBest keeps exactly one doc per cluster, by (score desc, id asc)") {
+    // score by doc length: doc 1 is the longer near-dup → it wins even
+    // though doc 2... wait, doc 1 already has the min id; invert the score
+    // so doc 2 wins and the min-id convention would have picked doc 1.
+    val out = Dedup.keepBest(dupDocs, "text", "doc_id",
+        -length(col("text")).cast("double"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(4)))).toMap
+    assert(out(1L)._1 == out(2L)._1, "near-dups share a cluster")
+    assert(!out(1L)._2 && out(2L)._2,
+      "the higher-scored doc 2 is kept, not the min-id doc 1")
+    assert(out(3L)._2, "singletons keep themselves")
+  }
+
+  test("keepBest ties break by min id") {
+    val out = Dedup.keepBest(dupDocs, "text", "doc_id", lit(1.0))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out(1L) && !out(2L) && out(3L))
+  }
+
+  // --- Sharding.shuffleOrder ----------------------------------------------
+
+  private val shardDocs = (0L until 40L)
+    .map(i => (i, if (i < 20) "a" else "b", "w " * 500)) // 500 tokens each
+    .toDF("doc_id", "source", "text")
+
+  test("shuffleOrder: pos is a permutation of 1..n within each shard") {
+    val out = Sharding.shuffleOrder(shardDocs, "doc_id", "source",
+        graft.functions.Text.tokenCountWs(col("text")), 2000L, seed = 11)
+      .select("source", "shard_id", "pos")
+    val byShard = out.collect()
+      .groupBy(r => (r.getString(0), r.getLong(1)))
+    byShard.foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length))
+    }
+    // 500-token docs, 2000 budget → 4 docs per shard
+    assert(byShard.values.forall(_.length == 4))
+  }
+
+  test("shuffleOrder is deterministic and actually permutes") {
+    val run = () => Sharding.shuffleOrder(shardDocs, "doc_id", "source",
+        graft.functions.Text.tokenCountWs(col("text")), 2000L, seed = 11)
+      .select("doc_id", "pos", "shard_key").collect().toSeq.map(_.toSeq)
+    assert(run() == run(), "same seed → identical epoch order")
+    val out = run()
+    // at least one shard's hash order differs from id order
+    assert(out.exists { case Seq(id: Long, pos: Int, _) =>
+      (id % 4 + 1).toInt != pos
+    }, "the sha256 ratio order differs from insertion order somewhere")
+    // shard_key is a ratio in [0,1)
+    assert(out.forall { case Seq(_, _, k: Double) => k >= 0.0 && k < 1.0 })
+  }
+
+  // --- corpus: config surface ---------------------------------------------
+
+  private def corpusYaml(steps: String) =
+    s"""sources:
+       |  - id: docs
+       |    loader: { transport: fs, path: documents.parquet, reader: { format: parquet } }
+       |corpus:
+       |  source: docs
+       |  id: doc_id
+       |  text: text
+       |  steps:
+       |$steps
+       |""".stripMargin
+
+  test("corpus config rejects an unknown dedup_fuzzy keep") {
+    val ex = intercept[Exception] {
+      graft.pipeline.Config.parseProject(corpusYaml(
+        "    - { step: dedup_fuzzy, threshold: 0.5, keep: longest }"))
+    }
+    assert(ex.getMessage.contains("keep"))
+  }
+
+  test("corpus config parses keep: best_quality and shard shuffle_seed") {
+    val p = graft.pipeline.Config.parseProject(corpusYaml(
+      """    - { step: dedup_fuzzy, threshold: 0.5, keep: best_quality }
+        |    - { step: shard, by: source, budget: 2000, shuffle_seed: 11 }""".stripMargin))
+    val steps = p.corpus.get.steps
+    assert(steps(0) == graft.pipeline.Config.CorpusDedupFuzzy(0.5, "best_quality"))
+    assert(steps(1) == graft.pipeline.Config.CorpusShard("source", 2000L, Some(11)))
+  }
+
+  // --- Crawl.corpusDiff ---------------------------------------------------
+
+  test("corpusDiff classifies added/removed/changed/unchanged") {
+    val oldGen = Seq((1L, "same"), (2L, "old body"), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val newGen = Seq((1L, "same"), (2L, "new body"), (4L, "fresh"))
+      .toDF("doc_id", "text")
+    val out = Crawl.corpusDiff(oldGen, newGen, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
+  // --- Similarity.annIvfPq ------------------------------------------------
+
+  test("annIvfPq finds a planted exact duplicate at rank 1") {
+    // 32 near-orthogonal 8-dim vectors + an exact duplicate of vec 3 at 100
+    val base = (0L until 32L).map { i =>
+      val v = Array.tabulate(8)(j =>
+        if (j == (i % 8).toInt) 1.0f + i * 0.01f else 0.001f * ((i + j) % 5))
+      (i, v.toSeq)
+    }
+    val corpus = (base :+ ((100L, base(3)._2))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 3L)
+    val out = Similarity.annIvfPq(queries, corpus, "vec_id", "embedding",
+        k = 3, dim = 8, m = 4, ks = 8, kc = 4, nprobe = 2)
+      .collect().sortBy(_.getInt(4))
+    // the duplicate shares vec 3's list and codes → ADC distance is the
+    // self-distance, the minimum possible → rank 1
+    assert(out.head.getLong(1) == 100L)
+    assert(out.map(_.getInt(4)).toSeq == Seq(1, 2, 3))
+  }
+
+  test("annIvfPq only scores vectors in probed lists") {
+    val base = (0L until 32L).map { i =>
+      val v = Array.tabulate(8)(j => if (j == (i % 8).toInt) 1.0f else 0.0f)
+      (i, v.toSeq)
+    }
+    val corpus = base.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 0L)
+    val out = Similarity.annIvfPq(queries, corpus, "vec_id", "embedding",
+      k = 32, dim = 8, m = 4, ks = 8, kc = 4, nprobe = 1)
+    val lists = out.select("centroid_id").distinct().collect().map(_.getInt(0))
+    assert(lists.length == 1, "nprobe=1 → every candidate from one list")
+    assert(out.count() < 32, "unprobed lists are never scanned")
+  }
+}
