@@ -322,6 +322,50 @@ class PlanAuditSpec extends SparkSpec {
       "ADC partial sums must aggregate map-side")
   }
 
+  audit("ann_ivfpq") { plan =>
+    // IVF-ADC: the coarse centroids are plan literals (argmin assignment
+    // and probing are join-free), the centroid attach + ADC LUT join are
+    // broadcast hash equi-joins, the ks-row residual codebook crosses in
+    // as a bounded broadcast, and ADC sums partial-aggregate map-side
+    assert(plan.contains("BroadcastHashJoin"),
+      "centroid attach and the ADC LUT must broadcast-hash-join")
+    assert(plan.contains("HashAggregate"),
+      "encode argmins and ADC partial sums must aggregate map-side")
+    assert(!plan.contains("SortMergeJoin"),
+      "no corpus-sized shuffle join anywhere in the IVF-ADC path")
+  }
+
+  audit("config_corpus_order") { plan =>
+    // filter → best-quality near-dup keep → shuffled sharding composed:
+    // the curated frame enters through its checkpoint boundary, the
+    // canonical set joins back by id (equi-join), and the epoch-order
+    // windows ride the shard exchange
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "journey joins are digest/id equi-joins")
+    assert(plan.contains("Scan ExistingRDD"),
+      "the curated frame must enter through its checkpoint boundary")
+    assert(plan.contains("Window"),
+      "shard assignment + epoch order must plan as windows")
+  }
+
+  audit("dedup_keep_best") { plan =>
+    // the quality score is evaluated in the scan projection and only
+    // (id, cluster, score) enters the ranking window — document bodies
+    // never shuffle: no text column in any Exchange's output
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty, "clustering needs its hash exchanges")
+    assert(plan.contains("Window"),
+      "the per-cluster keep rank must plan as a window")
+  }
+
+  audit("shard_shuffle") { plan =>
+    // one hash exchange on source feeds both the assignment and the
+    // within-shard position windows; shard_key is a pure projection
+    assert(plan.contains("Window"), "two-level order plans as windows")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      "the epoch shuffle is join-free")
+  }
+
   audit("html_extract") { plan =>
     // extraction is a chain of codegen'd string expressions over the scan:
     // any Exchange means it stopped running at scan speed
