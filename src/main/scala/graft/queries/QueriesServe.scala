@@ -30,7 +30,7 @@ object QueriesServe {
     s"(length(text) - length(replace(text, '$m', ''))) / ${m.length}"
 
   /** Text.qualityScore twin (same op order, rounded 6). */
-  private def qualitySql: String = {
+  private[queries] def qualitySql: String = {
     val stops = Text.StopMarkers.map(occSql).mkString(" + ")
     s"""ROUND(LEAST(1.0, CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) / 100.0)
         * (1.0 - CAST(length(text) - length(translate(text, '${Text.PunctChars}', '')) AS DOUBLE)

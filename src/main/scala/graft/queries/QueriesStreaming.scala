@@ -55,6 +55,12 @@ object QueriesStreaming {
       Streaming.asofAttach(s, d, s"graft_stream_asof_$run",
         fileSink(s"asof_$run"))
     },
+    // The corpus report card at ingest: the live per-(source, lang)
+    // monitoring aggregation equals the batch groupBy exactly.
+    "stream_corpus_stats" -> { (s, d) =>
+      Streaming.corpusStats(s, d,
+        s"graft_stream_cstats_${runId.incrementAndGet()}")
+    },
     // Streaming corpus curation: the quality gate applied at ingest equals
     // the batch corpus_filter verdicts.
     "stream_corpus_filter" -> { (s, d) =>
@@ -148,6 +154,17 @@ object QueriesStreaming {
            ON e.user_id = p.user_id AND p.ts <= e.ts""",
     // identical gate, identical verdicts — at ingest instead of at rest
     "stream_corpus_filter" -> QueriesLlm.corpusFilterSql,
+
+    "stream_corpus_stats" ->
+      s"""SELECT source, lang,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+              AS n_tokens,
+            ROUND(CAST(SUM(CAST(q AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6)
+              AS mean_quality
+          FROM (SELECT source, lang, text, ${QueriesServe.qualitySql} AS q
+                FROM documents)
+          GROUP BY source, lang""",
     // the batch filter→dedup_exact prefix of the corpus journey, projected
     // to the digest set (the arrival-independent identity)
     "stream_corpus_dedup" ->

@@ -322,6 +322,31 @@ object Streaming {
     sinkTo(spark, gated, tableName, "append", sinkDir)
   }
 
+  /** The corpus report card AT INGEST: per-(source, lang) doc/token counts
+    * and exact-decimal mean quality over the unbounded document stream — a
+    * plain streaming aggregation (complete mode, no watermark: the group
+    * key space is source×lang-bounded, so state is metadata-scale no
+    * matter how many documents arrive). The monitoring view a crawl
+    * ingest keeps live; final emission equals the batch groupBy exactly
+    * (counts and decimal sums are order-free, the mean is one IEEE
+    * division).
+    */
+  def corpusStats(spark: SparkSession, sfDir: String,
+                  tableName: String): DataFrame = {
+    import graft.functions.Text
+    val t = col("text")
+    val stats = readTable(spark, sfDir, "documents")
+      .select(col("source"), col("lang"),
+        Text.qualityScore(t).as("q"),
+        Text.tokenCountWs(t).cast("long").as("tk"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tk")).as("n_tokens"),
+        round(graft.queries.Q.sumDec(col("q"), 6) / count(lit(1)), 6)
+          .as("mean_quality"))
+    sinkTo(spark, stats, tableName, "complete", None)
+  }
+
   /** Drive a config-declared streaming corpus journey
     * (ConfigRuntime.corpusStream — quality gate + watermarked exact dedup
     * at ingest) over the finite input and return the batch result. Append
