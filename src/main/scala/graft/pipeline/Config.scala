@@ -209,6 +209,14 @@ object Config {
   final case class CorpusShard(by: String, budget: Long,
                                shuffleSeed: Option[Int] = None)
     extends CorpusStep
+  /** Incremental-crawl gate (Crawl.corpusDiff's added ∪ changed set as a
+    * filter): keep only documents that are NEW or CHANGED relative to the
+    * `against` snapshot source — the planning gate that stops a pipeline
+    * re-processing unchanged pages every crawl. Bodies never shuffle (only
+    * id + digest enter the join); the previous side is a plain batch
+    * source, so the step also STREAMS as a stream-static join.
+    */
+  final case class CorpusDiff(against: String) extends CorpusStep
   /** Crawl text extraction (operators/Crawl.htmlText): the text column is
     * replaced by the visible text, one line per block element — the step
     * that makes a raw-HTML source enter the journey. Stateless per-row →
@@ -978,6 +986,9 @@ object Config {
         if (budget <= 0) fail(s"$ctx.budget must be > 0, got $budget")
         CorpusShard(str(t, "by", ctx), budget.toLong,
           intOpt(t, "shuffle_seed"))
+      case "diff" =>
+        check("against")
+        CorpusDiff(str(t, "against", ctx))
       case "extract" =>
         check("format")
         val fmt = strOpt(t, "format").getOrElse("html")

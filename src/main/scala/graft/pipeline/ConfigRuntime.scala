@@ -661,6 +661,21 @@ object ConfigRuntime {
               graft.operators.Sharding.shardAssign(df, c.idCol, by,
                 Text.tokenCountWs(text), budget)
           }
+        case Config.CorpusDiff(against) =>
+          // incremental-crawl gate: keep only pages NEW or CHANGED vs the
+          // previous snapshot — bodies never shuffle, only (id, digest)
+          // enters the join (digest scheme shared with dedup_exact's
+          // "t:"/null sentinel so null texts compare like texts)
+          val dgst = sha2(coalesce(concat(lit("t:"), text.cast("string")),
+            lit("null:")), 256)
+          val prev = res.sourceFrame(against)
+            .select(id, sha2(coalesce(
+              concat(lit("t:"), col(c.textCol).cast("string")),
+              lit("null:")), 256).as("__pd"))
+          df.withColumn("__d", dgst)
+            .join(prev, Seq(c.idCol), "left")
+            .filter(col("__pd").isNull || col("__pd") =!= col("__d"))
+            .drop("__d", "__pd")
         case Config.CorpusExtract(_) =>
           // crawl text extraction: the text column becomes the visible
           // text, one line per block element — per-row codegen, no shuffle
@@ -869,6 +884,22 @@ object ConfigRuntime {
             df.filter(graft.operators.Importance.mixKeepExpr(
               col(c.idCol), col(by), seed,
               graft.operators.Importance.loadRates(path.toString)))
+          case Config.CorpusDiff(against) =>
+            // the incremental gate STREAMS: the previous snapshot is a
+            // static batch side re-planned per micro-batch (the
+            // stream-static join shape of attachStatic) — each arriving
+            // page drops immediately if its digest matches the archive
+            val dgst = sha2(coalesce(concat(lit("t:"), text.cast("string")),
+              lit("null:")), 256)
+            val prev = resolver(spark, dataDir, project)
+              .sourceFrame(against)
+              .select(col(c.idCol), sha2(coalesce(
+                concat(lit("t:"), col(c.textCol).cast("string")),
+                lit("null:")), 256).as("__pd"))
+            df.withColumn("__d", dgst)
+              .join(prev, Seq(c.idCol), "left")
+              .filter(col("__pd").isNull || col("__pd") =!= col("__d"))
+              .drop("__d", "__pd")
           case Config.CorpusExtract(_) =>
             // extraction is per-row — a crawl enters the stream as raw HTML
             df.withColumn(c.textCol, graft.operators.Crawl.htmlText(text))

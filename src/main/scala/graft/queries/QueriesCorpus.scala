@@ -252,7 +252,7 @@ object QueriesCorpus {
   }
 
   /** repetitionRatio twin on a (doc_id, text) relation. */
-  private def repSql(rel: String): String =
+  private[queries] def repSql(rel: String): String =
     s"""ROUND(1.0 - CAST(len(list_distinct(regexp_split_to_array(lower($rel.text), '\\s+'))) AS DOUBLE) /
         CAST(GREATEST(len(regexp_split_to_array(lower($rel.text), '\\s+')), 1) AS DOUBLE), 6)"""
 

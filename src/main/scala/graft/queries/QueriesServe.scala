@@ -150,6 +150,29 @@ object QueriesServe {
                  ShuffleSeed)} AS shard_key
         FROM assigned"""
 
+  /** config_corpus_diff / stream_corpus_diff twin: the incremental-crawl
+    * gate (keep added ∪ changed vs the staged previous snapshot) followed
+    * by the repetition quality gate — digest sentinel scheme shared with
+    * the runtime ("t:"/null:).
+    */
+  private def corpusDiffJourneySql: String =
+    s"""WITH prev AS (
+          SELECT doc_id,
+                 sha256(coalesce('t:' ||
+                   CASE WHEN doc_id % 9 = 0 THEN text || ' old' ELSE text END,
+                   'null:')) AS pd
+          FROM documents WHERE doc_id % 4 != 0),
+        cur AS (
+          SELECT doc_id, source, text,
+                 sha256(coalesce('t:' || text, 'null:')) AS cd
+          FROM documents),
+        gated AS (
+          SELECT c.doc_id, c.source, c.text FROM cur c
+          LEFT JOIN prev p USING (doc_id)
+          WHERE p.pd IS NULL OR p.pd != c.cd)
+        SELECT g.doc_id, g.source FROM gated g
+        WHERE ${QueriesCorpus.repSql("g")} <= 0.8"""
+
   private def annIvfPqSql: String = {
     val dSub = IpqDim / IpqM
     // sequential-fold squared L2 over a subspace slice, rounded 6 — the
@@ -230,6 +253,38 @@ object QueriesServe {
 
   // ---------------------------------------------------------------- queries
 
+  private val streamRun = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Stage the deterministic "previous crawl" snapshot the diff journeys
+    * gate against: 75% of pages present (doc_id % 4 != 0), ~11% of those
+    * with revised content (doc_id % 9 == 0 → " old" suffix).
+    */
+  private def stagePrevSnapshot(s: org.apache.spark.sql.SparkSession,
+                                d: String, name: String): String = {
+    val path = s"/tmp/graft_scratch/$name/docs.parquet"
+    documents(s, d).filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 9 === 0, concat(col("text"), lit(" old")))
+          .otherwise(col("text")))
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  private def diffYaml(prevPath: String): String =
+    s"""sources:
+       |  - id: docs
+       |    loader: { transport: fs, path: documents.parquet, reader: { format: parquet } }
+       |  - id: prev
+       |    loader: { transport: fs, path: $prevPath, reader: { format: parquet } }
+       |corpus:
+       |  source: docs
+       |  id: doc_id
+       |  text: text
+       |  steps:
+       |    - { step: diff, against: prev }
+       |    - { step: filter, max_repetition: 0.8 }
+       |""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
 
     // Quality-aware canonical selection: within each near-dup cluster keep
@@ -301,6 +356,28 @@ object QueriesServe {
           col("n_tokens"), col("pos"), col("shard_key"))
     },
 
+    // The declarative INCREMENTAL-CRAWL journey: a staged previous
+    // snapshot (75% of pages, ~11% of those with revised content) gates
+    // the current crawl down to added ∪ changed pages before quality
+    // filtering — the re-process-only-what-moved discipline from YAML.
+    "config_corpus_diff" -> { (s, d) =>
+      val prevPath = stagePrevSnapshot(s, d, "prev_crawl")
+      val project = graft.pipeline.Config.parseProject(diffYaml(prevPath))
+      graft.pipeline.ConfigRuntime.corpus(s, d, project)
+        .select(col("doc_id"), col("source"))
+    },
+
+    // The incremental gate AT INGEST: the previous snapshot is a static
+    // side re-planned per micro-batch, so the SAME config document streams
+    // — each arriving page drops immediately if its digest matches.
+    "stream_corpus_diff" -> { (s, d) =>
+      val prevPath = stagePrevSnapshot(s, d, "prev_crawl_stream")
+      val project = graft.pipeline.Config.parseProject(diffYaml(prevPath))
+      graft.streaming.Streaming.runCorpusStream(s, d, project,
+        s"graft_stream_diff_${streamRun.incrementAndGet()}")
+        .select(col("doc_id"), col("source"))
+    },
+
     // IVF-ADC: coarse lists + residual PQ codes + probed-list ADC scan —
     // the composed memory-bounded ANN at 100 TB.
     "ann_ivfpq" -> { (s, d) =>
@@ -318,6 +395,8 @@ object QueriesServe {
     "shard_shuffle" -> shardShuffleSql,
     "corpus_stats" -> corpusStatsSql,
     "corpus_diff" -> corpusDiffSql,
+    "config_corpus_diff" -> corpusDiffJourneySql,
+    "stream_corpus_diff" -> corpusDiffJourneySql,
     "config_corpus_order" -> corpusOrderSql,
     "ann_ivfpq" -> annIvfPqSql
   )
