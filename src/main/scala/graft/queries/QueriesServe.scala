@@ -78,6 +78,24 @@ object QueriesServe {
                  ShuffleSeed)} AS shard_key
         FROM assigned"""
 
+  /** quality_threshold_sweep twin: 20 thresholds (i × 0.05 as the SAME
+    * IEEE double multiply the Spark side runs — DuckDB's bare `level *
+    * 0.05` would be exact DECIMAL and disagree with the JVM at e.g.
+    * 17 × 0.05), keep counts from ONE aggregate.
+    */
+  private def qualitySweepSql: String = {
+    val th = "CAST(level AS DOUBLE) * CAST(0.05 AS DOUBLE)"
+    s"""WITH q AS (SELECT $qualitySql AS q FROM documents),
+        t AS (SELECT unnest(generate_series(0, 19)) AS level)
+        SELECT level,
+               $th AS threshold,
+               CAST(SUM(CASE WHEN q.q >= $th THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN q.q >= $th THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*) AS keep_rate
+        FROM q, t GROUP BY level"""
+  }
+
   private def corpusStatsSql: String =
     s"""SELECT source,
           CAST(count(*) AS BIGINT) AS n_docs,
@@ -320,6 +338,24 @@ object QueriesServe {
           sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
     },
 
+    // Threshold calibration for the quality gate: keep counts/rates at 20
+    // candidate thresholds from ONE partial-aggregated pass (20 conditional
+    // sums in a single aggregate — no row explosion), unpivoted to the
+    // report the gate author reads before picking min_quality.
+    "quality_threshold_sweep" -> { (s, d) =>
+      val q = documents(s, d).select(Text.qualityScore(col("text")).as("q"))
+      val aggs = (0 until 20).map(i =>
+        sum(when(col("q") >= i * 0.05, 1L).otherwise(0L)).as(s"k$i"))
+      q.agg(count(lit(1)).as("n"), aggs: _*)
+        .select(col("n"), posexplode(array((0 until 20).map(i =>
+          struct(lit(i).as("level"), col(s"k$i").as("k"))): _*))
+          .as(Seq("idx", "s")))
+        .select(col("s.level").as("level"),
+          (col("s.level") * lit(0.05)).cast("double").as("threshold"),
+          col("s.k").as("n_kept"),
+          (col("s.k").cast("double") / col("n")).as("keep_rate"))
+    },
+
     // Crawl-generation diff: gen A = doc_id % 3 != 0, gen B = doc_id % 5
     // != 0 with a content revision planted at doc_id % 7 == 0 — every
     // status fires. The per-page status set feeds incremental planning.
@@ -395,6 +431,7 @@ object QueriesServe {
     "shard_shuffle" -> shardShuffleSql,
     "corpus_stats" -> corpusStatsSql,
     "corpus_diff" -> corpusDiffSql,
+    "quality_threshold_sweep" -> qualitySweepSql,
     "config_corpus_diff" -> corpusDiffJourneySql,
     "stream_corpus_diff" -> corpusDiffJourneySql,
     "config_corpus_order" -> corpusOrderSql,
