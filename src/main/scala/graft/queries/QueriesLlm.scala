@@ -26,7 +26,7 @@ object QueriesLlm {
       s"[CAST($e1[i] AS DOUBLE) * CAST($e2[i] AS DOUBLE) for i in generate_series(1, len($e1))]), " +
       s"(acc, x) -> acc + x)"
 
-  private def cosSql(e1: String, e2: String): String =
+  private[queries] def cosSql(e1: String, e2: String): String =
     s"(${dotSql(e1, e2)} / (sqrt(${dotSql(e1, e1)}) * sqrt(${dotSql(e2, e2)})))"
 
   private val shinglesSql =

@@ -191,7 +191,54 @@ object QueriesServe {
         SELECT g.doc_id, g.source FROM gated g
         WHERE ${QueriesCorpus.repSql("g")} <= 0.8"""
 
-  private def annIvfPqSql: String = {
+  private def annIvfPqSql: String =
+    s"""WITH ${annIvfPqCtes()}
+        SELECT query_id, neighbor_id, centroid_id, adist, rnk
+        FROM ranked WHERE rnk <= $IpqK"""
+
+  /** ann_recall twin: recall@1 of the IVF-ADC index on the planted-
+    * duplicate corpus (the dedup_semantic precedent — the synthetic
+    * embeddings are near-orthogonal, so only a PLANTED exact duplicate
+    * gives a well-defined true neighbor). The ipq CTE chain is
+    * [[annIvfPqCtes]] verbatim over the augmented corpus; the truth side
+    * is the ann_bruteforce cosine ranking (shared cosSql fold).
+    */
+  private def annRecallSql: String = {
+    def qPred(a: String) = s"$a.vec_id % 10 = 0 AND $a.vec_id < 50"
+    s"""WITH mx AS (SELECT max(vec_id) AS m FROM embeddings),
+        corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + m + 1, embedding FROM embeddings, mx
+          WHERE vec_id % 10 = 0),
+        ${annIvfPqCtes("corpus", qPred("t"))},
+        ipq AS (SELECT query_id, neighbor_id, adist FROM ranked),
+        best AS (SELECT query_id, min(adist) AS best_adist
+                 FROM ipq GROUP BY query_id),
+        bf AS (
+          SELECT query_id, neighbor_id AS truth_id FROM (
+            SELECT eq.vec_id AS query_id, ec.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY eq.vec_id
+                     ORDER BY ${QueriesLlm.cosSql("eq.embedding", "ec.embedding")} DESC,
+                              ec.vec_id ASC) AS rnk
+            FROM corpus eq, corpus ec
+            WHERE ${qPred("eq")} AND eq.vec_id != ec.vec_id)
+          WHERE rnk <= 1)
+        SELECT bf.query_id, bf.truth_id,
+               t.adist AS truth_adist, best.best_adist,
+               coalesce(t.adist = best.best_adist, false) AS hit
+        FROM bf
+        LEFT JOIN ipq t ON t.query_id = bf.query_id
+                       AND t.neighbor_id = bf.truth_id
+        LEFT JOIN best ON best.query_id = bf.query_id"""
+  }
+
+  /** The IVF-ADC CTE chain shared by [[annIvfPqSql]] and [[annRecallSql]]
+    * (ends at `ranked`: per-query ADC order). `src` is the corpus
+    * relation; `qPred` selects the query rows (predicate on `t.vec_id`).
+    */
+  private def annIvfPqCtes(src: String = "embeddings",
+                           qPred: String = s"t.vec_id < $IpqK"): String = {
     val dSub = IpqDim / IpqM
     // sequential-fold squared L2 over a subspace slice, rounded 6 — the
     // SAME fold order as Similarity's aggregate(zip_with(...))
@@ -206,9 +253,9 @@ object QueriesServe {
             [($a[i] - $b[i]) * ($a[i] - $b[i])
              for i in generate_series(1, $IpqDim)]),
             (acc, x) -> acc + x), 6)"""
-    s"""WITH v AS (
+    s"""v AS (
           SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
-          FROM embeddings),
+          FROM $src),
         nn AS (SELECT GREATEST(count(*) // $IpqKc, 1) AS cstride,
                       GREATEST(count(*) // $IpqKs, 1) AS rstride
                FROM v),
@@ -244,7 +291,7 @@ object QueriesServe {
             SELECT t.vec_id, t.v, c.cluster, c.cv,
                    row_number() OVER (PARTITION BY t.vec_id
                      ORDER BY ${fullFold("t.v", "c.cv")}, c.cluster) AS r
-            FROM v t, cents c WHERE t.vec_id < $IpqK)
+            FROM v t, cents c WHERE $qPred)
           WHERE r <= $IpqNprobe),
         qres AS (
           SELECT query_id, cluster,
@@ -262,11 +309,10 @@ object QueriesServe {
           JOIN lut l ON l.cluster = e.cluster AND l.m = e.m
                     AND l.code = e.code
           WHERE l.query_id != e.neighbor_id
-          GROUP BY l.query_id, e.neighbor_id)
-        SELECT query_id, neighbor_id, centroid_id, adist, rnk
-        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                ORDER BY adist ASC, neighbor_id ASC) AS rnk FROM adc)
-        WHERE rnk <= $IpqK"""
+          GROUP BY l.query_id, e.neighbor_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY adist ASC, neighbor_id ASC) AS rnk FROM adc)"""
   }
 
   // ---------------------------------------------------------------- queries
@@ -414,6 +460,43 @@ object QueriesServe {
         .select(col("doc_id"), col("source"))
     },
 
+    // The ANN evaluation harness: recall@1 of the IVF-ADC index against
+    // exact brute-force cosine ground truth on the planted-duplicate
+    // corpus (the dedup_semantic precedent — the synthetic embeddings are
+    // near-orthogonal, so only a planted exact duplicate gives a
+    // well-defined true neighbor). What a pipeline measures before
+    // trusting an approximate index at scale: truth shuffles only Q×k
+    // rows (the bounded TopK aggregator), the index side is the ann_ivfpq
+    // plan over the augmented corpus.
+    "ann_recall" -> { (s, d) =>
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+      val corpus = e.unionByName(
+        e.filter(pmod(col("vec_id"), lit(10)) === 0)
+          .select((col("vec_id") + maxId + 1).as("vec_id"), col("embedding")))
+      val q = corpus.filter(
+        pmod(col("vec_id"), lit(10)) === 0 && col("vec_id") < 50)
+      val truth = Similarity.annBruteForceAgg(q, corpus, "vec_id",
+          "embedding", k = 1)
+        .select(col("query_id"), col("neighbor_id").as("truth_id"))
+      // hit = the true neighbor achieves the MINIMAL ADC score (tie-aware
+      // recall@1 in the index metric: PQ distances quantize, so exact
+      // duplicates of the codes tie — the index retrieved the truth among
+      // its minimal-distance set even when the id tiebreak ranks it later)
+      val adc = Similarity.annIvfPq(q, corpus, "vec_id", "embedding",
+          k = Int.MaxValue, dim = IpqDim, m = IpqM, ks = IpqKs, kc = IpqKc,
+          nprobe = IpqNprobe)
+        .select(col("query_id"), col("neighbor_id").as("truth_id"),
+          col("adist"))
+      val best = adc.groupBy(col("query_id"))
+        .agg(min(col("adist")).as("best_adist"))
+      truth.join(adc, Seq("query_id", "truth_id"), "left")
+        .join(best, Seq("query_id"), "left")
+        .select(col("query_id"), col("truth_id"),
+          col("adist").as("truth_adist"), col("best_adist"),
+          coalesce(col("adist") === col("best_adist"), lit(false)).as("hit"))
+    },
+
     // IVF-ADC: coarse lists + residual PQ codes + probed-list ADC scan —
     // the composed memory-bounded ANN at 100 TB.
     "ann_ivfpq" -> { (s, d) =>
@@ -435,6 +518,7 @@ object QueriesServe {
     "config_corpus_diff" -> corpusDiffJourneySql,
     "stream_corpus_diff" -> corpusDiffJourneySql,
     "config_corpus_order" -> corpusOrderSql,
-    "ann_ivfpq" -> annIvfPqSql
+    "ann_ivfpq" -> annIvfPqSql,
+    "ann_recall" -> annRecallSql
   )
 }
