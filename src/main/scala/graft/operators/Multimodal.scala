@@ -253,27 +253,95 @@ object Multimodal {
     * n_exact = identical-hash copies. Candidate degree is bounded by
     * bucket size; hashes shuffle, pixels never do.
     */
-  def phashDedup(spark: SparkSession, media: DataFrame): DataFrame = {
-    val hashed = phash(spark, media).toDF()
+  def phashDedup(spark: SparkSession, media: DataFrame): DataFrame =
+    bandReport(phash(spark, media).toDF(), "phash")
+
+  /** The shared banded near-dup report behind [[phashDedup]] and
+    * [[audioDedup]]: 4 × 14-bit bands over a 56-bit perceptual hash
+    * column, bucket mates counted via unordered windows (the hash frame
+    * computes once), exact copies via the full-hash window.
+    */
+  private def bandReport(hashed: DataFrame, hCol: String): DataFrame = {
     val byHash = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("phash"))
+      .partitionBy(col(hCol))
     val withExact = hashed
       .withColumn("n_exact", count(lit(1)).over(byHash) - 1)
-    val banded = withExact.select(col("media_id"), col("phash"),
+    val banded = withExact.select(col("media_id"), col(hCol),
       col("n_exact"), posexplode(
         transform(sequence(lit(0), lit(PhashBands - 1)),
-          b => call_function("shiftright", col("phash"), b * PhashBandBits)
+          b => call_function("shiftright", col(hCol), b * PhashBandBits)
             .bitwiseAND(lit(PhashBandMask))))
         .as(Seq("band", "band_val")))
     val bucketW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("band_val"))
     banded.withColumn("bucket_n", count(lit(1)).over(bucketW))
-      .groupBy(col("media_id"), col("phash"), col("n_exact"))
+      .groupBy(col("media_id"), col(hCol), col("n_exact"))
       .agg(sum(col("bucket_n") - 1).as("n_candidates"))
-      .select(col("media_id"), col("phash"),
+      .select(col("media_id"), col(hCol),
         col("n_candidates").cast("long").as("n_candidates"),
         col("n_exact").cast("long").as("n_exact"))
   }
+
+  // ------------------------------------------------------------ audio fp
+
+  case class AudioFpRecord(media_id: Long, afp: Long)
+
+  /** Envelope windows: 57 windows → 56 adjacent comparisons, matching the
+    * 56-bit dHash band geometry so the banding report is shared.
+    */
+  val AudioFpWindows: Int = PhashBits + 1
+
+  /** Energy-envelope audio fingerprint over a REAL container round trip:
+    * each payload becomes a PCM WAV ([[buildWav]]), `AudioSystem` decodes
+    * it back (8-bit PCM passthrough is lossless, so the decoded frames
+    * equal the payload bytes — the oracle recomputes the fingerprint off
+    * the raw bytes and a codec bug fails the hash), the decoded stream
+    * splits into 57 equal windows and bit i compares adjacent window
+    * ENERGIES cross-multiplied by window lengths (integer-exact, so the
+    * comparison is engine-portable with no float division) — the
+    * chromaprint-style envelope hash an audio corpus dedups on.
+    */
+  def audioFingerprint(spark: SparkSession,
+                       media: DataFrame): Dataset[AudioFpRecord] = {
+    import spark.implicits._
+    val w = AudioFpWindows
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        val wav = buildWav(r.payload, AudioSampleRate)
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(wav))
+        val data = ais.readAllBytes()
+        val len = data.length.toLong
+        val sums = new Array[Long](w)
+        val lens = new Array[Long](w)
+        var i = 0
+        while (i < w) {
+          val lo = (i * len / w).toInt
+          val hi = ((i + 1) * len / w).toInt
+          var j = lo
+          var s = 0L
+          while (j < hi) { s += data(j) & 0xFF; j += 1 }
+          sums(i) = s
+          lens(i) = hi - lo
+          i += 1
+        }
+        var h = 0L
+        var b = 0
+        while (b < PhashBits) {
+          if (sums(b + 1) * lens(b) > sums(b) * lens(b + 1)) h |= 1L << b
+          b += 1
+        }
+        AudioFpRecord(r.media_id, h)
+      }
+    }
+  }
+
+  /** Per-media audio near-dup report: the [[bandReport]] banding over the
+    * envelope fingerprint — candidates bounded by bucket size, fingerprints
+    * shuffle, audio frames never do.
+    */
+  def audioDedup(spark: SparkSession, media: DataFrame): DataFrame =
+    bandReport(audioFingerprint(spark, media).toDF(), "afp")
 
   // ------------------------------------------------------------------ video
 

@@ -384,6 +384,56 @@ object QueriesCorpus {
         JOIN ex e USING (phash)"""
   }
 
+  /** multimodal_audio_dedup twin: ascii(char) == PCM sample byte on the
+    * ASCII corpus (the 8-bit passthrough is lossless); window i of W=57
+    * covers text positions ((i·len)//W + 1 .. ((i+1)·len)//W), bit i
+    * compares adjacent window energies cross-multiplied by lengths
+    * (integer-exact); banding shared with the phash twin.
+    */
+  private def multimodalAudioDedupSql: String = {
+    val w = Multimodal.AudioFpWindows
+    val bits = Multimodal.PhashBits
+    val bandBits = Multimodal.PhashBandBits
+    val mask = Multimodal.PhashBandMask
+    s"""WITH maxid AS (SELECT max(doc_id) AS m FROM documents),
+        corpus AS (
+          SELECT doc_id AS media_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + m + 1 AS media_id, text
+          FROM documents, maxid WHERE doc_id % 10 = 0),
+        ws AS (
+          SELECT media_id,
+                 [list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    [CAST(ascii(text[j]) AS BIGINT)
+                     for j in generate_series(
+                       (i * length(text)) // $w + 1,
+                       ((i + 1) * length(text)) // $w)]),
+                    (acc, x) -> acc + x)
+                  for i in generate_series(0, ${w - 1})] AS s,
+                 [((i + 1) * length(text)) // $w - (i * length(text)) // $w
+                  for i in generate_series(0, ${w - 1})] AS l
+          FROM corpus),
+        hashed AS (
+          SELECT media_id,
+                 CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [CASE WHEN s[i + 2] * l[i + 1] > s[i + 1] * l[i + 2]
+                         THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT)
+                    END for i in generate_series(0, ${bits - 1})]),
+                   (acc, x) -> acc + x) AS BIGINT) AS afp
+          FROM ws),
+        ex AS (SELECT afp, count(*) AS c FROM hashed GROUP BY afp),
+        banded AS (
+          SELECT media_id, afp, b, (afp >> (b * $bandBits)) & $mask AS bv
+          FROM hashed, (SELECT unnest(generate_series(0, ${Multimodal.PhashBands - 1})) AS b) bs),
+        buckets AS (SELECT b, bv, count(*) AS n FROM banded GROUP BY b, bv)
+        SELECT c.media_id, c.afp, c.n_candidates,
+               CAST(e.c - 1 AS BIGINT) AS n_exact
+        FROM (SELECT media_id, afp, CAST(SUM(n - 1) AS BIGINT) AS n_candidates
+              FROM banded JOIN buckets USING (b, bv)
+              GROUP BY media_id, afp) c
+        JOIN ex e USING (afp)"""
+  }
+
   /** Streaming select: the quality gate + importance gate at ingest under a
     * model trained batch-side on the FULL corpus.
     */
@@ -704,6 +754,21 @@ object QueriesCorpus {
         Multimodal.asMediaTable(corpus, "doc_id", "text"))
     },
 
+    // Audio-fingerprint dedup over a real WAV container round trip: the
+    // decoded PCM's 57-window energy envelope hashes into 56 bits, 14-bit
+    // band buckets count near-dup candidates + exact copies — the
+    // thumbnail-dedup discipline applied to an audio corpus. Planted
+    // copies (every 10th doc past max id) exercise the exact-copy path.
+    "multimodal_audio_dedup" -> { (s, d) =>
+      val docs = documents(s, d)
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + maxId + 1).as("doc_id"), col("text")))
+      Multimodal.audioDedup(s,
+        Multimodal.asMediaTable(corpus, "doc_id", "text"))
+    },
+
     // The declarative Bloom-DECONTAMINATION journey: quality gate →
     // decontaminate(method: bloom) — the benchmark (a staged parquet
     // source, every 17th document) collapses into its 64Kbit bitmap at
@@ -958,6 +1023,7 @@ object QueriesCorpus {
     "stream_corpus_mix" -> streamCorpusMixSql,
     "stream_corpus_select" -> streamCorpusSelectSql,
     "stream_corpus_classify" -> streamCorpusClassifySql,
-    "multimodal_phash" -> multimodalPhashSql
+    "multimodal_phash" -> multimodalPhashSql,
+    "multimodal_audio_dedup" -> multimodalAudioDedupSql
   )
 }

@@ -96,7 +96,9 @@ class ScalePostureSpec extends SparkSpec {
       "config_corpus_serve", // same one-row mixture totals (the mix step)
       "config_corpus_full",  // same one-row mixture totals (the mix step)
       "ann_pq",           // ks-row codebook cross into encode + ADC LUT
-      "ann_ivfpq"         // ks-row residual codebook cross into encode + LUT
+      "ann_ivfpq",        // ks-row residual codebook cross into encode + LUT
+      "ann_recall"        // ann_ivfpq's codebook cross + the Q(5)-query
+                          //   brute-force truth side — both bounded builds
     )
     val skip = Set("sink_roundtrip", "sink_run_dir", "src_http", "src_csv",
       "src_jsonl") // side-effecting writes; plans are plain re-reads

@@ -118,6 +118,27 @@ class ServeSpec extends SparkSpec {
       3L -> "removed", 4L -> "added"))
   }
 
+  // --- Multimodal.audioFingerprint ----------------------------------------
+
+  test("audioFingerprint: identical audio shares the hash, distinct differs") {
+    import graft.operators.Multimodal
+    val loud = (0 until 200).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    val docs = Seq(
+      (1L, loud), (2L, loud),
+      (3L, "zzzzzzzz" + loud.reverse + "aaaaaaaa")
+    ).toDF("doc_id", "text")
+    val fp = Multimodal.audioFingerprint(spark,
+        Multimodal.asMediaTable(docs, "doc_id", "text"))
+      .collect().map(r => r.media_id -> r.afp).toMap
+    assert(fp(1L) == fp(2L), "identical payloads share the fingerprint")
+    assert(fp(1L) != fp(3L), "distinct audio separates")
+    val report = Multimodal.audioDedup(spark,
+        Multimodal.asMediaTable(docs, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(report(1L) == 1L && report(2L) == 1L && report(3L) == 0L,
+      "exact-copy counts reflect the planted duplicate")
+  }
+
   // --- Similarity.annIvfPq ------------------------------------------------
 
   test("annIvfPq finds a planted exact duplicate at rank 1") {
