@@ -133,6 +133,35 @@ object QueriesSources {
           .unionByName(Tables.readJsonl(s, js, schemaDDL = Some(ddl))
             .selectExpr("'jsonl' AS fmt", "event_type", "n", "total"))
       back
+    },
+
+    // BUCKETED tables — the co-located-join technique at 100 TB: both
+    // fact tables write bucketed (and per-bucket sorted) on the join key,
+    // so the repeated orderkey join plans as a bucket-local SortMergeJoin
+    // with ZERO join-side Exchange — the big-fact-to-big-fact join a
+    // cluster pays for once at write time instead of at every query
+    // (plan-pinned in PlanAuditSpec). Result equals the plain join.
+    "sink_bucketed" -> { (s, d) =>
+      val root = scratch("bucketed")
+      s.sql("DROP TABLE IF EXISTS g_orders_b")
+      s.sql("DROP TABLE IF EXISTS g_lineitem_b")
+      orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").option("path", s"$root/orders")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("g_orders_b")
+      lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"))
+        .write.mode("overwrite").option("path", s"$root/lineitem")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("g_lineitem_b")
+      val o = s.table("g_orders_b")
+      val l = s.table("g_lineitem_b")
+      // merge hint: at 100 TB both facts exceed any broadcast threshold,
+      // so pin the SortMergeJoin the bucketing serves at every scale —
+      // the bucketed scans feed it with ZERO join-side Exchange
+      o.hint("merge").join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sumDec(col("l_extendedprice")).as("revenue"))
     }
   )
 
@@ -163,6 +192,13 @@ object QueriesSources {
     "sink_roundtrip" ->
       s"""SELECT 'parquet' AS fmt, * FROM ($rtAggSql)
           UNION ALL SELECT 'csv' AS fmt, * FROM ($rtAggSql)
-          UNION ALL SELECT 'jsonl' AS fmt, * FROM ($rtAggSql)"""
+          UNION ALL SELECT 'jsonl' AS fmt, * FROM ($rtAggSql)""",
+
+    // bucketing changes the physical layout, never the result
+    "sink_bucketed" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+                 ${sumDecSql("l_extendedprice")} AS revenue
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          GROUP BY o_orderpriority"""
   )
 }

@@ -366,6 +366,20 @@ class PlanAuditSpec extends SparkSpec {
       "the epoch shuffle is join-free")
   }
 
+  audit("sink_bucketed") { plan =>
+    // the co-located-join technique: both facts are bucketed on the join
+    // key, so the SortMergeJoin reads bucket-local scans with ZERO
+    // join-side Exchange — the only Exchange in the plan is the final
+    // aggregation's
+    assert(plan.contains("SortMergeJoin"),
+      "the bucketed fact join must plan as a SortMergeJoin")
+    assert(!plan.contains("BroadcastExchange"),
+      "the merge hint pins the 100 TB shape — no broadcast")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"bucketing must leave only the aggregation Exchange, found $exchanges:\n$plan")
+  }
+
   audit("html_extract") { plan =>
     // extraction is a chain of codegen'd string expressions over the scan:
     // any Exchange means it stopped running at scan speed
