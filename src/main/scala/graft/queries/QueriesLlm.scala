@@ -578,6 +578,26 @@ object QueriesLlm {
       Bpe.encodeStatsWith(docs, "doc_id", "text", Bpe.loadTokenizer(path))
     },
 
+    // Tokenizer EVALUATION: per-source fertility (tokens per word) and
+    // compression (chars per token) under the trained merges — the metrics
+    // a tokenizer owner reads before adopting a vocabulary for a corpus
+    // mix. Integer token/word/char totals aggregate exactly; each report
+    // value is one IEEE division rounded 6.
+    "tokenizer_fertility" -> { (s, d) =>
+      val docs = documents(s, d)
+      graft.operators.Bpe.encodeStats(docs, "doc_id", "text", BpeRounds)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_words")).as("n_words"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"))
+        .select(col("source"), col("n_words"), col("n_tokens"),
+          round(col("n_tokens").cast("double") /
+            greatest(col("n_words"), lit(1L)), 6).as("fertility"),
+          round(col("n_chars").cast("double") /
+            greatest(col("n_tokens"), lit(1L)), 6).as("chars_per_token"))
+    },
+
     // Per-document salient terms by tf-idf (top 3, term-asc tiebreak) —
     // the keyword/topic feature a curation pipeline derives per doc. The
     // per-doc window is bounded by document vocabulary (≤ doc length), so
@@ -991,6 +1011,20 @@ object QueriesLlm {
     "bpe_merges" -> bpeMergesSql(BpeRounds),
     "bpe_encode" -> bpeEncodeSql(BpeRounds),
     "bpe_artifact" -> bpeArtifactSql(BpeRounds),
+    "tokenizer_fertility" ->
+      s"""WITH ${bpeCtes(BpeRounds)},
+          ${bpeStatsCtes(s"w${BpeRounds + 1}")},
+          j AS (
+            SELECT d.source, b.n_words, b.n_tokens, b.n_chars
+            FROM bpe_stats b JOIN documents d USING (doc_id))
+          SELECT source,
+                 CAST(SUM(n_words) AS BIGINT) AS n_words,
+                 CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                 ROUND(CAST(SUM(n_tokens) AS DOUBLE) /
+                       GREATEST(SUM(n_words), 1), 6) AS fertility,
+                 ROUND(CAST(SUM(n_chars) AS DOUBLE) /
+                       GREATEST(SUM(n_tokens), 1), 6) AS chars_per_token
+          FROM j GROUP BY source""",
 
     "dedup_semantic" -> dedupSemanticSql,
     // the increment+index composition must land exactly where a
