@@ -135,6 +135,23 @@ object QueriesSources {
       back
     },
 
+    // PARTITIONED sink + partition-pruned read — the layout technique a
+    // time-organized corpus serves under: events write partitioned by day
+    // and the day-filtered read touches ONLY the matching directory
+    // (PartitionFilters at the scan, plan-pinned) — at 100 TB the
+    // difference between scanning one day and scanning three years.
+    // Result equals the plain filtered aggregate.
+    "sink_partitioned" -> { (s, d) =>
+      val out = scratch("events_by_day_q")
+      events(s, d)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+      s.read.parquet(out)
+        .filter(col("day") === "2024-01-05")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sumDec(col("value")).as("total"))
+    },
+
     // BUCKETED tables — the co-located-join technique at 100 TB: both
     // fact tables write bucketed (and per-bucket sorted) on the join key,
     // so the repeated orderkey join plans as a bucket-local SortMergeJoin
@@ -193,6 +210,13 @@ object QueriesSources {
       s"""SELECT 'parquet' AS fmt, * FROM ($rtAggSql)
           UNION ALL SELECT 'csv' AS fmt, * FROM ($rtAggSql)
           UNION ALL SELECT 'jsonl' AS fmt, * FROM ($rtAggSql)""",
+
+    // partitioning changes the physical layout, never the result
+    "sink_partitioned" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sumDecSql("value")} AS total
+          FROM events
+          WHERE strftime(ts, '%Y-%m-%d') = '2024-01-05'
+          GROUP BY event_type""",
 
     // bucketing changes the physical layout, never the result
     "sink_bucketed" ->

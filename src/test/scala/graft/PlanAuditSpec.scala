@@ -366,6 +366,14 @@ class PlanAuditSpec extends SparkSpec {
       "the epoch shuffle is join-free")
   }
 
+  audit("sink_partitioned") { plan =>
+    // the day filter must prune at the DIRECTORY level, not post-scan:
+    // PartitionFilters carries the day predicate, and partition count at
+    // the scan is 1
+    assert(plan.contains("PartitionFilters") && plan.contains("2024-01-05"),
+      "the day predicate must prune partitions at the scan")
+  }
+
   audit("sink_bucketed") { plan =>
     // the co-located-join technique: both facts are bucketed on the join
     // key, so the SortMergeJoin reads bucket-local scans with ZERO
