@@ -243,6 +243,55 @@ object QueriesCuration {
           col("prob"), col("predicted"))
     },
 
+    // Classifier CALIBRATION (how a learned gate actually deploys: CCNet
+    // tunes the cutoff to a keep-rate budget, not to raw 0.5): the score
+    // threshold achieving ~50% keep comes from an exact histogram over the
+    // 1e-6-grid probabilities (the perplexity_bucket discipline — the
+    // driver walk is bounded by the decimal grid, not the corpus), and the
+    // report carries the threshold + confusion/precision/recall/accuracy
+    // vs the langId labels at that operating point. Exact integer counts,
+    // one IEEE division per metric, denominators guarded identically on
+    // both engines.
+    "classifier_calibration" -> { (s, d) =>
+      val docs = documents(s, d)
+      val labels = docs.select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      val feats = graft.operators.Classifier
+        .features(docs, "doc_id", "text", ClsBuckets).localCheckpoint()
+      val w = graft.operators.Classifier.fitLogReg(feats, labels, "doc_id",
+        ClsBuckets, ClsIters, ClsEta, nDocs = labels.count())
+      val per = graft.operators.Classifier.classify(feats, "doc_id", w)
+        .join(labels, Seq("doc_id"))
+        .select((col("y") === 1.0).as("label"), col("prob"))
+        .localCheckpoint(eager = false) // feeds the histogram AND the report
+      val hist = per.groupBy(col("prob")).agg(count(lit(1)).as("c"))
+        .orderBy(col("prob")).collect() // grid-bounded driver hop
+      val n = hist.map(_.getLong(1)).sum
+      val target = (n + 1) / 2
+      var cum = 0L
+      var t = Double.NaN
+      hist.foreach { r =>
+        if (cum < target) { cum += r.getLong(1)
+          if (cum >= target) t = r.getDouble(0) } }
+      def cnt(p: org.apache.spark.sql.Column) =
+        sum(when(p, 1L).otherwise(0L))
+      per.withColumn("predicted", col("prob") > t)
+        .agg(cnt(col("label") && col("predicted")).as("tp"),
+          cnt(!col("label") && col("predicted")).as("fp"),
+          cnt(col("label") && !col("predicted")).as("fn"),
+          cnt(!col("label") && !col("predicted")).as("tn"))
+        .select(lit(t).as("threshold"),
+          (col("tp") + col("fp")).as("n_kept"),
+          col("tp"), col("fp"), col("fn"), col("tn"),
+          round(col("tp").cast("double") /
+            greatest(col("tp") + col("fp"), lit(1L)), 6).as("precision"),
+          round(col("tp").cast("double") /
+            greatest(col("tp") + col("fn"), lit(1L)), 6).as("recall"),
+          round((col("tp") + col("tn")).cast("double") /
+            greatest(col("tp") + col("fp") + col("fn") + col("tn"), lit(1L)),
+            6).as("accuracy"))
+    },
+
     // Deterministic stratified sampling by language: sha256-ratio filter,
     // zero shuffle, reproducible across engines.
     "curation_sample" -> { (s, d) =>
@@ -321,6 +370,36 @@ object QueriesCuration {
                  ${hardSigmoidSql("s.s")} AS prob,
                  ${hardSigmoidSql("s.s")} >= 0.5 AS predicted
           FROM cls_docs d JOIN cls_sF s USING (doc_id)""",
+
+    "classifier_calibration" ->
+      s"""WITH ${logRegCtes(ClsBuckets, ClsIters, ClsEta)},
+          per AS (
+            SELECT d.y = 1.0 AS label, ${hardSigmoidSql("s.s")} AS prob
+            FROM cls_docs d JOIN cls_sF s USING (doc_id)),
+          nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
+          hist AS (SELECT prob, CAST(count(*) AS BIGINT) AS c
+                   FROM per GROUP BY 1),
+          cum AS (SELECT prob, SUM(c) OVER (ORDER BY prob) AS cc FROM hist),
+          t AS (SELECT min(prob) AS v FROM cum, nn
+                WHERE cc >= (n + 1) // 2),
+          kept AS (SELECT label, prob > (SELECT v FROM t) AS predicted
+                   FROM per),
+          agg AS (
+            SELECT
+              CAST(SUM(CASE WHEN label AND predicted THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+              CAST(SUM(CASE WHEN NOT label AND predicted THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+              CAST(SUM(CASE WHEN label AND NOT predicted THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+              CAST(SUM(CASE WHEN NOT label AND NOT predicted THEN 1 ELSE 0 END) AS BIGINT) AS tn
+            FROM kept)
+          SELECT (SELECT v FROM t) AS threshold,
+                 tp + fp AS n_kept, tp, fp, fn, tn,
+                 ROUND(CAST(tp AS DOUBLE) / GREATEST(tp + fp, 1), 6)
+                   AS precision,
+                 ROUND(CAST(tp AS DOUBLE) / GREATEST(tp + fn, 1), 6)
+                   AS recall,
+                 ROUND(CAST(tp + tn AS DOUBLE) /
+                       GREATEST(tp + fp + fn + tn, 1), 6) AS accuracy
+          FROM agg""",
 
     "curation_sample" -> {
       val rate = SampleRates.foldLeft(SampleDefault.toString) {
