@@ -173,8 +173,14 @@ object Crawl {
     val hashes = length(text) - length(replace(text, lit("#"), lit("")))
     val ellipses = (length(text) - length(replace(text, lit("..."), lit("")))) / 3
     val symbolRatio = round((hashes + ellipses).cast("double") / nWordsSafe, 6)
+    // counted via regexp_count, not filter(split(...), rlike): the HOF
+    // lambda is interpreted and split the per-row journey's single
+    // whole-stage-codegen span (PlanAuditSpec gates this); one boundary-
+    // anchored match per \S+ run containing a letter — same set the
+    // filter counted (empty split tokens contain no letter either way)
     val alphaFrac = round(
-      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / nWordsSafe, 6)
+      regexp_count(text, lit("(^|\\s)\\S*[A-Za-z]\\S*(?=\\s|$)"))
+        .cast("double") / nWordsSafe, 6)
     val nStops = size(array_intersect(
       array_distinct(split(lower(text), "\\s+")),
       array(GopherStops.map(lit): _*))).cast("long")

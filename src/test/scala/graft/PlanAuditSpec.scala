@@ -500,4 +500,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"),
       "line-hash frequencies must partial-aggregate map-side")
   }
+
+  test("whole-stage codegen: the per-row heads run as ONE fused span") {
+    // The brief's "widen the WholeStageCodegen spans" check, made a gate:
+    // each pure per-row head (scan → expressions → output, no shuffle)
+    // must compile into a single fused codegen stage — an interpreted
+    // expression or a codegen fallback would split or drop the span.
+    val sf = "/root/testdata/sf0.001"
+    val perRow = Seq("html_extract", "pii_scrub", "text_normalize",
+      "corpus_filter", "quality_gopher", "quality_score", "token_count",
+      "repetition_ratio", "lang_id", "curation_chunk", "doc_fingerprint")
+    val bad = perRow.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution
+        .explainString(org.apache.spark.sql.execution.SimpleMode)
+      // SimpleMode marks codegen'd operators with "*(id)"; one span id
+      // means the whole plan fused
+      val spans = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan)
+        .map(_.group(1)).toSet
+      if (spans.size == 1) None
+      else Some(s"$name: ${spans.size} codegen spans\n$plan")
+    }
+    assert(bad.isEmpty, s"per-row heads with split/missing codegen:\n${bad.mkString("\n")}")
+  }
 }
