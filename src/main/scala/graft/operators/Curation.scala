@@ -310,10 +310,13 @@ object Curation {
   private def distStructs(centroids: Seq[(Int, Array[Double])]): Seq[Column] =
     centroids.map { case (i, c) =>
       val carr = array(c.map(lit(_)): _*)
-      val d2 = aggregate(
-        zip_with(col("v"), carr, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, e) => acc + e)
-      struct(round(d2, 6).as("dist"), lit(i).as("cluster"))
+      // codegen'd full-vector squared L2 (functions.SliceL2, start=1,
+      // len=dim) — bit-identical to the interpreted
+      // round(aggregate(zip_with(...)), 6) chain it replaced: same
+      // sequential fold, same HALF_UP round; the assignment pass runs
+      // n×k of these per k-means round
+      val d2 = call_function("slice_l2", col("v"), carr, lit(1), lit(c.length))
+      struct(d2.as("dist"), lit(i).as("cluster"))
     }
 
   /** The `n` nearest centroids per vector (dist asc, cluster asc — the
@@ -356,6 +359,7 @@ object Curation {
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
                       iters: Int): Seq[(Int, Array[Double])] = {
     require(k > 0 && iters >= 0, "k-means needs k > 0, iters >= 0")
+    graft.functions.SliceL2.register(df.sparkSession) // distStructs' core
     val v = df.select(col(idCol).as("vec_id"),
       Similarity.toDouble(col(vecCol)).as("v"))
     var centroids: Seq[(Int, Array[Double])] = v.orderBy(col("vec_id")).limit(k)

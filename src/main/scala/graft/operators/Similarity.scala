@@ -32,8 +32,10 @@ object Similarity {
     * (same sequential fold order), ~20x faster on the pair-scoring hot path.
     * Callers with a DataFrame in hand register the function first.
     */
-  private def registerFast(df: DataFrame): Unit =
+  private def registerFast(df: DataFrame): Unit = {
     graft.functions.DotProd.register(df.sparkSession)
+    graft.functions.SliceL2.register(df.sparkSession)
+  }
 
   private def dotF(a: Column, b: Column): Column = call_function("dot_prod", a, b)
 
@@ -482,14 +484,12 @@ object Similarity {
       toDouble(col(vecCol)).as("v"))
     val q = queries.select(col(idCol).as("query_id"),
       toDouble(col(vecCol)).as("qv"))
-    // squared L2 between subspace slices as the same sequential fold the
-    // oracle's list_reduce runs; rounded so argmin/ADC are portable
+    // squared L2 between subspace slices: the codegen'd SliceL2, bit-
+    // identical to the HOF fold the oracle's list_reduce runs (same
+    // sequential adds, HALF_UP round 6) — the slice+zip_with+aggregate
+    // chain is interpreted and dominated the encode/LUT crosses
     def subD(a: Column, b: Column, mIdx: Int, dSub: Int): Column =
-      round(aggregate(
-        zip_with(slice(a, mIdx * dSub + 1, dSub),
-          slice(b, mIdx * dSub + 1, dSub),
-          (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x), 6)
+      call_function("slice_l2", a, b, lit(mIdx * dSub + 1), lit(dSub))
     val dSub = dim / m
     // encode: per-subspace argmin over the broadcast codebook, all m
     // subspaces collapsed in ONE aggregate — one shuffled row per vector
@@ -580,12 +580,10 @@ object Similarity {
       .select((col("vec_id") / rStride).cast("int").as("code"),
         col("rv").as("cbv"))
     val dSub = dim / m
+    // codegen'd subspace squared L2 — bit-identical to the HOF fold (see
+    // annPq's subD note)
     def subD(a: Column, b: Column, mIdx: Int): Column =
-      round(aggregate(
-        zip_with(slice(a, mIdx * dSub + 1, dSub),
-          slice(b, mIdx * dSub + 1, dSub),
-          (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x), 6)
+      call_function("slice_l2", a, b, lit(mIdx * dSub + 1), lit(dSub))
     // encode: per-subspace argmin over the broadcast codebook, all m
     // subspaces collapsed in ONE aggregate — one shuffled row per vector
     val codeAggs = (0 until m).map { mi =>

@@ -124,4 +124,39 @@ class PropertyExprSpec extends AnyFunSuite {
       got == want
     })
   }
+
+  test("SliceL2 == sequential slice/zip_with/aggregate reference") {
+    val darr = (v: Seq[Double]) => new GenericArrayData(v.toArray[Any])
+    val gen = for {
+      n <- Gen.chooseNum(0, 12)
+      a <- Gen.listOfN(n, Gen.chooseNum(-5.0, 5.0))
+      bLen <- Gen.oneOf(Gen.const(n), Gen.chooseNum(0, 12))
+      b <- Gen.listOfN(bLen, Gen.chooseNum(-5.0, 5.0))
+      st <- Gen.chooseNum(1, 14)
+      ln <- Gen.chooseNum(0, 14)
+    } yield (a, b, st, ln)
+    check(Prop.forAll(gen) { case (a, b, st, ln) =>
+      val got = graft.functions.SliceL2(null, null, null, null)
+        .compute(darr(a), darr(b), st, ln)
+      // the HOF chain: slice (1-based, clamped), zip_with null-padding,
+      // sequential fold, HALF_UP round 6
+      def slice(v: Seq[Double]) = {
+        val from = st - 1
+        if (from < 0 || from >= v.length) Seq.empty[Double]
+        else v.slice(from, from + math.min(ln, v.length - from))
+      }
+      val (sa, sb) = (slice(a), slice(b))
+      val want: java.lang.Double =
+        if (sa.length != sb.length) null
+        else {
+          var acc = 0.0
+          sa.indices.foreach { i =>
+            val d = sa(i) - sb(i); acc += d * d
+          }
+          java.math.BigDecimal.valueOf(acc)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        }
+      got == want
+    })
+  }
 }
