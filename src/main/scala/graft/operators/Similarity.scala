@@ -18,7 +18,12 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** float[] → double[] (exact). */
-  def toDouble(vec: Column): Column = transform(vec, _.cast("double"))
+  /** Elementwise widen to array<double> via a NATIVE cast (codegen'd) —
+    * `transform(vec, _.cast("double"))` computes the same array but the
+    * HOF is interpreted, and this runs on every corpus scan of every
+    * ANN/semantic head.
+    */
+  def toDouble(vec: Column): Column = vec.cast("array<double>")
 
   /** Sequential dot product (foldLeft over zipped products). */
   def dot(a: Column, b: Column): Column =
@@ -473,6 +478,7 @@ object Similarity {
             vecCol: String, k: Int, dim: Int = 64, m: Int = 8,
             ks: Int = 16): DataFrame = {
     require(dim % m == 0, s"annPq: dim $dim must split into $m subspaces")
+    registerFast(corpus) // slice_l2 backs the subspace distances
     val n = corpus.count() // metadata-scale, like annIvf's stride count
     val stride = math.max(1L, n / ks)
     val cb = corpus
@@ -550,6 +556,7 @@ object Similarity {
                vecCol: String, k: Int, dim: Int = 64, m: Int = 8,
                ks: Int = 16, kc: Int = 8, nprobe: Int = 2): DataFrame = {
     require(dim % m == 0, s"annIvfPq: dim $dim must split into $m subspaces")
+    registerFast(corpus) // slice_l2 backs the subspace distances
     val n = corpus.count() // metadata-scale, the annIvf stride count
     val cStride = math.max(1L, n / kc)
     val v = corpus.select(col(idCol).as("vec_id"),
