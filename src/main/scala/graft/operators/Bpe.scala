@@ -262,6 +262,21 @@ object Bpe {
         .as("n_tokens"))
   }
 
+  /** [[tokenStats]] through the codegen'd expression
+    * (functions.BpeStats) — identical output (BpeSpec pins equality on
+    * every path: merging, open-vocabulary fallback, empties), one tight
+    * loop instead of O(words × merges) interpreted lambdas per row. The
+    * pick for the streaming tokenize gate; [[tokenStats]] stays as the
+    * independently-derived reference the spec compares against.
+    */
+  def tokenStatsFast(spark: org.apache.spark.sql.SparkSession,
+                     textCol: Column,
+                     merges: Seq[(Int, String, String, Long)]): Column = {
+    val table = merges.sortBy(_._1).map { case (_, l, r, _) => (l, r) }
+    val fn = graft.functions.BpeStats.register(spark, table)
+    call_function(fn, filter(Text.tokens(textCol), w => w =!= ""))
+  }
+
   /** [[merges]] as a DataFrame for the gated query/bench surface. */
   def mergesFrame(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
     val spark = df.sparkSession

@@ -816,7 +816,7 @@ object ConfigRuntime {
             require(java.nio.file.Files.exists(path),
               s"config: streaming tokenize needs a trained artifact at " +
                 s"'$path' — run the batch corpus journey (train-if-missing) first")
-            val stats = graft.operators.Bpe.tokenStats(text,
+            val stats = graft.operators.Bpe.tokenStatsFast(spark, text,
               graft.operators.Bpe.loadTokenizer(path.toString))
             df.withColumn("__ts", stats)
               .withColumn("n_words", col("__ts.n_words"))

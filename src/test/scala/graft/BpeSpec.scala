@@ -103,6 +103,16 @@ class BpeSpec extends SparkSpec {
     assert(perRow(3L) == ((0L, 0L, 0L)))
     assert(joined.forall { case (id, s) => perRow(id) == s })
     assert(joined.keySet == Set(1L, 2L))
+    // the codegen'd fast path (functions.BpeStats) must land identically
+    // on every row: merging words, open-vocabulary fallback, the empty doc
+    val fast = docs
+      .withColumn("s", Bpe.tokenStatsFast(spark, col("text"), merges))
+      .select(col("doc_id"), col("s.n_words"), col("s.n_chars"),
+        col("s.n_tokens"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(fast == perRow, "tokenStatsFast drifted from the reference fold")
   }
 
   test("loadTokenizer rejects a foreign artifact") {
