@@ -156,22 +156,51 @@ object Multimodal {
 
   val AudioSampleRate = 8000
 
+  /** The JDK's registered audio container readers, loaded ONCE per
+    * partition via the public ServiceLoader API — the SAME provider
+    * instances `AudioSystem.getAudioInputStream` consults, minus its
+    * per-call synchronized registry walk, which serializes every decode
+    * thread in the JVM (measured: the sf1 audio sweep ran ~single-threaded
+    * at local[32] through AudioSystem). Iteration order and the
+    * first-reader-that-accepts rule mirror AudioSystem exactly.
+    */
+  private def audioReaders(): Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) buf += it.next()
+    buf.toSeq
+  }
+
+  private def decodeAudio(readers: Seq[javax.sound.sampled.spi.AudioFileReader],
+                          wav: Array[Byte],
+                          mediaId: Long): javax.sound.sampled.AudioInputStream = {
+    readers.foreach { r =>
+      try return r.getAudioInputStream(new ByteArrayInputStream(wav))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      s"no registered reader accepts the container of media_id=$mediaId")
+  }
+
   /** Real audio decode path: each payload becomes a synthetic WAV
     * ([[buildWav]] — deterministic: text bytes are the PCM samples), then
-    * `javax.sound.sampled.AudioSystem` parses the container back (a genuine
-    * JDK audio decode: header validation, format negotiation, frame reads).
+    * the JDK's registered WAVE reader parses the container back (a genuine
+    * JDK audio decode: header validation, format negotiation, frame reads
+    * — [[audioReaders]] hoists the provider lookup per partition).
     * Executor-side per-partition work, no driver hop — the same plumbing
-    * shape a real audio corpus would use, with AudioSystem swapped for an
+    * shape a real audio corpus would use, with the reader swapped for an
     * external codec only when formats beyond the JDK's PCM/ALAW/ULAW set
     * are needed.
     */
   def audioFeatures(spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
+      val readers = audioReaders()
       it.map { r =>
         val wav = buildWav(r.payload, AudioSampleRate)
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new ByteArrayInputStream(wav))
+        val ais = decodeAudio(readers, wav, r.media_id)
         val fmt = ais.getFormat
         require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
           s"unexpected decoded format for media_id=${r.media_id}: $fmt")
@@ -306,10 +335,10 @@ object Multimodal {
     import spark.implicits._
     val w = AudioFpWindows
     media.as[MediaRecord].mapPartitions { it =>
+      val readers = audioReaders()
       it.map { r =>
         val wav = buildWav(r.payload, AudioSampleRate)
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new ByteArrayInputStream(wav))
+        val ais = decodeAudio(readers, wav, r.media_id)
         val data = ais.readAllBytes()
         val len = data.length.toLong
         val sums = new Array[Long](w)
