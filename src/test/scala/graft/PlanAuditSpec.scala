@@ -501,6 +501,78 @@ class PlanAuditSpec extends SparkSpec {
       "line-hash frequencies must partial-aggregate map-side")
   }
 
+  /** Shuffle exchanges only — BroadcastExchange is the cheap kind and must
+    * not count against a "no shuffle" contract.
+    */
+  private def shuffleExchanges(plan: String): Int =
+    plan.linesIterator.takeWhile(_.trim.nonEmpty)
+      .count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+
+  audit("classifier_calibration") { plan =>
+    // the GD rounds ran at plan-build time over the checkpointed feature
+    // frame; the served sweep is one two-phase aggregate into the
+    // grid-bounded calibration histogram
+    assert(plan.contains("Scan ExistingRDD"),
+      "calibration must score the checkpointed feature frame, not retrain")
+    assert(!plan.contains("Join"), "no join — weights are plan literals")
+    assert(shuffleExchanges(plan) == 1,
+      s"calibration must aggregate in one shuffle, saw ${shuffleExchanges(plan)}")
+  }
+
+  audit("ann_recall") { plan =>
+    // the truth side is the bounded TopK aggregator (partial map-side, one
+    // Q-by-k-row exchange) over the broadcast-query brute-force scan; the
+    // recall join itself is metadata-scale (one row per planted query)
+    assert(plan.contains("ObjectHashAggregate"),
+      "exact truth must come from the bounded TopK aggregator")
+    assert(plan.contains("BroadcastExchange"),
+      "the planted query side must broadcast against the corpus")
+  }
+
+  audit("tokenizer_fertility") { plan =>
+    // tf-compression aggregate before any join (distinct words, not rows,
+    // meet the merge table); the merge table and source dim both broadcast
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "fertility joins must all broadcast — the corpus never co-shuffles")
+    assert(plan.contains("Scan ExistingRDD"),
+      "the trained merge table must enter as the checkpointed artifact")
+    assert(plan.contains("BroadcastHashJoin"),
+      "merge-table and source-dim joins must be broadcast equi-joins")
+  }
+
+  audit("quality_threshold_sweep") { plan =>
+    // one pass over the corpus: the per-doc quality histogram partial-
+    // aggregates map-side, and the 20-threshold grid explodes from the
+    // AGGREGATED frame (grid x buckets), never from the corpus rows
+    assert(shuffleExchanges(plan) == 1,
+      s"the sweep must read the corpus once, saw ${shuffleExchanges(plan)} shuffles")
+    val ops = plan.linesIterator.takeWhile(_.trim.nonEmpty).toVector
+    val gen = ops.indexWhere(_.contains("Generate"))
+    val agg = ops.indexWhere(_.contains("HashAggregate"))
+    assert(gen >= 0 && agg > gen,
+      "the threshold grid must explode above the aggregate, not per corpus row")
+  }
+
+  audit("corpus_stats") { plan =>
+    // the report card is two stacked two-phase aggregates (doc level, then
+    // (source, lang) level) over a single pruned corpus scan — no joins
+    assert(!plan.contains("Join"), "corpus_stats must not join")
+    assert(shuffleExchanges(plan) <= 2,
+      s"two aggregate levels means at most two shuffles, saw ${shuffleExchanges(plan)}")
+    assert(plan.linesIterator.takeWhile(_.trim.nonEmpty)
+      .count(_.contains("Scan parquet")) == 1,
+      "one corpus scan only")
+  }
+
+  audit("config_corpus_diff") { plan =>
+    // the incremental-crawl gate: the prior run's digest set broadcasts
+    // back against the new crawl — the crawl side itself never shuffles
+    assert(plan.contains("BroadcastHashJoin"),
+      "the digest anti-join must broadcast the prior-run side")
+    assert(shuffleExchanges(plan) == 0,
+      s"the crawl side must not shuffle, saw ${shuffleExchanges(plan)} exchanges")
+  }
+
   test("whole-stage codegen: the per-row heads run as ONE fused span") {
     // The brief's "widen the WholeStageCodegen spans" check, made a gate:
     // each pure per-row head (scan → expressions → output, no shuffle)
