@@ -30,9 +30,15 @@ object ScaleUp {
 
   private def replicate(df: DataFrame, keys: Seq[String], factor: Int): DataFrame = {
     val spark = df.sparkSession
-    // one pass over the source: broadcast the tiny replica frame, shift keys
+    // one pass over the source: broadcast the tiny replica frame, shift keys.
+    // The source sf dir stores each table as ONE parquet file, so without a
+    // pre-spread the whole factor-x generation would run as a single task
+    // (measured: 600M lineitem rows on one core at factor 1000); spreading
+    // the SMALL base first makes generation and the direct write parallel,
+    // and no post-generation shuffle of the big output is ever needed.
     val replicas = broadcast(spark.range(factor).toDF("__replica"))
-    keys.foldLeft(df.crossJoin(replicas)) { (acc, k) =>
+    val spread = df.repartition(32)
+    keys.foldLeft(spread.crossJoin(replicas)) { (acc, k) =>
       acc.withColumn(k, col(k) + col("__replica") * Offset)
     }.drop("__replica")
   }
@@ -60,11 +66,11 @@ object ScaleUp {
       val base =
         if (t == "events") graft.sources.Tables.events(spark, src)
         else graft.sources.Tables.table(spark, src, t)
+      // the pre-spread inside replicate already yields 32 generator tasks
+      // writing 32 files — the scaled scan parallelizes with no extra
+      // shuffle of the factor-x output
       val scaled = replicate(base, keys, factor)
-      // spread the big facts over multiple files so the scaled scan
-      // parallelizes from the first stage
-      val parts = if (Set("lineitem", "orders", "events")(t)) 16 else 4
-      scaled.repartition(parts).write.mode("overwrite").parquet(s"$out/$t.parquet")
+      scaled.write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[scaleup] $t: ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
     }
     spark.stop()
