@@ -58,10 +58,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // AQE partition knob: SPARK_GRAFT_INITIAL_PARTITIONS advertises more
+    // reduce partitions than cores and lets coalescePartitions shrink them
+    // to target size — reduce parallelism tracking data volume, not core
+    // count, the way a cluster sizes it. The sf100 sweep opts in (smaller
+    // per-sorter slices on the 600M-row shuffles); the default stays at
+    // core count because at sf0.1 the extra map-output fan-out is a pure
+    // ~10% tax (measured on q5_region solo: 1.01 s at 32 vs 1.12 s at 256).
+    val initialParts = sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", initialParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -260,9 +260,16 @@ object Cli {
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // same AQE partition knob as Bench: SPARK_GRAFT_INITIAL_PARTITIONS lets
+    // a materialize run over a big project advertise more reduce partitions
+    // than cores (AQE coalesces them back), so wide shuffles don't squeeze
+    // into core-count sorters; default stays at core count
+    val initialParts = sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", cpus)
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", initialParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -61,19 +61,37 @@ object QueriesTpch {
     },
 
     "q5_region" -> { (s, d) =>
-      val r = region(s, d).filter(col("r_name") === "ASIA")
-      val joined = lineitem(s, d)
-        .join(orders(s, d)
-          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
-            col("o_orderdate") < lit("1999-01-01").cast("timestamp")),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
-        .join(supplier(s, d),
+      // Scale-first join order (same row set, same exact sums): the ASIA
+      // restriction keeps only 1/5 of nations, so it pushes into customer
+      // and supplier BEFORE any fact join instead of filtering four joins
+      // later, and orders meets the restricted customers before lineitem —
+      // the 600M-row join at sf100 then produces only ASIA-customer rows.
+      // Only the fixed-cardinality nation/region frames carry broadcast
+      // hints; the restricted supplier side is left to AQE, which converts
+      // the join to broadcast while supplier actually fits and falls back
+      // to shuffle when a larger SF outgrows it — no forced-broadcast cliff.
+      val asia = nation(s, d)
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val custAsia = customer(s, d)
+        .join(broadcast(asia), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val suppAsia = supplier(s, d)
+        .join(broadcast(asia.select(col("n_nationkey").as("sn_nationkey"))),
+          col("s_nationkey") === col("sn_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val ordCustAsia = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .join(custAsia, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"), col("n_name"))
+      lineitem(s, d)
+        .join(ordCustAsia, col("l_orderkey") === col("o_orderkey"))
+        .join(suppAsia,
           col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-      joined.groupBy(col("n_name"))
+        .groupBy(col("n_name"))
         .agg(sumDec(discPrice, 6).as("revenue"))
     }
   )

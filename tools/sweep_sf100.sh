@@ -18,6 +18,16 @@ cd "$(dirname "$0")/.."
 
 SF100_DIR=${SF100_DIR:-data/sf100}
 CPUS=${SPARK_GRAFT_CPUS:-32}
+# Size the single local JVM to the data, the way a cluster sizes executor
+# memory: at 600M fact rows the 8g default is permanently spill-bound on
+# the wide shuffles (and with the AQE initial-partition discipline the
+# sort buffers OOM outright). 32g on the 128 GiB host = ~1 GiB per core,
+# a standard executor shape.
+export SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-32g}
+# Reduce parallelism tracks data volume at this scale: advertise 256 AQE
+# initial partitions (coalesced back where small). At sf0.1 this knob is a
+# ~10% tax, so it is sweep-local, not the Bench default.
+export SPARK_GRAFT_INITIAL_PARTITIONS=${SPARK_GRAFT_INITIAL_PARTITIONS:-256}
 
 # The sf10 standing set minus the journey heads whose sf100 cost is pure
 # row-linear repetition already priced by their stages (stream_corpus_*,
