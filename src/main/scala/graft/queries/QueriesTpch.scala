@@ -47,11 +47,18 @@ object QueriesTpch {
     },
 
     "q3_topk" -> { (s, d) =>
+      // The BUILDING restriction (1/5 of customers) meets orders BEFORE the
+      // lineitem join, so only restricted orders shuffle by orderkey — and
+      // customer carries no broadcast hint: it scales with SF (3M BUILDING
+      // rows at sf100), so AQE decides broadcast-vs-shuffle instead of a
+      // forced driver-side build that outgrows memory at some scale.
       val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
       val o = orders(s, d).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       val l = lineitem(s, d).filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      l.join(o.join(c, col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(sumDec(discPrice, 6).as("revenue"))
         .select(col("l_orderkey"), eu(col("o_orderdate")).as("o_orderdate_us"),
