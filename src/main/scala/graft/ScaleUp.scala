@@ -28,7 +28,7 @@ object ScaleUp {
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
 
-  private def replicate(df: DataFrame, keys: Seq[String], factor: Int): DataFrame = {
+  private[graft] def replicate(df: DataFrame, keys: Seq[String], factor: Int): DataFrame = {
     val spark = df.sparkSession
     // one pass over the source: broadcast the tiny replica frame, shift keys.
     // The source sf dir stores each table as ONE parquet file, so without a

@@ -129,4 +129,27 @@ class ScalePostureSpec extends SparkSpec {
     val expect = e.filter(col("day") === "2024-01-05").count()
     assert(back.count() == expect && expect > 0)
   }
+
+  test("ScaleUp.replicate: disjoint key spaces, join integrity, parallel generation") {
+    import spark.implicits._
+    val cust = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("c_custkey", "name")
+    val ord = Seq((10L, 1L), (11L, 1L), (12L, 3L)).toDF("o_orderkey", "o_custkey")
+    val factor = 4
+    val c2 = ScaleUp.replicate(cust, Seq("c_custkey"), factor)
+    val o2 = ScaleUp.replicate(ord, Seq("o_orderkey", "o_custkey"), factor)
+    // cardinality multiplies, and shifted keys never collide across replicas
+    assert(c2.count() == 3L * factor)
+    assert(c2.select("c_custkey").distinct().count() == 3L * factor)
+    // every scaled order still matches exactly one scaled customer — the
+    // key shift is applied consistently to both sides of the relationship
+    val joined = o2.join(c2, o2("o_custkey") === c2("c_custkey"))
+    assert(joined.count() == 3L * factor)
+    assert(joined.filter(col("name").isNull).count() == 0)
+    // non-key columns copy verbatim into every replica
+    assert(c2.groupBy("name").count().filter(col("count") =!= factor).count() == 0)
+    // generation parallelizes: the pre-spread means more than one partition
+    // feeds the factor-x crossJoin (the single-task 600M-row lesson)
+    assert(c2.rdd.getNumPartitions > 1,
+      s"replicate must generate in parallel, got ${c2.rdd.getNumPartitions} partition(s)")
+  }
 }
