@@ -287,6 +287,79 @@ object Crawl {
           "\n").as("text_clean"))
   }
 
+  // --- Host link graph + PageRank -----------------------------------------
+
+  /** Host-level link graph from per-page outlinks: each page contributes
+    * `outlinks` (an array of target PAGE ids — a real crawl maps parsed
+    * hrefs to ids upstream), self-links drop, targets resolve to their
+    * host through one id-keyed join, and links aggregate to weighted
+    * host→host edges `(src_host, dst_host, weight)`.
+    *
+    * Scale posture: the link-resolution join shuffles on the target id —
+    * the unavoidable corpus-scale exchange of link resolution — but only
+    * `(id, src_host, target)` rows enter it, never bodies; the host-pair
+    * aggregate partial-aggregates map-side, so the edge frame that leaves
+    * the shuffle is host-graph-sized (millions of hosts), not page-sized
+    * (billions of pages).
+    */
+  def linkGraph(pages: DataFrame, idCol: String, hostCol: String,
+                outlinks: Column): DataFrame = {
+    val links = pages
+      .select(col(idCol), col(hostCol).as("src_host"),
+        explode(outlinks).as("__t"))
+      .where(col("__t") =!= col(idCol))
+    val hostOf = pages.select(col(idCol).as("__t"), col(hostCol).as("dst_host"))
+    links.join(hostOf, "__t")
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("weight"))
+  }
+
+  /** PageRank over a weighted host graph, in INTEGER MICRO-UNITS — the
+    * authority signal crawl curation ranks hosts by (the public PageRank
+    * formulation, damping 0.85, scaled so ranks average ~1e6 micros).
+    * All arithmetic is 64-bit integer (products, integer division, sums):
+    * per iteration, each edge contributes `rank_src * w div out_w`, and
+    * `rank' = baseMicros + dampNum * inflow div dampDen` — no IEEE
+    * rounding anywhere, so the fixpoint trajectory replays exactly in any
+    * engine (the quality_classifier 1e-6-grid discipline applied to a
+    * graph iteration). Hosts with no inlinks settle at `baseMicros`.
+    *
+    * Scale posture: ranks STAY distributed (a web-scale host graph has
+    * millions of nodes) — each of the `iters` rounds is one equi-join of
+    * the edge frame with the rank frame plus one partial-aggregated
+    * groupBy on the destination; the edge frame materializes once
+    * (localCheckpoint) and each round's rank frame checkpoints so plan
+    * depth stays constant across iterations (the curation_kmeans
+    * discipline, with the state left distributed instead of collected).
+    */
+  def pageRankHosts(edges: DataFrame, iters: Int,
+                    initMicros: Long = 1000000L, baseMicros: Long = 150000L,
+                    dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1, s"pageRankHosts: need iters >= 1, got $iters")
+    val outW = edges.groupBy(col("src_host")).agg(sum(col("weight")).as("out_w"))
+    val e = edges.join(outW, "src_host")
+      .select(col("src_host"), col("dst_host"), col("weight"), col("out_w"))
+      .localCheckpoint(eager = false)
+    val hosts = e.select(col("src_host").as("host"))
+      .unionByName(e.select(col("dst_host").as("host")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    var ranks = hosts.select(col("host"), lit(initMicros).as("rank_micros"))
+    for (_ <- 1 to iters) {
+      val inflow = e.join(ranks, col("src_host") === col("host"))
+        .selectExpr("dst_host", "rank_micros * weight div out_w AS contrib")
+        .groupBy(col("dst_host")).agg(sum(col("contrib")).as("inflow"))
+      ranks = hosts
+        .join(inflow, col("host") === col("dst_host"), "left")
+        .select(col("host"), coalesce(col("inflow"), lit(0L)).as("inflow"))
+        .selectExpr("host",
+          s"CAST($baseMicros + ($dampNum * inflow div $dampDen) AS BIGINT)" +
+            " AS rank_micros")
+        .localCheckpoint(eager = false)
+    }
+    ranks
+  }
+
   /** Crawl-generation diff: classify every page id across two crawl
     * snapshots as `added` (new generation only), `removed` (old only),
     * `changed` (both, content digest differs), or `unchanged` — the

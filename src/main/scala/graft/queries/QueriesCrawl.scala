@@ -48,6 +48,21 @@ object QueriesCrawl {
   private val MinAlphaFrac = 0.8
   private val MinStops = 1
 
+  // Link graph: every page links to 3 deterministic targets (integer maps
+  // of doc_id modulo the corpus size; the quadratic and floor-division
+  // maps are deliberately NON-bijective so host in-degree — and therefore
+  // rank — varies). ONE list of SQL exprs serves both engines: DuckDB
+  // verbatim, Spark via `//` → `div` (identical integer semantics for
+  // non-negative operands). PageRank runs 5 rounds in integer micros.
+  private val LinkTargetExprs = Seq(
+    "(doc_id * doc_id + 1)", "(doc_id * 7 + 1)", "((doc_id // 3) * 5 + 2)")
+  private val HostSuffix = ".example.com"
+  private val PrIters = 5
+  private val PrInit = 1000000L
+  private val PrBase = 150000L
+  private val PrDampNum = 85L
+  private val PrDampDen = 100L
+
   // Line construction: 8-token lines, a newsletter banner on every doc and
   // a rights footer on even docs — the corpus-frequent boilerplate the pass
   // must remove.
@@ -228,6 +243,65 @@ object QueriesCrawl {
         FROM flagged GROUP BY doc_id"""
   }
 
+  /** CTE chain `hosts_d` (page → host) → `l2` (resolved links) → `edges`
+    * (weighted host→host) — shared by link_graph and pagerank_hosts so the
+    * two oracles cannot drift. Targets are the same affine maps modulo the
+    * corpus count the Spark plan uses.
+    */
+  private def linkGraphCtes: String = {
+    val targets = LinkTargetExprs.map(e => s"$e % nn.n")
+      .mkString("[", ", ", "]")
+    s"""nn AS (SELECT count(*) AS n FROM documents),
+        hosts_d AS (
+          SELECT doc_id, source || '$HostSuffix' AS host FROM documents),
+        l0 AS (
+          SELECT doc_id, host AS src_host, $targets AS ts
+          FROM hosts_d, nn),
+        l AS (SELECT doc_id, src_host, unnest(ts) AS t FROM l0),
+        l2 AS (
+          SELECT l.src_host, d2.host AS dst_host
+          FROM l JOIN hosts_d d2 ON d2.doc_id = l.t
+          WHERE l.t <> l.doc_id),
+        edges AS (
+          SELECT src_host, dst_host, count(*) AS weight
+          FROM l2 GROUP BY src_host, dst_host)"""
+  }
+
+  private def linkGraphSql: String =
+    s"""WITH $linkGraphCtes
+        SELECT src_host, dst_host, weight FROM edges"""
+
+  /** The integer-micros PageRank iteration as chained CTEs r0..r$PrIters —
+    * all arithmetic 64-bit integer (`//`), replaying Crawl.pageRankHosts
+    * exactly.
+    */
+  private def pagerankHostsSql: String = {
+    val rounds = (1 to PrIters).map { i =>
+      s"""r$i AS (
+            SELECT h.host,
+                   CAST($PrBase + ($PrDampNum * coalesce(s.inflow, 0))
+                     // $PrDampDen AS BIGINT) AS rank_micros
+            FROM hosts h LEFT JOIN (
+              SELECT e.dst_host AS host,
+                     sum((r.rank_micros * e.weight) // o.out_w) AS inflow
+              FROM edges e
+              JOIN outw o USING (src_host)
+              JOIN r${i - 1} r ON r.host = e.src_host
+              GROUP BY e.dst_host) s USING (host))"""
+    }.mkString(",\n")
+    s"""WITH $linkGraphCtes,
+        outw AS (
+          SELECT src_host, sum(weight) AS out_w FROM edges GROUP BY src_host),
+        hosts AS (
+          SELECT DISTINCT src_host AS host FROM edges
+          UNION
+          SELECT DISTINCT dst_host AS host FROM edges),
+        r0 AS (
+          SELECT host, CAST($PrInit AS BIGINT) AS rank_micros FROM hosts),
+        $rounds
+        SELECT host, rank_micros FROM r$PrIters"""
+  }
+
   // --- the declarative crawl journey --------------------------------------
 
   // Gate bounds for the config journey, applied to the EXTRACTED text
@@ -386,6 +460,37 @@ object QueriesCrawl {
         .select(col("doc_id"), col("text"))
     },
 
+    // Host-level link graph: per-page outlinks (deterministic affine-map
+    // targets shared with the oracle) resolve to target hosts through one
+    // id-keyed join and aggregate to weighted host→host edges — only
+    // (id, host, target) rows enter the shuffle, bodies never move.
+    "link_graph" -> { (s, d) =>
+      val docs = documents(s, d)
+      val n = docs.count() // metadata-scale plan-build count (annIvf precedent)
+      val targets = array(LinkTargetExprs.map { e =>
+        pmod(expr(e.replace("//", "div")), lit(n))
+      }: _*)
+      Crawl.linkGraph(
+        docs.withColumn("host", concat(col("source"), lit(HostSuffix))),
+        "doc_id", "host", targets)
+    },
+
+    // PageRank over the host graph in integer micros: 5 join+aggregate
+    // rounds with the rank state left distributed (checkpointed constant
+    // plan depth) — every arithmetic step 64-bit integer, so the
+    // trajectory replays exactly in the oracle.
+    "pagerank_hosts" -> { (s, d) =>
+      val docs = documents(s, d)
+      val n = docs.count()
+      val targets = array(LinkTargetExprs.map { e =>
+        pmod(expr(e.replace("//", "div")), lit(n))
+      }: _*)
+      val edges = Crawl.linkGraph(
+        docs.withColumn("host", concat(col("source"), lit(HostSuffix))),
+        "doc_id", "host", targets)
+      Crawl.pageRankHosts(edges, PrIters, PrInit, PrBase, PrDampNum, PrDampDen)
+    },
+
     "line_dedup" -> { (s, d) =>
       val w = split(col("text"), "\\s+")
       val nLines = ceil(size(w) / lit(LineTokens.toDouble)).cast("int")
@@ -408,6 +513,8 @@ object QueriesCrawl {
     "html_extract" -> htmlExtractSql,
     "url_dedup" -> urlDedupSql,
     "quality_gopher" -> qualityGopherSql,
+    "link_graph" -> linkGraphSql,
+    "pagerank_hosts" -> pagerankHostsSql,
     "line_dedup" -> lineDedupSql,
     "config_corpus_crawl" -> configCorpusCrawlSql,
     "stream_corpus_extract" -> streamCorpusExtractSql

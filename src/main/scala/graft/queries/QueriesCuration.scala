@@ -22,6 +22,9 @@ object QueriesCuration {
   private val DiversitySeed = 13
   private val SampleDefault = 0.1
   private val SampleSeed = 42
+  // curation_quota: exact per-stratum budget + its own ratio seed
+  private val QuotaK = 7
+  private val QuotaSeed = 99
   // Bloom decontamination sizing (must match the oracle's hash exprs)
   private val BloomBits = 1 << 16
   private val BloomHashes = 2
@@ -300,6 +303,17 @@ object QueriesCuration {
         .select(col("doc_id"), col("lang"))
     },
 
+    // EXACT-COUNT stratified sampling: exactly min(quota, n) docs per
+    // source, chosen by sha256-ratio order (deterministic "random", ties
+    // impossible-free by id) — the fixed-budget complement of
+    // curation_sample's rate filter. The bounded TopK aggregator keeps
+    // only source×quota rows in the shuffle.
+    "curation_quota" -> { (s, d) =>
+      Curation.groupTopK(documents(s, d), "source", "doc_id",
+        -Curation.hashRatio(col("doc_id"), QuotaSeed), k = QuotaK)
+        .select(col("source"), col("doc_id"), col("rank").as("rnk"))
+    },
+
     // Top-5 events per event_type by (value desc, event_id asc) via the
     // bounded map-side TopK aggregator (only G×k rows shuffle).
     "curation_topk" -> { (s, d) =>
@@ -408,6 +422,15 @@ object QueriesCuration {
       s"""SELECT doc_id, lang FROM documents
           WHERE ${ratioSql("doc_id", SampleSeed)} < ($rate)"""
     },
+
+    "curation_quota" ->
+      s"""SELECT source, doc_id, CAST(rnk AS INTEGER) AS rnk
+          FROM (SELECT source, doc_id,
+                       row_number() OVER (PARTITION BY source
+                         ORDER BY ${ratioSql("doc_id", QuotaSeed)} ASC,
+                                  doc_id ASC) AS rnk
+                FROM documents)
+          WHERE rnk <= $QuotaK""",
 
     "curation_topk" ->
       """SELECT event_type, event_id, ROUND(value, 6) AS score,

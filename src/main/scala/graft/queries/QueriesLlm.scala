@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Assembly, Dedup, Multimodal, Similarity}
 import Q._
 
 /** §2.7 LLM-training-data operators over `documents` and `embeddings`.
@@ -99,6 +99,26 @@ object QueriesLlm {
           SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
         lab AS (
           SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)"""
+
+  // split_leakage: fold ratios + seed shared between the Spark plan and
+  // the oracle's hashSplitSql twin
+  private val LeakFolds = Seq("train" -> 0.9, "test" -> 0.1)
+  private val LeakSeed = 21
+
+  /** split_leakage twin: the minhash verified pairs (jacc >= 0.5) joined
+    * to per-doc hash-split folds, kept where the endpoints' folds differ.
+    */
+  private def splitLeakageSql: String =
+    s"""WITH ${minhashCtes()},
+        folds AS (
+          SELECT doc_id, ${QueriesAssembly.hashSplitSql("doc_id", LeakSeed,
+            LeakFolds)} AS fold
+          FROM documents)
+        SELECT id_a, id_b, jacc, fa.fold AS fold_a, fb.fold AS fold_b
+        FROM verified
+        JOIN folds fa ON fa.doc_id = id_a
+        JOIN folds fb ON fb.doc_id = id_b
+        WHERE jacc >= 0.5 AND fa.fold <> fb.fold"""
 
   /** Per-doc minhash dedup report on top of [[minhashCtes]]. */
   private def minhashSql: String =
@@ -355,6 +375,26 @@ object QueriesLlm {
 
     "dedup_minhash" -> { (s, d) =>
       Dedup.minhashDedup(documents(s, d), "text", "doc_id")
+    },
+
+    // Train/test contamination audit: near-dup pairs (minhash-verified,
+    // jacc >= 0.5) whose endpoints land in DIFFERENT hash-split folds —
+    // the leakage report a dataset release runs before publishing a split.
+    // Folds are per-row sha256 bucketing; the two fold joins key the
+    // bucket-bounded verified pair set, never the corpus.
+    "split_leakage" -> { (s, d) =>
+      val docs = documents(s, d)
+      val folds = docs.select(col("doc_id"),
+        Assembly.hashSplitLabel(col("doc_id"), LeakFolds, LeakSeed).as("fold"))
+      Dedup.minhashScoredPairs(docs, "text", "doc_id")
+        .where(col("jacc") >= 0.5)
+        .join(folds.select(col("doc_id").as("id_a"), col("fold").as("fold_a")),
+          "id_a")
+        .join(folds.select(col("doc_id").as("id_b"), col("fold").as("fold_b")),
+          "id_b")
+        .where(col("fold_a") =!= col("fold_b"))
+        .select(col("id_a"), col("id_b"), col("jacc"),
+          col("fold_a"), col("fold_b"))
     },
 
     "dedup_cluster" -> { (s, d) =>
@@ -1007,6 +1047,7 @@ object QueriesLlm {
 
   val oracleSql: Map[String, String] = Map(
     "dedup_minhash" -> minhashSql,
+    "split_leakage" -> splitLeakageSql,
     "decontam_fuzzy" -> decontamFuzzySql,
     "bpe_merges" -> bpeMergesSql(BpeRounds),
     "bpe_encode" -> bpeEncodeSql(BpeRounds),

@@ -147,4 +147,48 @@ class CrawlSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(out(1L) == "" && out(2L) == "")
   }
+
+  // --- linkGraph / pageRankHosts ------------------------------------------
+
+  private val linkPages = Seq(
+    (1L, "a", Seq(2L, 3L)), (2L, "a", Seq(1L, 3L)),
+    (3L, "b", Seq(4L, 3L)), // 3 -> 3 is a self-link and must drop
+    (4L, "c", Seq(1L)),
+    (5L, "d", Seq(1L, 99L))) // 99 resolves to no page and must drop
+    .toDF("id", "host", "links")
+
+  test("linkGraph drops self-links + unresolved targets, aggregates weights") {
+    val edges = Crawl.linkGraph(linkPages, "id", "host", col("links"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(edges == Map(
+      ("a", "a") -> 2L, ("a", "b") -> 2L, ("b", "c") -> 1L,
+      ("c", "a") -> 1L, ("d", "a") -> 1L))
+  }
+
+  test("pageRankHosts: one integer-micros iteration matches the hand calc") {
+    // out_w: a=4 b=1 c=1 d=1; inflow(a) = 1e6*2 div 4 + 1e6 + 1e6 = 2.5e6,
+    // inflow(b) = 5e5, inflow(c) = 1e6, inflow(d) = 0 (no inlinks -> base)
+    val edges = Crawl.linkGraph(linkPages, "id", "host", col("links"))
+    val r1 = Crawl.pageRankHosts(edges, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(
+      "a" -> (150000L + 85L * 2500000L / 100L),
+      "b" -> (150000L + 85L * 500000L / 100L),
+      "c" -> (150000L + 85L * 1000000L / 100L),
+      "d" -> 150000L))
+  }
+
+  test("pageRankHosts iterates: round 2 feeds round-1 ranks through edges") {
+    val edges = Crawl.linkGraph(linkPages, "id", "host", col("links"))
+    val r1 = Crawl.pageRankHosts(edges, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val r2 = Crawl.pageRankHosts(edges, iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def next(inflow: Long) = 150000L + 85L * inflow / 100L
+    assert(r2("a") == next(r1("a") * 2 / 4 + r1("c") + r1("d")))
+    assert(r2("b") == next(r1("a") * 2 / 4))
+    assert(r2("c") == next(r1("b")))
+    assert(r2("d") == 150000L)
+  }
 }
