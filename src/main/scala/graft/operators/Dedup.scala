@@ -307,6 +307,104 @@ object Dedup {
     }
   }
 
+  /** Cross-fold near-dup LEAKAGE report — the contamination audit a dataset
+    * release runs before publishing a train/test split: for every document
+    * with at least one near-duplicate (jacc ≥ threshold, exact copies
+    * included at jacc 1.0) in a DIFFERENT fold, the count of such
+    * cross-fold partners. Output `(id, fold, n_leaks)`, leak-sized — never
+    * pair-sized.
+    *
+    * Scale posture: the [[minhashDedup]] exact-duplicate pre-collapse,
+    * applied to the leakage report. A d-fold duplicated corpus (every
+    * re-crawl) otherwise explodes into d²/2 identical-text pairs per
+    * distinct text (measured 12.6× on 10× data with 10-way duplication
+    * before the collapse landed). Identical texts share signatures and
+    * band buckets, so member-level pairs are near-dups iff their rep pair
+    * is (or they share a group — jacc exactly 1.0); per-doc counts
+    * reconstruct EXACTLY from rep-level pairs + per-(rep, fold) member
+    * counts: a doc in group G with fold f leaks to G's other-fold members
+    * plus, per verified rep pair (G, H), H's other-fold members. The probe
+    * and dual-path contract match minhashDedup (the HLL probe arms the
+    * collapse only when duplication is material; both paths are pinned
+    * row-equal in the spec).
+    */
+  def splitLeakage(df: DataFrame, textCol: String, idCol: String,
+                   foldCol: String, shingleSize: Int = 3, numPerm: Int = 64,
+                   bands: Int = 16, threshold: Double = 0.5,
+                   collapseOverride: Option[Boolean] = None): DataFrame = {
+    val probe = df.agg(count(lit(1)).as("n"),
+      approx_count_distinct(sha2(col(textCol).cast("string"), 256)).as("d"))
+      .head()
+    val collapse = collapseOverride.getOrElse(
+      probe.getLong(1) < 0.9 * probe.getLong(0))
+    val folds = df.select(col(idCol), col(foldCol))
+    if (!collapse) {
+      val pairs = minhashScoredPairs(df.select(col(idCol), col(textCol)),
+        textCol, idCol, shingleSize, numPerm, bands)
+        .where(col("jacc") >= threshold)
+      val directed = pairs.select(col("id_a").as("__id"), col("id_b").as("__o"))
+        .unionAll(pairs.select(col("id_b").as("__id"), col("id_a").as("__o")))
+      directed
+        .join(folds.select(col(idCol).as("__id"), col(foldCol).as("__fa")),
+          "__id")
+        .join(folds.select(col(idCol).as("__o"), col(foldCol).as("__fb")),
+          "__o")
+        .where(col("__fa") =!= col("__fb"))
+        .groupBy(col("__id"), col("__fa"))
+        .agg(count(lit(1)).as("n_leaks"))
+        .select(col("__id").as(idCol), col("__fa").as(foldCol),
+          col("n_leaks"))
+    } else {
+      // short (< shingleSize tokens) docs stay their own representatives —
+      // identical short docs are NOT near-dups (empty shingle sets), the
+      // dupClusters contract
+      val collapsible = size(Text.tokens(col(textCol))) >= shingleSize
+      val byText = org.apache.spark.sql.expressions.Window
+        .partitionBy(sha2(col(textCol).cast("string"), 256))
+      val mapped = df.select(col(idCol), col(textCol), col(foldCol),
+          when(collapsible, min(col(idCol)).over(byText))
+            .otherwise(col(idCol)).as("__rep"))
+        .localCheckpoint(eager = false) // feeds comp, reps AND the re-attach
+      // per-(rep, fold) member counts — rep-scale, folds are a handful
+      val comp = mapped.groupBy(col("__rep"), col(foldCol))
+        .agg(count(lit(1)).as("__m"))
+        .localCheckpoint(eager = false)
+      val repTotals = comp.groupBy(col("__rep")).agg(sum(col("__m")).as("__g"))
+      val reps = mapped.where(col(idCol) === col("__rep"))
+        .select(col(idCol), col(textCol))
+      val repPairs = minhashScoredPairs(reps, textCol, idCol, shingleSize,
+        numPerm, bands)
+        .where(col("jacc") >= threshold)
+        .localCheckpoint(eager = false) // consumed from both directions
+      val directed = repPairs.select(col("id_a").as("__rep"), col("id_b").as("__o"))
+        .unionAll(repPairs.select(col("id_b").as("__rep"), col("id_a").as("__o")))
+      // neighbor members by their fold, then per (rep, fold-of-doc) leaks =
+      // cross-total minus same-fold cross + own group's other-fold members
+      val crossByFold = directed
+        .join(comp.select(col("__rep").as("__o"), col(foldCol).as("__f"),
+          col("__m")), "__o")
+        .groupBy(col("__rep"), col("__f"))
+        .agg(sum(col("__m")).as("__cm"))
+        .localCheckpoint(eager = false)
+      val crossTotal = crossByFold.groupBy(col("__rep"))
+        .agg(sum(col("__cm")).as("__ct"))
+      val withinArm = lit(1.0 >= threshold) // group mates tie at jacc 1.0
+      val perRepFold = comp
+        .join(repTotals, "__rep")
+        .join(crossByFold.select(col("__rep"), col("__f").as(foldCol),
+          col("__cm")), Seq("__rep", foldCol), "left")
+        .join(crossTotal, Seq("__rep"), "left")
+        .select(col("__rep"), col(foldCol),
+          (when(withinArm, col("__g") - col("__m")).otherwise(lit(0L)) +
+            (coalesce(col("__ct"), lit(0L)) - coalesce(col("__cm"), lit(0L))))
+            .as("n_leaks"))
+      mapped.select(col(idCol), col("__rep"), col(foldCol))
+        .join(perRepFold, Seq("__rep", foldCol))
+        .where(col("n_leaks") > 0L)
+        .select(col(idCol), col(foldCol), col("n_leaks"))
+    }
+  }
+
   // --------------------------------------------------- duplicate clustering
 
   /** Connected components by min-label propagation with pointer jumping:

@@ -105,20 +105,30 @@ object QueriesLlm {
   private val LeakFolds = Seq("train" -> 0.9, "test" -> 0.1)
   private val LeakSeed = 21
 
-  /** split_leakage twin: the minhash verified pairs (jacc >= 0.5) joined
-    * to per-doc hash-split folds, kept where the endpoints' folds differ.
+  /** split_leakage twin: per-doc count of verified near-dup partners
+    * (jacc >= 0.5) whose hash-split fold differs — the direct (non
+    * -collapsed) formulation; the operator's rep-collapse path is pinned
+    * row-equal in the spec.
     */
   private def splitLeakageSql: String =
     s"""WITH ${minhashCtes()},
         folds AS (
           SELECT doc_id, ${QueriesAssembly.hashSplitSql("doc_id", LeakSeed,
             LeakFolds)} AS fold
-          FROM documents)
-        SELECT id_a, id_b, jacc, fa.fold AS fold_a, fb.fold AS fold_b
-        FROM verified
-        JOIN folds fa ON fa.doc_id = id_a
-        JOIN folds fb ON fb.doc_id = id_b
-        WHERE jacc >= 0.5 AND fa.fold <> fb.fold"""
+          FROM documents),
+        p AS (SELECT id_a, id_b FROM verified WHERE jacc >= 0.5),
+        directed AS (
+          SELECT id_a AS id, id_b AS o FROM p
+          UNION ALL
+          SELECT id_b AS id, id_a AS o FROM p),
+        x AS (
+          SELECT d.id AS doc_id, fa.fold, count(*) AS n_leaks
+          FROM directed d
+          JOIN folds fa ON fa.doc_id = d.id
+          JOIN folds fb ON fb.doc_id = d.o
+          WHERE fa.fold <> fb.fold
+          GROUP BY d.id, fa.fold)
+        SELECT doc_id, fold, n_leaks FROM x"""
 
   /** Per-doc minhash dedup report on top of [[minhashCtes]]. */
   private def minhashSql: String =
@@ -377,24 +387,15 @@ object QueriesLlm {
       Dedup.minhashDedup(documents(s, d), "text", "doc_id")
     },
 
-    // Train/test contamination audit: near-dup pairs (minhash-verified,
-    // jacc >= 0.5) whose endpoints land in DIFFERENT hash-split folds —
-    // the leakage report a dataset release runs before publishing a split.
-    // Folds are per-row sha256 bucketing; the two fold joins key the
-    // bucket-bounded verified pair set, never the corpus.
+    // Train/test contamination audit: per-doc count of minhash-verified
+    // near-dups (jacc >= 0.5, exact copies included) sitting in a DIFFERENT
+    // hash-split fold — the leakage report a dataset release runs before
+    // publishing a split. Leak-sized output, never pair-sized; a duplicated
+    // corpus takes the exact-dup rep-collapse path behind the HLL probe.
     "split_leakage" -> { (s, d) =>
-      val docs = documents(s, d)
-      val folds = docs.select(col("doc_id"),
-        Assembly.hashSplitLabel(col("doc_id"), LeakFolds, LeakSeed).as("fold"))
-      Dedup.minhashScoredPairs(docs, "text", "doc_id")
-        .where(col("jacc") >= 0.5)
-        .join(folds.select(col("doc_id").as("id_a"), col("fold").as("fold_a")),
-          "id_a")
-        .join(folds.select(col("doc_id").as("id_b"), col("fold").as("fold_b")),
-          "id_b")
-        .where(col("fold_a") =!= col("fold_b"))
-        .select(col("id_a"), col("id_b"), col("jacc"),
-          col("fold_a"), col("fold_b"))
+      val docs = documents(s, d).withColumn("fold",
+        Assembly.hashSplitLabel(col("doc_id"), LeakFolds, LeakSeed))
+      Dedup.splitLeakage(docs, "text", "doc_id", "fold")
     },
 
     "dedup_cluster" -> { (s, d) =>

@@ -304,6 +304,33 @@ class TextDedupSpec extends SparkSpec {
     assert(direct(0L)._2 >= 2L)
   }
 
+  test("splitLeakage collapsed path equals the direct report exactly") {
+    // Triple the sf0.001 corpus with offset ids: every text becomes a
+    // 3-way exact-dup group whose copies hash into different folds, so
+    // both the within-group and the cross-rep-pair leak terms exercise.
+    // A short doc per copy pins the no-collapse-for-shorts contract
+    // (identical shorts are NOT leaks).
+    val base = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .union(Seq((900000L, "tiny")).toDF("doc_id", "text"))
+    val Off = 1000000L
+    val tripled = base
+      .union(base.select(col("doc_id") + Off, col("text")))
+      .union(base.select(col("doc_id") + 2 * Off, col("text")))
+      .withColumn("fold", graft.operators.Assembly.hashSplitLabel(
+        col("doc_id"), Seq("train" -> 0.9, "test" -> 0.1), seed = 21))
+    def run(collapse: Boolean) =
+      Dedup.splitLeakage(tripled, "text", "doc_id", "fold",
+        collapseOverride = Some(collapse))
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+        .toMap
+    val direct = run(false)
+    val collapsed = run(true)
+    assert(collapsed == direct)
+    assert(direct.nonEmpty) // the audit actually fires on this fixture
+    assert(!direct.contains(900000L) && !direct.contains(900000L + Off))
+  }
+
   test("annIvf collapsed path equals the uncollapsed assignment exactly") {
     // doubled corpus: the duplicate probe collapses assignment to one
     // representative per distinct vector; forcing collapse off must give
