@@ -112,11 +112,21 @@ object Curation {
     */
   def bloomBitmap(benchmark: DataFrame, textCol: String, n: Int,
                   mBits: Int, numHashes: Int): Array[Long] = {
-    require(mBits % 64 == 0, "mBits must be a multiple of 64")
     def ngrams = array_distinct(Text.shingles(Text.tokens(col(textCol)), n))
     val benchNg = benchmark.select(explode(ngrams).as("ngram")).distinct()
+    bloomBitmapKeys(benchNg, "ngram", mBits, numHashes)
+  }
+
+  /** Bitmap of arbitrary pre-built STRING keys — the [[bloomBitmap]] core
+    * without the n-gram construction, shared with the dedup-index ingest
+    * screens ([[IncrementalDedup.ingestScreens]]). Same partial-aggregated
+    * bit_or fold, same metadata-scale driver hop.
+    */
+  def bloomBitmapKeys(keys: DataFrame, keyCol: String, mBits: Int,
+                      numHashes: Int): Array[Long] = {
+    require(mBits % 64 == 0, "mBits must be a multiple of 64")
     val positions = (0 until numHashes)
-      .map(i => benchNg.select(bloomPos(col("ngram"), i, mBits).as("p")))
+      .map(i => keys.select(bloomPos(col(keyCol), i, mBits).as("p")))
       .reduce(_ unionAll _)
     val words = positions
       .select(floor(col("p") / 64).cast("int").as("w"),
@@ -127,6 +137,23 @@ object Curation {
     val bitmap = Array.fill(mBits / 64)(0L)
     words.foreach(r => bitmap(r.getInt(0)) = r.getLong(1))
     bitmap
+  }
+
+  /** All-positions-set test of ONE pre-built key against a bitmap literal —
+    * the per-key probe for callers that already hold the key (the dedup
+    * -index ingest screens probe a digest and one key per signature band
+    * per row). Pure expression over a constant-folded array literal; same
+    * hash family and bit layout as [[bloomBitmapKeys]].
+    */
+  def bloomHitKey(key: Column, bitmap: Array[Long], mBits: Int,
+                  numHashes: Int): Column = {
+    val bm = lit(bitmap)
+    (0 until numHashes).map { i =>
+      val p = bloomPos(key, i, mBits)
+      element_at(bm, floor(p / 64).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          pmod(p, lit(64)).cast("int"))) =!= 0L
+    }.reduce(_ && _)
   }
 
   /** The bitmap as a PERSISTED artifact (the save/load_scaler discipline —

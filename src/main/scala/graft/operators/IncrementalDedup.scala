@@ -239,6 +239,41 @@ object IncrementalDedup {
     UpdateReport(gen, nNew, nEdges, skipped = false)
   }
 
+  // ---------------------------------------------------------- ingest screen
+
+  /** Bloom INGEST SCREENS of the stored index — the at-ingest gate's plan
+    * constants: (digest bitmap, band-key bitmap, index params). Digest keys
+    * are the rep map's stored text digests; band keys are the stored
+    * signatures' `(band, band_hash)` pairs rendered `"band:hash"`. Both
+    * collapse through [[Curation.bloomBitmapKeys]]'s partial-aggregated
+    * bit_or fold — a metadata-scale driver hop no matter how large the
+    * index — and enter a streaming plan as constant literals, so the gate
+    * is a pure per-row expression with zero state and zero joins (the
+    * decontam_bloom posture applied to the dedup index). False positives
+    * drop conservatively (at re-crawl scale a kept duplicate costs more
+    * than a dropped unique) and are deterministic: the oracle replays them
+    * bit for bit.
+    */
+  def ingestScreens(spark: SparkSession, indexDir: Path, mBits: Int,
+                    numHashes: Int): (Array[Long], Array[Long], Params) = {
+    val m = loadMeta(indexDir).getOrElse(throw new IllegalArgumentException(
+      s"dedup index '$indexDir' has no committed generations"))
+    val gens = m.gens.map(_.gen)
+    def read(kind: String): DataFrame =
+      spark.read.parquet(gens.map(g => dir(indexDir, kind, g).toString): _*)
+    val digests = read("reps").select(col("__d").as("key"))
+    val rows = m.params.numPerm / m.params.bands
+    val foldFn = graft.functions.BandFold.register(spark, m.params.bands,
+      rows, Dedup.BandFoldPrime)
+    val bandKeys = read("signatures")
+      .select(posexplode(call_function(foldFn, col("sig")))
+        .as(Seq("band", "bh")))
+      .select(concat(col("band").cast("string"), lit(":"),
+        col("bh").cast("string")).as("key"))
+    (Curation.bloomBitmapKeys(digests, "key", mBits, numHashes),
+      Curation.bloomBitmapKeys(bandKeys, "key", mBits, numHashes), m.params)
+  }
+
   // --------------------------------------------------------------- clusters
 
   /** Duplicate clusters over EVERYTHING the index has ingested — equal to

@@ -22,6 +22,68 @@ object QueriesStreaming {
     sys.env.get("SPARK_GRAFT_STREAM_SINK").filter(_ == "parquet")
       .map(_ => s"/tmp/graft_stream_sink/$name")
 
+  // stream_dedup_index Bloom sizing (shared with the oracle's position
+  // arithmetic). 2^17 bits holds the gate-scale archive at sub-percent FP;
+  // a production archive sizes mBits to its key count (the parameter is
+  // explicit on the operator).
+  private val DedupIdxBits = 1 << 17
+  private val DedupIdxHashes = 2
+
+  /** DuckDB twin of the at-ingest dedup-index gate: the archive's (docs
+    * with doc_id % 3 <> 0) digest and band-key sets define the Bloom
+    * position sets (a bit is set iff its position is in the set — the
+    * bitmap IS the characteristic function, the bloomDecontamCtes
+    * formulation), and every arriving doc probes them per row.
+    */
+  private def streamDedupIndexSql: String = {
+    import graft.functions.Text.portableHashSql
+    def pos(i: Int, e: String) =
+      s"${portableHashSql(s"'bloom$i:' || $e")} % $DedupIdxBits"
+    val bandKey = "CAST(band AS VARCHAR) || ':' || CAST(band_hash AS VARCHAR)"
+    def unionPos(rel: String) = (0 until DedupIdxHashes)
+      .map(i => s"SELECT ${pos(i, "key")} AS p FROM $rel")
+      .mkString("\n            UNION ALL\n            ")
+    def allIn(keyExpr: String, posRel: String) = (0 until DedupIdxHashes)
+      .map(i => s"${pos(i, keyExpr)} IN (SELECT p FROM $posRel)")
+      .mkString(" AND ")
+    s"""WITH ${QueriesLlm.minhashCtes()},
+        di_band_keys AS (
+          SELECT DISTINCT $bandKey AS key
+          FROM banded JOIN words USING (doc_id)
+          WHERE doc_id % 3 <> 0 AND len(w) >= 3),
+        di_band_pos AS (SELECT DISTINCT p FROM (
+          ${unionPos("di_band_keys")})),
+        di_dig_keys AS (
+          SELECT DISTINCT sha256(coalesce('t:' || text, 'null:')) AS key
+          FROM documents
+          WHERE doc_id % 3 <> 0
+            AND len(regexp_split_to_array(lower(text), '\\s+')) >= 3),
+        di_dig_pos AS (SELECT DISTINCT p FROM (
+          ${unionPos("di_dig_keys")})),
+        di_doc AS (
+          SELECT doc_id,
+                 len(regexp_split_to_array(lower(text), '\\s+')) >= 3 AS ok,
+                 sha256(coalesce('t:' || text, 'null:')) AS dg
+          FROM documents),
+        di_dighit AS (
+          SELECT doc_id, ${allIn("dg", "di_dig_pos")} AS digest_hit
+          FROM di_doc WHERE ok),
+        di_bandhit AS (
+          SELECT b.doc_id, bool_or(${allIn("key", "di_band_pos")}) AS band_hit
+          FROM (SELECT doc_id, $bandKey AS key FROM banded) b
+          JOIN di_doc dd USING (doc_id)
+          WHERE dd.ok
+          GROUP BY b.doc_id)
+        SELECT d.doc_id,
+               coalesce(dh.digest_hit, FALSE) AS digest_hit,
+               coalesce(bh.band_hit, FALSE) AS band_hit,
+               NOT (coalesce(dh.digest_hit, FALSE)
+                    OR coalesce(bh.band_hit, FALSE)) AS keep
+        FROM di_doc d
+        LEFT JOIN di_dighit dh USING (doc_id)
+        LEFT JOIN di_bandhit bh USING (doc_id)"""
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "stream_windowed_agg" -> { (s, d) =>
       Streaming.runToBatch(s, d, s"graft_stream_agg_${runId.incrementAndGet()}")
@@ -86,6 +148,25 @@ object QueriesStreaming {
       Streaming.runCorpusStream(s, d, project,
         s"graft_stream_corpus_dedup_${runId.incrementAndGet()}")
         .select(sha2(col("text").cast("string"), 256).as("content_hash"))
+    },
+
+    // Cross-run dedup AT INGEST: the archive corpus builds the persisted
+    // minhash index batch-side once; each arriving doc is screened against
+    // the index's Bloom-literal digest + band-bucket bitmaps — pure per-row
+    // probes, zero state, zero join. Exact re-crawls and near-dup
+    // candidates drop at the door; the batch increment path remains the
+    // verified archive-of-record update.
+    "stream_dedup_index" -> { (s, d) =>
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      import graft.operators.IncrementalDedup
+      val root = java.nio.file.Paths.get("/tmp/graft_scratch/stream_dedup_index")
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+      IncrementalDedup.update(s, root,
+        graft.sources.Tables.documents(s, d)
+          .filter(pmod(col("doc_id"), lit(3)) =!= 0),
+        "text", "doc_id", genKey = "archive")
+      Streaming.dedupIndexGate(s, d, root, DedupIdxBits, DedupIdxHashes,
+        s"graft_stream_dedup_index_${runId.incrementAndGet()}")
     },
 
     // The crawl annotated AT INGEST under a pre-trained tokenizer: quality
@@ -154,6 +235,8 @@ object QueriesStreaming {
            ON e.user_id = p.user_id AND p.ts <= e.ts""",
     // identical gate, identical verdicts — at ingest instead of at rest
     "stream_corpus_filter" -> QueriesLlm.corpusFilterSql,
+
+    "stream_dedup_index" -> streamDedupIndexSql,
 
     "stream_corpus_stats" ->
       s"""SELECT source, lang,

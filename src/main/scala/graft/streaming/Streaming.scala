@@ -322,6 +322,60 @@ object Streaming {
     sinkTo(spark, gated, tableName, "append", sinkDir)
   }
 
+  /** CROSS-RUN dedup AT INGEST: each arriving document is screened against
+    * the PERSISTED minhash index's Bloom screens
+    * ([[graft.operators.IncrementalDedup.ingestScreens]]) — an exact
+    * re-crawl drops on the digest probe, a near-dup re-crawl drops on the
+    * band-bucket probe. The band screen is CANDIDATE-level (drop on any
+    * shared band bucket, no Jaccard verify — the conservative recall-max
+    * gate; the batch increment path verifies exactly and remains the
+    * archive-of-record update). Both screens are pure per-row expressions
+    * over two plan-literal bitmaps: zero state store, zero join — the
+    * decontam_bloom shape, so the same gate deploys on an unbounded crawl.
+    * Docs too short to shingle bypass both screens (they cannot near-dup
+    * and the index never signs them — the dupClusters contract).
+    *
+    * Output per arriving doc: `(doc_id, digest_hit, band_hit, keep)`.
+    */
+  def dedupIndexGate(spark: SparkSession, sfDir: String,
+                     indexDir: java.nio.file.Path, mBits: Int,
+                     numHashes: Int, tableName: String,
+                     sinkDir: Option[String] = None): DataFrame = {
+    import graft.functions.Text
+    import graft.operators.{Curation, Dedup, IncrementalDedup}
+    val (digBm, bandBm, p) =
+      IncrementalDedup.ingestScreens(spark, indexDir, mBits, numHashes)
+    val shingleFn = graft.functions.ShingleJoin.register(spark, p.shingleSize)
+    val hashFn = graft.functions.PortableHashArr.register(spark,
+      Dedup.MersennePrime)
+    val sigFn = graft.functions.MinhashSig.register(spark,
+      Dedup.permParams(p.numPerm), Dedup.MersennePrime)
+    val foldFn = graft.functions.BandFold.register(spark, p.bands,
+      p.numPerm / p.bands, Dedup.BandFoldPrime)
+    val t = col("text")
+    val shingleable = size(Text.tokens(t)) >= p.shingleSize
+    val digest = sha2(coalesce(concat(lit("t:"), t.cast("string")),
+      lit("null:")), 256)
+    val bands = call_function(foldFn, call_function(sigFn,
+      call_function(hashFn, call_function(shingleFn, Text.tokens(t)))))
+    // stage the signature chain once per row, then probe — the band array
+    // is computed in one projection so the 16 probes don't re-run it
+    val staged = readTable(spark, sfDir, "documents")
+      .select(col("doc_id"), shingleable.as("__ok"), digest.as("__dg"),
+        when(shingleable, bands).as("__bands"))
+    val bandHit = (0 until p.bands).map { i =>
+      Curation.bloomHitKey(
+        concat(lit(s"$i:"), element_at(col("__bands"), i + 1).cast("string")),
+        bandBm, mBits, numHashes)
+    }.reduce(_ || _)
+    val gated = staged.select(col("doc_id"),
+      when(col("__ok"), Curation.bloomHitKey(col("__dg"), digBm, mBits,
+        numHashes)).otherwise(lit(false)).as("digest_hit"),
+      when(col("__ok"), bandHit).otherwise(lit(false)).as("band_hit"))
+      .withColumn("keep", !col("digest_hit") && !col("band_hit"))
+    sinkTo(spark, gated, tableName, "append", sinkDir)
+  }
+
   /** The corpus report card AT INGEST: per-(source, lang) doc/token counts
     * and exact-decimal mean quality over the unbounded document stream — a
     * plain streaming aggregation (complete mode, no watermark: the group

@@ -345,4 +345,43 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Curation.chunkDocuments(docs, "doc_id", "text", 4, 5))
   }
+
+  test("bloomHitKey: inserted keys always hit; a fresh key misses a roomy bitmap") {
+    import org.apache.spark.sql.functions.col
+    val keys = Seq("alpha", "beta", "gamma").toDF("key")
+    val mBits = 1 << 16
+    val bm = Curation.bloomBitmapKeys(keys, "key", mBits, 2)
+    val probes = Seq("alpha", "beta", "gamma", "delta-not-inserted")
+      .toDF("key")
+      .select(col("key"), Curation.bloomHitKey(col("key"), bm, mBits, 2).as("hit"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(probes("alpha") && probes("beta") && probes("gamma"))
+    assert(!probes("delta-not-inserted")) // deterministic at these sizes
+  }
+
+  test("dedup-index ingest screens: re-crawls and near-dup candidates drop, new docs pass") {
+    val root = java.nio.file.Paths.get(
+      java.nio.file.Files.createTempDirectory("graft_ingest_screen").toString)
+    val archive = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs today")).toDF("doc_id", "text")
+    graft.operators.IncrementalDedup.update(spark, root, archive,
+      "text", "doc_id", genKey = "base")
+    val arrivals = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),   // exact re-crawl
+      (11L, "the quick brown fox jumps over the lazy cat"),   // near-dup: shares shingles
+      (12L, "completely unrelated fresh content about spark engines at scale"),
+      (13L, "hi")).toDF("doc_id", "text")                     // too short to screen
+    arrivals.write.mode("overwrite")
+      .parquet(s"$root/arrivals/documents.parquet")
+    val out = graft.streaming.Streaming.dedupIndexGate(spark,
+      s"$root/arrivals", root, 1 << 16, 2, "graft_ingest_screen_spec")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(out(10L)._1 && !out(10L)._3)       // digest hit -> dropped
+    assert(out(11L)._2 && !out(11L)._3)       // band-bucket hit -> dropped
+    assert(out(12L) == ((false, false, true)))
+    assert(out(13L) == ((false, false, true))) // shorts bypass the screens
+    org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+  }
 }
