@@ -573,6 +573,46 @@ class PlanAuditSpec extends SparkSpec {
       s"the crawl side must not shuffle, saw ${shuffleExchanges(plan)} exchanges")
   }
 
+  audit("link_graph") { plan =>
+    // link resolution is an id-keyed hash join; host-pair weights partial-
+    // aggregate before their exchange so the shuffled frame is host-graph-
+    // sized, not page-sized
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "link resolution must be an equi-join on the target id")
+    assert(plan.linesIterator.takeWhile(_.trim.nonEmpty)
+      .count(_.contains("HashAggregate")) >= 2,
+      "host-pair weights must partial-aggregate map-side")
+  }
+
+  audit("pagerank_hosts") { plan =>
+    // the returned frame is the LAST iteration (earlier rounds are behind
+    // checkpoints — constant plan depth): one edge-rank equi-join, one
+    // partial-aggregated destination groupBy, one rank re-attach
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "pagerank rounds must join on the host key")
+    assert(shuffleExchanges(plan) <= 4,
+      s"one round = bounded exchanges, saw ${shuffleExchanges(plan)}")
+  }
+
+  audit("curation_quota") { plan =>
+    // exact quotas through the bounded map-side TopK aggregator: partial
+    // top-k runs before the shuffle (only strata x k rows move), and no
+    // Window rank funnels whole strata through single partitions
+    assert(plan.linesIterator.takeWhile(_.trim.nonEmpty)
+      .count(_.contains("ObjectHashAggregate")) >= 2,
+      "quota sampling must partial-aggregate its top-k map-side")
+    assert(!plan.contains("Window"),
+      "quota sampling must not plan a window rank")
+  }
+
+  audit("split_leakage") { plan =>
+    // at gate scale the corpus is mostly distinct, so the audit pins the
+    // DIRECT path: candidate pairs come from the band-bucket equi-join,
+    // folds attach by id — no nested-loop anywhere
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "leakage pairs must come from band-bucket equi-joins")
+  }
+
   test("whole-stage codegen: the per-row heads run as ONE fused span") {
     // The brief's "widen the WholeStageCodegen spans" check, made a gate:
     // each pure per-row head (scan → expressions → output, no shuffle)
