@@ -433,6 +433,59 @@ object Similarity {
       .withColumn("is_canonical", col(idCol) === col("cluster_id"))
   }
 
+  /** SEMANTIC benchmark decontamination — the embedding-space pillar beside
+    * Curation.decontaminateFuzzy's n-gram minhash (held-out test sets leak
+    * as PARAPHRASES that token overlap misses): corpus vectors sharing a
+    * hyperplane-LSH bucket with a benchmark vector verify exact cosine,
+    * and a hit at or above `threshold` marks the document contaminated.
+    *
+    * Scale posture: the benchmark side is small by nature (a benchmark,
+    * not a corpus) — its bucket keys and vectors BROADCAST, so the corpus
+    * is never shuffled and never self-joined; per-corpus-vector work is
+    * bounded by bucket collisions. The decontaminateFuzzy count probe
+    * guards that contract: an oversized benchmark raises
+    * [[BenchmarkTooLargeException]] instead of silently planning a
+    * corpus-wide shuffle. Zero vectors never bucket on either side
+    * (cosine is 0/0 — undefined); absent corpus vectors re-attach through
+    * the left join with keep = true.
+    *
+    * Output: `(id, n_candidates, n_matches, max_cos, keep)`.
+    */
+  def decontamSemantic(corpus: DataFrame, benchmark: DataFrame,
+                       idCol: String, vecCol: String, threshold: Double,
+                       planes: Int, dim: Int,
+                       maxBenchmarkDocs: Long = 100000L): DataFrame = {
+    val nBench = benchmark.count()
+    if (nBench > maxBenchmarkDocs)
+      throw new BenchmarkTooLargeException(
+        s"semantic-decontamination benchmark side has $nBench vectors, " +
+          s"over the $maxBenchmarkDocs broadcast budget; a benchmark this " +
+          "large would force a corpus-wide shuffle join — split the " +
+          "benchmark or raise maxBenchmarkDocs explicitly")
+    registerFast(corpus)
+    val c = corpus
+      .select(col(idCol).as("corpus_id"), toDouble(col(vecCol)).as("__v"))
+      .where(nonZero(col("__v")))
+      .withColumn("bucket", lshSignature(col("__v"), planes, dim))
+    val b = benchmark
+      .select(col(idCol).as("bench_id"), toDouble(col(vecCol)).as("__bv"))
+      .where(nonZero(col("__bv")))
+      .withColumn("bucket", lshSignature(col("__bv"), planes, dim))
+    val pairs = c.join(broadcast(b), Seq("bucket"))
+      .select(col("corpus_id"), cosineF(col("__v"), col("__bv")).as("cos"))
+    val perDoc = pairs.groupBy(col("corpus_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("cos") >= threshold, 1L).otherwise(0L)).as("n_matches"),
+        round(max(col("cos")), 6).as("max_cos"))
+    corpus.select(col(idCol))
+      .join(perDoc, col(idCol) === col("corpus_id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("max_cos"),
+        (coalesce(col("n_matches"), lit(0L)) === 0).as("keep"))
+  }
+
   /** Near-duplicate pairs by embedding cosine over a bounded neighbor window
     * (id, id+1..id+lookahead) — the oracle-checkable linear-pair variant; the
     * LSH path above is the unbounded-scale variant. Emits one row per pair

@@ -193,6 +193,37 @@ object QueriesLlm {
                vec_id = cluster_id AS is_canonical
         FROM lab"""
 
+  /** decontam_semantic twin: benchmark vectors (vec_id % 17 = 0) define
+    * the LSH buckets, corpus vectors verify exact cosine on bucket-mates,
+    * per-doc report left-joins back over the full corpus. Bucket and
+    * cosine arithmetic shared with the ann_lsh / dedup_semantic twins.
+    */
+  private def decontamSemanticSql: String =
+    s"""WITH sigd AS (
+          SELECT vec_id, embedding, CAST(${lshBucketSql()} AS BIGINT) AS bucket
+          FROM embeddings
+          WHERE ${dotSql("embedding", "embedding")} > 0),
+        b AS (
+          SELECT vec_id AS bench_id, embedding AS bv, bucket
+          FROM sigd WHERE vec_id % 17 = 0),
+        c AS (SELECT vec_id AS corpus_id, embedding AS cv, bucket FROM sigd),
+        p AS (
+          SELECT corpus_id, ${cosSql("cv", "bv")} AS cos
+          FROM c JOIN b USING (bucket)),
+        perdoc AS (
+          SELECT corpus_id,
+                 CAST(count(*) AS BIGINT) AS n_candidates,
+                 CAST(sum(CASE WHEN cos >= 0.95 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_matches,
+                 ROUND(max(cos), 6) AS max_cos
+          FROM p GROUP BY corpus_id)
+        SELECT e.vec_id,
+               coalesce(d.n_candidates, 0) AS n_candidates,
+               coalesce(d.n_matches, 0) AS n_matches,
+               d.max_cos,
+               (coalesce(d.n_matches, 0) = 0) AS keep
+        FROM embeddings e LEFT JOIN perdoc d ON d.corpus_id = e.vec_id"""
+
   /** Full simhash pipeline in DuckDB: token → portable hash → 60 bit-sign
     * sums → signature → 4×15-bit band bucket counts.
     */
@@ -487,6 +518,18 @@ object QueriesLlm {
         planes = 6, dim = 64, threshold = 0.95)
         .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
           col("is_canonical"))
+    },
+
+    // Semantic benchmark decontamination: the embedding-space pillar beside
+    // decontam_fuzzy's n-gram minhash — benchmark vectors (vec_id % 17 = 0,
+    // a held-out suite overlapping the corpus, which is exactly the leak
+    // the audit hunts) broadcast their LSH bucket keys; corpus vectors
+    // verify exact cosine on bucket-mates only. The corpus never shuffles.
+    "decontam_semantic" -> { (s, d) =>
+      val e = embeddings(s, d)
+      Similarity.decontamSemantic(e,
+        e.filter(pmod(col("vec_id"), lit(17)) === 0), "vec_id", "embedding",
+        threshold = 0.95, planes = 6, dim = 64)
     },
 
     "ann_bruteforce" -> { (s, d) =>
@@ -1069,6 +1112,7 @@ object QueriesLlm {
           FROM j GROUP BY source""",
 
     "dedup_semantic" -> dedupSemanticSql,
+    "decontam_semantic" -> decontamSemanticSql,
     // the increment+index composition must land exactly where a
     // from-scratch semantic clustering of the union corpus lands — same
     // oracle as dedup_semantic

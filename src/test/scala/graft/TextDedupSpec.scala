@@ -331,6 +331,31 @@ class TextDedupSpec extends SparkSpec {
     assert(!direct.contains(900000L) && !direct.contains(900000L + Off))
   }
 
+  test("decontamSemantic flags benchmark copies; zero vectors and strangers keep") {
+    import graft.operators.Similarity
+    val dim = 8
+    def vec(xs: Double*) = xs.toArray
+    val bench = Seq((100L, vec(1, 0.5, -0.25, 0, 0, 0, 0, 0)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, vec(1, 0.5, -0.25, 0, 0, 0, 0, 0)),    // exact copy -> cos 1
+      (2L, vec(2, 1.0, -0.5, 0, 0, 0, 0, 0)),     // scaled copy: same bucket, cos 1
+      (3L, vec(0, 0, 0, 0, 0, 0, 0.9, -1.2)),     // unrelated direction
+      (4L, vec(0, 0, 0, 0, 0, 0, 0, 0)))          // zero vector: never buckets
+      .toDF("vec_id", "embedding")
+    val out = Similarity.decontamSemantic(corpus, bench, "vec_id",
+      "embedding", threshold = 0.95, planes = 4, dim = dim)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(4))))
+      .toMap
+    assert(out(1L)._1 >= 1L && !out(1L)._2)
+    assert(out(2L)._1 >= 1L && !out(2L)._2)
+    assert(out(3L) == ((0L, true)))
+    assert(out(4L) == ((0L, true)))
+    intercept[graft.operators.BenchmarkTooLargeException](
+      Similarity.decontamSemantic(corpus, bench, "vec_id", "embedding",
+        threshold = 0.95, planes = 4, dim = dim, maxBenchmarkDocs = 0L))
+  }
+
   test("annIvf collapsed path equals the uncollapsed assignment exactly") {
     // doubled corpus: the duplicate probe collapses assignment to one
     // representative per distinct vector; forcing collapse off must give
