@@ -360,6 +360,22 @@ object Crawl {
     ranks
   }
 
+  /** Authority gate over a ranked host graph — the crawl-curation rule
+    * that drops pages from low-authority hosts (the public CommonCrawl
+    * -curation practice of domain-level quality priors): each page joins
+    * its host's [[pageRankHosts]] rank and keeps iff the rank clears
+    * `floorMicros`. The rank frame is host-graph-scale — orders of
+    * magnitude under the page count — so the join broadcasts or
+    * hash-joins on the host key; bodies never enter it. Output:
+    * `(id, host, rank_micros, keep)`.
+    */
+  def authorityGate(pages: DataFrame, idCol: String, hostCol: String,
+                    ranks: DataFrame, floorMicros: Long): DataFrame =
+    pages.select(col(idCol), col(hostCol).as("host"))
+      .join(ranks, Seq("host"))
+      .select(col(idCol), col("host"), col("rank_micros"),
+        (col("rank_micros") >= floorMicros).as("keep"))
+
   /** Crawl-generation diff: classify every page id across two crawl
     * snapshots as `added` (new generation only), `removed` (old only),
     * `changed` (both, content digest differs), or `unchanged` — the

@@ -168,6 +168,17 @@ object Dedup {
       .localCheckpoint(eager = false)
   }
 
+  /** True iff two band-fold arrays collide in at least one band — the
+    * banding detection predicate applied to a KNOWN pair (the evaluation
+    * path: given labeled pairs, would the LSH have caught them?), without
+    * the bucket self-join the discovery path needs. Unrolled equality
+    * chain over the fixed band count — codegen-friendly.
+    */
+  def bandMatch(bandsA: Column, bandsB: Column, bands: Int): Column =
+    (0 until bands)
+      .map(i => element_at(bandsA, i + 1) === element_at(bandsB, i + 1))
+      .reduce(_ || _)
+
   def minhashScoredPairs(df: DataFrame, textCol: String, idCol: String,
                          shingleSize: Int = 3, numPerm: Int = 64,
                          bands: Int = 16): DataFrame = {

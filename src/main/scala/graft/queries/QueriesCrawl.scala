@@ -62,6 +62,9 @@ object QueriesCrawl {
   private val PrBase = 150000L
   private val PrDampNum = 85L
   private val PrDampDen = 100L
+  // authority floor for curation_authority (ranks at sf0.01 span
+  // ~0.21M-2.5M micros, so the floor discriminates)
+  private val AuthorityFloor = 600000L
 
   // Line construction: 8-token lines, a newsletter banner on every doc and
   // a rights footer on even docs — the corpus-frequent boilerplate the pass
@@ -271,11 +274,12 @@ object QueriesCrawl {
     s"""WITH $linkGraphCtes
         SELECT src_host, dst_host, weight FROM edges"""
 
-  /** The integer-micros PageRank iteration as chained CTEs r0..r$PrIters —
-    * all arithmetic 64-bit integer (`//`), replaying Crawl.pageRankHosts
-    * exactly.
+  /** The integer-micros PageRank iteration as chained CTEs r0..r$PrIters
+    * over [[linkGraphCtes]]'s edges — all arithmetic 64-bit integer (`//`),
+    * replaying Crawl.pageRankHosts exactly. Shared by pagerank_hosts and
+    * the curation_authority gate; the final rank relation is `r$PrIters`.
     */
-  private def pagerankHostsSql: String = {
+  private def pagerankCtes: String = {
     val rounds = (1 to PrIters).map { i =>
       s"""r$i AS (
             SELECT h.host,
@@ -289,7 +293,7 @@ object QueriesCrawl {
               JOIN r${i - 1} r ON r.host = e.src_host
               GROUP BY e.dst_host) s USING (host))"""
     }.mkString(",\n")
-    s"""WITH $linkGraphCtes,
+    s"""$linkGraphCtes,
         outw AS (
           SELECT src_host, sum(weight) AS out_w FROM edges GROUP BY src_host),
         hosts AS (
@@ -298,9 +302,23 @@ object QueriesCrawl {
           SELECT DISTINCT dst_host AS host FROM edges),
         r0 AS (
           SELECT host, CAST($PrInit AS BIGINT) AS rank_micros FROM hosts),
-        $rounds
-        SELECT host, rank_micros FROM r$PrIters"""
+        $rounds"""
   }
+
+  private def pagerankHostsSql: String =
+    s"""WITH $pagerankCtes
+        SELECT host, rank_micros FROM r$PrIters"""
+
+  /** curation_authority twin: every doc joins its host's final rank; docs
+    * on hosts below the authority floor drop.
+    */
+  private def curationAuthoritySql: String =
+    s"""WITH $pagerankCtes
+        SELECT d.doc_id, h.host, r.rank_micros,
+               (r.rank_micros >= $AuthorityFloor) AS keep
+        FROM documents d
+        JOIN hosts_d h USING (doc_id)
+        JOIN r$PrIters r ON r.host = h.host"""
 
   // --- the declarative crawl journey --------------------------------------
 
@@ -491,6 +509,23 @@ object QueriesCrawl {
       Crawl.pageRankHosts(edges, PrIters, PrInit, PrBase, PrDampNum, PrDampDen)
     },
 
+    // Authority gate: every page joins its host's PageRank and pages on
+    // hosts below the floor drop — the domain-level quality prior of
+    // crawl curation. The rank frame is host-scale; bodies never move.
+    "curation_authority" -> { (s, d) =>
+      val docs = documents(s, d)
+      val n = docs.count()
+      val targets = array(LinkTargetExprs.map { e =>
+        pmod(expr(e.replace("//", "div")), lit(n))
+      }: _*)
+      val hosts = docs.withColumn("host",
+        concat(col("source"), lit(HostSuffix)))
+      val edges = Crawl.linkGraph(hosts, "doc_id", "host", targets)
+      val ranks = Crawl.pageRankHosts(edges, PrIters, PrInit, PrBase,
+        PrDampNum, PrDampDen)
+      Crawl.authorityGate(hosts, "doc_id", "host", ranks, AuthorityFloor)
+    },
+
     "line_dedup" -> { (s, d) =>
       val w = split(col("text"), "\\s+")
       val nLines = ceil(size(w) / lit(LineTokens.toDouble)).cast("int")
@@ -515,6 +550,7 @@ object QueriesCrawl {
     "quality_gopher" -> qualityGopherSql,
     "link_graph" -> linkGraphSql,
     "pagerank_hosts" -> pagerankHostsSql,
+    "curation_authority" -> curationAuthoritySql,
     "line_dedup" -> lineDedupSql,
     "config_corpus_crawl" -> configCorpusCrawlSql,
     "stream_corpus_extract" -> streamCorpusExtractSql

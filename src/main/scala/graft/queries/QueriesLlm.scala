@@ -130,6 +130,57 @@ object QueriesLlm {
           GROUP BY d.id, fa.fold)
         SELECT doc_id, fold, n_leaks FROM x"""
 
+  /** dedup_recall twin: the planted-pair corpus, [[minhashCtes]] over it,
+    * and per-kind recall of the banding against the labeled true pairs
+    * (detection = membership in the band-bucket candidate set).
+    */
+  private def dedupRecallSql: String =
+    s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+        ev AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + m + 1, text FROM documents, mx
+          WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id + 2 * (m + 1), text || ' zznear' FROM documents, mx
+          WHERE doc_id % 50 = 0
+          UNION ALL
+          SELECT doc_id + 3 * (m + 1),
+                 array_to_string(pw[1 : (len(pw) * 3) // 5], ' ')
+          FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS pw
+                FROM documents WHERE doc_id % 25 = 0), mx),
+        ${minhashCtes("ev")},
+        truth AS (
+          SELECT doc_id AS id_a, doc_id + m + 1 AS id_b, 'exact' AS kind
+          FROM documents, mx WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id, doc_id + 2 * (m + 1), 'near'
+          FROM documents, mx WHERE doc_id % 50 = 0
+          UNION ALL
+          SELECT doc_id, doc_id + 3 * (m + 1), 'prefix'
+          FROM documents, mx WHERE doc_id % 25 = 0),
+        scored AS (
+          SELECT t.kind,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+                   AS jacc,
+                 (c.id_a IS NOT NULL) AS detected
+          FROM truth t
+          JOIN base a ON a.doc_id = t.id_a
+          JOIN base b ON b.doc_id = t.id_b
+          LEFT JOIN cands c ON c.id_a = t.id_a AND c.id_b = t.id_b)
+        SELECT kind,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN jacc >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_true,
+               CAST(sum(CASE WHEN jacc >= 0.5 AND detected THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_detected,
+               ROUND(CAST(sum(CASE WHEN jacc >= 0.5 AND detected
+                                   THEN 1 ELSE 0 END) AS DOUBLE) /
+                     GREATEST(sum(CASE WHEN jacc >= 0.5 THEN 1 ELSE 0 END), 1),
+                     6) AS recall
+        FROM scored GROUP BY kind"""
+
   /** Per-doc minhash dedup report on top of [[minhashCtes]]. */
   private def minhashSql: String =
     s"""WITH ${minhashCtes()},
@@ -427,6 +478,61 @@ object QueriesLlm {
       val docs = documents(s, d).withColumn("fold",
         Assembly.hashSplitLabel(col("doc_id"), LeakFolds, LeakSeed))
       Dedup.splitLeakage(docs, "text", "doc_id", "fold")
+    },
+
+    // Dedup-pipeline EVALUATION (the ann_recall precedent applied to
+    // minhash banding): plant exact copies (every 10th doc) and near
+    // copies (every 50th, one appended token) with offset ids, then ask —
+    // per pair kind — whether the banding would have CAUGHT each known
+    // true pair. Truth-pair-driven: signatures join the labeled pairs
+    // directly (bandMatch on the pair), so the evaluation never runs the
+    // discovery self-join and stays linear in the truth size.
+    "dedup_recall" -> { (s, d) =>
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val exact = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + off).as("doc_id"), col("text"))
+      val near = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select((col("doc_id") + 2 * off).as("doc_id"),
+          concat(col("text"), lit(" zznear")).as("text"))
+      // 60% token prefix: jacc = (k-2)/(n-2) ≈ 0.58 — the zone where
+      // 16x4 banding genuinely misses some pairs, so recall < 1 and the
+      // metric measures something
+      val toks = split(col("text"), "\\s+")
+      val prefix = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+        .select((col("doc_id") + 3 * off).as("doc_id"),
+          array_join(slice(toks, lit(1), ((size(toks) * 3) / 5).cast("int")),
+            " ").as("text"))
+      val evalCorpus = docs.unionByName(exact).unionByName(near)
+        .unionByName(prefix)
+      val truth = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + off).as("id_b"),
+          lit("exact").as("kind"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+          .select(col("doc_id").as("id_a"),
+            (col("doc_id") + 2 * off).as("id_b"), lit("near").as("kind")))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+          .select(col("doc_id").as("id_a"),
+            (col("doc_id") + 3 * off).as("id_b"), lit("prefix").as("kind")))
+      val foldFn = graft.functions.BandFold.register(s, 16, 4,
+        Dedup.BandFoldPrime)
+      val withBands = Dedup.signedShingles(evalCorpus, "text", "doc_id", 3, 64)
+        .select(col("doc_id"), col("sh"),
+          call_function(foldFn, col("sig")).as("bs"))
+      val scored = truth
+        .join(withBands.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+          col("bs").as("ba")), "id_a")
+        .join(withBands.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
+          col("bs").as("bb")), "id_b")
+        .select(col("kind"), Text.jaccard(col("sh_a"), col("sh_b")).as("jacc"),
+          Dedup.bandMatch(col("ba"), col("bb"), 16).as("detected"))
+      scored.groupBy(col("kind")).agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("jacc") >= 0.5, 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("jacc") >= 0.5 && col("detected"), 1L).otherwise(0L))
+          .as("n_detected"))
+        .withColumn("recall", round(col("n_detected").cast("double") /
+          greatest(col("n_true"), lit(1L)), 6))
     },
 
     "dedup_cluster" -> { (s, d) =>
@@ -1091,6 +1197,7 @@ object QueriesLlm {
 
   val oracleSql: Map[String, String] = Map(
     "dedup_minhash" -> minhashSql,
+    "dedup_recall" -> dedupRecallSql,
     "split_leakage" -> splitLeakageSql,
     "decontam_fuzzy" -> decontamFuzzySql,
     "bpe_merges" -> bpeMergesSql(BpeRounds),
