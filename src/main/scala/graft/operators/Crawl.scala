@@ -376,6 +376,33 @@ object Crawl {
       .select(col(idCol), col("host"), col("rank_micros"),
         (col("rank_micros") >= floorMicros).as("keep"))
 
+  /** Frontier scheduling: pick the next fetch batch from the discovered
+    * candidate set under the two budgets every polite crawler runs with —
+    * a PER-HOST cap (politeness: at most `hostCap` URLs per host per
+    * batch, deterministic slot order within the host) and a GLOBAL batch
+    * budget (top `budget` by `(priority desc, url)` — the host-authority
+    * prior steering fetch capacity at the dst end of the link graph, the
+    * curation_authority signal applied BEFORE the fetch instead of after).
+    *
+    * Scale posture: one shuffle on the host key for the politeness window
+    * (candidate rows are `(url, host, priority)` — metadata-scale, never
+    * bodies), then the global cut is TakeOrderedAndProject: per-partition
+    * top-`budget` heaps merged at the driver, bounded by the batch size no
+    * matter how wide the frontier is. Output: input columns + `host_slot`.
+    */
+  def frontier(candidates: DataFrame, urlCol: String, hostCol: String,
+               priorityCol: String, hostCap: Int, budget: Int): DataFrame = {
+    require(hostCap >= 1, s"frontier: need hostCap >= 1, got $hostCap")
+    require(budget >= 1, s"frontier: need budget >= 1, got $budget")
+    val slot = row_number().over(
+      Window.partitionBy(col(hostCol)).orderBy(col(urlCol)))
+    candidates
+      .withColumn("host_slot", slot)
+      .where(col("host_slot") <= hostCap)
+      .orderBy(col(priorityCol).desc, col(urlCol))
+      .limit(budget)
+  }
+
   /** Crawl-generation diff: classify every page id across two crawl
     * snapshots as `added` (new generation only), `removed` (old only),
     * `changed` (both, content digest differs), or `unchanged` — the

@@ -66,6 +66,14 @@ object QueriesCrawl {
   // ~0.21M-2.5M micros, so the floor discriminates)
   private val AuthorityFloor = 600000L
 
+  // Frontier scheduling: discovered targets with t % FetchedMod == 0 count
+  // as already crawled; per-host politeness cap and global batch budget
+  // both sized to BITE at sf0.01 (20 hosts x <=25 candidates: the cap
+  // trims hosts, then the budget trims the capped ~160 down to 100).
+  private val FrontierFetchedMod = 3
+  private val FrontierHostCap = 8
+  private val FrontierBudget = 100
+
   // Line construction: 8-token lines, a newsletter banner on every doc and
   // a rights footer on even docs — the corpus-frequent boilerplate the pass
   // must remove.
@@ -320,6 +328,44 @@ object QueriesCrawl {
         JOIN hosts_d h USING (doc_id)
         JOIN r$PrIters r ON r.host = h.host"""
 
+  /** stream_authority twin: the same rank join as a LEFT join with the
+    * unseen-host rank-0 conservative default — the streamed gate's exact
+    * semantics.
+    */
+  private def streamAuthoritySql: String =
+    s"""WITH $pagerankCtes
+        SELECT d.doc_id, h.host,
+               coalesce(r.rank_micros, 0) AS rank_micros,
+               (coalesce(r.rank_micros, 0) >= $AuthorityFloor) AS keep
+        FROM documents d
+        JOIN hosts_d h USING (doc_id)
+        LEFT JOIN r$PrIters r ON r.host = h.host"""
+
+  /** crawl_frontier twin: distinct uncrawled link targets resolve to their
+    * host, join the host rank, take the per-host politeness window then
+    * the global budget cut — `(rank desc, url)` is a total order (urls are
+    * unique), so the LIMIT set is deterministic.
+    */
+  private def crawlFrontierSql: String =
+    s"""WITH $pagerankCtes,
+        cand AS (
+          SELECT DISTINCT d2.host, l.t
+          FROM l JOIN hosts_d d2 ON d2.doc_id = l.t
+          WHERE l.t <> l.doc_id AND l.t % $FrontierFetchedMod <> 0),
+        slotted AS (
+          SELECT 'https://' || c.host || '/doc/' || CAST(c.t AS VARCHAR)
+                   AS url,
+                 c.host, r.rank_micros,
+                 row_number() OVER (
+                   PARTITION BY c.host
+                   ORDER BY 'https://' || c.host || '/doc/' ||
+                            CAST(c.t AS VARCHAR)) AS host_slot
+          FROM cand c JOIN r$PrIters r ON r.host = c.host)
+        SELECT url, host, rank_micros, host_slot
+        FROM slotted WHERE host_slot <= $FrontierHostCap
+        ORDER BY rank_micros DESC, url
+        LIMIT $FrontierBudget"""
+
   // --- the declarative crawl journey --------------------------------------
 
   // Gate bounds for the config journey, applied to the EXTRACTED text
@@ -526,6 +572,56 @@ object QueriesCrawl {
       Crawl.authorityGate(hosts, "doc_id", "host", ranks, AuthorityFloor)
     },
 
+    // The authority gate AT INGEST: ranks fit batch-side once and persist
+    // as a parquet artifact; each arriving page gates through a
+    // stream-static left join against the hydrated rank frame (re-planned
+    // per micro-batch, zero state). Unseen hosts rank 0 and drop.
+    "stream_authority" -> { (s, d) =>
+      val docs = documents(s, d)
+      val n = docs.count()
+      val targets = array(LinkTargetExprs.map { e =>
+        pmod(expr(e.replace("//", "div")), lit(n))
+      }: _*)
+      val hosts = docs.withColumn("host",
+        concat(col("source"), lit(HostSuffix)))
+      val art = "/tmp/graft_scratch/stream_authority/ranks.parquet"
+      Crawl.pageRankHosts(Crawl.linkGraph(hosts, "doc_id", "host", targets),
+        PrIters, PrInit, PrBase, PrDampNum, PrDampDen)
+        .write.mode("overwrite").parquet(art)
+      graft.streaming.Streaming.authorityGateStream(s, d,
+        concat(col("source"), lit(HostSuffix)), s.read.parquet(art),
+        AuthorityFloor,
+        s"graft_stream_authority_${StreamRun.incrementAndGet()}")
+    },
+
+    // Frontier scheduling: distinct uncrawled link targets (resolved to
+    // their host through the id-keyed join — metadata-scale rows only)
+    // prioritize by dst-host PageRank, then the per-host politeness
+    // window and the global TakeOrdered budget cut pick the fetch batch.
+    "crawl_frontier" -> { (s, d) =>
+      val docs = documents(s, d)
+      val n = docs.count()
+      val targets = array(LinkTargetExprs.map { e =>
+        pmod(expr(e.replace("//", "div")), lit(n))
+      }: _*)
+      val hosts = docs.withColumn("host",
+        concat(col("source"), lit(HostSuffix)))
+      val hostsD = hosts.select(col("doc_id"), col("host"))
+      val cand = hostsD
+        .select(col("doc_id"), explode(targets).as("t"))
+        .where(col("t") =!= col("doc_id") &&
+          col("t") % FrontierFetchedMod =!= 0)
+        .join(hostsD.select(col("doc_id").as("t"), col("host")), "t")
+        .select(col("host"), col("t")).distinct()
+        .select(concat(lit("https://"), col("host"), lit("/doc/"),
+          col("t").cast("string")).as("url"), col("host"))
+      val ranks = Crawl.pageRankHosts(
+        Crawl.linkGraph(hosts, "doc_id", "host", targets),
+        PrIters, PrInit, PrBase, PrDampNum, PrDampDen)
+      Crawl.frontier(cand.join(ranks, "host"), "url", "host",
+        "rank_micros", FrontierHostCap, FrontierBudget)
+    },
+
     "line_dedup" -> { (s, d) =>
       val w = split(col("text"), "\\s+")
       val nLines = ceil(size(w) / lit(LineTokens.toDouble)).cast("int")
@@ -551,6 +647,8 @@ object QueriesCrawl {
     "link_graph" -> linkGraphSql,
     "pagerank_hosts" -> pagerankHostsSql,
     "curation_authority" -> curationAuthoritySql,
+    "stream_authority" -> streamAuthoritySql,
+    "crawl_frontier" -> crawlFrontierSql,
     "line_dedup" -> lineDedupSql,
     "config_corpus_crawl" -> configCorpusCrawlSql,
     "stream_corpus_extract" -> streamCorpusExtractSql

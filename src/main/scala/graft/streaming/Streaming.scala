@@ -322,6 +322,32 @@ object Streaming {
     sinkTo(spark, gated, tableName, "append", sinkDir)
   }
 
+  /** The AUTHORITY gate AT INGEST: host ranks fit batch-side on the link
+    * graph once (Crawl.pageRankHosts, persisted as a parquet artifact —
+    * the train-once discipline) and every arriving page gates on its
+    * host's rank through a STREAM-STATIC left join — the static side
+    * re-plans per micro-batch, zero state store (the stream_attach shape;
+    * at web scale the rank frame has millions of hosts, which is why this
+    * is a join against the artifact, not a literal map). Hosts absent
+    * from the rank table gate at rank 0 and drop — the conservative
+    * posture for hosts unseen when the graph was fitted.
+    *
+    * Output per arriving page: `(id, host, rank_micros, keep)`.
+    */
+  def authorityGateStream(spark: SparkSession, sfDir: String,
+                          hostExpr: org.apache.spark.sql.Column,
+                          ranks: DataFrame, floorMicros: Long,
+                          tableName: String,
+                          sinkDir: Option[String] = None): DataFrame = {
+    val gated = readTable(spark, sfDir, "documents")
+      .select(col("doc_id"), hostExpr.as("host"))
+      .join(ranks, Seq("host"), "left")
+      .select(col("doc_id"), col("host"),
+        coalesce(col("rank_micros"), lit(0L)).as("rank_micros"))
+      .withColumn("keep", col("rank_micros") >= floorMicros)
+    sinkTo(spark, gated, tableName, "append", sinkDir)
+  }
+
   /** CROSS-RUN dedup AT INGEST: each arriving document is screened against
     * the PERSISTED minhash index's Bloom screens
     * ([[graft.operators.IncrementalDedup.ingestScreens]]) — an exact

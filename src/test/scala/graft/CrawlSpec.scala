@@ -191,4 +191,27 @@ class CrawlSpec extends SparkSpec {
     assert(r2("c") == next(r1("b")))
     assert(r2("d") == 150000L)
   }
+
+  test("frontier: per-host cap then global budget, (priority desc, url) order") {
+    val cand = Seq(
+      ("https://a/1", "a", 900L), ("https://a/2", "a", 900L),
+      ("https://a/3", "a", 900L),
+      ("https://b/1", "b", 500L), ("https://b/2", "b", 500L),
+      ("https://c/1", "c", 700L)
+    ).toDF("url", "host", "priority")
+    val got = Crawl.frontier(cand, "url", "host", "priority", 2, 3)
+      .select("url", "host_slot").collect()
+      .map(r => r.getString(0) -> r.getInt(1))
+    // cap drops a/3; budget 3 keeps a's two slots then c (700 > 500)
+    assert(got.toSeq == Seq("https://a/1" -> 1, "https://a/2" -> 2,
+      "https://c/1" -> 1))
+  }
+
+  test("frontier rejects non-positive budgets by name") {
+    val cand = Seq(("u", "h", 1L)).toDF("url", "host", "priority")
+    val e = intercept[IllegalArgumentException] {
+      Crawl.frontier(cand, "url", "host", "priority", 0, 5)
+    }
+    assert(e.getMessage.contains("hostCap"))
+  }
 }

@@ -81,4 +81,21 @@ class StreamingSinkSpec extends SparkSpec {
       e.getMessage.contains("batch corpus journey"),
       e.getMessage)
   }
+
+  test("authorityGateStream equals the batch left join; unseen hosts rank 0") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$DataDir/documents.parquet")
+    val ranked = docs.select(col("source").as("host")).distinct()
+      .orderBy("host").limit(2).withColumn("rank_micros", lit(500000L))
+    val gated = Streaming.authorityGateStream(spark, DataDir, col("source"),
+      ranked, 400000L, "sink_spec_authority")
+    val expected = docs.select(col("doc_id"), col("source").as("host"))
+      .join(ranked, Seq("host"), "left")
+      .select(col("doc_id"), col("host"),
+        coalesce(col("rank_micros"), lit(0L)).as("rank_micros"))
+      .withColumn("keep", col("rank_micros") >= 400000L)
+    assert(rowSet(gated) == rowSet(expected))
+    assert(gated.where(col("rank_micros") === 0L && !col("keep")).count() > 0,
+      "hosts absent from the rank table must surface with rank 0 and drop")
+  }
 }
