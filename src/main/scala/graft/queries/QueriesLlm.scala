@@ -130,12 +130,14 @@ object QueriesLlm {
           GROUP BY d.id, fa.fold)
         SELECT doc_id, fold, n_leaks FROM x"""
 
-  /** dedup_recall twin: the planted-pair corpus, [[minhashCtes]] over it,
-    * and per-kind recall of the banding against the labeled true pairs
-    * (detection = membership in the band-bucket candidate set).
+  /** Planted-pair evaluation CTEs shared by dedup_recall and
+    * dedup_band_sweep: the eval corpus `ev` (originals + exact copies on
+    * every 10th doc, one-token near copies on every 50th, 60%-token-prefix
+    * copies on every 25th — the jacc ≈ 0.58 zone where banding genuinely
+    * misses) and the labeled `truth` pairs.
     */
-  private def dedupRecallSql: String =
-    s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+  private def plantedCtes: String =
+    s"""mx AS (SELECT max(doc_id) AS m FROM documents),
         ev AS (
           SELECT doc_id, text FROM documents
           UNION ALL
@@ -149,7 +151,6 @@ object QueriesLlm {
                  array_to_string(pw[1 : (len(pw) * 3) // 5], ' ')
           FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS pw
                 FROM documents WHERE doc_id % 25 = 0), mx),
-        ${minhashCtes("ev")},
         truth AS (
           SELECT doc_id AS id_a, doc_id + m + 1 AS id_b, 'exact' AS kind
           FROM documents, mx WHERE doc_id % 10 = 0
@@ -158,7 +159,15 @@ object QueriesLlm {
           FROM documents, mx WHERE doc_id % 50 = 0
           UNION ALL
           SELECT doc_id, doc_id + 3 * (m + 1), 'prefix'
-          FROM documents, mx WHERE doc_id % 25 = 0),
+          FROM documents, mx WHERE doc_id % 25 = 0)"""
+
+  /** dedup_recall twin: the planted-pair corpus, [[minhashCtes]] over it,
+    * and per-kind recall of the banding against the labeled true pairs
+    * (detection = membership in the band-bucket candidate set).
+    */
+  private def dedupRecallSql: String =
+    s"""WITH $plantedCtes,
+        ${minhashCtes("ev")},
         scored AS (
           SELECT t.kind,
                  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
@@ -180,6 +189,64 @@ object QueriesLlm {
                      GREATEST(sum(CASE WHEN jacc >= 0.5 THEN 1 ELSE 0 END), 1),
                      6) AS recall
         FROM scored GROUP BY kind"""
+
+  // Banding settings swept by dedup_band_sweep — all splits of the same
+  // 64-perm signature, so one signature pass serves every setting. The
+  // S-curve P(detect) = 1-(1-j^r)^b moves from catch-almost-everything
+  // (32x2) through the production 16x4 to precision-leaning 8x8.
+  private val BandSweepSettings = Seq((32, 2), (16, 4), (8, 8))
+
+  /** Band-fold detection twin of Dedup.bandMatch for one (bands, rows)
+    * setting over two sig columns: at least one band's fold-hash collides.
+    */
+  private def bandMatchSql(a: String, b: String, bands: Int,
+                           rows: Int): String = {
+    val fp = Dedup.BandFoldPrime
+    def fold(side: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+            $side[i * $rows + 1 : i * $rows + $rows]),
+          (acc, h) -> (acc * 31 + h) % $fp)"""
+    s"""list_contains([${fold(a)} = ${fold(b)}
+          for i in generate_series(0, ${bands - 1})], true)"""
+  }
+
+  /** dedup_band_sweep twin: per-(bands, rows, kind) recall of direct
+    * band-fold detection on the labeled planted pairs.
+    */
+  private def dedupBandSweepSql: String = {
+    val detCols = BandSweepSettings.map { case (b, r) =>
+      s"${bandMatchSql("a.sig", "b.sig", b, r)} AS d$b"
+    }.mkString(",\n                 ")
+    val perSetting = BandSweepSettings.map { case (b, r) =>
+      s"""SELECT CAST($b AS INTEGER) AS bands,
+                 CAST($r AS INTEGER) AS rows_per_band, kind,
+                 CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(sum(CASE WHEN jacc >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_true,
+                 CAST(sum(CASE WHEN jacc >= 0.5 AND d$b THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_detected,
+                 ROUND(CAST(sum(CASE WHEN jacc >= 0.5 AND d$b
+                                     THEN 1 ELSE 0 END) AS DOUBLE) /
+                       GREATEST(sum(CASE WHEN jacc >= 0.5
+                                         THEN 1 ELSE 0 END), 1),
+                       6) AS recall
+          FROM scored GROUP BY kind"""
+    }.mkString("\n        UNION ALL\n        ")
+    s"""WITH $plantedCtes,
+        ${minhashCtes("ev")},
+        scored AS (
+          SELECT t.kind,
+                 CAST(len(list_intersect(ba.sh, bb.sh)) AS DOUBLE) /
+                 CAST(len(list_distinct(list_concat(ba.sh, bb.sh)))
+                   AS DOUBLE) AS jacc,
+                 $detCols
+          FROM truth t
+          JOIN sig a ON a.doc_id = t.id_a
+          JOIN sig b ON b.doc_id = t.id_b
+          JOIN base ba ON ba.doc_id = t.id_a
+          JOIN base bb ON bb.doc_id = t.id_b)
+        $perSetting"""
+  }
 
   /** Per-doc minhash dedup report on top of [[minhashCtes]]. */
   private def minhashSql: String =
@@ -460,6 +527,40 @@ object QueriesLlm {
       .unionByName(planted(50, 2 * maxId + 2))
   }
 
+  /** Spark twin of [[plantedCtes]]: the planted-pair eval corpus and the
+    * labeled truth pairs, shared by dedup_recall and dedup_band_sweep.
+    * The 60%-token-prefix plant sits at jacc = (k-2)/(n-2) ≈ 0.58 — the
+    * zone where banding genuinely misses some pairs, so recall < 1 and
+    * the metric measures the banding curve.
+    */
+  private def plantedEval(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val exact = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + off).as("doc_id"), col("text"))
+    val near = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select((col("doc_id") + 2 * off).as("doc_id"),
+        concat(col("text"), lit(" zznear")).as("text"))
+    val toks = split(col("text"), "\\s+")
+    val prefix = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+      .select((col("doc_id") + 3 * off).as("doc_id"),
+        array_join(slice(toks, lit(1), ((size(toks) * 3) / 5).cast("int")),
+          " ").as("text"))
+    val evalCorpus = docs.unionByName(exact).unionByName(near)
+      .unionByName(prefix)
+    val truth = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + off).as("id_b"),
+        lit("exact").as("kind"))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id").as("id_a"),
+          (col("doc_id") + 2 * off).as("id_b"), lit("near").as("kind")))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+        .select(col("doc_id").as("id_a"),
+          (col("doc_id") + 3 * off).as("id_b"), lit("prefix").as("kind")))
+    (evalCorpus, truth)
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "dedup_exact" -> { (s, d) =>
       Dedup.exact(documents(s, d), "text", "doc_id")
@@ -486,34 +587,10 @@ object QueriesLlm {
     // per pair kind — whether the banding would have CAUGHT each known
     // true pair. Truth-pair-driven: signatures join the labeled pairs
     // directly (bandMatch on the pair), so the evaluation never runs the
-    // discovery self-join and stays linear in the truth size.
+    // discovery self-join and stays linear in the truth size. The planted
+    // corpus + truth construction is shared with dedup_band_sweep.
     "dedup_recall" -> { (s, d) =>
-      val docs = documents(s, d).select(col("doc_id"), col("text"))
-      val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
-      val exact = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-        .select((col("doc_id") + off).as("doc_id"), col("text"))
-      val near = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
-        .select((col("doc_id") + 2 * off).as("doc_id"),
-          concat(col("text"), lit(" zznear")).as("text"))
-      // 60% token prefix: jacc = (k-2)/(n-2) ≈ 0.58 — the zone where
-      // 16x4 banding genuinely misses some pairs, so recall < 1 and the
-      // metric measures something
-      val toks = split(col("text"), "\\s+")
-      val prefix = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
-        .select((col("doc_id") + 3 * off).as("doc_id"),
-          array_join(slice(toks, lit(1), ((size(toks) * 3) / 5).cast("int")),
-            " ").as("text"))
-      val evalCorpus = docs.unionByName(exact).unionByName(near)
-        .unionByName(prefix)
-      val truth = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-        .select(col("doc_id").as("id_a"), (col("doc_id") + off).as("id_b"),
-          lit("exact").as("kind"))
-        .unionByName(docs.filter(pmod(col("doc_id"), lit(50)) === 0)
-          .select(col("doc_id").as("id_a"),
-            (col("doc_id") + 2 * off).as("id_b"), lit("near").as("kind")))
-        .unionByName(docs.filter(pmod(col("doc_id"), lit(25)) === 0)
-          .select(col("doc_id").as("id_a"),
-            (col("doc_id") + 3 * off).as("id_b"), lit("prefix").as("kind")))
+      val (evalCorpus, truth) = plantedEval(s, d)
       val foldFn = graft.functions.BandFold.register(s, 16, 4,
         Dedup.BandFoldPrime)
       val withBands = Dedup.signedShingles(evalCorpus, "text", "doc_id", 3, 64)
@@ -531,6 +608,55 @@ object QueriesLlm {
         sum(when(col("jacc") >= 0.5, 1L).otherwise(0L)).as("n_true"),
         sum(when(col("jacc") >= 0.5 && col("detected"), 1L).otherwise(0L))
           .as("n_detected"))
+        .withColumn("recall", round(col("n_detected").cast("double") /
+          greatest(col("n_true"), lit(1L)), 6))
+    },
+
+    // The banding TUNING curve (quality_threshold_sweep applied to LSH):
+    // per-(bands, rows) recall on the same planted pairs, every setting a
+    // split of ONE 64-perm signature pass — per-row fold expressions on
+    // the shared signature frame, the truth join runs once, and the
+    // settings stack through a per-row explode (no per-setting scans, no
+    // self-joins). The S-curve P=1-(1-j^r)^b surfaces measurably: 32x2
+    // catches nearly all jacc~0.58 prefix pairs, 16x4 some, 8x8 few.
+    "dedup_band_sweep" -> { (s, d) =>
+      val (evalCorpus, truth) = plantedEval(s, d)
+      val fns = BandSweepSettings.map { case (b, r) =>
+        (b, r, graft.functions.BandFold.register(s, b, r,
+          Dedup.BandFoldPrime))
+      }
+      val withBands = Dedup.signedShingles(evalCorpus, "text", "doc_id",
+        3, 64)
+        .select(col("doc_id") +: col("sh") +:
+          fns.map { case (b, _, fn) =>
+            call_function(fn, col("sig")).as(s"bs$b") }: _*)
+      val scored = truth
+        .join(withBands.select(col("doc_id").as("id_a") +:
+          col("sh").as("sh_a") +:
+          fns.map { case (b, _, _) => col(s"bs$b").as(s"ba$b") }: _*),
+          "id_a")
+        .join(withBands.select(col("doc_id").as("id_b") +:
+          col("sh").as("sh_b") +:
+          fns.map { case (b, _, _) => col(s"bs$b").as(s"bb$b") }: _*),
+          "id_b")
+        .select(col("kind") +:
+          Text.jaccard(col("sh_a"), col("sh_b")).as("jacc") +:
+          fns.map { case (b, _, _) =>
+            Dedup.bandMatch(col(s"ba$b"), col(s"bb$b"), b).as(s"d$b") }: _*)
+      scored
+        .select(col("kind"), col("jacc"), explode(array(
+          fns.map { case (b, r, _) =>
+            struct(lit(b).as("bands"), lit(r).as("rows_per_band"),
+              col(s"d$b").as("detected"))
+          }: _*)).as("st"))
+        .select(col("kind"), col("jacc"), col("st.bands"),
+          col("st.rows_per_band"), col("st.detected"))
+        .groupBy(col("bands"), col("rows_per_band"), col("kind"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("jacc") >= 0.5, 1L).otherwise(0L)).as("n_true"),
+          sum(when(col("jacc") >= 0.5 && col("detected"), 1L).otherwise(0L))
+            .as("n_detected"))
         .withColumn("recall", round(col("n_detected").cast("double") /
           greatest(col("n_true"), lit(1L)), 6))
     },
@@ -1198,6 +1324,7 @@ object QueriesLlm {
   val oracleSql: Map[String, String] = Map(
     "dedup_minhash" -> minhashSql,
     "dedup_recall" -> dedupRecallSql,
+    "dedup_band_sweep" -> dedupBandSweepSql,
     "split_leakage" -> splitLeakageSql,
     "decontam_fuzzy" -> decontamFuzzySql,
     "bpe_merges" -> bpeMergesSql(BpeRounds),

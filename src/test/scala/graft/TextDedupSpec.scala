@@ -663,4 +663,20 @@ class TextDedupSpec extends SparkSpec {
         (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(streamed == batch)
   }
+
+  test("band sweep's 16x4 slice equals dedup_recall; recall falls with rows") {
+    val sf = "/root/testdata/sf0.001"
+    val sweep = SparkEntry.queries("dedup_band_sweep")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val recall = SparkEntry.queries("dedup_recall")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // the production setting inside the sweep IS dedup_recall's gate
+    assert(recall.nonEmpty)
+    for (k <- recall.keySet) assert(sweep((16, 4, k)) == recall(k))
+    // the S-curve is monotone in aggregate on the hard (prefix) kind
+    def det(b: Int, r: Int) = sweep((b, r, "prefix"))._3
+    assert(det(32, 2) >= det(16, 4) && det(16, 4) >= det(8, 8))
+  }
 }
