@@ -190,6 +190,56 @@ object QueriesLlm {
                      6) AS recall
         FROM scored GROUP BY kind"""
 
+  /** Twin of Text.qualityScore over `src`, carrying `carry` columns
+    * through — shared by quality_score and preference_pairs.
+    */
+  private def qualityScoreSql(src: String,
+                              carry: Seq[String] = Nil): String = {
+    val stops = Text.StopMarkers.map(occSql).mkString(" + ")
+    val c = carry.map(x => s"$x, ").mkString
+    s"""SELECT ${c}doc_id,
+        ROUND(LEAST(1.0, CAST(n_words AS DOUBLE) / 100.0)
+              * (1.0 - CAST(punct AS DOUBLE) / GREATEST(n_chars_c, 1))
+              * (0.5 + LEAST((stops) / CAST(GREATEST(n_words, 1) AS DOUBLE) * 2.0, 0.5)),
+            6) AS quality
+        FROM (SELECT ${c}doc_id,
+                     length(text) AS n_chars_c,
+                     len(regexp_extract_all(text, '\\S+')) AS n_words,
+                     length(text) - length(translate(text, '${Text.PunctChars}', '')) AS punct,
+                     $stops AS stops
+              FROM $src)"""
+  }
+
+  // preference_pairs: minimum quality margin for a (chosen, rejected)
+  // pair to count as a usable preference signal
+  private val PrefMarginMin = 0.1
+
+  /** preference_pairs twin: per-(source, lang) argmax/argmin quality with
+    * the doc_id tiebreak, margin-gated.
+    */
+  private def preferencePairsSql: String =
+    s"""WITH scored AS (
+          ${qualityScoreSql("documents", Seq("source", "lang"))}),
+        w AS (
+          SELECT source, lang, doc_id, quality,
+                 row_number() OVER (PARTITION BY source, lang
+                                    ORDER BY quality DESC, doc_id) AS rc,
+                 row_number() OVER (PARTITION BY source, lang
+                                    ORDER BY quality ASC, doc_id) AS rr,
+                 count(*) OVER (PARTITION BY source, lang) AS n
+          FROM scored),
+        c AS (SELECT source, lang, doc_id AS chosen_id,
+                     quality AS chosen_q, n
+              FROM w WHERE rc = 1),
+        r AS (SELECT source, lang, doc_id AS rejected_id,
+                     quality AS rejected_q
+              FROM w WHERE rr = 1)
+        SELECT c.source, c.lang, chosen_id, rejected_id, chosen_q,
+               rejected_q, ROUND(chosen_q - rejected_q, 6) AS margin
+        FROM c JOIN r USING (source, lang)
+        WHERE n >= 2
+          AND ROUND(chosen_q - rejected_q, 6) >= $PrefMarginMin"""
+
   // Banding settings swept by dedup_band_sweep — all splits of the same
   // 64-perm signature, so one signature pass serves every setting. The
   // S-curve P(detect) = 1-(1-j^r)^b moves from catch-almost-everything
@@ -829,6 +879,31 @@ object QueriesLlm {
         Text.qualityScore(col("text")).as("quality"))
     },
 
+    // Post-training preference-pair mining (the public DPO/RLHF data
+    // discipline): within each prompt group — (source, lang) stands in
+    // for the prompt key — pick the argmax-quality doc as `chosen` and
+    // the argmin as `rejected` (doc_id tiebreak both ways), and keep only
+    // pairs whose reward margin clears the floor (low-margin pairs are
+    // label noise). ONE partial-aggregated groupBy: max/min over
+    // (quality, id) structs — group-sized rows leave the shuffle, never
+    // documents; no window, no sort, no self-join.
+    "preference_pairs" -> { (s, d) =>
+      val scored = documents(s, d).select(col("source"), col("lang"),
+        col("doc_id"), Text.qualityScore(col("text")).as("q"))
+      scored.groupBy(col("source"), col("lang"))
+        .agg(
+          max(struct(col("q"), (-col("doc_id")).as("nid"))).as("c"),
+          min(struct(col("q"), col("doc_id"))).as("r"),
+          count(lit(1)).as("n"))
+        .where(col("n") >= 2)
+        .select(col("source"), col("lang"),
+          (-col("c.nid")).as("chosen_id"),
+          col("r.doc_id").as("rejected_id"),
+          col("c.q").as("chosen_q"), col("r.q").as("rejected_q"),
+          round(col("c.q") - col("r.q"), 6).as("margin"))
+        .where(col("margin") >= PrefMarginMin)
+    },
+
     // Fuzzy benchmark decontamination: corpus docs (doc_id % 50 != 0)
     // screened against a held-out benchmark slice (doc_id % 50 == 0) via
     // minhash buckets + exact-Jaccard confirm — the near-duplicate leak
@@ -1454,20 +1529,8 @@ object QueriesLlm {
                 FROM documents)"""
     },
 
-    "quality_score" -> {
-      val stops = Text.StopMarkers.map(occSql).mkString(" + ")
-      s"""SELECT doc_id,
-          ROUND(LEAST(1.0, CAST(n_words AS DOUBLE) / 100.0)
-                * (1.0 - CAST(punct AS DOUBLE) / GREATEST(n_chars_c, 1))
-                * (0.5 + LEAST((stops) / CAST(GREATEST(n_words, 1) AS DOUBLE) * 2.0, 0.5)),
-              6) AS quality
-          FROM (SELECT doc_id,
-                       length(text) AS n_chars_c,
-                       len(regexp_extract_all(text, '\\S+')) AS n_words,
-                       length(text) - length(translate(text, '${Text.PunctChars}', '')) AS punct,
-                       $stops AS stops
-                FROM documents)"""
-    },
+    "quality_score" -> qualityScoreSql("documents"),
+    "preference_pairs" -> preferencePairsSql,
 
     "token_count" ->
       s"""SELECT doc_id,

@@ -679,4 +679,39 @@ class TextDedupSpec extends SparkSpec {
     def det(b: Int, r: Int) = sweep((b, r, "prefix"))._3
     assert(det(32, 2) >= det(16, 4) && det(16, 4) >= det(8, 8))
   }
+
+  test("preference_pairs struct-agg equals the window argmax/argmin") {
+    import org.apache.spark.sql.expressions.Window
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("preference_pairs")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val scored = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("lang"), col("doc_id"),
+        Text.qualityScore(col("text")).as("q"))
+    val part = Window.partitionBy(col("source"), col("lang"))
+    val ref = scored
+      .withColumn("rc", row_number().over(
+        part.orderBy(col("q").desc, col("doc_id"))))
+      .withColumn("rr", row_number().over(
+        part.orderBy(col("q").asc, col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(part))
+    val chosen = ref.where(col("rc") === 1 && col("n") >= 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val rejected = ref.where(col("rr") === 1 && col("n") >= 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val expect = chosen.keySet.flatMap { k =>
+      val (cid, cq) = chosen(k); val (rid, rq) = rejected(k)
+      if (math.round((cq - rq) * 1e6) / 1e6 >= 0.1)
+        Some(k -> (cid, rid, cq, rq))
+      else None
+    }.toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+    assert(got.values.forall { case (cid, rid, cq, rq) =>
+      cq > rq && cid != rid })
+  }
 }
