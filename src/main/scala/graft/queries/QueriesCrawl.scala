@@ -54,8 +54,23 @@ object QueriesCrawl {
   // rank — varies). ONE list of SQL exprs serves both engines: DuckDB
   // verbatim, Spark via `//` → `div` (identical integer semantics for
   // non-negative operands). PageRank runs 5 rounds in integer micros.
+  // The quadratic map reduces doc_id mod the corpus count BEFORE squaring
+  // ((x % n)^2 ≡ x^2 (mod n) — value-identical, but overflow-free for any
+  // n up to ~3e9): ScaleUp's disjoint-key-space ids reach ~1e10 at the
+  // 1000x point, where the raw square exceeds Int64. `@N@` substitutes to
+  // `nn.n` in the oracle and to the literal count in the Spark plan.
   private val LinkTargetExprs = Seq(
-    "(doc_id * doc_id + 1)", "(doc_id * 7 + 1)", "((doc_id // 3) * 5 + 2)")
+    "((doc_id % @N@) * (doc_id % @N@) + 1)", "(doc_id * 7 + 1)",
+    "((doc_id // 3) * 5 + 2)")
+
+  /** The Spark side of the shared link-target maps: `//` becomes integer
+    * `div`, `@N@` becomes the literal corpus count, and each map reduces
+    * modulo the count — one builder for the five crawl-graph heads.
+    */
+  private def linkTargets(n: Long) =
+    array(LinkTargetExprs.map { e =>
+      pmod(expr(e.replace("//", "div").replace("@N@", n.toString)), lit(n))
+    }: _*)
   private val HostSuffix = ".example.com"
   private val PrIters = 5
   private val PrInit = 1000000L
@@ -260,7 +275,8 @@ object QueriesCrawl {
     * corpus count the Spark plan uses.
     */
   private def linkGraphCtes: String = {
-    val targets = LinkTargetExprs.map(e => s"$e % nn.n")
+    val targets = LinkTargetExprs.map(e =>
+      s"${e.replace("@N@", "nn.n")} % nn.n")
       .mkString("[", ", ", "]")
     s"""nn AS (SELECT count(*) AS n FROM documents),
         hosts_d AS (
@@ -531,9 +547,7 @@ object QueriesCrawl {
     "link_graph" -> { (s, d) =>
       val docs = documents(s, d)
       val n = docs.count() // metadata-scale plan-build count (annIvf precedent)
-      val targets = array(LinkTargetExprs.map { e =>
-        pmod(expr(e.replace("//", "div")), lit(n))
-      }: _*)
+      val targets = linkTargets(n)
       Crawl.linkGraph(
         docs.withColumn("host", concat(col("source"), lit(HostSuffix))),
         "doc_id", "host", targets)
@@ -546,9 +560,7 @@ object QueriesCrawl {
     "pagerank_hosts" -> { (s, d) =>
       val docs = documents(s, d)
       val n = docs.count()
-      val targets = array(LinkTargetExprs.map { e =>
-        pmod(expr(e.replace("//", "div")), lit(n))
-      }: _*)
+      val targets = linkTargets(n)
       val edges = Crawl.linkGraph(
         docs.withColumn("host", concat(col("source"), lit(HostSuffix))),
         "doc_id", "host", targets)
@@ -561,9 +573,7 @@ object QueriesCrawl {
     "curation_authority" -> { (s, d) =>
       val docs = documents(s, d)
       val n = docs.count()
-      val targets = array(LinkTargetExprs.map { e =>
-        pmod(expr(e.replace("//", "div")), lit(n))
-      }: _*)
+      val targets = linkTargets(n)
       val hosts = docs.withColumn("host",
         concat(col("source"), lit(HostSuffix)))
       val edges = Crawl.linkGraph(hosts, "doc_id", "host", targets)
@@ -579,9 +589,7 @@ object QueriesCrawl {
     "stream_authority" -> { (s, d) =>
       val docs = documents(s, d)
       val n = docs.count()
-      val targets = array(LinkTargetExprs.map { e =>
-        pmod(expr(e.replace("//", "div")), lit(n))
-      }: _*)
+      val targets = linkTargets(n)
       val hosts = docs.withColumn("host",
         concat(col("source"), lit(HostSuffix)))
       val art = "/tmp/graft_scratch/stream_authority/ranks.parquet"
@@ -601,9 +609,7 @@ object QueriesCrawl {
     "crawl_frontier" -> { (s, d) =>
       val docs = documents(s, d)
       val n = docs.count()
-      val targets = array(LinkTargetExprs.map { e =>
-        pmod(expr(e.replace("//", "div")), lit(n))
-      }: _*)
+      val targets = linkTargets(n)
       val hosts = docs.withColumn("host",
         concat(col("source"), lit(HostSuffix)))
       val hostsD = hosts.select(col("doc_id"), col("host"))

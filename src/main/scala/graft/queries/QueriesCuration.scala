@@ -32,6 +32,15 @@ object QueriesCuration {
   private[queries] val ClsBuckets = 64
   private[queries] val ClsIters = 3
   private[queries] val ClsEta = 1.0 // whole-number: updates stay on the 1e-6 grid
+  // anneal_schedule: epoch-wise quality-annealed keep rates (epoch 0 is
+  // tier-blind; later epochs shift mass toward the high tier — the
+  // mid-training curriculum discipline). QHigh ~ the corpus quality median
+  // so both tiers are populated and the anneal visibly reshapes epochs.
+  private val AnnealEpochs = 3
+  private val AnnealQHigh = 0.4
+  private val AnnealHighRates = Seq(0.5, 0.7, 0.9)
+  private val AnnealLowRates = Seq(0.5, 0.3, 0.1)
+  private val AnnealSeed = 33
 
   /** Shared distinct-3-gram CTE (the guard against <3-token docs is implicit
     * in DuckDB: generate_series(1, 0) is empty, unlike Spark's sequence).
@@ -353,6 +362,32 @@ object QueriesCuration {
       Curation.stratifiedSample(assigned, "cluster_s", "vec_id",
         DiversityRates, defaultRate = 1.0, seed = DiversitySeed)
         .select(col("vec_id"), col("cluster"))
+    },
+
+    // EPOCH-ANNEALED sampling (the mid-training curriculum discipline):
+    // epoch 0 samples both quality tiers evenly; each later epoch shifts
+    // keep mass toward the high tier, so the final epoch is dominated by
+    // high-quality docs. The keep decision is the sha256-ratio filter on
+    // (doc_id, epoch) — deterministic across engines and runs — and the
+    // whole schedule is scan + per-row explode + filter: ZERO shuffles,
+    // no state, embarrassingly parallel at any corpus size.
+    "anneal_schedule" -> { (s, d) =>
+      import graft.functions.Text
+      val epochs = explode(array((0 until AnnealEpochs).map(lit): _*))
+      val high = array(AnnealHighRates.map(lit): _*)
+      val low = array(AnnealLowRates.map(lit): _*)
+      documents(s, d)
+        .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
+        .select(col("doc_id"), col("quality"), epochs.as("epoch"))
+        .select(col("doc_id"), col("epoch"),
+          when(col("quality") >= AnnealQHigh, lit("high"))
+            .otherwise(lit("low")).as("tier"),
+          when(col("quality") >= AnnealQHigh,
+            element_at(high, col("epoch") + 1))
+            .otherwise(element_at(low, col("epoch") + 1)).as("rate"))
+        .where(Curation.hashRatio(
+          concat(col("doc_id").cast("string"), lit("#"),
+            col("epoch").cast("string")), AnnealSeed) < col("rate"))
     }
   )
 
@@ -477,7 +512,31 @@ object QueriesCuration {
           WHERE ${ratioSql("vec_id", DiversitySeed)} < ($rate)"""
     },
 
-    "curation_chunk" -> s"WITH ${chunkTailSql("documents", 64, 48)}"
+    "curation_chunk" -> s"WITH ${chunkTailSql("documents", 64, 48)}",
+
+    "anneal_schedule" -> {
+      def caseOf(rates: Seq[Double]) =
+        rates.zipWithIndex.map { case (r, e) =>
+          s"WHEN $e THEN CAST($r AS DOUBLE)"
+        }.mkString("CASE epoch ", " ", " END")
+      s"""WITH scored AS (
+            ${QueriesLlm.qualityScoreSql("documents")}),
+          x AS (
+            SELECT doc_id,
+                   CAST(epoch AS INTEGER) AS epoch,
+                   CASE WHEN quality >= $AnnealQHigh THEN 'high'
+                        ELSE 'low' END AS tier,
+                   CASE WHEN quality >= $AnnealQHigh
+                        THEN ${caseOf(AnnealHighRates)}
+                        ELSE ${caseOf(AnnealLowRates)} END AS rate
+            FROM scored,
+                 (SELECT unnest(generate_series(0, ${AnnealEpochs - 1}))
+                    AS epoch) e)
+          SELECT doc_id, epoch, tier, rate FROM x
+          WHERE ${ratioSql(
+            "CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR)",
+            AnnealSeed)} < rate"""
+    }
   )
 
   /** Overlapping token-window chunk CTEs + final select over `rel` —

@@ -193,7 +193,7 @@ object QueriesLlm {
   /** Twin of Text.qualityScore over `src`, carrying `carry` columns
     * through — shared by quality_score and preference_pairs.
     */
-  private def qualityScoreSql(src: String,
+  private[queries] def qualityScoreSql(src: String,
                               carry: Seq[String] = Nil): String = {
     val stops = Text.StopMarkers.map(occSql).mkString(" + ")
     val c = carry.map(x => s"$x, ").mkString

@@ -384,4 +384,24 @@ class CurationSpec extends SparkSpec {
     assert(out(13L) == ((false, false, true))) // shorts bypass the screens
     org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
   }
+
+  test("anneal_schedule shifts keep mass toward the high tier; deterministic") {
+    val sf = "/root/testdata/sf0.01"
+    def run() = SparkEntry.queries("anneal_schedule")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getString(2), r.getDouble(3)))).toMap
+    val a = run()
+    assert(a == run(), "sha256-ratio keeps must replay exactly")
+    // a doc's tier never varies with epoch; rates follow the schedule
+    val byDoc = a.groupBy(_._1._1).view.mapValues(_.values.map(_._1).toSet)
+    assert(byDoc.values.forall(_.size == 1))
+    val rates = a.map { case ((_, e), (t, r)) => (t, e) -> r }.toMap
+    assert(rates.forall { case ((t, e), r) =>
+      r == (if (t == "high") Seq(0.5, 0.7, 0.9) else Seq(0.5, 0.3, 0.1))(e) })
+    // the anneal visibly reshapes epochs: high keeps grow, low keeps shrink
+    def n(t: String, e: Int) = a.count { case ((_, ep), (tr, _)) =>
+      ep == e && tr == t }
+    assert(n("high", 0) < n("high", 1) && n("high", 1) < n("high", 2))
+    assert(n("low", 0) > n("low", 1) && n("low", 1) > n("low", 2))
+  }
 }
