@@ -360,6 +360,56 @@ object Crawl {
     ranks
   }
 
+  /** HITS hubs & authorities over the weighted host graph — the second
+    * classic authority signal beside [[pageRankHosts]] (hubs: hosts whose
+    * OUTLINKS point at good authorities — directories, link lists;
+    * authorities: hosts good hubs point AT). INTEGER MICRO-UNITS like
+    * PageRank: each half-round is contribution `score * weight` summed
+    * over edges, then MAX-normalization back onto the ~1e6 grid via
+    * `raw div max(raw div 1e6, 1)` — all 64-bit integer ops, so the
+    * fixpoint trajectory replays exactly in the oracle's chained CTEs
+    * (no IEEE normalization drift; headroom: per-host weighted inflow
+    * must stay under ~9e12, i.e. Long.MaxValue / 1e6).
+    *
+    * Scale posture: scores stay DISTRIBUTED — each half-round is one
+    * edge⨝score equi-join plus one partial-aggregated groupBy; the
+    * normalizer is a ONE-ROW max aggregate broadcast back into the plan
+    * (never a collect of the score frame); per-round localCheckpoints
+    * hold plan depth constant (the pageRankHosts discipline).
+    */
+  def hitsHosts(edges: DataFrame, iters: Int,
+                initMicros: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"hitsHosts: need iters >= 1, got $iters")
+    val e = edges.select(col("src_host"), col("dst_host"), col("weight"))
+      .localCheckpoint(eager = false)
+    val hosts = e.select(col("src_host").as("host"))
+      .unionByName(e.select(col("dst_host").as("host")))
+      .distinct().localCheckpoint(eager = false)
+    def normalized(raw: DataFrame, key: String, out: String): DataFrame = {
+      val m = raw.agg(max(col("raw")).as("m"))
+      hosts.join(raw, col("host") === col(key), "left")
+        .select(col("host"), coalesce(col("raw"), lit(0L)).as("raw"))
+        .crossJoin(broadcast(m))
+        .selectExpr("host",
+          s"CAST(raw div greatest(m div 1000000, 1) AS BIGINT) AS $out")
+        .localCheckpoint(eager = false)
+    }
+    var hub = hosts.select(col("host"), lit(initMicros).as("hub_micros"))
+    var auth: DataFrame = hosts.select(col("host"),
+      lit(initMicros).as("auth_micros"))
+    for (_ <- 1 to iters) {
+      val authRaw = e.join(hub, col("src_host") === col("host"))
+        .selectExpr("dst_host", "hub_micros * weight AS c")
+        .groupBy(col("dst_host")).agg(sum(col("c")).as("raw"))
+      auth = normalized(authRaw, "dst_host", "auth_micros")
+      val hubRaw = e.join(auth, col("dst_host") === col("host"))
+        .selectExpr("src_host", "auth_micros * weight AS c")
+        .groupBy(col("src_host")).agg(sum(col("c")).as("raw"))
+      hub = normalized(hubRaw, "src_host", "hub_micros")
+    }
+    auth.join(hub, Seq("host"))
+  }
+
   /** Authority gate over a ranked host graph — the crawl-curation rule
     * that drops pages from low-authority hosts (the public CommonCrawl
     * -curation practice of domain-level quality priors): each page joins

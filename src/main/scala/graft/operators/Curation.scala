@@ -410,4 +410,43 @@ object Curation {
     }
     centroids
   }
+
+  /** Simplified (centroid) silhouette of a fitted k-means clustering — the
+    * cluster-quality evaluation a curation run reports before trusting its
+    * diversity sampling or SemDeDup buckets. Per vector: `a` = squared
+    * distance to the assigned centroid, `b` = squared distance to the
+    * nearest OTHER centroid — both read off the same sorted candidate
+    * array the assignment uses (elements 0 and 1), so the evaluation costs
+    * exactly one assignment pass — and s = (b−a)/max(a,b) (0 when both
+    * vanish). Distances stay SQUARED (the round-6 grid slice_l2 emits;
+    * monotone in the true distance, so the [-1,1] reading holds).
+    *
+    * Scale posture: centroids are k×dim codegen'd literals (no join); the
+    * per-cluster report is one partial-aggregated groupBy with
+    * exact-decimal means — k rows leave the shuffle, vectors never
+    * collect. Output: (cluster, n, mean_sil, mean_dist).
+    */
+  def silhouette(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                 iters: Int): DataFrame = {
+    require(k >= 2, "silhouette needs k >= 2 (no 'other' centroid otherwise)")
+    val cents = kmeansCentroids(df, idCol, vecCol, k, iters)
+    val v = df.select(col(idCol).as("vec_id"),
+      Similarity.toDouble(col(vecCol)).as("v"))
+    val cand = array_sort(array(distStructs(cents): _*))
+    v.select(
+        element_at(cand, 1).getField("cluster").as("cluster"),
+        element_at(cand, 1).getField("dist").as("a"),
+        element_at(cand, 2).getField("dist").as("b"))
+      .select(col("cluster"), col("a"),
+        when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+          .otherwise(round((col("b") - col("a")) /
+            greatest(col("a"), col("b")), 6)).as("sil"))
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("sil").cast("decimal(30,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_sil"),
+        round(sum(col("a").cast("decimal(30,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_dist"))
+  }
 }

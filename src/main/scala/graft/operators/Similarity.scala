@@ -112,6 +112,41 @@ object Similarity {
         col("sn._1").as("cos"), (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query vector,
+    * the single MOST similar corpus vector that is NOT a near-duplicate
+    * (cosine strictly under `dupThreshold` — similar enough to be
+    * informative, distinct enough not to be a false negative), plus the
+    * count of near-dup candidates excluded (the label-noise the threshold
+    * removed). Queries with no sub-threshold candidate emit nothing.
+    *
+    * Scale posture: the annBruteForceAgg shape — the query side broadcasts,
+    * the corpus scans once, and the argmax is ONE partial-aggregated
+    * groupBy over (cos, id) structs: Q rows leave the shuffle, never the
+    * scored corpus. Tiebreak (cos desc, id asc) via the negated-id struct
+    * max, on the unrounded cosine like every ANN head.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, dupThreshold: Double): DataFrame = {
+    registerFast(corpus)
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("qv")).where(nonZero(col("qv")))
+    val c = corpus.select(col(idCol).as("neg_id"),
+      toDouble(col(vecCol)).as("cv")).where(nonZero(col("cv")))
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neg_id"))
+      .select(col("query_id"), cosineF(col("qv"), col("cv")).as("cos"),
+        col("neg_id"))
+      .groupBy(col("query_id"))
+      .agg(
+        max(when(col("cos") < dupThreshold,
+          struct(col("cos"), (-col("neg_id")).as("nid")))).as("best"),
+        sum(when(col("cos") >= dupThreshold, 1L).otherwise(0L))
+          .as("n_dups_excluded"))
+      .where(col("best").isNotNull)
+      .select(col("query_id"), (-col("best.nid")).as("negative_id"),
+        round(col("best.cos"), 6).as("cos"), col("n_dups_excluded"))
+  }
+
   /** Deterministic pseudo-random hyperplane weights (LCG, fixed seed).
     * Package-private so the DuckDB oracle SQL embeds the same constants —
     * shortest-round-trip double literals parse back to identical IEEE values,

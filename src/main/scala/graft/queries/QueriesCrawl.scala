@@ -80,6 +80,8 @@ object QueriesCrawl {
   // authority floor for curation_authority (ranks at sf0.01 span
   // ~0.21M-2.5M micros, so the floor discriminates)
   private val AuthorityFloor = 600000L
+  // hits_authority: HITS rounds (each = one auth + one hub half-round)
+  private val HitsIters = 2
 
   // Frontier scheduling: discovered targets with t % FetchedMod == 0 count
   // as already crawled; per-host politeness cap and global batch budget
@@ -333,6 +335,48 @@ object QueriesCrawl {
     s"""WITH $pagerankCtes
         SELECT host, rank_micros FROM r$PrIters"""
 
+  /** The integer-micros HITS iteration as chained CTEs replaying
+    * Crawl.hitsHosts exactly: per round, auth half-round (hub⨝edges sum,
+    * max-normalize) then hub half-round (auth⨝edges sum, max-normalize) —
+    * all arithmetic `//` on BIGINT, the same grid as pagerankCtes.
+    */
+  private def hitsAuthoritySql: String = {
+    val rounds = (1 to HitsIters).map { i =>
+      s"""araw$i AS (
+            SELECT e.dst_host AS host, sum(r.hub_micros * e.weight) AS raw
+            FROM edges e JOIN h${i - 1} r ON r.host = e.src_host
+            GROUP BY e.dst_host),
+          amax$i AS (SELECT max(raw) AS m FROM araw$i),
+          a$i AS (
+            SELECT h.host,
+                   CAST(coalesce(s.raw, 0)
+                     // greatest(am.m // 1000000, 1) AS BIGINT) AS auth_micros
+            FROM hosts h LEFT JOIN araw$i s USING (host)
+            CROSS JOIN amax$i am),
+          hraw$i AS (
+            SELECT e.src_host AS host, sum(a.auth_micros * e.weight) AS raw
+            FROM edges e JOIN a$i a ON a.host = e.dst_host
+            GROUP BY e.src_host),
+          hmax$i AS (SELECT max(raw) AS m FROM hraw$i),
+          h$i AS (
+            SELECT h.host,
+                   CAST(coalesce(s.raw, 0)
+                     // greatest(hm.m // 1000000, 1) AS BIGINT) AS hub_micros
+            FROM hosts h LEFT JOIN hraw$i s USING (host)
+            CROSS JOIN hmax$i hm)"""
+    }.mkString(",\n")
+    s"""WITH $linkGraphCtes,
+        hosts AS (
+          SELECT DISTINCT src_host AS host FROM edges
+          UNION
+          SELECT DISTINCT dst_host AS host FROM edges),
+        h0 AS (
+          SELECT host, CAST(1000000 AS BIGINT) AS hub_micros FROM hosts),
+        $rounds
+        SELECT host, a$HitsIters.auth_micros, h$HitsIters.hub_micros
+        FROM a$HitsIters JOIN h$HitsIters USING (host)"""
+  }
+
   /** curation_authority twin: every doc joins its host's final rank; docs
     * on hosts below the authority floor drop.
     */
@@ -567,6 +611,20 @@ object QueriesCrawl {
       Crawl.pageRankHosts(edges, PrIters, PrInit, PrBase, PrDampNum, PrDampDen)
     },
 
+    // HITS hubs & authorities over the same host graph — the second
+    // classic authority signal (directories score as hubs, link targets
+    // as authorities), integer-micros with max-normalized half-rounds so
+    // the trajectory replays exactly in the oracle's chained CTEs.
+    "hits_authority" -> { (s, d) =>
+      val docs = documents(s, d)
+      val n = docs.count()
+      val targets = linkTargets(n)
+      val edges = Crawl.linkGraph(
+        docs.withColumn("host", concat(col("source"), lit(HostSuffix))),
+        "doc_id", "host", targets)
+      Crawl.hitsHosts(edges, HitsIters)
+    },
+
     // Authority gate: every page joins its host's PageRank and pages on
     // hosts below the floor drop — the domain-level quality prior of
     // crawl curation. The rank frame is host-scale; bodies never move.
@@ -652,6 +710,7 @@ object QueriesCrawl {
     "quality_gopher" -> qualityGopherSql,
     "link_graph" -> linkGraphSql,
     "pagerank_hosts" -> pagerankHostsSql,
+    "hits_authority" -> hitsAuthoritySql,
     "curation_authority" -> curationAuthoritySql,
     "stream_authority" -> streamAuthoritySql,
     "crawl_frontier" -> crawlFrontierSql,

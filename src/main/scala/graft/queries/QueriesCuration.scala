@@ -41,6 +41,22 @@ object QueriesCuration {
   private val AnnealHighRates = Seq(0.5, 0.7, 0.9)
   private val AnnealLowRates = Seq(0.5, 0.3, 0.1)
   private val AnnealSeed = 33
+  // curation_funnel: the sequential gate chain (length → repetition →
+  // quality), each doc attributed to its FIRST failing gate — the
+  // per-source drop accounting every production curation run reports.
+  private val FunnelMinWords = 30
+  private val FunnelMaxRep = 0.6
+  private val FunnelMinQuality = 0.35
+  // budget_sample: per-stratum TOKEN budget (corpora are budgeted in
+  // tokens, not docs — the fixed-count complement is curation_quota),
+  // filled greedily in sha256-ratio order at BUCKET granularity: the
+  // exact-histogram discipline — a doc-level greedy cumsum would need a
+  // per-stratum total order (one partition per stratum at 100 TB); the
+  // bucket histogram is (strata × BudgetBuckets) rows however large the
+  // corpus, and the kept set is the largest bucket-prefix that fits.
+  private val BudgetTokens = 2000L
+  private val BudgetBuckets = 256
+  private val BudgetSeed = 77
 
   /** Shared distinct-3-gram CTE (the guard against <3-token docs is implicit
     * in DuckDB: generate_series(1, 0) is empty, unlike Spark's sequence).
@@ -388,6 +404,72 @@ object QueriesCuration {
         .where(Curation.hashRatio(
           concat(col("doc_id").cast("string"), lit("#"),
             col("epoch").cast("string")), AnnealSeed) < col("rate"))
+    },
+
+    // Curation FUNNEL report: every doc walks the gate chain in order
+    // (too short → too repetitive → low quality) and lands on its first
+    // failing gate; the per-source funnel is then one partial-aggregated
+    // groupBy — drop accounting at scan speed, the observability row a
+    // 100 TB curation run prints per shard. All three gate scores are
+    // per-row codegen'd expressions; ZERO extra shuffles beyond the one
+    // source-keyed aggregate (source-count-sized rows, never documents).
+    "curation_funnel" -> { (s, d) =>
+      import graft.functions.Text
+      val gate =
+        when(Text.tokenCountWs(col("text")) < FunnelMinWords, "short")
+          .when(Text.repetitionRatio(col("text")) > FunnelMaxRep,
+            "repetitive")
+          .when(Text.qualityScore(col("text")) < FunnelMinQuality,
+            "low_quality")
+          .otherwise("kept")
+      documents(s, d)
+        .select(col("source"), gate.as("gate"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("gate") === "short", 1L).otherwise(0L))
+            .as("n_short"),
+          sum(when(col("gate") === "repetitive", 1L).otherwise(0L))
+            .as("n_repetitive"),
+          sum(when(col("gate") === "low_quality", 1L).otherwise(0L))
+            .as("n_low_quality"),
+          sum(when(col("gate") === "kept", 1L).otherwise(0L))
+            .as("n_kept"))
+    },
+
+    // Cluster-quality evaluation of the curation_kmeans fit (same k=4,
+    // iters=2 replay): simplified centroid silhouette — a and b read off
+    // the one sorted candidate array the assignment already computes, so
+    // the eval costs one assignment pass; k report rows leave the shuffle.
+    "cluster_silhouette" -> { (s, d) =>
+      Curation.silhouette(embeddings(s, d), "vec_id", "embedding",
+        k = 4, iters = 2)
+    },
+
+    // Token-budget sampling: fill each lang's token budget greedily in
+    // sha256-ratio order at bucket granularity. Two bounded aggregates
+    // (doc→bucket histogram, per-lang cutoff over ≤BudgetBuckets rows)
+    // and a lang-keyed broadcast join back — no per-stratum total order,
+    // no corpus-wide window; the histogram is strata×buckets rows at any
+    // corpus size (the quality_threshold_sweep discipline applied to a
+    // sampling budget).
+    "budget_sample" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("bucket"))
+      val base = documents(s, d).select(
+        col("doc_id"), col("lang"),
+        graft.functions.Text.tokenCountWs(col("text")).cast("long")
+          .as("n_tokens"),
+        floor(Curation.hashRatio(col("doc_id"), BudgetSeed) * BudgetBuckets)
+          .cast("int").as("bucket"))
+      val cutoff = base.groupBy(col("lang"), col("bucket"))
+        .agg(sum(col("n_tokens")).as("btoks"))
+        .withColumn("cum", sum(col("btoks")).over(w))
+        .where(col("cum") <= BudgetTokens)
+        .groupBy(col("lang")).agg(max(col("bucket")).as("cutoff"))
+      base.join(broadcast(cutoff), Seq("lang"), "left")
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("bucket"),
+          (col("bucket") <= coalesce(col("cutoff"), lit(-1))).as("keep"))
     }
   )
 
@@ -536,7 +618,94 @@ object QueriesCuration {
           WHERE ${ratioSql(
             "CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR)",
             AnnealSeed)} < rate"""
-    }
+    },
+
+    "curation_funnel" ->
+      s"""WITH scored AS (
+            ${QueriesLlm.qualityScoreSql("documents", Seq("source"))}),
+          rep AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\\S+')) AS n_words,
+                   ROUND(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) /
+                         CAST(GREATEST(len(w), 1) AS DOUBLE), 6) AS rep_ratio
+            FROM (SELECT doc_id, text,
+                         regexp_split_to_array(lower(text), '\\s+') AS w
+                  FROM documents)),
+          g AS (
+            SELECT s.source,
+                   CASE WHEN r.n_words < $FunnelMinWords THEN 'short'
+                        WHEN r.rep_ratio > $FunnelMaxRep THEN 'repetitive'
+                        WHEN s.quality < $FunnelMinQuality THEN 'low_quality'
+                        ELSE 'kept' END AS gate
+            FROM scored s JOIN rep r USING (doc_id))
+          SELECT source,
+                 CAST(count(*) AS BIGINT) AS n_total,
+                 CAST(sum(CASE WHEN gate = 'short' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_short,
+                 CAST(sum(CASE WHEN gate = 'repetitive' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_repetitive,
+                 CAST(sum(CASE WHEN gate = 'low_quality' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_low_quality,
+                 CAST(sum(CASE WHEN gate = 'kept' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_kept
+          FROM g GROUP BY source""",
+
+    "cluster_silhouette" ->
+      s"""WITH v AS (
+            SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+            FROM embeddings),
+          c0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                     AS cluster, v
+            FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 4)),
+          a0 AS (${assignSql("v", "c0")}),
+          c1 AS (${updateSql("a0")}),
+          a1 AS (${assignSql("v", "c1")}),
+          c2 AS (${updateSql("a1")}),
+          cands AS (
+            SELECT t.vec_id, c.cluster, ${dist2Sql("t.v", "c.v")} AS dist,
+                   row_number() OVER (PARTITION BY t.vec_id
+                                      ORDER BY ${dist2Sql("t.v", "c.v")},
+                                               c.cluster) AS rn
+            FROM v t, c2 c),
+          ab AS (
+            SELECT a.vec_id, a.cluster, a.dist AS da, b.dist AS db
+            FROM cands a JOIN cands b USING (vec_id)
+            WHERE a.rn = 1 AND b.rn = 2),
+          s AS (
+            SELECT cluster, da,
+                   CASE WHEN GREATEST(da, db) = 0 THEN 0.0
+                        ELSE ROUND((db - da) / GREATEST(da, db), 6)
+                   END AS sil
+            FROM ab)
+          SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+                 ROUND(CAST(SUM(CAST(sil AS DECIMAL(30,6))) AS DOUBLE)
+                       / count(*), 6) AS mean_sil,
+                 ROUND(CAST(SUM(CAST(da AS DECIMAL(30,6))) AS DOUBLE)
+                       / count(*), 6) AS mean_dist
+          FROM s GROUP BY cluster""",
+
+    "budget_sample" ->
+      s"""WITH base AS (
+            SELECT doc_id, lang,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                     AS n_tokens,
+                   CAST(floor(${ratioSql("doc_id", BudgetSeed)}
+                     * $BudgetBuckets) AS INTEGER) AS bucket
+            FROM documents),
+          hist AS (
+            SELECT lang, bucket, sum(n_tokens) AS btoks
+            FROM base GROUP BY lang, bucket),
+          cum AS (
+            SELECT lang, bucket,
+                   sum(btoks) OVER (PARTITION BY lang ORDER BY bucket) AS cum
+            FROM hist),
+          cutoff AS (
+            SELECT lang, max(bucket) AS cutoff
+            FROM cum WHERE cum <= $BudgetTokens GROUP BY lang)
+          SELECT b.doc_id, b.lang, b.n_tokens, b.bucket,
+                 b.bucket <= coalesce(c.cutoff, -1) AS keep
+          FROM base b LEFT JOIN cutoff c USING (lang)"""
   )
 
   /** Overlapping token-window chunk CTEs + final select over `rel` —

@@ -214,6 +214,75 @@ object QueriesLlm {
   // pair to count as a usable preference signal
   private val PrefMarginMin = 0.1
 
+  // sft_pack: chat-template rendering bounds — the first SftPromptWords
+  // whitespace words stand in for the prompt turn, the rest for the
+  // response; docs under SftMinWords carry no usable pair; SftCtxTokens is
+  // the training context the rendered record must fit (ws-token count).
+  private val SftPromptWords = 8
+  private val SftMinWords = 16
+  private val SftCtxTokens = 64
+
+  // heldout_nll: the train/test fold rule (hash_split's sha256-ratio) and
+  // the add-1-smoothed unigram LM scored on the held-out fold
+  private val HeldoutFolds = Seq("train" -> 0.8, "test" -> 0.2)
+  private val HeldoutSeed = 42
+
+  /** The sft_pack transformation over a (doc_id, source, lang, text)
+    * frame — shared by the batch head and the streaming ingest twin so
+    * the two cannot drift. Pure per-row expressions, so it applies
+    * identically to a static or a streaming frame.
+    */
+  private[graft] def sftPackFrame(df: DataFrame): DataFrame = {
+    val wl = filter(split(col("text"), "\\s+"), w => length(w) > lit(0))
+    val prompt = concat(lit("<|user|>\n"),
+      array_join(slice(col("w"), 1, SftPromptWords), " "),
+      lit("\n<|assistant|>"))
+    val response = concat(lit("\n"),
+      array_join(slice(col("w"), lit(SftPromptWords + 1),
+        size(col("w")) - SftPromptWords), " "),
+      lit("\n<|end|>"))
+    df
+      .select(col("doc_id"), col("source"), col("lang"), wl.as("w"))
+      .where(size(col("w")) >= SftMinWords)
+      .select(col("doc_id"), col("source"), col("lang"),
+        prompt.as("p"), response.as("r"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        concat(col("p"), col("r")).as("rendered"),
+        Text.tokenCountWs(col("p")).cast("long").as("n_tokens_mask"),
+        Text.tokenCountWs(concat(col("p"), col("r"))).cast("long")
+          .as("n_tokens"),
+        (Text.tokenCountWs(concat(col("p"), col("r")))
+          <= SftCtxTokens).as("fits_ctx"))
+  }
+
+  /** sft_pack twin shared with the streaming ingest head: whitespace-word
+    * split, slice into prompt/response,
+    * render the fixed chat template, and count the masked (prompt-span)
+    * and total whitespace tokens the way token_count does.
+    */
+  private[queries] def sftPackSql: String =
+    s"""WITH w AS (
+          SELECT doc_id, source, lang,
+                 regexp_extract_all(text, '\\S+') AS wl
+          FROM documents),
+        r AS (
+          SELECT doc_id, source, lang,
+                 '<|user|>' || chr(10) ||
+                 array_to_string(wl[1:$SftPromptWords], ' ') ||
+                 chr(10) || '<|assistant|>' AS prompt_span,
+                 chr(10) ||
+                 array_to_string(wl[${SftPromptWords + 1}:len(wl)], ' ') ||
+                 chr(10) || '<|end|>' AS response_span
+          FROM w WHERE len(wl) >= $SftMinWords)
+        SELECT doc_id, source, lang,
+               prompt_span || response_span AS rendered,
+               len(regexp_extract_all(prompt_span, '\\S+')) AS n_tokens_mask,
+               len(regexp_extract_all(prompt_span || response_span, '\\S+'))
+                 AS n_tokens,
+               len(regexp_extract_all(prompt_span || response_span, '\\S+'))
+                 <= $SftCtxTokens AS fits_ctx
+        FROM r"""
+
   /** preference_pairs twin: per-(source, lang) argmax/argmin quality with
     * the doc_id tiebreak, margin-gated.
     */
@@ -822,6 +891,29 @@ object QueriesLlm {
           round(col("cos"), 6).as("cos"), col("rank").as("rnk"))
     },
 
+    // Hard-negative mining for contrastive training (the retrieval-model
+    // data op): per query, the MOST similar corpus vector that is NOT a
+    // near-duplicate (cos < 0.95, the dedup_embed_cosine bar) — similar
+    // enough to be informative, distinct enough not to be a false
+    // negative — plus the count of near-dup candidates excluded. Mined
+    // over the planted-duplicate corpus (every %40 query id is %10, so
+    // each query carries at least one planted exact copy the bar must
+    // reject — the exclusion path is live, not decorative). The
+    // annBruteForceAgg posture: query side broadcasts, corpus scans once,
+    // ONE partial-aggregated struct-argmax — Q rows leave the shuffle.
+    // The query slice is BOUNDED (id cap, constant under ScaleUp's
+    // disjoint-key replication): brute-force mining is the per-batch
+    // shape — Q fixed, cost linear in the corpus. Mining negatives for
+    // EVERY doc goes through the LSH/IVF index path (ann_lsh/ann_ivf),
+    // never a corpus×corpus cross.
+    "hard_negatives" -> { (s, d) =>
+      val e = embeddings(s, d)
+      Similarity.hardNegatives(
+        e.filter(pmod(col("vec_id"), lit(40)) === 0 &&
+          col("vec_id") < 2000), semanticCorpus(s, d),
+        "vec_id", "embedding", dupThreshold = 0.95)
+    },
+
     "ann_lsh" -> { (s, d) =>
       val e = embeddings(s, d)
       Similarity.annLsh(e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
@@ -903,6 +995,16 @@ object QueriesLlm {
           round(col("c.q") - col("r.q"), 6).as("margin"))
         .where(col("margin") >= PrefMarginMin)
     },
+
+    // Post-training SFT assembly (preference_pairs' sibling): render each
+    // document into the fixed chat template — first SftPromptWords
+    // whitespace words as the user turn, the remainder as the assistant
+    // turn — and carry the two numbers every SFT loader needs: the
+    // loss-mask boundary (tokens through '<|assistant|>', masked from the
+    // loss) and the total token count against the training context.
+    // Pure per-row string work: scan + filter + codegen'd expressions,
+    // ZERO shuffles, embarrassingly parallel at any corpus size.
+    "sft_pack" -> { (s, d) => sftPackFrame(documents(s, d)) },
 
     // Fuzzy benchmark decontamination: corpus docs (doc_id % 50 != 0)
     // screened against a held-out benchmark slice (doc_id % 50 == 0) via
@@ -1111,6 +1213,39 @@ object QueriesLlm {
         .withColumn("crosses_boundary", col("end_pack_id") =!= col("pack_id"))
     },
 
+    // Packing EVALUATION (sequence_pack's report card): per source — how
+    // many docs the concat-then-chop split across a pack boundary
+    // (fragmentation the loader pays in attention masking) and how full
+    // the packs run (the padding waste packing exists to remove; only the
+    // final partial pack can be short). Same per-source window as
+    // sequence_pack, then one partial-aggregated groupBy — source-count
+    // rows leave the shuffle.
+    "pack_efficiency" -> { (s, d) =>
+      val L = 512
+      val toks = Text.tokenCountWs(col("text")).cast("long")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      val nSplit = sum(when(col("split"), 1L).otherwise(0L))
+      val nPacks = (((max(col("cum")) - 1) / L).cast("long") + 1L)
+      documents(s, d)
+        .select(col("doc_id"), col("source"), toks.as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens"))
+          .over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .select(col("source"), col("cum"),
+          (((col("cum") - col("n_tokens")) / L).cast("long") =!=
+            (greatest(col("cum") - 1, col("cum") - col("n_tokens")) / L)
+              .cast("long")).as("split"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          nSplit.as("n_split"),
+          round(nSplit.cast("double") / count(lit(1)), 6).as("split_frac"),
+          nPacks.as("n_packs"),
+          round(max(col("cum")).cast("double") /
+            (nPacks * L).cast("double"), 6).as("fill_frac"))
+    },
+
     // Int8-style quantization round-trip: per-vector scale = max|x|/127,
     // floor-quantize (floor is engine-portable; banker's-vs-half-up round
     // is not), dequantize, report the max reconstruction error.
@@ -1155,6 +1290,36 @@ object QueriesLlm {
     // each document scored by its mean token log-probability — the
     // statistical quality filter of a training-data pipeline. Exact decimal
     // mean of per-token logs keeps the score engine-portable.
+    // Held-out NLL eval: fit an add-1-smoothed unigram LM on the train
+    // fold (the hash_split discipline) and score the TEST fold — the
+    // distribution-shift check a published split ships with (a fold whose
+    // mean NLL diverges was not drawn iid). Vocab-bounded freq join
+    // (broadcast), per-token round6 log on the unigram_logprob grid, one
+    // lang-keyed exact-decimal aggregate; the two LM scalars (train token
+    // count, vocab size) are a metadata-scale driver hop at plan build.
+    "heldout_nll" -> { (s, d) =>
+      val docs = documents(s, d).select(col("lang"),
+        graft.operators.Assembly.hashSplitLabel(col("doc_id"),
+          HeldoutFolds, HeldoutSeed).as("fold"),
+        col("text"))
+      val toks = docs.select(col("lang"), col("fold"),
+        explode(Text.tokens(col("text"))).as("tok"))
+      val train = toks.filter(col("fold") === "train")
+      val st = train.agg(count(lit(1)).as("n"),
+        countDistinct(col("tok")).as("v")).head()
+      val denom = (st.getLong(0) + st.getLong(1)).toDouble
+      val freq = train.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      toks.filter(col("fold") === "test")
+        .join(broadcast(freq), Seq("tok"), "left")
+        .select(col("lang"), col("cnt"),
+          round(log((coalesce(col("cnt"), lit(0L)).cast("double") + 1.0)
+            / denom), 6).as("lp"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_unseen"),
+          round(sumDec(-col("lp"), 6) / count(lit(1)), 6).as("mean_nll"))
+    },
+
     "unigram_logprob" -> { (s, d) =>
       val toks = documents(s, d)
         .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
@@ -1503,6 +1668,31 @@ object QueriesLlm {
           SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rnk
           FROM r WHERE rnk <= 5""",
 
+    "hard_negatives" ->
+      s"""WITH mx AS (SELECT max(vec_id) AS m FROM embeddings),
+          q AS (SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id % 40 = 0 AND vec_id < 2000),
+          c AS (SELECT vec_id AS neg_id, embedding AS cv FROM embeddings
+                UNION ALL
+                SELECT vec_id + m + 1, embedding FROM embeddings, mx
+                WHERE vec_id % 10 = 0
+                UNION ALL
+                SELECT vec_id + 2 * m + 2, embedding FROM embeddings, mx
+                WHERE vec_id % 50 = 0),
+          sc AS (SELECT query_id, neg_id, ${cosSql("qv", "cv")} AS cos
+                 FROM c, q WHERE query_id != neg_id),
+          r AS (SELECT query_id, neg_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neg_id ASC) AS rnk
+                FROM sc WHERE cos < 0.95),
+          d AS (SELECT query_id,
+                       CAST(sum(CASE WHEN cos >= 0.95 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_dups_excluded
+                FROM sc GROUP BY query_id)
+          SELECT r.query_id, r.neg_id AS negative_id, ROUND(r.cos, 6) AS cos,
+                 d.n_dups_excluded
+          FROM r JOIN d USING (query_id) WHERE r.rnk = 1""",
+
     "lang_id_eval" -> {
       val scoreCols = Text.LangPriority
         .map(l => s"${scoreSql(l)} AS sc_$l").mkString(", ")
@@ -1531,6 +1721,8 @@ object QueriesLlm {
 
     "quality_score" -> qualityScoreSql("documents"),
     "preference_pairs" -> preferencePairsSql,
+
+    "sft_pack" -> sftPackSql,
 
     "token_count" ->
       s"""SELECT doc_id,
@@ -1631,6 +1823,34 @@ object QueriesLlm {
          FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
                FROM documents)""",
 
+    "heldout_nll" ->
+      s"""WITH folds AS (
+            SELECT doc_id, lang, text,
+                   ${QueriesAssembly.hashSplitSql("doc_id", HeldoutSeed,
+                     HeldoutFolds)} AS fold
+            FROM documents),
+          toks AS (
+            SELECT lang, fold,
+                   unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+            FROM folds),
+          freq AS (
+            SELECT tok, count(*) AS cnt FROM toks
+            WHERE fold = 'train' GROUP BY tok),
+          st AS (
+            SELECT count(*) AS n, count(DISTINCT tok) AS v FROM toks
+            WHERE fold = 'train'),
+          t AS (
+            SELECT lang, f.cnt,
+                   ROUND(ln((CAST(coalesce(f.cnt, 0) AS DOUBLE) + 1.0)
+                     / (st.n + st.v)), 6) AS lp
+            FROM toks LEFT JOIN freq f USING (tok) CROSS JOIN st
+            WHERE fold = 'test')
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unseen,
+                 ROUND(${sumDecSql("-lp", 6)} / count(*), 6) AS mean_nll
+          FROM t GROUP BY lang""",
+
     "unigram_logprob" ->
       """WITH toks AS (
            SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
@@ -1658,6 +1878,29 @@ object QueriesLlm {
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS cum
                FROM documents)""",
+
+    "pack_efficiency" ->
+      """WITH p AS (
+           SELECT doc_id, source, n_tokens, cum,
+                  (GREATEST(cum - 1, cum - n_tokens) // 512)
+                    != ((cum - n_tokens) // 512) AS split
+           FROM (SELECT doc_id, source,
+                        CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                          AS n_tokens,
+                        CAST(sum(len(regexp_extract_all(text, '\S+')))
+                          OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT) AS cum
+                 FROM documents))
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN split THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_split,
+                ROUND(CAST(sum(CASE WHEN split THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*), 6) AS split_frac,
+                CAST((max(cum) - 1) // 512 + 1 AS BIGINT) AS n_packs,
+                ROUND(CAST(max(cum) AS DOUBLE) /
+                      (((max(cum) - 1) // 512 + 1) * 512), 6) AS fill_frac
+         FROM p GROUP BY source""",
 
     "embed_quantize" ->
       """SELECT vec_id, ROUND(scale, 6) AS scale,

@@ -129,6 +129,16 @@ object QueriesStreaming {
       Streaming.corpusFilter(s, d,
         s"graft_stream_corpus_${runId.incrementAndGet()}")
     },
+    // SFT template rendering at ingest: the sft_pack transformation as a
+    // stateless per-row pass over arriving docs (shared frame code with
+    // the batch head — no drift possible). Result-linear output with the
+    // rendered text doubling each doc's bytes → the distributed parquet
+    // sink at sweep scale, like stream_attach.
+    "stream_sft_pack" -> { (s, d) =>
+      val run = runId.incrementAndGet()
+      Streaming.sftPackStream(s, d, s"graft_stream_sft_$run",
+        fileSink(s"sft_$run"))
+    },
     // The `corpus:` config journey streamed: quality gate + watermarked
     // exact dedup at ingest — a crawl lands curated AND deduped in one job.
     // Output is the digest set (digest-deterministic where the kept doc_id
@@ -235,6 +245,9 @@ object QueriesStreaming {
            ON e.user_id = p.user_id AND p.ts <= e.ts""",
     // identical gate, identical verdicts — at ingest instead of at rest
     "stream_corpus_filter" -> QueriesLlm.corpusFilterSql,
+
+    // same twin as the batch head: the stream is a replay of the table
+    "stream_sft_pack" -> QueriesLlm.sftPackSql,
 
     "stream_dedup_index" -> streamDedupIndexSql,
 

@@ -322,6 +322,20 @@ object Streaming {
     sinkTo(spark, gated, tableName, "append", sinkDir)
   }
 
+  /** SFT template rendering AT INGEST: the sft_pack per-row
+    * render/mask/ctx computation applied to arriving docs — stateless
+    * codegen'd expressions, no state store, no join — so a post-training
+    * corpus lands template-packed as it arrives. Shares the exact
+    * transformation (QueriesLlm.sftPackFrame) with the batch head, so the
+    * two paths cannot drift.
+    */
+  def sftPackStream(spark: SparkSession, sfDir: String, tableName: String,
+                    sinkDir: Option[String] = None): DataFrame = {
+    val packed = graft.queries.QueriesLlm.sftPackFrame(
+      readTable(spark, sfDir, "documents"))
+    sinkTo(spark, packed, tableName, "append", sinkDir)
+  }
+
   /** The AUTHORITY gate AT INGEST: host ranks fit batch-side on the link
     * graph once (Crawl.pageRankHosts, persisted as a parquet artifact —
     * the train-once discipline) and every arriving page gates on its

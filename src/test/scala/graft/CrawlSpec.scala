@@ -214,4 +214,52 @@ class CrawlSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("hostCap"))
   }
+
+  test("hitsHosts ranks directories as hubs and link targets as authorities") {
+    // h1 links both authorities (weighted), h2 one; a1 also links out once
+    val edges = Seq(
+      ("h1", "a1", 2L), ("h1", "a2", 1L),
+      ("h2", "a1", 1L), ("a1", "x", 1L)
+    ).toDF("src_host", "dst_host", "weight")
+    def run() = Crawl.hitsHosts(edges, iters = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    val got = run()
+    assert(got == run(), "integer-micros HITS must replay exactly")
+    assert(got.keySet == Set("h1", "h2", "a1", "a2", "x"))
+    // a1 draws the weighted inflow of both hubs: top authority at ~1e6
+    assert(got("a1")._1 > got("a2")._1 && got("a2")._1 > 0)
+    assert(got("a1")._1 >= 1000000L)
+    // h1's two-authority outlinks beat h2's single link: top hub
+    assert(got("h1")._2 > got("h2")._2 && got("h2")._2 > 0)
+    assert(got("h1")._2 >= 1000000L)
+    // pure sinks/isolates hold zeros, never negatives
+    assert(got.values.forall { case (a, h) => a >= 0L && h >= 0L })
+    assert(got("x")._2 == 0L) // x links nothing: no hub mass
+  }
+
+  test("hits_authority agrees with a driver-side integer replay") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("hits_authority")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // replay the micro-unit trajectory in plain Scala over the edge list
+    val edges = SparkEntry.queries("link_graph")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val hosts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var hub = hosts.map(_ -> 1000000L).toMap
+    var auth = Map.empty[String, Long]
+    def norm(raw: Map[String, Long]): Map[String, Long] = {
+      val m = math.max(raw.values.max / 1000000L, 1L)
+      hosts.map(h => h -> raw.getOrElse(h, 0L) / m).toMap
+    }
+    for (_ <- 1 to 2) {
+      auth = norm(edges.groupBy(_._2).view.mapValues(
+        es => es.map(e => hub(e._1) * e._3).sum).toMap)
+      hub = norm(edges.groupBy(_._1).view.mapValues(
+        es => es.map(e => auth(e._2) * e._3).sum).toMap)
+    }
+    assert(got == hosts.map(h => h -> ((auth(h), hub(h)))).toMap)
+    assert(got.nonEmpty && got.values.exists(_._1 > 0))
+  }
 }

@@ -404,4 +404,88 @@ class CurationSpec extends SparkSpec {
     assert(n("high", 0) < n("high", 1) && n("high", 1) < n("high", 2))
     assert(n("low", 0) > n("low", 1) && n("low", 1) > n("low", 2))
   }
+
+  test("curation_funnel attributes every doc to its first failing gate") {
+    val sf = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("curation_funnel")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // per-source rows partition: the stage counts sum to the total
+    assert(got.nonEmpty)
+    assert(got.values.forall { case (t, s, rp, q, k) => s + rp + q + k == t })
+    // recompute the chain per doc from the component scorers
+    val ref = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"),
+        Text.tokenCountWs(col("text")).as("nw"),
+        Text.repetitionRatio(col("text")).as("rep"),
+        Text.qualityScore(col("text")).as("q"))
+      .collect().map { r =>
+        val gate =
+          if (r.getInt(1) < 30) "short"
+          else if (r.getDouble(2) > 0.6) "repetitive"
+          else if (r.getDouble(3) < 0.35) "low_quality"
+          else "kept"
+        (r.getString(0), gate)
+      }
+    def n(src: String, g: String) =
+      ref.count(x => x._1 == src && x._2 == g).toLong
+    got.foreach { case (src, (t, s, rp, q, k)) =>
+      assert((s, rp, q, k) == ((n(src, "short"), n(src, "repetitive"),
+        n(src, "low_quality"), n(src, "kept"))), s"source $src")
+      assert(t == ref.count(_._1 == src).toLong)
+    }
+    // every stage of the funnel is exercised corpus-wide
+    assert(got.values.map(_._2).sum > 0 && got.values.map(_._3).sum > 0 &&
+      got.values.map(_._4).sum > 0 && got.values.map(_._5).sum > 0)
+  }
+
+  test("cluster_silhouette agrees with the kmeans assignment it evaluates") {
+    val sf = "/root/testdata/sf0.01"
+    val sil = SparkEntry.queries("cluster_silhouette")(spark, sf)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // same fit as curation_kmeans: per-cluster sizes and exact-decimal
+    // mean assigned distance must line up row for row
+    val asg = SparkEntry.queries("curation_kmeans")(spark, sf)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("dist").cast("decimal(30,6)")).cast("double") /
+          count(lit(1)), 6).as("md"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(sil.keySet == asg.keySet && sil.size >= 2)
+    sil.foreach { case (c, (nn, s, md)) =>
+      assert((nn, md) == asg(c), s"cluster $c")
+      assert(s >= -1.0 && s <= 1.0, s"silhouette out of range: $s")
+    }
+    // a real clustering separates at least one cluster positively
+    assert(sil.values.exists(_._2 > 0))
+  }
+
+  test("budget_sample keeps the largest bucket-prefix under each lang budget") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("budget_sample")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getInt(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (lang, docs) =>
+      // brute-force the cutoff: cumsum token mass in bucket order
+      val hist = docs.groupBy(_._4).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      val cum = hist.scanLeft((Int.MinValue, 0L)) {
+        case ((_, acc), (b, t)) => (b, acc + t) }.tail
+      val cutoff = cum.filter(_._2 <= 2000L)
+        .map(_._1).reduceOption(_ max _).getOrElse(-1)
+      docs.foreach { case (id, _, _, b, keep) =>
+        assert(keep == (b <= cutoff), s"$lang doc $id bucket $b") }
+      // the kept mass fits the budget, and the NEXT bucket would not
+      val kept = docs.filter(_._5).map(_._3).sum
+      assert(kept <= 2000L, lang)
+      val next = hist.find(_._1 > cutoff)
+      next.foreach { case (_, t) => assert(kept + t > 2000L, lang) }
+    }
+    // the budget bites somewhere and spares something
+    assert(rows.exists(_._5) && rows.exists(!_._5))
+  }
 }

@@ -34,6 +34,19 @@ class StreamingSinkSpec extends SparkSpec {
     assert(viaFile.nonEmpty)
   }
 
+  test("sftPackStream: parquet sink rows equal memory sink rows and the batch head") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_sft")
+    val viaMemory = rowSet(
+      Streaming.sftPackStream(spark, DataDir, "sink_spec_sft_mem"))
+    val viaFile = rowSet(Streaming.sftPackStream(spark, DataDir,
+      "sink_spec_sft_file", Some(dir.resolve("s").toString)))
+    assert(viaFile == viaMemory)
+    assert(viaFile.nonEmpty)
+    // the ingest render is the batch head verbatim
+    val batch = rowSet(SparkEntry.queries("sft_pack")(spark, DataDir))
+    assert(viaMemory == batch)
+  }
+
   private val CorpusDoc =
     """sources:
       |  - id: docs

@@ -714,4 +714,132 @@ class TextDedupSpec extends SparkSpec {
     assert(got.values.forall { case (cid, rid, cq, rq) =>
       cq > rq && cid != rid })
   }
+
+  test("sft_pack renders the template losslessly with exact mask/ctx counts") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = SparkEntry.queries("sft_pack")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(3), r.getLong(4), r.getLong(5), r.getBoolean(6))))
+      .toMap
+    def words(t: String) = t.split("\\s+").filter(_.nonEmpty).toSeq
+    // exactly the >= 16-word docs survive
+    assert(got.keySet == docs.filter(d => words(d._2).size >= 16).keySet)
+    assert(got.nonEmpty)
+    got.foreach { case (id, (rendered, nMask, nTot, fits)) =>
+      val w = words(docs(id))
+      // the template renders the doc's words in order, nothing lost
+      assert(rendered ==
+        s"<|user|>\n${w.take(8).mkString(" ")}\n<|assistant|>\n" +
+          s"${w.drop(8).mkString(" ")}\n<|end|>")
+      // mask boundary = prompt words + the two template markers before it;
+      // total = every word + all three markers; ctx gate is exact
+      assert(nMask == 8 + 2)
+      assert(nTot == w.size + 3)
+      assert(fits == (nTot <= 64))
+    }
+    // the ctx gate must split the corpus, not rubber-stamp it
+    assert(got.values.exists(_._4) && got.values.exists(!_._4))
+  }
+
+  test("hard_negatives struct-argmax equals the rank-1 sub-threshold neighbor") {
+    val sf = "/root/testdata/sf0.01"
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val got = SparkEntry.queries("hard_negatives")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    // reference: full brute-force ranking over the same planted-duplicate
+    // corpus the head mines, then the best cos < 0.95 row
+    val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+    def planted(mod: Int, off: Long) =
+      e.filter(pmod(col("vec_id"), lit(mod)) === 0)
+        .select((col("vec_id") + off).as("vec_id"), col("embedding"))
+    val corpus = e.select(col("vec_id"), col("embedding"))
+      .unionByName(planted(10, maxId + 1))
+      .unionByName(planted(50, 2 * maxId + 2))
+    val all = graft.operators.Similarity.annBruteForce(
+      e.filter(pmod(col("vec_id"), lit(40)) === 0 && col("vec_id") < 2000),
+      corpus, "vec_id", "embedding", k = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect = all.groupBy(_._1).flatMap { case (q, rows) =>
+      val sub = rows.filter(_._3 < 0.95)
+      val nd = rows.count(_._3 >= 0.95).toLong
+      if (sub.isEmpty) None
+      else {
+        val best = sub.minBy(r => (-r._3, r._2))
+        Some(q -> ((best._2, math.round(best._3 * 1e6) / 1e6, nd)))
+      }
+    }
+    assert(got == expect)
+    assert(got.nonEmpty)
+    // the dup bar did real work: every %40 query id is %10, so each query
+    // carries at least one planted exact copy the bar must have rejected
+    assert(got.values.forall(_._3 > 0))
+    // and every mined negative sits strictly under the bar
+    assert(got.values.forall(_._2 < 0.95))
+  }
+
+  test("pack_efficiency reconstructs from sequence_pack row for row") {
+    val sf = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("pack_efficiency")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    val packs = SparkEntry.queries("sequence_pack")(spark, sf)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(6))) // (source, n_tokens, start_off, crosses)
+    val bySrc = packs.groupBy(_._1)
+    assert(got.keySet == bySrc.keySet && got.nonEmpty)
+    got.foreach { case (src, (nDocs, nSplit, splitFrac, nPacks, fillFrac)) =>
+      val rows = bySrc(src)
+      val total = rows.map(_._2).sum
+      assert(nDocs == rows.size.toLong, src)
+      assert(nSplit == rows.count(_._4).toLong, src)
+      assert(splitFrac ==
+        math.round(nSplit.toDouble / nDocs * 1e6) / 1e6, src)
+      assert(nPacks == (total - 1) / 512 + 1, src)
+      assert(fillFrac ==
+        math.round(total.toDouble / (nPacks * 512) * 1e6) / 1e6, src)
+      assert(fillFrac > 0.0 && fillFrac <= 1.0, src)
+    }
+    // fragmentation exists and is not universal — the metric discriminates
+    assert(got.values.exists(_._2 > 0) &&
+      got.values.exists(v => v._2 < v._1))
+  }
+
+  test("heldout_nll equals a driver-side add-1 unigram replay") {
+    val sf = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("heldout_nll")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("lang"),
+        graft.operators.Assembly.hashSplitLabel(col("doc_id"),
+          Seq("train" -> 0.8, "test" -> 0.2), 42).as("fold"),
+        col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    def toks(t: String) = t.toLowerCase.split("\\s+").toSeq
+    val trainToks = docs.filter(_._2 == "train").flatMap(d => toks(d._3))
+    val cnt = trainToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val denom = (trainToks.size + cnt.size).toDouble
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = docs.filter(_._2 == "test").groupBy(_._1).map {
+      case (lang, ds) =>
+        val ts = ds.flatMap(d => toks(d._3))
+        val lps = ts.map(t => r6(math.log((cnt.getOrElse(t, 0L) + 1.0) / denom)))
+        val sum = lps.map(lp =>
+          BigDecimal(-lp).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+        lang -> ((ts.size.toLong, ts.count(t => !cnt.contains(t)).toLong,
+          r6((sum.toDouble) / ts.size)))
+    }
+    assert(got == expect)
+    assert(got.nonEmpty)
+    // the gate corpus's small synthetic vocab is fully covered by the
+    // train fold (n_unseen = 0 is correct there — the replay equality
+    // above pins the unseen branch's arithmetic); NLL is positive
+    assert(got.values.forall(v => v._2 >= 0 && v._3 > 0.0))
+  }
 }
