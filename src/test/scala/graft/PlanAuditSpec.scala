@@ -613,6 +613,86 @@ class PlanAuditSpec extends SparkSpec {
       "leakage pairs must come from band-bucket equi-joins")
   }
 
+  audit("sft_pack") { plan =>
+    // pure per-row template rendering: scan → filter → projects, nothing
+    // else — zero shuffles, no join, at any corpus size
+    assert(shuffleExchanges(plan) == 0,
+      s"sft_pack must not shuffle, saw ${shuffleExchanges(plan)}")
+    assert(!plan.contains("Join"), "sft_pack must not join")
+  }
+
+  audit("curation_funnel") { plan =>
+    // three per-row gate scores fold into ONE source-keyed partial
+    // aggregate; the scan prunes to the two referenced columns
+    assert(shuffleExchanges(plan) == 1,
+      s"funnel must aggregate in one shuffle, saw ${shuffleExchanges(plan)}")
+    assert(plan.contains("partial_count"),
+      "funnel counts must partial-aggregate map-side")
+    assert(plan.contains("ReadSchema: struct<text:string,source:string>"),
+      "funnel scan must prune to (text, source)")
+  }
+
+  audit("cluster_silhouette") { plan =>
+    // centroids are codegen'd literals (no join); the per-cluster report
+    // is one partial-aggregated exchange of k rows
+    assert(!plan.contains("Join"), "silhouette must not join — centroids are literals")
+    assert(shuffleExchanges(plan) == 1,
+      s"silhouette must aggregate in one shuffle, saw ${shuffleExchanges(plan)}")
+  }
+
+  audit("hard_negatives") { plan =>
+    // the id-capped query slice broadcasts against the corpus scan; the
+    // argmax partial-aggregates map-side so only Q rows reach the exchange
+    assert(plan.contains("BroadcastNestedLoopJoin Cross BuildRight"),
+      "the bounded query side must broadcast")
+    assert(shuffleExchanges(plan) == 1,
+      s"only the Q-row argmax may shuffle, saw ${shuffleExchanges(plan)}")
+    assert(plan.contains("partial_max") || plan.contains("SortAggregate"),
+      "the struct argmax must partial-aggregate before the exchange")
+  }
+
+  audit("pack_efficiency") { plan =>
+    // the per-source report REUSES the window's hashpartitioning(source):
+    // one exchange total, aggregate exchange-free on top of the window
+    assert(plan.contains("Window"), "pack stats read the cumsum window")
+    assert(shuffleExchanges(plan) == 1,
+      s"the source aggregate must reuse the window partitioning, saw ${shuffleExchanges(plan)}")
+  }
+
+  audit("budget_sample") { plan =>
+    // histogram (docs → strata×bucket rows) → bounded window → cutoff,
+    // then the strata-row cutoff frame BROADCASTS back onto the scan —
+    // the corpus itself never shuffles
+    assert(plan.contains("BroadcastHashJoin LeftOuter"),
+      "the cutoff frame must broadcast back, never co-shuffle the corpus")
+    assert(plan.contains("Window"), "the cutoff cumsum runs over the bucket histogram")
+    assert(shuffleExchanges(plan) <= 3,
+      s"histogram+window+cutoff are the only exchanges, saw ${shuffleExchanges(plan)}")
+  }
+
+  audit("hits_authority") { plan =>
+    // the returned frame is the final auth⨝hub re-attach of two
+    // checkpointed host-graph-scale frames; all iteration rounds sit
+    // behind the checkpoints (constant plan depth, the pagerank shape)
+    assert(plan.contains("Scan ExistingRDD"),
+      "HITS rounds must sit behind checkpoints")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "the final re-attach joins on the host key")
+    assert(shuffleExchanges(plan) <= 2,
+      s"final join = bounded exchanges, saw ${shuffleExchanges(plan)}")
+  }
+
+  audit("heldout_nll") { plan =>
+    // the vocab-bounded freq table broadcasts onto the test-fold token
+    // stream; one lang-keyed exact-decimal aggregate leaves the join
+    assert(plan.contains("BroadcastHashJoin LeftOuter"),
+      "the unigram freq table must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "the corpus token stream must never co-shuffle with the vocab")
+    assert(shuffleExchanges(plan) <= 2,
+      s"freq build + lang aggregate only, saw ${shuffleExchanges(plan)}")
+  }
+
   test("whole-stage codegen: the per-row heads run as ONE fused span") {
     // The brief's "widen the WholeStageCodegen spans" check, made a gate:
     // each pure per-row head (scan → expressions → output, no shuffle)
