@@ -238,6 +238,14 @@ object Config {
     * batch only.
     */
   final case class CorpusDedupLines(minFreq: Long) extends CorpusStep
+  /** Token-budget sampling (the budget_sample head as a journey step):
+    * fill each `by` stratum's token budget greedily in sha256-ratio order
+    * at bucket granularity — the exact-histogram discipline, no
+    * per-stratum total order. Needs the corpus-at-rest histogram — batch
+    * only.
+    */
+  final case class CorpusBudget(by: String, tokens: Long, buckets: Int,
+                                seed: Int) extends CorpusStep
 
   /** The `corpus:` section: a document source + ordered curation steps. */
   final case class CorpusDef(source: String, idCol: String, textCol: String,
@@ -980,6 +988,14 @@ object Config {
         check("by", "seed", "artifact")
         CorpusMix(str(t, "by", ctx), intOpt(t, "seed").getOrElse(0),
           strOpt(t, "artifact"))
+      case "budget" =>
+        check("by", "tokens", "buckets", "seed")
+        val tok = intOpt(t, "tokens").getOrElse(fail(s"$ctx needs tokens"))
+        if (tok <= 0) fail(s"$ctx.tokens must be > 0, got $tok")
+        val b = intOpt(t, "buckets").getOrElse(256)
+        if (b <= 0) fail(s"$ctx.buckets must be > 0, got $b")
+        CorpusBudget(str(t, "by", ctx), tok.toLong, b,
+          intOpt(t, "seed").getOrElse(0))
       case "shard" =>
         check("by", "budget", "shuffle_seed")
         val budget = intOpt(t, "budget").getOrElse(fail(s"$ctx needs a budget"))

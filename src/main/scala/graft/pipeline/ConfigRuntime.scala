@@ -682,6 +682,27 @@ object ConfigRuntime {
           df.withColumn(c.textCol, graft.operators.Crawl.htmlText(text))
         case g: Config.CorpusGopher =>
           df.filter(corpusGopherCond(text, g))
+        case Config.CorpusBudget(by, tokens, buckets, seed) =>
+          // token-budget sampling (budget_sample's shape): bucket histogram
+          // → per-stratum cutoff over ≤buckets rows → strata-row broadcast
+          // join back; snapshot — the frame feeds the histogram AND the
+          // gate, and the corpus itself never shuffles
+          val snap = df.localCheckpoint(eager = false)
+          val bucket = floor(graft.operators.Curation.hashRatio(id, seed)
+            * buckets).cast("int")
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(by)).orderBy(col("__bk"))
+          val cutoff = snap
+            .select(col(by), Text.tokenCountWs(text).cast("long").as("__tk"),
+              bucket.as("__bk"))
+            .groupBy(col(by), col("__bk"))
+            .agg(sum(col("__tk")).as("__bt"))
+            .withColumn("__cum", sum(col("__bt")).over(w))
+            .where(col("__cum") <= tokens)
+            .groupBy(col(by)).agg(max(col("__bk")).as("__cut"))
+          snap.join(broadcast(cutoff), Seq(by), "left")
+            .where(bucket <= coalesce(col("__cut"), lit(-1)))
+            .drop("__cut")
         case Config.CorpusDedupLines(minFreq) =>
           // corpus-wide duplicated-line removal: the frequency table
           // aggregates line hashes only; one doc-keyed exchange rebuilds
@@ -911,6 +932,7 @@ object ConfigRuntime {
               case _: Config.CorpusDedupIncremental  => "dedup_incremental"
               case _: Config.CorpusShard             => "shard"
               case _: Config.CorpusDedupLines        => "dedup_lines"
+              case _: Config.CorpusBudget            => "budget"
               case o                                 => o.getClass.getSimpleName
             }
             throw new IllegalArgumentException(

@@ -74,7 +74,7 @@ object QueriesCuration {
   /** sha256 53-bit ratio twin of Curation.hashRatio (same as hashSplitSql's
     * ratio term).
     */
-  private def ratioSql(tokenExpr: String, seed: Int): String =
+  private[queries] def ratioSql(tokenExpr: String, seed: Int): String =
     s"CAST(CAST('0x' || substr(sha256('$seed|' || CAST($tokenExpr AS VARCHAR)), 3, 14) AS BIGINT) & 9007199254740991 AS DOUBLE) / 9007199254740992.0"
 
   /** Squared-Euclidean distance between two DOUBLE lists as the same

@@ -130,6 +130,34 @@ object QueriesServe {
     * QueriesLlm.corpusFilterSql / minhashCtes / minhashClosureCtes,
     * [[qualitySql]], [[ratioSql]]).
     */
+  /** config_corpus_budget twin: the filter verdicts feed the budget step's
+    * bucket-histogram replay (same sha256-ratio and cutoff arithmetic as
+    * budget_sample's oracle).
+    */
+  private def corpusBudgetSql: String =
+    s"""WITH verdicts AS (${QueriesLlm.corpusFilterSql}),
+        kept0 AS (
+          SELECT d.doc_id, d.text, d.source, d.lang FROM documents d
+          JOIN verdicts f USING (doc_id) WHERE f.keep),
+        base AS (
+          SELECT doc_id, source, lang,
+                 CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS tk,
+                 CAST(floor(${QueriesCuration.ratioSql("doc_id", 7)} * 256)
+                   AS INTEGER) AS bk
+          FROM kept0),
+        hist AS (
+          SELECT source, bk, sum(tk) AS bt FROM base GROUP BY source, bk),
+        cum AS (
+          SELECT source, bk,
+                 sum(bt) OVER (PARTITION BY source ORDER BY bk) AS cum
+          FROM hist),
+        cutoff AS (
+          SELECT source, max(bk) AS cut FROM cum
+          WHERE cum <= 200 GROUP BY source)
+        SELECT b.doc_id, b.source, b.lang
+        FROM base b LEFT JOIN cutoff c USING (source)
+        WHERE b.bk <= coalesce(c.cut, -1)"""
+
   private def corpusOrderSql: String =
     s"""WITH RECURSIVE
         verdicts AS (${QueriesLlm.corpusFilterSql}),
@@ -419,6 +447,28 @@ object QueriesServe {
     // near-dup dedup with keep: best_quality (the quality-ranked canonical)
     // → shard with shuffle_seed (the deterministic epoch order) — the new
     // serving steps composed from YAML vs a fully composed oracle.
+    // The declarative token-BUDGET journey: quality gate, then each
+    // source's token budget fills greedily in sha256-ratio order at
+    // bucket granularity — the `corpus:` config gains a `budget` step
+    // (budget_sample's exact-histogram shape inside the journey; the
+    // corpus never shuffles, the cutoff frame broadcasts back).
+    "config_corpus_budget" -> { (s, d) =>
+      val project = graft.pipeline.Config.parseProject(
+        """sources:
+          |  - id: docs
+          |    loader: { transport: fs, path: documents.parquet, reader: { format: parquet } }
+          |corpus:
+          |  source: docs
+          |  id: doc_id
+          |  text: text
+          |  steps:
+          |    - { step: filter, lang: en, min_quality: 0.3, max_repetition: 0.8 }
+          |    - { step: budget, by: source, tokens: 200, buckets: 256, seed: 7 }
+          |""".stripMargin)
+      graft.pipeline.ConfigRuntime.corpus(s, d, project)
+        .select(col("doc_id"), col("source"), col("lang"))
+    },
+
     "config_corpus_order" -> { (s, d) =>
       val project = graft.pipeline.Config.parseProject(
         """sources:
@@ -518,6 +568,7 @@ object QueriesServe {
     "config_corpus_diff" -> corpusDiffJourneySql,
     "stream_corpus_diff" -> corpusDiffJourneySql,
     "config_corpus_order" -> corpusOrderSql,
+    "config_corpus_budget" -> corpusBudgetSql,
     "ann_ivfpq" -> annIvfPqSql,
     "ann_recall" -> annRecallSql
   )

@@ -411,6 +411,14 @@ class ConfigSpec extends SparkSpec {
     bad("{ step: classify, target_lang: en, min_prob: 1.5 }",
       "min_prob must be in [0, 1]")
     bad("{ step: classify, target_lang: en, iters: 0 }", "iters must be > 0")
+    // the token-budget step parses with defaults and validates its bounds
+    assert(Config.parseProject(doc(
+      "{ step: budget, by: source, tokens: 200 }")).corpus.get.steps.head ==
+      Config.CorpusBudget("source", 200L, 256, 0))
+    bad("{ step: budget, by: source }", "needs tokens")
+    bad("{ step: budget, by: source, tokens: 0 }", "tokens must be > 0")
+    bad("{ step: budget, by: source, tokens: 10, buckets: 0 }",
+      "buckets must be > 0")
     val e = intercept[IllegalArgumentException](Config.parseProject(
       doc("{ step: dedup_exact }").replace("source: docs", "source: nope")))
     assert(e.getMessage.contains("corpus: unknown source 'nope'"))

@@ -488,4 +488,32 @@ class CurationSpec extends SparkSpec {
     // the budget bites somewhere and spares something
     assert(rows.exists(_._5) && rows.exists(!_._5))
   }
+
+  test("the corpus budget step equals the bucket-prefix replay on the filtered frame") {
+    val sf = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("config_corpus_budget")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val keepIds = SparkEntry.queries("corpus_filter")(spark, sf)
+      .collect().filter(_.getAs[Boolean]("keep")).map(_.getLong(0)).toSet
+    val base = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        Text.tokenCountWs(col("text")).cast("long").as("tk"),
+        floor(Curation.hashRatio(col("doc_id"), 7) * 256).cast("int")
+          .as("bk"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getInt(3)))
+      .filter(r => keepIds(r._1))
+    val expect = base.groupBy(_._2).flatMap { case (_, docs) =>
+      val hist = docs.groupBy(_._4).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      val cum = hist.scanLeft((Int.MinValue, 0L)) {
+        case ((_, a), (b, t)) => (b, a + t) }.tail
+      val cut = cum.filter(_._2 <= 200).map(_._1)
+        .reduceOption(_ max _).getOrElse(-1)
+      docs.filter(_._4 <= cut).map(_._1).toSeq
+    }.toSet
+    assert(got == expect)
+    // the journey composes: the gate filtered AND the budget bit
+    assert(got.nonEmpty && got.size < keepIds.size)
+  }
 }

@@ -83,6 +83,17 @@ class StreamingSinkSpec extends SparkSpec {
       e.getMessage.contains("not streamable"))
   }
 
+  test("the budget step is rejected on a stream by name") {
+    val doc = CorpusDoc.replace("- { step: dedup_exact }",
+      "- { step: budget, by: source, tokens: 200 }")
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.ConfigRuntime.corpusStream(spark, DataDir,
+        graft.pipeline.Config.parseProject(doc))
+    }
+    assert(e.getMessage.contains("'budget'") &&
+      e.getMessage.contains("not streamable"), e.getMessage)
+  }
+
   test("streaming tokenize requires an already-trained artifact") {
     val doc = CorpusDoc.replace("- { step: dedup_exact }",
       "- { step: tokenize, artifact: /tmp/graft_no_such_tok.json, rounds: 4 }")
