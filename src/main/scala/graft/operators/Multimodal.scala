@@ -471,4 +471,71 @@ object Multimodal {
     VideoFeatures(mediaId, w.toLong, h.toLong, nFrames, nSampled,
       lumaSum.toDouble / (fb.toDouble * nSampled))
   }
+
+  case class VideoFpRecord(media_id: Long, n_frames: Long, vfp: Long)
+
+  /** Frame-ENVELOPE fingerprint of a parsed clip: the polynomial fold
+    * (doc_fingerprint's `acc·31 + x mod 1e9+7` chain) over the SAMPLED
+    * frames' luma sums — a re-uploaded or re-muxed copy of the same
+    * footage lands on the same fingerprint (container metadata never
+    * enters the hash, only decoded luma). Same parse discipline as
+    * [[parseY4m]]: geometry and framing come from the container, so a
+    * malformed clip fails loudly.
+    */
+  private[graft] def y4mFingerprint(clip: Array[Byte],
+                                    mediaId: Long): VideoFpRecord = {
+    val nl = clip.indexOf('\n'.toByte)
+    require(nl > 0, s"y4m: missing stream header for media_id=$mediaId")
+    val header = new String(clip, 0, nl, "US-ASCII").split(" ")
+    require(header.head == "YUV4MPEG2",
+      s"y4m: bad magic '${header.head}' for media_id=$mediaId")
+    def param(p: Char): Option[String] =
+      header.tail.find(_.head == p).map(_.tail)
+    val w = param('W').map(_.toInt).getOrElse(
+      throw new IllegalArgumentException("y4m: missing width"))
+    val h = param('H').map(_.toInt).getOrElse(
+      throw new IllegalArgumentException("y4m: missing height"))
+    require(param('C').getOrElse("420jpeg") == "mono",
+      s"y4m: unsupported chroma sampling (luma-only parser)")
+    val fb = w * h
+    var pos = nl + 1
+    var nFrames = 0L
+    var fp = 0L
+    while (pos < clip.length) {
+      val mark = clip.indexOf('\n'.toByte, pos)
+      require(mark >= pos + 5 &&
+        new String(clip, pos, 5, "US-ASCII") == "FRAME",
+        s"y4m: bad FRAME marker at byte $pos for media_id=$mediaId")
+      pos = mark + 1
+      require(pos + fb <= clip.length,
+        s"y4m: truncated frame $nFrames for media_id=$mediaId")
+      if (nFrames % VideoSampleStride == 0) {
+        var s = 0L
+        var i = 0
+        while (i < fb) { s += clip(pos + i) & 0xFF; i += 1 }
+        fp = (fp * 31 + s) % 1000000007L
+      }
+      nFrames += 1
+      pos += fb
+    }
+    VideoFpRecord(mediaId, nFrames, fp)
+  }
+
+  /** Per-media video exact-envelope dedup: fingerprints aggregate (8-byte
+    * rows — decoded frames never shuffle) and each clip reports how many
+    * OTHER clips share its sampled-frame envelope. The thumbnail-dedup
+    * discipline applied to a video corpus; the decode is the real y4m
+    * container parse per partition.
+    */
+  def videoDedup(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val fps = media.as[MediaRecord].mapPartitions { it =>
+      it.map(r => y4mFingerprint(
+        buildY4m(r.payload, VideoWidth, VideoHeight), r.media_id))
+    }.toDF()
+    val ex = fps.groupBy(col("vfp")).agg(count(lit(1)).as("c"))
+    fps.join(ex, Seq("vfp"))
+      .select(col("media_id"), col("n_frames"), col("vfp"),
+        (col("c") - 1).cast("long").as("n_exact"))
+  }
 }

@@ -384,6 +384,45 @@ object QueriesCorpus {
         JOIN ex e USING (phash)"""
   }
 
+  /** multimodal_video_dedup twin: ascii(char) == luma byte on the ASCII
+    * corpus (buildY4m's planes are the text bytes, zero-padded); frame f
+    * of the 8×4 geometry covers text positions f·32+1 .. min((f+1)·32,
+    * len) (padding sums 0), every 2nd frame samples, and the sampled
+    * sums fold through the doc_fingerprint polynomial chain.
+    */
+  private def multimodalVideoDedupSql: String = {
+    val fb = Multimodal.VideoWidth * Multimodal.VideoHeight
+    val stride = Multimodal.VideoSampleStride
+    s"""WITH maxid AS (SELECT max(doc_id) AS m FROM documents),
+        corpus AS (
+          SELECT doc_id AS media_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + m + 1 AS media_id, text
+          FROM documents, maxid WHERE doc_id % 10 = 0),
+        fr AS (
+          SELECT media_id,
+                 CAST(greatest(1, ceil(length(text) / $fb.0)) AS BIGINT)
+                   AS nf,
+                 [list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    [CAST(ascii(text[j]) AS BIGINT)
+                     for j in generate_series(f * $fb + 1,
+                       least((f + 1) * $fb, length(text)))]),
+                    (acc, x) -> acc + x)
+                  for f in generate_series(0,
+                    CAST(greatest(1, ceil(length(text) / $fb.0)) AS INTEGER) - 1)
+                  if f % $stride = 0] AS sums
+          FROM corpus),
+        hashed AS (
+          SELECT media_id, nf AS n_frames,
+                 CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), sums),
+                   (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS vfp
+          FROM fr),
+        ex AS (SELECT vfp, count(*) AS c FROM hashed GROUP BY vfp)
+        SELECT h.media_id, h.n_frames, h.vfp,
+               CAST(e.c - 1 AS BIGINT) AS n_exact
+        FROM hashed h JOIN ex e USING (vfp)"""
+  }
+
   /** multimodal_audio_dedup twin: ascii(char) == PCM sample byte on the
     * ASCII corpus (the 8-bit passthrough is lossless); window i of W=57
     * covers text positions ((i·len)//W + 1 .. ((i+1)·len)//W), bit i
@@ -769,6 +808,23 @@ object QueriesCorpus {
         Multimodal.asMediaTable(corpus, "doc_id", "text"))
     },
 
+    // Video frame-envelope dedup completing the image/audio/video dedup
+    // triple: each clip round-trips through the real y4m container parse,
+    // the sampled frames' luma sums fold into a polynomial fingerprint
+    // (container metadata never enters — re-muxed copies collide), and
+    // clips report their exact-envelope copy count. Fingerprints shuffle;
+    // decoded frames never do. Planted copies (every 10th doc past max
+    // id) exercise the copy path.
+    "multimodal_video_dedup" -> { (s, d) =>
+      val docs = documents(s, d)
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + maxId + 1).as("doc_id"), col("text")))
+      Multimodal.videoDedup(s,
+        Multimodal.asMediaTable(corpus, "doc_id", "text"))
+    },
+
     // The declarative Bloom-DECONTAMINATION journey: quality gate →
     // decontaminate(method: bloom) — the benchmark (a staged parquet
     // source, every 17th document) collapses into its 64Kbit bitmap at
@@ -1024,6 +1080,7 @@ object QueriesCorpus {
     "stream_corpus_select" -> streamCorpusSelectSql,
     "stream_corpus_classify" -> streamCorpusClassifySql,
     "multimodal_phash" -> multimodalPhashSql,
-    "multimodal_audio_dedup" -> multimodalAudioDedupSql
+    "multimodal_audio_dedup" -> multimodalAudioDedupSql,
+    "multimodal_video_dedup" -> multimodalVideoDedupSql
   )
 }

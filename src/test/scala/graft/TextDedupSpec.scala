@@ -608,6 +608,30 @@ class TextDedupSpec extends SparkSpec {
     assert(chroma.getMessage.contains("unsupported chroma"))
   }
 
+  test("multimodal video dedup: envelope copies collide, distinct clips do not") {
+    import spark.implicits._
+    // 7 and 9 carry the same 70 bytes (an exact re-upload); 8 differs in
+    // frame 2 only — a different envelope, no collision
+    val text70 = ("A" * 32) + ("B" * 32) + ("C" * 6)
+    val other = ("A" * 32) + ("B" * 32) + ("D" * 6)
+    val media = Multimodal.asMediaTable(
+      Seq((7L, text70), (8L, other), (9L, text70)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val got = Multimodal.videoDedup(spark, media).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet == Set(7L, 8L, 9L))
+    assert(got(7L)._1 == 3L, "frame count comes from the parsed container")
+    assert(got(7L)._2 == got(9L)._2 && got(7L)._3 == 1L && got(9L)._3 == 1L,
+      "exact envelope copies must collide")
+    assert(got(8L)._2 != got(7L)._2 && got(8L)._3 == 0L,
+      "a clip differing in a sampled frame must not collide")
+    // the fingerprint replays the sampled-frame poly fold exactly
+    val f0 = 32L * 'A'.toLong
+    val f2 = 6L * 'C'.toLong
+    assert(got(7L)._2 == ((f0 % 1000000007L) * 31 + f2) % 1000000007L)
+  }
+
   test("l2Normalize produces unit vectors; zero vectors pass through") {
     val df = Seq((0L, Array(3.0f, 4.0f)), (1L, Array(0.0f, 0.0f)))
       .toDF("vec_id", "embedding")
