@@ -174,6 +174,37 @@ object QueriesAssembly {
           round(col("avg_value"), 6).as("avg_value"), col("missing_feature"))
     },
 
+    // Declarative DATA CONTRACT over an ingest table — the expectations
+    // gate a pipeline runs before trusting a new drop: every constraint
+    // (null, referential-consistency, range, allowlist, uniqueness) folds
+    // into ONE aggregate pass (CASE sums + one exact distinct for the
+    // uniqueness term — approx_distinct is the stated 100 TB path), then
+    // unpivots to a per-constraint verdict row. Zero joins; the report is
+    // constraint-count-sized.
+    "data_contract" -> { (s, d) =>
+      val langs = graft.functions.Text.LangPriority
+      val agg = documents(s, d).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("v_null"),
+        (count(lit(1)) - countDistinct(col("doc_id"))).as("v_uniq"),
+        sum(when(!col("lang").isin(langs: _*), 1L).otherwise(0L))
+          .as("v_lang"),
+        sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+          .as("v_chars"),
+        sum(when(length(col("text")) <= 0, 1L).otherwise(0L)).as("v_empty"))
+      agg.select(expr(
+        """stack(5,
+           'doc_id_not_null', v_null,
+           'doc_id_unique', v_uniq,
+           'lang_allowed', v_lang,
+           'n_chars_consistent', v_chars,
+           'text_nonempty', v_empty) AS (rule, n_violations)"""),
+        col("n").as("n_checked"))
+        .select(col("rule"), col("n_checked"),
+          col("n_violations").cast("long").as("n_violations"),
+          (col("n_violations") === 0L).as("pass"))
+    },
+
     // sha256(seed|token) 53-bit ratio bucketing — bit-identical to reference
     // HashLabeler (pipelines/dataset/split.py).
     "hash_split" -> { (s, d) =>
@@ -318,6 +349,29 @@ object QueriesAssembly {
           ROUND(${sumDecSql("value")} / COUNT(*), 6) AS avg_value,
           CAST(NULL AS DOUBLE) AS missing_feature
           FROM events GROUP BY user_id, 2""",
+
+    "data_contract" -> {
+      val langs = graft.functions.Text.LangPriority
+        .map(l => s"'$l'").mkString(", ")
+      s"""WITH a AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS v_null,
+                   CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS v_uniq,
+                   CAST(sum(CASE WHEN lang NOT IN ($langs) THEN 1 ELSE 0 END)
+                     AS BIGINT) AS v_lang,
+                   CAST(sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0
+                     END) AS BIGINT) AS v_chars,
+                   CAST(sum(CASE WHEN length(text) <= 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS v_empty
+            FROM documents)
+          SELECT 'doc_id_not_null' AS rule, n AS n_checked,
+                 v_null AS n_violations, v_null = 0 AS pass FROM a
+          UNION ALL SELECT 'doc_id_unique', n, v_uniq, v_uniq = 0 FROM a
+          UNION ALL SELECT 'lang_allowed', n, v_lang, v_lang = 0 FROM a
+          UNION ALL SELECT 'n_chars_consistent', n, v_chars, v_chars = 0 FROM a
+          UNION ALL SELECT 'text_nonempty', n, v_empty, v_empty = 0 FROM a"""
+    },
 
     "hash_split" ->
       s"""SELECT doc_id, ${hashSplitSql("doc_id", 42,

@@ -130,6 +130,41 @@ object QueriesServe {
     * QueriesLlm.corpusFilterSql / minhashCtes / minhashClosureCtes,
     * [[qualitySql]], [[ratioSql]]).
     */
+  /** corpus_drift twin: the same quality buckets, counts, and PSI terms
+    * under add-1 smoothing — expression shapes mirror the Spark plan so
+    * every IEEE step agrees.
+    */
+  private def corpusDriftSql: String =
+    s"""WITH scored AS (${QueriesLlm.qualityScoreSql("documents")}),
+        docs AS (
+          SELECT least(CAST(floor(quality * 10) AS INTEGER), 9) AS bucket,
+                 doc_id % 5 = 0 AS cur
+          FROM scored),
+        counts AS (
+          SELECT bucket,
+                 CAST(sum(CASE WHEN cur THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_ref,
+                 CAST(sum(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_cur
+          FROM docs GROUP BY bucket),
+        tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM counts),
+        spine AS (SELECT unnest(generate_series(0, 9)) AS bucket),
+        j AS (
+          SELECT s.bucket,
+                 coalesce(c.n_ref, 0) AS n_ref,
+                 coalesce(c.n_cur, 0) AS n_cur
+          FROM spine s LEFT JOIN counts c USING (bucket))
+        SELECT CAST(bucket AS INTEGER) AS bucket, n_ref, n_cur,
+               ROUND(((CAST(n_cur AS DOUBLE) + 1.0)
+                        / (CAST(tc AS DOUBLE) + 10.0)
+                      - (CAST(n_ref AS DOUBLE) + 1.0)
+                        / (CAST(tr AS DOUBLE) + 10.0))
+                     * ln(((CAST(n_cur AS DOUBLE) + 1.0)
+                             / (CAST(tc AS DOUBLE) + 10.0))
+                          / ((CAST(n_ref AS DOUBLE) + 1.0)
+                             / (CAST(tr AS DOUBLE) + 10.0))), 6) AS psi
+        FROM j, tot"""
+
   /** config_corpus_budget twin: the filter verdicts feed the budget step's
     * bucket-histogram replay (same sha256-ratio and cutoff arithmetic as
     * budget_sample's oracle).
@@ -447,6 +482,39 @@ object QueriesServe {
     // near-dup dedup with keep: best_quality (the quality-ranked canonical)
     // → shard with shuffle_seed (the deterministic epoch order) — the new
     // serving steps composed from YAML vs a fully composed oracle.
+    // Distribution DRIFT between two crawl snapshots — the monitoring
+    // gate that catches a quality regression before it trains: the
+    // reference slice (doc_id % 5 != 0) and the new-crawl slice (% 5 = 0)
+    // histogram their quality scores into 10 fixed buckets, and each
+    // bucket reports its population-stability-index term
+    // (p_cur − p_ref)·ln(p_cur/p_ref) under add-1 smoothing. ONE corpus
+    // scan into a 10-bucket partial aggregate; the totals are a one-row
+    // broadcast; the report is bucket-count-sized at any corpus scale.
+    "corpus_drift" -> { (s, d) =>
+      import graft.functions.Text
+      val docs = documents(s, d).select(
+        least(floor(Text.qualityScore(col("text")) * 10), lit(9.0))
+          .cast("int").as("bucket"),
+        (pmod(col("doc_id"), lit(5)) === 0).as("cur"))
+      val counts = docs.groupBy(col("bucket")).agg(
+        sum(when(!col("cur"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("cur"), 1L).otherwise(0L)).as("n_cur"))
+      val totals = counts.agg(sum(col("n_ref")).as("tr"),
+        sum(col("n_cur")).as("tc"))
+      val spine = s.range(0, 10).select(col("id").cast("int").as("bucket"))
+      val j = spine.join(counts, Seq("bucket"), "left")
+        .select(col("bucket"),
+          coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+        .crossJoin(broadcast(totals))
+      val pr = (col("n_ref").cast("double") + 1.0) /
+        (col("tr").cast("double") + 10.0)
+      val pc = (col("n_cur").cast("double") + 1.0) /
+        (col("tc").cast("double") + 10.0)
+      j.select(col("bucket"), col("n_ref"), col("n_cur"),
+        round((pc - pr) * log(pc / pr), 6).as("psi"))
+    },
+
     // The declarative token-BUDGET journey: quality gate, then each
     // source's token budget fills greedily in sha256-ratio order at
     // bucket granularity — the `corpus:` config gains a `budget` step
@@ -569,6 +637,7 @@ object QueriesServe {
     "stream_corpus_diff" -> corpusDiffJourneySql,
     "config_corpus_order" -> corpusOrderSql,
     "config_corpus_budget" -> corpusBudgetSql,
+    "corpus_drift" -> corpusDriftSql,
     "ann_ivfpq" -> annIvfPqSql,
     "ann_recall" -> annRecallSql
   )

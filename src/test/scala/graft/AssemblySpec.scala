@@ -129,4 +129,28 @@ class AssemblySpec extends SparkSpec {
       Seq(Assembly.MatrixEntry("target", "seq2", Some(3))))
     intercept[Exception](bad.collect())
   }
+
+  test("data_contract counts every violation class from one pass") {
+    val sf = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("data_contract")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.keySet == Set("doc_id_not_null", "doc_id_unique",
+      "lang_allowed", "n_chars_consistent", "text_nonempty"))
+    val docs = graft.sources.Tables.documents(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4)))
+    val langs = graft.functions.Text.LangPriority.toSet
+    val expect = Map(
+      "doc_id_not_null" -> 0L, // getLong would have thrown on null
+      "doc_id_unique" ->
+        (docs.length - docs.map(_._1).distinct.length).toLong,
+      "lang_allowed" -> docs.count(d => !langs(d._3)).toLong,
+      "n_chars_consistent" -> docs.count(d => d._4 != d._2.length).toLong,
+      "text_nonempty" -> docs.count(_._2.isEmpty).toLong)
+    got.foreach { case (rule, (n, v, pass)) =>
+      assert(n == docs.length.toLong, rule)
+      assert(v == expect(rule), rule)
+      assert(pass == (v == 0L), rule)
+    }
+  }
 }

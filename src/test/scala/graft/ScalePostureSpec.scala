@@ -87,6 +87,7 @@ class ScalePostureSpec extends SparkSpec {
       "ann_bruteforce",   // Q(5) x corpus exact scoring — the baseline path
       "hard_negatives",   // same broadcast-query cross, struct-argmax agg
       "hits_authority",   // one-row max normalizer broadcast per half-round
+      "corpus_drift",     // one-row histogram totals broadcast cross
       "ann_ivf",          // corpus x centroid sample, then query x centroids
       "standard_scaler",  // one-row stats broadcast
       "dataset_pipeline", // one-row train-fold stats broadcast

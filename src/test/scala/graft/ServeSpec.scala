@@ -172,4 +172,31 @@ class ServeSpec extends SparkSpec {
     assert(lists.length == 1, "nprobe=1 → every candidate from one list")
     assert(out.count() < 32, "unprobed lists are never scanned")
   }
+
+  test("corpus_drift PSI terms equal a driver-side smoothed replay") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("corpus_drift")(spark, sf)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == (0 until 10).toSet, "all 10 buckets report")
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.Text.qualityScore(col("text")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    def bucket(q: Double) = math.min(math.floor(q * 10).toInt, 9)
+    val ref = docs.filter(_._1 % 5 != 0).map(d => bucket(d._2))
+    val cur = docs.filter(_._1 % 5 == 0).map(d => bucket(d._2))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (0 until 10).foreach { b =>
+      val (nr, nc) = (ref.count(_ == b).toLong, cur.count(_ == b).toLong)
+      val pr = (nr + 1.0) / (ref.length + 10.0)
+      val pc = (nc + 1.0) / (cur.length + 10.0)
+      assert(got(b) == ((nr, nc, r6((pc - pr) * math.log(pc / pr)))), s"bucket $b")
+    }
+    // 80/20 slices of one corpus: every term is small but some are nonzero
+    assert(got.values.map(v => math.abs(v._3)).max < 0.1)
+    assert(got.values.exists(_._3 != 0.0))
+  }
 }
