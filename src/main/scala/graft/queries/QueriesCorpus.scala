@@ -741,6 +741,25 @@ object QueriesCorpus {
         Text.tokenCountWs(col("text")), ShardBudget)
     },
 
+    // Shard-balance report over the manifest — the serving check a
+    // trainer runs before an epoch (badly balanced shards starve data
+    // loaders): per source, shard count, token min/max/mean and the
+    // min/max balance ratio. An aggregate OF the shard-count-sized
+    // manifest — metadata-scale however large the corpus.
+    "shard_balance" -> { (s, d) =>
+      Sharding.manifest(documents(s, d), "doc_id", "source", "text",
+        Text.tokenCountWs(col("text")), ShardBudget)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_shards"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens"),
+          round(sum(col("n_tokens")).cast("double") / count(lit(1)), 6)
+            .as("mean_tokens"),
+          round(min(col("n_tokens")).cast("double") /
+            max(col("n_tokens")).cast("double"), 6).as("balance"))
+    },
+
     "ann_pq" -> { (s, d) =>
       val e = embeddings(s, d)
       Similarity.annPq(e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
@@ -1069,6 +1088,17 @@ object QueriesCorpus {
     "bigram_logprob" -> bigramLogprobSql,
     "perplexity_bucket" -> perplexityBucketSql,
     "shard_manifest" -> shardManifestSql,
+    "shard_balance" ->
+      s"""WITH manifest AS ($shardManifestSql)
+          SELECT source,
+                 CAST(count(*) AS BIGINT) AS n_shards,
+                 MIN(n_tokens) AS min_tokens,
+                 MAX(n_tokens) AS max_tokens,
+                 ROUND(CAST(SUM(n_tokens) AS DOUBLE) / count(*), 6)
+                   AS mean_tokens,
+                 ROUND(CAST(MIN(n_tokens) AS DOUBLE)
+                       / CAST(MAX(n_tokens) AS DOUBLE), 6) AS balance
+          FROM manifest GROUP BY source""",
     "ann_pq" -> annPqSql,
     "config_corpus_serve" -> configCorpusServeSql,
     "config_corpus_classify" -> configCorpusClassifySql,

@@ -125,16 +125,12 @@ object QueriesServe {
                     ELSE 'changed' END AS status
         FROM ga FULL OUTER JOIN gb ON ga.doc_id = gb.doc_id"""
 
-  /** config_corpus_order twin: quality gate → best-quality near-dup keep →
-    * shuffled token-budgeted sharding, fully composed (shared builders:
-    * QueriesLlm.corpusFilterSql / minhashCtes / minhashClosureCtes,
-    * [[qualitySql]], [[ratioSql]]).
-    */
   /** corpus_drift twin: the same quality buckets, counts, and PSI terms
     * under add-1 smoothing — expression shapes mirror the Spark plan so
-    * every IEEE step agrees.
+    * every IEEE step agrees. Shared by the batch head and the streaming
+    * drift monitor (the stream's final emission equals the batch head).
     */
-  private def corpusDriftSql: String =
+  private[queries] def corpusDriftSql: String =
     s"""WITH scored AS (${QueriesLlm.qualityScoreSql("documents")}),
         docs AS (
           SELECT least(CAST(floor(quality * 10) AS INTEGER), 9) AS bucket,
@@ -193,6 +189,11 @@ object QueriesServe {
         FROM base b LEFT JOIN cutoff c USING (source)
         WHERE b.bk <= coalesce(c.cut, -1)"""
 
+  /** config_corpus_order twin: quality gate → best-quality near-dup keep →
+    * shuffled token-budgeted sharding, fully composed (shared builders:
+    * QueriesLlm.corpusFilterSql / minhashCtes / minhashClosureCtes,
+    * [[qualitySql]], [[ratioSql]]).
+    */
   private def corpusOrderSql: String =
     s"""WITH RECURSIVE
         verdicts AS (${QueriesLlm.corpusFilterSql}),

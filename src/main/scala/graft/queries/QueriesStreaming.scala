@@ -123,6 +123,14 @@ object QueriesStreaming {
       Streaming.corpusStats(s, d,
         s"graft_stream_cstats_${runId.incrementAndGet()}")
     },
+    // Drift monitoring at ingest: the reference histogram fits batch-side
+    // once, the new-crawl slice aggregates per bucket live (≤10 groups of
+    // state), and the drained counts report the same smoothed PSI terms
+    // as the batch head — shared oracle, zero drift possible.
+    "stream_drift" -> { (s, d) =>
+      Streaming.driftMonitor(s, d,
+        s"graft_stream_drift_${runId.incrementAndGet()}")
+    },
     // Streaming corpus curation: the quality gate applied at ingest equals
     // the batch corpus_filter verdicts.
     "stream_corpus_filter" -> { (s, d) =>
@@ -248,6 +256,9 @@ object QueriesStreaming {
 
     // same twin as the batch head: the stream is a replay of the table
     "stream_sft_pack" -> QueriesLlm.sftPackSql,
+
+    // same twin as corpus_drift: the live emission equals the batch head
+    "stream_drift" -> QueriesServe.corpusDriftSql,
 
     "stream_dedup_index" -> streamDedupIndexSql,
 

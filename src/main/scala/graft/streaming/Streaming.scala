@@ -441,6 +441,49 @@ object Streaming {
     sinkTo(spark, stats, tableName, "complete", None)
   }
 
+  /** Distribution DRIFT monitoring AT INGEST (corpus_drift's live twin):
+    * the REFERENCE quality histogram fits batch-side on the at-rest slice
+    * (10 bucket-count rows — metadata-scale, the train-once discipline),
+    * and the arriving new-crawl slice aggregates per bucket in complete
+    * mode (bounded state: ≤10 groups regardless of arrival count). The
+    * returned batch frame joins the drained counts onto the 10-bucket
+    * spine and reports the same add-1-smoothed PSI terms as the batch
+    * head — final emission equals corpus_drift exactly (shared oracle).
+    */
+  def driftMonitor(spark: SparkSession, sfDir: String,
+                   tableName: String): DataFrame = {
+    import graft.functions.Text
+    val bucketOf = least(floor(Text.qualityScore(col("text")) * 10),
+      lit(9.0)).cast("int").as("bucket")
+    // reference histogram: batch-side, at rest
+    val refCounts = graft.sources.Tables.documents(spark, sfDir)
+      .where(pmod(col("doc_id"), lit(5)) =!= 0)
+      .select(bucketOf).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_ref"))
+    // live side: the new-crawl slice aggregates per bucket at ingest
+    val curAgg = readTable(spark, sfDir, "documents")
+      .where(pmod(col("doc_id"), lit(5)) === 0)
+      .select(bucketOf).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_cur"))
+    val drained = sinkTo(spark, curAgg, tableName, "complete", None)
+    val spine = spark.range(0, 10).select(col("id").cast("int").as("bucket"))
+    val j = spine
+      .join(refCounts, Seq("bucket"), "left")
+      .join(drained, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .crossJoin(broadcast(
+        refCounts.agg(sum(col("n_ref")).as("tr")).crossJoin(
+          drained.agg(sum(col("n_cur")).as("tc")))))
+    val pr = (col("n_ref").cast("double") + 1.0) /
+      (col("tr").cast("double") + 10.0)
+    val pc = (col("n_cur").cast("double") + 1.0) /
+      (col("tc").cast("double") + 10.0)
+    j.select(col("bucket"), col("n_ref"), col("n_cur"),
+      round((pc - pr) * log(pc / pr), 6).as("psi"))
+  }
+
   /** Drive a config-declared streaming corpus journey
     * (ConfigRuntime.corpusStream — quality gate + watermarked exact dedup
     * at ingest) over the finite input and return the batch result. Append

@@ -199,4 +199,52 @@ class ServeSpec extends SparkSpec {
     assert(got.values.map(v => math.abs(v._3)).max < 0.1)
     assert(got.values.exists(_._3 != 0.0))
   }
+
+  test("shard_balance reconstructs from the manifest per source") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("shard_balance")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    val manifest = SparkEntry.queries("shard_manifest")(spark, sf)
+      .select(col("source"), col("n_tokens")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet == manifest.map(_._1).toSet && got.nonEmpty)
+    got.foreach { case (src, (n, mn, mx, mean, bal)) =>
+      val toks = manifest.filter(_._1 == src).map(_._2)
+      assert(n == toks.length.toLong, src)
+      assert(mn == toks.min && mx == toks.max, src)
+      assert(mean == r6(toks.sum.toDouble / toks.length), src)
+      assert(bal == r6(toks.min.toDouble / toks.max), src)
+      assert(bal > 0.0 && bal <= 1.0, src)
+    }
+    // at gate scale every source fits one shard (balance exactly 1);
+    // multi-shard discrimination: a doubled corpus splits and unbalances
+    val doubled = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+    val m2 = graft.operators.Sharding.manifest(
+      doubled.unionByName(doubled.select(col("doc_id") + 100000L,
+        col("source"), col("text")).toDF("doc_id", "source", "text")),
+      "doc_id", "source", "text",
+      graft.functions.Text.tokenCountWs(col("text")), 2000L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        (min(col("n_tokens")).cast("double") /
+          max(col("n_tokens")).cast("double")).as("bal"))
+      .collect()
+    assert(m2.exists(r => r.getLong(1) > 1L && r.getDouble(2) < 1.0),
+      "a multi-shard source must report its tail-shard imbalance")
+  }
+
+  test("stream_drift's final emission equals the batch corpus_drift head") {
+    val sf = "/root/testdata/sf0.001"
+    val live = SparkEntry.queries("stream_drift")(spark, sf)
+      .collect().map(_.toString).toSet
+    val batch = SparkEntry.queries("corpus_drift")(spark, sf)
+      .collect().map(_.toString).toSet
+    assert(live == batch && live.size == 10)
+  }
 }
