@@ -233,6 +233,60 @@ object QueriesCrawl {
         FROM sig"""
   }
 
+  /** gate_agreement twin: the same two verdicts (quality-score threshold,
+    * gopher composite keep) into the same 2×2 confusion and the same
+    * Cohen's-kappa expression, term shapes mirrored.
+    */
+  private def gateAgreementSql: String =
+    s"""WITH g AS ($qualityGopherSql),
+        q AS (${QueriesLlm.qualityScoreSql("documents")}),
+        v AS (
+          SELECT q.quality >= 0.35 AS a, g.keep AS b
+          FROM q JOIN g USING (doc_id)),
+        c AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_both,
+                 CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_quality_only,
+                 CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_gopher_only,
+                 CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_neither
+          FROM v)
+        SELECT n, n_both, n_quality_only, n_gopher_only, n_neither,
+               CASE WHEN 1.0 - (
+                        (CAST(n_both + n_quality_only AS DOUBLE)
+                           / CAST(n AS DOUBLE))
+                        * (CAST(n_both + n_gopher_only AS DOUBLE)
+                           / CAST(n AS DOUBLE))
+                        + (1.0 - CAST(n_both + n_quality_only AS DOUBLE)
+                             / CAST(n AS DOUBLE))
+                        * (1.0 - CAST(n_both + n_gopher_only AS DOUBLE)
+                             / CAST(n AS DOUBLE))) = 0 THEN 0.0
+                    ELSE ROUND(
+                      ((CAST(n_both + n_neither AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                       - ((CAST(n_both + n_quality_only AS DOUBLE)
+                             / CAST(n AS DOUBLE))
+                          * (CAST(n_both + n_gopher_only AS DOUBLE)
+                             / CAST(n AS DOUBLE))
+                          + (1.0 - CAST(n_both + n_quality_only AS DOUBLE)
+                               / CAST(n AS DOUBLE))
+                          * (1.0 - CAST(n_both + n_gopher_only AS DOUBLE)
+                               / CAST(n AS DOUBLE))))
+                      / (1.0 - (
+                          (CAST(n_both + n_quality_only AS DOUBLE)
+                             / CAST(n AS DOUBLE))
+                          * (CAST(n_both + n_gopher_only AS DOUBLE)
+                             / CAST(n AS DOUBLE))
+                          + (1.0 - CAST(n_both + n_quality_only AS DOUBLE)
+                               / CAST(n AS DOUBLE))
+                          * (1.0 - CAST(n_both + n_gopher_only AS DOUBLE)
+                               / CAST(n AS DOUBLE)))), 6)
+               END AS kappa
+        FROM c"""
+
   private def lineDedupSql: String = {
     import graft.functions.Text.portableHashSql
     s"""WITH w AS (
@@ -549,6 +603,41 @@ object QueriesCrawl {
         minStops = MinStops)
     },
 
+    // Inter-gate AGREEMENT audit — the two independent quality signals
+    // (the heuristic score at the funnel threshold, the Gopher composite
+    // bounds) judged as two labelers via Cohen's kappa: both verdicts are
+    // per-row codegen'd expressions in ONE scan, the 2×2 confusion is one
+    // partial-aggregated global aggregate (one row leaves the shuffle),
+    // and kappa = (po − pe)/(1 − pe) is one IEEE expression at the end.
+    // Low kappa means the gates disagree on what "quality" is — the audit
+    // a pipeline runs before swapping one gate for the other.
+    "gate_agreement" -> { (s, d) =>
+      import graft.functions.Text
+      val a = Text.qualityScore(col("text")) >= 0.35
+      val b = Crawl.gopherKeep(col("text"),
+        Some(MinWords), Some(MaxWords), Some(MinMeanLen), Some(MaxMeanLen),
+        Some(MaxSymbolRatio), Some(MinAlphaFrac), Some(MinStops))
+      val agg = documents(s, d)
+        .select(a.as("a"), b.as("b"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n_both"),
+          sum(when(col("a") && !col("b"), 1L).otherwise(0L))
+            .as("n_quality_only"),
+          sum(when(!col("a") && col("b"), 1L).otherwise(0L))
+            .as("n_gopher_only"),
+          sum(when(!col("a") && !col("b"), 1L).otherwise(0L))
+            .as("n_neither"))
+      val n = col("n").cast("double")
+      val po = (col("n_both") + col("n_neither")).cast("double") / n
+      val pa = (col("n_both") + col("n_quality_only")).cast("double") / n
+      val pb = (col("n_both") + col("n_gopher_only")).cast("double") / n
+      val pe = pa * pb + (lit(1.0) - pa) * (lit(1.0) - pb)
+      agg.select(col("n"), col("n_both"), col("n_quality_only"),
+        col("n_gopher_only"), col("n_neither"),
+        when(lit(1.0) - pe === 0.0, lit(0.0))
+          .otherwise(round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+    },
+
     // Corpus-wide duplicated-line removal (the C4/CCNet boilerplate pass):
     // both engines build the same line structure (8-token lines + planted
     // banner/footer boilerplate), then drop every line occurring >= 2 times
@@ -708,6 +797,7 @@ object QueriesCrawl {
     "html_extract" -> htmlExtractSql,
     "url_dedup" -> urlDedupSql,
     "quality_gopher" -> qualityGopherSql,
+    "gate_agreement" -> gateAgreementSql,
     "link_graph" -> linkGraphSql,
     "pagerank_hosts" -> pagerankHostsSql,
     "hits_authority" -> hitsAuthoritySql,

@@ -125,6 +125,40 @@ object QueriesServe {
                     ELSE 'changed' END AS status
         FROM ga FULL OUTER JOIN gb ON ga.doc_id = gb.doc_id"""
 
+  /** quality_length_corr twin: the same six exact-decimal moment sums and
+    * the one IEEE Pearson expression at the end, shapes mirrored
+    * term-for-term.
+    */
+  private def qualityLengthCorrSql: String = {
+    val n = "CAST(n AS DOUBLE)"
+    val sx = "CAST(sx AS DOUBLE)"
+    val sxx = "CAST(sxx AS DOUBLE)"
+    val den = s"(sqrt($n * $sxx - $sx * $sx) * sqrt($n * syy - sy * sy))"
+    s"""WITH scored AS (
+          ${QueriesLlm.qualityScoreSql("documents", Seq("source"))}),
+        base AS (
+          SELECT s.source,
+                 CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT)
+                   AS x,
+                 s.quality AS y
+          FROM scored s JOIN documents d USING (doc_id)),
+        a AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(CAST(y AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(30,6)))
+                   AS DOUBLE) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(CAST(ROUND(y * y, 6) AS DECIMAL(30,6)))
+                   AS DOUBLE) AS syy
+          FROM base GROUP BY source)
+        SELECT source, n,
+               CASE WHEN $den = 0 THEN 0.0
+                    ELSE ROUND(($n * sxy - $sx * sy) / $den, 6)
+               END AS r
+        FROM a"""
+  }
+
   /** corpus_drift twin: the same quality buckets, counts, and PSI terms
     * under add-1 smoothing — expression shapes mirror the Spark plan so
     * every IEEE step agrees. Shared by the batch head and the streaming
@@ -483,6 +517,35 @@ object QueriesServe {
     // near-dup dedup with keep: best_quality (the quality-ranked canonical)
     // → shard with shuffle_seed (the deterministic epoch order) — the new
     // serving steps composed from YAML vs a fully composed oracle.
+    // LENGTH-BIAS audit of the quality signal — the check that catches a
+    // gate which is secretly a length filter (every heuristic quality
+    // score correlates with length; the question is how much): Pearson r
+    // between token count and quality per source, from ONE partial-
+    // aggregated pass of exact-decimal moment sums (n, Σx, Σy, Σxy, Σx²,
+    // Σy²) — source-count rows leave the shuffle, and the six moments
+    // make r engine-reproducible (one IEEE expression at the end).
+    "quality_length_corr" -> { (s, d) =>
+      import graft.functions.Text
+      val x = Text.tokenCountWs(col("text")).cast("long")
+      val q = Text.qualityScore(col("text"))
+      val agg = documents(s, d)
+        .select(col("source"), x.as("x"), q.as("y"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sumDec(col("y"), 6).as("sy"),
+          sumDec(round(col("x") * col("y"), 6), 6).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sumDec(round(col("y") * col("y"), 6), 6).as("syy"))
+      val n = col("n").cast("double")
+      val num = n * col("sxy") - col("sx").cast("double") * col("sy")
+      val den = sqrt(n * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) *
+        sqrt(n * col("syy") - col("sy") * col("sy"))
+      agg.select(col("source"), col("n"),
+        when(den === 0.0, lit(0.0)).otherwise(round(num / den, 6)).as("r"))
+    },
+
     // Distribution DRIFT between two crawl snapshots — the monitoring
     // gate that catches a quality regression before it trains: the
     // reference slice (doc_id % 5 != 0) and the new-crawl slice (% 5 = 0)
@@ -639,6 +702,7 @@ object QueriesServe {
     "config_corpus_order" -> corpusOrderSql,
     "config_corpus_budget" -> corpusBudgetSql,
     "corpus_drift" -> corpusDriftSql,
+    "quality_length_corr" -> qualityLengthCorrSql,
     "ann_ivfpq" -> annIvfPqSql,
     "ann_recall" -> annRecallSql
   )

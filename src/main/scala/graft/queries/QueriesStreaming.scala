@@ -131,6 +131,12 @@ object QueriesStreaming {
       Streaming.driftMonitor(s, d,
         s"graft_stream_drift_${runId.incrementAndGet()}")
     },
+    // The data contract at ingest: four per-row rules into one group of
+    // complete-mode state; uniqueness stays an at-rest rule by design.
+    "stream_data_contract" -> { (s, d) =>
+      Streaming.contractMonitor(s, d,
+        s"graft_stream_contract_${runId.incrementAndGet()}")
+    },
     // Streaming corpus curation: the quality gate applied at ingest equals
     // the batch corpus_filter verdicts.
     "stream_corpus_filter" -> { (s, d) =>
@@ -259,6 +265,28 @@ object QueriesStreaming {
 
     // same twin as corpus_drift: the live emission equals the batch head
     "stream_drift" -> QueriesServe.corpusDriftSql,
+
+    // the batch contract minus its at-rest-only uniqueness rule
+    "stream_data_contract" -> {
+      val langs = graft.functions.Text.LangPriority
+        .map(l => s"'$l'").mkString(", ")
+      s"""WITH a AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS v_null,
+                   CAST(sum(CASE WHEN lang NOT IN ($langs) THEN 1 ELSE 0 END)
+                     AS BIGINT) AS v_lang,
+                   CAST(sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0
+                     END) AS BIGINT) AS v_chars,
+                   CAST(sum(CASE WHEN length(text) <= 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS v_empty
+            FROM documents)
+          SELECT 'doc_id_not_null' AS rule, n AS n_checked,
+                 v_null AS n_violations, v_null = 0 AS pass FROM a
+          UNION ALL SELECT 'lang_allowed', n, v_lang, v_lang = 0 FROM a
+          UNION ALL SELECT 'n_chars_consistent', n, v_chars, v_chars = 0 FROM a
+          UNION ALL SELECT 'text_nonempty', n, v_empty, v_empty = 0 FROM a"""
+    },
 
     "stream_dedup_index" -> streamDedupIndexSql,
 

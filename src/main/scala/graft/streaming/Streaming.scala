@@ -441,6 +441,37 @@ object Streaming {
     sinkTo(spark, stats, tableName, "complete", None)
   }
 
+  /** The DATA CONTRACT at ingest (data_contract's live twin, minus the
+    * uniqueness rule — uniqueness is a corpus-at-rest property; the
+    * at-ingest dedup need is served by stream_dedupe's watermarked state):
+    * the four per-row rules fold into ONE global streaming aggregate
+    * (complete mode, exactly one group of state regardless of arrival
+    * count), and the drained row unpivots to the same per-rule verdict
+    * shape as the batch head.
+    */
+  def contractMonitor(spark: SparkSession, sfDir: String,
+                      tableName: String): DataFrame = {
+    val langs = graft.functions.Text.LangPriority
+    val agg = readTable(spark, sfDir, "documents").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("v_null"),
+      sum(when(!col("lang").isin(langs: _*), 1L).otherwise(0L)).as("v_lang"),
+      sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+        .as("v_chars"),
+      sum(when(length(col("text")) <= 0, 1L).otherwise(0L)).as("v_empty"))
+    val drained = sinkTo(spark, agg, tableName, "complete", None)
+    drained.select(expr(
+      """stack(4,
+         'doc_id_not_null', v_null,
+         'lang_allowed', v_lang,
+         'n_chars_consistent', v_chars,
+         'text_nonempty', v_empty) AS (rule, n_violations)"""),
+      col("n").as("n_checked"))
+      .select(col("rule"), col("n_checked"),
+        col("n_violations").cast("long").as("n_violations"),
+        (col("n_violations") === 0L).as("pass"))
+  }
+
   /** Distribution DRIFT monitoring AT INGEST (corpus_drift's live twin):
     * the REFERENCE quality histogram fits batch-side on the at-rest slice
     * (10 bucket-count rows — metadata-scale, the train-once discipline),

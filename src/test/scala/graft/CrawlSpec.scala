@@ -215,6 +215,28 @@ class CrawlSpec extends SparkSpec {
     assert(e.getMessage.contains("hostCap"))
   }
 
+  test("gate_agreement kappa equals the per-doc verdict replay") {
+    val sf = "/root/testdata/sf0.01"
+    val row = SparkEntry.queries("gate_agreement")(spark, sf).collect()
+    assert(row.length == 1)
+    val (n, nb, nq, ng, nn, kappa) = (row(0).getLong(0), row(0).getLong(1),
+      row(0).getLong(2), row(0).getLong(3), row(0).getLong(4),
+      row(0).getDouble(5))
+    assert(nb + nq + ng + nn == n && n > 0)
+    val nd = n.toDouble
+    val po = (nb + nn).toDouble / nd
+    val pa = (nb + nq).toDouble / nd
+    val pb = (nb + ng).toDouble / nd
+    val pe = pa * pb + (1.0 - pa) * (1.0 - pb)
+    val expect = if (1.0 - pe == 0.0) 0.0
+      else BigDecimal((po - pe) / (1.0 - pe))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(kappa == expect)
+    assert(kappa >= -1.0 && kappa <= 1.0)
+    // the two gates are related but not identical — kappa discriminates
+    assert(nq + ng > 0, "some disagreement must exist")
+  }
+
   test("hitsHosts ranks directories as hubs and link targets as authorities") {
     // h1 links both authorities (weighted), h2 one; a1 also links out once
     val edges = Seq(

@@ -239,6 +239,50 @@ class ServeSpec extends SparkSpec {
       "a multi-shard source must report its tail-shard imbalance")
   }
 
+  test("quality_length_corr equals a driver-side moment replay") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("quality_length_corr")(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"),
+        graft.functions.Text.tokenCountWs(col("text")).cast("long").as("x"),
+        graft.functions.Text.qualityScore(col("text")).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dec6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(got.keySet == docs.map(_._1).toSet && got.nonEmpty)
+    got.foreach { case (src, (n, r)) =>
+      val ds = docs.filter(_._1 == src)
+      assert(n == ds.length.toLong, src)
+      val nn = ds.length.toDouble
+      val sx = ds.map(_._2).sum.toDouble
+      val sy = ds.map(d => dec6(d._3)).sum.toDouble
+      val sxy = ds.map(d => dec6(r6(d._2 * d._3))).sum.toDouble
+      val sxx = ds.map(d => d._2 * d._2).sum.toDouble
+      val syy = ds.map(d => dec6(r6(d._3 * d._3))).sum.toDouble
+      val den = math.sqrt(nn * sxx - sx * sx) * math.sqrt(nn * syy - sy * sy)
+      val expect = if (den == 0.0) 0.0 else r6((nn * sxy - sx * sy) / den)
+      assert(r == expect, src)
+      assert(r >= -1.0 && r <= 1.0, src)
+    }
+    // the quality score's length term shows up: positive correlation exists
+    assert(got.values.exists(_._2 > 0.2))
+  }
+
+  test("stream_data_contract equals the batch contract minus the at-rest rule") {
+    val sf = "/root/testdata/sf0.001"
+    val live = SparkEntry.queries("stream_data_contract")(spark, sf)
+      .collect().map(_.toString).toSet
+    val batch = SparkEntry.queries("data_contract")(spark, sf)
+      .collect().filterNot(_.getString(0) == "doc_id_unique")
+      .map(_.toString).toSet
+    assert(live == batch && live.size == 4)
+  }
+
   test("stream_drift's final emission equals the batch corpus_drift head") {
     val sf = "/root/testdata/sf0.001"
     val live = SparkEntry.queries("stream_drift")(spark, sf)
