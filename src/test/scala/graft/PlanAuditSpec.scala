@@ -693,6 +693,71 @@ class PlanAuditSpec extends SparkSpec {
       s"freq build + lang aggregate only, saw ${shuffleExchanges(plan)}")
   }
 
+  audit("quality_length_corr") { plan =>
+    // six moment sums in ONE source-keyed partial aggregate, no join
+    assert(!plan.contains("Join"), "the moment pass must not join")
+    assert(shuffleExchanges(plan) == 1,
+      s"one aggregate shuffle only, saw ${shuffleExchanges(plan)}")
+    assert(plan.contains("partial_count"),
+      "moments must partial-aggregate map-side")
+  }
+
+  audit("gate_agreement") { plan =>
+    // both verdicts per-row in one scan; the confusion is one global
+    // aggregate — a single row crosses the one exchange
+    assert(!plan.contains("Join"), "verdicts must compute in one scan")
+    assert(shuffleExchanges(plan) == 1,
+      s"one confusion aggregate only, saw ${shuffleExchanges(plan)}")
+  }
+
+  audit("shard_balance") { plan =>
+    // the balance aggregate rides the manifest's source partitioning —
+    // window + two aggregate levels, bounded exchanges, no join
+    assert(plan.contains("Window"), "shard ids come from the cumsum window")
+    assert(!plan.contains("Join"), "the report must not join")
+    assert(shuffleExchanges(plan) <= 2,
+      s"window + manifest aggregate only, saw ${shuffleExchanges(plan)}")
+  }
+
+  audit("multimodal_video_dedup") { plan =>
+    // the y4m parse runs per partition; only 8-byte fingerprints meet the
+    // copy-count aggregate and the join-back
+    assert(plan.contains("MapPartitions"),
+      "the container parse is the per-partition decode pass")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "the copy-count join is an equi-join on the fingerprint")
+    assert(shuffleExchanges(plan) <= 3,
+      s"fingerprint agg + join-back only, saw ${shuffleExchanges(plan)}")
+  }
+
+  audit("config_corpus_budget") { plan =>
+    // the budget step's cutoff frame broadcasts back onto the curated
+    // frame — the corpus itself never co-shuffles for the gate
+    assert(plan.contains("BroadcastHashJoin LeftOuter"),
+      "the cutoff frame must broadcast back")
+    assert(plan.contains("Window"),
+      "the cutoff cumsum runs over the bucket histogram")
+    assert(!plan.contains("SortMergeJoin"),
+      "the corpus never co-shuffles in the budget gate")
+  }
+
+  audit("data_contract") { plan =>
+    // every rule folds into one aggregate pass; the exact-distinct
+    // uniqueness term is the only reason a second exchange may appear
+    assert(!plan.contains("Join"), "the contract must not join")
+    assert(shuffleExchanges(plan) <= 2,
+      s"one aggregate (+ distinct expand) only, saw ${shuffleExchanges(plan)}")
+  }
+
+  audit("corpus_drift") { plan =>
+    // histogram + spine join + one-row totals broadcast; the corpus
+    // contributes exactly one scan
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the totals row must broadcast into the report")
+    assert(shuffleExchanges(plan) <= 4,
+      s"histogram + report only, saw ${shuffleExchanges(plan)}")
+  }
+
   test("whole-stage codegen: the per-row heads run as ONE fused span") {
     // The brief's "widen the WholeStageCodegen spans" check, made a gate:
     // each pure per-row head (scan → expressions → output, no shuffle)
