@@ -29,6 +29,7 @@ object SparkEntry {
       (QueriesCuration.queries, QueriesCuration.oracleSql),
       (QueriesServe.queries, QueriesServe.oracleSql),
       (QueriesPipeline.queries, QueriesPipeline.oracleSql),
+      (QueriesMining.queries, QueriesMining.oracleSql),
       (QueriesStreaming.queries, QueriesStreaming.oracleSql)
     )
 

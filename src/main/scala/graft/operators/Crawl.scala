@@ -426,6 +426,50 @@ object Crawl {
       .select(col(idCol), col("host"), col("rank_micros"),
         (col("rank_micros") >= floorMicros).as("keep"))
 
+  /** Synchronous label propagation over the weighted host graph — the
+    * classic near-linear community detector (Raghavan/Albert/Kumara 2007)
+    * beside the authority scores of [[pageRankHosts]]/[[hitsHosts]]: host
+    * mirrors/syndication rings surface as one community, the domain-level
+    * grouping a curation pipeline uses to cap near-identical sites.
+    *
+    * Deterministic variant so the trajectory replays exactly in the
+    * oracle's unrolled CTEs: the graph is made UNDIRECTED (both edge
+    * directions summed), every node starts labeled with itself, and each
+    * round every node SIMULTANEOUSLY adopts the neighbor label with the
+    * highest total edge weight, ties broken by smallest label — no
+    * randomized visit order, no floats.
+    *
+    * Scale posture: labels stay DISTRIBUTED — each round is one
+    * edge⨝label equi-join plus one partial-aggregated groupBy plus a
+    * per-node top-1 window (group count bounded by the node's degree);
+    * per-round localCheckpoints pin constant plan depth like the PageRank
+    * loop. Output: `(host, community)`.
+    */
+  def labelPropagate(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"labelPropagate: need iters >= 1, got $iters")
+    val und = edges
+      .select(col("src_host").as("a"), col("dst_host").as("b"), col("weight"))
+      .unionByName(edges
+        .select(col("dst_host").as("a"), col("src_host").as("b"), col("weight")))
+      .groupBy(col("a"), col("b")).agg(sum(col("weight")).as("w"))
+      .localCheckpoint(eager = false)
+    var labels = und.select(col("a").as("host")).distinct()
+      .withColumn("label", col("host"))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to iters) {
+      val votes = und
+        .join(labels, col("b") === col("host"))
+        .groupBy(col("a"), col("label")).agg(sum(col("w")).as("lw"))
+      val top = row_number().over(
+        Window.partitionBy(col("a"))
+          .orderBy(col("lw").desc, col("label").asc))
+      labels = votes.withColumn("r", top).where(col("r") === 1)
+        .select(col("a").as("host"), col("label"))
+        .localCheckpoint(eager = false)
+    }
+    labels.select(col("host"), col("label").as("community"))
+  }
+
   /** Frontier scheduling: pick the next fetch batch from the discovered
     * candidate set under the two budgets every polite crawler runs with —
     * a PER-HOST cap (politeness: at most `hostCap` URLs per host per

@@ -431,6 +431,42 @@ object QueriesCrawl {
         FROM a$HitsIters JOIN h$HitsIters USING (host)"""
   }
 
+  // community_labelprop: synchronous rounds over the undirected host graph
+  private val LpIters = 4
+
+  /** community_labelprop twin: the undirected weighted graph (both edge
+    * directions summed), then [[LpIters]] SYNCHRONOUS label-propagation
+    * rounds as unrolled CTE pairs — weighted label votes from the previous
+    * round's labels, then the per-node `(weight desc, label asc)` top-1 —
+    * replaying Crawl.labelPropagate exactly (integer weights and string
+    * labels only, so there is no float trajectory to drift).
+    */
+  private def communityLabelpropSql: String = {
+    val rounds = (1 to LpIters).map { i =>
+      s"""lv$i AS (
+            SELECT u.a, l.label, CAST(sum(u.w) AS BIGINT) AS lw
+            FROM und u JOIN lp${i - 1} l ON l.host = u.b
+            GROUP BY u.a, l.label),
+          lp$i AS (
+            SELECT a AS host, label FROM (
+              SELECT a, label,
+                     row_number() OVER (PARTITION BY a
+                       ORDER BY lw DESC, label) AS r
+              FROM lv$i)
+            WHERE r = 1)"""
+    }.mkString(",\n")
+    s"""WITH $linkGraphCtes,
+        und AS (
+          SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM (
+            SELECT src_host AS a, dst_host AS b, weight AS w FROM edges
+            UNION ALL
+            SELECT dst_host, src_host, weight FROM edges)
+          GROUP BY a, b),
+        lp0 AS (SELECT DISTINCT a AS host, a AS label FROM und),
+        $rounds
+        SELECT host, label AS community FROM lp$LpIters"""
+  }
+
   /** curation_authority twin: every doc joins its host's final rank; docs
     * on hosts below the authority floor drop.
     */
@@ -714,6 +750,22 @@ object QueriesCrawl {
       Crawl.hitsHosts(edges, HitsIters)
     },
 
+    // Community detection over the host graph: deterministic synchronous
+    // label propagation with the (weight desc, label asc) adoption rule —
+    // host mirrors/syndication rings collapse to one community, the
+    // domain-level grouping a curation pass uses to cap near-identical
+    // sites. Labels stay distributed (one edge⨝label join + bounded
+    // groupBy per round, localCheckpoint'd constant plan depth).
+    "community_labelprop" -> { (s, d) =>
+      val docs = documents(s, d)
+      val n = docs.count()
+      val targets = linkTargets(n)
+      val edges = Crawl.linkGraph(
+        docs.withColumn("host", concat(col("source"), lit(HostSuffix))),
+        "doc_id", "host", targets)
+      Crawl.labelPropagate(edges, LpIters)
+    },
+
     // Authority gate: every page joins its host's PageRank and pages on
     // hosts below the floor drop — the domain-level quality prior of
     // crawl curation. The rank frame is host-scale; bodies never move.
@@ -801,6 +853,7 @@ object QueriesCrawl {
     "link_graph" -> linkGraphSql,
     "pagerank_hosts" -> pagerankHostsSql,
     "hits_authority" -> hitsAuthoritySql,
+    "community_labelprop" -> communityLabelpropSql,
     "curation_authority" -> curationAuthoritySql,
     "stream_authority" -> streamAuthoritySql,
     "crawl_frontier" -> crawlFrontierSql,

@@ -1,0 +1,378 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.operators.{Curation, Retrieval}
+import Q._
+
+/** Corpus-mining heads (SURVEY.md §2.7 additions): BM25 sparse retrieval,
+  * winnowing fingerprint screening, word-entropy quality gating,
+  * deterministic weighted sampling, and PPMI co-occurrence mining. Each
+  * Spark plan shares its scoring-formula STRING with the DuckDB oracle
+  * (`expr(...)` on one side, verbatim SQL on the other), so the IEEE
+  * expression trees are identical by construction — the bigram_logprob
+  * discipline applied to every float in the module.
+  */
+object QueriesMining {
+
+  // --- shared constants ----------------------------------------------------
+
+  // BM25: the query set is ID-CAPPED (doc_id < BmQCap), not modulus-sliced,
+  // so it stays CONSTANT-size at every scale factor (the hard_negatives
+  // lesson); k1/b are the classic Robertson defaults.
+  private val BmQCap = 20L
+  private val BmTopK = 5
+
+  // Winnowing: 8-char grams, window 4 — guarantee: docs sharing any 11-char
+  // run share a fingerprint. Reference set = the same id-capped slice; the
+  // 0.5 containment flag splits the observed 0.30..1.0 spread (and is an
+  // exactly-representable double, so the >= lands identically cross-engine).
+  private val WinK = 8
+  private val WinW = 4
+  private val WinRefCap = 20L
+  private val WinThreshold = 0.5
+
+  // Entropy gate: thresholds sit inside the observed sf0.01 spread
+  // (entropy 1.64..3.35 median 3.09; distinct ratio 0.28..1.0 median 0.46)
+  // so both rules discriminate.
+  private val EntMin = 3.0
+  private val DistMin = 0.45
+
+  // Weighted sampling: A-Res keys on the sha256 ratio, weight = n_chars.
+  private val WSeed = 1302
+  private val WSampleK = 100
+
+  // PPMI co-occurrence: skip-window distances 1..2, min pair count, top-k.
+  private val CoocMin = 5L
+  private val CoocTopK = 50
+
+  // --- shared formula strings (Spark expr(...) == oracle SQL) -------------
+
+  /** One BM25 term contribution over columns (tf, df, dl, n_corpus, avgdl).
+    * Decimal literals only ever meet doubles (exact promotion both
+    * engines); rounded to the 1e-6 grid BEFORE the decimal sum.
+    */
+  private val Bm25TermExpr =
+    "round(ln((CAST(n_corpus AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * " +
+      "((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * " +
+      "(0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))), 6)"
+
+  /** One Shannon term `p * ln p` over columns (tf, dl), round-6 grid. */
+  private val EntropyTermExpr =
+    "round((CAST(tf AS DOUBLE) / dl) * ln(CAST(tf AS DOUBLE) / dl), 6)"
+
+  /** The A-Res sampling key over columns (u, weight): ln(u)/w, largest
+    * keys win with probability proportional to the weight.
+    */
+  private val WKeyExpr = "round(ln(u) / CAST(weight AS DOUBLE), 6)"
+
+  /** Clipped PMI over columns (c12, c1, c2, t_total, p_total). */
+  private val PpmiExpr =
+    "greatest(0.0, round(ln((CAST(c12 AS DOUBLE) / p_total) / " +
+      "((CAST(c1 AS DOUBLE) / t_total) * (CAST(c2 AS DOUBLE) / t_total))), 6))"
+
+  private val WordsCte =
+    """words AS (
+         SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+         FROM documents)"""
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, QueryFn] = Map(
+
+    // BM25 top-k sparse retrieval: the id-capped query slice searches the
+    // rest of the corpus through a real inverted-index plan — corpus term
+    // frequencies (with doc length) join the BROADCAST query-term list, the
+    // vocabulary-sized df table broadcasts, per-(query, doc) scores
+    // partial-aggregate, and the per-query top-k window funnels bounded
+    // cardinality. Bodies never shuffle — only (doc, term, tf) postings.
+    "bm25_topk" -> { (s, d) =>
+      val docs = documents(s, d)
+      val toks = Text.tokens(col("text"))
+      val corpus = docs.where(col("doc_id") >= BmQCap)
+        .select(col("doc_id"), toks.as("w"))
+      val qdocs = docs.where(col("doc_id") < BmQCap)
+        .select(col("doc_id").as("qid"), toks.as("w"))
+      val tf = corpus
+        .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+          explode(col("w")).as("term"))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val stats = corpus.agg(count(lit(1)).as("n_corpus"),
+        (sum(size(col("w"))).cast("double") / count(lit(1))).as("avgdl"))
+      val qterms = qdocs
+        .select(col("qid"), explode(array_distinct(col("w"))).as("term"))
+      val scored = tf
+        .join(broadcast(qterms), Seq("term"))
+        .join(broadcast(dfreq), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib", expr(Bm25TermExpr))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(sumDec(col("contrib"), 6).as("score"),
+          count(lit(1)).as("n_terms"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      scored.withColumn("rnk", row_number().over(w).cast("int"))
+        .where(col("rnk") <= BmTopK)
+        .select(col("qid"), col("doc_id"), round(col("score"), 6).as("score"),
+          col("n_terms"), col("rnk"))
+    },
+
+    // Winnowing fingerprint screen (MOSS): every corpus doc reports how much
+    // of its winnowed k-gram fingerprint set appears in the id-capped
+    // reference slice — the shared-passage detector that survives
+    // insertions/reorderings exact-hash dedup misses. Fingerprinting is
+    // per-row HOF work; the reference set is DISTINCT fingerprints of a
+    // constant-size slice (broadcast), so the only shuffle is the per-doc
+    // overlap count.
+    "winnow_fingerprint" -> { (s, d) =>
+      val fps = Retrieval.winnowFingerprints(
+        documents(s, d), "doc_id", "text", WinK, WinW)
+      val ref = fps.where(col("doc_id") < WinRefCap)
+        .select(explode(col("fps")).as("fp")).distinct()
+      val corpus = fps.where(col("doc_id") >= WinRefCap)
+        .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
+          col("fps"))
+      val shared = corpus
+        .select(col("doc_id"), explode(col("fps")).as("fp"))
+        .join(broadcast(ref), Seq("fp"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("shared"))
+      corpus.select(col("doc_id"), col("n_fp"))
+        .join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_fp"),
+          coalesce(col("shared"), lit(0L)).as("shared"))
+        .withColumn("containment",
+          expr("round(CAST(shared AS DOUBLE) / greatest(n_fp, 1), 6)"))
+        .withColumn("near_match", col("containment") >= WinThreshold)
+    },
+
+    // Word-entropy quality gate: repetitive/templated docs score LOW
+    // Shannon entropy over their word distribution and low distinct ratio —
+    // the information-theoretic cousin of repetition_ratio. Two corpus-
+    // bounded aggregates (per-doc term counts, then the entropy fold);
+    // every float is a round-6 grid point before the decimal sum.
+    "entropy_gate" -> { (s, d) =>
+      val tf = documents(s, d)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val agg = tf.groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("dl"), count(lit(1)).as("n_distinct"))
+      tf.join(agg, Seq("doc_id"))
+        .withColumn("term", expr(EntropyTermExpr))
+        .groupBy(col("doc_id"), col("dl"), col("n_distinct"))
+        .agg((-sumDec(col("term"), 6)).as("entropy"))
+        .select(col("doc_id"), col("dl").as("n_words"), col("n_distinct"),
+          col("entropy"))
+        .withColumn("distinct_ratio",
+          expr("round(CAST(n_distinct AS DOUBLE) / n_words, 6)"))
+        .withColumn("keep",
+          col("entropy") >= EntMin && col("distinct_ratio") >= DistMin)
+    },
+
+    // Deterministic weighted sampling (Efraimidis-Spirakis A-Res on a
+    // sha256 ratio): key = ln(u)/w, global top-k — inclusion probability
+    // proportional to the doc's weight (chars here; any quality score in
+    // production), reproducible across runs AND engines. The cut is
+    // TakeOrdered (per-partition heaps, driver merge bounded by k).
+    "sample_weighted" -> { (s, d) =>
+      val keyed = documents(s, d)
+        .select(col("doc_id"), col("n_chars").as("weight"),
+          Curation.hashRatio(col("doc_id"), WSeed).as("u"))
+        .withColumn("skey", expr(WKeyExpr))
+      val order = Seq(col("skey").desc, col("doc_id").asc)
+      keyed.orderBy(order: _*).limit(WSampleK)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(order: _*)).cast("int"))
+        .select(col("doc_id"), col("weight"), col("skey"), col("rnk"))
+    },
+
+    // PPMI co-occurrence mining: skip-window word pairs (distances 1-2,
+    // unordered) scored by clipped pointwise mutual information — the
+    // association table behind phrase detection and embedding pre-training.
+    // Pair space is vocabulary-bounded²  but only OBSERVED pairs
+    // materialize; the unigram table broadcasts; top-k is TakeOrdered.
+    "cooccurrence_ppmi" -> { (s, d) =>
+      val docs = documents(s, d)
+      val toks = Text.tokens(col("text"))
+      val words = docs.select(col("doc_id"), toks.as("w"))
+      def pairsAt(dist: Int) = words
+        .where(size(col("w")) >= dist + 1)
+        .select(explode(zip_with(
+          slice(col("w"), lit(1), size(col("w")) - dist),
+          slice(col("w"), lit(1 + dist), size(col("w")) - dist),
+          (a, b) => when(a <= b, concat(a, lit(" "), b))
+            .otherwise(concat(b, lit(" "), a)))).as("pair"))
+      val pairs = pairsAt(1).unionByName(pairsAt(2))
+      val c12 = pairs.groupBy(col("pair")).agg(count(lit(1)).as("c12"))
+      val uni = words.select(explode(col("w")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val totals = words
+        .agg(sum(size(col("w"))).as("t_total"))
+        .crossJoin(pairs.agg(count(lit(1)).as("p_total")))
+      val scored = c12.where(col("c12") >= CoocMin)
+        .withColumn("w1", split(col("pair"), " ").getItem(0))
+        .withColumn("w2", split(col("pair"), " ").getItem(1))
+        .join(broadcast(uni.withColumnRenamed("tok", "w1")
+          .withColumnRenamed("c", "c1")), Seq("w1"))
+        .join(broadcast(uni.withColumnRenamed("tok", "w2")
+          .withColumnRenamed("c", "c2")), Seq("w2"))
+        .crossJoin(broadcast(totals))
+        .withColumn("ppmi", expr(PpmiExpr))
+      val order = Seq(col("ppmi").desc, col("w1").asc, col("w2").asc)
+      scored.orderBy(order: _*).limit(CoocTopK)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(order: _*)).cast("int"))
+        .select(col("w1"), col("w2"), col("c12"), col("ppmi"), col("rnk"))
+    }
+  )
+
+  // ------------------------------------------------------------ oracle SQL
+
+  val oracleSql: Map[String, String] = Map(
+
+    "bm25_topk" ->
+      s"""WITH $WordsCte,
+          corpus AS (SELECT doc_id, w FROM words WHERE doc_id >= $BmQCap),
+          qd AS (SELECT doc_id AS qid, w FROM words WHERE doc_id < $BmQCap),
+          tf AS (
+            SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+                         unnest(w) AS term
+                  FROM corpus)
+            GROUP BY doc_id, dl, term),
+          dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                    FROM tf GROUP BY term),
+          stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+                   CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl
+            FROM corpus),
+          qterms AS (
+            SELECT DISTINCT qid, term
+            FROM (SELECT qid, unnest(w) AS term FROM qd)),
+          contribs AS (
+            SELECT q.qid, t.doc_id, $Bm25TermExpr AS contrib
+            FROM tf t JOIN qterms q USING (term)
+            JOIN dfreq USING (term), stats),
+          agg AS (
+            SELECT qid, doc_id,
+                   CAST(SUM(CAST(contrib AS DECIMAL(30,6))) AS DOUBLE)
+                     AS score,
+                   CAST(count(*) AS BIGINT) AS n_terms
+            FROM contribs GROUP BY qid, doc_id),
+          ranked AS (
+            SELECT qid, doc_id, score, n_terms,
+                   CAST(row_number() OVER (PARTITION BY qid
+                          ORDER BY score DESC, doc_id) AS INT) AS rnk
+            FROM agg)
+          SELECT qid, doc_id, ROUND(score, 6) AS score, n_terms, rnk
+          FROM ranked WHERE rnk <= $BmTopK""",
+
+    "winnow_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+          g AS (SELECT doc_id, ${Retrieval.gramHashesSql("t", WinK)} AS gh
+                FROM t),
+          f AS (SELECT doc_id,
+                       ${Retrieval.winnowFingerprintsSql("t", WinK, WinW)}
+                         AS fps
+                FROM g),
+          ref AS (SELECT DISTINCT fp
+                  FROM (SELECT unnest(fps) AS fp FROM f
+                        WHERE doc_id < $WinRefCap)),
+          corpus AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, fps
+                     FROM f WHERE doc_id >= $WinRefCap),
+          e AS (SELECT doc_id, unnest(fps) AS fp FROM corpus),
+          s AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS shared
+                FROM e JOIN ref USING (fp) GROUP BY e.doc_id),
+          r AS (
+            SELECT c.doc_id, c.n_fp,
+                   coalesce(s.shared, 0) AS shared
+            FROM corpus c LEFT JOIN s USING (doc_id))
+          SELECT doc_id, n_fp, shared,
+                 round(CAST(shared AS DOUBLE) / greatest(n_fp, 1), 6)
+                   AS containment,
+                 round(CAST(shared AS DOUBLE) / greatest(n_fp, 1), 6)
+                   >= $WinThreshold AS near_match
+          FROM r""",
+
+    "entropy_gate" ->
+      s"""WITH toks AS (
+            SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+'))
+                     AS tok
+            FROM documents),
+          tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+                 FROM toks GROUP BY doc_id, tok),
+          agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl,
+                         CAST(count(*) AS BIGINT) AS n_distinct
+                  FROM tf GROUP BY doc_id),
+          terms AS (
+            SELECT tf.doc_id, a.dl, a.n_distinct, $EntropyTermExpr AS term
+            FROM tf JOIN agg a USING (doc_id)),
+          h AS (
+            SELECT doc_id, dl, n_distinct,
+                   -(CAST(SUM(CAST(term AS DECIMAL(30,6))) AS DOUBLE))
+                     AS entropy
+            FROM terms GROUP BY doc_id, dl, n_distinct)
+          SELECT doc_id, dl AS n_words, n_distinct, entropy,
+                 round(CAST(n_distinct AS DOUBLE) / dl, 6) AS distinct_ratio,
+                 (entropy >= CAST($EntMin AS DOUBLE) AND
+                  round(CAST(n_distinct AS DOUBLE) / dl, 6)
+                    >= CAST($DistMin AS DOUBLE)) AS keep
+          FROM h""",
+
+    "sample_weighted" ->
+      s"""WITH keyed AS (
+            SELECT doc_id, n_chars AS weight,
+                   ${QueriesCuration.ratioSql("doc_id", WSeed)} AS u
+            FROM documents),
+          s AS (SELECT doc_id, weight, $WKeyExpr AS skey FROM keyed),
+          r AS (
+            SELECT doc_id, weight, skey,
+                   CAST(row_number() OVER (ORDER BY skey DESC, doc_id)
+                     AS INT) AS rnk
+            FROM s)
+          SELECT doc_id, weight, skey, rnk FROM r WHERE rnk <= $WSampleK""",
+
+    "cooccurrence_ppmi" ->
+      s"""WITH $WordsCte,
+          p1 AS (
+            SELECT unnest([CASE WHEN w[i] <= w[i+1]
+                             THEN w[i] || ' ' || w[i+1]
+                             ELSE w[i+1] || ' ' || w[i] END
+                           for i in generate_series(1, len(w) - 1)]) AS pair
+            FROM words),
+          p2 AS (
+            SELECT unnest([CASE WHEN w[i] <= w[i+2]
+                             THEN w[i] || ' ' || w[i+2]
+                             ELSE w[i+2] || ' ' || w[i] END
+                           for i in generate_series(1, len(w) - 2)]) AS pair
+            FROM words),
+          pairs AS (SELECT pair FROM p1 UNION ALL SELECT pair FROM p2),
+          pc AS (SELECT pair, CAST(count(*) AS BIGINT) AS c12
+                 FROM pairs GROUP BY pair),
+          uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+                  FROM (SELECT unnest(w) AS tok FROM words) GROUP BY tok),
+          totals AS (
+            SELECT (SELECT CAST(sum(len(w)) AS BIGINT) FROM words)
+                     AS t_total,
+                   (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS p_total),
+          scored AS (
+            SELECT string_split(pair, ' ')[1] AS w1,
+                   string_split(pair, ' ')[2] AS w2,
+                   c12, u1.c AS c1, u2.c AS c2, t_total, p_total
+            FROM pc
+            JOIN uni u1 ON u1.tok = string_split(pair, ' ')[1]
+            JOIN uni u2 ON u2.tok = string_split(pair, ' ')[2]
+            CROSS JOIN totals
+            WHERE c12 >= $CoocMin),
+          sc AS (SELECT w1, w2, c12, $PpmiExpr AS ppmi FROM scored),
+          ranked AS (
+            SELECT w1, w2, c12, ppmi,
+                   CAST(row_number() OVER (ORDER BY ppmi DESC, w1, w2)
+                     AS INT) AS rnk
+            FROM sc)
+          SELECT w1, w2, c12, ppmi, rnk FROM ranked WHERE rnk <= $CoocTopK"""
+  )
+}

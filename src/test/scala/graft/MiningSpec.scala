@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.WinnowFps
+import graft.operators.{Crawl, Retrieval}
+
+/** Corpus-mining operators: winnowing fingerprints, BM25 retrieval heads,
+  * label propagation, PPMI/entropy/weighted-sample query properties.
+  */
+class MiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // --- winnowing fingerprints ---------------------------------------------
+
+  private def fps(texts: String*): Seq[Set[Long]] =
+    Retrieval.winnowFingerprints(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t"),
+      "id", "t", 4, 3)
+      .orderBy(col("id"))
+      .collect().toSeq
+      .map(_.getSeq[Long](1).toSet)
+
+  test("winnow: identical texts share the full fingerprint set") {
+    val Seq(a, b) = fps("the quick brown fox jumps", "the quick brown fox jumps")
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("winnow: a shared run of >= k+w-1 chars guarantees a shared print") {
+    // k=4, w=3 -> any common 6-char substring must surface in both sets
+    val Seq(a, b) = fps("xxxxx common passage here", "common passage elsewhere")
+    assert((a intersect b).nonEmpty)
+  }
+
+  test("winnow: disjoint alphabets share nothing; short text is empty") {
+    val Seq(a, b, c) = fps("aaaa bbbb cccc dddd", "eeee ffff gggg hhhh", "ab")
+    assert((a intersect b).isEmpty)
+    assert(c.isEmpty)
+  }
+
+  test("winnow expression matches the reference per-window fold") {
+    // brute-force reference on one string: hash every k-gram, min per
+    // window, distinct — the DuckDB oracle's list-comprehension semantics
+    val t = "abcabcabcab"
+    val k = 4; val w = 3
+    val gh = (0 to t.length - k).map { i =>
+      t.substring(i, i + k).getBytes.foldLeft(0L)((acc, b) =>
+        (acc * 31 + (b & 0xFF)) % 1000000007L)
+    }
+    val expect = (0 to gh.length - w).map(j => gh.slice(j, j + w).min).toSet
+    assert(fps(t).head == expect)
+  }
+
+  test("winnow: lowercase applied upstream makes case-variants collide") {
+    val Seq(a, b) = fps("The Quick BROWN fox", "the quick brown fox")
+    assert(a == b)
+  }
+
+  // --- label propagation ---------------------------------------------------
+
+  test("labelPropagate: two cliques with a weak bridge keep two communities") {
+    // cliques {a1,a2,a3} and {b1,b2,b3} heavily intra-linked, one weak
+    // bridge a1-b1 — LP must settle on min-label per clique
+    val edges = Seq(
+      ("a1", "a2", 5L), ("a2", "a3", 5L), ("a1", "a3", 5L),
+      ("b1", "b2", 5L), ("b2", "b3", 5L), ("b1", "b3", 5L),
+      ("a1", "b1", 1L))
+      .toDF("src_host", "dst_host", "weight")
+    val out = Crawl.labelPropagate(edges, 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Set("a1", "a2", "a3").map(out) == Set("a1"))
+    assert(Set("b1", "b2", "b3").map(out) == Set("b1"))
+  }
+
+  test("labelPropagate ties break to the smallest label") {
+    // c adjacent to a and b with equal weight: adopts min(a, b) = a
+    val edges = Seq(("a", "c", 1L), ("b", "c", 1L))
+      .toDF("src_host", "dst_host", "weight")
+    val out = Crawl.labelPropagate(edges, 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("c") == "a")
+  }
+
+  // --- query-level properties on real test data ---------------------------
+
+  test("bm25_topk: k results per query, rank 1 has the max score") {
+    val out = SparkEntry.queries("bm25_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getInt(4)))
+    val byQ = out.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      assert(rs.minBy(_._3)._2 == rs.map(_._2).max)
+    }
+  }
+
+  test("entropy_gate: repetitive docs score below diverse docs") {
+    val out = SparkEntry.queries("entropy_gate")(spark, sf)
+    val ent = out.select(col("doc_id"), col("entropy"), col("n_distinct"),
+        col("n_words")).collect()
+    // entropy is bounded by ln(n_distinct) and nonnegative, up to the
+    // per-term round-6 grid error (±5e-7 × n_distinct terms)
+    ent.foreach { r =>
+      val slack = 5e-7 * r.getLong(2) + 1e-6
+      val h = r.getDouble(1)
+      assert(h >= -slack && h <= math.log(r.getLong(2).toDouble) + slack,
+        s"doc ${r.getLong(0)}: H=$h outside [0, ln(distinct)]")
+    }
+  }
+
+  test("sample_weighted: inclusion skews toward heavier docs") {
+    val out = SparkEntry.queries("sample_weighted")(spark, sf)
+    val sampleMean = out.agg(avg(col("weight"))).head().getDouble(0)
+    val corpusMean = graft.sources.Tables.documents(spark, sf)
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
+  }
+
+  test("cooccurrence_ppmi: pairs are ordered, scores clipped at zero") {
+    val out = SparkEntry.queries("cooccurrence_ppmi")(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 50)
+    out.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), "pair must be sorted")
+      assert(r.getDouble(3) >= 0.0, "PPMI is clipped at zero")
+    }
+  }
+
+  test("winnow_fingerprint query: containment in [0,1], reference excluded") {
+    val out = SparkEntry.queries("winnow_fingerprint")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) >= 20L, "reference slice must not self-report")
+      val c = r.getDouble(3)
+      assert(c >= 0.0 && c <= 1.0)
+    }
+  }
+
+  test("community_labelprop query: every host gets exactly one community") {
+    val out = SparkEntry.queries("community_labelprop")(spark, sf)
+    val n = out.count()
+    assert(n > 0 && out.select(col("host")).distinct().count() == n)
+  }
+}
