@@ -100,14 +100,19 @@ object QueriesMining {
           explode(col("w")).as("term"))
         .groupBy(col("doc_id"), col("dl"), col("term"))
         .agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val stats = corpus.agg(count(lit(1)).as("n_corpus"),
         (sum(size(col("w"))).cast("double") / count(lit(1))).as("avgdl"))
       val qterms = qdocs
         .select(col("qid"), explode(array_distinct(col("w"))).as("term"))
+      // df as a count window over the qterm-FILTERED postings: the filter
+      // is on the term key, so each surviving term still carries all its
+      // docs and the window count IS the document frequency — one postings
+      // build instead of two (a second full aggregate would rescan and
+      // re-explode every body).
       val scored = tf
         .join(broadcast(qterms), Seq("term"))
-        .join(broadcast(dfreq), Seq("term"))
+        .withColumn("df", count(lit(1)).over(
+          Window.partitionBy(col("term"), col("qid"))))
         .crossJoin(broadcast(stats))
         .withColumn("contrib", expr(Bm25TermExpr))
         .groupBy(col("qid"), col("doc_id"))
@@ -133,20 +138,20 @@ object QueriesMining {
         documents(s, d), "doc_id", "text", WinK, WinW)
       val ref = fps.where(col("doc_id") < WinRefCap)
         .select(explode(col("fps")).as("fp")).distinct()
-      val corpus = fps.where(col("doc_id") >= WinRefCap)
+      // ONE fingerprint pass over the corpus: explode with n_fp carried,
+      // left-join the broadcast reference set, per-doc count of hits —
+      // no join-back, so bodies are fingerprinted exactly once.
+      fps.where(col("doc_id") >= WinRefCap)
         .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
-          col("fps"))
-      val shared = corpus
-        .select(col("doc_id"), explode(col("fps")).as("fp"))
-        .join(broadcast(ref), Seq("fp"))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("shared"))
-      corpus.select(col("doc_id"), col("n_fp"))
-        .join(shared, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_fp"),
-          coalesce(col("shared"), lit(0L)).as("shared"))
+          explode(col("fps")).as("fp"))
+        .join(broadcast(ref.withColumn("hit", lit(1))), Seq("fp"), "left")
+        .groupBy(col("doc_id"), col("n_fp"))
+        .agg(count(col("hit")).as("shared"))
         .withColumn("containment",
           expr("round(CAST(shared AS DOUBLE) / greatest(n_fp, 1), 6)"))
         .withColumn("near_match", col("containment") >= WinThreshold)
+        .select(col("doc_id"), col("n_fp"), col("shared"),
+          col("containment"), col("near_match"))
     },
 
     // Word-entropy quality gate: repetitive/templated docs score LOW
@@ -155,12 +160,16 @@ object QueriesMining {
     // bounded aggregates (per-doc term counts, then the entropy fold);
     // every float is a round-6 grid point before the decimal sum.
     "entropy_gate" -> { (s, d) =>
-      val tf = documents(s, d)
+      // doc length / distinct count as windows over the term counts (one
+      // exchange on the doc key) — a second aggregate would re-explode
+      // every body; the window rides the same doc partitioning the final
+      // entropy fold needs anyway.
+      val w = Window.partitionBy(col("doc_id"))
+      documents(s, d)
         .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      val agg = tf.groupBy(col("doc_id"))
-        .agg(sum(col("tf")).as("dl"), count(lit(1)).as("n_distinct"))
-      tf.join(agg, Seq("doc_id"))
+        .withColumn("dl", sum(col("tf")).over(w))
+        .withColumn("n_distinct", count(lit(1)).over(w))
         .withColumn("term", expr(EntropyTermExpr))
         .groupBy(col("doc_id"), col("dl"), col("n_distinct"))
         .agg((-sumDec(col("term"), 6)).as("entropy"))
@@ -209,9 +218,12 @@ object QueriesMining {
       val c12 = pairs.groupBy(col("pair")).agg(count(lit(1)).as("c12"))
       val uni = words.select(explode(col("w")).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      // p_total = Σ c12 over the already-aggregated pair counts — the raw
+      // pair stream is never exploded a second time; t_total needs only a
+      // scan + array size, no explode.
       val totals = words
         .agg(sum(size(col("w"))).as("t_total"))
-        .crossJoin(pairs.agg(count(lit(1)).as("p_total")))
+        .crossJoin(c12.agg(sum(col("c12")).as("p_total")))
       val scored = c12.where(col("c12") >= CoocMin)
         .withColumn("w1", split(col("pair"), " ").getItem(0))
         .withColumn("w2", split(col("pair"), " ").getItem(1))
@@ -283,13 +295,11 @@ object QueriesMining {
                         WHERE doc_id < $WinRefCap)),
           corpus AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, fps
                      FROM f WHERE doc_id >= $WinRefCap),
-          e AS (SELECT doc_id, unnest(fps) AS fp FROM corpus),
-          s AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS shared
-                FROM e JOIN ref USING (fp) GROUP BY e.doc_id),
-          r AS (
-            SELECT c.doc_id, c.n_fp,
-                   coalesce(s.shared, 0) AS shared
-            FROM corpus c LEFT JOIN s USING (doc_id))
+          e AS (SELECT doc_id, n_fp, unnest(fps) AS fp FROM corpus),
+          r AS (SELECT e.doc_id, e.n_fp,
+                       CAST(count(ref.fp) AS BIGINT) AS shared
+                FROM e LEFT JOIN ref ON ref.fp = e.fp
+                GROUP BY e.doc_id, e.n_fp)
           SELECT doc_id, n_fp, shared,
                  round(CAST(shared AS DOUBLE) / greatest(n_fp, 1), 6)
                    AS containment,

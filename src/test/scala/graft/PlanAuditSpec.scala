@@ -758,6 +758,64 @@ class PlanAuditSpec extends SparkSpec {
       s"histogram + report only, saw ${shuffleExchanges(plan)}")
   }
 
+  audit("bm25_topk") { plan =>
+    // inverted-index retrieval: query terms + vocabulary df BROADCAST onto
+    // the postings; corpus bodies never co-shuffle with the query side
+    assert(plan.contains("BroadcastHashJoin"),
+      "query terms and df must broadcast onto the postings")
+    assert(!plan.contains("SortMergeJoin"),
+      "no corpus-sized co-shuffle in the retrieval join")
+    assert(plan.contains("Window"), "per-query top-k is the rank window")
+  }
+
+  audit("winnow_fingerprint") { plan =>
+    // per-row codegen'd fingerprinting; the constant-size reference set
+    // broadcasts; the only shuffles are the per-doc overlap aggregate and
+    // its id-keyed join-back
+    assert(plan.contains("BroadcastHashJoin"),
+      "the reference fingerprint set must broadcast")
+    assert(shuffleExchanges(plan) <= 4,
+      s"overlap aggregate + join-back only, saw ${shuffleExchanges(plan)}")
+  }
+
+  audit("entropy_gate") { plan =>
+    // one term-count aggregate, then dl/n_distinct as windows riding the
+    // doc partitioning — join-free, bodies exploded exactly once
+    assert(!plan.contains("Join"), "the entropy fold must not join")
+    assert(plan.contains("Window"),
+      "doc stats must ride the doc partitioning as windows")
+    assert(shuffleExchanges(plan) <= 2,
+      s"term aggregate + doc window only, saw ${shuffleExchanges(plan)}")
+  }
+
+  audit("sample_weighted") { plan =>
+    // scan → keyed projection → global top-k as TakeOrdered (per-partition
+    // heaps, driver merge bounded by k) — no join, no full sort
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the weighted cut must be TakeOrdered, not a global sort")
+    assert(!plan.contains("Join"), "sampling keys compute in one scan")
+  }
+
+  audit("cooccurrence_ppmi") { plan =>
+    // pair counts partial-aggregate; unigram and totals frames broadcast;
+    // the final cut is TakeOrdered
+    assert(plan.contains("BroadcastHashJoin"),
+      "the unigram table must broadcast onto the pair counts")
+    assert(!plan.contains("SortMergeJoin"),
+      "no corpus-sized co-shuffle in the PMI join")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the top-k cut must be TakeOrdered")
+  }
+
+  audit("community_labelprop") { plan =>
+    // the returned frame is the LAST round (earlier rounds are behind
+    // checkpoints — constant plan depth, the pagerank_hosts discipline)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "label votes must join on the host key")
+    assert(shuffleExchanges(plan) <= 4,
+      s"one round = bounded exchanges, saw ${shuffleExchanges(plan)}")
+  }
+
   test("whole-stage codegen: the per-row heads run as ONE fused span") {
     // The brief's "widen the WholeStageCodegen spans" check, made a gate:
     // each pure per-row head (scan → expressions → output, no shuffle)
