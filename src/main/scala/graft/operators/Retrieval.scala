@@ -38,6 +38,109 @@ object Retrieval {
       expr(s"winnow_fps(lower($textCol), $k, $w)").as("fps"))
   }
 
+  // --- percolation (standing-query routing) -------------------------------
+
+  /** Positive BM25+-style idf over columns (df, n_corpus) — shared verbatim
+    * with the oracle SQL so the fitted weights land on the same 1e-6 grid
+    * in both engines.
+    */
+  val PercIdfExpr: String =
+    "round(ln(1.0 + (CAST(n_corpus AS DOUBLE) - df + 0.5) / " +
+      "(CAST(df AS DOUBLE) + 0.5)), 6)"
+
+  /** Fit the standing-query weight table batch-side: each query doc's
+    * DISTINCT terms weighted by positive idf over the corpus slice. The
+    * corpus contributes one array_distinct explode with map-side partial
+    * counts (vocabulary-sized shuffle); query terms are a constant-size
+    * id-capped slice. Output: `(qid, term, idf)` — metadata-scale, safe to
+    * collect into literals (the k-means-centroids discipline).
+    */
+  def percolatorFit(docs: DataFrame, qCap: Long): DataFrame = {
+    val toks = graft.functions.Text.tokens(col("text"))
+    val corpus = docs.where(col("doc_id") >= qCap)
+    val dfreq = corpus.select(explode(array_distinct(toks)).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = corpus.agg(count(lit(1)).as("n_corpus"))
+    docs.where(col("doc_id") < qCap)
+      .select(col("doc_id").as("qid"), explode(array_distinct(toks)).as("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", expr(PercIdfExpr))
+      .select(col("qid"), col("term"), col("idf"))
+  }
+
+  /** The fitted table collected to driver literals, with each query's
+    * exact-decimal idf mass: `(qid, terms(term -> idf), total)`.
+    */
+  def collectStandingQueries(fitted: DataFrame)
+      : Seq[(Long, Seq[(String, Double)], Double)] =
+    fitted.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (qid, rows) =>
+        val terms = rows.map(t => (t._2, t._3)).sortBy(_._1).toSeq
+        // shortest-string BigDecimal: a round-6 double stringifies to its
+        // 6-digit decimal, so the sum is the EXACT grid sum the oracle's
+        // DECIMAL(30,6) aggregate computes (BigDecimal(double) would carry
+        // binary-expansion noise into the threshold)
+        val total = terms.map(t => BigDecimal(t._2.toString)).sum
+        (qid, terms, total.toDouble)
+      }
+
+  /** Per-row percolation alerts against literal standing queries — the
+    * streaming-safe form (NO aggregation, NO join, NO state store): the
+    * codegen'd [[graft.functions.PercolateScores]] fold probes a
+    * precomputed term table once per distinct token and accumulates every
+    * query's matched idf mass as exact integer micros in one pass, then a
+    * zip against the literal per-query thresholds keeps the alerts.
+    * Returns an array of `struct(qid, score)` holding only queries whose
+    * matched idf mass reaches `frac` of their total mass; explode drops
+    * rows with no alerts.
+    */
+  def percolateAlerts(spark: org.apache.spark.sql.SparkSession,
+                      textCol: Column,
+                      queries: Seq[(Long, Seq[(String, Double)], Double)],
+                      frac: Double): Column = {
+    val fn = graft.functions.PercolateScores.register(spark, queries)
+    val scores = call_function(fn, graft.functions.Text.tokens(textCol))
+    // per-query literal gate: qid + the same IEEE `frac * total` product
+    // the batch plan computes at runtime
+    val qmeta = array(queries.map { case (qid, _, total) =>
+      struct(lit(qid).as("qid"), lit(frac * total).as("thr"))
+    }: _*)
+    val alerts = zip_with(scores, qmeta, (s, m) => {
+      // micros -> the exact DECIMAL(·,6) the batch SUM(CAST ...) computes,
+      // then the same double cast
+      val dec = (s.cast("decimal(30,0)") *
+        lit(new java.math.BigDecimal("0.000001"))).cast("double")
+      when(dec >= m.getField("thr"),
+        struct(m.getField("qid").as("qid"), round(dec, 6).as("score")))
+        .otherwise(lit(null))
+    })
+    filter(alerts, a => a.isNotNull)
+  }
+
+  /** Batch percolation over the same fitted weights — the join-shaped plan
+    * a batch engine prefers (postings-free: docs explode DISTINCT terms,
+    * join the broadcast fitted table, one partial-aggregated decimal sum
+    * per (doc, query), alert where the mass fraction clears). Shares the
+    * oracle with the streaming twin.
+    */
+  def percolateBatch(docs: DataFrame, qCap: Long, frac: Double): DataFrame = {
+    val fitted = percolatorFit(docs, qCap)
+    val qtot = fitted.groupBy(col("qid"))
+      .agg(sum(col("idf").cast("decimal(30,6)")).cast("double").as("qtotal"))
+    val toks = graft.functions.Text.tokens(col("text"))
+    docs.where(col("doc_id") >= qCap)
+      .select(col("doc_id"), explode(array_distinct(toks)).as("term"))
+      .join(broadcast(fitted), Seq("term"))
+      .groupBy(col("doc_id"), col("qid"))
+      .agg(sum(col("idf").cast("decimal(30,6)")).cast("double").as("score"))
+      .join(broadcast(qtot), Seq("qid"))
+      .where(col("score") >= lit(frac) * col("qtotal"))
+      .select(col("doc_id"), col("qid"), round(col("score"), 6).as("score"))
+  }
+
   /** DuckDB twin of [[winnowFingerprints]] as an expression over a text
     * column `t` (already lowercased by the caller's CTE) — the same
     * code-array → gram-fold → window-min → distinct chain in list

@@ -48,6 +48,19 @@ object QueriesMining {
   private val CoocMin = 5L
   private val CoocTopK = 50
 
+  // Percolation: alert when a doc matches >= PercFrac of a standing
+  // query's idf mass. 0.875 (exactly representable, identical literal in
+  // both engines) sits at the ~65th percentile of the observed matched-mass
+  // spread on this shared-vocabulary corpus, so the gate discriminates.
+  // Shared with the streaming twin.
+  private[queries] val PercQCap = 20L
+  private[queries] val PercFrac = 0.875
+
+  // Caption-media alignment: the media id map pairs each caption with a
+  // pseudo-random partner, except every 5th pair which is PLANTED aligned
+  // (same vector, cosine 1); 0.5 splits planted (1.0) from near-orthogonal.
+  private val AlignThresh = 0.5
+
   // --- shared formula strings (Spark expr(...) == oracle SQL) -------------
 
   /** One BM25 term contribution over columns (tf, df, dl, n_corpus, avgdl).
@@ -104,15 +117,17 @@ object QueriesMining {
         (sum(size(col("w"))).cast("double") / count(lit(1))).as("avgdl"))
       val qterms = qdocs
         .select(col("qid"), explode(array_distinct(col("w"))).as("term"))
-      // df as a count window over the qterm-FILTERED postings: the filter
-      // is on the term key, so each surviving term still carries all its
-      // docs and the window count IS the document frequency — one postings
-      // build instead of two (a second full aggregate would rescan and
-      // re-explode every body).
+      // df via array_distinct BEFORE the explode: per-doc term dedup is
+      // row-local, so the count partial-aggregates map-side into a
+      // VOCABULARY-sized shuffle and broadcasts back — no postings-sized
+      // sort anywhere (a count window over the qterm-joined postings was
+      // measured 14.7x at the 10x step: it sorts |queries| x postings).
+      val dfreq = corpus
+        .select(explode(array_distinct(col("w"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
       val scored = tf
         .join(broadcast(qterms), Seq("term"))
-        .withColumn("df", count(lit(1)).over(
-          Window.partitionBy(col("term"), col("qid"))))
+        .join(broadcast(dfreq), Seq("term"))
         .crossJoin(broadcast(stats))
         .withColumn("contrib", expr(Bm25TermExpr))
         .groupBy(col("qid"), col("doc_id"))
@@ -198,6 +213,59 @@ object QueriesMining {
         .select(col("doc_id"), col("weight"), col("skey"), col("rnk"))
     },
 
+    // Standing-query percolation (the Elasticsearch-percolator shape): the
+    // id-capped query slice becomes a fitted idf weight table; every corpus
+    // doc routes to the queries whose matched idf mass clears the fraction.
+    // Batch form: docs explode DISTINCT terms (postings-free), join the
+    // broadcast fitted table, ONE partial-aggregated decimal sum per
+    // (doc, query), alert gate vs the broadcast per-query mass.
+    "percolate_route" -> { (s, d) =>
+      Retrieval.percolateBatch(documents(s, d), PercQCap, PercFrac)
+    },
+
+    // 2D Pareto front over (quality, length) — the skyline operator of
+    // curation: a doc survives iff no other doc dominates it on both axes.
+    // The front computes on the GRID-BOUNDED distinct-quality level table
+    // (group-max per quality, then a running max over strictly-higher
+    // quality levels) and broadcasts back — the corpus itself never sorts.
+    "curation_skyline" -> { (s, d) =>
+      val scored = documents(s, d).select(col("doc_id"),
+        Text.qualityScore(col("text")).as("quality"),
+        Text.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+      val glevel = scored.groupBy(col("quality"))
+        .agg(max(col("n_tokens")).as("gmax"))
+      val wcum = Window.orderBy(col("quality").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val fronts = glevel.withColumn("m1", max(col("gmax")).over(wcum))
+      scored.join(broadcast(fronts), Seq("quality"))
+        .select(col("doc_id"), col("quality"), col("n_tokens"),
+          ((col("m1").isNull || col("m1") < col("n_tokens")) &&
+            col("n_tokens") === col("gmax")).as("on_front"))
+    },
+
+    // Caption-media pair alignment (the CLIP-filter mechanics of LAION-style
+    // multimodal curation, on deterministic stand-in embeddings): each
+    // caption joins its paired media embedding through two id-keyed
+    // equi-joins and gates on cosine — planted aligned pairs (same vector)
+    // pass, pseudo-random partners sit near zero. Bodies never move; the
+    // cosine is the shared sequential fold.
+    "multimodal_pair_align" -> { (s, d) =>
+      import graft.operators.Similarity
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val n = e.count() // metadata-scale plan-build count (annIvf precedent)
+      val pairs = e.select(col("vec_id"),
+        when(pmod(col("vec_id"), lit(5)) === 0, col("vec_id"))
+          .otherwise(pmod(col("vec_id") * 7 + 3, lit(n))).as("media_id"))
+      val med = e.select(col("vec_id").as("media_id"),
+        col("embedding").as("mv"))
+      pairs.join(e, Seq("vec_id")).withColumnRenamed("embedding", "cv")
+        .join(med, Seq("media_id"))
+        .withColumn("cos", round(Similarity.cosine(
+          Similarity.toDouble(col("cv")), Similarity.toDouble(col("mv"))), 6))
+        .select(col("vec_id"), col("media_id"), col("cos"),
+          (col("cos") >= AlignThresh).as("aligned"))
+    },
+
     // PPMI co-occurrence mining: skip-window word pairs (distances 1-2,
     // unordered) scored by clipped pointwise mutual information — the
     // association table behind phrase detection and embedding pre-training.
@@ -243,7 +311,81 @@ object QueriesMining {
 
   // ------------------------------------------------------------ oracle SQL
 
+  /** Shared by percolate_route and stream_percolate (the streaming twin
+    * emits the same alert rows): fitted idf weights, per-query mass, and
+    * the matched-mass gate — every float an exact-decimal sum of 1e-6-grid
+    * idfs.
+    */
+  private[queries] def percolateSql: String =
+    s"""WITH corpus AS (
+          SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+          FROM documents WHERE doc_id >= $PercQCap),
+        qd AS (
+          SELECT doc_id AS qid, regexp_split_to_array(lower(text), '\\s+') AS w
+          FROM documents WHERE doc_id < $PercQCap),
+        dfreq AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS df
+          FROM (SELECT doc_id, unnest(list_distinct(w)) AS term FROM corpus)
+          GROUP BY term),
+        stats AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM corpus),
+        qterms AS (
+          SELECT DISTINCT qid, term
+          FROM (SELECT qid, unnest(list_distinct(w)) AS term FROM qd)),
+        qidf AS (
+          SELECT qid, term, ${graft.operators.Retrieval.PercIdfExpr} AS idf
+          FROM qterms JOIN dfreq USING (term) CROSS JOIN stats),
+        qtot AS (
+          SELECT qid, CAST(SUM(CAST(idf AS DECIMAL(30,6))) AS DOUBLE)
+                   AS qtotal
+          FROM qidf GROUP BY qid),
+        hits AS (
+          SELECT c.doc_id, q.qid,
+                 CAST(SUM(CAST(q.idf AS DECIMAL(30,6))) AS DOUBLE) AS score
+          FROM (SELECT doc_id, unnest(list_distinct(w)) AS term FROM corpus) c
+          JOIN qidf q USING (term)
+          GROUP BY c.doc_id, q.qid)
+        SELECT h.doc_id, h.qid, ROUND(h.score, 6) AS score
+        FROM hits h JOIN qtot t USING (qid)
+        WHERE h.score >= $PercFrac * t.qtotal"""
+
+  private val SkylineSrc =
+    """(SELECT doc_id, text,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+       FROM documents) dsrc"""
+
   val oracleSql: Map[String, String] = Map(
+
+    "percolate_route" -> percolateSql,
+
+    "curation_skyline" ->
+      s"""WITH s AS (${QueriesLlm.qualityScoreSql(SkylineSrc, Seq("n_tokens"))}),
+          g AS (SELECT quality, max(n_tokens) AS gmax FROM s GROUP BY quality),
+          c AS (SELECT quality, gmax,
+                       max(gmax) OVER (ORDER BY quality DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         AS m1
+                FROM g)
+          SELECT s.doc_id, s.quality, s.n_tokens,
+                 ((c.m1 IS NULL OR c.m1 < s.n_tokens)
+                   AND s.n_tokens = c.gmax) AS on_front
+          FROM s JOIN c USING (quality)""",
+
+    "multimodal_pair_align" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+          p AS (SELECT vec_id,
+                       CASE WHEN vec_id % 5 = 0 THEN vec_id
+                            ELSE (vec_id * 7 + 3) % nn.n END AS media_id
+                FROM e, nn),
+          j AS (SELECT p.vec_id, p.media_id, c.embedding AS cv,
+                       m.embedding AS mv
+                FROM p JOIN e c ON c.vec_id = p.vec_id
+                JOIN e m ON m.vec_id = p.media_id)
+          SELECT vec_id, media_id,
+                 ROUND(${QueriesLlm.cosSql("cv", "mv")}, 6) AS cos,
+                 ROUND(${QueriesLlm.cosSql("cv", "mv")}, 6) >= $AlignThresh
+                   AS aligned
+          FROM j""",
 
     "bm25_topk" ->
       s"""WITH $WordsCte,

@@ -153,6 +153,16 @@ object QueriesStreaming {
       Streaming.sftPackStream(s, d, s"graft_stream_sft_$run",
         fileSink(s"sft_$run"))
     },
+    // Standing-query routing at ingest: the fitted idf table embeds as
+    // literals (batch-fit reference state), every arriving doc scores
+    // per-row — no state store; alert rows equal the batch percolate_route
+    // exactly (shared oracle).
+    "stream_percolate" -> { (s, d) =>
+      val run = runId.incrementAndGet()
+      Streaming.percolate(s, d, s"graft_stream_perc_$run",
+        QueriesMining.PercQCap, QueriesMining.PercFrac,
+        fileSink(s"perc_$run"))
+    },
     // The `corpus:` config journey streamed: quality gate + watermarked
     // exact dedup at ingest — a crawl lands curated AND deduped in one job.
     // Output is the digest set (digest-deterministic where the kept doc_id
@@ -262,6 +272,7 @@ object QueriesStreaming {
 
     // same twin as the batch head: the stream is a replay of the table
     "stream_sft_pack" -> QueriesLlm.sftPackSql,
+    "stream_percolate" -> QueriesMining.percolateSql,
 
     // same twin as corpus_drift: the live emission equals the batch head
     "stream_drift" -> QueriesServe.corpusDriftSql,

@@ -322,6 +322,31 @@ object Streaming {
     sinkTo(spark, gated, tableName, "append", sinkDir)
   }
 
+  /** Standing-query percolation AT INGEST (the Elasticsearch-percolator
+    * shape, streamed): the fitted idf weight table comes from ONE batch
+    * fit (the reference-state-batch-side monitors discipline) and embeds
+    * as literals, so every arriving doc routes to its matching standing
+    * queries with NO join, NO aggregation, NO state store — one token-map
+    * build plus exact-decimal score folds per row, append mode to any
+    * sink. Emits the same alert rows as the batch twin (shared oracle).
+    */
+  def percolate(spark: SparkSession, sfDir: String, tableName: String,
+                qCap: Long, frac: Double,
+                sinkDir: Option[String] = None): DataFrame = {
+    import graft.operators.Retrieval
+    val fitted = Retrieval.collectStandingQueries(
+      Retrieval.percolatorFit(
+        graft.sources.Tables.documents(spark, sfDir), qCap))
+    val alerts = readTable(spark, sfDir, "documents")
+      .where(col("doc_id") >= qCap)
+      .select(col("doc_id"),
+        explode(Retrieval.percolateAlerts(spark, col("text"), fitted, frac))
+          .as("a"))
+      .select(col("doc_id"), col("a.qid").as("qid"),
+        col("a.score").as("score"))
+    sinkTo(spark, alerts, tableName, "append", sinkDir)
+  }
+
   /** SFT template rendering AT INGEST: the sft_pack per-row
     * render/mask/ctx computation applied to arriving docs — stateless
     * codegen'd expressions, no state store, no join — so a post-training

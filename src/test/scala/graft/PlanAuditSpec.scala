@@ -807,6 +807,34 @@ class PlanAuditSpec extends SparkSpec {
       "the top-k cut must be TakeOrdered")
   }
 
+  audit("percolate_route") { plan =>
+    // postings-free batch percolation: the fitted idf table and per-query
+    // masses broadcast; one partial-aggregated decimal sum per (doc, query)
+    assert(plan.contains("BroadcastHashJoin"),
+      "the fitted weight table must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "the corpus never co-shuffles with the fitted table")
+    assert(!plan.contains("Window"), "no rank funnel in the alert gate")
+  }
+
+  audit("curation_skyline") { plan =>
+    // the front computes on the grid-bounded quality-level table and
+    // broadcasts back; the corpus itself never sorts
+    assert(plan.contains("BroadcastHashJoin"),
+      "the front levels must broadcast back onto the corpus")
+    assert(!plan.contains("SortMergeJoin"),
+      "the corpus must not co-shuffle for the skyline")
+    assert(plan.contains("Window"),
+      "the running level max is the skyline recurrence")
+  }
+
+  audit("multimodal_pair_align") { plan =>
+    // two id-keyed equi-joins, no broadcast-nested-loop, no window
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "pair lookup is an equi-join on the id maps")
+    assert(!plan.contains("Window"), "pure per-pair scoring")
+  }
+
   audit("community_labelprop") { plan =>
     // the returned frame is the LAST round (earlier rounds are behind
     // checkpoints — constant plan depth, the pagerank_hosts discipline)
