@@ -57,6 +57,14 @@ object QueriesCuration {
   private val BudgetTokens = 2000L
   private val BudgetBuckets = 256
   private val BudgetSeed = 77
+  // mixture_weights: temperature-smoothed (α = 0.5: share ∝ √tokens, the
+  // multilingual-sampling upweighting of small sources) token-budget
+  // allocation across sources, capped at MixEpochCap epochs per source,
+  // with two deterministic waterfill redistribution rounds for budget the
+  // caps bounce. Budget = floor(MixBudgetFactor × corpus tokens) — over
+  // 1.0 so the caps genuinely bind on small sources.
+  private val MixBudgetFactor = 1.2
+  private val MixEpochCap = 1.25
 
   /** Shared distinct-3-gram CTE (the guard against <3-token docs is implicit
     * in DuckDB: generate_series(1, 0) is empty, unlike Spark's sequence).
@@ -470,10 +478,117 @@ object QueriesCuration {
       base.join(broadcast(cutoff), Seq("lang"), "left")
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("bucket"),
           (col("bucket") <= coalesce(col("cutoff"), lit(-1))).as("keep"))
+    },
+
+    // Temperature-smoothed source-mixture planning (share ∝ √avail — the
+    // multilingual-sampling rule), a token budget, per-source epoch caps,
+    // and two waterfill redistribution rounds: the mixing table a training
+    // run is configured from. ONE source-keyed corpus aggregate with
+    // map-side partials; every later stage lives on the |sources|-bounded
+    // frame (one-row scalar aggregates broadcast back, integer token
+    // arithmetic, exact-decimal share sums — nothing order-dependent
+    // crosses engines).
+    "mixture_weights" -> { (s, d) =>
+      import graft.functions.Text
+      val per = documents(s, d).groupBy(col("source"))
+        .agg(sum(Text.tokenCountWs(col("text")).cast("long")).as("avail"))
+        .withColumn("share", round(sqrt(col("avail").cast("double")), 6))
+      val stats = per.agg(sum(col("avail")).cast("long").as("tot_avail"),
+        sumDec(col("share"), 6).as("tot_share"))
+      val base = per.crossJoin(broadcast(stats))
+        .withColumn("budget",
+          floor(col("tot_avail").cast("double") * MixBudgetFactor)
+            .cast("long"))
+        .withColumn("w", col("share") / col("tot_share"))
+        .withColumn("cap",
+          floor(col("avail").cast("double") * MixEpochCap).cast("long"))
+        .withColumn("a0",
+          least(floor(col("budget").cast("double") * col("w")).cast("long"),
+            col("cap")))
+      val fill1 = base.agg(sum(col("a0")).cast("long").as("used0"),
+        sumDec(when(col("a0") < col("cap"), col("share"))
+          .otherwise(lit(0.0)), 6).as("ws1"))
+      val r1 = base.crossJoin(broadcast(fill1))
+        .withColumn("a1", when(col("a0") < col("cap") && col("ws1") > 0.0,
+          least(col("cap"), col("a0") +
+            floor((col("budget") - col("used0")).cast("double") *
+              (col("share") / col("ws1"))).cast("long")))
+          .otherwise(col("a0")))
+      val fill2 = r1.agg(sum(col("a1")).cast("long").as("used1"),
+        sumDec(when(col("a1") < col("cap"), col("share"))
+          .otherwise(lit(0.0)), 6).as("ws2"))
+      r1.crossJoin(broadcast(fill2))
+        .withColumn("alloc", when(col("a1") < col("cap") && col("ws2") > 0.0,
+          least(col("cap"), col("a1") +
+            floor((col("budget") - col("used1")).cast("double") *
+              (col("share") / col("ws2"))).cast("long")))
+          .otherwise(col("a1")))
+        .select(col("source"), col("avail").as("avail_tokens"),
+          round(col("w"), 6).as("weight"), col("cap").as("cap_tokens"),
+          col("alloc").as("alloc_tokens"),
+          round(col("alloc").cast("double") / col("avail"), 6).as("epochs"))
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+    "mixture_weights" ->
+      s"""WITH per AS (
+            SELECT source,
+                   CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+                     AS avail
+            FROM documents GROUP BY source),
+          per2 AS (
+            SELECT source, avail,
+                   ROUND(sqrt(CAST(avail AS DOUBLE)), 6) AS share
+            FROM per),
+          st AS (
+            SELECT CAST(SUM(avail) AS BIGINT) AS tot_avail,
+                   CAST(SUM(CAST(share AS DECIMAL(30,6))) AS DOUBLE)
+                     AS tot_share
+            FROM per2),
+          base AS (
+            SELECT source, avail, share,
+                   CAST(floor(CAST(tot_avail AS DOUBLE)
+                     * CAST($MixBudgetFactor AS DOUBLE)) AS BIGINT) AS budget,
+                   share / tot_share AS w,
+                   CAST(floor(CAST(avail AS DOUBLE)
+                     * CAST($MixEpochCap AS DOUBLE)) AS BIGINT) AS cap
+            FROM per2, st),
+          b0 AS (
+            SELECT *, LEAST(CAST(floor(CAST(budget AS DOUBLE) * w) AS BIGINT),
+                            cap) AS a0
+            FROM base),
+          f1 AS (
+            SELECT CAST(SUM(a0) AS BIGINT) AS used0,
+                   CAST(SUM(CAST(CASE WHEN a0 < cap THEN share ELSE 0.0 END
+                     AS DECIMAL(30,6))) AS DOUBLE) AS ws1
+            FROM b0),
+          b1 AS (
+            SELECT b0.*,
+                   CASE WHEN a0 < cap AND ws1 > 0.0
+                     THEN LEAST(cap, a0 + CAST(floor(
+                       CAST(budget - used0 AS DOUBLE) * (share / ws1))
+                       AS BIGINT))
+                     ELSE a0 END AS a1
+            FROM b0, f1),
+          f2 AS (
+            SELECT CAST(SUM(a1) AS BIGINT) AS used1,
+                   CAST(SUM(CAST(CASE WHEN a1 < cap THEN share ELSE 0.0 END
+                     AS DECIMAL(30,6))) AS DOUBLE) AS ws2
+            FROM b1),
+          b2 AS (
+            SELECT b1.*,
+                   CASE WHEN a1 < cap AND ws2 > 0.0
+                     THEN LEAST(cap, a1 + CAST(floor(
+                       CAST(budget - used1 AS DOUBLE) * (share / ws2))
+                       AS BIGINT))
+                     ELSE a1 END AS alloc
+            FROM b1, f2)
+          SELECT source, avail AS avail_tokens, ROUND(w, 6) AS weight,
+                 cap AS cap_tokens, alloc AS alloc_tokens,
+                 ROUND(CAST(alloc AS DOUBLE) / avail, 6) AS epochs
+          FROM b2""",
+
     "curation_decontam" ->
       s"""WITH $ngramCte,
           train_ng AS (SELECT doc_id, unnest(sh) AS ngram FROM ng),

@@ -95,12 +95,16 @@ object QueriesMining {
 
   val queries: Map[String, QueryFn] = Map(
 
-    // BM25 top-k sparse retrieval: the id-capped query slice searches the
-    // rest of the corpus through a real inverted-index plan — corpus term
-    // frequencies (with doc length) join the BROADCAST query-term list, the
-    // vocabulary-sized df table broadcasts, per-(query, doc) scores
-    // partial-aggregate, and the per-query top-k window funnels bounded
-    // cardinality. Bodies never shuffle — only (doc, term, tf) postings.
+    // BM25 top-k sparse retrieval, percolator-shaped: term frequency is
+    // ROW-LOCAL, so once the corpus statistics are fitted (per-query-term
+    // idf over the |query vocab|-bounded df aggregate, avgdl — metadata-
+    // scale driver state, the PercolateScores discipline), every doc scores
+    // all standing queries in ONE codegen'd fold and the only shuffle left
+    // is the bounded map-side top-k cut plus a 100-row broadcast join-back
+    // for n_terms. (The relational postings plan — explode, (doc, term, tf)
+    // aggregate, broadcast qterm/df joins, per-(query, doc) decimal sum —
+    // measured 10.1x at the sf1→sf10 step: linear in shuffled postings
+    // with zero amortization.)
     "bm25_topk" -> { (s, d) =>
       val docs = documents(s, d)
       val toks = Text.tokens(col("text"))
@@ -108,35 +112,46 @@ object QueriesMining {
         .select(col("doc_id"), toks.as("w"))
       val qdocs = docs.where(col("doc_id") < BmQCap)
         .select(col("doc_id").as("qid"), toks.as("w"))
-      val tf = corpus
-        .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
-          explode(col("w")).as("term"))
-        .groupBy(col("doc_id"), col("dl"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-      val stats = corpus.agg(count(lit(1)).as("n_corpus"),
+      val st = corpus.agg(count(lit(1)).as("n_corpus"),
         (sum(size(col("w"))).cast("double") / count(lit(1))).as("avgdl"))
-      val qterms = qdocs
+        .head()
+      val nCorpus = st.getLong(0)
+      val avgdl = st.getDouble(1)
+      val qt = qdocs
         .select(col("qid"), explode(array_distinct(col("w"))).as("term"))
-      // df via array_distinct BEFORE the explode: per-doc term dedup is
-      // row-local, so the count partial-aggregates map-side into a
-      // VOCABULARY-sized shuffle and broadcasts back — no postings-sized
-      // sort anywhere (a count window over the qterm-joined postings was
-      // measured 14.7x at the 10x step: it sorts |queries| x postings).
-      val dfreq = corpus
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val qidSeq = qt.map(_._1).distinct.sorted.toSeq
+      val qIdx = qidSeq.zipWithIndex.toMap
+      val qvocab = qt.map(_._2).distinct.toSeq
+      import s.implicits._
+      val dfMap = corpus
         .select(explode(array_distinct(col("w"))).as("term"))
+        .join(broadcast(qvocab.toDF("term")), Seq("term"), "left_semi")
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val scored = tf
-        .join(broadcast(qterms), Seq("term"))
-        .join(broadcast(dfreq), Seq("term"))
-        .crossJoin(broadcast(stats))
-        .withColumn("contrib", expr(Bm25TermExpr))
-        .groupBy(col("qid"), col("doc_id"))
-        .agg(sumDec(col("contrib"), 6).as("score"),
-          count(lit(1)).as("n_terms"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("score").desc, col("doc_id").asc)
-      scored.withColumn("rnk", row_number().over(w).cast("int"))
-        .where(col("rnk") <= BmTopK)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val masks = scala.collection.mutable.LinkedHashMap[String, Long]()
+      qt.foreach { case (qid, term) =>
+        if (dfMap.contains(term))
+          masks(term) = masks.getOrElse(term, 0L) | (1L << qIdx(qid))
+      }
+      val terms = masks.keys.toSeq
+      // same doubles, same association order as the oracle's
+      // ln((CAST(n AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      val idfs = terms.map { t =>
+        val df = dfMap(t)
+        math.log((nCorpus.toDouble - df + 0.5) / (df.toDouble + 0.5))
+      }
+      val fn = graft.functions.Bm25Scores.register(s, terms, idfs,
+        terms.map(masks), qidSeq, avgdl)
+      val scored = corpus
+        .select(col("doc_id"), explode(call_function(fn, col("w"))).as("e"))
+        .select(col("e.qid").as("qid"), col("doc_id"),
+          col("e.score").as("score"), col("e.n_terms").as("n_terms"))
+      val top = Curation.groupTopK(scored, "qid", "doc_id", col("score"),
+          BmTopK)
+        .select(col("qid").cast("long").as("qid"), col("doc_id"),
+          col("rank").cast("int").as("rnk"))
+      scored.join(broadcast(top), Seq("qid", "doc_id"))
         .select(col("qid"), col("doc_id"), round(col("score"), 6).as("score"),
           col("n_terms"), col("rnk"))
     },

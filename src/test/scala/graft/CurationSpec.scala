@@ -516,4 +516,28 @@ class CurationSpec extends SparkSpec {
     // the journey composes: the gate filtered AND the budget bit
     assert(got.nonEmpty && got.size < keepIds.size)
   }
+
+  test("mixture_weights: budget conserved, caps bind, smoothing favors " +
+    "small sources") {
+    val out = SparkEntry.queries("mixture_weights")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    val totalAvail = out.map(_._2).sum
+    val budget = math.floor(totalAvail * 1.2).toLong
+    val allocated = out.map(_._5).sum
+    assert(allocated <= budget, "over-allocation")
+    out.foreach { case (src, avail, _, cap, alloc, _) =>
+      assert(cap == math.floor(avail * 1.25).toLong, s"$src cap drifted")
+      assert(alloc <= cap, s"$src allocated past its epoch cap")
+    }
+    // two waterfill rounds exhaust the budget up to per-source floor dust
+    assert(allocated >= budget - 2L * out.length - totalAvail / 100,
+      s"waterfill left too much budget: $allocated of $budget")
+    // α = 0.5 smoothing: among uncapped sources the per-token rate (epochs)
+    // decreases as the source grows
+    val unc = out.filter(t => t._5 < t._4).sortBy(_._2)
+    if (unc.length >= 2)
+      assert(unc.head._6 >= unc.last._6 - 1e-4,
+        "smallest uncapped source must train at >= the largest's epochs")
+  }
 }

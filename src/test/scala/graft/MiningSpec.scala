@@ -96,6 +96,53 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("bm25_topk: the fold plan equals the relational postings reference") {
+    // the pre-restructure inverted-index plan, kept as the spec-pinned
+    // reference: (doc, term, tf) postings joined to broadcast query terms,
+    // vocabulary df, corpus stats; per-(query, doc) decimal sum; rank window
+    val docs = graft.queries.Q.documents(spark, sf)
+    val toksC = graft.functions.Text.tokens(col("text"))
+    val corpus = docs.where(col("doc_id") >= 20L)
+      .select(col("doc_id"), toksC.as("w"))
+    val qdocs = docs.where(col("doc_id") < 20L)
+      .select(col("doc_id").as("qid"), toksC.as("w"))
+    val tf = corpus.select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        explode(col("w")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = corpus.agg(count(lit(1)).as("n_corpus"),
+      (sum(size(col("w"))).cast("double") / count(lit(1))).as("avgdl"))
+    val qterms = qdocs
+      .select(col("qid"), explode(array_distinct(col("w"))).as("term"))
+    val dfreq = corpus.select(explode(array_distinct(col("w"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib =
+      "round(ln((CAST(n_corpus AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * " +
+        "((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * " +
+        "(0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))), 6)"
+    val scored = tf.join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", expr(contrib))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("contrib").cast("decimal(30,6)")).cast("double")
+        .as("score"), count(lit(1)).as("n_terms"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val ref = scored.withColumn("rnk", row_number().over(w).cast("int"))
+      .where(col("rnk") <= 5)
+      .select(col("qid"), col("doc_id"), round(col("score"), 6).as("score"),
+        col("n_terms"), col("rnk"))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getInt(4)))
+      .toSet
+    val out = SparkEntry.queries("bm25_topk")(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getInt(4)))
+      .toSet
+    assert(out == ref, s"fold diverged: ${out.size} vs ${ref.size}")
+  }
+
   test("entropy_gate: repetitive docs score below diverse docs") {
     val out = SparkEntry.queries("entropy_gate")(spark, sf)
     val ent = out.select(col("doc_id"), col("entropy"), col("n_distinct"),

@@ -759,13 +759,28 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   audit("bm25_topk") { plan =>
-    // inverted-index retrieval: query terms + vocabulary df BROADCAST onto
-    // the postings; corpus bodies never co-shuffle with the query side
+    // percolator-shaped retrieval: the fitted scorer folds per row, the
+    // top-k cut is the bounded typed aggregator, and the only join is the
+    // 100-row rank table broadcast back for n_terms — no postings
+    // aggregate, no rank window, no corpus-sized co-shuffle
+    assert(plan.contains("bm25scores("),
+      "scoring must run through the fitted Bm25Scores fold")
     assert(plan.contains("BroadcastHashJoin"),
-      "query terms and df must broadcast onto the postings")
+      "the bounded top-k rank table must broadcast back")
     assert(!plan.contains("SortMergeJoin"),
       "no corpus-sized co-shuffle in the retrieval join")
-    assert(plan.contains("Window"), "per-query top-k is the rank window")
+    assert(!plan.contains("Window"),
+      "the top-k cut is the bounded aggregator, not a rank window")
+  }
+
+  audit("mixture_weights") { plan =>
+    // one source-keyed corpus aggregate; the waterfill rounds live on the
+    // |sources|-bounded frame with one-row scalar aggregates broadcast back
+    assert(plan.contains("HashAggregate"),
+      "the per-source token aggregate must partial-aggregate")
+    assert(!plan.contains("SortMergeJoin"),
+      "scalar stats attach by broadcast, never a co-shuffle")
+    assert(!plan.contains("Window"), "no rank funnel in the waterfill")
   }
 
   audit("winnow_fingerprint") { plan =>
