@@ -379,6 +379,19 @@ object Curation {
     assign(v, kmeansCentroids(df, idCol, vecCol, k, iters)).drop("v")
   }
 
+  /** [[assign]] against pre-fitted centroid literals — the routing half of
+    * [[kmeansAssign]] for callers that fit once batch-side and score
+    * elsewhere (the streaming embed-route head): pure per-row codegen'd
+    * folds, streaming-safe.
+    */
+  def assignTo(df: DataFrame, idCol: String, vecCol: String,
+               centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    graft.functions.SliceL2.register(df.sparkSession)
+    val v = df.select(col(idCol).as("vec_id"),
+      Similarity.toDouble(col(vecCol)).as("v"))
+    assign(v, centroids).drop("v")
+  }
+
   /** The trained centroids alone — [[kmeansAssign]]'s Lloyd loop without
     * the final assignment, for callers that feed a coarse quantizer
     * (Similarity.annIvfTrained). k×dim doubles, driver-side by design.

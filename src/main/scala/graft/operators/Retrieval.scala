@@ -120,13 +120,30 @@ object Retrieval {
     filter(alerts, a => a.isNotNull)
   }
 
-  /** Batch percolation over the same fitted weights — the join-shaped plan
-    * a batch engine prefers (postings-free: docs explode DISTINCT terms,
-    * join the broadcast fitted table, one partial-aggregated decimal sum
-    * per (doc, query), alert where the mass fraction clears). Shares the
-    * oracle with the streaming twin.
+  /** Batch percolation: the same fitted-fold plan as the streaming twin —
+    * the fitted weight table is metadata-scale BY construction (standing
+    * queries are few), so the per-row [[percolateAlerts]] fold beats any
+    * join shape at every scale (the join-shaped
+    * [[percolateBatchRelational]] measured 108 s vs the fold's ~17 s on the
+    * same 1000x corpus; it survives as the spec-pinned reference).
     */
   def percolateBatch(docs: DataFrame, qCap: Long, frac: Double): DataFrame = {
+    val fitted = collectStandingQueries(percolatorFit(docs, qCap))
+    docs.where(col("doc_id") >= qCap)
+      .select(col("doc_id"),
+        explode(percolateAlerts(docs.sparkSession, col("text"), fitted, frac))
+          .as("a"))
+      .select(col("doc_id"), col("a.qid").as("qid"),
+        col("a.score").as("score"))
+  }
+
+  /** The join-shaped batch plan (docs explode DISTINCT terms, join the
+    * broadcast fitted table, one partial-aggregated decimal sum per
+    * (doc, query), alert where the mass fraction clears) — kept as the
+    * spec-pinned reference for the fold.
+    */
+  def percolateBatchRelational(docs: DataFrame, qCap: Long,
+                               frac: Double): DataFrame = {
     val fitted = percolatorFit(docs, qCap)
     val qtot = fitted.groupBy(col("qid"))
       .agg(sum(col("idf").cast("decimal(30,6)")).cast("double").as("qtotal"))

@@ -163,6 +163,15 @@ object QueriesStreaming {
         QueriesMining.PercQCap, QueriesMining.PercFrac,
         fileSink(s"perc_$run"))
     },
+    // Online cluster routing: centroids fit once batch-side, every arriving
+    // embedding routes per-row through the codegen'd literal fold — the
+    // shard assignment of a continuously embedded corpus. Rows equal the
+    // batch curation_kmeans head exactly (shared oracle).
+    "stream_embed_route" -> { (s, d) =>
+      val run = runId.incrementAndGet()
+      Streaming.embedRoute(s, d, s"graft_stream_route_$run", 4, 2,
+        fileSink(s"route_$run"))
+    },
     // The `corpus:` config journey streamed: quality gate + watermarked
     // exact dedup at ingest — a crawl lands curated AND deduped in one job.
     // Output is the digest set (digest-deterministic where the kept doc_id
@@ -273,6 +282,7 @@ object QueriesStreaming {
     // same twin as the batch head: the stream is a replay of the table
     "stream_sft_pack" -> QueriesLlm.sftPackSql,
     "stream_percolate" -> QueriesMining.percolateSql,
+    "stream_embed_route" -> QueriesCuration.oracleSql("curation_kmeans"),
 
     // same twin as corpus_drift: the live emission equals the batch head
     "stream_drift" -> QueriesServe.corpusDriftSql,

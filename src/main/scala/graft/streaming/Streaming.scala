@@ -347,6 +347,27 @@ object Streaming {
     sinkTo(spark, alerts, tableName, "append", sinkDir)
   }
 
+  /** K-means cluster routing AT INGEST: the centroids fit ONCE batch-side
+    * (Curation.kmeansCentroids — the batch-fit-reference-state discipline)
+    * and embed as codegen'd literals, so every arriving embedding routes
+    * to its nearest centroid with NO join, NO aggregation, NO state store
+    * — the online shard/cluster assignment of a continuously embedded
+    * corpus. Emits the same rows as the batch curation_kmeans head
+    * (SHARED oracle).
+    */
+  def embedRoute(spark: SparkSession, sfDir: String, tableName: String,
+                 k: Int, iters: Int,
+                 sinkDir: Option[String] = None): DataFrame = {
+    import graft.operators.Curation
+    val centroids = Curation.kmeansCentroids(
+      graft.sources.Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+      k, iters)
+    val routed = Curation.assignTo(
+      readTable(spark, sfDir, "embeddings"), "vec_id", "embedding", centroids)
+      .select(col("vec_id"), col("cluster"), col("dist"))
+    sinkTo(spark, routed, tableName, "append", sinkDir)
+  }
+
   /** SFT template rendering AT INGEST: the sft_pack per-row
     * render/mask/ctx computation applied to arriving docs — stateless
     * codegen'd expressions, no state store, no join — so a post-training

@@ -540,4 +540,13 @@ class CurationSpec extends SparkSpec {
       assert(unc.head._6 >= unc.last._6 - 1e-4,
         "smallest uncapped source must train at >= the largest's epochs")
   }
+
+  test("stream_embed_route equals the batch curation_kmeans assignment") {
+    val sf = "/root/testdata/sf0.001"
+    val batch = SparkEntry.queries("curation_kmeans")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val streamed = SparkEntry.queries("stream_embed_route")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }

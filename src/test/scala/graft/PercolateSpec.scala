@@ -19,20 +19,14 @@ class PercolateSpec extends SparkSpec {
     assert(keys.distinct.length == keys.length)
   }
 
-  test("percolateAlerts equals percolateBatch row for row") {
+  test("the fitted fold equals the join-shaped relational reference") {
     val docs = graft.sources.Tables.documents(spark, sf)
-    val fitted = Retrieval.collectStandingQueries(
-      Retrieval.percolatorFit(docs, 20L))
-    val perRow = docs.where(col("doc_id") >= 20L)
-      .select(col("doc_id"),
-        explode(Retrieval.percolateAlerts(spark, col("text"), fitted, 0.875))
-          .as("a"))
-      .select(col("doc_id"), col("a.qid"), col("a.score"))
+    val fold = Retrieval.percolateBatch(docs, 20L, 0.875)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val batch = Retrieval.percolateBatch(docs, 20L, 0.875)
+    val relational = Retrieval.percolateBatchRelational(docs, 20L, 0.875)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(perRow == batch,
-      s"streaming per-row path diverged: ${perRow.size} vs ${batch.size}")
+    assert(fold == relational,
+      s"fold diverged from the join plan: ${fold.size} vs ${relational.size}")
   }
 
   test("percolate: a query doc's own text routes to that query at mass 1") {

@@ -823,12 +823,15 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   audit("percolate_route") { plan =>
-    // postings-free batch percolation: the fitted idf table and per-query
-    // masses broadcast; one partial-aggregated decimal sum per (doc, query)
-    assert(plan.contains("BroadcastHashJoin"),
-      "the fitted weight table must broadcast")
-    assert(!plan.contains("SortMergeJoin"),
-      "the corpus never co-shuffles with the fitted table")
+    // fitted-fold percolation: the metadata-scale weight table embeds in
+    // the codegen'd PercolateScores fold — the scoring plan is scan →
+    // fold → explode, no join, no aggregation, no shuffle at all
+    assert(plan.contains("percolatescores("),
+      "scoring must run through the fitted PercolateScores fold")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("BroadcastHashJoin"),
+      "the fold plan needs no scoring join")
+    assert(!plan.contains("Exchange"), "zero-shuffle per-row alert gate")
     assert(!plan.contains("Window"), "no rank funnel in the alert gate")
   }
 
