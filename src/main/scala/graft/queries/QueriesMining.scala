@@ -56,6 +56,19 @@ object QueriesMining {
   private[queries] val PercQCap = 20L
   private[queries] val PercFrac = 0.875
 
+  // Count-min-sketch heavy hitters: H sha-keyed rows × W cells (the tiny
+  // shared vocabulary collides in a 64-cell row on purpose — the
+  // min-over-rows estimate and the exact-verify stage both exercise);
+  // threshold = total tokens DIV CmsDiv — 29 puts the cut INSIDE the
+  // observed count cluster (sf0.01: counts 26..964, τ≈936), so collided
+  // terms clear the sketch gate and fail the verify: real false positives
+  // flow through the report. Integer state end to end, so the sketch
+  // hash-verifies like an exact query. Shared with the streaming twin
+  // (same cells accumulated in complete mode, bounded groups).
+  private[queries] val CmsH = 2
+  private[queries] val CmsW = 64L
+  private[queries] val CmsDiv = 29L
+
   // Caption-media alignment: the media id map pairs each caption with a
   // pseudo-random partner, except every 5th pair which is PLANTED aligned
   // (same vector, cosine 1); 0.5 splits planted (1.0) from near-orthogonal.
@@ -238,6 +251,21 @@ object QueriesMining {
       Retrieval.percolateBatch(documents(s, d), PercQCap, PercFrac)
     },
 
+    // Count-min-sketch heavy hitters: the h×w integer sketch builds in ONE
+    // map-side-merged pass (bounded state at any corpus size — the
+    // mergeable-sketch posture), distinct terms probe the broadcast cells,
+    // and only the candidates that clear total/CmsDiv pay an exact count
+    // (semi-join) — the full-vocabulary aggregate never runs. Sketch false
+    // positives surface as heavy=false rows (the verify stage's keep).
+    "heavy_hitters" -> { (s, d) =>
+      import graft.operators.Sketches
+      val toks = documents(s, d)
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+      val cells = Sketches.cmsCells(toks, CmsH, CmsW)
+        .localCheckpoint() // ≤ h×w rows; probed by row and by the total
+      Sketches.cmsHeavyReport(toks, cells, CmsH, CmsW, CmsDiv)
+    },
+
     // 2D Pareto front over (quality, length) — the skyline operator of
     // curation: a doc survives iff no other doc dominates it on both axes.
     // The front computes on the GRID-BOUNDED distinct-quality level table
@@ -363,6 +391,41 @@ object QueriesMining {
         FROM hits h JOIN qtot t USING (qid)
         WHERE h.score >= $PercFrac * t.qtotal"""
 
+  /** Shared by heavy_hitters and stream_heavy_hitters (the stream drains
+    * the same integer cells): sketch build, min-over-rows probe, candidate
+    * gate, exact verify on candidates only.
+    */
+  private[queries] def heavyHittersSql: String = {
+    import graft.operators.Sketches.cmsPosSql
+    val unions = (0 until CmsH).map(h =>
+      s"SELECT $h AS h, ${cmsPosSql(h, "tok", CmsW)} AS pos FROM toks")
+      .mkString("\n            UNION ALL\n            ")
+    val joins = (0 until CmsH).map(h =>
+      s"JOIN cells c$h ON c$h.h = $h AND c$h.pos = ${cmsPosSql(h, "d.tok", CmsW)}")
+      .mkString("\n          ")
+    val estExpr = (0 until CmsH).map(h => s"c$h.cnt").mkString("LEAST(", ", ", ")")
+    s"""WITH toks AS (
+          SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+          FROM documents),
+        cells AS (
+          SELECT h, pos, CAST(count(*) AS BIGINT) AS cnt
+          FROM ($unions)
+          GROUP BY h, pos),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cells WHERE h = 0),
+        dist AS (SELECT DISTINCT tok FROM toks),
+        probed AS (
+          SELECT d.tok, $estExpr AS est
+          FROM dist d
+          $joins),
+        cand AS (SELECT tok, est, total FROM probed, tot
+                 WHERE est >= total // $CmsDiv),
+        exact AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks
+          WHERE tok IN (SELECT tok FROM cand) GROUP BY tok)
+        SELECT c.tok, c.est, e.cnt, e.cnt >= c.total // $CmsDiv AS heavy
+        FROM cand c JOIN exact e USING (tok)"""
+  }
+
   private val SkylineSrc =
     """(SELECT doc_id, text,
          CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
@@ -371,6 +434,8 @@ object QueriesMining {
   val oracleSql: Map[String, String] = Map(
 
     "percolate_route" -> percolateSql,
+
+    "heavy_hitters" -> heavyHittersSql,
 
     "curation_skyline" ->
       s"""WITH s AS (${QueriesLlm.qualityScoreSql(SkylineSrc, Seq("n_tokens"))}),

@@ -163,6 +163,15 @@ object QueriesStreaming {
         QueriesMining.PercQCap, QueriesMining.PercFrac,
         fileSink(s"perc_$run"))
     },
+    // CMS heavy hitters at ingest: the integer sketch accumulates live in
+    // complete mode (state ≤ h×w groups however many docs arrive); the
+    // drained cells feed the batch head's candidate+verify report exactly
+    // (shared oracle).
+    "stream_heavy_hitters" -> { (s, d) =>
+      val run = runId.incrementAndGet()
+      Streaming.heavyHitters(s, d, s"graft_stream_cms_$run",
+        QueriesMining.CmsH, QueriesMining.CmsW, QueriesMining.CmsDiv)
+    },
     // Online cluster routing: centroids fit once batch-side, every arriving
     // embedding routes per-row through the codegen'd literal fold — the
     // shard assignment of a continuously embedded corpus. Rows equal the
@@ -283,6 +292,7 @@ object QueriesStreaming {
     "stream_sft_pack" -> QueriesLlm.sftPackSql,
     "stream_percolate" -> QueriesMining.percolateSql,
     "stream_embed_route" -> QueriesCuration.oracleSql("curation_kmeans"),
+    "stream_heavy_hitters" -> QueriesMining.heavyHittersSql,
 
     // same twin as corpus_drift: the live emission equals the batch head
     "stream_drift" -> QueriesServe.corpusDriftSql,

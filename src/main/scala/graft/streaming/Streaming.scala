@@ -347,6 +347,26 @@ object Streaming {
     sinkTo(spark, alerts, tableName, "append", sinkDir)
   }
 
+  /** Count-min-sketch heavy hitters AT INGEST: the h×w INTEGER cells
+    * accumulate live in complete mode — state bounded at ≤ h×w groups
+    * regardless of arrival count (the stream_drift discipline applied to a
+    * mergeable sketch) — then the drained sketch feeds the same candidate
+    * probe + exact-verify report as the batch head (SHARED oracle). The
+    * at-rest slice pays the verify, the stream never holds more than the
+    * sketch.
+    */
+  def heavyHitters(spark: SparkSession, sfDir: String, tableName: String,
+                   h: Int, w: Long, divisor: Long): DataFrame = {
+    import graft.operators.Sketches
+    val toksLive = readTable(spark, sfDir, "documents")
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+    val drained = sinkTo(spark, Sketches.cmsCells(toksLive, h, w),
+      tableName, "complete", None)
+    val toksRest = graft.sources.Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+    Sketches.cmsHeavyReport(toksRest, drained, h, w, divisor)
+  }
+
   /** K-means cluster routing AT INGEST: the centroids fit ONCE batch-side
     * (Curation.kmeansCentroids — the batch-fit-reference-state discipline)
     * and embed as codegen'd literals, so every arriving embedding routes

@@ -143,6 +143,35 @@ class MiningSpec extends SparkSpec {
     assert(out == ref, s"fold diverged: ${out.size} vs ${ref.size}")
   }
 
+  test("heavy_hitters: CMS upper-bounds, the verify catches false positives") {
+    val out = SparkEntry.queries("heavy_hitters")(spark, sf)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (t, est, cnt, _) =>
+      assert(est >= cnt, s"$t: the CMS estimate must upper-bound the count")
+    }
+    // heavy is the VERIFIED verdict against the same integer threshold
+    val total = graft.queries.Q.documents(spark, sf)
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+      .count()
+    val tau = total / 29
+    out.foreach { case (t, _, cnt, heavy) =>
+      assert(heavy == (cnt >= tau), s"$t: verify verdict drifted")
+    }
+    assert(out.exists(_._4), "some term must verify heavy")
+  }
+
+  test("stream_heavy_hitters equals the batch head (shared oracle)") {
+    val a = SparkEntry.queries("heavy_hitters")(spark, sf)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val b = SparkEntry.queries("stream_heavy_hitters")(spark, sf)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("entropy_gate: repetitive docs score below diverse docs") {
     val out = SparkEntry.queries("entropy_gate")(spark, sf)
     val ent = out.select(col("doc_id"), col("entropy"), col("n_distinct"),

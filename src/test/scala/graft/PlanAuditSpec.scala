@@ -835,6 +835,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), "no rank funnel in the alert gate")
   }
 
+  audit("heavy_hitters") { plan =>
+    // the h×w sketch and the candidate set broadcast; the exact verify is
+    // the only remaining aggregate over corpus rows (semi-join-restricted)
+    assert(plan.contains("BroadcastHashJoin"),
+      "sketch cells and candidates must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "nothing corpus-sized co-shuffles")
+    assert(!plan.contains("Window"), "no rank funnel in the report")
+  }
+
   audit("curation_skyline") { plan =>
     // the front computes on the grid-bounded quality-level table and
     // broadcasts back; the corpus itself never sorts
