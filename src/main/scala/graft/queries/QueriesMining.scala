@@ -69,6 +69,24 @@ object QueriesMining {
   private[queries] val CmsW = 64L
   private[queries] val CmsDiv = 29L
 
+  // Zipf fit: least-squares slope of ln(freq) on ln(rank) over the
+  // vocabulary table — the frequency-law health check (a natural corpus
+  // slopes ~ -1; template/boilerplate corpora flatten, spam steepens).
+  // All sums are exact decimals of round-6 terms; products round BEFORE
+  // the sum (the quality_length_corr lesson).
+  private val ZipfMinCnt = 2L
+
+  // Span corruption (the T5/UL2 pretraining example builder), made
+  // BLOCK-DETERMINISTIC: corruption decisions are keyed per (doc, 8-token
+  // block) — gate < 0.5, offset in [0,6), length in {1,2} — so spans can
+  // never overlap, every decision is independent (embarrassingly parallel,
+  // exactly what a distributed builder wants), and both engines replay the
+  // same sha-ratio draws. Sentinels number spans left to right.
+  private val ScBlock = 8
+  private val ScGateSeed = 601
+  private val ScOffSeed = 602
+  private val ScLenSeed = 603
+
   // Caption-media alignment: the media id map pairs each caption with a
   // pseudo-random partner, except every 5th pair which is PLANTED aligned
   // (same vector, cosine 1); 0.5 splits planted (1.0) from near-orthogonal.
@@ -266,6 +284,88 @@ object QueriesMining {
       Sketches.cmsHeavyReport(toks, cells, CmsH, CmsW, CmsDiv)
     },
 
+    // Zipf's-law fit over the vocabulary: one vocab-bounded aggregate, a
+    // rank window on the bounded frequency table, and a one-row
+    // least-squares reduction — the corpus-health metric that flags
+    // template-flooded or spam-steepened corpora before training does.
+    "zipf_fit" -> { (s, d) =>
+      val freq = documents(s, d)
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= ZipfMinCnt)
+      val w = Window.orderBy(col("cnt").desc, col("tok").asc)
+      val xy = freq.withColumn("rnk", row_number().over(w).cast("long"))
+        .select(round(log(col("rnk").cast("double")), 6).as("x"),
+          round(log(col("cnt").cast("double")), 6).as("y"))
+        .select(col("x"), col("y"), round(col("x") * col("y"), 6).as("xy"),
+          round(col("x") * col("x"), 6).as("xx"))
+      xy.agg(count(lit(1)).cast("long").as("n_vocab"),
+          sumDec(col("x"), 6).as("sx"), sumDec(col("y"), 6).as("sy"),
+          sumDec(col("xy"), 6).as("sxy"), sumDec(col("xx"), 6).as("sxx"))
+        .select(col("n_vocab"),
+          round((col("n_vocab") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_vocab") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("slope"),
+          round((col("sy") - ((col("n_vocab") * col("sxy") -
+            col("sx") * col("sy")) /
+            (col("n_vocab") * col("sxx") - col("sx") * col("sx"))) *
+            col("sx")) / col("n_vocab"), 6).as("intercept"))
+    },
+
+    // T5-style span corruption: one per-row pass builds (inputs, targets)
+    // pretraining pairs — block-keyed sha-ratio draws pick the spans
+    // (non-overlapping BY CONSTRUCTION, so no sequential scan state), an
+    // aggregate fold splices sentinel tokens into the input, and a
+    // two-arg transform numbers the target spans. Zero shuffle.
+    "span_corrupt" -> { (s, d) =>
+      import graft.operators.Curation
+      val w = col("w")
+      val n = size(w).cast("long")
+      val blocks = sequence(lit(0L),
+        ceil(n.cast("double") / ScBlock).cast("long") - 1)
+      def ratio(b: org.apache.spark.sql.Column, seed: Int) = Curation.hashRatio(
+        concat(col("doc_id").cast("string"), lit(":"), b.cast("string")),
+        seed)
+      val spans = filter(
+        transform(blocks, b => {
+          val start = b * ScBlock +
+            floor(ratio(b, ScOffSeed) * (ScBlock - 2)).cast("long")
+          val len0 = floor(ratio(b, ScLenSeed) * 2).cast("long") + 1
+          when(ratio(b, ScGateSeed) < 0.5 && start < n,
+            struct(start.as("start"),
+              least(len0, n - start).as("len"))).otherwise(lit(null))
+        }), sp => sp.isNotNull)
+      def sentinel(i: org.apache.spark.sql.Column) =
+        concat(lit("<X"), i.cast("string"), lit(">"))
+      val inputsArr = {
+        val acc0 = struct(
+          slice(w, 1, 0).as("arr"), lit(0L).as("pos"), lit(0L).as("idx"))
+        aggregate(spans, acc0,
+          (acc, sp) => struct(
+            concat(acc.getField("arr"),
+              slice(w, (acc.getField("pos") + 1).cast("int"),
+                (sp.getField("start") - acc.getField("pos")).cast("int")),
+              array(sentinel(acc.getField("idx")))).as("arr"),
+            (sp.getField("start") + sp.getField("len")).as("pos"),
+            (acc.getField("idx") + 1).as("idx")),
+          acc => concat(acc.getField("arr"),
+            slice(w, (acc.getField("pos") + 1).cast("int"),
+              (n - acc.getField("pos")).cast("int"))))
+      }
+      val targetsArr = flatten(transform(spans, (sp, i) =>
+        concat(array(sentinel(i.cast("long"))),
+          slice(w, (sp.getField("start") + 1).cast("int"),
+            sp.getField("len").cast("int")))))
+      documents(s, d)
+        .select(col("doc_id"), Text.tokens(col("text")).as("w"))
+        .select(col("doc_id"), n.as("n_tokens"),
+          size(spans).cast("long").as("n_spans"),
+          aggregate(spans, lit(0L),
+            (a, sp) => a + sp.getField("len")).as("n_corrupted"),
+          array_join(inputsArr, " ").as("inputs"),
+          array_join(targetsArr, " ").as("targets"))
+    },
+
     // 2D Pareto front over (quality, length) — the skyline operator of
     // curation: a doc survives iff no other doc dominates it on both axes.
     // The front computes on the GRID-BOUNDED distinct-quality level table
@@ -436,6 +536,98 @@ object QueriesMining {
     "percolate_route" -> percolateSql,
 
     "heavy_hitters" -> heavyHittersSql,
+
+    "span_corrupt" -> {
+      def r(seed: Int) =
+        s"CAST(CAST('0x' || substr(sha256('$seed|' || " +
+          s"CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 3, 14) " +
+          s"AS BIGINT) & 9007199254740991 AS DOUBLE) / 9007199254740992.0"
+      s"""WITH $WordsCte,
+          wn AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM words),
+          blocks AS (
+            SELECT doc_id, w, n,
+                   unnest(generate_series(0,
+                     CAST(CEIL(n / $ScBlock.0) AS BIGINT) - 1)) AS b
+            FROM wn),
+          cand AS (
+            SELECT doc_id, w, n, b,
+                   ${r(ScGateSeed)} < 0.5 AS corrupt,
+                   CAST(b * $ScBlock
+                     + floor(${r(ScOffSeed)} * ${ScBlock - 2}) AS BIGINT)
+                     AS start,
+                   CAST(floor(${r(ScLenSeed)} * 2) + 1 AS BIGINT) AS ln0
+            FROM blocks),
+          spans AS (
+            SELECT doc_id, w, n, start, LEAST(ln0, n - start) AS ln,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1
+                     AS idx
+            FROM cand WHERE corrupt AND start < n),
+          pos AS (
+            SELECT doc_id, w, n, unnest(generate_series(1, n)) AS p FROM wn),
+          emit AS (
+            SELECT p.doc_id, p.p,
+                   CASE WHEN s.start IS NULL THEN p.w[p.p]
+                        WHEN p.p - 1 = s.start THEN '<X' || s.idx || '>'
+                        ELSE NULL END AS tok
+            FROM pos p LEFT JOIN spans s
+              ON s.doc_id = p.doc_id
+             AND p.p - 1 >= s.start AND p.p - 1 < s.start + s.ln),
+          inp AS (
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS inputs
+            FROM emit WHERE tok IS NOT NULL GROUP BY doc_id),
+          tseg AS (
+            SELECT doc_id, idx,
+                   '<X' || idx || '> '
+                     || array_to_string(w[start + 1 : start + ln], ' ')
+                     AS seg
+            FROM spans),
+          tgt AS (
+            SELECT doc_id, string_agg(seg, ' ' ORDER BY idx) AS targets
+            FROM tseg GROUP BY doc_id),
+          stats AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(sum(ln) AS BIGINT) AS n_corrupted
+            FROM spans GROUP BY doc_id)
+          SELECT d.doc_id, d.n AS n_tokens,
+                 coalesce(st.n_spans, 0) AS n_spans,
+                 coalesce(st.n_corrupted, 0) AS n_corrupted,
+                 coalesce(i.inputs, array_to_string(d.w, ' ')) AS inputs,
+                 coalesce(t.targets, '') AS targets
+          FROM wn d
+          LEFT JOIN stats st USING (doc_id)
+          LEFT JOIN inp i USING (doc_id)
+          LEFT JOIN tgt t USING (doc_id)"""
+    },
+
+    "zipf_fit" ->
+      s"""WITH toks AS (
+            SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+            FROM documents),
+          freq AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks
+            GROUP BY tok HAVING count(*) >= $ZipfMinCnt),
+          r AS (
+            SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC)
+                     AS rnk
+            FROM freq),
+          xy AS (
+            SELECT ROUND(ln(CAST(rnk AS DOUBLE)), 6) AS x,
+                   ROUND(ln(CAST(cnt AS DOUBLE)), 6) AS y
+            FROM r),
+          x2 AS (SELECT x, y, ROUND(x * y, 6) AS xy, ROUND(x * x, 6) AS xx
+                 FROM xy),
+          s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+                   ${sumDecSql("x", 6)} AS sx, ${sumDecSql("y", 6)} AS sy,
+                   ${sumDecSql("xy", 6)} AS sxy, ${sumDecSql("xx", 6)} AS sxx
+            FROM x2)
+          SELECT n_vocab,
+                 ROUND((n_vocab * sxy - sx * sy)
+                   / (n_vocab * sxx - sx * sx), 6) AS slope,
+                 ROUND((sy - ((n_vocab * sxy - sx * sy)
+                   / (n_vocab * sxx - sx * sx)) * sx) / n_vocab, 6)
+                   AS intercept
+          FROM s""",
 
     "curation_skyline" ->
       s"""WITH s AS (${QueriesLlm.qualityScoreSql(SkylineSrc, Seq("n_tokens"))}),

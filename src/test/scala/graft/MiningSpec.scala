@@ -172,6 +172,57 @@ class MiningSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("span_corrupt: inputs + targets round-trip to the original text") {
+    val rows = SparkEntry.queries("span_corrupt")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    val orig = graft.queries.Q.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("\\s+").toSeq).toMap
+    val Sent = "<X(\\d+)>".r
+    var corrupted = 0L
+    rows.foreach { case (id, nSpans, nCorr, inputs, targets) =>
+      // parse targets into sentinel-indexed spans
+      val spans = scala.collection.mutable.Map[Int, Vector[String]]()
+      var cur = -1
+      targets.split(" ").filter(_.nonEmpty).foreach {
+        case Sent(i) => cur = i.toInt; spans(cur) = Vector()
+        case t => spans(cur) = spans(cur) :+ t
+      }
+      assert(spans.size == nSpans, s"doc $id: span count")
+      assert(spans.values.map(_.size).sum == nCorr, s"doc $id: span mass")
+      val rebuilt = inputs.split(" ").filter(_.nonEmpty).toSeq.flatMap {
+        case Sent(i) => spans(i.toInt)
+        case t => Seq(t)
+      }
+      assert(rebuilt == orig(id), s"doc $id: round-trip failed")
+      corrupted += nCorr
+    }
+    assert(corrupted > 0, "some spans must corrupt")
+  }
+
+  test("zipf_fit: least-squares slope matches a driver-side refit") {
+    val out = SparkEntry.queries("zipf_fit")(spark, sf).head()
+    val freq = graft.queries.Q.documents(spark, sf)
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .filter(_._2 >= 2)
+      .sortBy { case (t, c) => (-c, t) }
+    assert(out.getLong(0) == freq.length)
+    val xy = freq.zipWithIndex.map { case ((_, c), i) =>
+      (math.log(i + 1.0), math.log(c.toDouble))
+    }
+    val n = xy.length.toDouble
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxy = xy.map(t => t._1 * t._2).sum
+    val sxx = xy.map(t => t._1 * t._1).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(out.getDouble(1) - slope) < 1e-3,
+      s"slope ${out.getDouble(1)} vs refit $slope")
+  }
+
   test("entropy_gate: repetitive docs score below diverse docs") {
     val out = SparkEntry.queries("entropy_gate")(spark, sf)
     val ent = out.select(col("doc_id"), col("entropy"), col("n_distinct"),

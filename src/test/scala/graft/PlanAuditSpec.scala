@@ -845,6 +845,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), "no rank funnel in the report")
   }
 
+  audit("span_corrupt") { plan =>
+    // the example builder is ONE per-row pass: no join, no shuffle, no
+    // aggregate — every corruption decision is block-local by construction
+    assert(!plan.contains("Exchange"), "zero-shuffle per-row builder")
+    assert(!plan.contains("Join"), "no join in the builder")
+    assert(!plan.contains("Window"), "no sequential scan state")
+  }
+
+  audit("zipf_fit") { plan =>
+    // one vocabulary-bounded aggregate; the rank window and the regression
+    // reduction run on the bounded frequency table
+    assert(plan.contains("HashAggregate"),
+      "the vocabulary count must partial-aggregate")
+    assert(!plan.contains("Join"), "no join anywhere in the fit")
+  }
+
   audit("curation_skyline") { plan =>
     // the front computes on the grid-bounded quality-level table and
     // broadcasts back; the corpus itself never sorts
