@@ -122,6 +122,59 @@ object QueriesMining {
          SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
          FROM documents)"""
 
+  /** The span-corruption frame transformation — shared verbatim by the
+    * batch head and the streaming twin (the sftPackFrame discipline), so
+    * the at-rest and at-ingest paths cannot drift.
+    */
+  private[graft] def spanCorruptFrame(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = col("w")
+    val n = size(w).cast("long")
+    val blocks = sequence(lit(0L),
+      ceil(n.cast("double") / ScBlock).cast("long") - 1)
+    def ratio(b: org.apache.spark.sql.Column, seed: Int) = Curation.hashRatio(
+      concat(col("doc_id").cast("string"), lit(":"), b.cast("string")),
+      seed)
+    val spans = filter(
+      transform(blocks, b => {
+        val start = b * ScBlock +
+          floor(ratio(b, ScOffSeed) * (ScBlock - 2)).cast("long")
+        val len0 = floor(ratio(b, ScLenSeed) * 2).cast("long") + 1
+        when(ratio(b, ScGateSeed) < 0.5 && start < n,
+          struct(start.as("start"),
+            least(len0, n - start).as("len"))).otherwise(lit(null))
+      }), sp => sp.isNotNull)
+    def sentinel(i: org.apache.spark.sql.Column) =
+      concat(lit("<X"), i.cast("string"), lit(">"))
+    val inputsArr = {
+      val acc0 = struct(
+        slice(w, 1, 0).as("arr"), lit(0L).as("pos"), lit(0L).as("idx"))
+      aggregate(spans, acc0,
+        (acc, sp) => struct(
+          concat(acc.getField("arr"),
+            slice(w, (acc.getField("pos") + 1).cast("int"),
+              (sp.getField("start") - acc.getField("pos")).cast("int")),
+            array(sentinel(acc.getField("idx")))).as("arr"),
+          (sp.getField("start") + sp.getField("len")).as("pos"),
+          (acc.getField("idx") + 1).as("idx")),
+        acc => concat(acc.getField("arr"),
+          slice(w, (acc.getField("pos") + 1).cast("int"),
+            (n - acc.getField("pos")).cast("int"))))
+    }
+    val targetsArr = flatten(transform(spans, (sp, i) =>
+      concat(array(sentinel(i.cast("long"))),
+        slice(w, (sp.getField("start") + 1).cast("int"),
+          sp.getField("len").cast("int")))))
+    docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("w"))
+      .select(col("doc_id"), n.as("n_tokens"),
+        size(spans).cast("long").as("n_spans"),
+        aggregate(spans, lit(0L),
+          (a, sp) => a + sp.getField("len")).as("n_corrupted"),
+        array_join(inputsArr, " ").as("inputs"),
+        array_join(targetsArr, " ").as("targets"))
+  }
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, QueryFn] = Map(
@@ -284,6 +337,22 @@ object QueriesMining {
       Sketches.cmsHeavyReport(toks, cells, CmsH, CmsW, CmsDiv)
     },
 
+    // N-gram diversity per source (the Self-BLEU-style collapse detector:
+    // synthetic or template-flooded sources repeat trigram windows, so
+    // distinct/total falls): one (source, gram)-keyed exact two-level
+    // aggregate — map-side partials, gram-vocabulary-bounded shuffle.
+    "ngram_diversity" -> { (s, d) =>
+      documents(s, d).select(col("source"),
+          explode(Text.shingles(Text.tokens(col("text")), 3)).as("gram"))
+        .groupBy(col("source"), col("gram")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("distinct_trigrams"),
+          sum(col("cnt")).cast("long").as("n_trigrams"))
+        .select(col("source"), col("n_trigrams"), col("distinct_trigrams"),
+          round(col("distinct_trigrams").cast("double") / col("n_trigrams"),
+            6).as("diversity"))
+    },
+
     // Zipf's-law fit over the vocabulary: one vocab-bounded aggregate, a
     // rank window on the bounded frequency table, and a one-row
     // least-squares reduction — the corpus-health metric that flags
@@ -317,54 +386,7 @@ object QueriesMining {
     // (non-overlapping BY CONSTRUCTION, so no sequential scan state), an
     // aggregate fold splices sentinel tokens into the input, and a
     // two-arg transform numbers the target spans. Zero shuffle.
-    "span_corrupt" -> { (s, d) =>
-      import graft.operators.Curation
-      val w = col("w")
-      val n = size(w).cast("long")
-      val blocks = sequence(lit(0L),
-        ceil(n.cast("double") / ScBlock).cast("long") - 1)
-      def ratio(b: org.apache.spark.sql.Column, seed: Int) = Curation.hashRatio(
-        concat(col("doc_id").cast("string"), lit(":"), b.cast("string")),
-        seed)
-      val spans = filter(
-        transform(blocks, b => {
-          val start = b * ScBlock +
-            floor(ratio(b, ScOffSeed) * (ScBlock - 2)).cast("long")
-          val len0 = floor(ratio(b, ScLenSeed) * 2).cast("long") + 1
-          when(ratio(b, ScGateSeed) < 0.5 && start < n,
-            struct(start.as("start"),
-              least(len0, n - start).as("len"))).otherwise(lit(null))
-        }), sp => sp.isNotNull)
-      def sentinel(i: org.apache.spark.sql.Column) =
-        concat(lit("<X"), i.cast("string"), lit(">"))
-      val inputsArr = {
-        val acc0 = struct(
-          slice(w, 1, 0).as("arr"), lit(0L).as("pos"), lit(0L).as("idx"))
-        aggregate(spans, acc0,
-          (acc, sp) => struct(
-            concat(acc.getField("arr"),
-              slice(w, (acc.getField("pos") + 1).cast("int"),
-                (sp.getField("start") - acc.getField("pos")).cast("int")),
-              array(sentinel(acc.getField("idx")))).as("arr"),
-            (sp.getField("start") + sp.getField("len")).as("pos"),
-            (acc.getField("idx") + 1).as("idx")),
-          acc => concat(acc.getField("arr"),
-            slice(w, (acc.getField("pos") + 1).cast("int"),
-              (n - acc.getField("pos")).cast("int"))))
-      }
-      val targetsArr = flatten(transform(spans, (sp, i) =>
-        concat(array(sentinel(i.cast("long"))),
-          slice(w, (sp.getField("start") + 1).cast("int"),
-            sp.getField("len").cast("int")))))
-      documents(s, d)
-        .select(col("doc_id"), Text.tokens(col("text")).as("w"))
-        .select(col("doc_id"), n.as("n_tokens"),
-          size(spans).cast("long").as("n_spans"),
-          aggregate(spans, lit(0L),
-            (a, sp) => a + sp.getField("len")).as("n_corrupted"),
-          array_join(inputsArr, " ").as("inputs"),
-          array_join(targetsArr, " ").as("targets"))
-    },
+    "span_corrupt" -> { (s, d) => spanCorruptFrame(documents(s, d)) },
 
     // 2D Pareto front over (quality, length) — the skyline operator of
     // curation: a doc survives iff no other doc dominates it on both axes.
@@ -598,6 +620,21 @@ object QueriesMining {
           LEFT JOIN inp i USING (doc_id)
           LEFT JOIN tgt t USING (doc_id)"""
     },
+
+    "ngram_diversity" ->
+      """WITH words AS (
+           SELECT source, regexp_split_to_array(lower(text), '\s+') AS w
+           FROM documents),
+         g AS (
+           SELECT source,
+                  unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          FOR i IN generate_series(1, len(w) - 2)]) AS gram
+           FROM words WHERE len(w) >= 3)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_trigrams,
+                CAST(count(DISTINCT gram) AS BIGINT) AS distinct_trigrams,
+                ROUND(CAST(count(DISTINCT gram) AS DOUBLE) / count(*), 6)
+                  AS diversity
+         FROM g GROUP BY source""",
 
     "zipf_fit" ->
       s"""WITH toks AS (

@@ -163,6 +163,14 @@ object QueriesStreaming {
         QueriesMining.PercQCap, QueriesMining.PercFrac,
         fileSink(s"perc_$run"))
     },
+    // Span corruption at ingest: stateless per-row example building (the
+    // block-keyed draws need no scan state), shared frame with the batch
+    // head (shared oracle).
+    "stream_span_corrupt" -> { (s, d) =>
+      val run = runId.incrementAndGet()
+      Streaming.spanCorrupt(s, d, s"graft_stream_sc_$run",
+        fileSink(s"sc_$run"))
+    },
     // CMS heavy hitters at ingest: the integer sketch accumulates live in
     // complete mode (state ≤ h×w groups however many docs arrive); the
     // drained cells feed the batch head's candidate+verify report exactly
@@ -293,6 +301,7 @@ object QueriesStreaming {
     "stream_percolate" -> QueriesMining.percolateSql,
     "stream_embed_route" -> QueriesCuration.oracleSql("curation_kmeans"),
     "stream_heavy_hitters" -> QueriesMining.heavyHittersSql,
+    "stream_span_corrupt" -> QueriesMining.oracleSql("span_corrupt"),
 
     // same twin as corpus_drift: the live emission equals the batch head
     "stream_drift" -> QueriesServe.corpusDriftSql,

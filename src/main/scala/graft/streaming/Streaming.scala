@@ -347,6 +347,20 @@ object Streaming {
     sinkTo(spark, alerts, tableName, "append", sinkDir)
   }
 
+  /** Span corruption AT INGEST: the T5-style example builder applied to
+    * arriving docs — corruption decisions are block-keyed sha draws, so
+    * the pass is stateless per row (NO state store, NO join) and a crawl
+    * lands as (inputs, targets) pretraining pairs as it arrives. Shares
+    * ONE frame transformation (QueriesMining.spanCorruptFrame) with the
+    * batch head, so the paths cannot drift (the sftPackFrame discipline).
+    */
+  def spanCorrupt(spark: SparkSession, sfDir: String, tableName: String,
+                  sinkDir: Option[String] = None): DataFrame = {
+    val pairs = graft.queries.QueriesMining.spanCorruptFrame(
+      readTable(spark, sfDir, "documents"))
+    sinkTo(spark, pairs, tableName, "append", sinkDir)
+  }
+
   /** Count-min-sketch heavy hitters AT INGEST: the h×w INTEGER cells
     * accumulate live in complete mode — state bounded at ≤ h×w groups
     * regardless of arrival count (the stream_drift discipline applied to a

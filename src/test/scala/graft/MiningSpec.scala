@@ -202,6 +202,38 @@ class MiningSpec extends SparkSpec {
     assert(corrupted > 0, "some spans must corrupt")
   }
 
+  test("stream_span_corrupt equals the batch head (shared frame)") {
+    val a = SparkEntry.queries("span_corrupt")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(4), r.getString(5)))
+      .toSet
+    val b = SparkEntry.queries("stream_span_corrupt")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(4), r.getString(5)))
+      .toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("ngram_diversity: a repeated text scores below a diverse one") {
+    import spark.implicits._
+    val df = Seq(
+      ("rep", "a b c a b c a b c a b c"),
+      ("div", "one two three four five six seven eight nine ten"))
+      .toDF("source", "text")
+    val g = df.select(col("source"),
+        explode(graft.functions.Text.shingles(
+          graft.functions.Text.tokens(col("text")), 3)).as("gram"))
+      .groupBy(col("source"), col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("double").as("d"), sum(col("cnt")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1) /
+        r.getLong(2)).toMap
+    assert(g("rep") < 0.5 && g("div") == 1.0,
+      s"diversity must separate: $g")
+    // and the real head emits one row per source with ratio in (0, 1]
+    val out2 = SparkEntry.queries("ngram_diversity")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(3)))
+    assert(out2.nonEmpty && out2.forall(t => t._2 > 0.0 && t._2 <= 1.0))
+  }
+
   test("zipf_fit: least-squares slope matches a driver-side refit") {
     val out = SparkEntry.queries("zipf_fit")(spark, sf).head()
     val freq = graft.queries.Q.documents(spark, sf)

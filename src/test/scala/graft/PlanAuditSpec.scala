@@ -853,6 +853,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), "no sequential scan state")
   }
 
+  audit("ngram_diversity") { plan =>
+    // exact two-level distinct: (source, gram) partial-aggregates map-side
+    assert(plan.contains("HashAggregate"),
+      "the gram aggregate must partial-aggregate")
+    assert(!plan.contains("Join"), "no join in the diversity metric")
+    assert(!plan.contains("Window"), "no rank funnel")
+  }
+
   audit("zipf_fit") { plan =>
     // one vocabulary-bounded aggregate; the rank window and the regression
     // reduction run on the bounded frequency table
