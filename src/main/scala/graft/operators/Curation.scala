@@ -379,6 +379,70 @@ object Curation {
     assign(v, kmeansCentroids(df, idCol, vecCol, k, iters)).drop("v")
   }
 
+  // --- span corruption (the T5/UL2 pretraining example builder) ------------
+  // Block-deterministic: corruption decisions key per (id, SpanBlock-token
+  // block) on sha-ratio draws — gate < 0.5, offset in [0, SpanBlock-2),
+  // length in {1, 2} — so spans can NEVER overlap, every decision is
+  // independent (embarrassingly parallel, no sequential scan state), and
+  // both engines replay the same draws. Sentinels number spans left to
+  // right. Constants are public: the oracle SQL interpolates them.
+  val SpanBlock = 8
+  val SpanGateSeed = 601
+  val SpanOffSeed = 602
+  val SpanLenSeed = 603
+
+  /** One per-row pass from (id, text) to (id, n_tokens, n_spans,
+    * n_corrupted, inputs, targets): an aggregate fold splices sentinel
+    * tokens into the input, a two-arg transform numbers the target spans.
+    * Zero shuffle. Shared verbatim by the batch head, the streaming twin,
+    * and the `corrupt:` corpus stage, so the paths cannot drift.
+    */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = col("w")
+    val n = size(w).cast("long")
+    val blocks = sequence(lit(0L),
+      ceil(n.cast("double") / SpanBlock).cast("long") - 1)
+    def ratio(b: Column, seed: Int) = hashRatio(
+      concat(col(idCol).cast("string"), lit(":"), b.cast("string")), seed)
+    val spans = filter(
+      transform(blocks, b => {
+        val start = b * SpanBlock +
+          floor(ratio(b, SpanOffSeed) * (SpanBlock - 2)).cast("long")
+        val len0 = floor(ratio(b, SpanLenSeed) * 2).cast("long") + 1
+        when(ratio(b, SpanGateSeed) < 0.5 && start < n,
+          struct(start.as("start"),
+            least(len0, n - start).as("len"))).otherwise(lit(null))
+      }), sp => sp.isNotNull)
+    def sentinel(i: Column) = concat(lit("<X"), i.cast("string"), lit(">"))
+    val inputsArr = {
+      val acc0 = struct(
+        slice(w, 1, 0).as("arr"), lit(0L).as("pos"), lit(0L).as("idx"))
+      aggregate(spans, acc0,
+        (acc, sp) => struct(
+          concat(acc.getField("arr"),
+            slice(w, (acc.getField("pos") + 1).cast("int"),
+              (sp.getField("start") - acc.getField("pos")).cast("int")),
+            array(sentinel(acc.getField("idx")))).as("arr"),
+          (sp.getField("start") + sp.getField("len")).as("pos"),
+          (acc.getField("idx") + 1).as("idx")),
+        acc => concat(acc.getField("arr"),
+          slice(w, (acc.getField("pos") + 1).cast("int"),
+            (n - acc.getField("pos")).cast("int"))))
+    }
+    val targetsArr = flatten(transform(spans, (sp, i) =>
+      concat(array(sentinel(i.cast("long"))),
+        slice(w, (sp.getField("start") + 1).cast("int"),
+          sp.getField("len").cast("int")))))
+    docs
+      .select(col(idCol), Text.tokens(col(textCol)).as("w"))
+      .select(col(idCol), n.as("n_tokens"),
+        size(spans).cast("long").as("n_spans"),
+        aggregate(spans, lit(0L),
+          (a, sp) => a + sp.getField("len")).as("n_corrupted"),
+        array_join(inputsArr, " ").as("inputs"),
+        array_join(targetsArr, " ").as("targets"))
+  }
+
   /** [[assign]] against pre-fitted centroid literals — the routing half of
     * [[kmeansAssign]] for callers that fit once batch-side and score
     * elsewhere (the streaming embed-route head): pure per-row codegen'd

@@ -156,6 +156,12 @@ object Config {
     * — Curation.chunkDocuments.
     */
   final case class CorpusChunk(size: Int, stride: Int) extends CorpusStep
+  /** T5-style span corruption (terminal step — it reshapes rows into
+    * (inputs, targets) pretraining pairs) — Curation.spanCorrupt; the
+    * block/seed constants are engine-fixed so both engines and the oracle
+    * replay the same draws.
+    */
+  final case class CorpusCorrupt() extends CorpusStep
   /** CROSS-RUN incremental near-dup dedup against a PERSISTED minhash
     * index (operators/IncrementalDedup): the curated increment ingests
     * under `generation` (idempotent by key), and only documents canonical
@@ -1029,6 +1035,9 @@ object Config {
         val f = intOpt(t, "min_freq").getOrElse(2)
         if (f < 2) fail(s"$ctx.min_freq must be >= 2, got $f")
         CorpusDedupLines(f.toLong)
+      case "corrupt" =>
+        check()
+        CorpusCorrupt()
       case other => fail(s"unknown corpus step '$other'")
     }
   }
@@ -1045,6 +1054,9 @@ object Config {
         fail("corpus: 'chunk' must be the last step (it reshapes rows)")
       case (_: CorpusShard, i) if i != steps.length - 1 =>
         fail("corpus: 'shard' must be the last step (it appends serving columns)")
+      case (_: CorpusCorrupt, i) if i != steps.length - 1 =>
+        fail("corpus: 'corrupt' must be the last step (it reshapes rows " +
+          "into (inputs, targets) pairs)")
       case _ => ()
     }
     CorpusDef(str(t, "source", "corpus"),

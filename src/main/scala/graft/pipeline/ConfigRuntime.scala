@@ -544,6 +544,11 @@ object ConfigRuntime {
         case Config.CorpusChunk(size, stride) =>
           graft.operators.Curation.chunkDocuments(df, c.idCol, c.textCol,
             size, stride)
+        case Config.CorpusCorrupt() =>
+          // terminal example-builder step: one per-row pass to
+          // (inputs, targets) pretraining pairs — block-keyed draws, no
+          // scan state, zero shuffle (the span_corrupt head's builder)
+          graft.operators.Curation.spanCorrupt(df, c.idCol, c.textCol)
         case Config.CorpusDedupIncremental(index, genKey, threshold) =>
           // ingest the curated increment into the persisted index (only
           // NEW distinct texts sign — IncrementalDedup's two-level path),
@@ -828,6 +833,9 @@ object ConfigRuntime {
           case Config.CorpusChunk(size, stride) =>
             graft.operators.Curation.chunkDocuments(df, c.idCol, c.textCol,
               size, stride)
+          case Config.CorpusCorrupt() =>
+            // stateless per-row example building — streams as it arrives
+            graft.operators.Curation.spanCorrupt(df, c.idCol, c.textCol)
           case Config.CorpusTokenize(artifact, _) =>
             // streamable ONLY under an already-trained artifact: the merge
             // table hydrates at plan build and the per-row fold expression

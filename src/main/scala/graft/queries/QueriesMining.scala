@@ -81,11 +81,13 @@ object QueriesMining {
   // block) — gate < 0.5, offset in [0,6), length in {1,2} — so spans can
   // never overlap, every decision is independent (embarrassingly parallel,
   // exactly what a distributed builder wants), and both engines replay the
-  // same sha-ratio draws. Sentinels number spans left to right.
-  private val ScBlock = 8
-  private val ScGateSeed = 601
-  private val ScOffSeed = 602
-  private val ScLenSeed = 603
+  // same sha-ratio draws. Sentinels number spans left to right. The
+  // builder and its constants live in operators/Curation (shared with the
+  // `corrupt:` corpus stage); the oracle interpolates the same values.
+  private val ScBlock = Curation.SpanBlock
+  private val ScGateSeed = Curation.SpanGateSeed
+  private val ScOffSeed = Curation.SpanOffSeed
+  private val ScLenSeed = Curation.SpanLenSeed
 
   // Caption-media alignment: the media id map pairs each caption with a
   // pseudo-random partner, except every 5th pair which is PLANTED aligned
@@ -122,57 +124,83 @@ object QueriesMining {
          SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
          FROM documents)"""
 
-  /** The span-corruption frame transformation — shared verbatim by the
-    * batch head and the streaming twin (the sftPackFrame discipline), so
-    * the at-rest and at-ingest paths cannot drift.
+  /** The span-corruption frame — delegates to the shared
+    * [[graft.operators.Curation.spanCorrupt]] builder (the sftPackFrame
+    * discipline: ONE transformation for the at-rest path, the at-ingest
+    * path, and the `corrupt:` corpus stage, so they cannot drift).
     */
   private[graft] def spanCorruptFrame(
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val w = col("w")
-    val n = size(w).cast("long")
-    val blocks = sequence(lit(0L),
-      ceil(n.cast("double") / ScBlock).cast("long") - 1)
-    def ratio(b: org.apache.spark.sql.Column, seed: Int) = Curation.hashRatio(
-      concat(col("doc_id").cast("string"), lit(":"), b.cast("string")),
-      seed)
-    val spans = filter(
-      transform(blocks, b => {
-        val start = b * ScBlock +
-          floor(ratio(b, ScOffSeed) * (ScBlock - 2)).cast("long")
-        val len0 = floor(ratio(b, ScLenSeed) * 2).cast("long") + 1
-        when(ratio(b, ScGateSeed) < 0.5 && start < n,
-          struct(start.as("start"),
-            least(len0, n - start).as("len"))).otherwise(lit(null))
-      }), sp => sp.isNotNull)
-    def sentinel(i: org.apache.spark.sql.Column) =
-      concat(lit("<X"), i.cast("string"), lit(">"))
-    val inputsArr = {
-      val acc0 = struct(
-        slice(w, 1, 0).as("arr"), lit(0L).as("pos"), lit(0L).as("idx"))
-      aggregate(spans, acc0,
-        (acc, sp) => struct(
-          concat(acc.getField("arr"),
-            slice(w, (acc.getField("pos") + 1).cast("int"),
-              (sp.getField("start") - acc.getField("pos")).cast("int")),
-            array(sentinel(acc.getField("idx")))).as("arr"),
-          (sp.getField("start") + sp.getField("len")).as("pos"),
-          (acc.getField("idx") + 1).as("idx")),
-        acc => concat(acc.getField("arr"),
-          slice(w, (acc.getField("pos") + 1).cast("int"),
-            (n - acc.getField("pos")).cast("int"))))
-    }
-    val targetsArr = flatten(transform(spans, (sp, i) =>
-      concat(array(sentinel(i.cast("long"))),
-        slice(w, (sp.getField("start") + 1).cast("int"),
-          sp.getField("len").cast("int")))))
-    docs
-      .select(col("doc_id"), Text.tokens(col("text")).as("w"))
-      .select(col("doc_id"), n.as("n_tokens"),
-        size(spans).cast("long").as("n_spans"),
-        aggregate(spans, lit(0L),
-          (a, sp) => a + sp.getField("len")).as("n_corrupted"),
-        array_join(inputsArr, " ").as("inputs"),
-        array_join(targetsArr, " ").as("targets"))
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    Curation.spanCorrupt(docs, "doc_id", "text")
+
+  /** DuckDB twin of [[graft.operators.Curation.spanCorrupt]] as tail CTEs
+    * over any (doc_id, text) relation — sc_-prefixed names so it composes
+    * into the corpus-journey WITH chains (the chunkTailSql discipline).
+    * Shared by span_corrupt, stream_span_corrupt, and config_corpus_pretrain.
+    */
+  private[queries] def spanCorruptTailSql(rel: String): String = {
+    def r(seed: Int) =
+      s"CAST(CAST('0x' || substr(sha256('$seed|' || " +
+        s"CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 3, 14) " +
+        s"AS BIGINT) & 9007199254740991 AS DOUBLE) / 9007199254740992.0"
+    s"""sc_words AS (
+          SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+          FROM $rel),
+        sc_wn AS (
+          SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM sc_words),
+        sc_blocks AS (
+          SELECT doc_id, w, n,
+                 unnest(generate_series(0,
+                   CAST(CEIL(n / $ScBlock.0) AS BIGINT) - 1)) AS b
+          FROM sc_wn),
+        sc_cand AS (
+          SELECT doc_id, w, n, b,
+                 ${r(ScGateSeed)} < 0.5 AS corrupt,
+                 CAST(b * $ScBlock
+                   + floor(${r(ScOffSeed)} * ${ScBlock - 2}) AS BIGINT)
+                   AS start,
+                 CAST(floor(${r(ScLenSeed)} * 2) + 1 AS BIGINT) AS ln0
+          FROM sc_blocks),
+        sc_spans AS (
+          SELECT doc_id, w, n, start, LEAST(ln0, n - start) AS ln,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1
+                   AS idx
+          FROM sc_cand WHERE corrupt AND start < n),
+        sc_pos AS (
+          SELECT doc_id, w, n, unnest(generate_series(1, n)) AS p
+          FROM sc_wn),
+        sc_emit AS (
+          SELECT p.doc_id, p.p,
+                 CASE WHEN s.start IS NULL THEN p.w[p.p]
+                      WHEN p.p - 1 = s.start THEN '<X' || s.idx || '>'
+                      ELSE NULL END AS tok
+          FROM sc_pos p LEFT JOIN sc_spans s
+            ON s.doc_id = p.doc_id
+           AND p.p - 1 >= s.start AND p.p - 1 < s.start + s.ln),
+        sc_inp AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS inputs
+          FROM sc_emit WHERE tok IS NOT NULL GROUP BY doc_id),
+        sc_tseg AS (
+          SELECT doc_id, idx,
+                 '<X' || idx || '> '
+                   || array_to_string(w[start + 1 : start + ln], ' ') AS seg
+          FROM sc_spans),
+        sc_tgt AS (
+          SELECT doc_id, string_agg(seg, ' ' ORDER BY idx) AS targets
+          FROM sc_tseg GROUP BY doc_id),
+        sc_stats AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                 CAST(sum(ln) AS BIGINT) AS n_corrupted
+          FROM sc_spans GROUP BY doc_id)
+        SELECT d.doc_id, d.n AS n_tokens,
+               coalesce(st.n_spans, 0) AS n_spans,
+               coalesce(st.n_corrupted, 0) AS n_corrupted,
+               coalesce(i.inputs, array_to_string(d.w, ' ')) AS inputs,
+               coalesce(t.targets, '') AS targets
+        FROM sc_wn d
+        LEFT JOIN sc_stats st USING (doc_id)
+        LEFT JOIN sc_inp i USING (doc_id)
+        LEFT JOIN sc_tgt t USING (doc_id)"""
   }
 
   // ---------------------------------------------------------------- queries
@@ -559,67 +587,7 @@ object QueriesMining {
 
     "heavy_hitters" -> heavyHittersSql,
 
-    "span_corrupt" -> {
-      def r(seed: Int) =
-        s"CAST(CAST('0x' || substr(sha256('$seed|' || " +
-          s"CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 3, 14) " +
-          s"AS BIGINT) & 9007199254740991 AS DOUBLE) / 9007199254740992.0"
-      s"""WITH $WordsCte,
-          wn AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM words),
-          blocks AS (
-            SELECT doc_id, w, n,
-                   unnest(generate_series(0,
-                     CAST(CEIL(n / $ScBlock.0) AS BIGINT) - 1)) AS b
-            FROM wn),
-          cand AS (
-            SELECT doc_id, w, n, b,
-                   ${r(ScGateSeed)} < 0.5 AS corrupt,
-                   CAST(b * $ScBlock
-                     + floor(${r(ScOffSeed)} * ${ScBlock - 2}) AS BIGINT)
-                     AS start,
-                   CAST(floor(${r(ScLenSeed)} * 2) + 1 AS BIGINT) AS ln0
-            FROM blocks),
-          spans AS (
-            SELECT doc_id, w, n, start, LEAST(ln0, n - start) AS ln,
-                   row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1
-                     AS idx
-            FROM cand WHERE corrupt AND start < n),
-          pos AS (
-            SELECT doc_id, w, n, unnest(generate_series(1, n)) AS p FROM wn),
-          emit AS (
-            SELECT p.doc_id, p.p,
-                   CASE WHEN s.start IS NULL THEN p.w[p.p]
-                        WHEN p.p - 1 = s.start THEN '<X' || s.idx || '>'
-                        ELSE NULL END AS tok
-            FROM pos p LEFT JOIN spans s
-              ON s.doc_id = p.doc_id
-             AND p.p - 1 >= s.start AND p.p - 1 < s.start + s.ln),
-          inp AS (
-            SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS inputs
-            FROM emit WHERE tok IS NOT NULL GROUP BY doc_id),
-          tseg AS (
-            SELECT doc_id, idx,
-                   '<X' || idx || '> '
-                     || array_to_string(w[start + 1 : start + ln], ' ')
-                     AS seg
-            FROM spans),
-          tgt AS (
-            SELECT doc_id, string_agg(seg, ' ' ORDER BY idx) AS targets
-            FROM tseg GROUP BY doc_id),
-          stats AS (
-            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
-                   CAST(sum(ln) AS BIGINT) AS n_corrupted
-            FROM spans GROUP BY doc_id)
-          SELECT d.doc_id, d.n AS n_tokens,
-                 coalesce(st.n_spans, 0) AS n_spans,
-                 coalesce(st.n_corrupted, 0) AS n_corrupted,
-                 coalesce(i.inputs, array_to_string(d.w, ' ')) AS inputs,
-                 coalesce(t.targets, '') AS targets
-          FROM wn d
-          LEFT JOIN stats st USING (doc_id)
-          LEFT JOIN inp i USING (doc_id)
-          LEFT JOIN tgt t USING (doc_id)"""
-    },
+    "span_corrupt" -> s"WITH ${spanCorruptTailSql("documents")}",
 
     "ngram_diversity" ->
       """WITH words AS (

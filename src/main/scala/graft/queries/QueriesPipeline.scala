@@ -228,6 +228,41 @@ object QueriesPipeline {
           WHERE lab.doc_id = lab.cluster_id),
         ${QueriesCuration.chunkTailSql("kept2", 64, 48)}"""
 
+  // --- config_corpus_pretrain: the pretraining-example journey — quality
+  // gate → exact dedup → span corruption, from one `corpus:` section; the
+  // terminal `corrupt:` step reshapes the curated corpus into
+  // (inputs, targets) pairs (the span_corrupt head inside the declarative
+  // surface).
+  private val PretrainConfigDoc =
+    """sources:
+      |  - id: docs
+      |    loader: { transport: fs, path: documents.parquet, reader: { format: parquet } }
+      |corpus:
+      |  source: docs
+      |  id: doc_id
+      |  text: text
+      |  steps:
+      |    - { step: filter, lang: en, min_quality: 0.3, max_repetition: 0.8 }
+      |    - { step: dedup_exact }
+      |    - { step: corrupt }
+      |""".stripMargin
+
+  /** DuckDB twin: filter verdicts → min-id exact dedup → the shared
+    * span-corruption tail over the CURATED subset.
+    */
+  private def pretrainJourneySql: String =
+    s"""WITH
+        verdicts AS (${QueriesLlm.corpusFilterSql}),
+        kept0 AS (
+          SELECT d.doc_id, d.text FROM documents d
+          JOIN verdicts f USING (doc_id) WHERE f.keep),
+        kept1 AS (
+          SELECT k.doc_id, k.text FROM kept0 k
+          JOIN (SELECT text, min(doc_id) AS doc_id
+                FROM kept0 GROUP BY text) m
+            ON m.text IS NOT DISTINCT FROM k.text AND m.doc_id = k.doc_id),
+        ${QueriesMining.spanCorruptTailSql("kept1")}"""
+
   private val ColumnThreshold = 0.05
   private val RowThreshold = 0.9
   private val Ratios = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -333,6 +368,14 @@ object QueriesPipeline {
       graft.pipeline.ConfigRuntime.corpus(s, d, project)
         .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
           col("chunk_text"))
+    },
+
+    // The pretraining-example journey: filter → exact dedup → span
+    // corruption from ONE `corpus:` section — the terminal `corrupt:` step
+    // reshapes the curated corpus into (inputs, targets) pairs.
+    "config_corpus_pretrain" -> { (s, d) =>
+      val project = graft.pipeline.Config.parseProject(PretrainConfigDoc)
+      graft.pipeline.ConfigRuntime.corpus(s, d, project)
     },
 
     // Synthetic tick source from YAML (reference sources/synthetic/time/
@@ -462,6 +505,7 @@ object QueriesPipeline {
     "config_artifacts" -> TasksReportSql,
 
     "config_corpus" -> corpusJourneySql,
+    "config_corpus_pretrain" -> pretrainJourneySql,
 
     "config_synthetic" ->
       s"""WITH g AS (

@@ -381,6 +381,11 @@ class ConfigSpec extends SparkSpec {
     bad("{ step: filter, lang: english }", "lang must be one of")
     bad("{ step: chunk, size: 64 }, { step: dedup_exact }",
       "must be the last step")
+    // corrupt is terminal (doc → (inputs, targets) pair) and zero-arg
+    assert(Config.parseProject(doc("{ step: corrupt }")).corpus.get.steps ==
+      Seq(Config.CorpusCorrupt()))
+    bad("{ step: corrupt }, { step: dedup_exact }", "must be the last step")
+    bad("{ step: corrupt, size: 8 }", "unknown field")
     bad("{ step: chunk, size: 8, stride: 9 }", "0 < stride <= size")
     bad("{ step: decontaminate, benchmark: nope }", "unknown source 'nope'")
     bad("{ step: decontaminate, benchmark: docs, method: fuzzy }",
