@@ -98,6 +98,9 @@ class ScalePostureSpec extends SparkSpec {
       "domain_mix",       // one-row mixture totals onto the per-domain table
       "config_corpus_serve", // same one-row mixture totals (the mix step)
       "config_corpus_full",  // same one-row mixture totals (the mix step)
+      "cooccurrence_ppmi", // one-row pair/token totals broadcast into PMI
+      "mixture_weights",  // one-row waterfill scalars (totals, used, ws)
+                          //   broadcast onto the |sources|-bounded frame
       "ann_pq",           // ks-row codebook cross into encode + ADC LUT
       "ann_ivfpq",        // ks-row residual codebook cross into encode + LUT
       "ann_recall"        // ann_ivfpq's codebook cross + the Q(5)-query
