@@ -195,6 +195,34 @@ object Dedup {
         Text.jaccard(col("sh_a"), col("sh_b")).as("jacc"))
   }
 
+  /** LSH candidate pairs scored by CONTAINMENT — the asymmetric near-dup
+    * measure |A∩B|/|A| that catches sub/superset duplication (a quoted
+    * excerpt, a page plus appended boilerplate) where symmetric Jaccard
+    * dilutes below any dedup threshold: a 50%-token prefix sits at
+    * jacc ≈ 0.5 but containment 1.0. Same band-bucket candidate generation
+    * as [[minhashScoredPairs]]; exact DISTINCT-set arithmetic on
+    * candidates only, both directions reported.
+    */
+  def minhashContainmentPairs(df: DataFrame, textCol: String, idCol: String,
+                              shingleSize: Int = 3, numPerm: Int = 64,
+                              bands: Int = 16): DataFrame = {
+    val rows = numPerm / bands
+    val base = signedShingles(df, textCol, idCol, shingleSize, numPerm)
+    val signed = base.select(col(idCol), col("sig"), col("sh"))
+    val cands = minhashCandidates(signed, idCol, "sig", bands, rows)
+    cands
+      .join(base.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(base.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(array_distinct(col("sh_a")),
+          array_distinct(col("sh_b")))).cast("long").as("inter"),
+        size(array_distinct(col("sh_a"))).cast("long").as("size_a"),
+        size(array_distinct(col("sh_b"))).cast("long").as("size_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / col("size_a"), 6).as("cont_a"),
+        round(col("inter").cast("double") / col("size_b"), 6).as("cont_b"))
+  }
+
   /** Cross-corpus minhash candidate pairs with exact Jaccard — the fuzzy
     * half of benchmark decontamination (corpus docs near-duplicating a
     * held-out benchmark doc): band-fold buckets on BOTH sides, candidates

@@ -636,6 +636,24 @@ object QueriesLlm {
     * +100000 breaks once the corpus outgrows it); one metadata-scale max
     * per invocation.
     */
+  // containment_dedup: planted 50%-token-prefix sub-docs (every 10th doc,
+  // ids offset past max id — the semanticCorpus discipline) sit at
+  // jacc ≈ 0.5 but containment 1.0: exactly the sub-duplication the
+  // asymmetric measure exists to catch.
+  private val ContainMod = 10
+  private val ContainThreshold = 0.9
+
+  private def containmentCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val w = Text.tokens(col("text"))
+    val prefix = docs.filter(pmod(col("doc_id"), lit(ContainMod)) === 0)
+      .select((col("doc_id") + maxId + 1).as("doc_id"),
+        array_join(slice(w, lit(1),
+          greatest(floor(size(w) / 2), lit(1)).cast("int")), " ").as("text"))
+    docs.unionByName(prefix)
+  }
+
   private def semanticCorpus(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
     val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
@@ -856,6 +874,28 @@ object QueriesLlm {
         lookahead = 3, threshold = 0.95)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"),
           col("is_near_dup"))
+    },
+
+    // Asymmetric CONTAINMENT dedup: |A∩B|/|A| catches sub/superset
+    // duplication (a quoted excerpt, a page + boilerplate) that symmetric
+    // Jaccard dilutes below any threshold — the planted 50%-prefix
+    // sub-docs land at cont 1.0 / jacc ≈ 0.5. Candidates come from the
+    // SAME band buckets as minhash dedup (bucket-bounded, never
+    // all-pairs); exact distinct-set arithmetic on candidates only.
+    "containment_dedup" -> { (s, d) =>
+      // exact-dup pre-collapse (the dupClusters discipline): only DISTINCT
+      // texts sign and bucket — on a replicated corpus every exact copy
+      // would otherwise band-collide quadratically (measured 5.2x at the
+      // sf0.1→sf1 step); inert where texts are distinct
+      val base = containmentCorpus(s, d).withColumn("__h",
+        sha2(col("text"), 256))
+      val reps = base.join(
+        base.groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id")),
+        Seq("__h", "doc_id")).drop("__h")
+      Dedup.minhashContainmentPairs(reps, "text", "doc_id")
+        .select(col("id_a"), col("id_b"), col("cont_a"), col("cont_b"),
+          (col("cont_a") >= ContainThreshold ||
+            col("cont_b") >= ContainThreshold).as("is_contained"))
     },
 
     // Semantic duplicate clustering (SemDeDup shape): LSH buckets bound the
@@ -1644,6 +1684,37 @@ object QueriesLlm {
                  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                  CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jacc
           FROM s a JOIN s b ON b.doc_id = a.doc_id + 1""",
+
+    "containment_dedup" ->
+      s"""WITH cdocs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + (SELECT max(doc_id) FROM documents) + 1 AS doc_id,
+                   array_to_string(w[1 : CAST(GREATEST(floor(len(w) / 2), 1)
+                     AS BIGINT)], ' ') AS text
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(lower(text), '\\s+') AS w
+                  FROM documents)
+            WHERE doc_id % $ContainMod = 0),
+          creps AS (
+            SELECT c.doc_id, c.text FROM cdocs c
+            JOIN (SELECT sha256(text) AS h, min(doc_id) AS doc_id
+                  FROM cdocs GROUP BY sha256(text)) m
+              ON sha256(c.text) = m.h AND c.doc_id = m.doc_id),
+          ${minhashCtes("creps")},
+          csets AS (SELECT doc_id, list_distinct(sh) AS sd FROM base)
+          SELECT c.id_a, c.id_b,
+                 ROUND(CAST(len(list_intersect(a.sd, b.sd)) AS DOUBLE)
+                   / len(a.sd), 6) AS cont_a,
+                 ROUND(CAST(len(list_intersect(a.sd, b.sd)) AS DOUBLE)
+                   / len(b.sd), 6) AS cont_b,
+                 (ROUND(CAST(len(list_intersect(a.sd, b.sd)) AS DOUBLE)
+                    / len(a.sd), 6) >= $ContainThreshold
+                  OR ROUND(CAST(len(list_intersect(a.sd, b.sd)) AS DOUBLE)
+                    / len(b.sd), 6) >= $ContainThreshold) AS is_contained
+          FROM cands c
+          JOIN csets a ON a.doc_id = c.id_a
+          JOIN csets b ON b.doc_id = c.id_b""",
 
     "dedup_embed_cosine" ->
       s"""WITH p AS (

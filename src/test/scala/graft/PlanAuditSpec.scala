@@ -835,6 +835,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), "no rank funnel in the alert gate")
   }
 
+  audit("containment_dedup") { plan =>
+    // band-bucket candidates then exact verify — never all-pairs
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "candidates come from the band buckets, not a cross join")
+    assert(!plan.contains("Window"), "no rank funnel in the verify")
+  }
+
   audit("heavy_hitters") { plan =>
     // the h×w sketch and the candidate set broadcast; the exact verify is
     // the only remaining aggregate over corpus rows (semi-join-restricted)

@@ -866,4 +866,30 @@ class TextDedupSpec extends SparkSpec {
     // above pins the unseen branch's arithmetic); NLL is positive
     assert(got.values.forall(v => v._2 >= 0 && v._3 > 0.0))
   }
+
+  test("containment_dedup: prefix plants verify at full containment") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("containment_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(out.nonEmpty)
+    out.foreach { case (a, b, ca, cb, f) =>
+      assert(ca >= 0.0 && ca <= 1.0 && cb >= 0.0 && cb <= 1.0,
+        s"containment out of range for ($a, $b)")
+      assert(f == (ca >= 0.9 || cb >= 0.9), s"flag rule drifted for ($a, $b)")
+    }
+    val maxId = graft.queries.Q.documents(spark, sf)
+      .agg(max(col("doc_id"))).head().getLong(0)
+    // planted 50%-prefix sub-docs: ids past maxId, shingles fully inside
+    // their original — every (original, plant) pair that surfaces must
+    // verify the plant side at cont 1.0 (plant-plant pairs may contain
+    // each other partially on this shared-vocab corpus), and the fixed
+    // band hashing must surface a solid share of the 1-in-10 self-plants
+    // (jacc ~ 0.5 collides ~65% of 16 bands deterministically)
+    val origToPlant = out.filter(t => t._1 <= maxId && t._2 > maxId)
+    assert(origToPlant.nonEmpty && origToPlant.forall(_._4 == 1.0))
+    val selfPlants = origToPlant.count(t => t._2 == t._1 + maxId + 1)
+    assert(selfPlants * 3 >= (maxId + 1) / 10,
+      s"band recall too low: $selfPlants self-plants surfaced")
+  }
 }
