@@ -480,6 +480,37 @@ object QueriesCuration {
           (col("bucket") <= coalesce(col("cutoff"), lit(-1))).as("keep"))
     },
 
+    // Reciprocal-rank fusion of two quality signals (RRF, Cormack et al.
+    // 2009) — the robust ensemble that combines heterogeneous scores
+    // without calibrating them: each signal ranks docs through its
+    // GRID-BOUNDED level table (strictly-better cumsum broadcast back —
+    // the skyline discipline; the corpus never globally sorts) and
+    // rrf = 1/(60 + rank_q) + 1/(60 + rank_r).
+    "quality_rrf" -> { (s, d) =>
+      import graft.functions.Text
+      val scored = documents(s, d).select(col("doc_id"),
+        Text.qualityScore(col("text")).as("quality"),
+        Text.repetitionRatio(col("text")).as("rep_ratio"))
+      val wq = org.apache.spark.sql.expressions.Window
+        .orderBy(col("quality").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val rq = scored.groupBy(col("quality")).agg(count(lit(1)).as("n"))
+        .withColumn("rank_q", coalesce(sum(col("n")).over(wq), lit(0L)))
+        .select(col("quality"), col("rank_q"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rep_ratio").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val rr = scored.groupBy(col("rep_ratio")).agg(count(lit(1)).as("n"))
+        .withColumn("rank_r", coalesce(sum(col("n")).over(wr), lit(0L)))
+        .select(col("rep_ratio"), col("rank_r"))
+      scored.join(broadcast(rq), Seq("quality"))
+        .join(broadcast(rr), Seq("rep_ratio"))
+        .select(col("doc_id"), col("quality"), col("rep_ratio"),
+          col("rank_q"), col("rank_r"),
+          round(lit(1.0) / (lit(60) + col("rank_q"))
+            + lit(1.0) / (lit(60) + col("rank_r")), 6).as("rrf"))
+    },
+
     // Temperature-smoothed source-mixture planning (share ∝ √avail — the
     // multilingual-sampling rule), a token budget, per-source epoch caps,
     // and two waterfill redistribution rounds: the mixing table a training
@@ -531,6 +562,36 @@ object QueriesCuration {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "quality_rrf" ->
+      s"""WITH qs AS (${QueriesLlm.qualityScoreSql("documents")}),
+          rs AS (
+            SELECT doc_id,
+                   ROUND(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) /
+                     CAST(GREATEST(len(w), 1) AS DOUBLE), 6) AS rep_ratio
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(lower(text), '\\s+') AS w
+                  FROM documents)),
+          s AS (SELECT qs.doc_id, qs.quality, rs.rep_ratio
+                FROM qs JOIN rs USING (doc_id)),
+          lq AS (SELECT quality, CAST(count(*) AS BIGINT) AS n
+                 FROM s GROUP BY quality),
+          rq AS (SELECT quality,
+                        CAST(COALESCE(SUM(n) OVER (ORDER BY quality DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS BIGINT) AS rank_q
+                 FROM lq),
+          lr AS (SELECT rep_ratio, CAST(count(*) AS BIGINT) AS n
+                 FROM s GROUP BY rep_ratio),
+          rr AS (SELECT rep_ratio,
+                        CAST(COALESCE(SUM(n) OVER (ORDER BY rep_ratio ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS BIGINT) AS rank_r
+                 FROM lr)
+          SELECT s.doc_id, s.quality, s.rep_ratio, rq.rank_q, rr.rank_r,
+                 ROUND(CAST(1.0 AS DOUBLE) / (60 + rank_q)
+                   + CAST(1.0 AS DOUBLE) / (60 + rank_r), 6) AS rrf
+          FROM s JOIN rq USING (quality) JOIN rr USING (rep_ratio)""",
+
     "mixture_weights" ->
       s"""WITH per AS (
             SELECT source,

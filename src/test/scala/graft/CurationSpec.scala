@@ -541,6 +541,22 @@ class CurationSpec extends SparkSpec {
         "smallest uncapped source must train at >= the largest's epochs")
   }
 
+  test("quality_rrf: ranks are strictly-better counts; fusion formula holds") {
+    val out = SparkEntry.queries("quality_rrf")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out.nonEmpty)
+    out.foreach { case (id, q, rep, rkq, rkr, rrf) =>
+      assert(rkq == out.count(_._2 > q), s"doc $id: quality rank drifted")
+      assert(rkr == out.count(_._3 < rep), s"doc $id: repetition rank drifted")
+      val e = BigDecimal(java.lang.Double.toString(
+        1.0 / (60 + rkq) + 1.0 / (60 + rkr)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(rrf - e) < 1e-9, s"doc $id: fusion formula drifted")
+    }
+    assert(out.map(_._6).distinct.length > 1, "fusion must discriminate")
+  }
+
   test("stream_embed_route equals the batch curation_kmeans assignment") {
     val sf = "/root/testdata/sf0.001"
     val batch = SparkEntry.queries("curation_kmeans")(spark, sf)

@@ -773,6 +773,15 @@ class PlanAuditSpec extends SparkSpec {
       "the top-k cut is the bounded aggregator, not a rank window")
   }
 
+  audit("quality_rrf") { plan =>
+    // both rank tables are grid-bounded levels broadcast back; the corpus
+    // itself never globally sorts
+    assert(plan.contains("BroadcastHashJoin"),
+      "the rank level tables must broadcast back onto the corpus")
+    assert(!plan.contains("SortMergeJoin"),
+      "the corpus must not co-shuffle for the ranks")
+  }
+
   audit("mixture_weights") { plan =>
     // one source-keyed corpus aggregate; the waterfill rounds live on the
     // |sources|-bounded frame with one-row scalar aggregates broadcast back
