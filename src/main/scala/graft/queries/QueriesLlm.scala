@@ -805,6 +805,19 @@ object QueriesLlm {
           col("is_canonical"))
     },
 
+    // SOFT dedup (the keep-everything alternative for data-scarce
+    // regimes, e.g. Muennighoff et al. 2023's repeated-data scaling):
+    // instead of dropping near-duplicates, every doc carries weight
+    // 1/cluster_size, so a cluster's total training mass stays 1 however
+    // many copies the crawl returned. Rides dupClusters unchanged — same
+    // bucket-bounded candidates, same pointer-jumping closure.
+    "dedup_soft_weights" -> { (s, d) =>
+      Dedup.dupClusters(documents(s, d), "text", "doc_id")
+        .select(col("doc_id"), col("cluster_id"),
+          col("cluster_size").cast("long").as("cluster_size"),
+          round(lit(1.0) / col("cluster_size"), 6).as("weight"))
+    },
+
     // Cross-run incremental dedup: build the persisted minhash index from
     // the base corpus (run 1), ingest the increment against the STORED
     // index (run 2 — only increment signatures computed), then label the
@@ -1663,6 +1676,11 @@ object QueriesLlm {
          SELECT doc_id, term, ROUND(tfidf, 6) AS tfidf, rnk
          FROM ranked WHERE rnk <= 3""",
     "dedup_cluster" -> dedupClusterSql,
+    "dedup_soft_weights" ->
+      s"""WITH soft AS ($dedupClusterSql)
+          SELECT doc_id, cluster_id, cluster_size,
+                 ROUND(CAST(1.0 AS DOUBLE) / cluster_size, 6) AS weight
+          FROM soft""",
     // the increment+index composition must land exactly where a from-scratch
     // clustering of the union corpus lands — same oracle as dedup_cluster
     "dedup_incremental" -> dedupClusterSql,

@@ -892,4 +892,18 @@ class TextDedupSpec extends SparkSpec {
     assert(selfPlants * 3 >= (maxId + 1) / 10,
       s"band recall too low: $selfPlants self-plants surfaced")
   }
+
+  test("dedup_soft_weights: each cluster's mass sums to 1") {
+    val out = SparkEntry.queries("dedup_soft_weights")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (c, rows) =>
+      assert(rows.map(_._2).distinct.length == 1 &&
+        rows.length == rows.head._2, s"cluster $c size drifted")
+      val mass = rows.map(_._3).sum
+      assert(math.abs(mass - 1.0) <= rows.length * 5e-7 + 1e-9,
+        s"cluster $c mass $mass")
+    }
+  }
 }
