@@ -89,6 +89,13 @@ object QueriesMining {
   private val ScOffSeed = Curation.SpanOffSeed
   private val ScLenSeed = Curation.SpanLenSeed
 
+  // TextTiling-lite segmentation: candidate boundaries every TileB tokens;
+  // cohesion = Jaccard of the adjacent TileB-token windows' distinct
+  // vocabularies; a boundary fires where cohesion dips under TileThresh
+  // (set inside the observed sf0.01 spread so the gate discriminates).
+  private val TileB = 10
+  private val TileThresh = 0.1
+
   // Caption-media alignment: the media id map pairs each caption with a
   // pseudo-random partner, except every 5th pair which is PLANTED aligned
   // (same vector, cosine 1); 0.5 splits planted (1.0) from near-orthogonal.
@@ -201,6 +208,39 @@ object QueriesMining {
         LEFT JOIN sc_stats st USING (doc_id)
         LEFT JOIN sc_inp i USING (doc_id)
         LEFT JOIN sc_tgt t USING (doc_id)"""
+  }
+
+  /** Per-row TextTiling candidate scores — array<struct<pos, cohesion>>
+    * over candidate boundaries every TileB tokens, through the codegen'd
+    * [[graft.functions.TileScores]] loop (the interpreted HOF formulation
+    * — per-position slice/distinct/intersect/union lambda trees — measured
+    * ~11x at the sf1→sf10 step; [[tileScoresHof]] stays as the spec-pinned
+    * reference). Spec-pinned on a synthetic hard topic shift.
+    */
+  private[graft] def tileScores(
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val fn = graft.functions.TileScores.register(
+      org.apache.spark.sql.SparkSession.active, TileB)
+    call_function(fn, Text.tokens(text))
+  }
+
+  /** The higher-order-function reference formulation of [[tileScores]]. */
+  private[graft] def tileScoresHof(
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val w = Text.tokens(text)
+    val n = size(w).cast("long")
+    // guard: Spark's sequence(1, 0) DESCENDS instead of being empty
+    // (the ensure-cadence lesson) — short docs yield no candidates
+    val kmax = floor((n - 1) / TileB).cast("long")
+    when(kmax >= 1, transform(
+      sequence(lit(1L), kmax), k => {
+        val p = (k * TileB).cast("int")
+        val left = slice(w, p - TileB + 1, lit(TileB))
+        val right = slice(w, p + 1, lit(TileB))
+        struct(p.cast("long").as("pos"),
+          round(Text.jaccard(left, right), 6).as("cohesion"))
+      })).otherwise(
+      array().cast("array<struct<pos:bigint,cohesion:double>>"))
   }
 
   // ---------------------------------------------------------------- queries
@@ -416,6 +456,20 @@ object QueriesMining {
     // two-arg transform numbers the target spans. Zero shuffle.
     "span_corrupt" -> { (s, d) => spanCorruptFrame(documents(s, d)) },
 
+    // TextTiling-lite topic segmentation (Hearst 1997, the lexical-cohesion
+    // form): candidate boundaries every TileB tokens score the Jaccard of
+    // the adjacent windows' vocabularies, and low-cohesion valleys mark
+    // topic shifts — the semantic chunker that beats fixed windows for
+    // RAG/chunk curation. Pure per-row HOF work over the token array:
+    // zero shuffle, embarrassingly parallel.
+    "text_tiling" -> { (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), explode(tileScores(col("text"))).as("c"))
+        .select(col("doc_id"), col("c.pos").as("pos"),
+          col("c.cohesion").as("cohesion"),
+          (col("c.cohesion") < TileThresh).as("is_boundary"))
+    },
+
     // 2D Pareto front over (quality, length) — the skyline operator of
     // curation: a doc survives iff no other doc dominates it on both axes.
     // The front computes on the GRID-BOUNDED distinct-quality level table
@@ -588,6 +642,28 @@ object QueriesMining {
     "heavy_hitters" -> heavyHittersSql,
 
     "span_corrupt" -> s"WITH ${spanCorruptTailSql("documents")}",
+
+    "text_tiling" ->
+      s"""WITH $WordsCte,
+          wn AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM words),
+          pos AS (
+            SELECT doc_id, w, n,
+                   unnest(generate_series(1, GREATEST((n - 1) // $TileB, 0)))
+                     * $TileB AS p
+            FROM wn WHERE n > $TileB),
+          scored AS (
+            SELECT doc_id, CAST(p AS BIGINT) AS pos,
+                   ROUND(CAST(len(list_intersect(
+                       list_distinct(w[p - $TileB + 1 : p]),
+                       list_distinct(w[p + 1 : p + $TileB]))) AS DOUBLE)
+                     / CAST(len(list_distinct(list_concat(
+                       list_distinct(w[p - $TileB + 1 : p]),
+                       list_distinct(w[p + 1 : p + $TileB])))) AS DOUBLE), 6)
+                     AS cohesion
+            FROM pos)
+          SELECT doc_id, pos, cohesion,
+                 cohesion < $TileThresh AS is_boundary
+          FROM scored""",
 
     "ngram_diversity" ->
       """WITH words AS (

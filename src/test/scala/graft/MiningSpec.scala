@@ -234,6 +234,44 @@ class MiningSpec extends SparkSpec {
     assert(out2.nonEmpty && out2.forall(t => t._2 > 0.0 && t._2 <= 1.0))
   }
 
+  test("text_tiling: a hard topic shift is the cohesion valley") {
+    val text = ((1 to 10).map(i => s"a$i") ++ (1 to 10).map(i => s"a$i") ++
+      (1 to 10).map(i => s"b$i") ++ (1 to 10).map(i => s"b$i")).mkString(" ")
+    val rows = Seq(text).toDF("text")
+      .select(explode(graft.queries.QueriesMining.tileScores(col("text")))
+        .as("c"))
+      .collect().map(r => r.getStruct(0).getLong(0) ->
+        r.getStruct(0).getDouble(1)).toMap
+    assert(rows == Map(10L -> 1.0, 20L -> 0.0, 30L -> 1.0),
+      s"valley must sit exactly at the shift: $rows")
+    // the real head: position grid, range, and threshold-rule invariants
+    val out = SparkEntry.queries("text_tiling")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (p, c, b) =>
+      assert(p % 10 == 0 && c >= 0.0 && c <= 1.0 && b == (c < 0.1))
+    }
+    assert(out.exists(_._3) && out.exists(!_._3),
+      "the threshold must discriminate on real data")
+  }
+
+  test("codegen'd tile_scores equals the interpreted HOF tiler (incl. edges)") {
+    val docs = graft.queries.Q.documents(spark, sf)
+    val mismatches = docs.select(
+        graft.queries.QueriesMining.tileScores(col("text")).as("a"),
+        graft.queries.QueriesMining.tileScoresHof(col("text")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(mismatches == 0)
+    // short docs (<= one window) yield no candidates in both paths
+    val tiny = Seq("one two three", "").toDF("text")
+      .select(graft.queries.QueriesMining.tileScores(col("text")).as("a"),
+        graft.queries.QueriesMining.tileScoresHof(col("text")).as("b"))
+      .collect()
+    tiny.foreach { r =>
+      assert(r.getSeq[Any](0).isEmpty && r.getSeq[Any](1).isEmpty)
+    }
+  }
+
   test("zipf_fit: least-squares slope matches a driver-side refit") {
     val out = SparkEntry.queries("zipf_fit")(spark, sf).head()
     val freq = graft.queries.Q.documents(spark, sf)

@@ -877,6 +877,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), "no rank funnel")
   }
 
+  audit("text_tiling") { plan =>
+    // pure per-row segmentation: no join, no shuffle, no scan state
+    assert(!plan.contains("Exchange"), "zero-shuffle per-row segmentation")
+    assert(!plan.contains("Join"), "no join in the tiler")
+    assert(!plan.contains("Window"), "no sequential scan state")
+  }
+
   audit("zipf_fit") { plan =>
     // one vocabulary-bounded aggregate; the rank window and the regression
     // reduction run on the bounded frequency table
