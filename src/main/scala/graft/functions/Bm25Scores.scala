@@ -64,16 +64,22 @@ case class Bm25Scores(child: Expression,
       .bigDecimal.movePointRight(6).longValueExact
 
   def compute(toks: ArrayData): ArrayData = {
-    val dl = toks.numElements()
+    val n = toks.numElements()
     val nq = qids.length
-    // pass 1: row-local tf over the query-vocabulary terms only
+    // pass 1: row-local tf over the query-vocabulary terms only.
+    // containsNull=true inputs are accepted: null tokens are ignored and
+    // do not count toward document length.
     val tf = new java.util.HashMap[String, Array[Int]](64)
+    var dl = 0
     var i = 0
-    while (i < dl) {
-      val t = toks.getUTF8String(i).toString
-      if (table.containsKey(t)) {
-        val c = tf.get(t)
-        if (c == null) tf.put(t, Array(1)) else c(0) += 1
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        dl += 1
+        val t = toks.getUTF8String(i).toString
+        if (table.containsKey(t)) {
+          val c = tf.get(t)
+          if (c == null) tf.put(t, Array(1)) else c(0) += 1
+        }
       }
       i += 1
     }
@@ -132,6 +138,7 @@ object Bm25Scores {
       idfs.foldLeft(17L)((h, d) =>
         h * 31 + java.lang.Double.doubleToLongBits(d)) * 31 +
       masks.foldLeft(17L)(_ * 31 + _) * 31 +
+      qids.foldLeft(17L)(_ * 31 + _) * 31 +
       java.lang.Double.doubleToLongBits(avgdl)) & Long.MaxValue
     val name = s"bm25_scores_${qids.length}_${terms.length}_$digest"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -53,10 +53,14 @@ case class BpeStats(child: Expression, merges: Seq[(String, String)])
 
   def compute(words: ArrayData): InternalRow = {
     val nw = words.numElements()
+    var nWords = 0L
     var nChars = 0L
     var nToks = 0L
     var i = 0
     while (i < nw) {
+      // containsNull=true inputs are accepted: null words are skipped.
+      if (words.isNullAt(i)) { i += 1 }
+      else {
       val u = words.getUTF8String(i)
       nChars += u.numChars()
       val w = u.toString
@@ -84,9 +88,11 @@ case class BpeStats(child: Expression, merges: Seq[(String, String)])
         m += 1
       }
       nToks += syms.length
+      nWords += 1L
       i += 1
+      }
     }
-    InternalRow(nw.toLong, nChars, nToks)
+    InternalRow(nWords, nChars, nToks)
   }
 
   override protected def nullSafeEval(words: Any): Any =

@@ -65,21 +65,27 @@ case class ClsProbFold(left: Expression, right: Expression)
     if (n > 0 && buckets > 0) {
       val cnt = new Array[Int](buckets)
       val md = java.security.MessageDigest.getInstance("SHA-256")
+      // containsNull=true inputs are accepted: null tokens are skipped and
+      // excluded from the bucket-fraction denominator.
+      var nn = 0
       var i = 0
       while (i < n) {
-        md.reset()
-        val dig = md.digest(toks.getUTF8String(i).getBytes)
-        var h = 0L
-        var j = 0
-        while (j < 7) { h = (h << 8) | (dig(j) & 0xFFL); j += 1 }
-        h = (h << 4) | ((dig(7) & 0xFFL) >>> 4) // 60 bits, always positive
-        cnt((h % buckets).toInt) += 1
+        if (!toks.isNullAt(i)) {
+          nn += 1
+          md.reset()
+          val dig = md.digest(toks.getUTF8String(i).getBytes)
+          var h = 0L
+          var j = 0
+          while (j < 7) { h = (h << 8) | (dig(j) & 0xFFL); j += 1 }
+          h = (h << 4) | ((dig(7) & 0xFFL) >>> 4) // 60 bits, always positive
+          cnt((h % buckets).toInt) += 1
+        }
         i += 1
       }
       var b = 0
-      while (b < buckets) {
+      while (b < buckets && nn > 0) {
         if (cnt(b) > 0) {
-          val x = BigDecimal(java.lang.Double.toString(cnt(b).toDouble / n))
+          val x = BigDecimal(java.lang.Double.toString(cnt(b).toDouble / nn))
             .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
           picos += wMicros.getLong(b) * math.round(x * 1e6)
         }

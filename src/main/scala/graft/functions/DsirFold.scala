@@ -48,19 +48,26 @@ case class DsirFold(left: Expression, right: Expression)
     if (n == 0) return 0.0
     val b = lrMicros.numElements()
     val md = java.security.MessageDigest.getInstance("SHA-256")
+    // containsNull=true inputs are accepted: null tokens are skipped and
+    // excluded from the mean's denominator.
     var acc = 0L
+    var nn = 0
     var i = 0
     while (i < n) {
-      md.reset()
-      val dig = md.digest(toks.getUTF8String(i).getBytes)
-      var h = 0L
-      var j = 0
-      while (j < 7) { h = (h << 8) | (dig(j) & 0xFFL); j += 1 }
-      h = (h << 4) | ((dig(7) & 0xFFL) >>> 4) // 60 bits, always positive
-      acc += lrMicros.getLong((h % b).toInt)
+      if (!toks.isNullAt(i)) {
+        nn += 1
+        md.reset()
+        val dig = md.digest(toks.getUTF8String(i).getBytes)
+        var h = 0L
+        var j = 0
+        while (j < 7) { h = (h << 8) | (dig(j) & 0xFFL); j += 1 }
+        h = (h << 4) | ((dig(7) & 0xFFL) >>> 4) // 60 bits, always positive
+        acc += lrMicros.getLong((h % b).toInt)
+      }
       i += 1
     }
-    val mean = (acc / 1e6) / n
+    if (nn == 0) return 0.0
+    val mean = (acc / 1e6) / nn
     BigDecimal(java.lang.Double.toString(mean))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }

@@ -60,12 +60,15 @@ case class PercolateScores(child: Expression,
     val seen = new java.util.HashSet[String](n * 2)
     var i = 0
     while (i < n) {
-      val t = toks.getUTF8String(i).toString
-      if (seen.add(t)) {
-        val v = table.get(t)
-        if (v != null) {
-          var q = 0
-          while (q < nq) { acc(q) += v(q); q += 1 }
+      // containsNull=true inputs are accepted: null tokens match nothing.
+      if (!toks.isNullAt(i)) {
+        val t = toks.getUTF8String(i).toString
+        if (seen.add(t)) {
+          val v = table.get(t)
+          if (v != null) {
+            var q = 0
+            while (q < nq) { acc(q) += v(q); q += 1 }
+          }
         }
       }
       i += 1

@@ -44,18 +44,27 @@ case class TileScores(child: Expression, b: Int) extends UnaryExpression {
     var k = 1
     while (k <= kmax) {
       val p = k * b
+      // containsNull=true inputs are accepted: null tokens contribute
+      // nothing to either window's vocabulary.
       val left = new java.util.HashSet[String](b * 2)
       var i = p - b
-      while (i < p) { left.add(toks.getUTF8String(i).toString); i += 1 }
+      while (i < p) {
+        if (!toks.isNullAt(i)) left.add(toks.getUTF8String(i).toString)
+        i += 1
+      }
       val right = new java.util.HashSet[String](b * 2)
       i = p
       val end = math.min(p + b, n)
-      while (i < end) { right.add(toks.getUTF8String(i).toString); i += 1 }
+      while (i < end) {
+        if (!toks.isNullAt(i)) right.add(toks.getUTF8String(i).toString)
+        i += 1
+      }
       var inter = 0
       val it = left.iterator()
       while (it.hasNext) if (right.contains(it.next())) inter += 1
       val union = left.size + right.size - inter
-      val coh = BigDecimal(java.lang.Double.toString(
+      val coh = if (union == 0) 0.0
+      else BigDecimal(java.lang.Double.toString(
         inter.toDouble / union.toDouble))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       out(k - 1) = new GenericInternalRow(Array[Any](p.toLong, coh))

@@ -30,13 +30,18 @@ object Streaming {
   def readParquetStream(spark: SparkSession, path: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    ensureParquetCompat(spark)
     val dir =
       if (Files.isDirectory(src)) src
       else {
-        val d = Paths.get(
-          s"/tmp/graft_stream_src/${math.abs(src.getParent.toString.hashCode)}_${src.getFileName}")
+        // Scratch dir keyed on a sha-256 of the FULL source path: a 32-bit
+        // hashCode of the parent collides across datasets (and
+        // abs(Int.MinValue) is negative), silently streaming a stale copy
+        // staged by another source.
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(src.toAbsolutePath.toString.getBytes("UTF-8"))
+          .take(12).map("%02x".format(_)).mkString
+        val d = Paths.get(s"/tmp/graft_stream_src/${digest}_${src.getFileName}")
         Files.createDirectories(d)
         Files.copy(src, d.resolve(src.getFileName),
           StandardCopyOption.REPLACE_EXISTING)
@@ -45,6 +50,17 @@ object Streaming {
     val schema = spark.read.parquet(dir.toString).schema
     spark.readStream.schema(schema).parquet(dir.toString)
   }
+
+  /** Driver-data parquet compatibility confs (TIMESTAMP(NANOS) columns read
+    * as long ns; no NTZ inference). Set once per session, not per read —
+    * idempotent, and a no-op when the session builder already set them.
+    */
+  private val compatDone = java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
+  def ensureParquetCompat(spark: SparkSession): Unit =
+    if (compatDone.add(System.identityHashCode(spark))) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    }
 
   /** The events table as a stream, with its TIMESTAMP(NANOS)-as-long layout
     * (driver data) normalized to µs-grain timestamps.
