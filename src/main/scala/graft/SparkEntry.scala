@@ -30,6 +30,7 @@ object SparkEntry {
       (QueriesServe.queries, QueriesServe.oracleSql),
       (QueriesPipeline.queries, QueriesPipeline.oracleSql),
       (QueriesMining.queries, QueriesMining.oracleSql),
+      (QueriesUnigram.queries, QueriesUnigram.oracleSql),
       (QueriesStreaming.queries, QueriesStreaming.oracleSql)
     )
 
