@@ -20,6 +20,18 @@ object QueriesSources {
     dir
   }
 
+  // sink_compacted: target file size for the governed rewrite (records per
+  // file — at 100 TB the same knob in bytes, ~1 GiB/file) and the
+  // fragment count simulating a crawler's small-file ingest. The cap
+  // option gets 64 rows of slack over the target: round-robin repartition
+  // balances to within one row PER INPUT PARTITION, so the cap is a
+  // belt-and-braces guard that never splits a balanced partition — file
+  // count stays exactly ceil(rows / target), the number the oracle
+  // recomputes from the row count alone.
+  private[queries] val CompactTarget = 20000L
+  private[queries] val CompactSlack = 64L
+  private[queries] val FragmentParts = 48
+
   val queries: Map[String, QueryFn] = Map(
     // Column-pruned, predicate-pushed parquet scan.
     "src_parquet" -> { (s, d) =>
@@ -179,6 +191,44 @@ object QueriesSources {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
           sumDec(col("l_extendedprice")).as("revenue"))
+    },
+
+    // FILE-SIZE GOVERNANCE — the small-files problem as a first-class
+    // serving concern: a crawler-fragmented ingest (FragmentParts tiny
+    // files) is compacted by a governed rewrite — pre-write round-robin
+    // repartition to ceil(rows / CompactTarget) plus a maxRecordsPerFile
+    // cap — so the served layout carries bounded, uniformly-sized files at
+    // every scale (file count tracks data volume, never task count). The
+    // result proves all three properties the governance owes: the input
+    // WAS fragmented (n_input_files), the output file count is exactly the
+    // governed bound (n_files), no file exceeds the cap (within_cap) — and
+    // the content survived byte-exactly (row count + exact decimal
+    // checksum, both recomputed from the original table by the oracle).
+    "sink_compacted" -> { (s, d) =>
+      val fragDir = scratch("compact_frag")
+      val outDir = scratch("compact_out")
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+        .repartition(FragmentParts)
+        .write.mode("overwrite").parquet(fragDir)
+      val frag = s.read.parquet(fragDir)
+      val nInputFiles = frag.select(input_file_name()).distinct().count()
+      val nFiles = math.ceil(
+        frag.count().toDouble / CompactTarget).toLong.toInt
+      frag.repartition(nFiles)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", CompactTarget + CompactSlack)
+        .parquet(outDir)
+      s.read.parquet(outDir)
+        .groupBy(input_file_name().as("__f"))
+        .agg(count(lit(1)).as("__c"),
+          sum(col("l_extendedprice").cast("decimal(30,4)")).as("__rev"))
+        .agg(lit(nInputFiles).as("n_input_files"),
+          count(lit(1)).cast("long").as("n_files"),
+          sum(col("__c")).cast("long").as("n_rows"),
+          (max(col("__c")) <= CompactTarget + CompactSlack).as("within_cap"),
+          sum(col("__rev")).cast("double").as("revenue"))
     }
   )
 
@@ -217,6 +267,17 @@ object QueriesSources {
           FROM events
           WHERE strftime(ts, '%Y-%m-%d') = '2024-01-05'
           GROUP BY event_type""",
+
+    // compaction changes the physical layout, never the result: file
+    // counts are pure functions of the row count and the governed target
+    "sink_compacted" ->
+      s"""SELECT CAST($FragmentParts AS BIGINT) AS n_input_files,
+                 CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / $CompactTarget) AS BIGINT)
+                   AS n_files,
+                 COUNT(*) AS n_rows,
+                 TRUE AS within_cap,
+                 ${sumDecSql("l_extendedprice")} AS revenue
+          FROM lineitem""",
 
     // bucketing changes the physical layout, never the result
     "sink_bucketed" ->

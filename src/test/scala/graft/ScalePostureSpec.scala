@@ -122,6 +122,20 @@ class ScalePostureSpec extends SparkSpec {
     assert(offenders.isEmpty, s"scale-hostile plans:\n${offenders.mkString("\n")}")
   }
 
+  test("governed compaction: disk file count equals the governed bound") {
+    val sf = "/root/testdata/sf0.001"
+    val row = SparkEntry.queries("sink_compacted")(spark, sf).collect().head
+    val files = new java.io.File("/tmp/graft_scratch/compact_out")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    // the reported n_files is the real on-disk layout, not a plan estimate
+    assert(files.length.toLong == row.getLong(1),
+      s"disk=${files.length} reported=${row.getLong(1)}")
+    assert(row.getBoolean(3), "a file exceeded the governed cap")
+    // fragmented ingest really was fragmented before the rewrite
+    assert(row.getLong(0) > row.getLong(1),
+      "compaction must reduce the file count on the gate data")
+  }
+
   test("partitioned sink prunes partitions at the scan") {
     val sf = "/root/testdata/sf0.001"
     val out = "/tmp/graft_scratch/events_by_day"
