@@ -93,6 +93,13 @@ object Cli {
               metricsPath = Some(p.runRoot.resolve("metrics.json"))
               try {
                 write(df, format, p.datasetDir.toString)
+                // the explicit series checkpoint manifest (reference
+                // artifacts/series.py SeriesManifest): what the dataset
+                // contains + fingerprints of the exact bytes serving it
+                if (project.dataset.nonEmpty && format == "parquet")
+                  graft.pipeline.SeriesManifest.write(p.runRoot,
+                    graft.pipeline.SeriesManifest.build(spark, p,
+                      project.dataset.get))
                 fp.foreach(f =>
                   Files.writeString(p.runRoot.resolve("fingerprint"), f))
                 Runs.finishRun(p, "success")
@@ -121,7 +128,16 @@ object Cli {
       Files.readString(paths.metadataPath).contains("\"status\": \"success\"") &&
       Files.exists(paths.runRoot.resolve("fingerprint")) &&
       Files.readString(paths.runRoot.resolve("fingerprint")) == fp
-    if (fresh) Some(paths) else None
+    // the series manifest closes the hole the config fingerprint can't see:
+    // a dataset whose FILES drifted under the symlink must rebuild even
+    // when config + inputs still fingerprint clean (stat-level check —
+    // O(files) driver metadata). Runs without a manifest (csv/jsonl or
+    // corpus-only) keep the fingerprint-only behavior.
+    val manifestFresh =
+      !Files.exists(paths.runRoot.resolve(
+        graft.pipeline.SeriesManifest.FileName)) ||
+        graft.pipeline.SeriesManifest.fresh(paths.runRoot)
+    if (fresh && manifestFresh) Some(paths) else None
   }
 
   /** Incremental artifact build (reference cli/commands/build.py over

@@ -325,6 +325,62 @@ class ArtifactGraphSpec extends SparkSpec {
     assert(second.contains("artifact ticks hydrated ["), second)
   }
 
+  test("series manifest: written by materialize, fresh run skips, drifted file rebuilds") {
+    import graft.pipeline.SeriesManifest
+    val root = Files.createTempDirectory("graft_manifest")
+    stage(root, "ev")
+    val cfg = root.resolve("p.yaml")
+    Files.writeString(cfg, chainedYaml("user_id").replaceAll("(?s)tasks:.*", ""))
+    val serve = root.resolve("serve").toString
+
+    def run(): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Cli.materialize(spark, cfg.toString, root.toString, serve,
+        out = new PrintStream(buf, true, "UTF-8"), ifChanged = true)
+      buf.toString("UTF-8")
+    }
+
+    val first = run()
+    assert(first.contains("run "), first)
+    val latest = java.nio.file.Paths.get(serve).resolve("latest").toRealPath()
+    val m = SeriesManifest.read(latest.resolve(SeriesManifest.FileName))
+    assert(m.cadence == "1h" && m.sampleKeys == Seq("user_id"))
+    assert(m.sampleKeyTypes.length == 1)
+    assert(m.features.map(_.id) == Seq("v") && m.targets.isEmpty)
+    assert(m.rows > 0 && m.features.head.samples <= m.rows)
+    assert(m.files.nonEmpty && m.files.forall(_.sha256.length == 64))
+    // deep integrity: recorded digests match the bytes on disk
+    assert(SeriesManifest.verify(latest))
+    // row/sample counts describe the served dataset exactly
+    val served = spark.read.parquet(latest.resolve(m.path).toString)
+    assert(served.count() == m.rows)
+    assert(served.where(org.apache.spark.sql.functions.col("v").isNotNull)
+      .count() == m.features.head.samples)
+
+    // manifest-fresh + fingerprint-fresh: the second materialize runs NO job
+    val second = run()
+    assert(second.contains("up to date"), second)
+
+    // drift one data file under the live symlink: config + inputs still
+    // fingerprint clean, but the manifest's stat check catches it → rebuild
+    val dataFile = latest.resolve(m.files.head.relPath)
+    Files.write(dataFile, "tampered".getBytes("UTF-8"))
+    assert(!SeriesManifest.fresh(latest))
+    val third = run()
+    assert(!third.contains("up to date") && third.contains("run "), third)
+    // the rebuilt run serves a fresh, verifiable manifest again
+    val latest2 = java.nio.file.Paths.get(serve).resolve("latest").toRealPath()
+    assert(latest2 != latest && SeriesManifest.verify(latest2))
+
+    // validator: tampered manifest content is rejected, not served
+    val mPath = latest2.resolve(SeriesManifest.FileName)
+    Files.writeString(mPath, Files.readString(mPath)
+      .replaceFirst("\"sample_keys\" : \\[ \"user_id\" \\]",
+        "\"sample_keys\" : [ \"user_id\", \"user_id\" ]"))
+    assertThrows[IllegalArgumentException](SeriesManifest.read(mPath))
+    assert(!SeriesManifest.fresh(latest2))
+  }
+
   test("incremental dedup index: the second run computes signatures for the increment only") {
     import graft.operators.{Dedup, IncrementalDedup}
     import org.apache.spark.sql.functions.col
