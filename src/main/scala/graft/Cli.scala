@@ -187,7 +187,8 @@ object Cli {
   def runTask(spark: SparkSession, configPath: String, taskId: String,
               dataDir: String, limit: Int = 20,
               out: java.io.PrintStream = System.out,
-              cacheDir: Option[java.nio.file.Path] = None): Long = {
+              cacheDir: Option[java.nio.file.Path] = None,
+              htmlOut: Option[java.nio.file.Path] = None): Long = {
     val project = Config.parseProject(Files.readString(Paths.get(configPath)))
     if (!project.tasks.exists(_.id == taskId))
       throw new IllegalArgumentException(
@@ -202,6 +203,22 @@ object Cli {
           spark, dir, taskId, fp)(compute)
         out.println(s"task $taskId ${if (hit) "cached" else "computed"} [${fp.take(12)}]")
         df
+    }
+    // --html: the browsable report (reference inspect --format html). The
+    // matrix task renders in its reference two-section shape; every other
+    // report gets the generic bounded table.
+    htmlOut.foreach { dest =>
+      val html = project.task(taskId) match {
+        case _: Config.MatrixTask =>
+          val ds = project.dataset.getOrElse(throw new IllegalArgumentException(
+            s"config: task '$taskId' needs a dataset section"))
+          graft.observability.HtmlReport.matrix(report,
+            featureIds = ds.features.map(_.id), targetIds = ds.targets.map(_.id))
+        case _ =>
+          graft.observability.HtmlReport.table(report, s"Task $taskId", limit)
+      }
+      Runs.writeHtml(html, dest)
+      out.println(s"html -> $dest")
     }
     Runs.writeText(report, limit, out)
   }
@@ -443,15 +460,19 @@ object Cli {
       val cache = rest.sliding(2).collectFirst {
         case Seq("--cache", dir) => Paths.get(dir)
       }
+      val html = rest.sliding(2).collectFirst {
+        case Seq("--html", dest) => Paths.get(dest)
+      }
       // drop flag VALUES positionally (the element after the flag), not by
       // comparing against the normalized Path rendering — `--cache c/`
       // normalizes to `c` and would otherwise survive into the limit parse
       val positional = rest.zipWithIndex.filterNot { case (a, i) =>
-        a.startsWith("--") || (i > 0 && rest(i - 1) == "--cache")
+        a.startsWith("--") ||
+          (i > 0 && Set("--cache", "--html")(rest(i - 1)))
       }.map(_._1)
       try runTask(spark, config, taskId, dataDir,
         limit = positional.headOption.map(_.toInt).getOrElse(20),
-        cacheDir = cache)
+        cacheDir = cache, htmlOut = html)
       finally spark.stop()
     case other =>
       System.err.println(
@@ -459,7 +480,7 @@ object Cli {
            |       graft.Cli materialize-streams <project.yaml> <dataDir> <serveRoot>
            |       graft.Cli stream <project.yaml> <streamId> <dataDir> [limit]
            |       graft.Cli run <project.yaml> <profileId> <dataDir> [serveRoot]
-           |       graft.Cli task <project.yaml> <taskId> <dataDir> [limit]
+           |       graft.Cli task <project.yaml> <taskId> <dataDir> [limit] [--cache <dir>] [--html <file>]
            |       graft.Cli build <project.yaml> <dataDir> <artifactsRoot> [--force]
            |       graft.Cli inspect <project.yaml> <dataDir> --stage <input|canonical|records|series|samples|postprocess|corpus> [--id <streamOrVector|stepCount>] [--out <parquetDir>] [limit]
            |       graft.Cli plugins

@@ -90,6 +90,21 @@ object Runs {
     }
   }
 
+  /** HTML inspection sink (reference persistence.py:183 _write_html_output
+    * over AtomicTextFileSink): write a rendered document atomically —
+    * temp file + move, so a crash never leaves a half-written report where
+    * a browser (or a freshness check) might read it.
+    */
+  def writeHtml(html: String, dest: java.nio.file.Path): java.nio.file.Path = {
+    import java.nio.file.{Files, StandardCopyOption}
+    if (dest.getParent != null) Files.createDirectories(dest.getParent)
+    val tmp = dest.resolveSibling(dest.getFileName.toString + ".__tmp")
+    Files.writeString(tmp, html)
+    Files.move(tmp, dest, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    dest
+  }
+
   /** Stdout preview sink (reference StdoutTextSink): tab-joined rows of a
     * bounded preview to a text stream. Driver-side by design — this is the
     * human-inspection sink, not a data path; `limit` bounds the collect.

@@ -118,6 +118,64 @@ class CliInventorySpec extends SparkSpec {
     assert(g.getMessage.contains("unknown task 'nope'"))
   }
 
+  test("task --html writes a browsable matrix.html equal to the report frame") {
+    val root = Files.createTempDirectory("graft_cli_html")
+    val cfg = root.resolve("p.yaml")
+    Files.writeString(cfg,
+      """sources:
+        |  - id: ev
+        |    loader: { transport: fs, path: events.parquet, reader: { format: parquet } }
+        |streams:
+        |  - id: s
+        |    from: { source: ev }
+        |    map: { time: ts, fields: [user_id, value] }
+        |    partition_by: [user_id]
+        |dataset:
+        |  sample: { cadence: 1h, keys: [user_id] }
+        |  features: [ { id: v, stream: s, field: value } ]
+        |tasks:
+        |  - { id: mat, task: matrix, stage: assembled }
+        |  - { id: cov, task: coverage, threshold: 0.1, stage: assembled }
+        |""".stripMargin)
+    val runDir = root.resolve("serve/runs/r1")
+    val dest = runDir.resolve("matrix.html")
+
+    val text = captured(out => Cli.runTask(spark, cfg.toString, "mat",
+      "/root/testdata/sf0.001", limit = 1000000, out = out,
+      htmlOut = Some(dest)))
+    assert(text.contains(s"html -> $dest"))
+    val html = Files.readString(dest)
+    assert(html.contains("Availability Matrix") &&
+      html.contains("Feature Availability") &&
+      html.contains("Target Availability"))
+    // content equal to the frame: one status cell per report row, each
+    // status class appearing exactly as often as the frame says
+    val report = graft.pipeline.ConfigRuntime.runTasks(spark,
+      "/root/testdata/sf0.001",
+      graft.pipeline.Config.parseProject(Files.readString(cfg)),
+      only = Some(Set("mat"))).collect()
+    val byStatus = report.groupBy(_.getString(4)).view.mapValues(_.length).toMap
+    Seq("present", "null").foreach { st =>
+      val inHtml = s"<td class='$st'>".r.findAllIn(html).length
+      assert(inHtml == byStatus.getOrElse(st, 0),
+        s"$st cells: html=$inHtml frame=${byStatus.getOrElse(st, 0)}")
+    }
+    // every group row label renders once per section that has columns
+    val groups = report.map(_.getString(1).split("@", 2)(1)).distinct
+    groups.foreach(g => assert(html.contains(s"<th>$g</th>"), s"missing group $g"))
+    // no targets configured: the section degrades to the reference's
+    // "No data." placeholder instead of an empty table
+    assert(html.contains("No data."))
+
+    // generic (non-matrix) reports render as a plain bounded table
+    val covDest = runDir.resolve("cov.html")
+    captured(out => Cli.runTask(spark, cfg.toString, "cov",
+      "/root/testdata/sf0.001", limit = 50, out = out,
+      htmlOut = Some(covDest)))
+    val covHtml = Files.readString(covDest)
+    assert(covHtml.contains("Task cov") && covHtml.contains("<td>coverage</td>"))
+  }
+
   test("artifact cache: identical inputs hit, config or file drift misses") {
     val root = Files.createTempDirectory("graft_task_cache")
     // private copy of the source file so we can touch it for invalidation
