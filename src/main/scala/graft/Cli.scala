@@ -404,6 +404,10 @@ object Cli {
     case "scaffold" :: "demo" :: outDir :: Nil =>
       val root = graft.plugins.Scaffold.demo(Paths.get(outDir))
       println(s"demo workspace -> $root")
+    case "scaffold" :: kind :: name :: pluginDir :: Nil
+        if graft.plugins.Scaffold.ComponentKinds.contains(kind) =>
+      val f = graft.plugins.Scaffold.component(kind, name, Paths.get(pluginDir))
+      println(s"$kind '$name' -> $f")
     case "scaffold" :: "source" :: id :: path :: format :: yaml :: Nil =>
       graft.plugins.Scaffold.source(Paths.get(yaml), id, path, format)
       println(s"source '$id' -> $yaml")
@@ -485,6 +489,7 @@ object Cli {
            |       graft.Cli inspect <project.yaml> <dataDir> --stage <input|canonical|records|series|samples|postprocess|corpus> [--id <streamOrVector|stepCount>] [--out <parquetDir>] [limit]
            |       graft.Cli plugins
            |       graft.Cli scaffold plugin <name> <outDir>
+           |       graft.Cli scaffold mapper|parser|loader|domain|dto <name> <pluginDir>
            |       graft.Cli scaffold source <id> <path> <format> <project.yaml>
            |       graft.Cli scaffold stream <id> <sourceId> <partitionKey> <project.yaml>
            |       graft.Cli scaffold inflow <id> <path> <format> <partitionKey> <project.yaml>

@@ -128,6 +128,188 @@ object Scaffold {
     root
   }
 
+  // ---- per-component scaffolds into an EXISTING plugin skeleton
+  // (reference cli/commands/{mapper,parser,loader,domain,dto}.py over
+  // services/scaffold/{mapper,parser,loader,domain,dto}.py): each generator
+  // writes ONE compilable component file under the plugin's package, and
+  // SPI-visible components (loader / parser / mapper) append their own
+  // GraftPlugin registration to the ServiceLoader manifest — a rebuild is
+  // all it takes for the new component to be discoverable. Like every
+  // reference scaffold: refuse to overwrite, validate names first.
+
+  val ComponentKinds: Seq[String] =
+    Seq("mapper", "parser", "loader", "domain", "dto")
+
+  /** The plugin skeleton's package + source dir, recovered from its
+    * ServiceLoader manifest (the skeleton wrote it; reference pkg_root).
+    */
+  private def pluginPackage(pluginRoot: Path): (String, Path) = {
+    val services = pluginRoot.resolve(
+      "src/main/resources/META-INF/services/graft.plugins.GraftPlugin")
+    if (!Files.exists(services))
+      throw new IllegalArgumentException(
+        s"scaffold: $pluginRoot is not a plugin skeleton (no ServiceLoader manifest)")
+    val first = Files.readString(services).linesIterator
+      .map(_.trim).find(_.nonEmpty).getOrElse(throw new IllegalArgumentException(
+        s"scaffold: empty ServiceLoader manifest under $pluginRoot"))
+    val pkg = first.substring(0, first.lastIndexOf('.'))
+    (pkg, pluginRoot.resolve(s"src/main/scala/${pkg.replace('.', '/')}"))
+  }
+
+  private def camel(raw: String): String =
+    raw.split("[-_]").map(_.capitalize).mkString
+
+  private def writeComponent(pluginRoot: Path, rel: Path, body: String,
+                             spiClass: Option[String]): Path = {
+    if (Files.exists(rel))
+      throw new IllegalArgumentException(s"scaffold: $rel already exists")
+    Files.createDirectories(rel.getParent)
+    Files.writeString(rel, body)
+    spiClass.foreach { cls =>
+      val services = pluginRoot.resolve(
+        "src/main/resources/META-INF/services/graft.plugins.GraftPlugin")
+      val current = Files.readString(services)
+      val sep = if (current.endsWith("\n")) "" else "\n"
+      Files.writeString(services, s"$current$sep$cls\n")
+    }
+    rel
+  }
+
+  /** Scaffold one component into an existing plugin skeleton. Returns the
+    * created file. `kind` ∈ [[ComponentKinds]].
+    */
+  def component(kind: String, rawName: String, pluginRoot: Path): Path = {
+    val (pkgName, _) = names(rawName) // validates the name shape
+    val base = camel(rawName)
+    val (pkg, srcDir) = pluginPackage(pluginRoot)
+    def file(cls: String) = srcDir.resolve(s"$cls.scala")
+
+    kind match {
+      case "domain" =>
+        // reference domain.py: a typed temporal record model
+        writeComponent(pluginRoot, file(s"${base}Record"),
+          s"""package $pkg
+             |
+             |/** Domain record for '$rawName' (scaffolded twin of the
+             |  * reference TemporalRecord model): a timestamped, keyed,
+             |  * typed payload — extend the fields as the domain requires.
+             |  */
+             |final case class ${base}Record(time: java.sql.Timestamp,
+             |                               key: String, value: Double)
+             |
+             |object ${base}Record {
+             |  import org.apache.spark.sql.{Encoder, Encoders}
+             |  implicit val encoder: Encoder[${base}Record] =
+             |    Encoders.product[${base}Record]
+             |}
+             |""".stripMargin, spiClass = None)
+
+      case "dto" =>
+        // reference dto.py: the raw wire shape + its parse into the domain
+        // record — requires the domain to be scaffolded first
+        if (!Files.exists(file(s"${base}Record")))
+          throw new IllegalArgumentException(
+            s"scaffold: dto '$rawName' needs its domain record first " +
+              s"(run: scaffold domain $rawName <pluginDir>)")
+        writeComponent(pluginRoot, file(s"${base}Dto"),
+          s"""package $pkg
+             |
+             |/** Wire-shape DTO for '$rawName' (scaffolded): every field a
+             |  * string, parsed into the typed domain record — keep parsing
+             |  * here so malformed payloads fail in ONE place.
+             |  */
+             |final case class ${base}Dto(time: String, key: String,
+             |                            value: String) {
+             |  def toRecord: ${base}Record =
+             |    ${base}Record(java.sql.Timestamp.valueOf(time), key,
+             |      value.toDouble)
+             |}
+             |""".stripMargin, spiClass = None)
+
+      case "loader" =>
+        writeComponent(pluginRoot, file(s"${base}Loader"),
+          s"""package $pkg
+             |
+             |import org.apache.spark.sql.SparkSession
+             |
+             |import graft.plugins.GraftPlugin
+             |
+             |/** Reader format '$rawName' (scaffolded): usable as
+             |  * source.loader.reader.format once this plugin is on the
+             |  * classpath. Replace the parquet read with your format.
+             |  */
+             |final class ${base}Loader extends GraftPlugin {
+             |  override def name: String = "$rawName-loader"
+             |  override def loaders = Map(
+             |    "$rawName" -> { (spark: SparkSession, path: String,
+             |                     options: Map[String, String]) =>
+             |      spark.read.options(options).parquet(path)
+             |    })
+             |}
+             |""".stripMargin, spiClass = Some(s"$pkg.${base}Loader"))
+
+      case "parser" =>
+        // the reference's iterator-parser stage collapses into a reader
+        // format on the JVM (Plugins scaladoc): scaffold a line parser
+        writeComponent(pluginRoot, file(s"${base}Parser"),
+          s"""package $pkg
+             |
+             |import org.apache.spark.sql.SparkSession
+             |import org.apache.spark.sql.functions._
+             |
+             |import graft.plugins.GraftPlugin
+             |
+             |/** Line parser '$rawName' (scaffolded): reads text files and
+             |  * splits each line on a configurable delimiter — replace the
+             |  * select with your wire format's parse.
+             |  */
+             |final class ${base}Parser extends GraftPlugin {
+             |  override def name: String = "$rawName-parser"
+             |  override def loaders = Map(
+             |    "$rawName" -> { (spark: SparkSession, path: String,
+             |                     options: Map[String, String]) =>
+             |      val delim = options.getOrElse("delimiter", ",")
+             |      spark.read.text(path).select(
+             |        split(col("value"),
+             |          java.util.regex.Pattern.quote(delim)).as("parts"))
+             |    })
+             |}
+             |""".stripMargin, spiClass = Some(s"$pkg.${base}Parser"))
+
+      case "mapper" =>
+        writeComponent(pluginRoot, file(s"${base}Mapper"),
+          s"""package $pkg
+             |
+             |import org.apache.spark.sql.DataFrame
+             |
+             |import graft.operators.StreamKey
+             |import graft.plugins.{GraftPlugin, PluginOp}
+             |
+             |/** Ordered transform '$rawName' (scaffolded): usable as
+             |  * { operation: plugin, name: $rawName } in a stream's
+             |  * transform chain. The factory runs at config-parse time —
+             |  * validate options there; keep the stage a pure frame map
+             |  * (window on the stream's own key preserves the chain's
+             |  * single-shuffle property).
+             |  */
+             |final class ${base}Mapper extends GraftPlugin {
+             |  override def name: String = "$rawName-mapper"
+             |  override def transforms = Map(
+             |    "$rawName" -> { (options: Map[String, Any]) =>
+             |      new PluginOp {
+             |        def apply(df: DataFrame, key: StreamKey): DataFrame = df
+             |      }
+             |    })
+             |}
+             |""".stripMargin, spiClass = Some(s"$pkg.${base}Mapper"))
+
+      case other =>
+        throw new IllegalArgumentException(
+          s"scaffold: unknown component kind '$other' " +
+            s"(${ComponentKinds.mkString(" | ")})")
+    }
+  }
+
   // ---- per-entity YAML scaffolds (reference services/scaffold/
   // {source_yaml,stream_yaml}.py). The reference writes stanza files into
   // stream dirs; graft's project is ONE document, so the twin appends a

@@ -106,6 +106,79 @@ class PluginSpec extends SparkSpec {
     intercept[IllegalArgumentException](Scaffold.plugin("BadName", out))
   }
 
+  test("component scaffolds compile into the skeleton and discover via ServiceLoader") {
+    import java.nio.file.{Files, Path}
+    val out = Files.createTempDirectory("graft_scaffold_components")
+    val root = Scaffold.plugin("acme-feed", out)
+
+    // one of each kind; dto requires its domain first (reference dto.py)
+    val e = intercept[IllegalArgumentException](
+      Scaffold.component("dto", "tick", root))
+    assert(e.getMessage.contains("needs its domain record first"))
+    Scaffold.component("domain", "tick", root)
+    Scaffold.component("dto", "tick", root)
+    Scaffold.component("loader", "tickfile", root)
+    Scaffold.component("parser", "tickline", root)
+    Scaffold.component("mapper", "tickscale", root)
+    // refuse overwrite + unknown kind + bad name, like the skeleton scaffold
+    assert(intercept[IllegalArgumentException](
+      Scaffold.component("mapper", "tickscale", root))
+      .getMessage.contains("already exists"))
+    assert(intercept[IllegalArgumentException](
+      Scaffold.component("widget", "x", root))
+      .getMessage.contains("unknown component kind"))
+    intercept[IllegalArgumentException](Scaffold.component("mapper", "Bad", root))
+    // not-a-skeleton target refused before any IO
+    assert(intercept[IllegalArgumentException](
+      Scaffold.component("mapper", "x", out))
+      .getMessage.contains("not a plugin skeleton"))
+
+    // BUILD the scaffolded plugin: compile every generated source with the
+    // in-process Scala compiler against this JVM's classpath (the skeleton's
+    // build.sbt does the same against $SPARK_HOME/jars + graft)
+    val srcs = Files.walk(root.resolve("src/main/scala")).iterator()
+    val files = new scala.collection.mutable.ArrayBuffer[String]
+    while (srcs.hasNext) {
+      val p = srcs.next()
+      if (p.toString.endsWith(".scala")) files += p.toString
+    }
+    assert(files.length == 6, s"skeleton + 5 components, got $files")
+    val classesDir = Files.createTempDirectory("graft_scaffold_classes")
+    val settings = new scala.tools.nsc.Settings()
+    settings.usejavacp.value = true // forked tests: full classpath in java.class.path
+    settings.outputDirs.setSingleOutput(classesDir.toString)
+    val reporter =
+      new scala.tools.nsc.reporters.StoreReporter(settings)
+    val g = new scala.tools.nsc.Global(settings, reporter)
+    new g.Run().compile(files.toList)
+    assert(!reporter.hasErrors,
+      s"scaffolded components must compile:\n${reporter.infos.mkString("\n")}")
+
+    // DISCOVER via ServiceLoader over the built classes + the manifest
+    val loader = new java.net.URLClassLoader(
+      Array(classesDir.toUri.toURL,
+        root.resolve("src/main/resources").toUri.toURL),
+      getClass.getClassLoader)
+    val foundIt = java.util.ServiceLoader
+      .load(classOf[graft.plugins.GraftPlugin], loader)
+      .iterator()
+    val found = new scala.collection.mutable.ArrayBuffer[graft.plugins.GraftPlugin]
+    while (foundIt.hasNext) found += foundIt.next()
+    val byName = found.map(p => p.name -> p).toMap
+    // the parent loader contributes the test-fixture plugin; the scaffolded
+    // set must all be discovered through the built classes + manifest
+    assert(Set("acme-feed", "tickfile-loader", "tickline-parser",
+      "tickscale-mapper").subsetOf(byName.keySet), s"got ${byName.keySet}")
+    assert(byName("tickfile-loader").loaders.keySet == Set("tickfile"))
+    assert(byName("tickline-parser").loaders.keySet == Set("tickline"))
+    assert(byName("tickscale-mapper").transforms.keySet == Set("tickscale"))
+    // the mapper's op factory builds and runs as the SPI contract requires
+    val op = byName("tickscale-mapper").transforms("tickscale")(Map.empty)
+    val df = spark.range(3).toDF("x")
+    assert(op(df, graft.operators.StreamKey(Seq.empty, timeCol = "x")).count() == 3)
+    loader.close()
+  }
+
   test("scaffold source/stream append valid entries and re-validate the document") {
     val root = Files.createTempDirectory("graft_scaffold_yaml")
     val yaml = root.resolve("project.yaml")
