@@ -342,21 +342,18 @@ object QueriesMining {
     // bounded aggregates (per-doc term counts, then the entropy fold);
     // every float is a round-6 grid point before the decimal sum.
     "entropy_gate" -> { (s, d) =>
-      // doc length / distinct count as windows over the term counts (one
-      // exchange on the doc key) — a second aggregate would re-explode
-      // every body; the window rides the same doc partitioning the final
-      // entropy fold needs anyway.
-      val w = Window.partitionBy(col("doc_id"))
+      // row-local fold (functions.EntropyStats): a doc's entropy is a pure
+      // function of its own tokens, so the former relational plan's two
+      // exchanges (term-count aggregate + doc window) buy nothing — scan →
+      // fold → project, zero shuffles at every scale. Result-equal to the
+      // relational twin (MiningSpec pins it) and the DuckDB oracle: the
+      // fold sums the SAME round-6 term micros the decimal sum accumulates.
+      graft.functions.EntropyStats.register(s)
       documents(s, d)
-        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-        .withColumn("dl", sum(col("tf")).over(w))
-        .withColumn("n_distinct", count(lit(1)).over(w))
-        .withColumn("term", expr(EntropyTermExpr))
-        .groupBy(col("doc_id"), col("dl"), col("n_distinct"))
-        .agg((-sumDec(col("term"), 6)).as("entropy"))
-        .select(col("doc_id"), col("dl").as("n_words"), col("n_distinct"),
-          col("entropy"))
+        .select(col("doc_id"),
+          call_function("entropy_stats", Text.tokens(col("text"))).as("st"))
+        .select(col("doc_id"), col("st.n_words").as("n_words"),
+          col("st.n_distinct").as("n_distinct"), col("st.entropy").as("entropy"))
         .withColumn("distinct_ratio",
           expr("round(CAST(n_distinct AS DOUBLE) / n_words, 6)"))
         .withColumn("keep",
@@ -522,13 +519,19 @@ object QueriesMining {
       val docs = documents(s, d)
       val toks = Text.tokens(col("text"))
       val words = docs.select(col("doc_id"), toks.as("w"))
+      // pair keys are (w1, w2) STRUCTS, not concatenated strings: the
+      // skip-window explode is the corpus-token-linear term at every scale
+      // (the shuffle itself is vocabulary-bounded by map-side combine), so
+      // the per-token work must not allocate — struct fields reference the
+      // scanned array elements; strings are built only for the CoocMin
+      // survivors, a vocabulary-bounded set.
       def pairsAt(dist: Int) = words
         .where(size(col("w")) >= dist + 1)
         .select(explode(zip_with(
           slice(col("w"), lit(1), size(col("w")) - dist),
           slice(col("w"), lit(1 + dist), size(col("w")) - dist),
-          (a, b) => when(a <= b, concat(a, lit(" "), b))
-            .otherwise(concat(b, lit(" "), a)))).as("pair"))
+          (a, b) => when(a <= b, struct(a.as("w1"), b.as("w2")))
+            .otherwise(struct(b.as("w1"), a.as("w2"))))).as("pair"))
       val pairs = pairsAt(1).unionByName(pairsAt(2))
       val c12 = pairs.groupBy(col("pair")).agg(count(lit(1)).as("c12"))
       val uni = words.select(explode(col("w")).as("tok"))
@@ -540,8 +543,8 @@ object QueriesMining {
         .agg(sum(size(col("w"))).as("t_total"))
         .crossJoin(c12.agg(sum(col("c12")).as("p_total")))
       val scored = c12.where(col("c12") >= CoocMin)
-        .withColumn("w1", split(col("pair"), " ").getItem(0))
-        .withColumn("w2", split(col("pair"), " ").getItem(1))
+        .withColumn("w1", col("pair.w1"))
+        .withColumn("w2", col("pair.w2"))
         .join(broadcast(uni.withColumnRenamed("tok", "w1")
           .withColumnRenamed("c", "c1")), Seq("w1"))
         .join(broadcast(uni.withColumnRenamed("tok", "w2")

@@ -307,6 +307,39 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("entropy_gate fold equals the relational reference plan") {
+    // the query runs the zero-shuffle EntropyStats fold; this is the
+    // independently-derived relational twin it replaced (term-count
+    // aggregate + doc windows + decimal term sum) — result equality pins
+    // the fold's exactness, row for row
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id"))
+    val relational = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum(col("tf")).over(w))
+      .withColumn("n_distinct", count(lit(1)).over(w))
+      .withColumn("term",
+        expr("round((CAST(tf AS DOUBLE) / dl) * ln(CAST(tf AS DOUBLE) / dl), 6)"))
+      .groupBy(col("doc_id"), col("dl"), col("n_distinct"))
+      .agg((-sum(col("term").cast("decimal(30,6)")).cast("double"))
+        .as("entropy"))
+      .select(col("doc_id"), col("dl").as("n_words"), col("n_distinct"),
+        col("entropy"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val fold = SparkEntry.queries("entropy_gate")(spark, sf)
+      .select(col("doc_id"), col("n_words"), col("n_distinct"), col("entropy"))
+      .collect()
+    assert(fold.nonEmpty && fold.length == relational.size)
+    fold.foreach { r =>
+      val exp = relational(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2), r.getDouble(3)) == exp,
+        s"doc ${r.getLong(0)}: fold=${(r.getLong(1), r.getLong(2), r.getDouble(3))} relational=$exp")
+    }
+  }
+
   test("sample_weighted: inclusion skews toward heavier docs") {
     val out = SparkEntry.queries("sample_weighted")(spark, sf)
     val sampleMean = out.agg(avg(col("weight"))).head().getDouble(0)

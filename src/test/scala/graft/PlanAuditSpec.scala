@@ -803,13 +803,16 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   audit("entropy_gate") { plan =>
-    // one term-count aggregate, then dl/n_distinct as windows riding the
-    // doc partitioning — join-free, bodies exploded exactly once
+    // row-local EntropyStats fold: a doc's entropy needs only its own
+    // tokens — scan → fold → project, ZERO shuffles at every scale (the
+    // relational twin with its two exchanges is spec-pinned in MiningSpec)
+    assert(plan.contains("entropy_stats("),
+      "the gate must run through the EntropyStats fold")
     assert(!plan.contains("Join"), "the entropy fold must not join")
-    assert(plan.contains("Window"),
-      "doc stats must ride the doc partitioning as windows")
-    assert(shuffleExchanges(plan) <= 2,
-      s"term aggregate + doc window only, saw ${shuffleExchanges(plan)}")
+    assert(!plan.contains("Window") && !plan.contains("HashAggregate"),
+      "row-local fold: no window, no aggregate")
+    assert(shuffleExchanges(plan) == 0,
+      s"zero-shuffle plan, saw ${shuffleExchanges(plan)}")
   }
 
   audit("sample_weighted") { plan =>
