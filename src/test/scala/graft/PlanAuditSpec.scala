@@ -834,6 +834,27 @@ class PlanAuditSpec extends SparkSpec {
       "the top-k cut must be TakeOrdered")
   }
 
+  audit("unigram_artifact") { plan =>
+    // the hydrated model segments DISTINCT words through the fitted
+    // UnigramSeg fold (no per-document re-segmentation); documents collapse
+    // to term frequencies before joining the vocabulary-sized piece map
+    assert(plan.contains("unigramseg("),
+      "encode must run through the fitted UnigramSeg fold")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), "bounded equi-joins only")
+    assert(shuffleExchanges(plan) <= 4,
+      s"word-freq agg + tf agg + join/agg only, saw ${shuffleExchanges(plan)}")
+  }
+
+  audit("sink_compacted") { plan =>
+    // the returned frame is the governance PROOF: one scan of the governed
+    // layout, a per-file aggregate, one global roll-up — no join, no sort
+    assert(!plan.contains("Join") && !plan.contains("Sort"),
+      "the compaction proof is a two-level aggregate over the re-read")
+    assert(plan.contains("input_file_name"),
+      "the proof must group by the physical file")
+  }
+
   audit("percolate_route") { plan =>
     // fitted-fold percolation: the metadata-scale weight table embeds in
     // the codegen'd PercolateScores fold — the scoring plan is scan →
