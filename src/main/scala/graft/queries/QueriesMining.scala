@@ -519,12 +519,14 @@ object QueriesMining {
       val docs = documents(s, d)
       val toks = Text.tokens(col("text"))
       val words = docs.select(col("doc_id"), toks.as("w"))
-      // pair keys are (w1, w2) STRUCTS, not concatenated strings: the
-      // skip-window explode is the corpus-token-linear term at every scale
-      // (the shuffle itself is vocabulary-bounded by map-side combine), so
-      // the per-token work must not allocate — struct fields reference the
-      // scanned array elements; strings are built only for the CoocMin
-      // survivors, a vocabulary-bounded set.
+      // pair keys are TWO string columns (w1, w2), not one concatenated
+      // string: the skip-window explode is the corpus-token-linear term at
+      // every scale (the shuffle itself is vocabulary-bounded by map-side
+      // combine), so the per-token work must neither allocate (struct
+      // fields reference the scanned array elements; the old `w1 w2`
+      // concat built a fresh string per token) nor fall off the
+      // aggregate's codegen'd fast hash map (a STRUCT grouping key does —
+      // measured 2x slower at sf100; two flat string keys stay on it).
       def pairsAt(dist: Int) = words
         .where(size(col("w")) >= dist + 1)
         .select(explode(zip_with(
@@ -533,7 +535,9 @@ object QueriesMining {
           (a, b) => when(a <= b, struct(a.as("w1"), b.as("w2")))
             .otherwise(struct(b.as("w1"), a.as("w2"))))).as("pair"))
       val pairs = pairsAt(1).unionByName(pairsAt(2))
-      val c12 = pairs.groupBy(col("pair")).agg(count(lit(1)).as("c12"))
+        .select(col("pair.w1").as("w1"), col("pair.w2").as("w2"))
+      val c12 = pairs.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
       val uni = words.select(explode(col("w")).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("c"))
       // p_total = Σ c12 over the already-aggregated pair counts — the raw
@@ -543,8 +547,6 @@ object QueriesMining {
         .agg(sum(size(col("w"))).as("t_total"))
         .crossJoin(c12.agg(sum(col("c12")).as("p_total")))
       val scored = c12.where(col("c12") >= CoocMin)
-        .withColumn("w1", col("pair.w1"))
-        .withColumn("w2", col("pair.w2"))
         .join(broadcast(uni.withColumnRenamed("tok", "w1")
           .withColumnRenamed("c", "c1")), Seq("w1"))
         .join(broadcast(uni.withColumnRenamed("tok", "w2")
