@@ -442,7 +442,7 @@ object QueriesLlm {
           WHERE ${dotSql("embedding", "embedding")} > 0),
         b AS (
           SELECT vec_id AS bench_id, embedding AS bv, bucket
-          FROM sigd WHERE vec_id % 17 = 0),
+          FROM sigd WHERE vec_id % 17 = 0 AND vec_id < $SemBenchCap),
         c AS (SELECT vec_id AS corpus_id, embedding AS cv, bucket FROM sigd),
         p AS (
           SELECT corpus_id, ${cosSql("cv", "bv")} AS cos
@@ -929,11 +929,17 @@ object QueriesLlm {
     // a held-out suite overlapping the corpus, which is exactly the leak
     // the audit hunts) broadcast their LSH bucket keys; corpus vectors
     // verify exact cosine on bucket-mates only. The corpus never shuffles.
+    // The benchmark slice is ID-CAPPED (the hard_negatives lesson): a real
+    // benchmark is a FIXED suite, so it must not grow with the corpus — a
+    // modulus alone made it 117k vectors at sf100, blowing the operator's
+    // deliberate broadcast budget (caught by the full-surface sweep; the
+    // cap is a no-op at the sf0.01 gate, whose ids all sit below it).
     "decontam_semantic" -> { (s, d) =>
       val e = embeddings(s, d)
       Similarity.decontamSemantic(e,
-        e.filter(pmod(col("vec_id"), lit(17)) === 0), "vec_id", "embedding",
-        threshold = 0.95, planes = 6, dim = 64)
+        e.filter(pmod(col("vec_id"), lit(17)) === 0 &&
+          col("vec_id") < SemBenchCap),
+        "vec_id", "embedding", threshold = 0.95, planes = 6, dim = 64)
     },
 
     "ann_bruteforce" -> { (s, d) =>
@@ -1473,6 +1479,14 @@ object QueriesLlm {
     * oracle so the two cannot drift.
     */
   private[queries] val BpeRounds = 8
+
+  /** decontam_semantic's benchmark id cap (shared with the oracle): a
+    * benchmark is a FIXED suite — the cap keeps it constant-size at every
+    * scale factor (all sf0.01 ids sit below it, so the gate result is
+    * unchanged; at sf100 it keeps the bench side broadcastable by
+    * construction instead of 117k vectors).
+    */
+  private[queries] val SemBenchCap = 500L
 
   /** Shared CTE chain of the BPE twins: k training rounds unrolled as CTE
     * blocks (the curation_kmeans pattern). The merge step is the same left

@@ -282,8 +282,23 @@ object Streaming {
     * into a linear collect that measures the harness, not the operator).
     */
   private def sinkTo(spark: SparkSession, df: DataFrame, tableName: String,
-                     memoryMode: String, sinkDir: Option[String]): DataFrame =
-    sinkDir match {
+                     memoryMode: String, sinkDir: Option[String]): DataFrame = {
+    // SPARK_GRAFT_STREAM_SINK=parquet routes EVERY append-mode (result-
+    // linear) streaming verification through the distributed sink, not
+    // just the call sites that plumb a dir explicitly: at sf100 a
+    // result-linear journey's memory table is a >1 GiB driver collect
+    // (spark.driver.maxResultSize aborts it — the full-surface sweep
+    // caught stream_corpus_{classify,extract,mix,tokenize} exactly there),
+    // and even SUCCESSFUL memory tables accumulate on the driver heap for
+    // the session's lifetime, starving later queries. Complete/update-mode
+    // results are keyed-bounded by construction (and parquet sinks don't
+    // support those modes), so they stay in-memory.
+    val dir = sinkDir.orElse(
+      if (memoryMode == "append")
+        sys.env.get("SPARK_GRAFT_STREAM_SINK").filter(_ == "parquet")
+          .map(_ => s"/tmp/graft_stream_sink/$tableName")
+      else None)
+    dir match {
       case None =>
         val q = df.writeStream.format("memory").queryName(tableName)
           .outputMode(memoryMode).trigger(Trigger.AvailableNow()).start()
@@ -298,6 +313,7 @@ object Streaming {
         q.awaitTermination()
         spark.read.parquet(s"$dir/out")
     }
+  }
 
   /** Stream-static join: attach dimension attributes to an unbounded event
     * stream — the streaming twin of the batch broadcast attach
