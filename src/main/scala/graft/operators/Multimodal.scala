@@ -173,15 +173,34 @@ object Multimodal {
     buf.toSeq
   }
 
-  private def decodeAudio(readers: Seq[javax.sound.sampled.spi.AudioFileReader],
-                          wav: Array[Byte],
-                          mediaId: Long): javax.sound.sampled.AudioInputStream = {
-    readers.foreach { r =>
-      try return r.getAudioInputStream(new ByteArrayInputStream(wav))
-      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => }
+  /** Move-to-front reader cache: a provider that rejects a container can
+    * be arbitrarily EXPENSIVE about it — the JDK's MIDI reader answers
+    * through a JVM-GLOBAL synchronized registry lookup, which serialized
+    * the whole 32-thread decode when it sat ahead of the WAVE reader
+    * (sf100: 564 s, the sweep's finding). After the first success the
+    * accepting reader is tried first; result-identical because exactly one
+    * registered reader accepts a given container (the others throw
+    * UnsupportedAudioFileException), so acceptance order cannot change the
+    * outcome.
+    */
+  private final class ReaderCache(
+      initial: Seq[javax.sound.sampled.spi.AudioFileReader]) {
+    private val readers = initial.toBuffer
+    def decode(wav: Array[Byte],
+               mediaId: Long): javax.sound.sampled.AudioInputStream = {
+      var i = 0
+      while (i < readers.length) {
+        val r = readers(i)
+        try {
+          val ais = r.getAudioInputStream(new ByteArrayInputStream(wav))
+          if (i != 0) { readers.remove(i); readers.prepend(r) }
+          return ais
+        } catch { case _: javax.sound.sampled.UnsupportedAudioFileException => }
+        i += 1
+      }
+      throw new javax.sound.sampled.UnsupportedAudioFileException(
+        s"no registered reader accepts the container of media_id=$mediaId")
     }
-    throw new javax.sound.sampled.UnsupportedAudioFileException(
-      s"no registered reader accepts the container of media_id=$mediaId")
   }
 
   /** Real audio decode path: each payload becomes a synthetic WAV
@@ -197,10 +216,10 @@ object Multimodal {
   def audioFeatures(spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
-      val readers = audioReaders()
+      val readers = new ReaderCache(audioReaders())
       it.map { r =>
         val wav = buildWav(r.payload, AudioSampleRate)
-        val ais = decodeAudio(readers, wav, r.media_id)
+        val ais = readers.decode(wav, r.media_id)
         val fmt = ais.getFormat
         require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
           s"unexpected decoded format for media_id=${r.media_id}: $fmt")
@@ -245,6 +264,12 @@ object Multimodal {
     import spark.implicits._
     val g = PhashGrid
     media.as[MediaRecord].mapPartitions { it =>
+      // ImageIO's default stream cache is DISK-backed: every write/read
+      // pair creates and deletes a temp FILE. At 5M images that is an IO
+      // storm that turned the sf100 point super-linear (716 s, 18x —
+      // caught by the full-surface sweep); memory-backed streams are the
+      // documented fix for small images. Idempotent, JVM-global.
+      ImageIO.setUseCache(false)
       it.map { r =>
         val len = r.payload.length
         val img = new java.awt.image.BufferedImage(g, g,
@@ -335,10 +360,10 @@ object Multimodal {
     import spark.implicits._
     val w = AudioFpWindows
     media.as[MediaRecord].mapPartitions { it =>
-      val readers = audioReaders()
+      val readers = new ReaderCache(audioReaders())
       it.map { r =>
         val wav = buildWav(r.payload, AudioSampleRate)
-        val ais = decodeAudio(readers, wav, r.media_id)
+        val ais = readers.decode(wav, r.media_id)
         val data = ais.readAllBytes()
         val len = data.length.toLong
         val sums = new Array[Long](w)
