@@ -519,25 +519,24 @@ object QueriesMining {
       val docs = documents(s, d)
       val toks = Text.tokens(col("text"))
       val words = docs.select(col("doc_id"), toks.as("w"))
-      // pair keys are TWO string columns (w1, w2), not one concatenated
-      // string: the skip-window explode is the corpus-token-linear term at
-      // every scale (the shuffle itself is vocabulary-bounded by map-side
-      // combine), so the per-token work must neither allocate (struct
-      // fields reference the scanned array elements; the old `w1 w2`
-      // concat built a fresh string per token) nor fall off the
-      // aggregate's codegen'd fast hash map (a STRUCT grouping key does —
-      // measured 2x slower at sf100; two flat string keys stay on it).
+      // pair keys are ONE concatenated string, measured and kept: two
+      // alternatives that avoid the per-token concat allocation — a
+      // struct key and two flat string key columns — both measured ~2.2x
+      // SLOWER at sf100 (155 s / 160 s vs ~70 s), because a single
+      // binary-comparable key is what the aggregate's unsafe fast hash map
+      // is best at; the allocation the concat pays is cheaper than the
+      // multi-key probe it avoids. The concat IS the plan you'd want.
       def pairsAt(dist: Int) = words
         .where(size(col("w")) >= dist + 1)
         .select(explode(zip_with(
           slice(col("w"), lit(1), size(col("w")) - dist),
           slice(col("w"), lit(1 + dist), size(col("w")) - dist),
-          (a, b) => when(a <= b, struct(a.as("w1"), b.as("w2")))
-            .otherwise(struct(b.as("w1"), a.as("w2"))))).as("pair"))
+          (a, b) => when(a <= b, concat(a, lit(" "), b))
+            .otherwise(concat(b, lit(" "), a)))).as("pair"))
       val pairs = pairsAt(1).unionByName(pairsAt(2))
-        .select(col("pair.w1").as("w1"), col("pair.w2").as("w2"))
-      val c12 = pairs.groupBy(col("w1"), col("w2"))
-        .agg(count(lit(1)).as("c12"))
+      val c12 = pairs.groupBy(col("pair")).agg(count(lit(1)).as("c12"))
+        .select(split(col("pair"), " ").getItem(0).as("w1"),
+          split(col("pair"), " ").getItem(1).as("w2"), col("c12"))
       val uni = words.select(explode(col("w")).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("c"))
       // p_total = Σ c12 over the already-aggregated pair counts — the raw
