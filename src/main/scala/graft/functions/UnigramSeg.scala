@@ -48,8 +48,20 @@ case class UnigramSeg(child: Expression,
 
   def compute(word: UTF8String): ArrayData = {
     val w = word.toString
-    val n = w.length
+    // DP positions are CODE POINTS, not UTF-16 code units: candidate
+    // generation (Unigram.candFreq) slices with Spark SQL substring/length
+    // (code-point semantics) and the DuckDB oracle slices by characters, so
+    // unit-indexed DP would split supplementary-plane characters (emoji,
+    // rare CJK) differently from both — and could emit lone surrogates as
+    // UNK pieces. off(i) maps code-point index i to its UTF-16 offset, so
+    // piece lookups stay O(1) substring slices.
+    val n = w.codePointCount(0, w.length)
     if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val off = new Array[Int](n + 1)
+    var ci = 0
+    var u = 0
+    while (ci < n) { off(ci) = u; u = w.offsetByCodePoints(u, 1); ci += 1 }
+    off(n) = w.length
     val dp = new Array[Long](n + 1)
     val back = new Array[Int](n + 1)
     var i = 1
@@ -59,7 +71,7 @@ case class UnigramSeg(child: Expression,
       val lm = math.min(maxLen, i)
       var l = 1
       while (l <= lm) {
-        val lpBoxed = table.get(w.substring(i - l, i))
+        val lpBoxed = table.get(w.substring(off(i - l), off(i)))
         val lp: java.lang.Long =
           if (lpBoxed != null) lpBoxed
           else if (l == 1) java.lang.Long.valueOf(unkLp)
@@ -84,7 +96,7 @@ case class UnigramSeg(child: Expression,
     var j = k - 1
     while (pos > 0) {
       val l = back(pos)
-      out(j) = UTF8String.fromString(w.substring(pos - l, pos))
+      out(j) = UTF8String.fromString(w.substring(off(pos - l), off(pos)))
       j -= 1
       pos -= l
     }

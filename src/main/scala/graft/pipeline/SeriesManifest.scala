@@ -107,12 +107,28 @@ object SeriesManifest {
             ds: Config.DatasetDef): Manifest = {
     val df = spark.read.parquet(paths.datasetDir.toString)
     val vecIds = ds.features.map(_.id) ++ ds.targets.map(_.id)
+    // A raw vector id may be series-EXPANDED in the written dataset
+    // (`id__@field:value...` when partition fields are not sample keys —
+    // Series.project) or DROPPED entirely by the postprocess coverage
+    // thresholds (ConfigRuntime.postprocessStage). Resolve each id against
+    // the actual columns by base-id prefix — counting an unresolved column
+    // would throw AnalysisException and fail the whole materialize run —
+    // summing samples across the expanded columns and recording 0 for
+    // vectors the coverage gate pruned (HtmlReport.matrix handles the same
+    // expansion; the manifest must too).
+    val expanded: Map[String, Seq[String]] = vecIds.map { id =>
+      id -> df.columns.toSeq.filter(c =>
+        c == id || c.startsWith(id + Series.IdSeparator))
+    }.toMap
+    val countedCols = vecIds.flatMap(expanded).distinct
     val aggs = count(lit(1)).cast("long").as("__rows") +:
-      vecIds.map(id => count(col(id)).cast("long").as(s"__n_$id"))
+      countedCols.map(c => count(col(c)).cast("long").as(s"__n_$c"))
     val row = df.agg(aggs.head, aggs.tail: _*).collect().head
     val rows = row.getLong(0)
-    val samples = vecIds.zipWithIndex
-      .map { case (id, i) => id -> row.getLong(i + 1) }.toMap
+    val perCol = countedCols.zipWithIndex
+      .map { case (c, i) => c -> row.getLong(i + 1) }.toMap
+    val samples = vecIds
+      .map(id => id -> expanded(id).map(perCol).sum).toMap
     val keyTypes = ds.sampleKeys.map(k => df.schema(k).dataType.catalogString)
     val files = dataFiles(paths.datasetDir).map { p =>
       FileFp(paths.runRoot.relativize(p).toString.replace('\\', '/'),

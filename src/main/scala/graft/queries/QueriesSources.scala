@@ -29,8 +29,12 @@ object QueriesSources {
   // count stays exactly ceil(rows / target), the number the oracle
   // recomputes from the row count alone.
   private[queries] val CompactTarget = 20000L
-  private[queries] val CompactSlack = 64L
   private[queries] val FragmentParts = 48
+  // Slack DERIVES from the fragment count (imbalance is bounded by one row
+  // per input partition), so raising FragmentParts can never silently
+  // outgrow the cap and split a balanced file away from the oracle's
+  // ceil(rows/target) count.
+  private[queries] val CompactSlack: Long = FragmentParts.toLong + 16
 
   val queries: Map[String, QueryFn] = Map(
     // Column-pruned, predicate-pushed parquet scan.
@@ -214,8 +218,8 @@ object QueriesSources {
         .write.mode("overwrite").parquet(fragDir)
       val frag = s.read.parquet(fragDir)
       val nInputFiles = frag.select(input_file_name()).distinct().count()
-      val nFiles = math.ceil(
-        frag.count().toDouble / CompactTarget).toLong.toInt
+      val nFiles = math.max(1, math.ceil(
+        frag.count().toDouble / CompactTarget).toLong.toInt)
       frag.repartition(nFiles)
         .write.mode("overwrite")
         .option("maxRecordsPerFile", CompactTarget + CompactSlack)

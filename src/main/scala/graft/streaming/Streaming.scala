@@ -52,15 +52,16 @@ object Streaming {
   }
 
   /** Driver-data parquet compatibility confs (TIMESTAMP(NANOS) columns read
-    * as long ns; no NTZ inference). Set once per session, not per read —
-    * idempotent, and a no-op when the session builder already set them.
+    * as long ns; no NTZ inference). spark.conf.set is cheap and idempotent,
+    * so set them on every call — a per-session memo keyed on
+    * identityHashCode (the previous shape) can collide or alias a GC'd
+    * session's slot and silently skip a NEW session, breaking
+    * TIMESTAMP(NANOS) reads.
     */
-  private val compatDone = java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
-  def ensureParquetCompat(spark: SparkSession): Unit =
-    if (compatDone.add(System.identityHashCode(spark))) {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    }
+  def ensureParquetCompat(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+  }
 
   /** The events table as a stream, with its TIMESTAMP(NANOS)-as-long layout
     * (driver data) normalized to µs-grain timestamps.

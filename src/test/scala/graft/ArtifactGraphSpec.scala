@@ -381,6 +381,35 @@ class ArtifactGraphSpec extends SparkSpec {
     assert(!SeriesManifest.fresh(latest2))
   }
 
+  test("series manifest counts expanded columns and records 0 for pruned vectors") {
+    import graft.pipeline.{Config, SeriesManifest}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // A materialized dataset whose raw vector id `v` is series-EXPANDED
+    // (partition field not a sample key → `v__@zone:...` columns,
+    // Series.project) and whose target `w` was coverage-pruned away
+    // entirely. build() must resolve by base-id prefix — counting col("v")
+    // directly would throw AnalysisException and fail the materialize run.
+    val paths = graft.sources.Runs.runPaths(
+      Files.createTempDirectory("graft_manifest_exp").resolve("serve").toString,
+      "run1")
+    Files.createDirectories(paths.datasetDir)
+    Seq((1L, Some(1.0), None: Option[Double]),
+        (2L, Some(2.0), Some(3.0)),
+        (3L, None: Option[Double], Some(4.0)))
+      .toDF("t_us", "v__@zone:a", "v__@zone:b")
+      .write.mode("overwrite").parquet(paths.datasetDir.toString)
+    val ds = Config.DatasetDef("1h", Seq("t_us"),
+      features = Seq(Config.VectorDef("v", "ev", "value")),
+      targets = Seq(Config.VectorDef("w", "ev", "value")))
+    val m = SeriesManifest.build(spark, paths, ds)
+    assert(m.rows == 3)
+    assert(m.features == Seq(SeriesManifest.Entry("v", 4)),
+      "samples must sum across the expanded columns")
+    assert(m.targets == Seq(SeriesManifest.Entry("w", 0)),
+      "a coverage-pruned vector records 0 samples instead of failing")
+  }
+
   test("incremental dedup index: the second run computes signatures for the increment only") {
     import graft.operators.{Dedup, IncrementalDedup}
     import org.apache.spark.sql.functions.col

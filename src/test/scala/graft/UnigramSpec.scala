@@ -40,6 +40,18 @@ class UnigramSpec extends SparkSpec {
     assert(seg("", m) == Seq.empty)
   }
 
+  test("supplementary-plane characters segment as code points, not units") {
+    // U+1F600 (😀) is two UTF-16 units; unit-indexed DP would probe lone
+    // surrogates and split the emoji. Known piece containing it must win,
+    // and an UNKNOWN emoji must fall back as ONE code point, never a
+    // surrogate half.
+    val emoji = new String(Character.toChars(0x1F600))
+    val m = Seq("a" -> -1000000L, s"a$emoji" -> -1500000L)
+    assert(seg(s"a${emoji}a", m) == Seq(s"a$emoji", "a"))
+    val unk = new String(Character.toChars(0x1F4A9))
+    assert(seg(s"a${unk}a", Seq("a" -> -1000000L)) == Seq("a", unk, "a"))
+  }
+
   test("candidate set: all chars plus capped multi-char pieces") {
     val df = Seq("aaab aaab cd").toDF("text")
     val v0 = Unigram.candidateSet(Unigram.wordFreq(df, "text"))
