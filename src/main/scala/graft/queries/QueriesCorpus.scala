@@ -705,34 +705,43 @@ object QueriesCorpus {
     // CCNet-style perplexity bucketing: the corpus partitions into
     // head/middle/tail TERTILES by bigram-LM score (head = most fluent
     // third — the slice CCNet keeps preferentially). Thresholds come from
-    // an exact histogram over the round-6 score values — the histogram is
-    // bounded by the DECIMAL GRID (≤ a few million distinct values at any
-    // corpus size), not by the row count, so the cumulative walk is a
-    // metadata-scale driver hop (the k-means-centroids discipline); the
-    // assignment is then a pure per-row comparison. Ties share a score
-    // value and land in one bucket — the deterministic value-threshold
-    // semantics both engines reproduce exactly.
+    // an exact histogram over the round-6 score values — bounded by the
+    // DECIMAL GRID, not the row count — but that grid is score-range × 1e6,
+    // which can reach millions of rows: too big for a driver hop. So the
+    // tertile walk stays DISTRIBUTED (the curation_skyline / quality_rrf
+    // level-table discipline): a cumsum window over the level table picks
+    // the two threshold scores, which collapse to ONE broadcast row the
+    // assignment attaches as a plan literal. Ties share a score value and
+    // land in one bucket — the deterministic value-threshold semantics
+    // both engines reproduce exactly.
     "perplexity_bucket" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
       val blp = bigramScores(s, d).localCheckpoint()
-      val hist = blp.filter(col("mean_logprob").isNotNull)
+      val levels = blp.filter(col("mean_logprob").isNotNull)
         .groupBy(col("mean_logprob")).agg(count(lit(1)).as("c"))
-        .orderBy(col("mean_logprob"))
-        .collect()
-      val n = hist.map(_.getLong(1)).sum
-      val (k1, k2) = ((n + 2) / 3, (2 * n + 2) / 3)
-      var cum = 0L
-      var t1 = Double.NaN
-      var t2 = Double.NaN
-      hist.foreach { r =>
-        cum += r.getLong(1)
-        if (t1.isNaN && cum >= k1) t1 = r.getDouble(0)
-        if (t2.isNaN && cum >= k2) t2 = r.getDouble(0)
-      }
-      blp.withColumn("bucket",
-        when(col("mean_logprob").isNull, lit("unscored"))
-          .when(col("mean_logprob") > t2, lit("head"))
-          .when(col("mean_logprob") > t1, lit("middle"))
-          .otherwise(lit("tail")))
+      // cum over ascending score (single-partition window is fine: the
+      // frame is the grid-bounded LEVEL table, never the corpus)
+      val wCum = Window.orderBy(col("mean_logprob"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      val walked = levels
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wAll))
+      // t1 = first level with cum >= ceil(n/3); t2 = first with cum >=
+      // ceil(2n/3) — exactly the old driver walk's (n+2)/3, (2n+2)/3.
+      // floor(): Spark's `/` on longs is DOUBLE division; the driver walk
+      // used integer (n+2)/3, and for nonnegative n floor matches it.
+      val thresholds = walked.agg(
+        min(when(col("cum") >= floor((col("n") + 2) / 3),
+          col("mean_logprob"))).as("t1"),
+        min(when(col("cum") >= floor((col("n") * 2 + 2) / 3),
+          col("mean_logprob"))).as("t2"))
+      blp.crossJoin(broadcast(thresholds))
+        .withColumn("bucket",
+          when(col("mean_logprob").isNull, lit("unscored"))
+            .when(col("mean_logprob") > col("t2"), lit("head"))
+            .when(col("mean_logprob") > col("t1"), lit("middle"))
+            .otherwise(lit("tail")))
         .select(col("doc_id"), col("mean_logprob"), col("bucket"))
     },
 
@@ -969,9 +978,9 @@ object QueriesCorpus {
         when(Text.langId(col("text")) === "en", 1.0).otherwise(0.0).as("y"))
       val feats = Classifier.features(docs, "doc_id", "text",
         QueriesCuration.ClsBuckets).localCheckpoint()
-      Classifier.saveModel(art, Classifier.fitLogReg(feats, labels, "doc_id",
-        QueriesCuration.ClsBuckets, QueriesCuration.ClsIters,
-        QueriesCuration.ClsEta, nDocs = labels.count()))
+      Classifier.saveModel(art, Classifier.fitLogRegSampled(feats, labels,
+        "doc_id", QueriesCuration.ClsBuckets, QueriesCuration.ClsIters,
+        QueriesCuration.ClsEta))
       val project = graft.pipeline.Config.parseProject(
         s"""sources:
            |  - id: docs
@@ -1005,9 +1014,9 @@ object QueriesCorpus {
         when(Text.langId(col("text")) === "en", 1.0).otherwise(0.0).as("y"))
       val feats = Classifier.features(docs, "doc_id", "text",
         QueriesCuration.ClsBuckets).localCheckpoint()
-      Classifier.saveModel(clsArt, Classifier.fitLogReg(feats, labels,
+      Classifier.saveModel(clsArt, Classifier.fitLogRegSampled(feats, labels,
         "doc_id", QueriesCuration.ClsBuckets, QueriesCuration.ClsIters,
-        QueriesCuration.ClsEta, nDocs = labels.count()))
+        QueriesCuration.ClsEta))
       val project = graft.pipeline.Config.parseProject(
         s"""sources:
            |  - id: docs

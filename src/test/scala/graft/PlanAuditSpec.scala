@@ -482,11 +482,16 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   audit("perplexity_bucket") { plan =>
-    // scoring + thresholds ran at plan-build time; the served assignment
-    // is one per-row CASE over the checkpointed score frame
-    val ops = plan.linesIterator.takeWhile(_.trim.nonEmpty).toSeq
-    assert(!ops.exists(_.contains("Exchange")),
-      "tertile assignment must be shuffle-free")
+    // scoring checkpointed at plan build; the tertile walk is DISTRIBUTED
+    // (no range-dependent driver collect): shuffles touch only the
+    // grid-bounded level table (level groupBy + the single-partition
+    // cumsum window), and the 2-value threshold row broadcasts back onto
+    // the corpus as a one-row BNLJ
+    val n = shuffleExchanges(plan)
+    assert(n <= 3,
+      s"tertile walk must bound its shuffles to the level frame, got $n")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "thresholds must attach as a one-row broadcast")
     assert(plan.contains("Scan ExistingRDD"),
       "assignment must run over the checkpointed score frame")
   }

@@ -99,6 +99,8 @@ class ScalePostureSpec extends SparkSpec {
       "config_corpus_serve", // same one-row mixture totals (the mix step)
       "config_corpus_full",  // same one-row mixture totals (the mix step)
       "cooccurrence_ppmi", // one-row pair/token totals broadcast into PMI
+      "perplexity_bucket", // one-row tertile thresholds broadcast (the
+                           //   level-table cumsum replacing the driver walk)
       "mixture_weights",  // one-row waterfill scalars (totals, used, ws)
                           //   broadcast onto the |sources|-bounded frame
       "ann_pq",           // ks-row codebook cross into encode + ADC LUT
