@@ -51,13 +51,22 @@ object Text {
     }
   }
 
-  /** Whitespace-delimited token count. */
-  def tokenCountWs(text: Column): Column = regexp_count(text, lit("\\S+"))
+  private def native(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(e)
+  private def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.GraftColumnBridge.expression(c)
+
+  /** Whitespace-delimited token count — native one-pass codegen twin of
+    * `regexp_count(text, '\S+')` (bit-equal, PropertyExprSpec-pinned; the
+    * DuckDB oracles keep the regex form).
+    */
+  def tokenCountWs(text: Column): Column = native(WsTokenCount(expr(text)))
 
   /** BPE-ish token count: lowercase runs, capitalized words, digits,
-    * punctuation singles.
+    * punctuation singles — native one-pass codegen twin of
+    * `regexp_count(text, BpeTokenPattern)` (bit-equal, property-pinned).
     */
-  def tokenCountBpe(text: Column): Column = regexp_count(text, lit(BpeTokenPattern))
+  def tokenCountBpe(text: Column): Column = native(BpeTokenCount(expr(text)))
 
   /** Document quality score in [0,1]: length credit × punctuation penalty ×
     * stopword credit. Deterministic double arithmetic (same op order as the

@@ -159,4 +159,32 @@ class PropertyExprSpec extends AnyFunSuite {
       got == want
     })
   }
+
+  // Text mixing every boundary class the token counters must respect: the
+  // six ASCII `\s` whitespace chars, lowercase/uppercase runs, digits,
+  // ASCII punctuation, non-ASCII whitespace (NBSP — NOT Java `\s`),
+  // accented and CJK letters, and supplementary-plane emoji (4-byte UTF-8,
+  // one code point each).
+  private val tokenText: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.oneOf(" ", "\t", "\n", "", "\f", "\r"),
+    Gen.oneOf("a", "bc", "def", "A", "Ab", "XYz", "0", "42", ".", "!?", ","),
+    Gen.oneOf(" ", "é", "ß", "的", "😀", "💩x"),
+    Gen.alphaNumStr.map(_.take(8)))).map(_.mkString)
+
+  test("WsTokenCount / BpeTokenCount == regexp_count reference") {
+    import graft.functions.{Text, TokenCounts}
+    val wsRe = java.util.regex.Pattern.compile("\\S+")
+    val bpeRe = java.util.regex.Pattern.compile(Text.BpeTokenPattern)
+    def reCount(p: java.util.regex.Pattern, s: String): Int = {
+      val m = p.matcher(s)
+      var n = 0
+      while (m.find()) n += 1
+      n
+    }
+    check(Prop.forAll(tokenText) { s =>
+      val u = UTF8String.fromString(s)
+      TokenCounts.countWs(u) == reCount(wsRe, s) &&
+        TokenCounts.countBpe(u) == reCount(bpeRe, s)
+    }, n = 500)
+  }
 }
