@@ -125,6 +125,48 @@ object Classifier {
     w
   }
 
+  // --------------------------------------------- deterministic subsample
+  // A real learned gate fits on a BOUNDED sample and scores everything —
+  // the public fastText/CCNet practice. Full-batch GD over the whole corpus
+  // re-priced every invocation at ~1030 s of the round-10 sf100 sweep; the
+  // fit itself is statistics, not a per-row transform, so its cost must not
+  // scale with the corpus.
+
+  /** Training-sample cap: the fit sees at most ~this many docs. */
+  val TrainSampleCap = 100000L
+  /** Seed for the sha-ratio sample predicate (distinct from every other
+    * sampling seed in the repo so gates can't alias).
+    */
+  val TrainSampleSeed = 1811
+
+  /** The deterministic training-sample predicate: keep a row iff its
+    * sha256 53-bit ratio sits below `min(1, cap/nAll)`. A pure expression
+    * on the id — both the feature and label relations filter with NO join,
+    * and the DuckDB oracle replays the identical predicate (IEEE division
+    * of two exact values, then an exact double compare). On corpora at or
+    * below the cap the rate is 1.0 and the predicate keeps everything, so
+    * the sampled fit COINCIDES with the full fit (ClassifierSpec pins it).
+    */
+  def trainSamplePredicate(idCol: String, nAll: Long,
+                           cap: Long = TrainSampleCap): Column =
+    Curation.hashRatio(col(idCol), TrainSampleSeed) <
+      lit(math.min(1.0, cap.toDouble / nAll))
+
+  /** [[fitLogReg]] on the deterministic subsample: counts the corpus,
+    * filters features and labels by [[trainSamplePredicate]], normalizes
+    * gradients by the SAMPLE size. Two metadata-scale counts; training
+    * cost is bounded by the cap however large the corpus.
+    */
+  def fitLogRegSampled(feats: DataFrame, labels: DataFrame, idCol: String,
+                       buckets: Int, iters: Int, eta: Double,
+                       cap: Long = TrainSampleCap): Array[Double] = {
+    val nAll = labels.count()
+    val p = trainSamplePredicate(idCol, nAll, cap)
+    val trainLabels = labels.filter(p)
+    fitLogReg(feats.filter(p), trainLabels, idCol, buckets, iters, eta,
+      nDocs = trainLabels.count())
+  }
+
   /** Per-doc report under a trained model: `(idCol, prob, predicted)` —
     * one doc-keyed aggregate over the sparse features, weights as a
     * literal. `predicted` = prob at or above `threshold`.

@@ -614,8 +614,11 @@ object ConfigRuntime {
               when(Text.langId(text) === lang, 1.0).otherwise(0.0).as("y"))
             val feats = Classifier.features(snap, c.idCol, c.textCol, buckets)
               .localCheckpoint()
-            Classifier.fitLogReg(feats, labels, c.idCol, buckets, iters, eta,
-              nDocs = labels.count())
+            // deterministic sha-ratio training subsample (capped): the fit
+            // cost is bounded however large the curated frame; at or below
+            // the cap the sample IS the frame
+            Classifier.fitLogRegSampled(feats, labels, c.idCol, buckets,
+              iters, eta)
           }
           val w = artifact match {
             case Some(a) =>

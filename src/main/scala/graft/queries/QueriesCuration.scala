@@ -184,6 +184,12 @@ object QueriesCuration {
     * standalone quality_classifier oracle and the composed `classify`
     * config-journey oracles (QueriesCorpus) so training arithmetic cannot
     * drift between them.
+    *
+    * Training runs on the DETERMINISTIC sha-ratio SAMPLE (the twin of
+    * Classifier.fitLogRegSampled: rate = least(1, cap/n), the same seed
+    * and 53-bit ratio — both engines IEEE-divide the same exact values and
+    * compare the same doubles); scoring (`cls_sF`) runs over the FULL
+    * feature relation.
     */
   private[queries] def logRegCtes(buckets: Int, iters: Int, eta: Double,
                                   rel: String = "documents",
@@ -191,10 +197,18 @@ object QueriesCuration {
                                     "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END")
       : String = {
     import graft.functions.Text.portableHashSql
+    import graft.operators.Classifier.{TrainSampleCap, TrainSampleSeed}
+    val sampled = s"${ratioSql("doc_id", TrainSampleSeed)} < " +
+      s"(SELECT r FROM cls_rate)"
     val base =
       s"""cls_docs AS (
             SELECT doc_id, $labelSql AS y
             FROM $rel),
+          cls_rate AS (
+            SELECT least(1.0, $TrainSampleCap.0 / count(*)) AS r
+            FROM cls_docs),
+          cls_tdocs AS (
+            SELECT doc_id, y FROM cls_docs WHERE $sampled),
           cls_tok AS (
             SELECT doc_id, CAST(${portableHashSql("t")} % $buckets AS INTEGER) AS pos
             FROM (SELECT doc_id,
@@ -208,6 +222,8 @@ object QueriesCuration {
             FROM cls_cnt c JOIN cls_n n USING (doc_id)
             UNION ALL
             SELECT doc_id, $buckets AS pos, 1.0 AS x FROM $rel),
+          cls_fxt AS (
+            SELECT doc_id, pos, x FROM cls_fx WHERE $sampled),
           cls_w0 AS (
             SELECT unnest(generate_series(0, $buckets)) AS pos, 0.0 AS w)"""
     val rounds = (0 until iters).map { r =>
@@ -215,15 +231,15 @@ object QueriesCuration {
             SELECT f.doc_id,
                    CAST(ROUND(SUM(CAST(ROUND(w.w * f.x, 12) AS DECIMAL(30,12))),
                          6) AS DOUBLE) AS s
-            FROM cls_fx f JOIN cls_w$r w USING (pos) GROUP BY 1),
+            FROM cls_fxt f JOIN cls_w$r w USING (pos) GROUP BY 1),
           cls_e$r AS (
             SELECT d.doc_id, ${hardSigmoidSql("s.s")} - d.y AS err
-            FROM cls_docs d JOIN cls_s$r s USING (doc_id)),
+            FROM cls_tdocs d JOIN cls_s$r s USING (doc_id)),
           cls_g$r AS (
             SELECT f.pos,
                    ROUND(CAST(SUM(CAST(ROUND(e.err * f.x, 12) AS DECIMAL(30,12)))
-                         AS DOUBLE) / (SELECT count(*) FROM cls_docs), 6) AS g
-            FROM cls_fx f JOIN cls_e$r e USING (doc_id) GROUP BY 1),
+                         AS DOUBLE) / (SELECT count(*) FROM cls_tdocs), 6) AS g
+            FROM cls_fxt f JOIN cls_e$r e USING (doc_id) GROUP BY 1),
           cls_w${r + 1} AS (
             SELECT w.pos, ROUND(w.w - $eta * coalesce(g.g, 0.0), 6) AS w
             FROM cls_w$r w LEFT JOIN cls_g$r g USING (pos))"""
@@ -261,18 +277,21 @@ object QueriesCuration {
 
     // Trained quality classifier (the fastText/CCNet-style learned gate):
     // logistic regression over 64 hashed bag-of-words features, fitted by 3
-    // rounds of full-batch gradient descent — per round one doc-keyed score
-    // aggregate (weights enter as a literal) and one 65-row gradient
-    // aggregate; only the weight vector crosses the driver. The oracle
-    // replays the identical rounds as an iterated CTE chain.
+    // rounds of full-batch gradient descent ON THE DETERMINISTIC sha-ratio
+    // TRAINING SAMPLE (capped — a real gate fits on a bounded sample and
+    // scores everything; at the gate scale the cap exceeds the corpus and
+    // the sample IS the corpus) — per round one doc-keyed score aggregate
+    // (weights enter as a literal) and one 65-row gradient aggregate; only
+    // the weight vector crosses the driver. The oracle replays the
+    // identical sampled rounds as an iterated CTE chain.
     "quality_classifier" -> { (s, d) =>
       val docs = documents(s, d)
       val labels = docs.select(col("doc_id"),
         when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
       val feats = graft.operators.Classifier
         .features(docs, "doc_id", "text", ClsBuckets).localCheckpoint()
-      val w = graft.operators.Classifier.fitLogReg(feats, labels, "doc_id",
-        ClsBuckets, ClsIters, ClsEta, nDocs = labels.count())
+      val w = graft.operators.Classifier.fitLogRegSampled(feats, labels,
+        "doc_id", ClsBuckets, ClsIters, ClsEta)
       graft.operators.Classifier.classify(feats, "doc_id", w)
         .join(labels, Seq("doc_id"))
         .select(col("doc_id"), (col("y") === 1.0).as("label"),
@@ -294,8 +313,8 @@ object QueriesCuration {
         when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
       val feats = graft.operators.Classifier
         .features(docs, "doc_id", "text", ClsBuckets).localCheckpoint()
-      val w = graft.operators.Classifier.fitLogReg(feats, labels, "doc_id",
-        ClsBuckets, ClsIters, ClsEta, nDocs = labels.count())
+      val w = graft.operators.Classifier.fitLogRegSampled(feats, labels,
+        "doc_id", ClsBuckets, ClsIters, ClsEta)
       val per = graft.operators.Classifier.classify(feats, "doc_id", w)
         .join(labels, Seq("doc_id"))
         .select((col("y") === 1.0).as("label"), col("prob"))

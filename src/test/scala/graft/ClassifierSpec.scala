@@ -36,6 +36,39 @@ class ClassifierSpec extends SparkSpec {
       s"positives $pos must outrank negatives $neg")
   }
 
+  test("sampled fit == full fit when the corpus fits under the cap") {
+    val docs = fixture
+    val labels = docs.select(col("doc_id"), col("y"))
+    val feats = Classifier.features(docs, "doc_id", "text", B)
+    val full = Classifier.fitLogReg(feats, labels, "doc_id", B,
+      iters = 3, eta = 1.0, nDocs = 6L)
+    // cap >= n → rate = 1.0 → the predicate keeps every row: bit-equal
+    val sampled = Classifier.fitLogRegSampled(feats, labels, "doc_id", B,
+      iters = 3, eta = 1.0, cap = 6L)
+    assert(sampled.toSeq == full.toSeq)
+    val defaulted = Classifier.fitLogRegSampled(feats, labels, "doc_id", B,
+      iters = 3, eta = 1.0)
+    assert(defaulted.toSeq == full.toSeq)
+  }
+
+  test("sampled fit under a tight cap == full fit on the pre-filtered sample") {
+    val docs = fixture
+    val labels = docs.select(col("doc_id"), col("y"))
+    val feats = Classifier.features(docs, "doc_id", "text", B)
+    val cap = 3L
+    val sampled = Classifier.fitLogRegSampled(feats, labels, "doc_id", B,
+      iters = 3, eta = 1.0, cap = cap)
+    // replay by hand: same predicate, pre-filtered frames, plain fitLogReg
+    val p = Classifier.trainSamplePredicate("doc_id", 6L, cap)
+    val tl = labels.filter(p)
+    val n = tl.count()
+    assert(n > 0 && n < 6, s"cap must select a proper subset, got $n")
+    val manual = Classifier.fitLogReg(feats.filter(p), tl, "doc_id", B,
+      iters = 3, eta = 1.0, nDocs = n)
+    assert(sampled.toSeq == manual.toSeq)
+    assert(sampled.exists(_ != 0.0), "the sampled fit must actually train")
+  }
+
   test("probExpr (per-row fold) equals classify (relational aggregate)") {
     val docs = fixture
     val labels = docs.select(col("doc_id"), col("y"))
