@@ -36,6 +36,16 @@ object QueriesSources {
   // ceil(rows/target) count.
   private[queries] val CompactSlack: Long = FragmentParts.toLong + 16
 
+  // sink_compact_incremental: fragment files carry exactly this many rows
+  // (scale-invariant — at every sf a fragment is ≤ 1/8 of a governed file,
+  // so the 0.4-of-max stat threshold separates them with margin), and the
+  // cap slack covers round-robin imbalance up to 4096 scan partitions (the
+  // sf100 frag read packs ~48k small files into ~1.5k partitions; one row
+  // of imbalance each).
+  private[graft] val CompactIncrFragRows = 2500L
+  private[graft] val CompactIncrSlack = 4096L
+  private[graft] val CompactIncrMinFraction = 0.4
+
   val queries: Map[String, QueryFn] = Map(
     // Column-pruned, predicate-pushed parquet scan.
     "src_parquet" -> { (s, d) =>
@@ -233,6 +243,49 @@ object QueriesSources {
           sum(col("__c")).cast("long").as("n_rows"),
           (max(col("__c")) <= CompactTarget + CompactSlack).as("within_cap"),
           sum(col("__rev")).cast("double").as("revenue"))
+    },
+
+    // INCREMENTAL file-size governance (the production shape beside
+    // sink_compacted's prove-it-all full rewrite): a mixed layout —
+    // governed files plus a fragment swarm — is compacted by a plan built
+    // from FILE STATS ALONE (O(files) driver listing, no data read):
+    // ONLY the undersized files are read and rewritten; compliant files
+    // are never opened, proven by re-statted mtimes. Cost tracks the
+    // fragment volume, not the corpus — at 100 TB the difference between
+    // a nightly compaction job and rewriting the lake.
+    "sink_compact_incremental" -> { (s, d) =>
+      import graft.operators.Compaction
+      val dir = scratch("compact_incr")
+      val li = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+      val big = li.filter(pmod(col("l_orderkey"), lit(5)) =!= 0)
+      val frag = li.filter(pmod(col("l_orderkey"), lit(5)) === 0)
+      val nBigFiles = math.max(1L, (big.count() + CompactTarget - 1) /
+        CompactTarget).toInt
+      val nFragFiles = math.max(1L, (frag.count() + CompactIncrFragRows - 1) /
+        CompactIncrFragRows).toInt
+      big.repartition(nBigFiles)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", CompactTarget + CompactIncrSlack)
+        .parquet(dir)
+      frag.repartition(nFragFiles).write.mode("append").parquet(dir)
+      val r = Compaction.compactIncremental(s, dir, CompactTarget,
+        CompactTarget + CompactIncrSlack, CompactIncrMinFraction)
+      s.read.parquet(dir)
+        .groupBy(input_file_name().as("__f"))
+        .agg(count(lit(1)).as("__c"),
+          sum(col("l_extendedprice").cast("decimal(30,4)")).as("__rev"))
+        .agg(lit(r.nInputFiles).as("n_input_files"),
+          lit(r.nCompliant).as("n_compliant"),
+          lit(r.nUndersized).as("n_undersized"),
+          lit(r.rewrittenRows).as("rewritten_rows"),
+          lit(r.compliantUntouched).as("compliant_untouched"),
+          count(lit(1)).cast("long").as("n_files_after"),
+          (max(col("__c")) <= CompactTarget + CompactIncrSlack)
+            .as("within_cap"),
+          sum(col("__c")).cast("long").as("n_rows"),
+          sum(col("__rev")).cast("double").as("revenue"))
     }
   )
 
@@ -282,6 +335,35 @@ object QueriesSources {
                  TRUE AS within_cap,
                  ${sumDecSql("l_extendedprice")} AS revenue
           FROM lineitem""",
+
+    // incremental compaction: every file count is a pure function of the
+    // two row counts (the %5 fragment predicate) and the shared constants;
+    // the untouched/cap booleans are proven driver-side and must be TRUE
+    "sink_compact_incremental" ->
+      s"""WITH c AS (
+            SELECT
+              CAST(COUNT(*) FILTER (l_orderkey % 5 <> 0) AS BIGINT) AS n_big,
+              CAST(COUNT(*) FILTER (l_orderkey % 5 = 0) AS BIGINT) AS n_frag,
+              COUNT(*) AS n_rows,
+              ${sumDecSql("l_extendedprice")} AS revenue
+            FROM lineitem)
+          SELECT
+            CAST(CEIL(CAST(n_big AS DOUBLE) / $CompactTarget) AS BIGINT) +
+              CAST(CEIL(CAST(n_frag AS DOUBLE) / $CompactIncrFragRows) AS BIGINT)
+              AS n_input_files,
+            CAST(CEIL(CAST(n_big AS DOUBLE) / $CompactTarget) AS BIGINT)
+              AS n_compliant,
+            CAST(CEIL(CAST(n_frag AS DOUBLE) / $CompactIncrFragRows) AS BIGINT)
+              AS n_undersized,
+            n_frag AS rewritten_rows,
+            TRUE AS compliant_untouched,
+            CAST(CEIL(CAST(n_big AS DOUBLE) / $CompactTarget) AS BIGINT) +
+              CAST(CEIL(CAST(n_frag AS DOUBLE) / $CompactTarget) AS BIGINT)
+              AS n_files_after,
+            TRUE AS within_cap,
+            n_rows,
+            revenue
+          FROM c""",
 
     // bucketing changes the physical layout, never the result
     "sink_bucketed" ->

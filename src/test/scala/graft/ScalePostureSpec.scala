@@ -138,6 +138,45 @@ class ScalePostureSpec extends SparkSpec {
       "compaction must reduce the file count on the gate data")
   }
 
+  test("incremental compaction: stat-planned, compliant files byte-untouched") {
+    import java.nio.file.{Files, Paths}
+    val sf = "/root/testdata/sf0.001"
+    val before = SparkEntry.queries("sink_compact_incremental")(spark, sf)
+      .collect().head
+    val dir = Paths.get("/tmp/graft_scratch/compact_incr")
+    // the reported layout is the real on-disk layout
+    val files = Files.list(dir).iterator()
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (files.hasNext) {
+      val p = files.next().getFileName.toString
+      if (p.endsWith(".parquet") && !p.startsWith(".")) names += p
+    }
+    assert(names.length.toLong == before.getLong(5),
+      s"disk=${names.length} reported n_files_after=${before.getLong(5)}")
+    // compliant files were never rewritten (mtimes re-statted in-query)
+    assert(before.getBoolean(4), "compliant files must stay byte-untouched")
+    assert(before.getBoolean(6), "no file may exceed the governed cap")
+    // the plan really was incremental: fragments existed and were absorbed
+    // into exactly ceil(rewritten/target) governed files (at sf0.001 the
+    // swarm is a single file, so the count holds rather than shrinks)
+    assert(before.getLong(2) > 0, "fixture must fragment")
+    val expectedAfter = before.getLong(1) +
+      (before.getLong(3) + 19999) / 20000
+    assert(before.getLong(5) == expectedAfter,
+      s"governed layout: after=${before.getLong(5)} expected=$expectedAfter")
+    // content survived: total rows = compliant + rewritten complement
+    val total = graft.sources.Tables.table(spark, sf, "lineitem").count()
+    assert(before.getLong(7) == total)
+
+    // convergence: after one pass at most the single REMAINDER file (the
+    // ceil tail of the fragment rewrite) can still sit under the stat
+    // threshold — the fragment swarm itself is gone
+    val again = graft.operators.Compaction.plan(dir.toString,
+      graft.queries.QueriesSources.CompactIncrMinFraction)
+    assert(again.undersized.length <= 1,
+      s"fragment swarm must be absorbed in one pass, found ${again.undersized}")
+  }
+
   test("partitioned sink prunes partitions at the scan") {
     val sf = "/root/testdata/sf0.001"
     val out = "/tmp/graft_scratch/events_by_day"
