@@ -77,6 +77,55 @@ object Dedup {
           greatest(col("n_segments"), lit(1L)), 6))
   }
 
+  /** Duplicated-span EXTENTS at sliding k-gram granularity — the public
+    * "Deduplicating Training Data" (Lee et al. 2021) suffix posture
+    * approximated with hashed k-grams, the bucket-bounded shape
+    * [[segmentDedup]]'s coarse 10-token BLOCKS only gesture at: every token
+    * position starts a k-gram; a position is DUPLICATED iff its k-gram
+    * hash occurs more than once in the corpus; per doc the duplicated
+    * positions merge into maximal extents (overlapping or touching spans
+    * coalesce — gap iff next start exceeds previous start + k). One row per
+    * merged extent: (idCol, span_start, span_end, span_tokens), 1-based
+    * token offsets, end exclusive.
+    *
+    * Scale posture: bodies never shuffle — 60-bit hashes ride with INT
+    * positions; the frequency aggregate partial-aggregates map-side; the
+    * per-doc island merge is a pure HOF fold over that doc's own sorted
+    * positions (bounded by doc length, no window over the corpus).
+    */
+  def substringSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    val grams = df
+      .select(col(idCol), toks.as("__toks"))
+      .where(size(col("__toks")) >= k)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("__toks")) - k),
+        i => Text.portableHash(
+          concat_ws(" ", slice(col("__toks"), i + 1, lit(k)))))))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("p"), col("col").as("h"))
+    val freq = grams.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    val perDoc = grams.join(freq, Seq("h")).where(col("cnt") > 1)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("p"))).as("__ps"))
+    // island merge over sorted positions: extent starts where the previous
+    // position is absent or more than k behind (element_at is 1-based, the
+    // lambda index 0-based, so element_at(ps, i) IS the previous element)
+    val ps = col("__ps")
+    val starts = filter(ps, (v, i) =>
+      (i === 0) || (v > element_at(ps, i) + k))
+    val ends = filter(ps, (v, i) =>
+      (i === size(ps) - 1) || (element_at(ps, i + 2) > v + k))
+    perDoc
+      .select(col(idCol),
+        explode(arrays_zip(starts.as("s"), transform(ends, v => v + k).as("e")))
+          .as("__sp"))
+      .select(col(idCol),
+        col("__sp.s").as("span_start"),
+        col("__sp.e").as("span_end"),
+        (col("__sp.e") - col("__sp.s")).as("span_tokens"))
+  }
+
   // ---------------------------------------------------------------- minhash
 
   private[graft] val MersennePrime = 2147483647L // 2^31 - 1

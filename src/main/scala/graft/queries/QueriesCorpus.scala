@@ -16,6 +16,7 @@ object QueriesCorpus {
 
   // shared constants — the Spark plans and the oracle SQL both read these
   private val SegTokens = 10
+  private val SpanGramTokens = 8
   private val DsirBuckets = 256
   private val MixSeed = 7
   private val ShardBudget = 2000L
@@ -57,6 +58,41 @@ object QueriesCorpus {
                ROUND(CAST(coalesce(p.n_dup_segments, 0) AS DOUBLE) /
                      GREATEST(coalesce(p.n_segments, 0), 1), 6) AS dup_fraction
         FROM documents d LEFT JOIN per p USING (doc_id)"""
+
+  /** The span-extent twin: same k-gram hashes (portable sha-60), same
+    * duplicate criterion (global count > 1), same island rule (gap iff the
+    * next start exceeds previous start + k) via the gaps-and-islands
+    * window idiom.
+    */
+  private def substringSpansSql: String = {
+    val k = SpanGramTokens
+    s"""WITH $wordsCte,
+        g AS (
+          SELECT doc_id,
+                 unnest([{'p': i,
+                          'h': ${Text.portableHashSql(
+                            s"array_to_string(w[i : i+$k-1], ' ')")}}
+                         for i in generate_series(1, len(w) - $k + 1)]) AS s
+          FROM words
+          WHERE len(w) >= $k),
+        gp AS (SELECT doc_id, CAST(s.p AS BIGINT) AS p, s.h AS h FROM g),
+        freq AS (SELECT h, count(*) AS cnt FROM gp GROUP BY h),
+        dup AS (SELECT doc_id, p FROM gp JOIN freq USING (h) WHERE cnt > 1),
+        isl AS (
+          SELECT doc_id, p,
+                 CASE WHEN lag(p) OVER w IS NULL
+                        OR p > lag(p) OVER w + $k THEN 1 ELSE 0 END AS brk
+          FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+        grp AS (
+          SELECT doc_id, p,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS grp_id
+          FROM isl)
+        SELECT doc_id,
+               CAST(min(p) AS BIGINT) AS span_start,
+               CAST(max(p) + $k AS BIGINT) AS span_end,
+               CAST(max(p) + $k - min(p) AS BIGINT) AS span_tokens
+        FROM grp GROUP BY doc_id, grp_id"""
+  }
 
   private def dsirSelectSql: String = {
     val b = DsirBuckets
@@ -682,6 +718,15 @@ object QueriesCorpus {
       Dedup.segmentDedup(documents(s, d), "text", "doc_id", SegTokens)
     },
 
+    // Duplicated-span EXTENTS (Lee et al. 2021 at k-gram granularity):
+    // every token position is tested, duplicated positions merge into
+    // maximal (start, end) extents per doc — the fine-grained report
+    // substring_dedup's coarse blocks approximate. Hashes+positions
+    // shuffle, bodies don't; the island merge is a per-row HOF fold.
+    "substring_spans" -> { (s, d) =>
+      Dedup.substringSpans(documents(s, d), "doc_id", "text", SpanGramTokens)
+    },
+
     "dsir_select" -> { (s, d) =>
       Importance.dsirScores(documents(s, d), "doc_id", "text",
         col("lang") === "en", DsirBuckets)
@@ -1092,6 +1137,7 @@ object QueriesCorpus {
 
   val oracleSql: Map[String, String] = Map(
     "substring_dedup" -> substringDedupSql,
+    "substring_spans" -> substringSpansSql,
     "dsir_select" -> dsirSelectSql,
     "domain_mix" -> domainMixSql,
     "bigram_logprob" -> bigramLogprobSql,

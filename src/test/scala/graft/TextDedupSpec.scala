@@ -82,6 +82,38 @@ class TextDedupSpec extends SparkSpec {
     assert(out(2) == 0.0)
   }
 
+  test("substringSpans: planted spans merge to exact extents") {
+    // tokens are single letters a1..a20 etc. so no k-gram repeats by
+    // accident; SHARED is 12 tokens -> 5 duplicated 8-grams per site
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val doc1 = ((1 to 3).map(i => s"p$i") :+ shared).mkString(" ") +
+      " q1 q2 q3 q4"                     // shared at positions 4..15
+    val doc2 = shared + " " + (1 to 6).map(i => s"t$i").mkString(" ")
+    val doc3 = (1 to 18).map(i => s"u$i").mkString(" ")
+    val df = Seq((1L, doc1), (2L, doc2), (3L, doc3)).toDF("doc_id", "text")
+    val out = Dedup.substringSpans(df, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out == Seq((1L, 4L, 16L, 12L), (2L, 1L, 13L, 12L)))
+  }
+
+  test("substringSpans: touching duplicated spans coalesce across the seam") {
+    // doc4 = A(8 tokens shared with doc5) directly followed by C(8 tokens
+    // shared with doc6): dup gram positions 1 and 9; 9 <= 1 + 8 -> one
+    // merged extent [1, 17) even though the seam-spanning grams are unique
+    val a = (1 to 8).map(i => s"a$i").mkString(" ")
+    val c = (1 to 8).map(i => s"c$i").mkString(" ")
+    val df = Seq(
+      (4L, a + " " + c),
+      (5L, a + " " + (1 to 4).map(i => s"x$i").mkString(" ")),
+      (6L, (1 to 4).map(i => s"y$i").mkString(" ") + " " + c))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringSpans(df, "doc_id", "text", k = 8)
+      .filter(col("doc_id") === 4L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 17L)), s"expected one coalesced extent, got $out")
+  }
+
   test("exact dedup groups identical texts, keeps min id") {
     val df = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("doc_id", "text")
     val out = Dedup.exact(df, "text", "doc_id")
