@@ -58,19 +58,23 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // AQE partition knob: SPARK_GRAFT_INITIAL_PARTITIONS advertises more
-    // reduce partitions than cores and lets coalescePartitions shrink them
-    // to target size — reduce parallelism tracking data volume, not core
-    // count, the way a cluster sizes it. The sf100 sweep opts in (smaller
-    // per-sorter slices on the 600M-row shuffles); the default stays at
-    // core count because at sf0.1 the extra map-output fan-out is a pure
-    // ~10% tax (measured on q5_region solo: 1.01 s at 32 vs 1.12 s at 256).
-    val initialParts = sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", cpus)
+    // AQE initial-partition posture is PER-PLAN by default (the round-10
+    // sf100 lesson, pipeline/Posture.scala): sort-dominated plans get
+    // core-count reduce parallelism (256 was a measured ~2x map-fanout tax
+    // on the §2.3 ordered family), wide aggregate/join plans get
+    // volume-scaled fan-out (scan bytes / 64MB, clamped) so spill relief
+    // tracks data the way a cluster sizes it. The AMBIENT default between
+    // queries is core count — journeys that materialize ordered
+    // checkpoints at plan-build time (config_sequence) need the tuned
+    // posture for those inner jobs too. SPARK_GRAFT_INITIAL_PARTITIONS
+    // forces one global value (the old sweep knob, kept for A/B runs).
+    val forcedParts = sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS")
+    val initialKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", initialParts)
+      .config(initialKey, forcedParts.getOrElse(cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -102,7 +106,18 @@ object Bench {
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          // ambient core-count posture for plan-build-time jobs, then the
+          // per-plan posture for the measured action (a forced global value
+          // disables both — the A/B knob)
+          if (forcedParts.isEmpty) spark.conf.set(initialKey, cpus)
+          val df = fn(spark, sfDir)
+          if (forcedParts.isEmpty) {
+            val parts =
+              try graft.pipeline.Posture.initialShufflePartitions(df, cpus.toInt)
+              catch { case _: Exception => cpus.toInt }
+            spark.conf.set(initialKey, parts.toString)
+          }
+          df.write.format("noop").mode("overwrite").save()
           Some((System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable =>

@@ -24,10 +24,11 @@ CPUS=${SPARK_GRAFT_CPUS:-32}
 # sort buffers OOM outright). 32g on the 128 GiB host = ~1 GiB per core,
 # a standard executor shape.
 export SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-32g}
-# Reduce parallelism tracks data volume at this scale: advertise 256 AQE
-# initial partitions (coalesced back where small). At sf0.1 this knob is a
-# ~10% tax, so it is sweep-local, not the Bench default.
-export SPARK_GRAFT_INITIAL_PARTITIONS=${SPARK_GRAFT_INITIAL_PARTITIONS:-256}
+# Reduce parallelism is PER-PLAN by default since round 11
+# (pipeline/Posture.scala): sort-dominated plans run at core count, wide
+# aggregate/join plans at volume-scaled fan-out — no global export needed.
+# Set SPARK_GRAFT_INITIAL_PARTITIONS to force one global value for A/B runs
+# (256 was the pre-round-11 sweep posture).
 
 # The sf10 standing set minus the journey heads whose sf100 cost is pure
 # row-linear repetition already priced by their stages (stream_corpus_*,
