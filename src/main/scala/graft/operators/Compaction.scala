@@ -49,6 +49,52 @@ object Compaction {
                           nUndersized: Long, rewrittenRows: Long,
                           nNewFiles: Long, compliantUntouched: Boolean)
 
+  /** Link-forward incremental compaction: plan from `srcDir`'s file stats,
+    * HARD-LINK every compliant file into `outDir` (O(files) metadata — the
+    * bytes are never copied, proven by shared inodes), read ONLY the
+    * undersized files and write them as ceil(rows/targetRows) governed
+    * files beside the links. The source layout stays intact (snapshot
+    * semantics — readers of the old dir are never disturbed), and the cost
+    * of the pass tracks the fragment volume alone.
+    */
+  def compactLinked(spark: SparkSession, srcDir: String, outDir: String,
+                    targetRows: Long, capRows: Long,
+                    minFraction: Double = 0.5): Result = {
+    val p = plan(srcDir, minFraction)
+    val out = Paths.get(outDir)
+    // reset the output snapshot
+    if (Files.isDirectory(out)) {
+      val s = Files.list(out)
+      try {
+        val it = s.iterator()
+        while (it.hasNext) Files.deleteIfExists(it.next())
+      } finally s.close()
+    }
+    Files.createDirectories(out)
+    p.compliant.foreach(f => Files.createLink(out.resolve(f.getFileName), f))
+    val (rows, nNew) =
+      if (p.undersized.isEmpty) (0L, 0L)
+      else {
+        val frag = spark.read.parquet(p.undersized.map(_.toString): _*)
+        val n = frag.count()
+        val k = math.max(1L, (n + targetRows - 1) / targetRows)
+        frag.repartition(k.toInt)
+          .write.mode("append")
+          .option("maxRecordsPerFile", capRows)
+          .parquet(outDir)
+        (n, k)
+      }
+    val untouched = p.compliant.forall(f =>
+      Files.isSameFile(f, out.resolve(f.getFileName)))
+    Result(
+      nInputFiles = (p.compliant.size + p.undersized.size).toLong,
+      nCompliant = p.compliant.size.toLong,
+      nUndersized = p.undersized.size.toLong,
+      rewrittenRows = rows,
+      nNewFiles = nNew,
+      compliantUntouched = untouched)
+  }
+
   /** Execute the incremental compaction in place: read ONLY the undersized
     * files, rewrite them as ceil(rows/targetRows) governed files appended
     * to the directory, delete the originals. Compliant files are never

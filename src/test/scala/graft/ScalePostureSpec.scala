@@ -138,23 +138,34 @@ class ScalePostureSpec extends SparkSpec {
       "compaction must reduce the file count on the gate data")
   }
 
-  test("incremental compaction: stat-planned, compliant files byte-untouched") {
+  test("incremental compaction: stat-planned, compliant files link forward") {
     import java.nio.file.{Files, Paths}
     val sf = "/root/testdata/sf0.001"
     val before = SparkEntry.queries("sink_compact_incremental")(spark, sf)
       .collect().head
-    val dir = Paths.get("/tmp/graft_scratch/compact_incr")
-    // the reported layout is the real on-disk layout
-    val files = Files.list(dir).iterator()
-    val names = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (files.hasNext) {
-      val p = files.next().getFileName.toString
-      if (p.endsWith(".parquet") && !p.startsWith(".")) names += p
+    val src = Paths.get("/tmp/graft_scratch/compact_incr")
+    val out = Paths.get("/tmp/graft_scratch/compact_incr_out")
+    def parquetNames(d: java.nio.file.Path): Seq[String] = {
+      val it = Files.list(d).iterator()
+      val names = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val p = it.next().getFileName.toString
+        if (p.endsWith(".parquet") && !p.startsWith(".")) names += p
+      }
+      names.toSeq
     }
-    assert(names.length.toLong == before.getLong(5),
-      s"disk=${names.length} reported n_files_after=${before.getLong(5)}")
-    // compliant files were never rewritten (mtimes re-statted in-query)
-    assert(before.getBoolean(4), "compliant files must stay byte-untouched")
+    // the reported layout is the real on-disk layout of the snapshot
+    assert(parquetNames(out).length.toLong == before.getLong(5),
+      s"disk=${parquetNames(out).length} reported n_files_after=${before.getLong(5)}")
+    // compliant files were never copied: the snapshot entries are HARD
+    // LINKS to the source bytes (same inode)
+    assert(before.getBoolean(4), "compliant files must link, not copy")
+    val linked = parquetNames(out).toSet intersect parquetNames(src).toSet
+    assert(linked.nonEmpty, "snapshot must carry the compliant files forward")
+    linked.foreach { n =>
+      assert(Files.isSameFile(src.resolve(n), out.resolve(n)),
+        s"$n must share its inode with the source")
+    }
     assert(before.getBoolean(6), "no file may exceed the governed cap")
     // the plan really was incremental: fragments existed and were absorbed
     // into exactly ceil(rewritten/target) governed files (at sf0.001 the
@@ -168,13 +179,18 @@ class ScalePostureSpec extends SparkSpec {
     val total = graft.sources.Tables.table(spark, sf, "lineitem").count()
     assert(before.getLong(7) == total)
 
-    // convergence: after one pass at most the single REMAINDER file (the
-    // ceil tail of the fragment rewrite) can still sit under the stat
-    // threshold — the fragment swarm itself is gone
-    val again = graft.operators.Compaction.plan(dir.toString,
+    // convergence: the snapshot holds at most the single REMAINDER file
+    // (the ceil tail of the fragment rewrite) under the stat threshold
+    val again = graft.operators.Compaction.plan(out.toString,
       graft.queries.QueriesSources.CompactIncrMinFraction)
     assert(again.undersized.length <= 1,
       s"fragment swarm must be absorbed in one pass, found ${again.undersized}")
+    // snapshot semantics: the source layout stays intact, so the next pass
+    // plans the same compaction (build once, compact per run)
+    val replan = graft.operators.Compaction.plan(src.toString,
+      graft.queries.QueriesSources.CompactIncrMinFraction)
+    assert(replan.undersized.length.toLong == before.getLong(2),
+      "source layout must remain intact for the next pass")
   }
 
   test("partitioned sink prunes partitions at the scan") {
