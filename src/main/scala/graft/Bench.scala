@@ -111,12 +111,10 @@ object Bench {
           // disables both — the A/B knob)
           if (forcedParts.isEmpty) spark.conf.set(initialKey, cpus)
           val df = fn(spark, sfDir)
-          if (forcedParts.isEmpty) {
-            val parts =
-              try graft.pipeline.Posture.initialShufflePartitions(df, cpus.toInt)
-              catch { case _: Exception => cpus.toInt }
-            spark.conf.set(initialKey, parts.toString)
-          }
+          // Posture.applyTo logs classification failures (a silent core-count
+          // fallback would read as an unexplained benchmark shift) and
+          // honors the SPARK_GRAFT_INITIAL_PARTITIONS A/B override itself
+          graft.pipeline.Posture.applyTo(df, cpus.toInt, label = name)
           df.write.format("noop").mode("overwrite").save()
           Some((System.nanoTime() - t0) / 1e9)
         } catch {

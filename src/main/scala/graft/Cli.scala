@@ -27,8 +27,21 @@ import graft.sources.{Hygiene, Runs}
   */
 object Cli {
 
+  /** Per-plan reduce-parallelism posture before every materialize/task
+    * action — the engine default (pipeline/Posture.scala), not a harness
+    * nicety: a `graft.Cli run` over a 600M-row project deserves the same
+    * sort-at-core-count / wide-at-volume rule Bench measures under.
+    * SPARK_GRAFT_INITIAL_PARTITIONS still forces one global value (applyTo
+    * honors it).
+    */
+  private def posture(df: org.apache.spark.sql.DataFrame,
+                      label: String): Unit =
+    graft.pipeline.Posture.applyTo(df,
+      df.sparkSession.sparkContext.defaultParallelism, label)
+
   private def write(df: org.apache.spark.sql.DataFrame, format: String,
                     dir: String): Unit = {
+    posture(df, s"write:$dir")
     val w = df.write.mode("overwrite")
     format match {
       case "csv"   => w.option("header", "true").csv(dir)
@@ -220,6 +233,7 @@ object Cli {
       Runs.writeHtml(html, dest)
       out.println(s"html -> $dest")
     }
+    posture(report, s"task:$taskId")
     Runs.writeText(report, limit, out)
   }
 
@@ -234,6 +248,7 @@ object Cli {
                    outDir: Option[String] = None): Long = {
     val project = Config.parseProject(Files.readString(Paths.get(configPath)))
     val frame = ConfigRuntime.previewStage(spark, dataDir, project, stage, id)
+    posture(frame, s"stage:$stage")
     outDir match {
       case None => Runs.writeText(frame, limit, out)
       case Some(dir) =>
@@ -277,7 +292,9 @@ object Cli {
         metricsPath = Some(paths.runRoot.resolve("metrics.json"))
         try {
           project.streams.map(_.id).foreach { id =>
-            res.stream(id).write.mode("overwrite")
+            val frame = res.stream(id)
+            posture(frame, s"stream:$id")
+            frame.write.mode("overwrite")
               .parquet(paths.runRoot.resolve("streams").resolve(id).toString)
             out.println(s"run ${paths.runId} stream $id -> streams/$id")
           }
@@ -293,10 +310,12 @@ object Cli {
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // same AQE partition knob as Bench: SPARK_GRAFT_INITIAL_PARTITIONS lets
-    // a materialize run over a big project advertise more reduce partitions
-    // than cores (AQE coalesces them back), so wide shuffles don't squeeze
-    // into core-count sorters; default stays at core count
+    // AMBIENT initial-partition default only: every materialize/task action
+    // re-sets the knob PER PLAN via Posture.applyTo (sort-dominated → core
+    // count, wide → volume-scaled) — the same engine rule Bench measures
+    // under. SPARK_GRAFT_INITIAL_PARTITIONS forces one global value for
+    // A/B runs (applyTo honors it; it is also the ambient value here so
+    // plan-build-time jobs see it too)
     val initialParts = sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", cpus)
     val s = SparkSession.builder()
       .master(s"local[$cpus]")

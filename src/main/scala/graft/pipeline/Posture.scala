@@ -108,11 +108,19 @@ object Posture {
     * size estimates (file-scan bytes for parquet sources; catalyst's
     * propagated estimate for checkpointed frames). An upper bound is fine —
     * AQE coalesces unused fan-out — but it must TRACK scale so the wide
-    * posture grows with the data, not with a constant.
+    * posture grows with the data, not with a constant. Leaves WITHOUT a
+    * real estimate (LogicalRDD built from createDataFrame) report the
+    * `spark.sql.defaultSizeInBytes` sentinel (Long.MaxValue by default) —
+    * counting those would pin every in-memory frame to the fan-out
+    * ceiling, paying the map-side tax on tiny plans; they are skipped, and
+    * a plan with NO usable estimate falls back to core count.
     */
-  private[graft] def scanBytes(df: DataFrame): BigInt =
+  private[graft] def scanBytes(df: DataFrame): BigInt = {
+    val sentinel = BigInt(
+      org.apache.spark.sql.internal.SQLConf.get.defaultSizeInBytes)
     df.queryExecution.optimizedPlan.collectLeaves()
-      .map(_.stats.sizeInBytes).sum
+      .map(_.stats.sizeInBytes).filterNot(_ == sentinel).sum
+  }
 
   /** The pre-AQE physical plan WITH its exchanges: EnsureRequirements runs
     * in the preparation phase, so `sparkPlan` has none — unwrap the
@@ -133,4 +141,32 @@ object Posture {
         BigInt(MaxInitialPartitions)).toInt
       math.max(cores, byVolume)
     }
+
+  /** AQE initial-partition knob the posture sets. */
+  val InitialPartitionsKey =
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+  /** Forcing env var: one global value for A/B runs, disables per-plan. */
+  val ForceEnv = "SPARK_GRAFT_INITIAL_PARTITIONS"
+
+  /** Apply the per-plan posture to `df`'s session just before an action —
+    * the one-call pattern every entry point (Bench, Cli) shares. A
+    * classification failure LOGS and falls back to core count (a silent
+    * fallback would surface only as an unexplained benchmark shift), and
+    * [[ForceEnv]] pins one global value for A/B runs. Returns the applied
+    * partition count.
+    */
+  def applyTo(df: DataFrame, cores: Int,
+              label: String = "plan"): Int = {
+    val parts = sys.env.get(ForceEnv).map(_.toInt).getOrElse {
+      try initialShufflePartitions(df, cores)
+      catch {
+        case e: Exception =>
+          System.err.println(
+            s"[posture] $label: classification failed (${e.getClass.getSimpleName}: ${e.getMessage}); falling back to $cores")
+          cores
+      }
+    }
+    df.sparkSession.conf.set(InitialPartitionsKey, parts.toString)
+    parts
+  }
 }

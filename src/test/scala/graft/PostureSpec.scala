@@ -44,6 +44,95 @@ class PostureSpec extends SparkSpec {
       s"wide heads classified sort-only (would lose spill relief at scale): $misclassified")
   }
 
+  test("scanBytes skips the defaultSizeInBytes sentinel of stat-less leaves") {
+    // RDD-backed leaves (LogicalRDD without originStats) carry no real
+    // statistics — they report the spark.sql.defaultSizeInBytes sentinel
+    // (Long.MaxValue). Counting it pinned every in-memory wide plan to the
+    // 1024-partition ceiling and paid the map-side fan-out tax on tiny
+    // plans. (.rdd here is the test constructing the stat-less fixture,
+    // not an operator shape.)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    val tiny = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row("a", 1L),
+        org.apache.spark.sql.Row("b", 2L))), schema)
+      .groupBy("k").count()
+    assert(Posture.scanBytes(tiny) == BigInt(0),
+      s"sentinel leaf must not count, got ${Posture.scanBytes(tiny)}")
+    assert(Posture.initialShufflePartitions(tiny, cores) == cores,
+      "a stat-less wide plan must fall back to core count, not the ceiling")
+  }
+
+  test("Cli materializes route through the per-plan posture, no env knobs") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_cli_posture")
+    val data = root.resolve("data"); Files.createDirectories(data)
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      data.resolve("events.parquet"))
+    val cores = spark.sparkContext.defaultParallelism
+    val sink = new java.io.PrintStream(java.io.OutputStream.nullOutputStream())
+
+    // a SORT-dominated project: ordered window transforms over the key
+    val sortedCfg = root.resolve("sorted.yaml")
+    Files.writeString(sortedCfg,
+      """sources:
+        |  - id: ev
+        |    loader: { transport: fs, path: events.parquet, reader: { format: parquet } }
+        |streams:
+        |  - id: ordered
+        |    from: { source: ev }
+        |    map: { time: ts, fields: [user_id, event_id, value] }
+        |    partition_by: [user_id]
+        |    tiebreak: [event_id]
+        |    transforms:
+        |      - { operation: rolling, field: value, window: 3, statistic: mean, to: m3 }
+        |""".stripMargin)
+    // sentinel no rule ever produces: the materialize must overwrite it
+    spark.conf.set(Posture.InitialPartitionsKey, "7")
+    Cli.materializeStreams(spark, sortedCfg.toString, data.toString,
+      root.resolve("serve_sorted").toString, out = sink)
+    val sortedProject = graft.pipeline.Config.parseProject(
+      Files.readString(sortedCfg))
+    val sortedFrame = graft.pipeline.ConfigRuntime
+      .resolver(spark, data.toString, sortedProject).stream("ordered")
+    assert(Posture.sortDominated(Posture.plannedWithExchanges(sortedFrame)),
+      "fixture must classify sort-dominated")
+    assert(spark.conf.get(Posture.InitialPartitionsKey) == cores.toString,
+      "a Cli materialize of a sort-dominated project plans core-count partitions")
+
+    // a WIDE project: the dataset journey ends in joins/aggregates
+    val wideCfg = root.resolve("wide.yaml")
+    Files.writeString(wideCfg,
+      """sources:
+        |  - id: ev
+        |    loader: { transport: fs, path: events.parquet, reader: { format: parquet } }
+        |streams:
+        |  - id: s
+        |    from: { source: ev }
+        |    map: { time: ts, fields: [user_id, value] }
+        |    partition_by: [user_id]
+        |dataset:
+        |  sample: { cadence: 1h, keys: [user_id] }
+        |  features: [ { id: v, stream: s, field: value } ]
+        |""".stripMargin)
+    spark.conf.set(Posture.InitialPartitionsKey, "7")
+    Cli.materialize(spark, wideCfg.toString, data.toString,
+      root.resolve("serve_wide").toString, out = sink)
+    val wideProject = graft.pipeline.Config.parseProject(
+      Files.readString(wideCfg))
+    val wideFrame = graft.pipeline.ConfigRuntime
+      .dataset(spark, data.toString, wideProject)
+    assert(!Posture.sortDominated(Posture.plannedWithExchanges(wideFrame)),
+      "fixture must classify wide")
+    val expected = Posture.initialShufflePartitions(wideFrame, cores)
+    assert(spark.conf.get(Posture.InitialPartitionsKey) == expected.toString,
+      "a Cli materialize of a wide project plans volume-scaled partitions")
+  }
+
   test("initial partitions: cores for sort plans, volume-clamped for wide") {
     val sorted = SparkEntry.queries("rolling_median")(spark, sf)
     assert(Posture.initialShufflePartitions(sorted, cores) == cores)
