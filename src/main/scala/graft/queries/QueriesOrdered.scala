@@ -123,12 +123,7 @@ object QueriesOrdered {
       val bounds = e.agg(
         eu(TimeFns.floorTime(min(col("ts")), "1h")).as("lo"),
         eu(TimeFns.floorTime(max(col("ts")), "1h")).as("hi"))
-      val grid = e.select(col("user_id")).distinct()
-        .crossJoin(broadcast(bounds))
-        .select(col("user_id"),
-          explode(sequence(col("lo"), col("hi"), lit(HourUs))).as("t_us_g"))
-        .select(col("user_id"), expr("timestamp_micros(t_us_g)").as("ts"))
-      Ordered.ensureTicks(e, key, grid)
+      Ordered.ensureTicksAligned(e, key, "1h", bounds)
         .select(col("user_id"), eu(col("ts")).as("t_us"), col("value"))
     },
 

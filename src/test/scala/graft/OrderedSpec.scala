@@ -115,6 +115,49 @@ class OrderedSpec extends SparkSpec {
     assert(out == Seq(None, Some(1.0), Some(1.0), Some(1.0), Some(4.0)))
   }
 
+  test("native rolling median equals the collect_list window shape") {
+    import org.apache.spark.sql.expressions.Window
+    // deterministic pseudo-random series with missing values, negatives
+    // (the zero-straddling even branch), duplicate values, two partitions
+    val rows = (0 until 400).map { i =>
+      val h = ((i * 2654435761L) % 1000).toInt
+      val v: Any = if (h % 7 == 0) null else (h - 500) / 10.0
+      org.apache.spark.sql.Row(
+        if (i % 2 == 0) "a" else "b", ts(i.toLong), i.toLong, v)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("p",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("t",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("i",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType))))
+    // reference: the pre-r12 sort_array(collect_list) window + medianOf
+    def reference(window: Int, minS: Int): Seq[Option[Double]] = {
+      val frame = key.w.rowsBetween(-(window - 1), 0)
+      val v = Ordered.cleanNum(col("v"))
+      val sorted = sort_array(collect_list(v).over(frame))
+      val n = size(sorted)
+      val mid = (n / 2).cast("int") + 1
+      val lower = element_at(sorted, mid - 1)
+      val upper = element_at(sorted, mid)
+      val even = when(lower < 0.0 && upper > 0.0, (lower + upper) / 2.0)
+        .otherwise(lower + (upper - lower) / 2.0)
+      val med = when(n % 2 === 1, element_at(sorted, mid)).otherwise(even)
+      doubles(df.withColumn("m",
+        when(count(v).over(frame) >= minS, med)), "i", "m")
+    }
+    for ((w, minS) <- Seq((5, 3), (5, 5), (4, 1), (1, 1))) {
+      val native = doubles(Ordered.rolling(df, key, "v", w, "median", "m",
+        Some(minS)), "i", "m")
+      assert(native == reference(w, minS), s"window=$w minSamples=$minS")
+    }
+  }
+
   test("ensure_cadence re-anchors the grid at every real record") {
     val rows = Seq(
       ("a", ts(0), 0L, 1.0),
@@ -124,6 +167,45 @@ class OrderedSpec extends SparkSpec {
     val out = Ordered.ensureCadence(rows, key, "60s")
       .select("t").collect().map(_.getTimestamp(0).getTime / 1000).sorted.toSeq
     assert(out == Seq(0L, 60L, 120L, 150L, 200L))
+  }
+
+  test("ensureTicksAligned equals the generic-grid shape on every edge") {
+    // edges the window-fill rework must not change: unaligned times,
+    // duplicate (partition, time) pairs, a record exactly ON a grid tick,
+    // a partition starting late / ending early, single-record partitions
+    val rows = Seq(
+      ("a", ts(30), 0L, 1.0),   // first event after lo
+      ("a", ts(60), 1L, 2.0),   // exactly on a tick: must not duplicate
+      ("a", ts(60), 2L, 2.5),   // duplicate time, tiebreak i
+      ("a", ts(250), 3L, 3.0),  // gap spanning ticks 120, 180, 240
+      ("b", ts(0), 4L, 4.0),    // starts at lo
+      ("b", ts(65), 5L, 5.0),   // ends early: tail ticks to hi
+      ("c", ts(290), 6L, 6.0)   // single late record: head ticks from lo
+    ).toDF("p", "t", "i", "v")
+    val step = 60L
+    val lo = 0L
+    val hi = 240L // floor(max=290 / 60) * 60
+    val bounds = Seq((lo * 1000000L, hi * 1000000L)).toDF("lo", "hi")
+    val grid = rows.select(col("p")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("p"), explode(sequence(col("lo"), col("hi"),
+        lit(step * 1000000L))).as("us"))
+      .select(col("p"), expr("timestamp_micros(us)").as("t"))
+    def canon(df: DataFrame): Seq[(String, Long, Option[Long], Option[Double])] =
+      df.collect().toSeq.map(r => (r.getString(0),
+        r.getTimestamp(1).getTime / 1000,
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).sortBy(x =>
+        (x._1, x._2, x._3.getOrElse(-1L)))
+    val generic = canon(Ordered.ensureTicks(rows, key, grid))
+    val aligned = canon(Ordered.ensureTicksAligned(rows, key, "60s", bounds))
+    assert(aligned == generic)
+    // and the placeholders are the expected set
+    val placeholders = aligned.filter(_._3.isEmpty).map(x => (x._1, x._2))
+    assert(placeholders == Seq(
+      ("a", 0L), ("a", 120L), ("a", 180L), ("a", 240L),
+      ("b", 60L), ("b", 120L), ("b", 180L), ("b", 240L),
+      ("c", 0L), ("c", 60L), ("c", 120L), ("c", 180L), ("c", 240L)))
   }
 
   test("collapse keeps last per (partition, time) by tiebreak") {
