@@ -156,6 +156,10 @@ object Classifier {
     * filters features and labels by [[trainSamplePredicate]], normalizes
     * gradients by the SAMPLE size. Two metadata-scale counts; training
     * cost is bounded by the cap however large the corpus.
+    *
+    * Use [[fitSampled]] unless full-corpus features already exist for
+    * another reason: filtering PRE-BUILT features bounds the GD rounds but
+    * still paid the full-corpus feature pass to build them.
     */
   def fitLogRegSampled(feats: DataFrame, labels: DataFrame, idCol: String,
                        buckets: Int, iters: Int, eta: Double,
@@ -165,6 +169,34 @@ object Classifier {
     val trainLabels = labels.filter(p)
     fitLogReg(feats.filter(p), trainLabels, idCol, buckets, iters, eta,
       nDocs = trainLabels.count())
+  }
+
+  /** The sampled fit END TO END: the sample predicate is pushed BEFORE
+    * feature construction, so the tokenize/bucket/aggregate feature pass
+    * is bounded by the cap too — the r11 shape built (and checkpointed)
+    * full-corpus features and then filtered them, which left a ~85 s/head
+    * full-corpus pass inside every fit at the 1000× decade. `label` is
+    * evaluated against `docs`' columns. Weight-identical to
+    * [[fitLogRegSampled]] over full-corpus features: the feature relation
+    * is per-doc independent, so features(docs.filter(p)) ≡
+    * features(docs).filter(p) row for row, and the gradient normalizer is
+    * the same sample count (ClassifierSpec pins it; the oracle replays
+    * the identical sampled rounds).
+    */
+  def fitSampled(docs: DataFrame, idCol: String, textCol: String,
+                 label: Column, buckets: Int, iters: Int, eta: Double,
+                 cap: Long = TrainSampleCap): Array[Double] = {
+    val nAll = docs.count()
+    val p = trainSamplePredicate(idCol, nAll, cap)
+    // bounded by the cap: one checkpoint of the sampled docs feeds the
+    // feature build and the label/count passes without re-scanning the
+    // corpus per GD round
+    val train = docs.filter(p).localCheckpoint()
+    val feats = features(train, idCol, textCol, buckets)
+      .localCheckpoint()
+    val labels = train.select(col(idCol), label.as("y"))
+    fitLogReg(feats, labels, idCol, buckets, iters, eta,
+      nDocs = train.count())
   }
 
   /** Per-doc report under a trained model: `(idCol, prob, predicted)` —

@@ -95,18 +95,60 @@ object Dedup {
     */
   def substringSpans(df: DataFrame, idCol: String, textCol: String,
                      k: Int): DataFrame = {
+    // Exact-duplicate pre-collapse (the dupClusters discipline): the gram
+    // explode + frequency join re-pays for EVERY exact copy of a
+    // duplicated doc — at the 1000x replicated decade that was a
+    // 460M-position join for 460K positions of distinct text. Same cheap
+    // probe as dupClusters decides the path: a mostly-distinct corpus
+    // skips the collapse (its text-hash window and member re-attach would
+    // be pure overhead), a duplicated one runs grams on DISTINCT texts
+    // only — copy multiplicity rides with each gram so the corpus-wide
+    // duplicate criterion (total occurrences > 1, copies included) is
+    // unchanged, and members inherit their representative's extents by
+    // equi-join (identical text => identical spans). TextDedupSpec pins
+    // collapsed == direct on a duplicated fixture.
+    val probe = df.agg(count(lit(1)).as("n"),
+      approx_count_distinct(sha2(col(textCol).cast("string"), 256)).as("d"))
+      .head()
+    if (probe.getLong(1) >= 0.9 * probe.getLong(0))
+      spansOf(df, idCol, lit(1L), textCol, k)
+    else {
+      val byText = org.apache.spark.sql.expressions.Window
+        .partitionBy(sha2(col(textCol).cast("string"), 256))
+      val mapped = df.select(col(idCol), col(textCol),
+          min(col(idCol)).over(byText).as("__rep"),
+          count(lit(1)).over(byText).as("__mult"))
+        .localCheckpoint(eager = false) // feeds reps AND the member attach
+      val reps = mapped.where(col(idCol) === col("__rep"))
+      val repSpans = spansOf(reps, "__rep", col("__mult"), textCol, k)
+        .withColumnRenamed("__rep", "__rep_id")
+      mapped.select(col(idCol), col("__rep"))
+        .join(repSpans, col("__rep") === col("__rep_id"))
+        .select(col(idCol), col("span_start"), col("span_end"),
+          col("span_tokens"))
+    }
+  }
+
+  /** The span pipeline proper, over `src` keyed by `keyCol`: every token
+    * position starts a k-gram, `mult` copies of each gram enter the
+    * corpus-wide frequency (sum-of-multiplicities ≡ the uncollapsed
+    * count), duplicated positions island-merge per key.
+    */
+  private[graft] def spansOf(src: DataFrame, keyCol: String, mult: Column,
+                             textCol: String, k: Int): DataFrame = {
     val toks = Text.tokens(col(textCol))
-    val grams = df
-      .select(col(idCol), toks.as("__toks"))
+    val grams = src
+      .select(col(keyCol), mult.as("__mult"), toks.as("__toks"))
       .where(size(col("__toks")) >= k)
-      .select(col(idCol), posexplode(transform(
+      .select(col(keyCol), col("__mult"), posexplode(transform(
         sequence(lit(0), size(col("__toks")) - k),
         i => Text.portableHash(
           concat_ws(" ", slice(col("__toks"), i + 1, lit(k)))))))
-      .select(col(idCol), (col("pos") + 1).cast("long").as("p"), col("col").as("h"))
-    val freq = grams.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .select(col(keyCol), (col("pos") + 1).cast("long").as("p"),
+        col("col").as("h"), col("__mult"))
+    val freq = grams.groupBy(col("h")).agg(sum(col("__mult")).as("cnt"))
     val perDoc = grams.join(freq, Seq("h")).where(col("cnt") > 1)
-      .groupBy(col(idCol))
+      .groupBy(col(keyCol))
       .agg(sort_array(collect_list(col("p"))).as("__ps"))
     // island merge over sorted positions: extent starts where the previous
     // position is absent or more than k behind (element_at is 1-based, the
@@ -117,10 +159,10 @@ object Dedup {
     val ends = filter(ps, (v, i) =>
       (i === size(ps) - 1) || (element_at(ps, i + 2) > v + k))
     perDoc
-      .select(col(idCol),
+      .select(col(keyCol),
         explode(arrays_zip(starts.as("s"), transform(ends, v => v + k).as("e")))
           .as("__sp"))
-      .select(col(idCol),
+      .select(col(keyCol),
         col("__sp.s").as("span_start"),
         col("__sp.e").as("span_end"),
         (col("__sp.e") - col("__sp.s")).as("span_tokens"))

@@ -609,17 +609,14 @@ object ConfigRuntime {
           // rounding chain bit for bit
           import graft.operators.Classifier
           val snap = df.localCheckpoint(eager = false)
-          def fit(): Array[Double] = {
-            val labels = snap.select(id,
-              when(Text.langId(text) === lang, 1.0).otherwise(0.0).as("y"))
-            val feats = Classifier.features(snap, c.idCol, c.textCol, buckets)
-              .localCheckpoint()
-            // deterministic sha-ratio training subsample (capped): the fit
-            // cost is bounded however large the curated frame; at or below
-            // the cap the sample IS the frame
-            Classifier.fitLogRegSampled(feats, labels, c.idCol, buckets,
-              iters, eta)
-          }
+          // deterministic sha-ratio training subsample (capped), pushed
+          // BEFORE feature construction (fitSampled): the fit cost —
+          // tokenize/bucket pass included — is bounded however large the
+          // curated frame; at or below the cap the sample IS the frame
+          def fit(): Array[Double] =
+            Classifier.fitSampled(snap, c.idCol, c.textCol,
+              when(Text.langId(text) === lang, 1.0).otherwise(0.0),
+              buckets, iters, eta)
           val w = artifact match {
             case Some(a) =>
               val path = resolvePath(dataDir, a)

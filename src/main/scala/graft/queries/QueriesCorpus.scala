@@ -1019,12 +1019,11 @@ object QueriesCorpus {
       import graft.operators.Classifier
       val art = "/tmp/graft_scratch/stream_classify/model.json"
       val docs = documents(s, d)
-      val labels = docs.select(col("doc_id"),
-        when(Text.langId(col("text")) === "en", 1.0).otherwise(0.0).as("y"))
-      val feats = Classifier.features(docs, "doc_id", "text",
-        QueriesCuration.ClsBuckets).localCheckpoint()
-      Classifier.saveModel(art, Classifier.fitLogRegSampled(feats, labels,
-        "doc_id", QueriesCuration.ClsBuckets, QueriesCuration.ClsIters,
+      // batch-side fit on the bounded sample (fitSampled: the feature
+      // pass is capped too — no full-corpus pass hides in the train step)
+      Classifier.saveModel(art, Classifier.fitSampled(docs, "doc_id",
+        "text", when(Text.langId(col("text")) === "en", 1.0).otherwise(0.0),
+        QueriesCuration.ClsBuckets, QueriesCuration.ClsIters,
         QueriesCuration.ClsEta))
       val project = graft.pipeline.Config.parseProject(
         s"""sources:
@@ -1055,12 +1054,9 @@ object QueriesCorpus {
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(bloomArt))
       val clsArt = "/tmp/graft_scratch/stream_curate/cls.json"
       val docs = documents(s, d)
-      val labels = docs.select(col("doc_id"),
-        when(Text.langId(col("text")) === "en", 1.0).otherwise(0.0).as("y"))
-      val feats = Classifier.features(docs, "doc_id", "text",
-        QueriesCuration.ClsBuckets).localCheckpoint()
-      Classifier.saveModel(clsArt, Classifier.fitLogRegSampled(feats, labels,
-        "doc_id", QueriesCuration.ClsBuckets, QueriesCuration.ClsIters,
+      Classifier.saveModel(clsArt, Classifier.fitSampled(docs, "doc_id",
+        "text", when(Text.langId(col("text")) === "en", 1.0).otherwise(0.0),
+        QueriesCuration.ClsBuckets, QueriesCuration.ClsIters,
         QueriesCuration.ClsEta))
       val project = graft.pipeline.Config.parseProject(
         s"""sources:

@@ -288,10 +288,15 @@ object QueriesCuration {
       val docs = documents(s, d)
       val labels = docs.select(col("doc_id"),
         when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      // fit on the deterministic sample END TO END (the feature pass is
+      // bounded by the cap too — fitSampled); the full-corpus feature
+      // relation exists only for the single scoring aggregate below, so
+      // it streams through classify unmaterialized
+      val w = graft.operators.Classifier.fitSampled(docs, "doc_id", "text",
+        when(col("lang") === "en", 1.0).otherwise(0.0),
+        ClsBuckets, ClsIters, ClsEta)
       val feats = graft.operators.Classifier
-        .features(docs, "doc_id", "text", ClsBuckets).localCheckpoint()
-      val w = graft.operators.Classifier.fitLogRegSampled(feats, labels,
-        "doc_id", ClsBuckets, ClsIters, ClsEta)
+        .features(docs, "doc_id", "text", ClsBuckets)
       graft.operators.Classifier.classify(feats, "doc_id", w)
         .join(labels, Seq("doc_id"))
         .select(col("doc_id"), (col("y") === 1.0).as("label"),
@@ -311,10 +316,13 @@ object QueriesCuration {
       val docs = documents(s, d)
       val labels = docs.select(col("doc_id"),
         when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      // bounded fit first (fitSampled — no full-corpus feature pass);
+      // the full features stream once into the scoring aggregate
+      val w = graft.operators.Classifier.fitSampled(docs, "doc_id", "text",
+        when(col("lang") === "en", 1.0).otherwise(0.0),
+        ClsBuckets, ClsIters, ClsEta)
       val feats = graft.operators.Classifier
-        .features(docs, "doc_id", "text", ClsBuckets).localCheckpoint()
-      val w = graft.operators.Classifier.fitLogRegSampled(feats, labels,
-        "doc_id", ClsBuckets, ClsIters, ClsEta)
+        .features(docs, "doc_id", "text", ClsBuckets)
       val per = graft.operators.Classifier.classify(feats, "doc_id", w)
         .join(labels, Seq("doc_id"))
         .select((col("y") === 1.0).as("label"), col("prob"))

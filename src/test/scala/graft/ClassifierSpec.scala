@@ -69,6 +69,23 @@ class ClassifierSpec extends SparkSpec {
     assert(sampled.exists(_ != 0.0), "the sampled fit must actually train")
   }
 
+  test("fitSampled (sample pushed before features) == fitLogRegSampled") {
+    // the r12 shape: filter the corpus FIRST, build features of the sample
+    // only. Feature rows are per-doc independent, so the weights must be
+    // bit-equal to filtering pre-built full-corpus features — both under
+    // the cap (rate 1.0: sample == corpus) and over it (proper subset).
+    val docs = fixture
+    val labels = docs.select(col("doc_id"), col("y"))
+    val feats = Classifier.features(docs, "doc_id", "text", B)
+    for (cap <- Seq(6L, 3L)) {
+      val old = Classifier.fitLogRegSampled(feats, labels, "doc_id", B,
+        iters = 3, eta = 1.0, cap = cap)
+      val pushed = Classifier.fitSampled(docs, "doc_id", "text", col("y"),
+        B, iters = 3, eta = 1.0, cap = cap)
+      assert(pushed.toSeq == old.toSeq, s"cap=$cap")
+    }
+  }
+
   test("probExpr (per-row fold) equals classify (relational aggregate)") {
     val docs = fixture
     val labels = docs.select(col("doc_id"), col("y"))

@@ -114,6 +114,33 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Seq((1L, 17L)), s"expected one coalesced extent, got $out")
   }
 
+  test("substringSpans: exact-dup pre-collapse equals the direct pipeline") {
+    // 3 distinct texts, one replicated 13x -> the probe takes the collapse
+    // path (3 distinct << 0.9 * 15). Replication makes doc3's previously
+    // span-free text fully duplicated (every gram occurs 13x), while the
+    // doc1/doc2 planted extents must stay exactly as the direct path
+    // reports them.
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val doc1 = ((1 to 3).map(i => s"p$i") :+ shared).mkString(" ") +
+      " q1 q2 q3 q4"
+    val doc2 = shared + " " + (1 to 6).map(i => s"t$i").mkString(" ")
+    val doc3 = (1 to 18).map(i => s"u$i").mkString(" ")
+    val docs = Seq((1L, doc1), (2L, doc2), (3L, doc3)) ++
+      (4L to 15L).map(i => (i, doc3))
+    val df = docs.toDF("doc_id", "text")
+    def canon(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val collapsed = canon(Dedup.substringSpans(df, "doc_id", "text", k = 8))
+    val direct = canon(Dedup.spansOf(df, "doc_id", lit(1L), "text", k = 8))
+    assert(collapsed == direct)
+    // and the expected shape: planted extents intact, every exact copy of
+    // doc3 one full-document extent
+    val full = (3L to 15L).map(i => (i, 1L, 19L, 18L))
+    assert(collapsed == (Seq((1L, 4L, 16L, 12L), (2L, 1L, 13L, 12L)) ++ full))
+  }
+
   test("exact dedup groups identical texts, keeps min id") {
     val df = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("doc_id", "text")
     val out = Dedup.exact(df, "text", "doc_id")
