@@ -121,6 +121,35 @@ object QueriesSources {
           col("payload"))
     },
 
+    // Compressed WARC in the REAL Common Crawl layout: one gzip member per
+    // record, members concatenated into part files, parallelism per file.
+    // Stage the documents table as a 4-file member archive, read it back
+    // through the streaming member decoder, same parse expressions and
+    // same oracle as the uncompressed path (any framing drift across the
+    // compression boundary fails the hash).
+    "src_warc_gz" -> { (s, d) =>
+      import graft.sources.Warc
+      val out = scratch("docs_warc_gz")
+      val uri = concat(lit("https://"), col("source"),
+        lit(".example.com/doc/"), col("doc_id").cast("string"))
+      val info = documents(s, d).limit(1).select(
+        Warc.record(lit("warcinfo"), lit("urn:graft:warcinfo"),
+          lit("https://graft.invalid/info"),
+          lit("software: graft\r\n")).as("rec"))
+      val responses = documents(s, d).select(
+        Warc.record(lit("response"),
+          concat(lit("urn:graft:"), col("doc_id").cast("string")),
+          uri, col("text")).as("rec"))
+      Warc.writeGzMembers(info.unionByName(responses).repartition(4), out)
+      Warc.readWarcGz(s, out)
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("record_id"), "urn:graft:([0-9]+)", 1)
+            .cast("long").as("doc_id"),
+          col("target_uri"), col("n_bytes"), col("length_ok"),
+          col("payload"))
+    },
+
     // Run-scoped sink (reference io/runs.py): write into
     // serve_root/runs/<run_id>/dataset, mark success, re-read through the
     // refreshed `latest` symlink.
@@ -312,6 +341,15 @@ object QueriesSources {
     "src_jsonl" -> "SELECT r_regionkey, r_name FROM region",
     "sink_run_dir" -> "SELECT r_regionkey, r_name FROM region",
     "src_warc" ->
+      """SELECT doc_id,
+                'https://' || source || '.example.com/doc/' ||
+                  CAST(doc_id AS VARCHAR) AS target_uri,
+                CAST(length(text) AS BIGINT) AS n_bytes,
+                TRUE AS length_ok,
+                text AS payload
+         FROM documents""",
+    // the compression layer must be invisible to the parse: same oracle
+    "src_warc_gz" ->
       """SELECT doc_id,
                 'https://' || source || '.example.com/doc/' ||
                   CAST(doc_id AS VARCHAR) AS target_uri,

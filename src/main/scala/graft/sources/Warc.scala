@@ -22,10 +22,16 @@ import org.apache.spark.sql.functions._
   * ASCII); a byte-accurate multi-byte deployment swaps `length` for
   * `octet_length` at both build and parse — the framing logic is unchanged.
   *
-  * Compressed WARC (`.warc.gz` as concatenated gzip members) is a
-  * whole-file read per member-group — Spark's codec auto-detect handles the
-  * decompression but splits vanish; re-stage to uncompressed or parquet for
-  * the 100 TB path (the posture Common Crawl's own processing guides take).
+  * Compressed WARC (`.warc.gz`): Common Crawl ships each record as its OWN
+  * gzip member, members concatenated into ~1 GB part files — see
+  * [[Warc.writeGzMembers]]/[[Warc.readWarcGz]]. Parallelism is per FILE
+  * (the Common Crawl processing posture: one warc.gz per task; at 100 TB
+  * that is ~100k files — plenty of tasks); within a file the members
+  * stream through one inflater with bounded memory, and record framing
+  * after inflation is the same magic-delimiter mechanism as the
+  * uncompressed path. The per-record-member layout is what makes the
+  * format randomly addressable by (offset, length) for index-driven
+  * fetches — the writer here produces exactly that layout.
   */
 object Warc {
 
@@ -61,7 +67,14 @@ object Warc {
     * Output: `(warc_type, record_id, target_uri, n_bytes, length_ok,
     * payload)`.
     */
-  def readWarc(spark: SparkSession, path: String): DataFrame = {
+  def readWarc(spark: SparkSession, path: String): DataFrame =
+    parseFrames(frames(spark, path))
+
+  /** Parse raw record frames (one string row, the text between record
+    * magics) into the named-header/length-framed shape — shared by the
+    * splittable uncompressed read and the per-member gzip read.
+    */
+  private def parseFrames(framesDf: DataFrame): DataFrame = {
     val v = col("value")
     val headers = substring_index(v, "\r\n\r\n", 1)
     val bodyStart = length(headers) + 5 // past the \r\n\r\n separator
@@ -72,7 +85,7 @@ object Warc {
       len.cast("int"))
     val closing = call_function("substr", v, (bodyStart + len).cast("int"),
       lit(2))
-    frames(spark, path).select(
+    framesDf.select(
       regexp_extract(headers, "WARC-Type: ([^\r\n]+)", 1).as("warc_type"),
       regexp_extract(headers, "WARC-Record-ID: <([^>]+)>", 1).as("record_id"),
       regexp_extract(headers, "WARC-Target-URI: ([^\r\n]+)", 1)
@@ -82,5 +95,155 @@ object Warc {
       // payload tail) is malformed, not unknown
       coalesce(closing === "\r\n", lit(false)).as("length_ok"),
       payload.as("payload"))
+  }
+
+  // ------------------------------------------------------------- warc.gz
+
+  /** Write one gzip MEMBER (10-byte header, raw deflate, CRC32+ISIZE
+    * trailer) per record onto `out`, reusing one Deflater per partition —
+    * a fresh GZIPOutputStream per record would leak a native Deflater
+    * each (no close without closing the underlying stream).
+    */
+  private def writeMember(out: java.io.OutputStream, bytes: Array[Byte],
+                          deflater: java.util.zip.Deflater,
+                          crc: java.util.zip.CRC32): Unit = {
+    out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0xff.toByte))
+    deflater.reset()
+    val dos = new java.util.zip.DeflaterOutputStream(out, deflater, 8192)
+    dos.write(bytes)
+    dos.finish() // flushes the deflate stream; the underlying stays open
+    crc.reset()
+    crc.update(bytes)
+    def intLE(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    intLE(crc.getValue)
+    intLE(bytes.length.toLong)
+  }
+
+  /** Stage a one-string-column frame of WARC records as the Common Crawl
+    * `warc.gz` layout: one part file per partition, one gzip member PER
+    * RECORD concatenated inside it. Executor-side streaming IO (the codec
+    * exception to the no-imperative rule — same as the multimodal
+    * decoders); one Deflater per partition, bytes never collect.
+    */
+  def writeGzMembers(records: DataFrame, outDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(outDir)
+    Files.createDirectories(dir)
+    // overwrite semantics for re-runs
+    val existing = Files.list(dir)
+    try {
+      val it = existing.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".warc.gz")) Files.delete(p)
+      }
+    } finally existing.close()
+    val spark = records.sparkSession
+    import spark.implicits._
+    val colName = records.columns.head
+    records.select(col(colName)).as[String].foreachPartition {
+      (rows: Iterator[String]) =>
+        if (rows.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val path = Paths.get(outDir, f"part-$pid%05d.warc.gz")
+          val out = new java.io.BufferedOutputStream(
+            Files.newOutputStream(path), 1 << 16)
+          val deflater = new java.util.zip.Deflater(
+            java.util.zip.Deflater.DEFAULT_COMPRESSION, true) // nowrap: raw deflate
+          val crc = new java.util.zip.CRC32()
+          try rows.foreach { rec =>
+            writeMember(out, rec.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              deflater, crc)
+          } finally {
+            deflater.end()
+            out.close()
+          }
+        }
+    }
+  }
+
+  /** Split an inflating chunk stream into record frames at the magic —
+    * byte-level (the magic is pure ASCII, so a frame boundary can never
+    * split a multi-byte code point; chunk boundaries are healed by
+    * accumulating before conversion). Memory is bounded by one frame.
+    */
+  private[graft] def splitFrames(chunks: Iterator[Array[Byte]]): Iterator[String] = {
+    val magic = Magic.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val acc = new scala.collection.mutable.ArrayBuffer[Byte]()
+    var searchFrom = 0
+    def indexOfMagic(from: Int): Int = {
+      var i = from
+      val limit = acc.length - magic.length
+      while (i <= limit) {
+        var j = 0
+        while (j < magic.length && acc(i + j) == magic(j)) j += 1
+        if (j == magic.length) return i
+        i += 1
+      }
+      -1
+    }
+    def drain(upTo: Int): String = {
+      val frame = new String(acc.take(upTo).toArray,
+        java.nio.charset.StandardCharsets.UTF_8)
+      acc.remove(0, math.min(acc.length, upTo + magic.length))
+      searchFrom = 0
+      frame
+    }
+    new Iterator[String] {
+      private var nextFrame: Option[String] = None
+      private var exhausted = false
+      @annotation.tailrec
+      private def advance(): Unit =
+        if (nextFrame.isEmpty && !exhausted) {
+          val at = indexOfMagic(searchFrom)
+          if (at >= 0) nextFrame = Some(drain(at))
+          else if (chunks.hasNext) {
+            val c = chunks.next()
+            searchFrom = math.max(0, acc.length - magic.length + 1)
+            acc ++= c
+            advance()
+          } else {
+            exhausted = true
+            if (acc.nonEmpty) nextFrame = Some(drain(acc.length))
+          }
+        }
+      override def hasNext: Boolean = { advance(); nextFrame.nonEmpty }
+      override def next(): String = {
+        advance()
+        val f = nextFrame.get
+        nextFrame = None
+        f
+      }
+    }.filter(_.nonEmpty)
+  }
+
+  /** Parsed records of a per-record-gzip-member archive directory
+    * (`*.warc.gz`). One task per FILE (binaryFile rows); inside a task the
+    * concatenated members stream through one GZIPInputStream (the gzip
+    * spec makes inflate-of-concatenation = concatenation-of-inflates) in
+    * 64 KB chunks, re-framed at the record magic and parsed by the same
+    * codegen'd expressions as the uncompressed path. Output schema equals
+    * [[readWarc]]'s.
+    */
+  def readWarcGz(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bin = spark.read.format("binaryFile").load(s"$dir/*.warc.gz")
+      .select(col("content"))
+    val framesDs = bin.as[Array[Byte]].mapPartitions { files =>
+      files.flatMap { bytes =>
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytes), 1 << 16)
+        val chunks = Iterator.continually {
+          val b = new Array[Byte](1 << 16)
+          val n = in.read(b)
+          if (n <= 0) null else java.util.Arrays.copyOf(b, n)
+        }.takeWhile(_ != null)
+        splitFrames(chunks)
+      }
+    }
+    parseFrames(framesDs.toDF("value"))
   }
 }

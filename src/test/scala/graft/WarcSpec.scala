@@ -68,4 +68,50 @@ class WarcSpec extends SparkSpec {
       body.startsWith("body number ") && id.startsWith("urn:t:") })
     assert(tiny.count() == 50)
   }
+
+  test("warc.gz: per-record gzip members round-trip through the streaming decoder") {
+    val docs = (0 until 60).map(i =>
+      ("response", s"urn:t:$i", s"https://h.example.com/$i",
+        s"zipped body $i " + ("filler " * (i % 7))))
+    val records = docs.toDF("t", "id", "uri", "block")
+      .select(Warc.record(col("t"), col("id"), col("uri"), col("block"))
+        .as("rec"))
+    val dir = java.nio.file.Files.createTempDirectory("warcgz").toString
+    Warc.writeGzMembers(records.repartition(3), dir)
+    // the layout is the Common Crawl shape: several part files (per-file
+    // task parallelism), each a concatenation of per-record gzip members
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz"))
+    assert(parts.length == 3, s"expected 3 member files, got ${parts.length}")
+    // every file holds multiple members: more than one gzip magic
+    val magicCounts = parts.map { f =>
+      val b = java.nio.file.Files.readAllBytes(f.toPath)
+      (0 until b.length - 2).count(i =>
+        b(i) == 0x1f.toByte && b(i + 1) == 0x8b.toByte && b(i + 2) == 8)
+    }
+    assert(magicCounts.forall(_ > 1),
+      s"per-record members expected, magic counts: ${magicCounts.toSeq}")
+    val out = Warc.readWarcGz(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getBoolean(4), r.getString(5)))
+    assert(out.length == 60)
+    assert(out.forall(_._3), "all members must pass length_ok")
+    val byId = out.map(r => r._1 -> r._4).toMap
+    docs.foreach { case (_, id, _, block) => assert(byId(id) == block) }
+    // overwrite semantics: restaging with fewer partitions replaces files
+    Warc.writeGzMembers(records.repartition(2), dir)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".warc.gz")) == 2)
+    assert(Warc.readWarcGz(spark, dir).count() == 60)
+  }
+
+  test("splitFrames heals frames across arbitrary chunk boundaries") {
+    val recs = (0 until 5).map(i => s"frame body $i with tail\r\n")
+    val whole = recs.map(Warc.Magic + _).mkString.getBytes("UTF-8")
+    // every chunk size, including ones that split the magic itself
+    for (chunk <- Seq(1, 3, 7, 10, 11, 64, whole.length)) {
+      val chunks = whole.grouped(chunk).map(_.toArray)
+      val frames = Warc.splitFrames(chunks).toSeq
+      assert(frames == recs, s"chunk=$chunk")
+    }
+  }
 }
