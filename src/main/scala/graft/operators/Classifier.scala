@@ -52,8 +52,13 @@ object Classifier {
       .select(col(idCol), Importance.bucket(col("tok"), buckets).as("pos"))
     val cnt = tok.groupBy(col(idCol), col("pos"))
       .agg(count(lit(1)).as("c"))
-    val perDoc = cnt.groupBy(col(idCol)).agg(sum(col("c")).as("n"))
-    val sparse = cnt.join(perDoc, Seq(idCol))
+    // the doc-total denominator rides a window over the doc's own
+    // aggregated buckets — a cnt⋈perDoc self-join here re-scans (and
+    // re-tokenizes) the corpus for the denominator branch; the window
+    // pays one id-hash exchange instead
+    val sparse = cnt
+      .withColumn("n", sum(col("c"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
       .select(col(idCol), col("pos"),
         round(col("c").cast("double") / col("n").cast("double"), 6).as("x"))
     val bias = df.select(col(idCol), lit(biasPos(buckets)).as("pos"),

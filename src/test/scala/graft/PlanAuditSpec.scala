@@ -435,10 +435,14 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   audit("quality_classifier") { plan =>
-    // training ran at plan-build time over the checkpointed feature
-    // relation; the served plan is score-aggregate + label join only
-    assert(plan.contains("Scan ExistingRDD"),
-      "scoring must reuse the checkpointed feature relation, not recompute it")
+    // training ran at plan-build time on the bounded sample (fitSampled);
+    // the served plan scores the FULL corpus by streaming the feature
+    // relation straight off the parquet scan — materializing full-corpus
+    // features for a single aggregate pass would be the 100 TB bug
+    assert(plan.contains("Scan parquet"),
+      "scoring must stream features off the corpus scan")
+    assert(!plan.contains("Scan ExistingRDD"),
+      "the full-corpus feature relation must not materialize for serving")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "label join must stay an equi-join")
     assert(plan.contains("HashAggregate"),
