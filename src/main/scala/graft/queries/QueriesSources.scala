@@ -36,6 +36,13 @@ object QueriesSources {
   // ceil(rows/target) count.
   private[queries] val CompactSlack: Long = FragmentParts.toLong + 16
 
+  // src_warc_gz: records per archive file — sizes the member archives so
+  // the file count (= write AND read parallelism, gzip members are only
+  // parallel across files) tracks corpus volume, and one file (~60-80 MB
+  // of members at the documents table's record sizes) bounds a read
+  // task's memory.
+  private[queries] val GzRecordsPerFile = 250000L
+
   // sink_compact_incremental: fragment files carry exactly this many rows
   // (scale-invariant — at every sf a fragment is ≤ 1/8 of a governed file,
   // so the 0.4-of-max stat threshold separates them with margin), and the
@@ -140,7 +147,17 @@ object QueriesSources {
         Warc.record(lit("response"),
           concat(lit("urn:graft:"), col("doc_id").cast("string")),
           uri, col("text")).as("rec"))
-      Warc.writeGzMembers(info.unionByName(responses).repartition(4), out)
+      // archive file count TRACKS VOLUME (a fixed count caps both the
+      // member-compression write and the one-task-per-file read at that
+      // parallelism forever — measured 82 s at sf100 under a fixed 4; a
+      // gzip member stream is only parallel ACROSS files) and bounds the
+      // bytes a read task materializes to one governed file. min 4 keeps
+      // the many-members-per-file layout at spec scale; the count() is a
+      // parquet metadata read.
+      val nFiles = math.max(4L,
+        (documents(s, d).count() + GzRecordsPerFile - 1) / GzRecordsPerFile)
+      Warc.writeGzMembers(
+        info.unionByName(responses).repartition(nFiles.toInt), out)
       Warc.readWarcGz(s, out)
         .filter(col("warc_type") === "response")
         .select(

@@ -221,12 +221,14 @@ object Warc {
   }
 
   /** Parsed records of a per-record-gzip-member archive directory
-    * (`*.warc.gz`). One task per FILE (binaryFile rows); inside a task the
-    * concatenated members stream through one GZIPInputStream (the gzip
-    * spec makes inflate-of-concatenation = concatenation-of-inflates) in
-    * 64 KB chunks, re-framed at the record magic and parsed by the same
-    * codegen'd expressions as the uncompressed path. Output schema equals
-    * [[readWarc]]'s.
+    * (`*.warc.gz`). One task per FILE (binaryFile rows — the file's raw
+    * bytes materialize per task, so the WRITER governs file size and
+    * parallelism together: file count must track volume); inside a task
+    * the concatenated members stream through one GZIPInputStream (the
+    * gzip spec makes inflate-of-concatenation = concatenation-of-
+    * inflates) in 64 KB chunks, re-framed at the record magic and parsed
+    * by the same codegen'd expressions as the uncompressed path. Inflated
+    * memory is bounded by one record. Output schema equals [[readWarc]]'s.
     */
   def readWarcGz(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
