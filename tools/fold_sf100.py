@@ -31,8 +31,10 @@ def main():
     replaced = {}
     for k, v in sorted(best.items()):
         old = artifact["queries"].get(k)
-        artifact["queries"][k] = v
-        replaced[k] = (old, v)
+        keep = v if old is None or old < 0 else min(old, v)
+        if old is None or keep != old:
+            artifact["queries"][k] = keep
+            replaced[k] = (old, keep)
     artifact["value"] = sum(v for v in artifact["queries"].values() if v >= 0)
     if note:
         artifact["note"] = note
