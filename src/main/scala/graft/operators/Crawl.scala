@@ -59,10 +59,23 @@ object Crawl {
     * prose), source whitespace normalized (raw newlines between tags do
     * NOT make lines), block-closing tags become `\n`, remaining tags become
     * spaces (so `</span><span>` never glues words), entities decoded,
-    * spaces collapsed, empty lines dropped. A chain of codegen'd
-    * `regexp_replace`/`replace` — linear per row.
+    * spaces collapsed, empty lines dropped.
+    *
+    * Native codegen'd scanner (functions/HtmlText — no regex engine, three
+    * literal removal passes + one finishing walk), char-identical to the
+    * regex chain kept below as [[htmlTextRegex]], the spec reference the
+    * DuckDB oracle runs (HtmlTextSpec property-pins the equality).
     */
-  def htmlText(html: Column): Column = {
+  def htmlText(html: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.HtmlVisibleText(
+        org.apache.spark.sql.GraftColumnBridge.expression(html)))
+
+  /** The regex-chain form of [[htmlText]] — the executable spec both the
+    * oracle SQL (QueriesCrawl.extractChainSql) and the native scanner are
+    * held to. Not on the hot path.
+    */
+  private[graft] def htmlTextRegex(html: Column): Column = {
     val noBlocks = regexp_replace(
       regexp_replace(
         regexp_replace(html, ScriptPattern, " "),
