@@ -1,0 +1,107 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Corpus bigram language model — per-document mean log P(w_i | w_{i-1})
+  * under maximum-likelihood corpus counts (the next-order fluency signal
+  * after the unigram LM; CCNet's perplexity bucketing runs on exactly this
+  * frame).
+  *
+  * Reference anchor: the reference computes derived per-series artifacts
+  * once and hydrates them across consumers (`artifacts/planning.py`,
+  * `artifacts/hydration.py`); the LM fit gets the same treatment here
+  * because TWO heads consume the identical score frame (bigram_logprob,
+  * perplexity_bucket) and the fit — two corpus explodes, two wide
+  * aggregates, one bigram-keyed join — is ~the whole cost of each.
+  *
+  * Scale posture: the unigram prefix table is vocabulary-bounded and
+  * broadcasts; bigram counts partial-aggregate before their join; the
+  * persisted artifact is ONE ROW PER DOCUMENT (id, n_bigrams, score) —
+  * corpus-linear but body-free, the cheapest frame that closes over the
+  * fit. Train-if-missing: the artifact is keyed by a fingerprint of the
+  * source parquet files (name, length, mtime) plus a format version, so a
+  * regenerated corpus or a changed LM definition can NEVER hydrate stale
+  * scores — drift refits and says so on stderr rather than failing the
+  * round on a warm cache.
+  */
+object BigramLm {
+
+  /** Bump when the LM arithmetic changes — stale-format artifacts refit. */
+  private val FormatVersion = 1
+
+  /** The fit: `(doc_id, n_bigrams, mean_logprob)` for every document
+    * (docs with <2 tokens score null, n_bigrams 0).
+    */
+  def scoreFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    val bigrams = docs
+      .where(size(toks) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+    val bcnt = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("bc"))
+    val ucnt = docs
+      .select(explode(toks).as("tok")).groupBy(col("tok"))
+      .agg(count(lit(1)).as("uc"))
+    val scored = bigrams
+      .withColumn("prefix", split(col("bg"), " ").getItem(0))
+      .join(bcnt, Seq("bg"))
+      .join(broadcast(ucnt), col("prefix") === col("tok"))
+      .select(col(idCol),
+        round(log(col("bc").cast("double") / col("uc")), 6).as("lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(graft.queries.Q.sumDec(col("lp"), 6) / count(lit(1)), 6)
+          .as("mean_logprob"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("mean_logprob"))
+  }
+
+  /** Fingerprint of the corpus the artifact was fitted on: the (name,
+    * length, mtime) triple of every file under the table path — detects a
+    * regenerated corpus without reading a row.
+    */
+  private def corpusKey(tablePath: String): String = {
+    val f = new java.io.File(tablePath)
+    val files =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq else Seq(f)
+    val sig = files.map(x => s"${x.getName}:${x.length}:${x.lastModified}")
+      .mkString(s"v$FormatVersion|$tablePath|", "|", "")
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(sig.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+  }
+
+  /** Train-if-missing score frame over a documents table: hydrate the
+    * per-doc artifact when its manifest matches the corpus fingerprint,
+    * else fit, persist, and read back (both consumers then see the same
+    * bits). `tablePath` is the corpus parquet the fingerprint covers.
+    */
+  def scoresArtifact(spark: SparkSession, docs: DataFrame, idCol: String,
+                     textCol: String, tablePath: String,
+                     cacheRoot: String): DataFrame = {
+    val key = corpusKey(tablePath)
+    val dir = Paths.get(cacheRoot, key)
+    val data = dir.resolve("scores.parquet")
+    val manifest = dir.resolve("manifest.json")
+    val valid = Files.exists(manifest) &&
+      Files.readString(manifest).contains(s""""key": "$key"""")
+    if (!valid) {
+      if (Files.exists(dir))
+        System.err.println(s"[graft] bigram_lm artifact at $dir is stale — refitting")
+      scoreFrame(docs, idCol, textCol)
+        .write.mode("overwrite").parquet(data.toString)
+      Files.createDirectories(dir)
+      Files.writeString(manifest,
+        s"""{"key": "$key", "table": "$tablePath", "format": $FormatVersion}""")
+    }
+    spark.read.parquet(data.toString)
+  }
+}

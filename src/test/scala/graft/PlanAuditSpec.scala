@@ -292,12 +292,26 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   audit("bigram_logprob") { plan =>
+    // the head hydrates the train-if-missing LM artifact — the result plan
+    // is the artifact scan, nothing recomputes (the fit's shape is audited
+    // separately below, where the work actually happens)
+    assert(plan.contains("Scan parquet"), "the head must read the artifact")
+    assert(!plan.contains("Exchange"),
+      "hydrating the per-doc artifact must not shuffle")
+  }
+
+  test("plan audit: bigram LM fit (the train-if-missing job)") {
     // the unigram table is vocabulary-bounded → broadcast; bigram counts
     // partial-aggregate and join keyed on the bigram string
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val plan = graft.operators.BigramLm.scoreFrame(docs, "doc_id", "text")
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       "the unigram prefix table must broadcast")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "bigram counts attach by bigram equi-join")
+    checkSnapshot("bigram_lm_fit", plan)
   }
 
   audit("shard_manifest") { plan =>
@@ -496,8 +510,8 @@ class PlanAuditSpec extends SparkSpec {
       s"tertile walk must bound its shuffles to the level frame, got $n")
     assert(plan.contains("BroadcastNestedLoopJoin"),
       "thresholds must attach as a one-row broadcast")
-    assert(plan.contains("Scan ExistingRDD"),
-      "assignment must run over the checkpointed score frame")
+    assert(plan.contains("scores.parquet"),
+      "assignment must run over the hydrated LM artifact, not a re-fit")
   }
 
   audit("line_dedup") { plan =>

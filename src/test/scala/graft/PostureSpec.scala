@@ -38,10 +38,16 @@ class PostureSpec extends SparkSpec {
   test("wide fact shuffles keep the volume-scaled posture") {
     val wide = Seq("q1_pricing", "q3_topk", "q5_region", "dedup_exact",
       "dedup_minhash", "dedup_cluster", "vocab_topk", "align_streams",
-      "derived_stream", "bigram_logprob")
+      "derived_stream")
     val misclassified = wide.filter(classify)
     assert(misclassified.isEmpty,
       s"wide heads classified sort-only (would lose spill relief at scale): $misclassified")
+    // the bigram LM head now hydrates its artifact; the wide shuffle lives
+    // in the FIT job, which must keep the volume-scaled posture
+    val fit = graft.operators.BigramLm.scoreFrame(
+      graft.sources.Tables.documents(spark, sf), "doc_id", "text")
+    assert(!Posture.sortDominated(Posture.plannedWithExchanges(fit)),
+      "the bigram LM fit classified sort-only")
   }
 
   test("scanBytes skips the defaultSizeInBytes sentinel of stat-less leaves") {
