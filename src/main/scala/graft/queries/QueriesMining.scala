@@ -419,23 +419,40 @@ object QueriesMining {
     },
 
     // Zipf's-law fit over the vocabulary: one vocab-bounded aggregate, a
-    // rank window on the bounded frequency table, and a one-row
-    // least-squares reduction — the corpus-health metric that flags
-    // template-flooded or spam-steepened corpora before training does.
+    // level-table rank walk, and a one-row least-squares reduction — the
+    // corpus-health metric that flags template-flooded or spam-steepened
+    // corpora before training does.
+    //
+    // Ranks come from the LEVEL table (distinct count values — grid-
+    // bounded), never a total order over tokens: the fit's sums are
+    // invariant to which tied token receives which rank within a count
+    // level (Σ f(rank) over base+1..base+k is assignment-independent), so
+    // base = strictly-better cumsum over the level table (the skyline /
+    // quality_rrf discipline) and each level's rank-run sums come from the
+    // codegen'd ZipfLevelSums fold — no single-partition window over an
+    // unbounded-in-principle vocabulary frame anywhere, and the token
+    // strings never leave their aggregate.
     "zipf_fit" -> { (s, d) =>
       val freq = documents(s, d)
         .select(explode(Text.tokens(col("text"))).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
         .where(col("cnt") >= ZipfMinCnt)
-      val w = Window.orderBy(col("cnt").desc, col("tok").asc)
-      val xy = freq.withColumn("rnk", row_number().over(w).cast("long"))
-        .select(round(log(col("rnk").cast("double")), 6).as("x"),
-          round(log(col("cnt").cast("double")), 6).as("y"))
-        .select(col("x"), col("y"), round(col("x") * col("y"), 6).as("xy"),
-          round(col("x") * col("x"), 6).as("xx"))
-      xy.agg(count(lit(1)).cast("long").as("n_vocab"),
-          sumDec(col("x"), 6).as("sx"), sumDec(col("y"), 6).as("sy"),
-          sumDec(col("xy"), 6).as("sxy"), sumDec(col("xx"), 6).as("sxx"))
+      val levels = freq.groupBy(col("cnt")).agg(count(lit(1)).as("k"))
+      val wLvl = Window.orderBy(col("cnt").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val based = levels.withColumn("base", sum(col("k")).over(wLvl) - col("k"))
+      val sums = based.select(
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.ZipfLevelSums(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("base")),
+            org.apache.spark.sql.GraftColumnBridge.expression(col("k")),
+            org.apache.spark.sql.GraftColumnBridge.expression(col("cnt"))))
+          .as("s"))
+      sums.agg(sum(col("s.n")).cast("long").as("n_vocab"),
+          sum(col("s.sx")).cast("double").as("sx"),
+          sum(col("s.sy")).cast("double").as("sy"),
+          sum(col("s.sxy")).cast("double").as("sxy"),
+          sum(col("s.sxx")).cast("double").as("sxx"))
         .select(col("n_vocab"),
           round((col("n_vocab") * col("sxy") - col("sx") * col("sy")) /
             (col("n_vocab") * col("sxx") - col("sx") * col("sx")), 6)

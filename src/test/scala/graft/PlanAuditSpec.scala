@@ -932,11 +932,15 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   audit("zipf_fit") { plan =>
-    // one vocabulary-bounded aggregate; the rank window and the regression
-    // reduction run on the bounded frequency table
+    // one vocabulary-bounded aggregate; ranks come from the grid-bounded
+    // LEVEL table (strictly-better cumsum + chunked explode), so the only
+    // Window frame is the level table — never a token total order
     assert(plan.contains("HashAggregate"),
       "the vocabulary count must partial-aggregate")
     assert(!plan.contains("Join"), "no join anywhere in the fit")
+    assert(plan.contains("Window"), "the level cumsum is the rank base")
+    assert(!plan.contains("row_number"),
+      "no per-token rank assignment — the fit's sums are tie-invariant")
   }
 
   audit("curation_skyline") { plan =>
