@@ -33,27 +33,27 @@ object Sketches {
   // DuckDB oracle like any exact query. h×w cells bound the state however
   // large the corpus: executors build partial sketches, the shuffle merges
   // them, and a stream accumulates the same cells in complete mode with
-  // ≤ h×w groups.
+  // ≤ h×w groups. The row hashes are h DISJOINT 60-bit windows of ONE
+  // sha256 digest per token (functions/CmsPositions — native, one digest
+  // walk, no hex round-trip), shared verbatim with the oracle's
+  // `substr(sha256(tok), 1+15i, 15)` windows.
 
-  /** Sketch row h's cell for a token column — sha-keyed and shared verbatim
-    * with the oracle (`cmsPosSql`).
-    */
-  def cmsPos(h: Int, tok: Column, w: Long): Column =
-    pmod(graft.functions.Text.portableHash(
-      concat(lit(s"cms$h:"), tok)), lit(w))
+  /** All h sketch positions of a token column as `array<long>`. */
+  def cmsPositions(tok: Column, h: Int, w: Long): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.CmsPositions(
+        org.apache.spark.sql.GraftColumnBridge.expression(tok), h, w))
 
-  /** SQL twin of [[cmsPos]]. */
+  /** SQL twin of row `h`'s position in [[cmsPositions]]. */
   def cmsPosSql(h: Int, e: String, w: Long): String =
-    s"${graft.functions.Text.portableHashSql(s"'cms$h:' || $e")} % $w"
+    s"(CAST('0x' || substr(sha256($e), ${1 + 15 * h}, 15) AS BIGINT) % $w)"
 
-  /** The h×w cell counts of a token frame — ONE pass, map-side partial
-    * sums, ≤ h×w result rows at any corpus size.
+  /** The h×w cell counts of a token frame — ONE pass, ONE digest per
+    * token, map-side partial sums, ≤ h×w result rows at any corpus size.
     */
   def cmsCells(toks: DataFrame, h: Int, w: Long): DataFrame =
-    toks.select(explode(array((0 until h).map(i =>
-        struct(lit(i).as("h"), cmsPos(i, col("tok"), w).as("pos"))): _*))
-        .as("c"))
-      .groupBy(col("c.h").as("h"), col("c.pos").as("pos"))
+    toks.select(posexplode(cmsPositions(col("tok"), h, w)).as(Seq("h", "pos")))
+      .groupBy(col("h"), col("pos"))
       .agg(count(lit(1)).as("cnt"))
 
   /** Heavy-hitter report over a (possibly drained-from-a-stream) sketch:
@@ -67,12 +67,15 @@ object Sketches {
                      divisor: Long): DataFrame = {
     val total = cells.where(col("h") === 0)
       .agg(sum(col("cnt")).cast("long").as("total"))
-    val probed = (0 until h).foldLeft(toks.select(col("tok")).distinct()) {
+    val toksD = toks.select(col("tok")).distinct()
+      .withColumn("__cms", cmsPositions(col("tok"), h, w))
+    val probed = (0 until h).foldLeft(toksD) {
       (df, i) =>
         df.join(broadcast(cells.where(col("h") === i)
             .select(col("pos").as(s"pos$i"), col("cnt").as(s"c$i"))),
-          cmsPos(i, col("tok"), w) === col(s"pos$i"))
+          element_at(col("__cms"), i + 1) === col(s"pos$i"))
     }.withColumn("est", least((0 until h).map(i => col(s"c$i")): _*))
+      .drop("__cms")
     val cand = probed.crossJoin(broadcast(total))
       .where(col("est") >= expr(s"total div $divisor"))
       .select(col("tok"), col("est"), col("total"))

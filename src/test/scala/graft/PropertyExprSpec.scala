@@ -187,4 +187,25 @@ class PropertyExprSpec extends AnyFunSuite {
         TokenCounts.countBpe(u) == reCount(bpeRe, s)
     }, n = 500)
   }
+
+  test("CmsPositions == hex-window reference (the oracle's substr form)") {
+    // window i = hex chars [1+15i, 15+15i] of sha256, mod w — exactly
+    // Sketches.cmsPosSql; the expression reads nibbles with shifts
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def ref(tok: String, h: Int, w: Long): Seq[Long] = {
+      md.reset()
+      val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (0 until h).map(i =>
+        java.lang.Long.parseLong(hex.substring(15 * i, 15 * i + 15), 16) % w)
+    }
+    val gen = for {
+      t <- tokenText; h <- Gen.chooseNum(1, 4)
+      w <- Gen.oneOf(1L, 7L, 64L, 4096L, 1L << 40)
+    } yield (t, h, w)
+    check(Prop.forAll(gen) { case (t, h, w) =>
+      graft.functions.CmsPositions(null, h, w)
+        .compute(UTF8String.fromString(t))
+        .toLongArray.toSeq == ref(t, h, w)
+    }, n = 400)
+  }
 }
