@@ -168,6 +168,43 @@ object Streaming {
     (merged +: rest).sortBy(_.start)
   }
 
+  /** Batch form of repeated [[mergeEvent]]: fold a WHOLE micro-batch of
+    * event times into the span set in one sorted sweep. Gap-closure is a
+    * fixpoint — the result is the same for any insertion order — so
+    * sorting the batch and linear-merging against the (already sorted,
+    * disjoint) state is exactly the per-event fold, without its per-event
+    * partition/sort allocations (the r12 stream_sessionize premium: ~all
+    * of the 5.2× batch/stream gap was this inner loop).
+    * StreamingSinkSpec pins equality against the per-event fold.
+    */
+  def mergeEvents(sessions: Seq[SessionSpan], ts: Array[Long],
+                  gapUs: Long): Seq[SessionSpan] = {
+    if (ts.isEmpty) return sessions
+    java.util.Arrays.sort(ts)
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessionSpan]
+    var curStart = 0L; var curEnd = 0L; var curN = 0L; var open = false
+    @inline def push(s: Long, e: Long, n: Long): Unit = {
+      if (open && s <= curEnd + gapUs) {
+        if (e > curEnd) curEnd = e
+        curN += n
+      } else {
+        if (open) out += SessionSpan(curStart, curEnd, curN)
+        curStart = s; curEnd = e; curN = n; open = true
+      }
+    }
+    // two-pointer merge of the sorted state spans and the sorted batch
+    // points (each a width-0 span of weight 1), in start order
+    var i = 0; var j = 0
+    while (i < sessions.length || j < ts.length) {
+      if (j >= ts.length ||
+        (i < sessions.length && sessions(i).start <= ts(j))) {
+        val s = sessions(i); push(s.start, s.end, s.n); i += 1
+      } else { push(ts(j), ts(j), 1L); j += 1 }
+    }
+    out += SessionSpan(curStart, curEnd, curN)
+    out.toSeq
+  }
+
   /** Per-batch update emissions: each touched user re-emits ONE row carrying
     * its full span array, tagged with the running event total (strictly
     * increasing per emission, so the final snapshot per user is the
@@ -186,8 +223,8 @@ object Streaming {
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (user: Long, rows: Iterator[(Long, Long)],
          state: org.apache.spark.sql.streaming.GroupState[Seq[SessionSpan]]) =>
-          var sessions = state.getOption.getOrElse(Seq.empty)
-          rows.foreach { case (_, t) => sessions = mergeEvent(sessions, t, gapUs) }
+          val sessions = mergeEvents(state.getOption.getOrElse(Seq.empty),
+            rows.map(_._2).toArray, gapUs)
           state.update(sessions)
           val total = sessions.map(_.n).sum
           Iterator.single((user, total, sessions.map(s => (s.n, s.start, s.end))))

@@ -33,6 +33,24 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("mergeEvents == iterated mergeEvent for any batch split") {
+    // the batched sweep IS the per-event fold: split the event sequence
+    // into arbitrary micro-batches, feed each through mergeEvents, and the
+    // trajectory must match folding every event one at a time
+    import graft.streaming.Streaming.mergeEvents
+    val gen = for {
+      times <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 2000L))
+      gap <- Gen.chooseNum(1L, 300L)
+      cut <- Gen.chooseNum(0, times.length)
+    } yield (times, gap, cut)
+    check(Prop.forAll(gen) { case (times, gap, cut) =>
+      val (b1, b2) = times.splitAt(cut)
+      val batched = mergeEvents(mergeEvents(Seq.empty, b1.toArray, gap),
+        b2.toArray, gap)
+      batched == fold(times, gap)
+    })
+  }
+
   test("mergeEvent: spans are disjoint, gap-separated, and count every event") {
     val gen = for {
       times <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 2000L))
