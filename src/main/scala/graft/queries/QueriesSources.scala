@@ -43,6 +43,10 @@ object QueriesSources {
   // task's memory.
   private[queries] val GzRecordsPerFile = 250000L
 
+  // src_warc_range: every WarcRangeMod-th record (by doc id) is fetched
+  // through the sidecar index — a CDX-style point-lookup batch
+  private[queries] val WarcRangeMod = 17L
+
   // sink_compact_incremental: fragment files carry exactly this many rows
   // (scale-invariant — at every sf a fragment is ≤ 1/8 of a governed file,
   // so the 0.4-of-max stat threshold separates them with margin), and the
@@ -160,6 +164,38 @@ object QueriesSources {
         info.unionByName(responses).repartition(nFiles.toInt), out)
       Warc.readWarcGz(s, out)
         .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("record_id"), "urn:graft:([0-9]+)", 1)
+            .cast("long").as("doc_id"),
+          col("target_uri"), col("n_bytes"), col("length_ok"),
+          col("payload"))
+    },
+
+    // Index-driven RANGED fetch from the member archive (the Common Crawl
+    // CDX posture: an index names (file, offset, length) per record, and a
+    // fetch reads exactly those extents — no archive scan). Stage the same
+    // member archive as src_warc_gz, read its sidecar index, pick a
+    // deterministic record subset by id, and ranged-read just those
+    // members; bytes read = the requested records' compressed extents.
+    // The oracle recomputes the same subset straight from documents.
+    "src_warc_range" -> { (s, d) =>
+      import graft.sources.Warc
+      val out = scratch("docs_warc_range")
+      val uri = concat(lit("https://"), col("source"),
+        lit(".example.com/doc/"), col("doc_id").cast("string"))
+      val responses = documents(s, d).select(
+        Warc.record(lit("response"),
+          concat(lit("urn:graft:"), col("doc_id").cast("string")),
+          uri, col("text")).as("rec"))
+      val nFiles = math.max(4L,
+        (documents(s, d).count() + GzRecordsPerFile - 1) / GzRecordsPerFile)
+      Warc.writeGzMembers(responses.repartition(nFiles.toInt), out)
+      val wanted = Warc.readGzIndex(s, out)
+        .withColumn("doc_id",
+          regexp_extract(col("record_id"), "urn:graft:([0-9]+)", 1)
+            .cast("long"))
+        .filter(pmod(col("doc_id"), lit(WarcRangeMod)) === 0)
+      Warc.readWarcGzRange(s, wanted)
         .select(
           regexp_extract(col("record_id"), "urn:graft:([0-9]+)", 1)
             .cast("long").as("doc_id"),
@@ -374,6 +410,15 @@ object QueriesSources {
                 TRUE AS length_ok,
                 text AS payload
          FROM documents""",
+    // the ranged fetch must surface exactly the indexed subset, intact
+    "src_warc_range" ->
+      s"""SELECT doc_id,
+                'https://' || source || '.example.com/doc/' ||
+                  CAST(doc_id AS VARCHAR) AS target_uri,
+                CAST(length(text) AS BIGINT) AS n_bytes,
+                TRUE AS length_ok,
+                text AS payload
+         FROM documents WHERE doc_id % $WarcRangeMod = 0""",
     "src_ticks" ->
       """SELECT epoch_us(g) AS t_us
          FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31',

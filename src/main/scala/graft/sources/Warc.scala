@@ -124,7 +124,11 @@ object Warc {
 
   /** Stage a one-string-column frame of WARC records as the Common Crawl
     * `warc.gz` layout: one part file per partition, one gzip member PER
-    * RECORD concatenated inside it. Executor-side streaming IO (the codec
+    * RECORD concatenated inside it, plus a CDX-style sidecar index per part
+    * (`part-NNNNN.warc.gz.idx`, lines `record_id \t offset \t length` —
+    * the member's compressed byte extent) so index-driven fetches can
+    * ranged-read single records without scanning the archive
+    * ([[readWarcGzRange]]). Executor-side streaming IO (the codec
     * exception to the no-imperative rule — same as the multimodal
     * decoders); one Deflater per partition, bytes never collect.
     */
@@ -138,7 +142,9 @@ object Warc {
       val it = existing.iterator()
       while (it.hasNext) {
         val p = it.next()
-        if (p.getFileName.toString.endsWith(".warc.gz")) Files.delete(p)
+        val n = p.getFileName.toString
+        if (n.endsWith(".warc.gz") || n.endsWith(".warc.gz.idx"))
+          Files.delete(p)
       }
     } finally existing.close()
     val spark = records.sparkSession
@@ -149,20 +155,93 @@ object Warc {
         if (rows.hasNext) {
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val path = Paths.get(outDir, f"part-$pid%05d.warc.gz")
-          val out = new java.io.BufferedOutputStream(
+          val raw = new java.io.BufferedOutputStream(
             Files.newOutputStream(path), 1 << 16)
+          // count every compressed byte as it passes — the counter IS the
+          // member offset table
+          var written = 0L
+          val out = new java.io.FilterOutputStream(raw) {
+            override def write(b: Int): Unit = { raw.write(b); written += 1 }
+            override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+              raw.write(b, off, len); written += len
+            }
+          }
+          val idx = Files.newBufferedWriter(
+            Paths.get(outDir, f"part-$pid%05d.warc.gz.idx"))
           val deflater = new java.util.zip.Deflater(
             java.util.zip.Deflater.DEFAULT_COMPRESSION, true) // nowrap: raw deflate
           val crc = new java.util.zip.CRC32()
           try rows.foreach { rec =>
+            val at = written
             writeMember(out, rec.getBytes(java.nio.charset.StandardCharsets.UTF_8),
               deflater, crc)
+            val i0 = rec.indexOf("WARC-Record-ID: <")
+            val i1 = if (i0 >= 0) rec.indexOf('>', i0 + 17) else -1
+            val rid = if (i1 > i0) rec.substring(i0 + 17, i1) else ""
+            idx.write(s"$rid\t$at\t${written - at}\n")
           } finally {
             deflater.end()
             out.close()
+            idx.close()
           }
         }
     }
+  }
+
+  /** The sidecar member index of a [[writeGzMembers]] archive:
+    * `(path, record_id, offset, length)` where `path` is the DATA file and
+    * `(offset, length)` the member's compressed extent. Metadata-scale —
+    * one row per record, three numbers wide, the frame a fetch planner
+    * filters before [[readWarcGzRange]].
+    */
+  def readGzIndex(spark: SparkSession, dir: String): DataFrame =
+    spark.read.text(s"$dir/*.warc.gz.idx")
+      .select(
+        regexp_replace(input_file_name(), "\\.idx$", "").as("path"),
+        split(col("value"), "\t").as("f"))
+      .select(col("path"), col("f").getItem(0).as("record_id"),
+        col("f").getItem(1).cast("long").as("offset"),
+        col("f").getItem(2).cast("long").as("length"))
+
+  /** Ranged record fetch: parse EXACTLY the members named by `index`
+    * (`path`, `offset`, `length` columns — normally a filtered
+    * [[readGzIndex]]) by seeking to each member's compressed extent — the
+    * archive files are never scanned, bytes read = compressed bytes of the
+    * requested records. One open handle per (task, file): partition the
+    * index by path upstream for fetch locality (a fetch BATCH is
+    * metadata-scale, so the per-path grouping is bounded). Output schema
+    * equals [[readWarc]]'s.
+    */
+  def readWarcGzRange(spark: SparkSession, index: DataFrame): DataFrame = {
+    import spark.implicits._
+    val rows = index
+      .repartition(col("path"))
+      .select(col("path"), col("offset").cast("long"), col("length").cast("long"))
+      .as[(String, Long, Long)]
+    val framesDs = rows.mapPartitions { it =>
+      it.toSeq.groupBy(_._1).iterator.flatMap { case (path, members) =>
+        val p =
+          if (path.startsWith("file:"))
+            java.nio.file.Paths.get(new java.net.URI(path))
+          else java.nio.file.Paths.get(path)
+        val ch = java.nio.channels.FileChannel.open(p)
+        try {
+          members.sortBy(_._2).map { case (_, off, len) =>
+            val buf = java.nio.ByteBuffer.allocate(len.toInt)
+            ch.position(off)
+            while (buf.hasRemaining && ch.read(buf) >= 0) {}
+            val in = new java.util.zip.GZIPInputStream(
+              new java.io.ByteArrayInputStream(buf.array()), 1 << 16)
+            val rec = new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8)
+            // members carry full records; parseFrames expects the text
+            // AFTER the record magic (the framing the splitter produces)
+            if (rec.startsWith(Magic)) rec.substring(Magic.length) else rec
+          }
+        } finally ch.close()
+      }
+    }
+    parseFrames(framesDs.toDF("value"))
   }
 
   /** Split an inflating chunk stream into record frames at the magic —

@@ -104,6 +104,48 @@ class WarcSpec extends SparkSpec {
     assert(Warc.readWarcGz(spark, dir).count() == 60)
   }
 
+  test("warc.gz ranged fetch: the sidecar index addresses every member exactly") {
+    val docs = (0 until 40).map(i =>
+      ("response", s"urn:t:$i", s"https://h.example.com/$i",
+        s"ranged body $i " + ("pad " * (i % 5))))
+    val records = docs.toDF("t", "id", "uri", "block")
+      .select(Warc.record(col("t"), col("id"), col("uri"), col("block"))
+        .as("rec"))
+    val dir = java.nio.file.Files.createTempDirectory("warcrange").toString
+    Warc.writeGzMembers(records.repartition(3), dir)
+    val idx = Warc.readGzIndex(spark, dir)
+    val rows = idx.collect()
+    assert(rows.length == 40, "one index row per record")
+    // extents are exact: offsets per file are 0-based, contiguous, and sum
+    // to the file length
+    val byFile = rows.map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    byFile.foreach { case (path, ms) =>
+      val sorted = ms.sortBy(_._2)
+      assert(sorted.head._2 == 0L, "first member starts at byte 0")
+      sorted.sliding(2).foreach {
+        case Array((_, o1, l1), (_, o2, _)) => assert(o1 + l1 == o2,
+          "members are contiguous")
+        case _ =>
+      }
+      val p = java.nio.file.Paths.get(new java.net.URI(path))
+      assert(sorted.map(_._3).sum == java.nio.file.Files.size(p),
+        "extents cover the file exactly")
+    }
+    // a filtered fetch reads exactly the named members, payloads intact
+    val wanted = idx.filter(
+      regexp_extract(col("record_id"), "urn:t:([0-9]+)", 1)
+        .cast("long") % 3 === 0)
+    val out = Warc.readWarcGzRange(spark, wanted).collect()
+      .map(r => (r.getString(1), r.getBoolean(4), r.getString(5)))
+    assert(out.length == docs.count(d => d._2.stripPrefix("urn:t:").toInt % 3 == 0))
+    assert(out.forall(_._2), "ranged members must pass length_ok")
+    val byId = out.map(r => r._1 -> r._3).toMap
+    docs.filter(_._2.stripPrefix("urn:t:").toInt % 3 == 0).foreach {
+      case (_, id, _, block) => assert(byId(id) == block)
+    }
+  }
+
   test("splitFrames heals frames across arbitrary chunk boundaries") {
     val recs = (0 until 5).map(i => s"frame body $i with tail\r\n")
     val whole = recs.map(Warc.Magic + _).mkString.getBytes("UTF-8")

@@ -5,8 +5,14 @@ Usage: tools/fold_sf100.py <artifact.json> <pass.json>... [--note TEXT]
 
 Each pass file is a graft.Bench JSON line. For every query present in a
 pass, the artifact's row is REPLACED by the minimum across the passes
-(clean solo measurement beats a load-ramped sweep row). The artifact's
-total is recomputed as the sum of its rows, and the note records the fold.
+(clean solo measurement beats a load-ramped sweep row) — replaced
+UNCONDITIONALLY, never min-folded with the old row: a stale row measured
+at an older, faster code shape must not mask a regression introduced by
+a plan rework. Per-row provenance lands in artifact["folds"] so a later
+reader can see which rows came from which fold. A re-measured head that
+previously failed is dropped from artifact["failed"]. The artifact's
+total is recomputed as the sum of its rows, and the note records the
+fold.
 """
 import json, sys
 
@@ -31,11 +37,17 @@ def main():
     replaced = {}
     for k, v in sorted(best.items()):
         old = artifact["queries"].get(k)
-        keep = v if old is None or old < 0 else min(old, v)
-        if old is None or keep != old:
-            artifact["queries"][k] = keep
-            replaced[k] = (old, keep)
+        # REPLACE with the cross-pass min: the old row may predate the
+        # current code shape, so it must not cap the new measurement
+        artifact["queries"][k] = v
+        if old is None or v != old:
+            replaced[k] = (old, v)
+    artifact["failed"] = [
+        f for f in artifact.get("failed", []) if f not in best]
     artifact["value"] = sum(v for v in artifact["queries"].values() if v >= 0)
+    folds = artifact.setdefault("folds", [])
+    folds.append({"note": note, "passes": passes,
+                  "replaced": sorted(best.keys())})
     if note:
         artifact["note"] = note
     with open(artifact_path, "w") as f:
