@@ -47,6 +47,11 @@ object QueriesSources {
   // through the sidecar index — a CDX-style point-lookup batch
   private[queries] val WarcRangeMod = 17L
 
+  // sink_bucketed: rows per bucket — sizes the bucket count so file count
+  // and bucket-local join-task volume both track the data (8M lineitem
+  // rows ≈ a 100-200 MB bucket file at this projection's row width)
+  private[queries] val BucketRowsTarget = 8000000L
+
   // sink_compact_incremental: fragment files carry exactly this many rows
   // (scale-invariant — at every sf a fragment is ≤ 1/8 of a governed file,
   // so the 0.4-of-max stat threshold separates them with margin), and the
@@ -266,17 +271,29 @@ object QueriesSources {
     // with ZERO join-side Exchange — the big-fact-to-big-fact join a
     // cluster pays for once at write time instead of at every query
     // (plan-pinned in PlanAuditSpec). Result equals the plain join.
+    //
+    // The bucket COUNT tracks volume (r12 board finding: a fixed 8 means
+    // tasks×8 output files as scan tasks scale — ~800k files per table at
+    // 100 TB — and 1/8th of the corpus per bucket-local join task), and
+    // each table hash-repartitions onto its bucket key first: repartition's
+    // HashPartitioning is the SAME murmur3-pmod function as Spark's bucket
+    // id, so every write task owns exactly ONE bucket — file count =
+    // bucket count, write parallelism = bucket count, both volume-scaled.
     "sink_bucketed" -> { (s, d) =>
       val root = scratch("bucketed")
       s.sql("DROP TABLE IF EXISTS g_orders_b")
       s.sql("DROP TABLE IF EXISTS g_lineitem_b")
+      val nBuckets = math.max(8L, (lineitem(s, d).count() +
+        BucketRowsTarget - 1) / BucketRowsTarget).toInt
       orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+        .repartition(nBuckets, col("o_orderkey"))
         .write.mode("overwrite").option("path", s"$root/orders")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable("g_orders_b")
       lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"))
+        .repartition(nBuckets, col("l_orderkey"))
         .write.mode("overwrite").option("path", s"$root/lineitem")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
         .saveAsTable("g_lineitem_b")
       val o = s.table("g_orders_b")
       val l = s.table("g_lineitem_b")
