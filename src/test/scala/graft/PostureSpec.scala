@@ -50,6 +50,18 @@ class PostureSpec extends SparkSpec {
       "the bigram LM fit classified sort-only")
   }
 
+  test("the assembly journey keeps the volume-scaled posture (r13 ask #7)") {
+    // config_dataset's result plan carries the ~1M-group assembly shuffle;
+    // a sort-dominated misclassification would pin it to core-count
+    // partitions and spill at scale. (config_sequence is deliberately
+    // absent here as in the tuned list: its ordered work runs at
+    // plan-BUILD time under the ambient posture, and its result plan is a
+    // group-bounded fold — its near-linear decade is the row-linear
+    // assembly shuffle itself, not a posture miss.)
+    assert(!classify("config_dataset"),
+      "config_dataset classified sort-only — would lose spill relief")
+  }
+
   test("scanBytes skips the defaultSizeInBytes sentinel of stat-less leaves") {
     // RDD-backed leaves (LogicalRDD without originStats) carry no real
     // statistics — they report the spark.sql.defaultSizeInBytes sentinel
