@@ -392,12 +392,38 @@ object Curation {
   val SpanLenSeed = 603
 
   /** One per-row pass from (id, text) to (id, n_tokens, n_spans,
-    * n_corrupted, inputs, targets): an aggregate fold splices sentinel
-    * tokens into the input, a two-arg transform numbers the target spans.
-    * Zero shuffle. Shared verbatim by the batch head, the streaming twin,
-    * and the `corrupt:` corpus stage, so the paths cannot drift.
+    * n_corrupted, inputs, targets). Zero shuffle. Shared verbatim by the
+    * batch head, the streaming twin, and the `corrupt:` corpus stage, so
+    * the paths cannot drift.
+    *
+    * Native codegen'd build (functions/SpanCorruptExpr — digest-byte
+    * ratio draws + one linear walk per row); the interpreted HOF chain it
+    * replaced stays below as [[spanCorruptHof]], the executable spec
+    * CurationSpec property-pins equality against.
     */
   def spanCorrupt(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val expr = graft.functions.SpanCorruptExpr(
+      org.apache.spark.sql.GraftColumnBridge.expression(
+        col(idCol).cast("string")),
+      org.apache.spark.sql.GraftColumnBridge.expression(
+        graft.functions.Text.tokens(col(textCol))),
+      SpanBlock, SpanGateSeed, SpanOffSeed, SpanLenSeed)
+    docs.select(col(idCol),
+      org.apache.spark.sql.GraftColumnBridge.column(expr).as("__sc"))
+      .select(col(idCol),
+        col("__sc.n_tokens").as("n_tokens"),
+        col("__sc.n_spans").as("n_spans"),
+        col("__sc.n_corrupted").as("n_corrupted"),
+        col("__sc.inputs").as("inputs"),
+        col("__sc.targets").as("targets"))
+  }
+
+  /** The higher-order-function form of [[spanCorrupt]] — an aggregate fold
+    * splices sentinel tokens into the input, a two-arg transform numbers
+    * the target spans. The executable spec; not on the hot path.
+    */
+  private[graft] def spanCorruptHof(docs: DataFrame, idCol: String,
+                                    textCol: String): DataFrame = {
     val w = col("w")
     val n = size(w).cast("long")
     val blocks = sequence(lit(0L),

@@ -202,6 +202,34 @@ class MiningSpec extends SparkSpec {
     assert(corrupted > 0, "some spans must corrupt")
   }
 
+  test("native span_corrupt == HOF spec on adversarial docs + the corpus") {
+    import spark.implicits._
+    // adversarial shapes: empty text (split -> [""]), leading/multiple
+    // whitespace (empty tokens must keep their array_join separators),
+    // exactly-one-block, block-boundary lengths, many blocks, non-ASCII,
+    // and ids that vary the draw stream
+    val docs = Seq(
+      (1L, ""), (2L, "  "), (3L, "a"), (4L, " a  b "),
+      (5L, (1 to 7).map(i => s"t$i").mkString(" ")),
+      (6L, (1 to 8).map(i => s"t$i").mkString(" ")),
+      (7L, (1 to 9).map(i => s"t$i").mkString(" ")),
+      (8L, (1 to 200).map(i => s"w$i").mkString(" ")),
+      (9L, "é ü 的 😀 x y z w q r s t u v"),
+      (1000000007L, (1 to 50).map(i => s"k$i").mkString("  "))
+    ).toDF("doc_id", "text")
+    val corpus = graft.queries.Q.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    Seq(docs, corpus).foreach { d =>
+      val got = graft.operators.Curation.spanCorrupt(d, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4), r.getString(5))).toSet
+      val want = graft.operators.Curation.spanCorruptHof(d, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4), r.getString(5))).toSet
+      assert(got == want)
+    }
+  }
+
   test("stream_span_corrupt equals the batch head (shared frame)") {
     val a = SparkEntry.queries("span_corrupt")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(4), r.getString(5)))
