@@ -52,32 +52,51 @@ object Importance {
 
   def dsirScores(df: DataFrame, idCol: String, textCol: String,
                  targetPred: Column, buckets: Int): DataFrame = {
-    val toks = bucketed(df, idCol, textCol, buckets)
-    val tgtToks = bucketed(df.filter(targetPred), idCol, textCol, buckets)
-    // bounded feature tables: `buckets` rows each, counted in one pass per
-    // side (raw = every doc, target = the filtered docs)
-    val cnt = toks.groupBy(col("b")).agg(count(lit(1)).as("raw_cnt"))
-      .join(tgtToks.groupBy(col("b")).agg(count(lit(1)).as("tgt_cnt")),
-        Seq("b"), "left")
-      .na.fill(0L, Seq("tgt_cnt"))
-    val totals = toks.agg(count(lit(1)).as("raw_total")).crossJoin(
-      tgtToks.agg(count(lit(1)).as("tgt_total")))
+    // ONE fused fit pass: both distributions count together off a single
+    // native bucket hash per token (functions/PortableHashArr — no
+    // hex/conv string path; the former shape paid ~5 corpus explodes,
+    // each re-hashing every token). The collected state is `buckets`
+    // count pairs — metadata-scale, the kmeans-centroids discipline.
+    val spark = df.sparkSession
+    val hashFn = graft.functions.PortableHashArr.register(spark, buckets.toLong)
+    val toks = Text.tokens(col(textCol))
+    // the target flag lives INSIDE the generator input (target docs emit
+    // every bucket a second time, offset into [buckets, 2*buckets)), so
+    // the predicate evaluates once per DOC — a flag column projected
+    // beside the Generate would be hoisted above it and re-evaluated per
+    // TOKEN row (see [[bucketed]]'s measured 25 s -> 209 s trap)
+    val arr = call_function(hashFn, toks)
+    val tagged = when(targetPred,
+      concat(arr, transform(arr, h => h + buckets))).otherwise(arr)
+    val cells = df
+      .select(explode(tagged).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val observed = (0 until buckets).flatMap { b =>
+      val raw = cells.getOrElse(b, 0L)
+      val tgt = cells.getOrElse(b + buckets, 0L)
+      if (raw == 0L && tgt == 0L) None else Some(b -> (raw, tgt))
+    }.toMap
+    val rawTotal = observed.values.map(_._1).sum
+    val tgtTotal = observed.values.map(_._2).sum
     // add-one smoothed log-ratio per bucket; numerator/denominator are
-    // assembled in the SAME operation order as the SQL twin (IEEE-exact)
-    val lr = cnt.crossJoin(broadcast(totals))
-      .select(col("b"), round(log(
-        ((col("tgt_cnt") + 1.0) * (col("raw_total") + buckets.toDouble)) /
-          ((col("raw_cnt") + 1.0) * (col("tgt_total") + buckets.toDouble))),
-        6).as("lr"))
-    val scored = toks.join(broadcast(lr), Seq("b"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).cast("long").as("n_tokens"),
-        round(sumDec(col("lr"), 6) / count(lit(1)), 6).as("dsir_score"))
-    df.select(col(idCol)).join(scored, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        col("dsir_score"),
-        (coalesce(col("dsir_score"), lit(0.0)) > 0.0).as("keep"))
+    // assembled in the SAME operation order as the SQL twin, and the
+    // round is Spark's (HALF_UP on the shortest decimal form) — IEEE-exact
+    val lr = Array.tabulate(buckets) { b =>
+      val (rawB, tgtB) = observed.getOrElse(b, (0L, 0L))
+      val v = math.log(((tgtB + 1.0) * (rawTotal + buckets.toDouble)) /
+        ((rawB + 1.0) * (tgtTotal + buckets.toDouble)))
+      BigDecimal(java.lang.Double.toString(v))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // ONE scoring pass: the model enters the plan as a literal and the
+    // per-doc mean folds in the codegen'd DsirFold — bit-equal to the
+    // former in-plan decimal mean (micros sum -> /1e6 -> /n -> round 6)
+    val score = dsirScoreExpr(col(textCol), lr)
+    df.select(col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      score.as("dsir_score"),
+      (score > 0.0).as("keep"))
   }
 
   // ---------------------------------------------------------- DSIR model

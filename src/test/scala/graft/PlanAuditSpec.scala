@@ -270,16 +270,17 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   audit("dsir_select") { plan =>
-    // the hashed feature space is a bounded `buckets`-row table — it must
-    // attach to the corpus-sized token relation as a broadcast, never a
-    // shuffle join
-    assert(plan.contains("BroadcastHashJoin"),
-      "the bucket log-ratio table must broadcast onto the token relation")
-    // the only nested-loop join allowed is the Cross attach of the one-row
-    // totals frame to the buckets-row count table (bounded × bounded)
-    assert(!plan.linesIterator.takeWhile(_.trim.nonEmpty).exists(l =>
-      l.contains("BroadcastNestedLoopJoin") && !l.contains("Cross")),
-      "log-ratios attach by bucket equi-join")
+    // the model fits at plan-build time (one fused fit pass, collected at
+    // `buckets` rows — the kmeans-centroids discipline) and enters the
+    // scoring plan as a LITERAL: the result plan is one per-row codegen'd
+    // fold over the scan — no join, no shuffle, nothing corpus-sized moves
+    assert(!plan.contains("Join"),
+      "the hydrated model must be a plan literal, not a joined table")
+    assert(!plan.linesIterator.takeWhile(_.trim.nonEmpty)
+      .exists(_.contains("Exchange")),
+      "scoring under the literal model must be shuffle-free")
+    assert(plan.contains("dsirfold"),
+      "the per-doc mean must be the codegen'd DsirFold")
   }
 
   audit("domain_mix") { plan =>
