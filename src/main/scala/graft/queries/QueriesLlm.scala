@@ -1382,8 +1382,12 @@ object QueriesLlm {
     "unigram_logprob" -> { (s, d) =>
       val toks = documents(s, d)
         .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      // vocabulary-bounded: checkpoint so the corpus pays ONE counting
+      // pass — the total reads off the materialized table instead of a
+      // second corpus count, and the broadcast reuses the same rows
       val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      val total = toks.count() // scalar corpus size (one agg job)
+        .localCheckpoint()
+      val total = freq.agg(sum(col("cnt"))).head().getLong(0)
       toks.join(broadcast(freq), Seq("tok"))
         .select(col("doc_id"),
           log(col("cnt").cast("double") / total.toDouble).as("lp"))
