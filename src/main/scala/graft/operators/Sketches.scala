@@ -57,33 +57,31 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
 
   /** Heavy-hitter report over a (possibly drained-from-a-stream) sketch:
-    * distinct terms probe the broadcast cells (estimate = min over rows,
-    * the CMS upper bound), candidates clear `total div divisor`, and the
-    * EXACT count verifies candidates only (semi-join — the full-vocabulary
-    * count aggregate never runs). `heavy` = the verified verdict; sketch
-    * false positives surface as heavy=false rows.
+    * the vocabulary aggregates ONCE to `(term, exact count)` — this head's
+    * report owes exact counts for its verdicts, so the aggregate is forced
+    * by the contract, and the same rows serve both the sketch probe
+    * (estimate = min over the broadcast cells, the CMS upper bound) and
+    * the verification (a former shape ran a separate distinct() probe plus
+    * a semi-join-restricted count — a third corpus pass shuffling the same
+    * vocabulary rows the distinct already had). Candidates clear
+    * `total div divisor` on the ESTIMATE; `heavy` = the exact-count
+    * verdict, so sketch false positives surface as heavy=false rows.
     */
   def cmsHeavyReport(toks: DataFrame, cells: DataFrame, h: Int, w: Long,
                      divisor: Long): DataFrame = {
     val total = cells.where(col("h") === 0)
       .agg(sum(col("cnt")).cast("long").as("total"))
-    val toksD = toks.select(col("tok")).distinct()
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .withColumn("__cms", cmsPositions(col("tok"), h, w))
-    val probed = (0 until h).foldLeft(toksD) {
+    val probed = (0 until h).foldLeft(vocab) {
       (df, i) =>
         df.join(broadcast(cells.where(col("h") === i)
             .select(col("pos").as(s"pos$i"), col("cnt").as(s"c$i"))),
           element_at(col("__cms"), i + 1) === col(s"pos$i"))
     }.withColumn("est", least((0 until h).map(i => col(s"c$i")): _*))
       .drop("__cms")
-    val cand = probed.crossJoin(broadcast(total))
+    probed.crossJoin(broadcast(total))
       .where(col("est") >= expr(s"total div $divisor"))
-      .select(col("tok"), col("est"), col("total"))
-      .localCheckpoint() // vocabulary-bounded; feeds the verify twice
-    val exact = toks
-      .join(broadcast(cand.select(col("tok"))), Seq("tok"), "left_semi")
-      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    cand.join(exact, Seq("tok"))
       .select(col("tok"), col("est"), col("cnt"),
         (col("cnt") >= expr(s"total div $divisor")).as("heavy"))
   }
