@@ -99,6 +99,9 @@ class ScalePostureSpec extends SparkSpec {
       "config_corpus_serve", // same one-row mixture totals (the mix step)
       "config_corpus_full",  // same one-row mixture totals (the mix step)
       "cooccurrence_ppmi", // one-row pair/token totals broadcast into PMI
+      "heavy_hitters",    // one-row sketch total broadcast onto the
+                          //   vocabulary frame (was behind a checkpoint
+                          //   before the unified probe+verify pass)
       "perplexity_bucket", // one-row tertile thresholds broadcast (the
                            //   level-table cumsum replacing the driver walk)
       "mixture_weights",  // one-row waterfill scalars (totals, used, ws)
