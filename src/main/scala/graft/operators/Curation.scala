@@ -379,6 +379,49 @@ object Curation {
     assign(v, kmeansCentroids(df, idCol, vecCol, k, iters)).drop("v")
   }
 
+  // --- fill-in-the-middle (the code-pretraining PSM example builder) -------
+  // The public FIM recipe (Bavarian et al. 2022): with a deterministic
+  // sha-gated rate, a document re-orders into <PRE> prefix <SUF> suffix
+  // <MID> middle — the model learns infilling from the moved span. Split
+  // points come from two per-DOC sha-ratio draws (i in 0..n, j in i..n over
+  // the token array), so the transform is reproducible across engines and
+  // runs; ungated docs pass through verbatim. Pure per-row expressions —
+  // zero shuffle, three sha draws per document.
+  val FimGateSeed = 701
+  val FimSplitSeedA = 702
+  val FimSplitSeedB = 703
+  val FimPre = "<PRE>"
+  val FimSuf = "<SUF>"
+  val FimMid = "<MID>"
+
+  /** One per-row pass from (id, text) to
+    * `(id, fim_applied, n_tokens, pre_len, mid_len, suf_len, output)`.
+    * Length accounting is emitted for ungated docs too (pre = n, mid =
+    * suf = 0) so the frame is uniformly consumable downstream.
+    */
+  def fimTransform(docs: DataFrame, idCol: String, textCol: String,
+                   rate: Double): DataFrame = {
+    val w = Text.tokens(col(textCol))
+    val n = size(w).cast("long")
+    val gate = hashRatio(col(idCol), FimGateSeed) < rate
+    val i = floor(hashRatio(col(idCol), FimSplitSeedA) *
+      (n + 1).cast("double")).cast("long")
+    val j = i + floor(hashRatio(col(idCol), FimSplitSeedB) *
+      (n - i + 1).cast("double")).cast("long")
+    val pre = array_join(slice(w, lit(1), i.cast("int")), " ")
+    val mid = array_join(slice(w, (i + 1).cast("int"), (j - i).cast("int")), " ")
+    val suf = array_join(slice(w, (j + 1).cast("int"), (n - j).cast("int")), " ")
+    val fim = concat(lit(FimPre), lit(" "), pre, lit(" "), lit(FimSuf),
+      lit(" "), suf, lit(" "), lit(FimMid), lit(" "), mid)
+    docs.select(col(idCol),
+      gate.as("fim_applied"),
+      n.as("n_tokens"),
+      when(gate, i).otherwise(n).as("pre_len"),
+      when(gate, j - i).otherwise(0L).as("mid_len"),
+      when(gate, n - j).otherwise(0L).as("suf_len"),
+      when(gate, fim).otherwise(col(textCol)).as("output"))
+  }
+
   // --- span corruption (the T5/UL2 pretraining example builder) ------------
   // Block-deterministic: corruption decisions key per (id, SpanBlock-token
   // block) on sha-ratio draws — gate < 0.5, offset in [0, SpanBlock-2),

@@ -89,6 +89,11 @@ object QueriesMining {
   private val ScOffSeed = Curation.SpanOffSeed
   private val ScLenSeed = Curation.SpanLenSeed
 
+  // Fill-in-the-middle: half the corpus (sha-gated) re-orders into
+  // <PRE> prefix <SUF> suffix <MID> middle with per-doc sha-ratio split
+  // points; the other half passes through verbatim.
+  private val FimRate = 0.5
+
   // TextTiling-lite segmentation: candidate boundaries every TileB tokens;
   // cohesion = Jaccard of the adjacent TileB-token windows' distinct
   // vocabularies; a boundary fires where cohesion dips under TileThresh
@@ -139,6 +144,52 @@ object QueriesMining {
   private[graft] def spanCorruptFrame(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     Curation.spanCorrupt(docs, "doc_id", "text")
+
+  /** DuckDB twin of [[graft.operators.Curation.fimTransform]]: the same
+    * per-doc sha-ratio draws (gate + two split points over the lowercased
+    * token array), the same PSM re-ordering, verbatim pass-through for
+    * ungated docs.
+    */
+  private def fimTransformSql: String = {
+    def r(seed: Int) =
+      s"CAST(CAST('0x' || substr(sha256('$seed|' || " +
+        s"CAST(doc_id AS VARCHAR)), 3, 14) AS BIGINT) " +
+        s"& 9007199254740991 AS DOUBLE) / 9007199254740992.0"
+    import graft.operators.Curation._
+    s"""WITH w0 AS (
+          SELECT doc_id, text,
+                 regexp_split_to_array(lower(text), '\\s+') AS w
+          FROM documents),
+        wn AS (
+          SELECT doc_id, text, w, CAST(len(w) AS BIGINT) AS n FROM w0),
+        cuts AS (
+          SELECT doc_id, text, w, n,
+                 ${r(FimGateSeed)} < $FimRate AS gate,
+                 CAST(floor(${r(FimSplitSeedA)} * CAST(n + 1 AS DOUBLE))
+                   AS BIGINT) AS i
+          FROM wn),
+        cuts2 AS (
+          SELECT *, i + CAST(floor(${r(FimSplitSeedB)}
+                   * CAST(n - i + 1 AS DOUBLE)) AS BIGINT) AS j
+          FROM cuts)
+        SELECT doc_id, gate AS fim_applied, n AS n_tokens,
+               CASE WHEN gate THEN i ELSE n END AS pre_len,
+               CASE WHEN gate THEN j - i ELSE 0 END AS mid_len,
+               CASE WHEN gate THEN n - j ELSE 0 END AS suf_len,
+               CASE WHEN gate THEN
+                 -- array_to_string of an EMPTY slice is NULL in DuckDB
+                 -- (Spark's array_join gives ''), hence the coalesces
+                 '$FimPre ' || coalesce(
+                     array_to_string(list_slice(w, 1, i), ' '), '')
+                   || ' $FimSuf '
+                   || coalesce(
+                     array_to_string(list_slice(w, j + 1, n), ' '), '')
+                   || ' $FimMid '
+                   || coalesce(
+                     array_to_string(list_slice(w, i + 1, j), ' '), '')
+               ELSE text END AS output
+        FROM cuts2"""
+  }
 
   /** DuckDB twin of [[graft.operators.Curation.spanCorrupt]] as tail CTEs
     * over any (doc_id, text) relation — sc_-prefixed names so it composes
@@ -463,6 +514,15 @@ object QueriesMining {
             col("sx")) / col("n_vocab"), 6).as("intercept"))
     },
 
+    // Fill-in-the-middle (the code-pretraining PSM recipe, Bavarian et al.
+    // 2022 — public): sha-gated docs re-order into <PRE> prefix <SUF>
+    // suffix <MID> middle with two per-doc sha-ratio split points; ungated
+    // docs pass through verbatim. Pure per-row expressions, three sha
+    // draws per DOC — zero shuffle, transform at scan speed.
+    "fim_transform" -> { (s, d) =>
+      Curation.fimTransform(documents(s, d), "doc_id", "text", FimRate)
+    },
+
     // T5-style span corruption: one per-row pass builds (inputs, targets)
     // pretraining pairs — block-keyed sha-ratio draws pick the spans
     // (non-overlapping BY CONSTRUCTION, so no sequential scan state), an
@@ -657,6 +717,8 @@ object QueriesMining {
        FROM documents) dsrc"""
 
   val oracleSql: Map[String, String] = Map(
+
+    "fim_transform" -> fimTransformSql,
 
     "percolate_route" -> percolateSql,
 

@@ -202,6 +202,34 @@ class MiningSpec extends SparkSpec {
     assert(corrupted > 0, "some spans must corrupt")
   }
 
+  test("fim_transform: spans reconstruct, lengths account, gate at ~rate") {
+    val rows = SparkEntry.queries("fim_transform")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6)))
+    val orig = graft.queries.Q.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val Psm = "(?s)<PRE> (.*) <SUF> (.*) <MID> (.*)".r
+    var gated = 0
+    rows.foreach { case (id, applied, n, pl, ml, sl, out) =>
+      assert(pl + ml + sl == n, s"doc $id: lengths must account")
+      if (applied) {
+        gated += 1
+        out match {
+          case Psm(pre, suf, mid) =>
+            def toks(s: String) = s.split(" ").filter(_.nonEmpty).toSeq
+            val rebuilt = toks(pre) ++ toks(mid) ++ toks(suf)
+            val expected = orig(id).toLowerCase.split("\\s+")
+              .filter(_.nonEmpty).toSeq
+            assert(rebuilt == expected, s"doc $id: PSM must reconstruct")
+          case _ => fail(s"doc $id: PSM shape missing: ${out.take(60)}")
+        }
+      } else assert(out == orig(id), s"doc $id: ungated must pass through")
+    }
+    // sha-gated at rate 0.5 over 500 docs — a binomial 5-sigma band
+    assert(gated > 180 && gated < 320, s"gate rate off: $gated/500")
+  }
+
   test("native span_corrupt == HOF spec on adversarial docs + the corpus") {
     import spark.implicits._
     // adversarial shapes: empty text (split -> [""]), leading/multiple
