@@ -92,7 +92,7 @@ object QueriesMining {
   // Fill-in-the-middle: half the corpus (sha-gated) re-orders into
   // <PRE> prefix <SUF> suffix <MID> middle with per-doc sha-ratio split
   // points; the other half passes through verbatim.
-  private val FimRate = 0.5
+  private[queries] val FimRate = 0.5
 
   // TextTiling-lite segmentation: candidate boundaries every TileB tokens;
   // cohesion = Jaccard of the adjacent TileB-token windows' distinct

@@ -171,6 +171,15 @@ object QueriesStreaming {
       Streaming.spanCorrupt(s, d, s"graft_stream_sc_$run",
         fileSink(s"sc_$run"))
     },
+    // Fill-in-the-middle at ingest: the PSM re-ordering is per-doc
+    // sha-gated — no scan state — so arriving docs land as pretraining
+    // examples stateless per row; shared transform with the batch head
+    // (shared oracle).
+    "stream_fim" -> { (s, d) =>
+      val run = runId.incrementAndGet()
+      Streaming.fimTransform(s, d, s"graft_stream_fim_$run",
+        QueriesMining.FimRate, fileSink(s"fim_$run"))
+    },
     // CMS heavy hitters at ingest: the integer sketch accumulates live in
     // complete mode (state ≤ h×w groups however many docs arrive); the
     // drained cells feed the batch head's candidate+verify report exactly
@@ -302,6 +311,7 @@ object QueriesStreaming {
     "stream_embed_route" -> QueriesCuration.oracleSql("curation_kmeans"),
     "stream_heavy_hitters" -> QueriesMining.heavyHittersSql,
     "stream_span_corrupt" -> QueriesMining.oracleSql("span_corrupt"),
+    "stream_fim" -> QueriesMining.oracleSql("fim_transform"),
 
     // same twin as corpus_drift: the live emission equals the batch head
     "stream_drift" -> QueriesServe.corpusDriftSql,

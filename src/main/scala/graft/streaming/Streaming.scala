@@ -458,6 +458,19 @@ object Streaming {
     sinkTo(spark, pairs, tableName, "append", sinkDir)
   }
 
+  /** Fill-in-the-middle AT INGEST — the spanCorrupt discipline applied to
+    * the PSM builder: per-doc sha-gated splits need no scan state, so
+    * arriving docs land as re-ordered pretraining examples stateless per
+    * row (NO state store, NO join); shares the transform with the batch
+    * head, so the oracle is shared too.
+    */
+  def fimTransform(spark: SparkSession, sfDir: String, tableName: String,
+                   rate: Double, sinkDir: Option[String] = None): DataFrame = {
+    val out = graft.operators.Curation.fimTransform(
+      readTable(spark, sfDir, "documents"), "doc_id", "text", rate)
+    sinkTo(spark, out, tableName, "append", sinkDir)
+  }
+
   /** Count-min-sketch heavy hitters AT INGEST: the h×w INTEGER cells
     * accumulate live in complete mode — state bounded at ≤ h×w groups
     * regardless of arrival count (the stream_drift discipline applied to a

@@ -258,6 +258,16 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("stream_fim equals the batch head (shared transform)") {
+    val a = SparkEntry.queries("fim_transform")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(6)))
+      .toSet
+    val b = SparkEntry.queries("stream_fim")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(6)))
+      .toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("stream_span_corrupt equals the batch head (shared frame)") {
     val a = SparkEntry.queries("span_corrupt")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(4), r.getString(5)))
