@@ -1105,6 +1105,19 @@ object QueriesLlm {
       graft.operators.Bpe.mergesFrame(documents(s, d), "text", BpeRounds)
     },
 
+    // The THIRD tokenizer family: WordPiece merge training (BERT's
+    // likelihood criterion — merge the pair maximizing count(pair) /
+    // (count(lhs)·count(rhs)), ## continuation markers on non-initial
+    // symbols). Same scale posture as BPE: one corpus aggregate, then
+    // vocabulary-bounded rounds with checkpoint-pinned plan depth. The
+    // emitted evidence is integer (pair + symbol counts — the score is
+    // derivable), so the head hash-verifies exactly.
+    "wordpiece_merges" -> { (s, d) =>
+      import s.implicits._
+      graft.operators.WordPiece.train(documents(s, d), "text", BpeRounds)
+        .merges.toDF("rnd", "lhs", "rhs", "cnt", "lhs_cnt", "rhs_cnt")
+    },
+
     // Tokenizer APPLICATION (the third pass, closing the loop after
     // vocab_topk's counts and bpe_merges' training): per-document token
     // accounting under the trained merges. The encode map is the training
@@ -1554,6 +1567,69 @@ object QueriesLlm {
         $blocks"""
   }
 
+  /** DuckDB twin of WordPiece.train's merge table: the same likelihood
+    * criterion per round — pair counts and symbol counts over the round's
+    * vocabulary, score = cnt/(lhs_cnt·rhs_cnt) as the identical IEEE
+    * expression, (score desc, lhs, rhs) winner — and the same ##-marked
+    * merge fold (rhs drops its continuation marker).
+    */
+  private def wordpieceMergesSql(rounds: Int): String = {
+    def roundCtes(i: Int) =
+      s"""vp$i AS (
+            SELECT u.lhs, u.rhs, CAST(SUM(u.n) AS BIGINT) AS cnt FROM (
+              SELECT n, unnest([{'lhs': s[j], 'rhs': s[j+1]}
+                                for j in generate_series(1, len(s) - 1)],
+                       recursive := true) AS _
+              FROM (SELECT string_split(syms, ' ') AS s, n FROM v$i)
+            ) AS u(n, lhs, rhs)
+            GROUP BY u.lhs, u.rhs),
+          vs$i AS (
+            SELECT u.sym, CAST(SUM(u.n) AS BIGINT) AS c FROM (
+              SELECT n, unnest(string_split(syms, ' ')) AS sym FROM v$i
+            ) AS u(n, sym)
+            GROUP BY u.sym),
+          vb$i AS MATERIALIZED (
+            SELECT p.lhs, p.rhs, p.cnt, a.c AS lhs_cnt, b.c AS rhs_cnt
+            FROM vp$i p
+            JOIN vs$i a ON a.sym = p.lhs
+            JOIN vs$i b ON b.sym = p.rhs
+            ORDER BY CAST(p.cnt AS DOUBLE) /
+                     (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)) DESC,
+                     p.lhs, p.rhs
+            LIMIT 1),
+          v${i + 1} AS MATERIALIZED (
+            SELECT w.word AS word,
+                   list_reduce(string_split(w.syms, ' '), (acc, s) ->
+                     CASE WHEN s = b.rhs
+                            AND (acc = b.lhs OR ends_with(acc, ' ' || b.lhs))
+                          THEN substr(acc, 1, len(acc) - len(b.lhs))
+                               || b.lhs ||
+                               (CASE WHEN starts_with(b.rhs, '##')
+                                     THEN substr(b.rhs, 3) ELSE b.rhs END)
+                          ELSE acc || ' ' || s END) AS syms,
+                   w.n AS n
+            FROM v$i w, vb$i b)"""
+    val finals = (1 to rounds).map { i =>
+      s"SELECT $i AS rnd, lhs, rhs, cnt, lhs_cnt, rhs_cnt FROM vb$i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH vsrc AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+            FROM documents)
+          WHERE word != '' GROUP BY word),
+        v1 AS MATERIALIZED (
+          SELECT word,
+                 CASE WHEN len(word) = 1 THEN word
+                      ELSE word[1] || ' ' || array_to_string(
+                        ['##' || word[j] for j in
+                          generate_series(2, len(word))], ' ')
+                 END AS syms,
+                 n
+          FROM vsrc),
+        ${(1 to rounds).map(roundCtes).mkString(",\n")}
+        $finals"""
+  }
+
   /** DuckDB twin of Bpe.merges: the per-round winners. */
   private def bpeMergesSql(rounds: Int): String = {
     val finals = (1 to rounds).map { i =>
@@ -1646,6 +1722,7 @@ object QueriesLlm {
     "split_leakage" -> splitLeakageSql,
     "decontam_fuzzy" -> decontamFuzzySql,
     "bpe_merges" -> bpeMergesSql(BpeRounds),
+    "wordpiece_merges" -> wordpieceMergesSql(BpeRounds),
     "bpe_encode" -> bpeEncodeSql(BpeRounds),
     "bpe_artifact" -> bpeArtifactSql(BpeRounds),
     "tokenizer_fertility" ->

@@ -158,4 +158,36 @@ class BpeSpec extends SparkSpec {
     assert(round4.contains("Scan ExistingRDD"),
       "round plans must root at the previous round's checkpoint")
   }
+
+  // --- WordPiece (the third tokenizer family) -------------------------------
+
+  test("wordpiece: likelihood score beats raw count; ## markers fold") {
+    import spark.implicits._
+    // "xy" dominates by PAIR COUNT (10 vs 1) but its symbols are equally
+    // frequent, so its score is 10/(10*10) = 0.1; the rare "zq" pair
+    // scores 1/(1*1) = 1.0 — WordPiece must pick (z, ##q) where BPE picks
+    // (x, ##y)
+    val docs = (Seq.fill(10)("xy") ++ Seq("zq")).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val wp = graft.operators.WordPiece.train(docs, "text", 1)
+    val (rnd, l, r, cnt, lc, rc) = wp.merges.head
+    assert((rnd, l, r, cnt, lc, rc) == (1, "z", "##q", 1L, 1L, 1L))
+    val bpe = graft.operators.Bpe.merges(docs, "text", 1).head
+    assert((bpe._2, bpe._3) == ("x", "y"), "BPE picks the frequent pair")
+    // the merged symbol drops the continuation marker
+    val zq = wp.vocab.filter(col("w") === "zq").head().getString(1)
+    assert(zq == "zq")
+  }
+
+  test("wordpiece: marker semantics through multi-round merges") {
+    import spark.implicits._
+    val docs = Seq((1L, "abc abc abc")).toDF("doc_id", "text")
+    val m = graft.operators.WordPiece.train(docs, "text", 2)
+    // round 1 merges one adjacent pair of "a ##b ##c"; round 2 finishes
+    // the word — the final segmentation is the whole word, marker-free
+    // at the word start
+    assert(m.merges.length == 2)
+    val syms = m.vocab.filter(col("w") === "abc").head().getString(1)
+    assert(syms == "abc", s"fully merged, got '$syms'")
+  }
 }
