@@ -55,7 +55,82 @@ object Bench {
     try java.nio.file.Files.readString(
       java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
+
+  /** Reap stray graft JVMs from an earlier phase (a leaked `graft.Verify`
+    * or `graft.Bench` main still draining CPU): scan /proc cmdlines for
+    * those main classes, excluding this process and its ancestors (when
+    * sbt runs us un-forked, the launcher's own cmdline carries
+    * "graft.Bench"). Returns the pids it signalled. Any other graft
+    * Verify/Bench JVM is stale BY CONSTRUCTION — the round driver runs the
+    * phases sequentially — so killing here can only reclaim the machine.
+    */
+  private def reapStrayGraftJvms(): Seq[Long] = {
+    val self = ProcessHandle.current()
+    val ancestors = Iterator.iterate(Option(self))(_.flatMap(h =>
+      Option(h.parent().orElse(null)))).takeWhile(_.isDefined)
+      .flatten.map(_.pid()).toSet
+    val procDir = new java.io.File("/proc")
+    val candidates = Option(procDir.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(_.getName.forall(_.isDigit)).flatMap { d =>
+        val pid = d.getName.toLong
+        if (ancestors.contains(pid)) None
+        else try {
+          val cmd = new String(java.nio.file.Files.readAllBytes(
+            d.toPath.resolve("cmdline")), "UTF-8")
+          if (cmd.contains("graft.Verify") || cmd.contains("graft.Bench"))
+            Some(pid)
+          else None
+        } catch { case _: Throwable => None }
+      }
+    candidates.foreach { pid =>
+      ProcessHandle.of(pid).ifPresent { h =>
+        System.err.println(s"[bench] reaping stray graft JVM pid=$pid")
+        h.destroy()
+      }
+    }
+    if (candidates.nonEmpty) {
+      Thread.sleep(2000)
+      candidates.foreach(pid =>
+        ProcessHandle.of(pid).ifPresent(h =>
+          if (h.isAlive) h.destroyForcibly()))
+    }
+    candidates
+  }
+
+  /** Self-settling (the r13 adjudication: two driver passes in a row ran
+    * on a machine still draining the prior phase — load 4.31 at start, 38
+    * outlier re-runs, a uniform ~1.4x inflation the builder's clean record
+    * passes didn't show). Make the ARTIFACT prove the plans, not the
+    * operator's re-runs: before the first timed query, reap stray
+    * prior-phase graft JVMs, sync dirty pages (a Verify phase leaves
+    * write-back behind), then wait — bounded — for the 1-minute load
+    * average to fall under `targetLoad`. Returns seconds waited.
+    * SPARK_GRAFT_NO_SETTLE=1 skips (A/B and in-sweep group runs that
+    * manage settling themselves).
+    */
+  private def settleMachine(targetLoad: Double = 3.0,
+                            maxWaitSec: Int = 240): Double = {
+    if (sys.env.contains("SPARK_GRAFT_NO_SETTLE")) return 0.0
+    reapStrayGraftJvms()
+    try Runtime.getRuntime.exec(Array("sync")).waitFor()
+    catch { case _: Throwable => () }
+    val t0 = System.nanoTime()
+    var l = loadAvg()
+    while (l > targetLoad && (System.nanoTime() - t0) / 1e9 < maxWaitSec) {
+      System.err.println(f"[bench] settling: load $l%.2f > $targetLoad — waiting")
+      Thread.sleep(5000)
+      l = loadAvg()
+    }
+    val waited = (System.nanoTime() - t0) / 1e9
+    if (l > targetLoad)
+      System.err.println(
+        f"[bench] settle TIMED OUT at ${waited}%.0f s with load $l%.2f — proceeding")
+    waited
+  }
   def main(args: Array[String]): Unit = {
+    // settle BEFORE the JVM heats up: stray prior-phase JVMs die, dirty
+    // pages flush, and the timed sweep starts on a quiet machine
+    val settleWait = settleMachine()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // AQE initial-partition posture is PER-PLAN by default (the round-10
@@ -104,7 +179,17 @@ object Bench {
     // collect — the honest cost of producing the result.
     // SPARK_GRAFT_RUNS=1 measures a single cold run (e.g. to price a
     // train-if-missing artifact fit that best-of-2 would amortize away).
-    val runsPerQuery = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(2)
+    val runsPerQuery = sys.env.get("SPARK_GRAFT_RUNS").map { v =>
+      // fail loudly on garbage and clamp to >= 1: a non-numeric or
+      // non-positive value would otherwise crash mid-sweep (bare .toInt)
+      // or yield an empty times sequence that records -1 for every query
+      val n = scala.util.Try(v.trim.toInt).getOrElse(
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_RUNS must be a positive integer, got '$v'"))
+      if (n < 1) throw new IllegalArgumentException(
+        s"SPARK_GRAFT_RUNS must be >= 1, got $n")
+      n
+    }.getOrElse(2)
     def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val times = (1 to runsPerQuery).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -181,7 +266,7 @@ object Bench {
       results.find(_._1 == n).forall(_._2 < 0))
     val failedJson = trulyFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val rerunJson = outliers.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"rerun":$rerunJson,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"rerun":$rerunJson,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"settle_wait_sec":${math.round(settleWait)},"sf":"$sfDir"}"""
     println(json)
     // the driver's round artifact keeps only the tail of stdout, which
     // truncated the first ~44 per-query timings out of the permanent record

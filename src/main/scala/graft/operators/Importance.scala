@@ -96,7 +96,11 @@ object Importance {
     df.select(col(idCol),
       size(toks).cast("long").as("n_tokens"),
       score.as("dsir_score"),
-      (score > 0.0).as("keep"))
+      // coalesce preserves the pre-r13 contract: a null score (a document
+      // DsirFold could not score — today impossible because split() always
+      // yields >= 1 token, but the invariant lives HERE, not at call sites)
+      // means keep = false, never keep = null
+      (coalesce(score, lit(0.0)) > 0.0).as("keep"))
   }
 
   // ---------------------------------------------------------- DSIR model

@@ -9,7 +9,7 @@
 # Advice-hardened discipline (r12 findings): every pass file is removed
 # before its run so a crashed pass can never leave a stale file for the
 # fold; sbt's exit status is checked separately from the grep; the fold
-# step refuses to run when an expected pass file is missing.
+# step runs HERE, after every expected pass file is checked present.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -64,3 +64,10 @@ for g in "${GROUPS_LIST[@]}"; do
     [ -s "$f" ] || { echo "fold refused: $f missing" >&2; exit 1; }
   done
 done
+
+# The fold itself (advice r13: the guard above protected a step the
+# operator had to run by hand — now the validated files are exactly the
+# files folded)
+python3 tools/fold_sf100.py bench_sf100_full_surface.json \
+  /tmp/sf100_r13_*_p*.json \
+  --note "r13 remeasure: crawl/lm/mining/sessions/board groups, 2 clean solo passes each"
