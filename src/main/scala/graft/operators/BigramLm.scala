@@ -49,10 +49,17 @@ object BigramLm {
     val ucnt = docs
       .select(explode(toks).as("tok")).groupBy(col("tok"))
       .agg(count(lit(1)).as("uc"))
+    // vocab-broadcast posture: the unigram prefix table is distinct-token
+    // sized — bounded for language, NOT for crawl noise. The guard forces
+    // the broadcast below its corpus-scan ceiling (this join must never
+    // shuffle the corpus-sized bigram frame for a small dictionary) and
+    // falls back to a shuffled join above it (VocabGuard's contract; the
+    // score is identical either way).
     val scored = bigrams
       .withColumn("prefix", split(col("bg"), " ").getItem(0))
       .join(bcnt, Seq("bg"))
-      .join(broadcast(ucnt), col("prefix") === col("tok"))
+      .join(graft.pipeline.VocabGuard.hint(ucnt, docs, "bigram_lm.unigram"),
+        col("prefix") === col("tok"))
       .select(col(idCol),
         round(log(col("bc").cast("double") / col("uc")), 6).as("lp"))
       .groupBy(col(idCol))
@@ -65,42 +72,57 @@ object BigramLm {
         col("mean_logprob"))
   }
 
-  /** Fingerprint of the corpus the artifact was fitted on: the (name,
-    * length, mtime) triple of every file under the table path — detects a
-    * regenerated corpus without reading a row.
+  /** Canonical fingerprint INPUT for the corpus the artifact was fitted
+    * on: the RECURSIVE per-file stat walk ArtifactCache already owns
+    * (pipeline/ArtifactCache.pathState — `relpath:file:size:mtime_ns` per
+    * regular file, subdirectory names included), so a hive-partitioned
+    * corpus fingerprints by its LEAF files, a touched part file inside a
+    * partition subdir refits, and a missing path snapshots as "missing"
+    * instead of NPE-ing. Detects a regenerated corpus without reading a
+    * row.
     */
-  private def corpusKey(tablePath: String): String = {
-    val f = new java.io.File(tablePath)
-    val files =
-      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq else Seq(f)
-    val sig = files.map(x => s"${x.getName}:${x.length}:${x.lastModified}")
-      .mkString(s"v$FormatVersion|$tablePath|", "|", "")
+  private[graft] def corpusState(tablePath: String): String =
+    s"v$FormatVersion|$tablePath|" +
+      graft.pipeline.ArtifactCache.pathState(Paths.get(tablePath))
+
+  private def sha8(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
-      .digest(sig.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-  }
+      .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
 
   /** Train-if-missing score frame over a documents table: hydrate the
     * per-doc artifact when its manifest matches the corpus fingerprint,
     * else fit, persist, and read back (both consumers then see the same
     * bits). `tablePath` is the corpus parquet the fingerprint covers.
+    *
+    * The manifest stores the FULL fingerprint input (the stat walk), not
+    * just its hash: validity is `stored state == freshly computed state`,
+    * so the check can never degenerate into a bare existence test (the
+    * r13-advice tautology — the cache dir was NAMED by the key the
+    * manifest was checked to contain) and a maintainer can read WHAT the
+    * artifact was keyed on straight off disk.
     */
   def scoresArtifact(spark: SparkSession, docs: DataFrame, idCol: String,
                      textCol: String, tablePath: String,
                      cacheRoot: String): DataFrame = {
-    val key = corpusKey(tablePath)
-    val dir = Paths.get(cacheRoot, key)
+    val state = corpusState(tablePath)
+    val dir = Paths.get(cacheRoot, sha8(state))
     val data = dir.resolve("scores.parquet")
     val manifest = dir.resolve("manifest.json")
-    val valid = Files.exists(manifest) &&
-      Files.readString(manifest).contains(s""""key": "$key"""")
+    val valid = Files.exists(manifest) && Files.exists(data) && {
+      val j = org.json4s.jackson.JsonMethods.parse(Files.readString(manifest))
+      (j \ "state") == org.json4s.JString(state)
+    }
     if (!valid) {
       if (Files.exists(dir))
         System.err.println(s"[graft] bigram_lm artifact at $dir is stale — refitting")
       scoreFrame(docs, idCol, textCol)
         .write.mode("overwrite").parquet(data.toString)
       Files.createDirectories(dir)
-      Files.writeString(manifest,
-        s"""{"key": "$key", "table": "$tablePath", "format": $FormatVersion}""")
+      import org.json4s.JsonDSL._
+      Files.writeString(manifest, org.json4s.jackson.JsonMethods.pretty(
+        org.json4s.jackson.JsonMethods.render(
+          ("state" -> state) ~ ("table" -> tablePath) ~
+            ("format" -> FormatVersion))))
     }
     spark.read.parquet(data.toString)
   }

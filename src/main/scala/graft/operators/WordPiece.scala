@@ -107,6 +107,82 @@ object WordPiece {
   final case class Model(merges: Seq[(Int, String, String, Long, Long, Long)],
                          vocab: DataFrame)
 
+  // ------------------------------------------------------- tokenizer I/O
+  // The merge table (with its integer likelihood evidence) is the PORTABLE
+  // artifact, mirroring Bpe.saveTokenizer/loadTokenizer (SURVEY 55o's
+  // discipline applied to the third family): train once, persist the JSON,
+  // hydrate, encode any later corpus with NO retraining job. The OOV story
+  // is the same open-vocabulary one as BPE's — a word the training split
+  // never saw still segments (initial char + ##-marked continuations +
+  // whichever stored merges apply), so no [UNK] sink is needed: coverage
+  // is total by construction.
+
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  def saveTokenizer(path: String,
+                    merges: Seq[(Int, String, String, Long, Long, Long)]): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    val json = JObject(
+      "kind" -> JString("wordpiece_tokenizer"),
+      "version" -> JInt(1),
+      "merges" -> JArray(merges.sortBy(_._1).map {
+        case (rnd, l, r, c, lc, rc) =>
+          JObject("rnd" -> JInt(rnd), "lhs" -> JString(l),
+            "rhs" -> JString(r), "cnt" -> JLong(c),
+            "lhs_cnt" -> JLong(lc), "rhs_cnt" -> JLong(rc)): JValue
+      }.toList))
+    java.nio.file.Files.writeString(p,
+      JsonMethods.pretty(JsonMethods.render(json)))
+  }
+
+  def loadTokenizer(path: String): Seq[(Int, String, String, Long, Long, Long)] = {
+    val j = JsonMethods.parse(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    require((j \ "kind") == JString("wordpiece_tokenizer"),
+      s"not a wordpiece_tokenizer artifact: $path")
+    (j \ "merges") match {
+      case JArray(ms) => ms.map { m =>
+        def s(f: String) = (m \ f).asInstanceOf[JString].s
+        def l(f: String) = (m \ f) match {
+          case JInt(x)  => x.toLong
+          case JLong(x) => x
+          case other    => throw new IllegalArgumentException(s"bad $f: $other")
+        }
+        (l("rnd").toInt, s("lhs"), s("rhs"), l("cnt"),
+          l("lhs_cnt"), l("rhs_cnt"))
+      }.sortBy(_._1)
+      case other => throw new IllegalArgumentException(s"bad merges: $other")
+    }
+  }
+
+  /** Fold a stored merge table over an arbitrary corpus's ##-marked
+    * vocabulary — the tokenizer-application half of the artifact round
+    * trip, Bpe.applyMergeTable's discipline (per-round localCheckpoint →
+    * constant plan depth; each round a pure vocabulary-sized map, zero
+    * shuffle).
+    */
+  private[graft] def applyMergeTable(vocab: DataFrame,
+      merges: Seq[(Int, String, String, Long, Long, Long)]): DataFrame =
+    merges.sortBy(_._1).foldLeft(vocab) { case (v, (_, l, r, _, _, _)) =>
+      v.withColumn("syms", applyMerge(col("syms"), l, r))
+        .localCheckpoint(eager = false)
+    }
+
+  /** Per-document token accounting under a LOADED WordPiece merge table
+    * (train elsewhere → [[saveTokenizer]] → hydrate → encode THIS corpus):
+    * THIS corpus's ##-marked vocabulary folds through the stored winners,
+    * then the tf-compressed encode join (Bpe.encodeJoin — the vocab
+    * convention never enters it, only segment counts do) produces
+    * (id, n_words, n_chars, n_tokens). Out-of-training-vocabulary words
+    * segment too — the open-vocabulary contract.
+    */
+  def encodeStatsWith(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(Int, String, String, Long, Long, Long)]): DataFrame =
+    Bpe.encodeJoin(df, idCol, textCol,
+      applyMergeTable(initVocab(df, textCol), merges))
+
   /** Train `rounds` WordPiece merges; stops early when no pair remains. */
   def train(df: DataFrame, textCol: String, rounds: Int): Model = {
     require(rounds > 0, s"wordpiece: rounds must be > 0, got $rounds")

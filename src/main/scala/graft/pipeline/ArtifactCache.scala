@@ -43,8 +43,12 @@ object ArtifactCache {
     * under the directory contributes `relpath:file:size:mtime_ns`, and
     * subdirectory names contribute too, so a rewritten part file inside a
     * partition subdir — or an added/removed partition — changes the key.
+    * Missing paths snapshot as "missing" (never an NPE — a fingerprint of
+    * an absent input is a legitimate state that simply never matches a
+    * fitted artifact). `private[graft]` because train-if-missing artifact
+    * owners outside this package (operators/BigramLm) key on the same walk.
     */
-  private[pipeline] def pathState(p: Path): String =
+  private[graft] def pathState(p: Path): String =
     if (Files.isDirectory(p)) {
       import scala.jdk.CollectionConverters._
       scala.util.Using.resource(Files.walk(p)) { walk =>

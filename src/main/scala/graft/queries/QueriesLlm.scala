@@ -1143,6 +1143,29 @@ object QueriesLlm {
       Bpe.encodeStatsWith(docs, "doc_id", "text", Bpe.loadTokenizer(path))
     },
 
+    // The WordPiece artifact round trip — the third tokenizer family gets
+    // the same train-once discipline as BPE (55o) and unigram (55q): train
+    // the likelihood-scored merges on the 4/5 split, persist the JSON
+    // (merge table WITH its integer evidence), hydrate, encode the FULL
+    // corpus — out-of-training-vocabulary words still segment (initial
+    // char + ## continuations + whichever stored merges apply; no [UNK]
+    // sink needed, coverage is total by construction). Per-doc fertility
+    // (tokens per word) rides along — the number a tokenizer owner reads.
+    "wordpiece_artifact" -> { (s, d) =>
+      import graft.operators.WordPiece
+      val docs = documents(s, d)
+      val path = "/tmp/graft_scratch/wordpiece_artifact/tokenizer.json"
+      WordPiece.saveTokenizer(path, WordPiece.train(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "text", BpeRounds)
+        .merges)
+      WordPiece.encodeStatsWith(docs, "doc_id", "text",
+          WordPiece.loadTokenizer(path))
+        .select(col("doc_id"), col("n_words"), col("n_chars"),
+          col("n_tokens"),
+          round(col("n_tokens").cast("double") /
+            greatest(col("n_words"), lit(1L)), 6).as("fertility"))
+    },
+
     // Tokenizer EVALUATION: per-source fertility (tokens per word) and
     // compression (chars per token) under the trained merges — the metrics
     // a tokenizer owner reads before adopting a vocabulary for a corpus
@@ -1175,14 +1198,18 @@ object QueriesLlm {
       // the (doc_id, term) aggregate partial-aggregates map-side before
       // its exchange (a doc_id-only repartition would ship RAW token
       // rows — measured 2.4x worse at sf0.1); the df table is
-      // vocabulary-bounded -> broadcast (never a term-keyed co-shuffle of
-      // the corpus-scale tf frame); n_docs is a metadata-scale count
-      // folded to a literal
+      // vocabulary-bounded -> broadcast UNDER THE GUARD's corpus-scan
+      // ceiling (never a term-keyed co-shuffle of the corpus-scale tf
+      // frame at test scales) and a shuffled join above it (crawl-noise
+      // vocabularies outgrow any broadcast cap — VocabGuard); n_docs is a
+      // metadata-scale count folded to a literal
       val tf = toks.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val n = docs.select(count(lit(1)).as("n_docs"))
-      val scored = tf.join(broadcast(dfreq), "term")
+      val scored = tf.join(
+          graft.pipeline.VocabGuard.hint(dfreq, docs, "tfidf_topterms.df"),
+          "term")
         .crossJoin(broadcast(n))
         .withColumn("tfidf",
           col("tf") * log(col("n_docs").cast("double") / col("df")))
@@ -1389,7 +1416,10 @@ object QueriesLlm {
       val denom = (st.getLong(0) + st.getLong(1)).toDouble
       val freq = train.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       toks.filter(col("fold") === "test")
-        .join(broadcast(freq), Seq("tok"), "left")
+        // vocab-broadcast guard: freq is distinct-token sized — forced
+        // broadcast under the corpus-scan ceiling, shuffled join above it
+        .join(graft.pipeline.VocabGuard.hint(freq, docs, "heldout_nll.freq"),
+          Seq("tok"), "left")
         .select(col("lang"), col("cnt"),
           round(log((coalesce(col("cnt"), lit(0L)).cast("double") + 1.0)
             / denom), 6).as("lp"))
@@ -1400,15 +1430,20 @@ object QueriesLlm {
     },
 
     "unigram_logprob" -> { (s, d) =>
-      val toks = documents(s, d)
+      val docs = documents(s, d)
+      val toks = docs
         .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
-      // vocabulary-bounded: checkpoint so the corpus pays ONE counting
-      // pass — the total reads off the materialized table instead of a
-      // second corpus count, and the broadcast reuses the same rows
+      // vocabulary-bounded AT TEST SCALES: checkpoint so the corpus pays
+      // ONE counting pass — the total reads off the materialized table
+      // instead of a second corpus count — and the join hint goes through
+      // the vocab-broadcast guard (forced broadcast under the corpus-scan
+      // ceiling, shuffled join above it: a crawl-noise vocabulary outgrows
+      // any broadcast cap)
       val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
         .localCheckpoint()
       val total = freq.agg(sum(col("cnt"))).head().getLong(0)
-      toks.join(broadcast(freq), Seq("tok"))
+      toks.join(graft.pipeline.VocabGuard.hint(freq, docs,
+          "unigram_logprob.freq"), Seq("tok"))
         .select(col("doc_id"),
           log(col("cnt").cast("double") / total.toDouble).as("lp"))
         .groupBy(col("doc_id"))
@@ -1567,13 +1602,54 @@ object QueriesLlm {
         $blocks"""
   }
 
-  /** DuckDB twin of WordPiece.train's merge table: the same likelihood
-    * criterion per round — pair counts and symbol counts over the round's
-    * vocabulary, score = cnt/(lhs_cnt·rhs_cnt) as the identical IEEE
-    * expression, (score desc, lhs, rhs) winner — and the same ##-marked
-    * merge fold (rhs drops its continuation marker).
+  /** ##-marked vocabulary CTE for the WordPiece twins: `prefixsrc` (word,
+    * n) and `prefix1` (word, syms, n) with non-initial characters carrying
+    * the continuation marker. `where` restricts the TRAINING corpus for
+    * the artifact twin's split.
     */
-  private def wordpieceMergesSql(rounds: Int): String = {
+  private def wordpieceVocabCte(prefix: String, where: String): String =
+    s"""${prefix}src AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+            FROM documents $where)
+          WHERE word != '' GROUP BY word),
+        ${prefix}1 AS MATERIALIZED (
+          SELECT word,
+                 CASE WHEN len(word) = 1 THEN word
+                      ELSE word[1] || ' ' || array_to_string(
+                        ['##' || word[j] for j in
+                          generate_series(2, len(word))], ' ')
+                 END AS syms,
+                 n
+          FROM ${prefix}src)"""
+
+  /** One stored winner `vb$i` folded over `prefix$i` → `prefix${i+1}` —
+    * the same ##-dropping leftmost merge WordPiece.applyMerge runs. Prefix-
+    * generalized (the bpeMergeCte discipline) so the artifact twin can run
+    * a second, full-corpus apply chain off the same vb$i winners.
+    */
+  private def wordpieceMergeCte(prefix: String, i: Int): String =
+    s"""${prefix}${i + 1} AS MATERIALIZED (
+          SELECT w.word AS word,
+                 list_reduce(string_split(w.syms, ' '), (acc, s) ->
+                   CASE WHEN s = b.rhs
+                          AND (acc = b.lhs OR ends_with(acc, ' ' || b.lhs))
+                        THEN substr(acc, 1, len(acc) - len(b.lhs))
+                             || b.lhs ||
+                             (CASE WHEN starts_with(b.rhs, '##')
+                                   THEN substr(b.rhs, 3) ELSE b.rhs END)
+                        ELSE acc || ' ' || s END) AS syms,
+                 w.n AS n
+          FROM ${prefix}$i w, vb$i b)"""
+
+  /** The WordPiece training chain: per round, pair counts (vp$i) + symbol
+    * counts (vs$i) over the round's vocabulary, the likelihood-scored
+    * winner (vb$i — score = cnt/(lhs_cnt·rhs_cnt) as the identical IEEE
+    * expression, (score desc, lhs, rhs) tiebreak), and the merged
+    * vocabulary (v${i+1}). `trainWhere` restricts the training corpus.
+    */
+  private[queries] def wordpieceCtes(rounds: Int,
+                                     trainWhere: String = ""): String = {
     def roundCtes(i: Int) =
       s"""vp$i AS (
             SELECT u.lhs, u.rhs, CAST(SUM(u.n) AS BIGINT) AS cnt FROM (
@@ -1597,37 +1673,39 @@ object QueriesLlm {
                      (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)) DESC,
                      p.lhs, p.rhs
             LIMIT 1),
-          v${i + 1} AS MATERIALIZED (
-            SELECT w.word AS word,
-                   list_reduce(string_split(w.syms, ' '), (acc, s) ->
-                     CASE WHEN s = b.rhs
-                            AND (acc = b.lhs OR ends_with(acc, ' ' || b.lhs))
-                          THEN substr(acc, 1, len(acc) - len(b.lhs))
-                               || b.lhs ||
-                               (CASE WHEN starts_with(b.rhs, '##')
-                                     THEN substr(b.rhs, 3) ELSE b.rhs END)
-                          ELSE acc || ' ' || s END) AS syms,
-                   w.n AS n
-            FROM v$i w, vb$i b)"""
+          ${wordpieceMergeCte("v", i)}"""
+    s"""${wordpieceVocabCte("v", trainWhere)},
+        ${(1 to rounds).map(roundCtes).mkString(",\n")}"""
+  }
+
+  /** DuckDB twin of WordPiece.train's merge table (see [[wordpieceCtes]]). */
+  private def wordpieceMergesSql(rounds: Int): String = {
     val finals = (1 to rounds).map { i =>
       s"SELECT $i AS rnd, lhs, rhs, cnt, lhs_cnt, rhs_cnt FROM vb$i"
     }.mkString("\nUNION ALL ")
-    s"""WITH vsrc AS (
-          SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
-            SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
-            FROM documents)
-          WHERE word != '' GROUP BY word),
-        v1 AS MATERIALIZED (
-          SELECT word,
-                 CASE WHEN len(word) = 1 THEN word
-                      ELSE word[1] || ' ' || array_to_string(
-                        ['##' || word[j] for j in
-                          generate_series(2, len(word))], ' ')
-                 END AS syms,
-                 n
-          FROM vsrc),
-        ${(1 to rounds).map(roundCtes).mkString(",\n")}
+    s"""WITH ${wordpieceCtes(rounds)}
         $finals"""
+  }
+
+  /** DuckDB twin of the wordpiece_artifact round trip: the vb$i winners
+    * train on the doc_id % 5 != 0 split only, then a SECOND ##-fold chain
+    * (va*) replays those same stored winners over the FULL corpus's
+    * vocabulary — words the training split never saw still segment
+    * (initial char + ## continuations + whichever merges apply), exactly
+    * as WordPiece.encodeStatsWith does after hydrating the JSON. The
+    * encode join and the per-doc fertility are shared with the BPE twins.
+    */
+  private def wordpieceArtifactSql(rounds: Int): String = {
+    val applyBlocks =
+      (1 to rounds).map(wordpieceMergeCte("va", _)).mkString(",\n")
+    s"""WITH ${wordpieceCtes(rounds, "WHERE doc_id % 5 != 0")},
+        ${wordpieceVocabCte("va", "")},
+        $applyBlocks,
+        ${bpeStatsCtes(s"va${rounds + 1}")}
+        SELECT doc_id, n_words, n_chars, n_tokens,
+               ROUND(CAST(n_tokens AS DOUBLE) /
+                     GREATEST(n_words, 1), 6) AS fertility
+        FROM bpe_stats"""
   }
 
   /** DuckDB twin of Bpe.merges: the per-round winners. */
@@ -1725,6 +1803,7 @@ object QueriesLlm {
     "wordpiece_merges" -> wordpieceMergesSql(BpeRounds),
     "bpe_encode" -> bpeEncodeSql(BpeRounds),
     "bpe_artifact" -> bpeArtifactSql(BpeRounds),
+    "wordpiece_artifact" -> wordpieceArtifactSql(BpeRounds),
     "tokenizer_fertility" ->
       s"""WITH ${bpeCtes(BpeRounds)},
           ${bpeStatsCtes(s"w${BpeRounds + 1}")},

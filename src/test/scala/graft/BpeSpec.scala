@@ -190,4 +190,34 @@ class BpeSpec extends SparkSpec {
     val syms = m.vocab.filter(col("w") === "abc").head().getString(1)
     assert(syms == "abc", s"fully merged, got '$syms'")
   }
+
+  test("wordpiece artifact: save/load round trip + open-vocabulary encode") {
+    import spark.implicits._
+    import graft.operators.WordPiece
+    val train = Seq((1L, "abc abc abc ab"), (2L, "abc ab xz"))
+      .toDF("doc_id", "text")
+    val merges = WordPiece.train(train, "text", 3).merges
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_wp").resolve("tok.json").toString
+    WordPiece.saveTokenizer(path, merges)
+    val loaded = WordPiece.loadTokenizer(path)
+    assert(loaded == merges, "the JSON round trip must be lossless")
+
+    // encode a corpus containing a word the training corpus NEVER saw:
+    // it still segments — initial char + ## continuations + whichever
+    // stored merges apply (no [UNK] sink)
+    val apply = Seq((10L, "abc abqq")).toDF("doc_id", "text")
+    val enc = WordPiece.encodeStatsWith(apply, "doc_id", "text", loaded)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    val (nWords, nChars, nTokens) = enc
+    assert(nWords == 2L && nChars == 7L)
+    // "abc" merged fully (1 token); "abqq" is OOV — its chars init as
+    // "a ##b ##q ##q", the stored (a,##b)/(ab,##c)-style merges apply
+    // where they match, and the remainder stays character-segmented
+    assert(nTokens < nChars, s"merges must bite on the OOV word: $enc")
+    // wrong-kind artifact fails loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.Bpe.loadTokenizer(path)
+    }
+  }
 }
