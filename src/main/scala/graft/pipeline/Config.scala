@@ -162,6 +162,13 @@ object Config {
     * replay the same draws.
     */
   final case class CorpusCorrupt() extends CorpusStep
+  /** Fill-in-the-middle example building (terminal step — it reshapes rows
+    * into PSM-reordered pretraining examples with length accounting) —
+    * Curation.fimTransform at `rate`; gate/split seeds are engine-fixed so
+    * both engines and the oracle replay the same sha draws. Per-row and
+    * sha-gated, so the step also STREAMS.
+    */
+  final case class CorpusFim(rate: Double) extends CorpusStep
   /** CROSS-RUN incremental near-dup dedup against a PERSISTED minhash
     * index (operators/IncrementalDedup): the curated increment ingests
     * under `generation` (idempotent by key), and only documents canonical
@@ -1038,6 +1045,12 @@ object Config {
       case "corrupt" =>
         check()
         CorpusCorrupt()
+      case "fim" =>
+        check("rate")
+        val r = dblOpt(t, "rate").getOrElse(0.5)
+        if (r < 0.0 || r > 1.0)
+          fail(s"$ctx.rate must be in [0, 1], got $r")
+        CorpusFim(r)
       case other => fail(s"unknown corpus step '$other'")
     }
   }
@@ -1057,6 +1070,9 @@ object Config {
       case (_: CorpusCorrupt, i) if i != steps.length - 1 =>
         fail("corpus: 'corrupt' must be the last step (it reshapes rows " +
           "into (inputs, targets) pairs)")
+      case (_: CorpusFim, i) if i != steps.length - 1 =>
+        fail("corpus: 'fim' must be the last step (it reshapes rows into " +
+          "PSM pretraining examples)")
       case _ => ()
     }
     CorpusDef(str(t, "source", "corpus"),

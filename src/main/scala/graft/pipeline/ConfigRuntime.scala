@@ -549,6 +549,11 @@ object ConfigRuntime {
           // (inputs, targets) pretraining pairs — block-keyed draws, no
           // scan state, zero shuffle (the span_corrupt head's builder)
           graft.operators.Curation.spanCorrupt(df, c.idCol, c.textCol)
+        case Config.CorpusFim(rate) =>
+          // terminal example-builder step: per-doc sha-gated PSM reorder
+          // (the fim_transform head's builder) — three sha draws per row,
+          // zero shuffle
+          graft.operators.Curation.fimTransform(df, c.idCol, c.textCol, rate)
         case Config.CorpusDedupIncremental(index, genKey, threshold) =>
           // ingest the curated increment into the persisted index (only
           // NEW distinct texts sign — IncrementalDedup's two-level path),
@@ -836,6 +841,10 @@ object ConfigRuntime {
           case Config.CorpusCorrupt() =>
             // stateless per-row example building — streams as it arrives
             graft.operators.Curation.spanCorrupt(df, c.idCol, c.textCol)
+          case Config.CorpusFim(rate) =>
+            // per-doc sha-gated PSM reorder: pure per-row draws keyed on
+            // the doc id — no state store, no join, streams as it arrives
+            graft.operators.Curation.fimTransform(df, c.idCol, c.textCol, rate)
           case Config.CorpusTokenize(artifact, _) =>
             // streamable ONLY under an already-trained artifact: the merge
             // table hydrates at plan build and the per-row fold expression

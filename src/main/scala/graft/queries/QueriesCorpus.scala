@@ -1105,6 +1105,29 @@ object QueriesCorpus {
       graft.streaming.Streaming.runCorpusStream(s, d, project,
         s"graft_stream_select_${StreamRun.incrementAndGet()}")
         .select(col("doc_id"), col("dsir_score"))
+    },
+
+    // The FIM example builder AT INGEST inside the declarative journey:
+    // quality gate + terminal `fim:` step, both pure per-row (the PSM
+    // reorder is sha-gated per doc — no state store, no join), so arriving
+    // docs land as pretraining examples. Shares Curation.fimTransform with
+    // the batch journey (config_corpus_fim) and the standalone heads —
+    // row-equal to the batch prefix by construction.
+    "stream_corpus_fim" -> { (s, d) =>
+      val project = graft.pipeline.Config.parseProject(
+        s"""sources:
+           |  - id: docs
+           |    loader: { transport: fs, path: documents.parquet, reader: { format: parquet } }
+           |corpus:
+           |  source: docs
+           |  steps:
+           |    - { step: filter, max_repetition: 0.8 }
+           |    - { step: fim, rate: ${QueriesMining.FimRate} }
+           |""".stripMargin)
+      graft.streaming.Streaming.runCorpusStream(s, d, project,
+        s"graft_stream_fim_j_${StreamRun.incrementAndGet()}")
+        .select(col("doc_id"), col("fim_applied"), col("n_tokens"),
+          col("pre_len"), col("mid_len"), col("suf_len"), col("output"))
     }
   )
 
@@ -1138,6 +1161,11 @@ object QueriesCorpus {
     "stream_corpus_curate" -> streamCorpusCurateSql,
     "stream_corpus_mix" -> streamCorpusMixSql,
     "stream_corpus_select" -> streamCorpusSelectSql,
+    "stream_corpus_fim" ->
+      s"""WITH fim_kept AS (
+            SELECT d.doc_id, d.text FROM documents d
+            WHERE ${repSql("d")} <= 0.8),
+          ${QueriesMining.fimTailSql("fim_kept", QueriesMining.FimRate)}""",
     "stream_corpus_classify" -> streamCorpusClassifySql,
     "multimodal_phash" -> multimodalPhashSql,
     "multimodal_audio_dedup" -> multimodalAudioDedupSql,

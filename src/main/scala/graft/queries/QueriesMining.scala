@@ -145,33 +145,36 @@ object QueriesMining {
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     Curation.spanCorrupt(docs, "doc_id", "text")
 
-  /** DuckDB twin of [[graft.operators.Curation.fimTransform]]: the same
-    * per-doc sha-ratio draws (gate + two split points over the lowercased
-    * token array), the same PSM re-ordering, verbatim pass-through for
-    * ungated docs.
+  /** DuckDB twin of [[graft.operators.Curation.fimTransform]] as tail CTEs
+    * + final SELECT over any (doc_id, text) relation — fim_-prefixed names
+    * so it composes into the corpus-journey WITH chains (the
+    * spanCorruptTailSql discipline). Shared by fim_transform, stream_fim,
+    * and the `fim:` corpus stage twins: the same per-doc sha-ratio draws
+    * (gate + two split points over the lowercased token array), the same
+    * PSM re-ordering, verbatim pass-through for ungated docs.
     */
-  private def fimTransformSql: String = {
+  private[queries] def fimTailSql(rel: String, rate: Double): String = {
     def r(seed: Int) =
       s"CAST(CAST('0x' || substr(sha256('$seed|' || " +
         s"CAST(doc_id AS VARCHAR)), 3, 14) AS BIGINT) " +
         s"& 9007199254740991 AS DOUBLE) / 9007199254740992.0"
     import graft.operators.Curation._
-    s"""WITH w0 AS (
+    s"""fim_w0 AS (
           SELECT doc_id, text,
                  regexp_split_to_array(lower(text), '\\s+') AS w
-          FROM documents),
-        wn AS (
-          SELECT doc_id, text, w, CAST(len(w) AS BIGINT) AS n FROM w0),
-        cuts AS (
+          FROM $rel),
+        fim_wn AS (
+          SELECT doc_id, text, w, CAST(len(w) AS BIGINT) AS n FROM fim_w0),
+        fim_cuts AS (
           SELECT doc_id, text, w, n,
-                 ${r(FimGateSeed)} < $FimRate AS gate,
+                 ${r(FimGateSeed)} < $rate AS gate,
                  CAST(floor(${r(FimSplitSeedA)} * CAST(n + 1 AS DOUBLE))
                    AS BIGINT) AS i
-          FROM wn),
-        cuts2 AS (
+          FROM fim_wn),
+        fim_cuts2 AS (
           SELECT *, i + CAST(floor(${r(FimSplitSeedB)}
                    * CAST(n - i + 1 AS DOUBLE)) AS BIGINT) AS j
-          FROM cuts)
+          FROM fim_cuts)
         SELECT doc_id, gate AS fim_applied, n AS n_tokens,
                CASE WHEN gate THEN i ELSE n END AS pre_len,
                CASE WHEN gate THEN j - i ELSE 0 END AS mid_len,
@@ -188,8 +191,11 @@ object QueriesMining {
                    || coalesce(
                      array_to_string(list_slice(w, i + 1, j), ' '), '')
                ELSE text END AS output
-        FROM cuts2"""
+        FROM fim_cuts2"""
   }
+
+  private def fimTransformSql: String =
+    s"""WITH ${fimTailSql("documents", FimRate)}"""
 
   /** DuckDB twin of [[graft.operators.Curation.spanCorrupt]] as tail CTEs
     * over any (doc_id, text) relation — sc_-prefixed names so it composes

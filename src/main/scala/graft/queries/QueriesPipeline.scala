@@ -263,6 +263,40 @@ object QueriesPipeline {
             ON m.text IS NOT DISTINCT FROM k.text AND m.doc_id = k.doc_id),
         ${QueriesMining.spanCorruptTailSql("kept1")}"""
 
+  // --- config_corpus_fim: the FIM-example journey — the same curated
+  // prefix as config_corpus_pretrain, ending in the terminal `fim:` step
+  // (sha-gated per-row PSM reorder) instead of span corruption.
+  private val FimConfigDoc =
+    s"""sources:
+       |  - id: docs
+       |    loader: { transport: fs, path: documents.parquet, reader: { format: parquet } }
+       |corpus:
+       |  source: docs
+       |  id: doc_id
+       |  text: text
+       |  steps:
+       |    - { step: filter, lang: en, min_quality: 0.3, max_repetition: 0.8 }
+       |    - { step: dedup_exact }
+       |    - { step: fim, rate: ${QueriesMining.FimRate} }
+       |""".stripMargin
+
+  /** DuckDB twin: filter verdicts → min-id exact dedup → the shared
+    * fim_-prefixed FIM tail over the CURATED subset (the pretrainJourneySql
+    * discipline with the other terminal example builder).
+    */
+  private def fimJourneySql: String =
+    s"""WITH
+        verdicts AS (${QueriesLlm.corpusFilterSql}),
+        kept0 AS (
+          SELECT d.doc_id, d.text FROM documents d
+          JOIN verdicts f USING (doc_id) WHERE f.keep),
+        kept1 AS (
+          SELECT k.doc_id, k.text FROM kept0 k
+          JOIN (SELECT text, min(doc_id) AS doc_id
+                FROM kept0 GROUP BY text) m
+            ON m.text IS NOT DISTINCT FROM k.text AND m.doc_id = k.doc_id),
+        ${QueriesMining.fimTailSql("kept1", QueriesMining.FimRate)}"""
+
   private val ColumnThreshold = 0.05
   private val RowThreshold = 0.9
   private val Ratios = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -375,6 +409,17 @@ object QueriesPipeline {
     // reshapes the curated corpus into (inputs, targets) pairs.
     "config_corpus_pretrain" -> { (s, d) =>
       val project = graft.pipeline.Config.parseProject(PretrainConfigDoc)
+      graft.pipeline.ConfigRuntime.corpus(s, d, project)
+    },
+
+    // The FIM-example journey: filter → exact dedup → fill-in-the-middle
+    // from ONE `corpus:` section — the terminal `fim:` step (sha-gated
+    // per-row, zero shuffle) reshapes the curated corpus into PSM
+    // pretraining examples through the SAME Curation.fimTransform builder
+    // the standalone head (fim_transform) and the ingest twin (stream_fim)
+    // run, so the three paths cannot drift.
+    "config_corpus_fim" -> { (s, d) =>
+      val project = graft.pipeline.Config.parseProject(FimConfigDoc)
       graft.pipeline.ConfigRuntime.corpus(s, d, project)
     },
 
@@ -506,6 +551,7 @@ object QueriesPipeline {
 
     "config_corpus" -> corpusJourneySql,
     "config_corpus_pretrain" -> pretrainJourneySql,
+    "config_corpus_fim" -> fimJourneySql,
 
     "config_synthetic" ->
       s"""WITH g AS (

@@ -386,6 +386,14 @@ class ConfigSpec extends SparkSpec {
       Seq(Config.CorpusCorrupt()))
     bad("{ step: corrupt }, { step: dedup_exact }", "must be the last step")
     bad("{ step: corrupt, size: 8 }", "unknown field")
+    // fim is terminal (doc → PSM example) with a defaulted, bounded rate
+    assert(Config.parseProject(doc("{ step: fim }")).corpus.get.steps ==
+      Seq(Config.CorpusFim(0.5)))
+    assert(Config.parseProject(doc("{ step: fim, rate: 0.9 }"))
+      .corpus.get.steps == Seq(Config.CorpusFim(0.9)))
+    bad("{ step: fim }, { step: dedup_exact }", "must be the last step")
+    bad("{ step: fim, rate: 1.5 }", "rate must be in [0, 1]")
+    bad("{ step: fim, size: 8 }", "unknown field")
     bad("{ step: chunk, size: 8, stride: 9 }", "0 < stride <= size")
     bad("{ step: decontaminate, benchmark: nope }", "unknown source 'nope'")
     bad("{ step: decontaminate, benchmark: docs, method: fuzzy }",
