@@ -266,13 +266,21 @@ object Crawl {
     * crawl), and documents are rebuilt with their surviving lines in
     * original order.
     *
-    * Shape: lines explode once; the frequency table aggregates portable
-    * 60-bit LINE HASHES (bodies never enter that shuffle — partial
-    * aggregation collapses each partition's repeats map-side); the
-    * boilerplate hash set (frequency ≥ minFreq) is tiny relative to the
-    * corpus and joins back against the exploded lines; one document-keyed
-    * exchange rebuilds bodies. Dropping a 60-bit-collision false positive is
-    * the accepted trade at 100 TB (same posture as segmentDedup).
+    * Shape (the r13 cost-audit rework — line BODIES never enter ANY
+    * exchange): lines explode to `(id, pos, hash)` only; the frequency
+    * table aggregates the portable 60-bit hashes (partial aggregation
+    * collapses each partition's repeats map-side); the boilerplate hash
+    * set (frequency ≥ minFreq) joins back against the hash rows to yield
+    * DROPPED `(id, pos)` pairs — integers, partial-aggregated into one
+    * sorted position list per affected doc; the doc-keyed join attaches
+    * those lists to the ORIGINAL docs frame (AQE broadcasts the list side
+    * when boilerplate is sparse — the common crawl case — and the SMJ
+    * fallback exchanges each doc's text ONCE, versus the old rebuild's
+    * exchange of every exploded line struct: fewer rows, no per-line
+    * overhead, no wide sort); the rebuild itself is a pure per-row
+    * position filter over the doc's own split. Dropping a
+    * 60-bit-collision false positive is the accepted trade at 100 TB
+    * (same posture as segmentDedup).
     *
     * Output: `(id, n_lines, n_dropped, text_clean)`.
     */
@@ -281,23 +289,23 @@ object Crawl {
     val lines = df
       .select(col(idCol), posexplode(split(col(textCol), "\n"))
         .as(Seq("pos", "line")))
-      .withColumn("h", Text.portableHash(col("line")))
+      .select(col(idCol), col("pos"), Text.portableHash(col("line")).as("h"))
     val boiler = lines.groupBy(col("h"))
       .agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= minFreq)
-      .select(col("h"), lit(true).as("dup"))
-    val flagged = lines.join(boiler, Seq("h"), "left")
-      .withColumn("dup", coalesce(col("dup"), lit(false)))
-    flagged.groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_lines"),
-        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dropped"),
-        array_join(
-          transform(
-            array_sort(collect_list(
-              when(!col("dup"), struct(col("pos"), col("line"))))),
-            x => x.getField("line")),
-          "\n").as("text_clean"))
+      .select(col("h"))
+    val dropped = lines.join(boiler, Seq("h"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("__drop"))
+    val w = split(col(textCol), "\n")
+    df.join(dropped, Seq(idCol), "left")
+      .select(col(idCol),
+        size(w).cast("long").as("n_lines"),
+        coalesce(size(col("__drop")), lit(0)).cast("long").as("n_dropped"),
+        when(col("__drop").isNull, col(textCol))
+          .otherwise(array_join(
+            filter(w, (l, i) => !array_contains(col("__drop"), i)), "\n"))
+          .as("text_clean"))
   }
 
   // --- Host link graph + PageRank -----------------------------------------

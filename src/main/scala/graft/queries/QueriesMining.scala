@@ -76,6 +76,14 @@ object QueriesMining {
   // the sum (the quality_length_corr lesson).
   private val ZipfMinCnt = 2L
 
+  /** Max ranks per ZipfLevelSums row: a count LEVEL with more ranks than
+    * this splits into additive sub-rows so the per-rank fold parallelizes
+    * across tasks (the cnt == ZipfMinCnt level is vocabulary-scale at
+    * crawl size — unchunked it is ONE single-threaded hot row). 4096 ranks
+    * × 3 decimal roundings ≈ sub-millisecond per row.
+    */
+  private val ZipfChunk = 4096L
+
   // Span corruption (the T5/UL2 pretraining example builder), made
   // BLOCK-DETERMINISTIC: corruption decisions are keyed per (doc, 8-token
   // block) — gate < 0.5, offset in [0,6), length in {1,2} — so spans can
@@ -498,7 +506,24 @@ object QueriesMining {
       val wLvl = Window.orderBy(col("cnt").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val based = levels.withColumn("base", sum(col("k")).over(wLvl) - col("k"))
-      val sums = based.select(
+      // chunk wide levels into (base, k <= ZipfChunk) sub-rows BEFORE the
+      // fold (the r13-advice skew fix): the low-count levels concentrate a
+      // vocabulary-scale k into ONE row — at crawl scale the cnt == 2
+      // level alone is millions of ranks, a single-threaded hot row no
+      // task boundary can split. The rank-run sums are EXACTLY additive
+      // over rank sub-ranges (integer micros, Decimal(30,6) partials), so
+      // chunking changes the task layout and nothing else — every level
+      // with k <= ZipfChunk stays one row, the gate result is bit-equal.
+      val chunked = based
+        .select(col("cnt"),
+          explode(sequence(lit(0L), expr(s"(k - 1) div $ZipfChunk")))
+            .as("ci"),
+          col("base"), col("k"))
+        .select(
+          (col("base") + col("ci") * ZipfChunk).as("base"),
+          least(lit(ZipfChunk), col("k") - col("ci") * ZipfChunk).as("k"),
+          col("cnt"))
+      val sums = chunked.select(
         org.apache.spark.sql.GraftColumnBridge.column(
           graft.functions.ZipfLevelSums(
             org.apache.spark.sql.GraftColumnBridge.expression(col("base")),

@@ -359,6 +359,26 @@ class MiningSpec extends SparkSpec {
       s"slope ${out.getDouble(1)} vs refit $slope")
   }
 
+  test("zipf level sums: chunked sub-ranges add exactly to the whole level") {
+    // the invariant the query's ZipfChunk split relies on: a level's
+    // rank-run sums are EXACTLY additive over rank sub-ranges (integer
+    // micros in, Decimal(30,6) partials out) — so chunking a
+    // vocabulary-scale level across tasks changes the layout, not the fit
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = graft.functions.ZipfLevelSums(Literal(0L), Literal(0L), Literal(0L))
+    val whole = e.compute(100L, 10000L, 2L)
+    val chunks = Seq((100L, 4096L), (4196L, 4096L), (8292L, 10000L - 8192L))
+    val parts = chunks.map { case (b, k) => e.compute(b, k, 2L) }
+    def dec(r: org.apache.spark.sql.catalyst.InternalRow, i: Int) =
+      r.getDecimal(i, 30, 6).toJavaBigDecimal
+    assert(whole.getLong(0) == parts.map(_.getLong(0)).sum)
+    (1 to 4).foreach { i =>
+      val total = parts.map(dec(_, i)).reduce(_.add(_))
+      assert(dec(whole, i).compareTo(total) == 0,
+        s"field $i: ${dec(whole, i)} vs $total")
+    }
+  }
+
   test("entropy_gate: repetitive docs score below diverse docs") {
     val out = SparkEntry.queries("entropy_gate")(spark, sf)
     val ent = out.select(col("doc_id"), col("entropy"), col("n_distinct"),
