@@ -398,22 +398,40 @@ object Curation {
     * `(id, fim_applied, n_tokens, pre_len, mid_len, suf_len, output)`.
     * Length accounting is emitted for ungated docs too (pre = n, mid =
     * suf = 0) so the frame is uniformly consumable downstream.
+    *
+    * STAGED projections (the r13 ask-#9 rework): the token array, the
+    * gate, and the two split points are named intermediate columns, each
+    * referenced by several output columns. Built inline (the old shape),
+    * every output column carried its OWN copy of the tokenizer/sha
+    * subtree — the regex split evaluated up to 8x per row (the
+    * CollapseProject hoist trap that motivated DsirFold's fused input).
+    * CollapseProject keeps a non-cheap alias with multiple references
+    * staged, so each subtree now evaluates once per row. Expressions are
+    * unchanged — only shared — so results are bit-identical (measured
+    * sf10: 2.22 -> see BASELINE notes).
     */
   def fimTransform(docs: DataFrame, idCol: String, textCol: String,
                    rate: Double): DataFrame = {
-    val w = Text.tokens(col(textCol))
-    val n = size(w).cast("long")
-    val gate = hashRatio(col(idCol), FimGateSeed) < rate
-    val i = floor(hashRatio(col(idCol), FimSplitSeedA) *
-      (n + 1).cast("double")).cast("long")
-    val j = i + floor(hashRatio(col(idCol), FimSplitSeedB) *
-      (n - i + 1).cast("double")).cast("long")
+    val s1 = docs.select(col(idCol), col(textCol),
+      Text.tokens(col(textCol)).as("__w"),
+      (hashRatio(col(idCol), FimGateSeed) < rate).as("__gate"))
+    val n1 = size(col("__w")).cast("long")
+    val s2 = s1.select(col(idCol), col(textCol), col("__w"), col("__gate"),
+      n1.as("__n"),
+      floor(hashRatio(col(idCol), FimSplitSeedA) *
+        (n1 + 1).cast("double")).cast("long").as("__i"))
+    val s3 = s2.select(col(idCol), col(textCol), col("__w"), col("__gate"),
+      col("__n"), col("__i"),
+      (col("__i") + floor(hashRatio(col(idCol), FimSplitSeedB) *
+        (col("__n") - col("__i") + 1).cast("double")).cast("long")).as("__j"))
+    val (w, n, gate, i, j) =
+      (col("__w"), col("__n"), col("__gate"), col("__i"), col("__j"))
     val pre = array_join(slice(w, lit(1), i.cast("int")), " ")
     val mid = array_join(slice(w, (i + 1).cast("int"), (j - i).cast("int")), " ")
     val suf = array_join(slice(w, (j + 1).cast("int"), (n - j).cast("int")), " ")
     val fim = concat(lit(FimPre), lit(" "), pre, lit(" "), lit(FimSuf),
       lit(" "), suf, lit(" "), lit(FimMid), lit(" "), mid)
-    docs.select(col(idCol),
+    s3.select(col(idCol),
       gate.as("fim_applied"),
       n.as("n_tokens"),
       when(gate, i).otherwise(n).as("pre_len"),
