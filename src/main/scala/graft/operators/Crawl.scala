@@ -286,7 +286,16 @@ object Crawl {
     */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
                 minFreq: Long = 2): DataFrame = {
-    val lines = df
+    // snapshot (id, text) ONCE: three consumers read it (the frequency
+    // explode, the dropped-position explode, and the rebuild join-back) —
+    // without the checkpoint a caller whose text column is itself an
+    // expression (the bench head synthesizes its multi-line body; a real
+    // pipeline might pass an extraction) pays that expression once PER
+    // CONSUMER (the CorpusDedupFuzzy multi-consumer lesson; measured the
+    // difference at sf100: the third evaluation was the whole regression)
+    val snap = df.select(col(idCol), col(textCol))
+      .localCheckpoint(eager = false)
+    val lines = snap
       .select(col(idCol), posexplode(split(col(textCol), "\n"))
         .as(Seq("pos", "line")))
       .select(col(idCol), col("pos"), Text.portableHash(col("line")).as("h"))
@@ -297,16 +306,43 @@ object Crawl {
     val dropped = lines.join(boiler, Seq("h"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("pos"))).as("__drop"))
-    val w = split(col(textCol), "\n")
-    df.join(dropped, Seq(idCol), "left")
-      .select(col(idCol),
-        size(w).cast("long").as("n_lines"),
-        coalesce(size(col("__drop")), lit(0)).cast("long").as("n_dropped"),
-        when(col("__drop").isNull, col(textCol))
-          .otherwise(array_join(
-            filter(w, (l, i) => !array_contains(col("__drop"), i)), "\n"))
-          .as("text_clean"))
+    // shuffle_hash, not sort-merge, when the position lists can't
+    // broadcast: at sf100 EVERY doc carries a boilerplate line, so the
+    // build side is doc-count-sized and the default SMJ SORTS the heavy
+    // doc rows. Hashing the int-list side instead probes docs unsorted at
+    // scan order; when boilerplate is sparse AQE still upgrades the
+    // shuffled join to broadcast on measured size. The line array is
+    // STAGED as a named projection (the fimTransform CollapseProject
+    // lesson) so the split — and, when the caller's text column is itself
+    // an expression, that expression — evaluates once per row; the
+    // rebuild itself is the codegen'd LineRebuild two-pointer walk (the
+    // HOF filter/array_contains chain interpreted per LINE and was the
+    // dominant row cost at sf100 — functions/LineRebuild.scala, pinned to
+    // the HOF reference in CrawlSpec).
+    val staged = snap.join(dropped.hint("shuffle_hash"), Seq(idCol), "left")
+      .select(col(idCol), col(textCol), col("__drop"),
+        split(col(textCol), "\n").as("__lines"))
+    staged.select(col(idCol),
+      size(col("__lines")).cast("long").as("n_lines"),
+      coalesce(size(col("__drop")), lit(0)).cast("long").as("n_dropped"),
+      when(col("__drop").isNull, col(textCol))
+        .otherwise(rebuildLines(col("__lines"), col("__drop")))
+        .as("text_clean"))
   }
+
+  /** Codegen'd kept-lines join (see functions/LineRebuild). */
+  private def rebuildLines(lines: Column, drop: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.LineRebuild(
+        org.apache.spark.sql.GraftColumnBridge.expression(lines),
+        org.apache.spark.sql.GraftColumnBridge.expression(drop)))
+
+  /** The HOF formulation of [[rebuildLines]] — the executable reference
+    * CrawlSpec property-pins [[graft.functions.LineRebuild]] against. Not
+    * on the hot path (interpreted per line).
+    */
+  private[graft] def rebuildLinesHof(lines: Column, drop: Column): Column =
+    array_join(filter(lines, (l, i) => !array_contains(drop, i)), "\n")
 
   // --- Host link graph + PageRank -----------------------------------------
 

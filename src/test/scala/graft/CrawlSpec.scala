@@ -148,6 +148,36 @@ class CrawlSpec extends SparkSpec {
     assert(out(1L) == "" && out(2L) == "")
   }
 
+  test("LineRebuild equals the HOF reference on randomized drop patterns") {
+    // the codegen'd two-pointer walk vs the interpreted
+    // filter/array_contains chain it replaced — element-identical on
+    // every drop pattern, including empty lines, all-dropped, none-dropped
+    val rnd = new scala.util.Random(47)
+    val rows = (1 to 60).map { i =>
+      val n = rnd.nextInt(8) + 1
+      val lines = (0 until n).map { j =>
+        if (rnd.nextInt(5) == 0) "" else s"line${j}_${rnd.nextInt(3)}"
+      }
+      val drop = (0 until n).filter(_ => rnd.nextBoolean()).map(_.toString)
+      (i.toLong, lines.mkString("\n"), drop.map(_.toInt))
+    }
+    val df = rows.toDF("id", "text", "drop")
+      .select(col("id"), split(col("text"), "\n").as("lines"),
+        col("drop").cast("array<int>").as("drop"))
+    val out = df.select(col("id"),
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.LineRebuild(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("lines")),
+          org.apache.spark.sql.GraftColumnBridge.expression(col("drop"))))
+        .as("native"),
+      Crawl.rebuildLinesHof(col("lines"), col("drop")).as("ref"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"id ${r.getLong(0)}: native '${r.getString(1)}' vs ref '${r.getString(2)}'")
+    }
+  }
+
   // --- linkGraph / pageRankHosts ------------------------------------------
 
   private val linkPages = Seq(
