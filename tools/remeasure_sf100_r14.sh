@@ -23,7 +23,9 @@ export SPARK_GRAFT_STREAM_SINK=parquet
 GROUPS_LIST=(
   "mining:zipf_fit"
   "crawl:line_dedup,config_corpus_crawl"
-  "new:wordpiece_artifact,config_corpus_fim,stream_corpus_fim"
+  "fim:fim_transform,stream_fim"
+  "new:wordpiece_artifact"
+  "fimj:config_corpus_fim,stream_corpus_fim"
   "sink:sink_compact_incremental"
 )
 
@@ -52,7 +54,7 @@ for pass in 1 2; do
     run_group "$heads" "/tmp/sf100_r14_${name}_p${pass}.json"
     if [ "$name" = sink ]; then
       cp -f bench_side_compact_incremental.json \
-        "/tmp/sf100_r14_sink_side_p${pass}.json" 2>/dev/null || true
+        "/tmp/sf100_side_r14_sink_p${pass}.json" 2>/dev/null || true
     fi
   done
 done
