@@ -183,6 +183,23 @@ object WordPiece {
     Bpe.encodeJoin(df, idCol, textCol,
       applyMergeTable(initVocab(df, textCol), merges))
 
+  /** Per-ROW (n_words, n_chars, n_tokens) under a fixed WordPiece merge
+    * table through the codegen'd [[graft.functions.WordPieceStats]] loop —
+    * the streaming-safe twin of [[encodeStatsWith]] (no corpus-at-rest
+    * pass, no state; the fold is a pure function of the word, so the
+    * per-row and vocabulary-join paths are result-equal — BpeSpec pins
+    * it). The ConfigRuntime `tokenize` step's streaming path for
+    * `family: wordpiece`.
+    */
+  def tokenStatsFast(spark: org.apache.spark.sql.SparkSession,
+                     textCol: org.apache.spark.sql.Column,
+                     merges: Seq[(Int, String, String, Long, Long, Long)])
+      : org.apache.spark.sql.Column = {
+    val table = merges.sortBy(_._1).map { case (_, l, r, _, _, _) => (l, r) }
+    val fn = graft.functions.WordPieceStats.register(spark, table)
+    call_function(fn, filter(Text.tokens(textCol), w => w =!= ""))
+  }
+
   /** Train `rounds` WordPiece merges; stops early when no pair remains. */
   def train(df: DataFrame, textCol: String, rounds: Int): Model = {
     require(rounds > 0, s"wordpiece: rounds must be > 0, got $rounds")

@@ -178,13 +178,17 @@ object Config {
     */
   final case class CorpusDedupIncremental(index: String, generation: String,
                                           threshold: Double) extends CorpusStep
-  /** Per-document token accounting under a PERSISTED BPE tokenizer
-    * artifact (operators/Bpe): hydrate `artifact` if it exists, else train
-    * `rounds` merges on the curated frame and save it — train-if-missing,
-    * the rebuild-only-stale artifact discipline on the config surface.
+  /** Per-document token accounting under a PERSISTED tokenizer artifact —
+    * `family: bpe` (operators/Bpe, default) or `family: wordpiece`
+    * (operators/WordPiece, the likelihood-scored third family): hydrate
+    * `artifact` if it exists, else train `rounds` merges on the curated
+    * frame and save it — train-if-missing, the rebuild-only-stale artifact
+    * discipline on the config surface. Both families stream under a
+    * hydrated artifact (per-row codegen'd folds: BpeStats /
+    * WordPieceStats).
     */
-  final case class CorpusTokenize(artifact: String,
-                                  rounds: Int) extends CorpusStep
+  final case class CorpusTokenize(artifact: String, rounds: Int,
+                                  family: String = "bpe") extends CorpusStep
   /** DSIR-style importance selection (operators/Importance): keep documents
     * whose hashed-feature log-ratio score vs the `targetLang` unigram
     * distribution exceeds `minScore`. With `artifact`, train-if-missing:
@@ -963,10 +967,13 @@ object Config {
         CorpusDedupIncremental(str(t, "index", ctx),
           str(t, "generation", ctx), thr)
       case "tokenize" =>
-        check("artifact", "rounds")
+        check("artifact", "rounds", "family")
         val r = intOpt(t, "rounds").getOrElse(8)
         if (r <= 0) fail(s"$ctx.rounds must be > 0, got $r")
-        CorpusTokenize(str(t, "artifact", ctx), r)
+        val fam = strOpt(t, "family").getOrElse("bpe")
+        if (fam != "bpe" && fam != "wordpiece")
+          fail(s"$ctx.family must be 'bpe' or 'wordpiece', got '$fam'")
+        CorpusTokenize(str(t, "artifact", ctx), r, fam)
       case "select" =>
         check("target_lang", "buckets", "min_score", "artifact")
         val lang = str(t, "target_lang", ctx)

@@ -567,22 +567,40 @@ object ConfigRuntime {
           val canonical = graft.operators.IncrementalDedup.clusters(spark, dir)
             .where(col("is_canonical")).select(col(c.idCol))
           snap.join(canonical, Seq(c.idCol))
-        case Config.CorpusTokenize(artifact, rounds) =>
+        case Config.CorpusTokenize(artifact, rounds, family) =>
           // train-if-missing: the first run trains on the curated frame and
           // writes the artifact; every later run hydrates the stored merge
-          // table and only the vocabulary-sized apply/encode passes run
+          // table and only the vocabulary-sized apply/encode passes run.
+          // `family` picks the merge criterion — bpe (count) or wordpiece
+          // (likelihood, ## continuation markers); the encode join is the
+          // same tf-compressed shape for both.
           val snap = df.localCheckpoint(eager = false)
           val path = resolvePath(dataDir, artifact)
-          import graft.operators.Bpe
-          val merges =
-            if (java.nio.file.Files.exists(path)) Bpe.loadTokenizer(path.toString)
-            else {
-              val m = Bpe.merges(snap, c.textCol, rounds)
-              Bpe.saveTokenizer(path.toString, m)
-              m
-            }
-          snap.join(Bpe.encodeStatsWith(snap, c.idCol, c.textCol, merges),
-            Seq(c.idCol), "left")
+          val encoded = family match {
+            case "wordpiece" =>
+              import graft.operators.WordPiece
+              val merges =
+                if (java.nio.file.Files.exists(path))
+                  WordPiece.loadTokenizer(path.toString)
+                else {
+                  val m = WordPiece.train(snap, c.textCol, rounds).merges
+                  WordPiece.saveTokenizer(path.toString, m)
+                  m
+                }
+              WordPiece.encodeStatsWith(snap, c.idCol, c.textCol, merges)
+            case _ =>
+              import graft.operators.Bpe
+              val merges =
+                if (java.nio.file.Files.exists(path))
+                  Bpe.loadTokenizer(path.toString)
+                else {
+                  val m = Bpe.merges(snap, c.textCol, rounds)
+                  Bpe.saveTokenizer(path.toString, m)
+                  m
+                }
+              Bpe.encodeStatsWith(snap, c.idCol, c.textCol, merges)
+          }
+          snap.join(encoded, Seq(c.idCol), "left")
             .na.fill(0L, Seq("n_words", "n_chars", "n_tokens"))
         case Config.CorpusSelect(lang, buckets, minScore, artifact) =>
           // DSIR selection: fit the dense bucket model on the curated frame
@@ -845,17 +863,23 @@ object ConfigRuntime {
             // per-doc sha-gated PSM reorder: pure per-row draws keyed on
             // the doc id — no state store, no join, streams as it arrives
             graft.operators.Curation.fimTransform(df, c.idCol, c.textCol, rate)
-          case Config.CorpusTokenize(artifact, _) =>
+          case Config.CorpusTokenize(artifact, _, family) =>
             // streamable ONLY under an already-trained artifact: the merge
-            // table hydrates at plan build and the per-row fold expression
-            // (Bpe.tokenStats) annotates each arriving doc — no state, no
-            // corpus-at-rest pass. Training needs the batch journey.
+            // table hydrates at plan build and the per-row codegen'd fold
+            // (BpeStats / WordPieceStats per `family`) annotates each
+            // arriving doc — no state, no corpus-at-rest pass. Training
+            // needs the batch journey.
             val path = resolvePath(dataDir, artifact)
             require(java.nio.file.Files.exists(path),
               s"config: streaming tokenize needs a trained artifact at " +
                 s"'$path' — run the batch corpus journey (train-if-missing) first")
-            val stats = graft.operators.Bpe.tokenStatsFast(spark, text,
-              graft.operators.Bpe.loadTokenizer(path.toString))
+            val stats = family match {
+              case "wordpiece" => graft.operators.WordPiece.tokenStatsFast(
+                spark, text,
+                graft.operators.WordPiece.loadTokenizer(path.toString))
+              case _ => graft.operators.Bpe.tokenStatsFast(spark, text,
+                graft.operators.Bpe.loadTokenizer(path.toString))
+            }
             df.withColumn("__ts", stats)
               .withColumn("n_words", col("__ts.n_words"))
               .withColumn("n_chars", col("__ts.n_chars"))

@@ -262,6 +262,34 @@ object QueriesStreaming {
       Streaming.runCorpusStream(s, d, project,
         s"graft_stream_corpus_tokenize_${runId.incrementAndGet()}")
         .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_tokens"))
+    },
+
+    // The tokenize step's THIRD-family twin: the same at-ingest annotation
+    // under a pre-trained WORDPIECE artifact (family: wordpiece) — the
+    // hydrated ##-marked merge table folds per row through the codegen'd
+    // WordPieceStats loop; no state, no corpus-at-rest pass, and the
+    // per-row fold is result-equal to the batch vocabulary join by
+    // construction (a pure function of the word).
+    "stream_corpus_tokenize_wp" -> { (s, d) =>
+      import org.apache.spark.sql.functions.col
+      import graft.operators.WordPiece
+      val path = "/tmp/graft_scratch/stream_tok_wp/tokenizer.json"
+      WordPiece.saveTokenizer(path, WordPiece.train(
+        graft.sources.Tables.documents(s, d), "text",
+        QueriesLlm.BpeRounds).merges)
+      val project = graft.pipeline.Config.parseProject(
+        s"""sources:
+           |  - id: docs
+           |    loader: { transport: fs, path: documents.parquet, reader: { format: parquet } }
+           |corpus:
+           |  source: docs
+           |  steps:
+           |    - { step: filter, lang: en, min_quality: 0.3, max_repetition: 0.8 }
+           |    - { step: tokenize, artifact: $path, rounds: ${QueriesLlm.BpeRounds}, family: wordpiece }
+           |""".stripMargin)
+      Streaming.runCorpusStream(s, d, project,
+        s"graft_stream_corpus_tokenize_wp_${runId.incrementAndGet()}")
+        .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_tokens"))
     }
   )
 
@@ -366,6 +394,23 @@ object QueriesStreaming {
       s"""WITH verdicts AS (${QueriesLlm.corpusFilterSql}),
           ${QueriesLlm.bpeCtes(QueriesLlm.BpeRounds)},
           ${QueriesLlm.bpeStatsCtes(s"w${QueriesLlm.BpeRounds + 1}")}
+          SELECT d.doc_id,
+                 coalesce(s.n_words, CAST(0 AS BIGINT)) AS n_words,
+                 coalesce(s.n_chars, CAST(0 AS BIGINT)) AS n_chars,
+                 coalesce(s.n_tokens, CAST(0 AS BIGINT)) AS n_tokens
+          FROM documents d
+          JOIN verdicts f USING (doc_id)
+          LEFT JOIN bpe_stats s USING (doc_id)
+          WHERE f.keep""",
+
+    // the wordpiece twin: the same filter gate + encode stats, with the
+    // merge chain replayed under the LIKELIHOOD criterion and ##-marked
+    // folds (QueriesLlm.wordpieceCtes) — the encode join is family-blind
+    // (only segment counts enter it), so bpeStatsCtes is shared verbatim
+    "stream_corpus_tokenize_wp" ->
+      s"""WITH verdicts AS (${QueriesLlm.corpusFilterSql}),
+          ${QueriesLlm.wordpieceCtes(QueriesLlm.BpeRounds)},
+          ${QueriesLlm.bpeStatsCtes(s"v${QueriesLlm.BpeRounds + 1}")}
           SELECT d.doc_id,
                  coalesce(s.n_words, CAST(0 AS BIGINT)) AS n_words,
                  coalesce(s.n_chars, CAST(0 AS BIGINT)) AS n_chars,

@@ -220,4 +220,27 @@ class BpeSpec extends SparkSpec {
       graft.operators.Bpe.loadTokenizer(path)
     }
   }
+
+  test("WordPieceStats per-row fold equals the vocabulary-join encode") {
+    import spark.implicits._
+    import graft.operators.WordPiece
+    // merges trained on one corpus, applied per row to ANOTHER (so the
+    // open-vocabulary path is exercised); the per-row codegen'd fold must
+    // land exactly where the tf-compressed vocabulary join lands, word by
+    // word — the streaming tokenize step's equality contract
+    val train = Seq((1L, "abc abc abc abab xyz")).toDF("doc_id", "text")
+    val merges = WordPiece.train(train, "text", 4).merges
+    val apply = Seq((10L, "abc abab"), (11L, "xyz qq abc"), (12L, "a"))
+      .toDF("doc_id", "text")
+    val joined = WordPiece.encodeStatsWith(apply, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val perRow = apply.select(col("doc_id"),
+        WordPiece.tokenStatsFast(spark, col("text"), merges).as("s"))
+      .select(col("doc_id"), col("s.n_words"), col("s.n_chars"),
+        col("s.n_tokens"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(perRow == joined, s"per-row $perRow vs join $joined")
+  }
 }

@@ -386,6 +386,15 @@ class ConfigSpec extends SparkSpec {
       Seq(Config.CorpusCorrupt()))
     bad("{ step: corrupt }, { step: dedup_exact }", "must be the last step")
     bad("{ step: corrupt, size: 8 }", "unknown field")
+    // tokenize: the family discriminator picks the merge criterion
+    assert(Config.parseProject(doc(
+      "{ step: tokenize, artifact: t.json, rounds: 4, family: wordpiece }"))
+      .corpus.get.steps == Seq(Config.CorpusTokenize("t.json", 4, "wordpiece")))
+    assert(Config.parseProject(doc(
+      "{ step: tokenize, artifact: t.json, rounds: 4 }"))
+      .corpus.get.steps == Seq(Config.CorpusTokenize("t.json", 4)))
+    bad("{ step: tokenize, artifact: t.json, family: sentencepiece }",
+      "family must be 'bpe' or 'wordpiece'")
     // fim is terminal (doc → PSM example) with a defaulted, bounded rate
     assert(Config.parseProject(doc("{ step: fim }")).corpus.get.steps ==
       Seq(Config.CorpusFim(0.5)))
