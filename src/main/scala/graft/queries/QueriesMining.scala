@@ -626,7 +626,12 @@ object QueriesMining {
     "cooccurrence_ppmi" -> { (s, d) =>
       val docs = documents(s, d)
       val toks = Text.tokens(col("text"))
+      // snapshot the token arrays ONCE (the line_dedup multi-consumer
+      // lesson): the pair stream and the unigram table both read them, and
+      // without the checkpoint each consumer re-ran the tokenizer over the
+      // corpus
       val words = docs.select(col("doc_id"), toks.as("w"))
+        .localCheckpoint(eager = false)
       // pair keys are ONE concatenated string, measured and kept: two
       // alternatives that avoid the per-token concat allocation — a
       // struct key and two flat string key columns — both measured ~2.2x
@@ -634,14 +639,18 @@ object QueriesMining {
       // binary-comparable key is what the aggregate's unsafe fast hash map
       // is best at; the allocation the concat pays is cheaper than the
       // multi-key probe it avoids. The concat IS the plan you'd want.
-      def pairsAt(dist: Int) = words
-        .where(size(col("w")) >= dist + 1)
-        .select(explode(zip_with(
+      // Both skip distances ride ONE Generate (array concat of the two
+      // zip_withs, each emptied under its length guard) instead of a
+      // two-scan union — the checkpointed token stream explodes once.
+      def pairsAt(dist: Int) = when(size(col("w")) >= dist + 1,
+        zip_with(
           slice(col("w"), lit(1), size(col("w")) - dist),
           slice(col("w"), lit(1 + dist), size(col("w")) - dist),
           (a, b) => when(a <= b, concat(a, lit(" "), b))
-            .otherwise(concat(b, lit(" "), a)))).as("pair"))
-      val pairs = pairsAt(1).unionByName(pairsAt(2))
+            .otherwise(concat(b, lit(" "), a))))
+        .otherwise(array().cast("array<string>"))
+      val pairs = words
+        .select(explode(concat(pairsAt(1), pairsAt(2))).as("pair"))
       val c12 = pairs.groupBy(col("pair")).agg(count(lit(1)).as("c12"))
         .select(split(col("pair"), " ").getItem(0).as("w1"),
           split(col("pair"), " ").getItem(1).as("w2"), col("c12"))
