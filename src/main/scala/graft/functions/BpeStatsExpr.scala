@@ -20,9 +20,9 @@ import org.apache.spark.sql.types._
   *
   * Exactness (must land identically to Bpe.tokenStats' column chain and
   * the DuckDB replay):
-  *  - initial symbols are the word's UTF-16 CODE UNITS — exactly what
-  *    `split(w, "(?!^)(?!$)")` produces (Java regex lookaheads sit between
-  *    code units);
+  *  - initial symbols are the word's CODE POINTS — exactly what the batch
+  *    path's `Text.codePointSplit` produces (and what the DuckDB twin's
+  *    per-character `word[i]` indexing produces);
   *  - each merge (l, r) is the Sennrich left fold: append each symbol,
   *    except `r` arriving while the accumulated LAST symbol is exactly `l`
   *    replaces that tail with `l+r` — a freshly merged tail (symbol `l+r`)
@@ -64,10 +64,18 @@ case class BpeStats(child: Expression, merges: Seq[(String, String)])
       val u = words.getUTF8String(i)
       nChars += u.numChars()
       val w = u.toString
-      // initial symbols: one per UTF-16 code unit
-      var syms = new Array[String](w.length)
+      // initial symbols: one per CODE POINT (never a lone surrogate half —
+      // the batch path's Text.codePointSplit and the DuckDB word[i] twin
+      // both segment per character)
+      var syms = new Array[String](w.codePointCount(0, w.length))
       var c = 0
-      while (c < w.length) { syms(c) = String.valueOf(w.charAt(c)); c += 1 }
+      var off = 0
+      while (off < w.length) {
+        val step = Character.charCount(w.codePointAt(off))
+        syms(c) = w.substring(off, off + step)
+        off += step
+        c += 1
+      }
       var m = 0
       while (m < merges.length) {
         val (l, r) = merges(m)

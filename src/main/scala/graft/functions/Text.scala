@@ -110,6 +110,18 @@ object Text {
   /** Lowercased whitespace tokens. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
+  /** One array element per Unicode CODE POINT (Java regex `.` matches a
+    * full code point, so a supplementary character — emoji in crawl text —
+    * stays one symbol). The tokenizer families' initial segmentation: a
+    * zero-width-lookahead `split` would cut between UTF-16 code units and
+    * Spark's UTF8String round-trip then mangles the lone surrogates to
+    * `?`, silently diverging from both `substring` (per code point) and
+    * the DuckDB oracle (`word[i]` indexes characters). `(?s)` so a code
+    * point that IS a newline still matches.
+    */
+  def codePointSplit(s: Column): Column =
+    regexp_extract_all(s, lit("(?s)."), lit(0))
+
   // --- normalization / scrubbing (SURVEY §2.7) ----------------------------
   // Pattern constants are shared with the DuckDB oracle SQL (QueriesLlm), so
   // the two engines run character-identical regexes. Patterns stay inside the

@@ -17,9 +17,9 @@ import org.apache.spark.sql.types._
   * Exactness (must land identically to WordPiece.encodeStatsWith's
   * vocabulary-join path — the fold is a pure function of the word, so the
   * per-row and per-distinct-word paths agree; BpeSpec pins the equality):
-  *  - initial symbols are the word's UTF-16 code units, the FIRST plain
-  *    and the rest `##`-marked — exactly WordPiece.initVocab's
-  *    `substring(w,1,1)` + marked split;
+  *  - initial symbols are the word's CODE POINTS, the FIRST plain and the
+  *    rest `##`-marked — exactly WordPiece.initVocab's `substring(w,1,1)`
+  *    head + `Text.codePointSplit` marked tail;
   *  - each merge (l, r) is the leftmost, non-overlapping fold with the
   *    WordPiece merge value: the replacement is `l + r-minus-marker`, so
   *    the merged symbol inherits l's position class (WordPiece.merged);
@@ -58,13 +58,18 @@ case class WordPieceStats(child: Expression, merges: Seq[(String, String)])
         val u = words.getUTF8String(i)
         nChars += u.numChars()
         val w = u.toString
-        // initial symbols: first code unit plain, the rest ##-marked
-        var syms = new Array[String](w.length)
+        // initial symbols: first CODE POINT plain, the rest ##-marked code
+        // points (never lone surrogate halves — WordPiece.initVocab's
+        // substring head + Text.codePointSplit tail both segment per
+        // character, as does the DuckDB twin's word[j] indexing)
+        var syms = new Array[String](w.codePointCount(0, w.length))
         var c = 0
-        while (c < w.length) {
-          syms(c) =
-            if (c == 0) String.valueOf(w.charAt(c))
-            else Marker + w.charAt(c)
+        var off = 0
+        while (off < w.length) {
+          val step = Character.charCount(w.codePointAt(off))
+          val cp = w.substring(off, off + step)
+          syms(c) = if (c == 0) cp else Marker + cp
+          off += step
           c += 1
         }
         var m = 0

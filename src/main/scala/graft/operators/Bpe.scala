@@ -40,9 +40,12 @@ object Bpe {
   private[graft] def applyMerge(syms: Column, l: String, r: String): Column = {
     val toks = split(syms, " ")
     val rest = slice(toks, lit(2), size(toks) - 1)
+    // Spark length()/substr count CODE POINTS — so must the tail trim
+    // (l.length would be UTF-16 code units, one short per emoji in l)
+    val lCps = l.codePointCount(0, l.length)
     aggregate(rest, element_at(toks, 1), (acc, s) =>
       when(s === lit(r) && (acc === lit(l) || acc.endsWith(lit(" " + l))),
-        concat(acc.substr(lit(1), length(acc) - lit(l.length)), lit(l + r)))
+        concat(acc.substr(lit(1), length(acc) - lit(lCps)), lit(l + r)))
         .otherwise(concat(acc, lit(" "), s)))
   }
 
@@ -56,10 +59,10 @@ object Bpe {
     df.select(explode(Text.tokens(col(textCol))).as("w"))
       .where(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      // split between characters only: the lookaheads exclude the start AND
-      // end positions (Spark's split keeps trailing empty matches, so a
-      // bare (?!^) would append a phantom empty symbol to every word)
-      .select(col("w"), concat_ws(" ", split(col("w"), "(?!^)(?!$)")).as("syms"),
+      // one symbol per CODE POINT (Text.codePointSplit): a code-unit split
+      // would break supplementary characters into mangled surrogate halves
+      // and diverge from the DuckDB twin's per-character word[i] indexing
+      .select(col("w"), concat_ws(" ", Text.codePointSplit(col("w"))).as("syms"),
         col("n"))
       .localCheckpoint(eager = false)
 
@@ -252,7 +255,7 @@ object Bpe {
                  merges: Seq[(Int, String, String, Long)]): Column = {
     val words = filter(Text.tokens(textCol), w => w =!= "")
     val segs = transform(words, w => {
-      val init = concat_ws(" ", split(w, "(?!^)(?!$)"))
+      val init = concat_ws(" ", Text.codePointSplit(w))
       merges.sortBy(_._1).foldLeft(init) { case (acc, (_, l, r, _)) =>
         bound(acc)(applyMerge(_, l, r))
       }

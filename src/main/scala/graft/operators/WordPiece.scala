@@ -48,8 +48,11 @@ object WordPiece {
         when(length(col("w")) === 1, col("w"))
           .otherwise(concat_ws(" ",
             substring(col("w"), 1, 1),
+            // per CODE POINT (Text.codePointSplit), matching substring's
+            // code-point semantics for the head — a code-unit split would
+            // mangle supplementary continuations to lone-surrogate `?`s
             concat_ws(" ", transform(
-              split(substring(col("w"), 2, Int.MaxValue), "(?!^)(?!$)"),
+              Text.codePointSplit(substring(col("w"), 2, Int.MaxValue)),
               c => concat(lit(Marker), c))))).as("syms"),
         col("n"))
       .localCheckpoint(eager = false)
@@ -61,9 +64,12 @@ object WordPiece {
   private[graft] def applyMerge(syms: Column, l: String, r: String): Column = {
     val toks = split(syms, " ")
     val rest = slice(toks, lit(2), size(toks) - 1)
+    // Spark length()/substr count CODE POINTS — so must the tail trim
+    // (l.length would be UTF-16 code units, one short per emoji in l)
+    val lCps = l.codePointCount(0, l.length)
     aggregate(rest, element_at(toks, 1), (acc, s) =>
       when(s === lit(r) && (acc === lit(l) || acc.endsWith(lit(" " + l))),
-        concat(acc.substr(lit(1), length(acc) - lit(l.length)),
+        concat(acc.substr(lit(1), length(acc) - lit(lCps)),
           lit(merged(l, r))))
         .otherwise(concat(acc, lit(" "), s)))
   }
