@@ -108,10 +108,13 @@ object BigramLm {
     val dir = Paths.get(cacheRoot, sha8(state))
     val data = dir.resolve("scores.parquet")
     val manifest = dir.resolve("manifest.json")
-    val valid = Files.exists(manifest) && Files.exists(data) && {
-      val j = org.json4s.jackson.JsonMethods.parse(Files.readString(manifest))
-      (j \ "state") == org.json4s.JString(state)
-    }
+    // a corrupt/truncated manifest (crash mid-write — the write below is
+    // not atomic) must count as STALE and refit, not throw (r14 advice)
+    val valid = Files.exists(manifest) && Files.exists(data) &&
+      scala.util.Try {
+        val j = org.json4s.jackson.JsonMethods.parse(Files.readString(manifest))
+        (j \ "state") == org.json4s.JString(state)
+      }.getOrElse(false)
     if (!valid) {
       if (Files.exists(dir))
         System.err.println(s"[graft] bigram_lm artifact at $dir is stale — refitting")

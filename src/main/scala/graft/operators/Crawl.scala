@@ -293,7 +293,12 @@ object Crawl {
     // pipeline might pass an extraction) pays that expression once PER
     // CONSUMER (the CorpusDedupFuzzy multi-consumer lesson; measured the
     // difference at sf100: the third evaluation was the whole regression)
+    // Null contract: null-text documents are DROPPED from the output —
+    // the original posexplode shape's behavior (explode of a null array
+    // emits nothing), kept explicit here because the left-join rework
+    // would otherwise emit them as (n_lines = -1, text_clean = null)
     val snap = df.select(col(idCol), col(textCol))
+      .where(col(textCol).isNotNull)
       .localCheckpoint(eager = false)
     val lines = snap
       .select(col(idCol), posexplode(split(col(textCol), "\n"))

@@ -53,11 +53,43 @@ object VocabGuard {
     * vocabulary was aggregated FROM — its scan stats are the proxy for
     * vocabulary growth.
     */
+  /** The same corpus-scan signal [[hint]] keys on, exposed for call sites
+    * that pick a PLAN rather than a hint (cooccurrence_ppmi's
+    * dictionary-encoded pair keys driver-collect the vocabulary). Unlike
+    * [[hint]], an UNKNOWN estimate (RDD-backed corpus reporting
+    * defaultSizeInBytes) counts as NOT bounded: a driver collect has no
+    * AQE backstop, so the caller must take its collect-free fallback.
+    */
+  def corpusBounded(corpus: DataFrame): Boolean = {
+    val max = BigInt(corpus.sparkSession.conf.getOption(ConfKey)
+      .map(_.toLong).getOrElse(DefaultMaxCorpusBytes))
+    val est = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+    est < BigInt(corpus.sparkSession.sessionState.conf.defaultSizeInBytes) &&
+      est <= max
+  }
+
   def hint(vocab: DataFrame, corpus: DataFrame, site: String): DataFrame = {
     val max = BigInt(vocab.sparkSession.conf.getOption(ConfKey)
       .map(_.toLong).getOrElse(DefaultMaxCorpusBytes))
     val est = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est <= max) broadcast(vocab)
+    // A corpus with NO honest estimate (a frame built straight over an
+    // RDD — note localCheckpoint is NOT such a case on Spark 4, its
+    // LogicalRDD preserves origin stats) reports Catalyst's substitute
+    // spark.sql.defaultSizeInBytes (Long.MaxValue by default). That is
+    // "unknown", not "huge": dropping the hint there would silently
+    // un-broadcast RDD-backed pipelines at ANY scale (r14 advice).
+    // Keep the hint on unknown — the gated sites are vocabulary-derived
+    // by construction, and AQE's own 8 GB broadcast cap still backstops
+    // a pathological vocab at runtime.
+    val unknown =
+      est >= BigInt(vocab.sparkSession.sessionState.conf.defaultSizeInBytes)
+    if (unknown) {
+      System.err.println(
+        s"[graft] $site: corpus scan estimate unavailable (RDD-backed " +
+          "plan reports defaultSizeInBytes) — keeping the vocab broadcast " +
+          "hint; AQE re-decides on measured size")
+      broadcast(vocab)
+    } else if (est <= max) broadcast(vocab)
     else {
       System.err.println(
         s"[graft] $site: corpus scan estimate $est B exceeds vocab-broadcast " +

@@ -61,6 +61,30 @@ class VocabGuardSpec extends SparkSpec {
     }
   }
 
+  test("an RDD-backed corpus (no honest estimate) keeps the hint") {
+    // a frame built straight over an RDD has no origin stats — Catalyst
+    // substitutes spark.sql.defaultSizeInBytes = Long.MaxValue. That is
+    // "unknown", not "huge": even a planted 1-byte ceiling must NOT drop
+    // the hint there (r14 advice). NOTE localCheckpoint is NOT such a
+    // case on Spark 4: its LogicalRDD preserves the origin plan's stats
+    // (probed: lazy AND eager both report the LocalRelation's 1440 B).
+    withConf(VocabGuard.ConfKey -> "1",
+             "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      val rdd = spark.sparkContext.parallelize(
+        (1L to 40L).map(i => Row(i, s"tok${i % 7} tok${i % 5} common")))
+      val docs = spark.createDataFrame(rdd, schema)
+      assert(docs.queryExecution.optimizedPlan.stats.sizeInBytes ==
+        BigInt(Long.MaxValue))
+      val plan = guardedJoin(docs).queryExecution.sparkPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"unknown estimate must keep the forced broadcast:\n$plan")
+    }
+  }
+
   test("fallback results are identical to the broadcast path") {
     val hinted = guardedJoin(mkDocs()).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
