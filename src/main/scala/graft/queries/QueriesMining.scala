@@ -622,60 +622,138 @@ object QueriesMining {
     // unordered) scored by clipped pointwise mutual information — the
     // association table behind phrase detection and embedding pre-training.
     // Pair space is vocabulary-bounded²  but only OBSERVED pairs
-    // materialize; the unigram table broadcasts; top-k is TakeOrdered.
+    // materialize; the corpus-scale pair aggregate runs on DICTIONARY-
+    // ENCODED 8-byte packed-long keys while the corpus posture proves the
+    // vocabulary bounded, with the string-keyed plan as the unbounded-
+    // corpus fallback; top-k is TakeOrdered.
     "cooccurrence_ppmi" -> { (s, d) =>
       val docs = documents(s, d)
       val toks = Text.tokens(col("text"))
       // snapshot the token arrays ONCE (the line_dedup multi-consumer
-      // lesson): the pair stream and the unigram table both read them, and
-      // without the checkpoint each consumer re-ran the tokenizer over the
-      // corpus
+      // lesson): the pair stream, the unigram table, and t_total all read
+      // them, and without the checkpoint each consumer re-ran the
+      // tokenizer over the corpus
       val words = docs.select(col("doc_id"), toks.as("w"))
         .localCheckpoint(eager = false)
-      // pair keys are ONE concatenated string, measured and kept: two
-      // alternatives that avoid the per-token concat allocation — a
-      // struct key and two flat string key columns — both measured ~2.2x
-      // SLOWER at sf100 (155 s / 160 s vs ~70 s), because a single
-      // binary-comparable key is what the aggregate's unsafe fast hash map
-      // is best at; the allocation the concat pays is cheaper than the
-      // multi-key probe it avoids. The concat IS the plan you'd want.
-      // Both skip distances ride ONE Generate (array concat of the two
-      // zip_withs, each emptied under its length guard) instead of a
-      // two-scan union — the checkpointed token stream explodes once.
-      def pairsAt(dist: Int) = when(size(col("w")) >= dist + 1,
-        zip_with(
-          slice(col("w"), lit(1), size(col("w")) - dist),
-          slice(col("w"), lit(1 + dist), size(col("w")) - dist),
-          (a, b) => when(a <= b, concat(a, lit(" "), b))
-            .otherwise(concat(b, lit(" "), a))))
-        .otherwise(array().cast("array<string>"))
-      val pairs = words
-        .select(explode(concat(pairsAt(1), pairsAt(2))).as("pair"))
-      val c12 = pairs.groupBy(col("pair")).agg(count(lit(1)).as("c12"))
-        .select(split(col("pair"), " ").getItem(0).as("w1"),
-          split(col("pair"), " ").getItem(1).as("w2"), col("c12"))
-      val uni = words.select(explode(col("w")).as("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      // p_total = Σ c12 over the already-aggregated pair counts — the raw
-      // pair stream is never exploded a second time; t_total needs only a
-      // scan + array size, no explode.
-      val totals = words
-        .agg(sum(size(col("w"))).as("t_total"))
-        .crossJoin(c12.agg(sum(col("c12")).as("p_total")))
-      val scored = c12.where(col("c12") >= CoocMin)
-        .join(broadcast(uni.withColumnRenamed("tok", "w1")
-          .withColumnRenamed("c", "c1")), Seq("w1"))
-        .join(broadcast(uni.withColumnRenamed("tok", "w2")
-          .withColumnRenamed("c", "c2")), Seq("w2"))
-        .crossJoin(broadcast(totals))
-        .withColumn("ppmi", expr(PpmiExpr))
-      val order = Seq(col("ppmi").desc, col("w1").asc, col("w2").asc)
-      scored.orderBy(order: _*).limit(CoocTopK)
-        .withColumn("rnk",
-          row_number().over(Window.orderBy(order: _*)).cast("int"))
-        .select(col("w1"), col("w2"), col("c12"), col("ppmi"), col("rnk"))
+      // the dictionary path driver-collects the vocabulary, so it is
+      // gated on the SAME corpus-scan signal as VocabGuard's broadcast
+      // ceiling (unknown estimates count as unbounded — a driver collect
+      // is less forgiving than a hint AQE can re-decide)
+      if (graft.pipeline.VocabGuard.corpusBounded(docs))
+        coocPpmiPacked(s, words)
+      else coocPpmiStringKey(words)
     }
   )
+
+  /** The shared cooccurrence_ppmi tail: CoocMin-filtered scored pairs →
+    * clipped PMI → deterministic top-k (TakeOrderedAndProject, never a
+    * global sort). `scored` must carry (w1, w2, c12, c1, c2, t_total,
+    * p_total).
+    */
+  private def coocPpmiTail(scored: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ranked = scored.withColumn("ppmi", expr(PpmiExpr))
+    val order = Seq(col("ppmi").desc, col("w1").asc, col("w2").asc)
+    ranked.orderBy(order: _*).limit(CoocTopK)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(order: _*)).cast("int"))
+      .select(col("w1"), col("w2"), col("c12"), col("ppmi"), col("rnk"))
+  }
+
+  /** Dictionary-encoded pair aggregate (r14 verdict ask #1, the
+    * line_dedup lesson generalized): ONE vocabulary aggregate collects to
+    * the driver (vocab-bounded, gated by the caller), tokens map to dense
+    * ints ordered (count desc, token asc), and the corpus-scale pair
+    * stream emits `min_id << 32 | max_id` packed longs from the codegen'd
+    * [[graft.functions.PackedSkipPairs]] loop — an 8-byte fixed-width
+    * binary-comparable key for the unsafe-map aggregate instead of a ~15+
+    * byte concatenated string per pair. The id → (token, count)
+    * dictionary joins back (broadcast local relation) only onto the
+    * CoocMin survivors, where the lexicographic (w1, w2) orientation the
+    * oracle emits is re-derived; counts are orientation-insensitive
+    * either way, so the result is hash-identical to the string-keyed
+    * plan (MiningSpec pins the equality).
+    */
+  private[graft] def coocPpmiPacked(s: org.apache.spark.sql.SparkSession,
+                                      words: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val uniRows = words.select(explode(col("w")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, c) => (-c, t) }
+    val fn = graft.functions.PackedSkipPairs
+      .register(s, uniRows.map(_._1).toIndexedSeq)
+    val dict = broadcast(uniRows.toIndexedSeq.zipWithIndex
+      .map { case ((t, c), i) => (i.toLong, t, c) }
+      .toDF("id", "tok", "c"))
+    val c12 = words.select(explode(call_function(fn, col("w"))).as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("c12"))
+    // p_total = Σ c12 over the already-aggregated pair counts — the raw
+    // pair stream is never exploded a second time; t_total needs only a
+    // scan + array size, no explode.
+    val totals = words
+      .agg(sum(size(col("w"))).as("t_total"))
+      .crossJoin(c12.agg(sum(col("c12")).as("p_total")))
+    val dec = c12.where(col("c12") >= CoocMin)
+      .withColumn("id1", shiftright(col("key"), 32))
+      .withColumn("id2", col("key").bitwiseAND(lit(0xFFFFFFFFL)))
+      .join(dict.select(col("id").as("id1"), col("tok").as("ta"),
+        col("c").as("ca")), Seq("id1"))
+      .join(dict.select(col("id").as("id2"), col("tok").as("tb"),
+        col("c").as("cb")), Seq("id2"))
+    val lexFirst = col("ta") <= col("tb")
+    coocPpmiTail(dec.select(
+        when(lexFirst, col("ta")).otherwise(col("tb")).as("w1"),
+        when(lexFirst, col("tb")).otherwise(col("ta")).as("w2"),
+        col("c12"),
+        when(lexFirst, col("ca")).otherwise(col("cb")).as("c1"),
+        when(lexFirst, col("cb")).otherwise(col("ca")).as("c2"))
+      .crossJoin(broadcast(totals)))
+  }
+
+  /** The string-keyed plan — the unbounded-corpus fallback (no driver
+    * vocabulary materialization anywhere) and the spec-pinned reference
+    * the packed path must match.
+    *
+    * Pair keys are ONE concatenated string, measured and kept over two
+    * alternatives that avoid the per-token concat allocation — a struct
+    * key and two flat string key columns were both ~2.2x SLOWER at sf100
+    * (155 s / 160 s vs ~70 s), because a single binary-comparable key is
+    * what the aggregate's unsafe fast hash map is best at. Both skip
+    * distances ride ONE Generate (array concat of the two zip_withs, each
+    * emptied under its length guard) instead of a two-scan union — the
+    * checkpointed token stream explodes once.
+    */
+  private[graft] def coocPpmiStringKey(words: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    def pairsAt(dist: Int) = when(size(col("w")) >= dist + 1,
+      zip_with(
+        slice(col("w"), lit(1), size(col("w")) - dist),
+        slice(col("w"), lit(1 + dist), size(col("w")) - dist),
+        (a, b) => when(a <= b, concat(a, lit(" "), b))
+          .otherwise(concat(b, lit(" "), a))))
+      .otherwise(array().cast("array<string>"))
+    val pairs = words
+      .select(explode(concat(pairsAt(1), pairsAt(2))).as("pair"))
+    val c12 = pairs.groupBy(col("pair")).agg(count(lit(1)).as("c12"))
+      .select(split(col("pair"), " ").getItem(0).as("w1"),
+        split(col("pair"), " ").getItem(1).as("w2"), col("c12"))
+    val uni = words.select(explode(col("w")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val totals = words
+      .agg(sum(size(col("w"))).as("t_total"))
+      .crossJoin(c12.agg(sum(col("c12")).as("p_total")))
+    // the unigram joins keep plain broadcast hints here: this branch IS
+    // the over-ceiling posture, where the hint would be dropped — rely on
+    // the shuffled join + AQE instead of forcing vocab into the driver
+    coocPpmiTail(c12.where(col("c12") >= CoocMin)
+      .join(uni.withColumnRenamed("tok", "w1")
+        .withColumnRenamed("c", "c1"), Seq("w1"))
+      .join(uni.withColumnRenamed("tok", "w2")
+        .withColumnRenamed("c", "c2"), Seq("w2"))
+      .crossJoin(broadcast(totals)))
+  }
 
   // ------------------------------------------------------------ oracle SQL
 

@@ -444,6 +444,44 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("cooccurrence_ppmi: packed dictionary path == string-key reference") {
+    // the r15 rework aggregates packed-long dictionary ids; the string
+    // plan stays as the executable reference AND the unbounded-corpus
+    // fallback — both must produce identical rows on the gate corpus and
+    // on an adversarial micro corpus (self-pairs, dist-2 wraps, a word
+    // count tie broken by token order, docs shorter than the window)
+    import graft.queries.QueriesMining
+    val gateWords = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("w"))
+      .localCheckpoint(eager = false)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSeq
+    assert(rows(QueriesMining.coocPpmiPacked(spark, gateWords)) ==
+      rows(QueriesMining.coocPpmiStringKey(gateWords)))
+    import spark.implicits._
+    val micro = (1 to 30).map(i =>
+        (i.toLong, Seq("b b a", "a b a c", "c", "", "a a a a a")(i % 5)))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("w"))
+      .localCheckpoint(eager = false)
+    val packed = rows(QueriesMining.coocPpmiPacked(spark, micro))
+    assert(packed == rows(QueriesMining.coocPpmiStringKey(micro)))
+    assert(packed.nonEmpty)
+  }
+
+  test("cooccurrence_ppmi: an over-ceiling corpus falls back collect-free") {
+    // plant a 1-byte ceiling: the head must still answer (string-key
+    // fallback) and match the packed plan it would otherwise run
+    val before = SparkEntry.queries("cooccurrence_ppmi")(spark, sf).collect()
+    val key = graft.pipeline.VocabGuard.ConfKey
+    spark.conf.set(key, "1")
+    try {
+      val after = SparkEntry.queries("cooccurrence_ppmi")(spark, sf).collect()
+      assert(after.map(_.toSeq).toSeq == before.map(_.toSeq).toSeq)
+    } finally spark.conf.unset(key)
+  }
+
   test("winnow_fingerprint query: containment in [0,1], reference excluded") {
     val out = SparkEntry.queries("winnow_fingerprint")(spark, sf).collect()
     assert(out.nonEmpty)
