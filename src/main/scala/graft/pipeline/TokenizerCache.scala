@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Path, Paths}
+
+/** Train-if-missing tokenizer artifacts (r14 verdict ask #4 — the
+  * BigramLm.scoresArtifact discipline applied to the tokenizer families).
+  *
+  * The four tokenizer heads (bpe_artifact, wordpiece_artifact,
+  * stream_corpus_tokenize, stream_corpus_tokenize_wp) each re-trained
+  * their merge table in-head per run — honest, but the fit is a pure
+  * function of (corpus bytes, family, rounds, training split), so at
+  * bench scale it amortizes exactly like the bigram LM fit: the first run
+  * trains and persists the tokenizer JSON, every later run hydrates it,
+  * and the one-time cold fits are priced separately on the sf100 board.
+  *
+  * Validity is `stored state == freshly computed state` where the state
+  * embeds the RECURSIVE corpus file walk (ArtifactCache.pathState: every
+  * leaf file's relpath:size:mtime_ns), the family, the round count, and
+  * the training-split tag — a regenerated corpus, a different family, or
+  * a changed split can never hydrate a stale table. The manifest stores
+  * the FULL state string (not a hash), so the key can never degenerate
+  * into a bare existence check and a maintainer can read what the
+  * artifact was keyed on straight off disk. A corrupt manifest counts as
+  * stale and refits (the BigramLm r14-advice contract).
+  */
+object TokenizerCache {
+
+  /** Bump when the artifact layout or fingerprint recipe changes. */
+  private val FormatVersion = 1
+
+  /** Canonical fingerprint input for one trained tokenizer. */
+  def state(family: String, rounds: Int, trainTag: String,
+            tablePath: String): String =
+    s"tok_v$FormatVersion|$family|rounds=$rounds|train=$trainTag|" +
+      s"$tablePath|" + ArtifactCache.pathState(Paths.get(tablePath))
+
+  private def sha8(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+
+  /** The artifact path for `state`, training via `trainAndSave` only when
+    * no valid cached copy exists. `trainAndSave` must write the tokenizer
+    * JSON at the path it is given; the manifest is written AFTER it
+    * succeeds, so a crash mid-train leaves an invalid (manifest-less)
+    * directory that simply refits.
+    */
+  def ensure(cacheRoot: String, state: String)
+            (trainAndSave: Path => Unit): Path = {
+    val dir = Paths.get(cacheRoot, sha8(state))
+    val tok = dir.resolve("tokenizer.json")
+    val manifest = dir.resolve("manifest.json")
+    val valid = Files.exists(manifest) && Files.exists(tok) &&
+      scala.util.Try {
+        val j = org.json4s.jackson.JsonMethods.parse(Files.readString(manifest))
+        (j \ "state") == org.json4s.JString(state)
+      }.getOrElse(false)
+    if (!valid) {
+      if (Files.exists(dir))
+        System.err.println(s"[graft] tokenizer artifact at $dir is stale — retraining")
+      Files.createDirectories(dir)
+      trainAndSave(tok)
+      import org.json4s.JsonDSL._
+      Files.writeString(manifest, org.json4s.jackson.JsonMethods.pretty(
+        org.json4s.jackson.JsonMethods.render(("state" -> state))))
+    }
+    tok
+  }
+}

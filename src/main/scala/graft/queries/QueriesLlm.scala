@@ -1133,14 +1133,20 @@ object QueriesLlm {
     // the JSON artifact, hydrate it, encode the FULL corpus — words the
     // training split never saw still segment (characters + whichever
     // learned merges apply), the open-vocabulary BPE behavior. No
-    // retraining job runs on the encode side.
+    // retraining job runs on the encode side, and the fit itself is
+    // TRAIN-IF-MISSING (TokenizerCache, fingerprint-keyed on the corpus
+    // walk — r14 ask #4): the first run trains, later runs hydrate.
     "bpe_artifact" -> { (s, d) =>
       import graft.operators.Bpe
       val docs = documents(s, d)
-      val path = "/tmp/graft_scratch/bpe_artifact/tokenizer.json"
-      Bpe.saveTokenizer(path, Bpe.merges(
-        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "text", BpeRounds))
-      Bpe.encodeStatsWith(docs, "doc_id", "text", Bpe.loadTokenizer(path))
+      val path = graft.pipeline.TokenizerCache.ensure(TokCacheRoot,
+        graft.pipeline.TokenizerCache.state("bpe", BpeRounds, "mod5",
+          s"$d/documents.parquet")) { p =>
+        Bpe.saveTokenizer(p.toString, Bpe.merges(
+          docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "text", BpeRounds))
+      }
+      Bpe.encodeStatsWith(docs, "doc_id", "text",
+        Bpe.loadTokenizer(path.toString))
     },
 
     // The WordPiece artifact round trip — the third tokenizer family gets
@@ -1154,12 +1160,15 @@ object QueriesLlm {
     "wordpiece_artifact" -> { (s, d) =>
       import graft.operators.WordPiece
       val docs = documents(s, d)
-      val path = "/tmp/graft_scratch/wordpiece_artifact/tokenizer.json"
-      WordPiece.saveTokenizer(path, WordPiece.train(
-        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "text", BpeRounds)
-        .merges)
+      val path = graft.pipeline.TokenizerCache.ensure(TokCacheRoot,
+        graft.pipeline.TokenizerCache.state("wordpiece", BpeRounds, "mod5",
+          s"$d/documents.parquet")) { p =>
+        WordPiece.saveTokenizer(p.toString, WordPiece.train(
+          docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "text", BpeRounds)
+          .merges)
+      }
       WordPiece.encodeStatsWith(docs, "doc_id", "text",
-          WordPiece.loadTokenizer(path))
+          WordPiece.loadTokenizer(path.toString))
         .select(col("doc_id"), col("n_words"), col("n_chars"),
           col("n_tokens"),
           round(col("n_tokens").cast("double") /
@@ -1538,6 +1547,12 @@ object QueriesLlm {
     * oracle so the two cannot drift.
     */
   private[queries] val BpeRounds = 8
+
+  /** Shared train-if-missing tokenizer cache root (r14 ask #4): the four
+    * tokenizer heads key their fits here by (family, rounds, split,
+    * corpus walk) — see pipeline/TokenizerCache.
+    */
+  private[queries] val TokCacheRoot = "/tmp/graft_scratch/tok_cache"
 
   /** decontam_semantic's benchmark id cap (shared with the oracle): a
     * benchmark is a FIXED suite — the cap keeps it constant-size at every

@@ -246,9 +246,15 @@ object QueriesStreaming {
     "stream_corpus_tokenize" -> { (s, d) =>
       import org.apache.spark.sql.functions.col
       import graft.operators.Bpe
-      val path = "/tmp/graft_scratch/stream_tok/tokenizer.json"
-      Bpe.saveTokenizer(path, Bpe.merges(
-        graft.sources.Tables.documents(s, d), "text", QueriesLlm.BpeRounds))
+      // train-if-missing (TokenizerCache, r14 ask #4): the deploy-shape
+      // fit runs once per corpus fingerprint; every later stream hydrates
+      val path = graft.pipeline.TokenizerCache.ensure(
+        QueriesLlm.TokCacheRoot,
+        graft.pipeline.TokenizerCache.state("bpe", QueriesLlm.BpeRounds,
+          "full", s"$d/documents.parquet")) { p =>
+        Bpe.saveTokenizer(p.toString, Bpe.merges(
+          graft.sources.Tables.documents(s, d), "text", QueriesLlm.BpeRounds))
+      }.toString
       val project = graft.pipeline.Config.parseProject(
         s"""sources:
            |  - id: docs
@@ -273,10 +279,14 @@ object QueriesStreaming {
     "stream_corpus_tokenize_wp" -> { (s, d) =>
       import org.apache.spark.sql.functions.col
       import graft.operators.WordPiece
-      val path = "/tmp/graft_scratch/stream_tok_wp/tokenizer.json"
-      WordPiece.saveTokenizer(path, WordPiece.train(
-        graft.sources.Tables.documents(s, d), "text",
-        QueriesLlm.BpeRounds).merges)
+      val path = graft.pipeline.TokenizerCache.ensure(
+        QueriesLlm.TokCacheRoot,
+        graft.pipeline.TokenizerCache.state("wordpiece",
+          QueriesLlm.BpeRounds, "full", s"$d/documents.parquet")) { p =>
+        WordPiece.saveTokenizer(p.toString, WordPiece.train(
+          graft.sources.Tables.documents(s, d), "text",
+          QueriesLlm.BpeRounds).merges)
+      }.toString
       val project = graft.pipeline.Config.parseProject(
         s"""sources:
            |  - id: docs
