@@ -14,7 +14,10 @@ import org.apache.spark.sql.SparkSession
   * Outlier self-defense: the shared host has bursty co-tenant load (the r6
   * end-of-round snapshot showed pinned-plan trivial queries 3-4x their
   * floor). After the main pass, any query landing over 2x its BASELINE.md
-  * floor gets ONE more best-of-2 pass and keeps the minimum, and the JSON
+  * floor gets ONE more best-of-2 pass and keeps the minimum; anything
+  * STILL over 2x after that gets a solo best-of-2 from a re-settled
+  * machine with both numbers recorded under "solo_confirm" (r14 ask #2 —
+  * the artifact itself proves or exonerates every >2x row). The JSON
   * carries /proc/loadavg at start and end so a noisy snapshot
   * self-identifies in the record.
   */
@@ -69,30 +72,38 @@ object Bench {
     val ancestors = Iterator.iterate(Option(self))(_.flatMap(h =>
       Option(h.parent().orElse(null)))).takeWhile(_.isDefined)
       .flatten.map(_.pid()).toSet
+    // A stray graft JVM, PRECISELY: argv[0] is a java launcher and the
+    // main class appears as a whole argv token. A substring scan over the
+    // joined cmdline would also match bystanders ("grep graft.Bench x.log",
+    // "less …graft.Bench.log") — r14 advice.
+    def isGraftJvm(pid: Long): Boolean = try {
+      val raw = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"/proc/$pid/cmdline"))
+      // /proc cmdline is NUL-delimited argv
+      val argv = new String(raw, "UTF-8").split('\u0000').toSeq
+      val javaHead = argv.headOption.exists(a0 =>
+        a0 == "java" || a0.endsWith("/java"))
+      javaHead && argv.exists(a => a == "graft.Verify" || a == "graft.Bench")
+    } catch { case _: Throwable => false }
     val procDir = new java.io.File("/proc")
     val candidates = Option(procDir.listFiles()).getOrElse(Array.empty).toSeq
-      .filter(_.getName.forall(_.isDigit)).flatMap { d =>
-        val pid = d.getName.toLong
-        if (ancestors.contains(pid)) None
-        else try {
-          val cmd = new String(java.nio.file.Files.readAllBytes(
-            d.toPath.resolve("cmdline")), "UTF-8")
-          if (cmd.contains("graft.Verify") || cmd.contains("graft.Bench"))
-            Some(pid)
-          else None
-        } catch { case _: Throwable => None }
-      }
+      .filter(_.getName.forall(_.isDigit)).map(_.getName.toLong)
+      .filter(pid => !ancestors.contains(pid) && isGraftJvm(pid))
     candidates.foreach { pid =>
       ProcessHandle.of(pid).ifPresent { h =>
-        System.err.println(s"[bench] reaping stray graft JVM pid=$pid")
-        h.destroy()
+        // re-check via the live handle right before signalling: a PID
+        // recycled between the scan and here must not be signalled
+        if (isGraftJvm(pid)) {
+          System.err.println(s"[bench] reaping stray graft JVM pid=$pid")
+          h.destroy()
+        }
       }
     }
     if (candidates.nonEmpty) {
       Thread.sleep(2000)
       candidates.foreach(pid =>
         ProcessHandle.of(pid).ifPresent(h =>
-          if (h.isAlive) h.destroyForcibly()))
+          if (h.isAlive && isGraftJvm(pid)) h.destroyForcibly()))
     }
     candidates
   }
@@ -154,6 +165,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF="k=v;k2=v2" — runtime conf overrides for A/B runs
+    // (e.g. graft.vocab_broadcast.max_corpus_bytes=1 forces the
+    // unbounded-corpus fallbacks without a code edit)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.nonEmpty)
+      .foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k.trim, v.trim)
+          case _ => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_CONF entries must be k=v, got '$kv'")
+        }
+      })
 
     // Warmup: touch every table once (filesystem cache + codegen + shuffle machinery).
     Seq("lineitem", "orders", "customer", "supplier", "nation", "region",
@@ -255,18 +277,39 @@ object Bench {
         name -> (if (again > 0) math.min(v, again) else v)
       } else name -> v
     }
+    // solo-confirm pass (r14 verdict ask #2): any head STILL over 2x its
+    // floor after the in-sweep re-run gets one solo best-of-2 from a
+    // re-settled machine — the sweep-fold discipline applied INSIDE the
+    // artifact: the JSON records both numbers, so a >2x row is either
+    // confirmed (solo agrees → a real plan cost) or exonerated (solo
+    // lands under → co-tenant noise, min kept) without leaving the file.
+    val soloRuns = results.collect {
+      case (name, v) if v > 0 && floors.get(name).exists(v > 2 * _) =>
+        settleMachine(targetLoad = 3.0, maxWaitSec = 120)
+        val solo = time(name, byName(name))
+        (name, v, solo)
+    }
+    val soloKept = soloRuns.map { case (n, swept, solo) =>
+      n -> (if (solo > 0) math.min(swept, solo) else swept)
+    }.toMap
+    val finalResults = results.map { case (n, v) =>
+      n -> soloKept.getOrElse(n, v)
+    }
     val loadEnd = loadAvg()
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = finalResults.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = finalResults.collect { case (_, v) if v >= 0 => v }.sum
     // a query whose outlier RE-RUN failed but whose first-pass time was
     // kept is healthy — only queries with no successful run count as failed
     val trulyFailed = failed.distinct.filter(n =>
-      results.find(_._1 == n).forall(_._2 < 0))
+      finalResults.find(_._1 == n).forall(_._2 < 0))
     val failedJson = trulyFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val rerunJson = outliers.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"rerun":$rerunJson,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"settle_wait_sec":${math.round(settleWait)},"sf":"$sfDir"}"""
+    val soloJson = soloRuns.map { case (n, swept, solo) =>
+      "\"" + n + "\":{\"swept\":" + swept + ",\"solo\":" + solo + "}"
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"rerun":$rerunJson,"solo_confirm":$soloJson,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"settle_wait_sec":${math.round(settleWait)},"sf":"$sfDir"}"""
     println(json)
     // the driver's round artifact keeps only the tail of stdout, which
     // truncated the first ~44 per-query timings out of the permanent record

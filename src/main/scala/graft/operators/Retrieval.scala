@@ -63,7 +63,10 @@ object Retrieval {
     val stats = corpus.agg(count(lit(1)).as("n_corpus"))
     docs.where(col("doc_id") < qCap)
       .select(col("doc_id").as("qid"), explode(array_distinct(toks)).as("term"))
-      .join(broadcast(dfreq), Seq("term"))
+      // dfreq is vocabulary-derived → stats-gated, not blindly forced
+      // (r15 broadcast audit; the probe side is Q-bounded either way)
+      .join(graft.pipeline.VocabGuard.hint(dfreq, corpus, "percolate.dfreq"),
+        Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("idf", expr(PercIdfExpr))
       .select(col("qid"), col("term"), col("idf"))
