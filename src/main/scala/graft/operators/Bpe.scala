@@ -205,6 +205,15 @@ object Bpe {
     */
   def encodeStatsWith(df: DataFrame, idCol: String, textCol: String,
                       merges: Seq[(Int, String, String, Long)]): DataFrame =
+    // Two independent corpus explodes — MEASURED AND KEPT (r15): sharing
+    // one explode via a checkpointed tf frame materializes a corpus-scale
+    // frame (sf100: bpe_artifact 29.8 → 45.2 s, the block write/read cost
+    // more than the explode it saved), and an un-checkpointed share can't
+    // ReuseExchange because the merge-fold chain's per-round checkpoints
+    // (which pin plan depth) hide the vocabulary's subplan from the final
+    // plan. The direct w-keyed vocabulary aggregate is also the smaller
+    // shuffle. The fit side amortizes behind TokenizerCache; this apply
+    // cost is the honest price of the artifact round trip.
     encodeJoin(df, idCol, textCol,
       applyMergeTable(initVocab(df, textCol), merges))
 

@@ -44,18 +44,22 @@ object WordPiece {
     df.select(explode(Text.tokens(col(textCol))).as("w"))
       .where(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .select(col("w"),
-        when(length(col("w")) === 1, col("w"))
-          .otherwise(concat_ws(" ",
-            substring(col("w"), 1, 1),
-            // per CODE POINT (Text.codePointSplit), matching substring's
-            // code-point semantics for the head — a code-unit split would
-            // mangle supplementary continuations to lone-surrogate `?`s
-            concat_ws(" ", transform(
-              Text.codePointSplit(substring(col("w"), 2, Int.MaxValue)),
-              c => concat(lit(Marker), c))))).as("syms"),
-        col("n"))
+      .select(col("w"), markedSyms(col("w")).as("syms"), col("n"))
       .localCheckpoint(eager = false)
+
+  /** The ##-marked initial segmentation of one word: first CODE POINT
+    * plain, the rest marked. Per code point throughout
+    * (Text.codePointSplit matches substring's code-point head — a
+    * code-unit split would mangle supplementary continuations to
+    * lone-surrogate `?`s).
+    */
+  private def markedSyms(w: Column): Column =
+    when(length(w) === 1, w)
+      .otherwise(concat_ws(" ",
+        substring(w, 1, 1),
+        concat_ws(" ", transform(
+          Text.codePointSplit(substring(w, 2, Int.MaxValue)),
+          c => concat(lit(Marker), c)))))
 
   /** One WordPiece merge over a space-joined symbol string — the same
     * leftmost, non-overlapping left fold as Bpe.applyMerge, with the
@@ -176,6 +180,34 @@ object WordPiece {
         .localCheckpoint(eager = false)
     }
 
+  /** The PIECE VOCABULARY a production longest-match encoder serves from:
+    * every distinct symbol of `df`'s words' trained segmentation under
+    * `merges` — exactly what a BERT-style vocab file ships. Bounded by
+    * construction (initial code points, marked and unmarked, plus at most
+    * ONE new symbol per merge round), so the driver collect is
+    * alphabet-scale, not vocabulary-scale. Returns (head pieces,
+    * continuation pieces WITHOUT the ## marker), each sorted for
+    * deterministic registration.
+    *
+    * Namespace note (inherent to the ## convention, production WordPiece
+    * included): a HEAD symbol that itself starts with literal "##" (a
+    * corpus word beginning '##' whose chars merged) is indistinguishable
+    * from a marked continuation and classifies as one — both engines
+    * apply the same textual rule, so the twins agree; a bare "##" or
+    * marker-only symbol is excluded outright (an empty continuation
+    * piece would never advance the match cursor).
+    */
+  def pieceVocab(df: DataFrame, textCol: String,
+                 merges: Seq[(Int, String, String, Long, Long, Long)])
+      : (Seq[String], Seq[String]) = {
+    val segs = applyMergeTable(initVocab(df, textCol), merges)
+    val syms = segs.select(explode(split(col("syms"), " ")).as("sym"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val (cont, head) = syms.partition(_.startsWith(Marker))
+    (head.sorted,
+      cont.filter(_.length > Marker.length).map(_.stripPrefix(Marker)).sorted)
+  }
+
   /** Per-document token accounting under a LOADED WordPiece merge table
     * (train elsewhere → [[saveTokenizer]] → hydrate → encode THIS corpus):
     * THIS corpus's ##-marked vocabulary folds through the stored winners,
@@ -186,6 +218,9 @@ object WordPiece {
     */
   def encodeStatsWith(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(Int, String, String, Long, Long, Long)]): DataFrame =
+    // two independent corpus explodes — measured and kept, see
+    // Bpe.encodeStatsWith's r15 note (the checkpointed-tf share was a
+    // 1.5x regression at sf100)
     Bpe.encodeJoin(df, idCol, textCol,
       applyMergeTable(initVocab(df, textCol), merges))
 

@@ -1175,6 +1175,37 @@ object QueriesLlm {
             greatest(col("n_words"), lit(1L)), 6).as("fertility"))
     },
 
+    // PRODUCTION WordPiece inference (r14 verdict ask #7): greedy
+    // longest-match segmentation against the trained PIECE vocabulary —
+    // the algorithm BERT's WordpieceTokenizer runs at serve time, as
+    // opposed to the merge-chain replay the other wordpiece heads use.
+    // Maximal munch can strand a tail the replay would have segmented;
+    // such words become ONE [UNK] token (the BERT contract) and n_unk
+    // counts them — the deviation this head exists to measure. The piece
+    // set is alphabet+rounds bounded (collected, rides the codegen'd
+    // WordPieceLmm fold); the oracle replays the same greedy walk as a
+    // recursive CTE over the same replayed piece vocabulary.
+    "wordpiece_encode_lmm" -> { (s, d) =>
+      import graft.operators.WordPiece
+      val docs = documents(s, d)
+      val path = graft.pipeline.TokenizerCache.ensure(TokCacheRoot,
+        graft.pipeline.TokenizerCache.state("wordpiece", BpeRounds, "full",
+          s"$d/documents.parquet")) { p =>
+        WordPiece.saveTokenizer(p.toString,
+          WordPiece.train(docs, "text", BpeRounds).merges)
+      }
+      val merges = WordPiece.loadTokenizer(path.toString)
+      val (headP, contP) = WordPiece.pieceVocab(docs, "text", merges)
+      val fn = graft.functions.WordPieceLmm.register(s, headP, contP)
+      docs.select(col("doc_id"),
+          call_function(fn,
+            filter(Text.tokens(col("text")), w => w =!= "")).as("st"))
+        .select(col("doc_id"), col("st.n_words"), col("st.n_chars"),
+          col("st.n_tokens"), col("st.n_unk"))
+        // zero-token docs are absent, matching the oracle's tf join
+        .where(col("n_words") > 0)
+    },
+
     // Tokenizer EVALUATION: per-source fertility (tokens per word) and
     // compression (chars per token) under the trained merges — the metrics
     // a tokenizer owner reads before adopting a vocabulary for a corpus
@@ -1723,6 +1754,66 @@ object QueriesLlm {
         FROM bpe_stats"""
   }
 
+  /** DuckDB twin of wordpiece_encode_lmm: replay the likelihood-trained
+    * merges over the full corpus (the wordpieceCtes chain), derive the
+    * PIECE vocabulary (distinct final symbols — alphabet+rounds bounded),
+    * then run the SAME greedy longest-match walk the codegen'd
+    * WordPieceLmm fold runs, as a recursive CTE over the distinct words:
+    * each step takes the longest class-matching piece prefixing the
+    * remainder (head pieces at the word start, de-marked ## pieces
+    * after); a step with no match kills the word into ONE [UNK] token.
+    * Per-doc totals ride the usual tf-compressed join.
+    */
+  private def wordpieceLmmSql(rounds: Int): String = {
+    val fin = s"v${rounds + 1}"
+    s"""WITH RECURSIVE ${wordpieceCtes(rounds)},
+        pieces AS (
+          SELECT DISTINCT u.sym FROM (
+            SELECT unnest(string_split(syms, ' ')) AS sym FROM $fin) u(sym)),
+        allp AS (
+          SELECT sym AS p, len(sym) AS pl, FALSE AS is_cont
+          FROM pieces WHERE sym NOT LIKE '##%'
+          UNION ALL
+          SELECT substr(sym, 3) AS p, len(sym) - 2 AS pl, TRUE AS is_cont
+          FROM pieces WHERE sym LIKE '##_%'),
+        vw AS (SELECT DISTINCT word FROM $fin),
+        walk(word, rest, cont, n, dead) AS (
+          SELECT word, word, FALSE, 0, FALSE FROM vw
+          UNION ALL
+          SELECT word,
+                 CASE WHEN bl IS NULL THEN rest
+                      ELSE substr(rest, bl + 1) END,
+                 TRUE,
+                 n + CASE WHEN bl IS NULL THEN 0 ELSE 1 END,
+                 bl IS NULL
+          FROM (
+            SELECT w.word, w.rest, w.cont, w.n,
+                   (SELECT max(c.pl) FROM allp c
+                     WHERE c.is_cont = w.cont
+                       AND starts_with(w.rest, c.p)) AS bl
+            FROM walk w WHERE w.rest != '' AND NOT w.dead) s),
+        wstat AS (
+          SELECT word,
+                 CASE WHEN bool_or(dead) THEN CAST(1 AS BIGINT)
+                      ELSE CAST(max(n) AS BIGINT) END AS wtoks,
+                 bool_or(dead) AS unk
+          FROM walk WHERE rest = '' OR dead GROUP BY word),
+        tf AS (
+          SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+            FROM documents)
+          WHERE word != '' GROUP BY doc_id, word)
+        SELECT doc_id,
+               CAST(SUM(tf) AS BIGINT) AS n_words,
+               CAST(SUM(tf * len(word)) AS BIGINT) AS n_chars,
+               CAST(SUM(tf * wtoks) AS BIGINT) AS n_tokens,
+               CAST(SUM(tf * CASE WHEN unk THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_unk
+        FROM tf JOIN wstat USING (word)
+        GROUP BY doc_id"""
+  }
+
   /** DuckDB twin of Bpe.merges: the per-round winners. */
   private def bpeMergesSql(rounds: Int): String = {
     val finals = (1 to rounds).map { i =>
@@ -1819,6 +1910,7 @@ object QueriesLlm {
     "bpe_encode" -> bpeEncodeSql(BpeRounds),
     "bpe_artifact" -> bpeArtifactSql(BpeRounds),
     "wordpiece_artifact" -> wordpieceArtifactSql(BpeRounds),
+    "wordpiece_encode_lmm" -> wordpieceLmmSql(BpeRounds),
     "tokenizer_fertility" ->
       s"""WITH ${bpeCtes(BpeRounds)},
           ${bpeStatsCtes(s"w${BpeRounds + 1}")},

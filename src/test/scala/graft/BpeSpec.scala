@@ -221,6 +221,62 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("wordpiece longest-match: greedy walk, [UNK] contract, piece vocab") {
+    import graft.operators.WordPiece
+    import graft.functions.WordPieceLmm
+    import org.apache.spark.sql.functions.{array, call_function}
+    // corpus chosen so the trained pieces are known: "abab abab ab cd"
+    val train = Seq((1L, "abab abab ab cd")).toDF("doc_id", "text")
+    val model = WordPiece.train(train, "text", 8)
+    val (headP, contP) = WordPiece.pieceVocab(train, "text", model.merges)
+    // fully-merged words are single pieces; their letters appear as
+    // head/continuation pieces only where a round left them unmerged
+    assert(headP.contains("abab") && headP.contains("ab") &&
+      headP.contains("cd"))
+    val fn = WordPieceLmm.register(spark, headP, contP)
+    def seg(w: String) = Seq(w).toDF("w")
+      .select(call_function(fn, array(col("w"))).as("s"))
+      .select(col("s.n_tokens"), col("s.n_unk")).collect().head
+    // exact-vocab words: one piece, no unk
+    assert(seg("abab").toSeq == Seq(1L, 0L))
+    assert(seg("ab").toSeq == Seq(1L, 0L))
+    // maximal munch: "ababab" takes "abab" then needs ##-pieces for "ab";
+    // whether it survives depends on the trained cont pieces — but it must
+    // NEVER throw, and unk implies exactly one token
+    val r = seg("ababab")
+    assert(r.getLong(1) == 0L || r.getLong(0) == 1L)
+    // a word with an out-of-alphabet char is one [UNK]
+    assert(seg("xyz").toSeq == Seq(1L, 1L))
+    // empty piece sets: everything is [UNK]
+    val fnEmpty = WordPieceLmm.register(spark, Seq.empty, Seq.empty)
+    val e = Seq("aa").toDF("w")
+      .select(call_function(fnEmpty, array(col("w"))).as("s"))
+      .select(col("s.n_tokens"), col("s.n_unk")).collect().head
+    assert(e.toSeq == Seq(1L, 1L))
+  }
+
+  test("wordpiece longest-match never splits a surrogate pair") {
+    import graft.operators.WordPiece
+    import graft.functions.WordPieceLmm
+    import org.apache.spark.sql.functions.{array, call_function}
+    val emoji = new String(Character.toChars(0x1F600))
+    val train = Seq((1L, s"a$emoji a$emoji ${emoji}b")).toDF("doc_id", "text")
+    val model = WordPiece.train(train, "text", 4)
+    val (headP, contP) = WordPiece.pieceVocab(train, "text", model.merges)
+    // every piece is whole code points — no lone surrogate ever appears
+    (headP ++ contP).foreach { p =>
+      assert(!Character.isLowSurrogate(p.charAt(0)) &&
+        !Character.isHighSurrogate(p.charAt(p.length - 1)),
+        s"piece '$p' is surrogate-cut")
+    }
+    val fn = WordPieceLmm.register(spark, headP, contP)
+    val r = Seq(s"a${emoji}b").toDF("w")
+      .select(call_function(fn, array(col("w"))).as("s"))
+      .select(col("s.n_words"), col("s.n_chars"), col("s.n_tokens"),
+        col("s.n_unk")).collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 3L)
+  }
+
   test("WordPieceStats per-row fold equals the vocabulary-join encode") {
     import spark.implicits._
     import graft.operators.WordPiece
