@@ -858,6 +858,19 @@ class PlanAuditSpec extends SparkSpec {
       "the top-k cut must be TakeOrdered")
   }
 
+  audit("approx_distinct") { plan =>
+    // the exact and sketch terms are SEPARATE aggregates joined
+    // group-keyed: fused, Spark keys the first aggregate by (group,
+    // target) and carries the HLL's ~53-long register buffer through
+    // every distinct pair row — the r14 board's only superlinear ratio
+    // (sf100: fused 23.1 s vs split ~6.5 s). merge_approx_count_distinct
+    // exists only in that fused 3-level rewrite.
+    assert(!plan.contains("merge_approx_count_distinct"),
+      "the HLL buffer must not ride the exact term's pair rows")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the split terms join group-keyed (group-count bounded broadcast)")
+  }
+
   audit("unigram_artifact") { plan =>
     // the hydrated model segments DISTINCT words through the fitted
     // UnigramSeg fold (no per-document re-segmentation); documents collapse
