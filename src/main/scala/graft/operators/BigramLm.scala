@@ -1,6 +1,6 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Paths
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -85,10 +85,6 @@ object BigramLm {
     s"v$FormatVersion|$tablePath|" +
       graft.pipeline.ArtifactCache.pathState(Paths.get(tablePath))
 
-  private def sha8(s: String): String =
-    java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-
   /** Train-if-missing score frame over a documents table: hydrate the
     * per-doc artifact when its manifest matches the corpus fingerprint,
     * else fit, persist, and read back (both consumers then see the same
@@ -104,28 +100,14 @@ object BigramLm {
   def scoresArtifact(spark: SparkSession, docs: DataFrame, idCol: String,
                      textCol: String, tablePath: String,
                      cacheRoot: String): DataFrame = {
-    val state = corpusState(tablePath)
-    val dir = Paths.get(cacheRoot, sha8(state))
-    val data = dir.resolve("scores.parquet")
-    val manifest = dir.resolve("manifest.json")
-    // a corrupt/truncated manifest (crash mid-write — the write below is
-    // not atomic) must count as STALE and refit, not throw (r14 advice)
-    val valid = Files.exists(manifest) && Files.exists(data) &&
-      scala.util.Try {
-        val j = org.json4s.jackson.JsonMethods.parse(Files.readString(manifest))
-        (j \ "state") == org.json4s.JString(state)
-      }.getOrElse(false)
-    if (!valid) {
-      if (Files.exists(dir))
-        System.err.println(s"[graft] bigram_lm artifact at $dir is stale — refitting")
+    // one thin delegation to the shared ArtifactCache.ensure discipline
+    // (r15 review: the sha8 + manifest-validity block had been duplicated
+    // into TokenizerCache; the state string already embeds the table path
+    // and format version, so the manifest stays self-describing)
+    val data = graft.pipeline.ArtifactCache.ensure(
+      cacheRoot, corpusState(tablePath), "scores.parquet") { p =>
       scoreFrame(docs, idCol, textCol)
-        .write.mode("overwrite").parquet(data.toString)
-      Files.createDirectories(dir)
-      import org.json4s.JsonDSL._
-      Files.writeString(manifest, org.json4s.jackson.JsonMethods.pretty(
-        org.json4s.jackson.JsonMethods.render(
-          ("state" -> state) ~ ("table" -> tablePath) ~
-            ("format" -> FormatVersion))))
+        .write.mode("overwrite").parquet(p.toString)
     }
     spark.read.parquet(data.toString)
   }

@@ -16,6 +16,11 @@ object Sketches {
   /** Per-group exact + HLL cardinality side by side (rsd = relative sd). */
   def distinctWithApprox(df: DataFrame, groupCols: Seq[String], target: String,
                          rsd: Double = 0.05): DataFrame = {
+    // Broadcast bound: the joined frames are one row per GROUP KEY —
+    // bounded for the approx_distinct head (event types); a caller
+    // grouping on a high-cardinality column owns that bound and should
+    // drop the hint (AQE's threshold still backstops a shuffled join).
+    //
     // TWO separate aggregates joined group-keyed — NOT one fused agg
     // (r15, the r14 ask-#3 probe): fusing countDistinct with
     // approx_count_distinct makes Spark key the first aggregate by
@@ -28,9 +33,20 @@ object Sketches {
     // sketch state) and the join is group-count bounded (broadcast).
     val exact = df.groupBy(groupCols.map(col): _*)
       .agg(countDistinct(col(target)).as("exact_distinct"))
-    val approx = df.groupBy(groupCols.map(col): _*)
-      .agg(approx_count_distinct(col(target), rsd).as("approx_distinct"))
-    exact.join(broadcast(approx), groupCols)
+    // null-SAFE equality on RENAMED sketch-side keys: both aggregates
+    // emit a NULL-key group row and the fused shape returned it — a
+    // null-rejecting equi-join would silently drop that group (and
+    // diverge from the oracle's GROUP BY); the rename sidesteps the
+    // self-join attribute ambiguity a shared-lineage <=> would hit
+    val approx = groupCols.foldLeft(
+      df.groupBy(groupCols.map(col): _*)
+        .agg(approx_count_distinct(col(target), rsd).as("approx_distinct"))) {
+      (d, c) => d.withColumnRenamed(c, s"__g_$c")
+    }
+    val cond = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
+    exact.join(broadcast(approx), cond)
+      .select(groupCols.map(col) ++
+        Seq(col("exact_distinct"), col("approx_distinct")): _*)
   }
 
   /** Per-group exact median + approximate percentile side by side. */

@@ -226,4 +226,35 @@ object ArtifactCache {
       (spark.read.parquet(report.toString), false)
     }
   }
+
+  /** Generic train-if-missing artifact: the one copy of the
+    * state-manifest discipline BigramLm pioneered and TokenizerCache
+    * reuses (r15 review: the sha8 + Try-parse/compare/refit block had
+    * been duplicated). `write` produces the artifact at
+    * `<cacheRoot>/<sha(state)>/<artifactName>`; the manifest stores the
+    * FULL state string (never a bare existence check) and is written
+    * AFTER `write` succeeds, so a crash mid-train leaves an invalid
+    * directory that simply refits; a corrupt manifest counts as stale.
+    */
+  def ensure(cacheRoot: String, state: String, artifactName: String)
+            (write: Path => Unit): Path = {
+    val dir = java.nio.file.Paths.get(cacheRoot, sha256Hex(state).take(16))
+    val artifact = dir.resolve(artifactName)
+    val manifest = dir.resolve("manifest.json")
+    val valid = Files.exists(manifest) && Files.exists(artifact) &&
+      scala.util.Try {
+        val j = org.json4s.jackson.JsonMethods.parse(Files.readString(manifest))
+        (j \ "state") == org.json4s.JString(state)
+      }.getOrElse(false)
+    if (!valid) {
+      if (Files.exists(dir))
+        System.err.println(s"[graft] artifact at $dir is stale — refitting")
+      Files.createDirectories(dir)
+      write(artifact)
+      import org.json4s.JsonDSL._
+      Files.writeString(manifest, org.json4s.jackson.JsonMethods.pretty(
+        org.json4s.jackson.JsonMethods.render(("state" -> state))))
+    }
+    artifact
+  }
 }

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Path, Paths}
 
 /** Train-if-missing tokenizer artifacts (r14 verdict ask #4 — the
   * BigramLm.scoresArtifact discipline applied to the tokenizer families).
@@ -34,35 +34,12 @@ object TokenizerCache {
     s"tok_v$FormatVersion|$family|rounds=$rounds|train=$trainTag|" +
       s"$tablePath|" + ArtifactCache.pathState(Paths.get(tablePath))
 
-  private def sha8(s: String): String =
-    java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-
   /** The artifact path for `state`, training via `trainAndSave` only when
-    * no valid cached copy exists. `trainAndSave` must write the tokenizer
-    * JSON at the path it is given; the manifest is written AFTER it
-    * succeeds, so a crash mid-train leaves an invalid (manifest-less)
-    * directory that simply refits.
+    * no valid cached copy exists — one thin delegation to the shared
+    * [[ArtifactCache.ensure]] discipline (full-state manifest, corrupt
+    * manifest counts as stale, manifest written after the train).
     */
   def ensure(cacheRoot: String, state: String)
-            (trainAndSave: Path => Unit): Path = {
-    val dir = Paths.get(cacheRoot, sha8(state))
-    val tok = dir.resolve("tokenizer.json")
-    val manifest = dir.resolve("manifest.json")
-    val valid = Files.exists(manifest) && Files.exists(tok) &&
-      scala.util.Try {
-        val j = org.json4s.jackson.JsonMethods.parse(Files.readString(manifest))
-        (j \ "state") == org.json4s.JString(state)
-      }.getOrElse(false)
-    if (!valid) {
-      if (Files.exists(dir))
-        System.err.println(s"[graft] tokenizer artifact at $dir is stale — retraining")
-      Files.createDirectories(dir)
-      trainAndSave(tok)
-      import org.json4s.JsonDSL._
-      Files.writeString(manifest, org.json4s.jackson.JsonMethods.pretty(
-        org.json4s.jackson.JsonMethods.render(("state" -> state))))
-    }
-    tok
-  }
+            (trainAndSave: Path => Unit): Path =
+    ArtifactCache.ensure(cacheRoot, state, "tokenizer.json")(trainAndSave)
 }

@@ -71,6 +71,22 @@ class AssemblySpec extends SparkSpec {
     assert(Assembly.filterRowsByCoverage(df, Seq("a", "b"), 0.5).count() == 3)
   }
 
+  test("sketches: a NULL group key survives the split-aggregate join") {
+    // the r15 split (exact + sketch as separate aggregates) joins the two
+    // group frames — with null-SAFE equality, because the fused shape
+    // returned the NULL-key group and a plain equi-join would drop it
+    import spark.implicits._
+    import graft.operators.Sketches
+    val df = Seq((Some("a"), 1L), (Some("a"), 2L), (None, 3L), (None, 3L))
+      .toDF("g", "u")
+    val collected = Sketches.distinctWithApprox(df, Seq("g"), "u").collect()
+    // exactly one row per group — a mis-resolved (trivially-true) join
+    // condition would cross the groups
+    assert(collected.length == 2, collected.mkString("; "))
+    val rows = collected.map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(rows == Map(Some("a") -> 2L, None -> 1L))
+  }
+
   test("sketches: HLL and approx percentile stay within error bounds") {
     import graft.operators.Sketches
     val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
