@@ -1245,7 +1245,15 @@ object QueriesLlm {
       // metadata-scale count folded to a literal
       val tf = toks.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // df = docs-containing-term, deduped ROW-LOCALLY (array_distinct
+      // inside each doc's token array) before one vocab-keyed partial
+      // aggregate — the previous tf.groupBy(term) derivation re-ran the
+      // corpus explode AND its (doc_id, term) exchange on this side too
+      // (column pruning makes the two tf subtrees differ, so Catalyst
+      // never reuses the exchange — probed r15: 2 Generates, 0 reuse)
+      val dfreq = docs.select(
+          explode(array_distinct(Text.tokens(col("text")))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
       val n = docs.select(count(lit(1)).as("n_docs"))
       val scored = tf.join(
           graft.pipeline.VocabGuard.hint(dfreq, docs, "tfidf_topterms.df"),
