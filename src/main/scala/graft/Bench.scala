@@ -117,11 +117,16 @@ object Bench {
     * write-back behind), then wait — bounded — for the 1-minute load
     * average to fall under `targetLoad`. Returns seconds waited.
     * SPARK_GRAFT_NO_SETTLE=1 skips (A/B and in-sweep group runs that
-    * manage settling themselves).
+    * manage settling themselves) — unless `force` is set: the
+    * solo-confirm pass exists to certify a number from a settled
+    * machine, so it must settle even inside a NO_SETTLE sweep (r15
+    * advice: an unsettled "solo_confirm" entry overstates what the solo
+    * number proves).
     */
   private def settleMachine(targetLoad: Double = 3.0,
-                            maxWaitSec: Int = 240): Double = {
-    if (sys.env.contains("SPARK_GRAFT_NO_SETTLE")) return 0.0
+                            maxWaitSec: Int = 240,
+                            force: Boolean = false): Double = {
+    if (!force && sys.env.contains("SPARK_GRAFT_NO_SETTLE")) return 0.0
     reapStrayGraftJvms()
     try Runtime.getRuntime.exec(Array("sync")).waitFor()
     catch { case _: Throwable => () }
@@ -186,6 +191,10 @@ object Bench {
       .groupBy("event_type").count().count()
 
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    // heads whose row is a measured cell-budget REFUSAL (the guard firing
+    // is the product behavior at that scale) — annotated in the JSON so a
+    // sub-second row at sf100 reads as "refused by design", not "fast"
+    val refused = scala.collection.mutable.SortedSet.empty[String]
 
     // Best of 2 runs per query: the shared host has bursty background load,
     // and steady-state latency is the honest number for plan quality.
@@ -228,6 +237,15 @@ object Bench {
           df.write.format("noop").mode("overwrite").save()
           Some((System.nanoTime() - t0) / 1e9)
         } catch {
+          case e: graft.operators.Assembly.CellBudgetExceeded =>
+            // a designed max_cells refusal: the head's behavior at this
+            // scale IS the guard firing (one metadata-scale count, then a
+            // plan-time raise) — record the time-to-refusal as the row
+            refused += name
+            System.err.println(
+              s"[bench] $name refused by design (cell budget) — " +
+                s"recording time-to-refusal: ${e.getMessage}")
+            Some((System.nanoTime() - t0) / 1e9)
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             None
@@ -285,7 +303,7 @@ object Bench {
     // lands under → co-tenant noise, min kept) without leaving the file.
     val soloRuns = results.collect {
       case (name, v) if v > 0 && floors.get(name).exists(v > 2 * _) =>
-        settleMachine(targetLoad = 3.0, maxWaitSec = 120)
+        settleMachine(targetLoad = 3.0, maxWaitSec = 120, force = true)
         val solo = time(name, byName(name))
         (name, v, solo)
     }
@@ -309,7 +327,8 @@ object Bench {
     val soloJson = soloRuns.map { case (n, swept, solo) =>
       "\"" + n + "\":{\"swept\":" + swept + ",\"solo\":" + solo + "}"
     }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"rerun":$rerunJson,"solo_confirm":$soloJson,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"settle_wait_sec":${math.round(settleWait)},"sf":"$sfDir"}"""
+    val refusedJson = refused.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"refused_by_design":$refusedJson,"rerun":$rerunJson,"solo_confirm":$soloJson,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"settle_wait_sec":${math.round(settleWait)},"sf":"$sfDir"}"""
     println(json)
     // the driver's round artifact keeps only the tail of stdout, which
     // truncated the first ~44 per-query timings out of the permanent record

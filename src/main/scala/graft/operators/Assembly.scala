@@ -153,6 +153,16 @@ object Assembly {
   /** One configured vector entry of the availability matrix: `kind` is
     * "feature" or "target"; `seqLen` marks a fixed-length sequence vector.
     */
+  /** A DESIGNED refusal from a cell-budgeted driver-side inspection task,
+    * distinct from a genuine failure: beyond the budget, refusing quickly
+    * IS the product behavior (the reference's max_cells contract), so
+    * graft.Bench records the time-to-refusal as the head's row instead of
+    * listing it failed (r15 verdict ask #5). Extends
+    * IllegalArgumentException so callers treating it as a config error —
+    * and existing intercept[IllegalArgumentException] specs — keep working.
+    */
+  final class CellBudgetExceeded(msg: String) extends IllegalArgumentException(msg)
+
   final case class MatrixEntry(kind: String, id: String, seqLen: Option[Int] = None)
 
   /** Availability matrix (reference analysis/vector/matrix.py MatrixBuilder):
@@ -171,10 +181,11 @@ object Assembly {
     val width = entries.map(_.seqLen.getOrElse(1)).sum
     require(width > 0, "availability matrix needs at least one vector entry")
     val rows = df.count()
-    require(rows * width <= maxCells,
-      s"Availability matrix exceeds max_cells=$maxCells " +
-        s"($rows samples x $width cells). Increase maxCells or inspect a " +
-        "smaller dataset window.")
+    if (rows * width > maxCells)
+      throw new Assembly.CellBudgetExceeded(
+        s"Availability matrix exceeds max_cells=$maxCells " +
+          s"($rows samples x $width cells). Increase maxCells or inspect a " +
+          "smaller dataset window.")
     val have = df.columns.toSet
     def missing(c: Column): Column = c.isNull || isnan(c.cast("double"))
     val group = concat_ws(", ", groupCols.map(c => col(c).cast("string")): _*)

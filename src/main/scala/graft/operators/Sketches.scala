@@ -13,13 +13,22 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  /** Per-group exact + HLL cardinality side by side (rsd = relative sd). */
+  /** Per-group exact + HLL cardinality side by side (rsd = relative sd).
+    *
+    * `broadcastApprox` gates the join hint: an explicit broadcast hint is
+    * honored REGARDLESS of size (AQE's threshold never demotes a hinted
+    * join — only the 8 GB hard cap / driver memory stops it), so callers
+    * grouping on an unbounded key must pass false to get the shuffled
+    * group-keyed join instead of an OOM (r15 advice — the old comment
+    * wrongly claimed AQE backstops the hint).
+    */
   def distinctWithApprox(df: DataFrame, groupCols: Seq[String], target: String,
-                         rsd: Double = 0.05): DataFrame = {
+                         rsd: Double = 0.05,
+                         broadcastApprox: Boolean = true): DataFrame = {
     // Broadcast bound: the joined frames are one row per GROUP KEY —
     // bounded for the approx_distinct head (event types); a caller
-    // grouping on a high-cardinality column owns that bound and should
-    // drop the hint (AQE's threshold still backstops a shuffled join).
+    // grouping on a high-cardinality column owns that bound via the
+    // broadcastApprox gate above.
     //
     // TWO separate aggregates joined group-keyed — NOT one fused agg
     // (r15, the r14 ask-#3 probe): fusing countDistinct with
@@ -44,7 +53,8 @@ object Sketches {
       (d, c) => d.withColumnRenamed(c, s"__g_$c")
     }
     val cond = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
-    exact.join(broadcast(approx), cond)
+    val rhs = if (broadcastApprox) broadcast(approx) else approx
+    exact.join(rhs, cond)
       .select(groupCols.map(col) ++
         Seq(col("exact_distinct"), col("approx_distinct")): _*)
   }

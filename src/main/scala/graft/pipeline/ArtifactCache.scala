@@ -26,7 +26,7 @@ object ArtifactCache {
     */
   val CacheVersion = 1
 
-  private[pipeline] def sha256Hex(canonical: String): String =
+  private[graft] def sha256Hex(canonical: String): String =
     MessageDigest.getInstance("SHA-256")
       .digest(canonical.getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
@@ -239,22 +239,50 @@ object ArtifactCache {
   def ensure(cacheRoot: String, state: String, artifactName: String)
             (write: Path => Unit): Path = {
     val dir = java.nio.file.Paths.get(cacheRoot, sha256Hex(state).take(16))
-    val artifact = dir.resolve(artifactName)
-    val manifest = dir.resolve("manifest.json")
-    val valid = Files.exists(manifest) && Files.exists(artifact) &&
-      scala.util.Try {
-        val j = org.json4s.jackson.JsonMethods.parse(Files.readString(manifest))
-        (j \ "state") == org.json4s.JString(state)
-      }.getOrElse(false)
-    if (!valid) {
+    def validAt(d: Path): Boolean =
+      Files.exists(d.resolve("manifest.json")) &&
+        Files.exists(d.resolve(artifactName)) &&
+        scala.util.Try {
+          val j = org.json4s.jackson.JsonMethods.parse(
+            Files.readString(d.resolve("manifest.json")))
+          (j \ "state") == org.json4s.JString(state)
+        }.getOrElse(false)
+    if (!validAt(dir)) {
       if (Files.exists(dir))
         System.err.println(s"[graft] artifact at $dir is stale — refitting")
-      Files.createDirectories(dir)
-      write(artifact)
+      // Stage into a PRIVATE temp dir and atomically rename into place
+      // (r15 advice): two JVMs racing on one cache dir (a Verify and a
+      // Bench sharing /tmp/graft_scratch/tok_cache) must never interleave
+      // write(artifact) with the manifest write — a valid manifest over a
+      // half-written or mixed-generation artifact hydrates forever. With
+      // the rename, a reader only ever sees a complete (artifact,
+      // manifest) pair; the first rename wins and the loser's
+      // byte-equivalent copy (same state fingerprint) is discarded.
+      Files.createDirectories(dir.getParent)
+      val tmp = dir.getParent.resolve(
+        s".tmp-${dir.getFileName}-${java.util.UUID.randomUUID().toString.take(8)}")
+      Files.createDirectories(tmp)
+      write(tmp.resolve(artifactName))
       import org.json4s.JsonDSL._
-      Files.writeString(manifest, org.json4s.jackson.JsonMethods.pretty(
-        org.json4s.jackson.JsonMethods.render(("state" -> state))))
+      Files.writeString(tmp.resolve("manifest.json"),
+        org.json4s.jackson.JsonMethods.pretty(
+          org.json4s.jackson.JsonMethods.render(("state" -> state))))
+      if (Files.exists(dir)) {
+        // a stale generation occupies the slot: move it aside (rename is
+        // atomic, so no reader ever sees a half-deleted dir) then delete
+        val aside = dir.getParent.resolve(
+          s".stale-${dir.getFileName}-${java.util.UUID.randomUUID().toString.take(8)}")
+        try Files.move(dir, aside, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileSystemException => () }
+        org.apache.commons.io.FileUtils.deleteQuietly(aside.toFile)
+      }
+      try Files.move(tmp, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException if validAt(dir) =>
+          // a concurrent run published this state first — keep theirs
+          org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+      }
     }
-    artifact
+    dir.resolve(artifactName)
   }
 }

@@ -47,6 +47,11 @@ object QueriesMining {
   // PPMI co-occurrence: skip-window distances 1..2, min pair count, top-k.
   private val CoocMin = 5L
   private val CoocTopK = 50
+  // Hard ceiling on the dictionary path's driver-collected vocabulary
+  // (ids must fit 32 bits regardless; 2M (token, count) tuples ≈ low
+  // hundreds of MB of driver heap, and the PackedSkipPairs token→id map
+  // broadcasts at the same scale). Above it the string-key plan runs.
+  private[graft] val CoocMaxVocab = 1 << 21
 
   // Percolation: alert when a doc matches >= PercFrac of a standing
   // query's idf mass. 0.875 (exactly representable, identical literal in
@@ -675,12 +680,23 @@ object QueriesMining {
     * plan (MiningSpec pins the equality).
     */
   private[graft] def coocPpmiPacked(s: org.apache.spark.sql.SparkSession,
-                                      words: org.apache.spark.sql.DataFrame)
+                                      words: org.apache.spark.sql.DataFrame,
+                                      maxVocab: Int = CoocMaxVocab)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val uniRows = words.select(explode(col("w")).as("tok"))
+    // DIRECT cap on the driver collect (r15 advice): the caller's
+    // VocabGuard.corpusBounded gate is a corpus-BYTES proxy, but the
+    // collected frame is the distinct-token vocabulary, which under
+    // crawl noise (Heaps'-law caveat) is only loosely bounded by corpus
+    // bytes. Collect at most maxVocab+1 rows (CollectLimit — the full
+    // vocabulary never ships to the driver) and fall back to the
+    // collect-free string-key plan when the cap trips; results are
+    // hash-identical either way (MiningSpec pins the equality).
+    val capped = words.select(explode(col("w")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .limit(maxVocab + 1).collect()
+    if (capped.length > maxVocab) return coocPpmiStringKey(words)
+    val uniRows = capped.map(r => (r.getString(0), r.getLong(1)))
       .sortBy { case (t, c) => (-c, t) }
     val fn = graft.functions.PackedSkipPairs
       .register(s, uniRows.map(_._1).toIndexedSeq)

@@ -20,6 +20,21 @@ object QueriesSources {
     dir
   }
 
+  // Marker tag for the compaction heads' snapshot fixtures: fingerprints
+  // the INPUT (a stat walk of the lineitem table, the same
+  // ArtifactCache.pathState every train-if-missing cache keys on) plus
+  // every parameter that shapes the fixture and a format version — so a
+  // data regen IN PLACE at the same dir, or a change to the fragment
+  // layout constants or the projected column set, refits the fixture
+  // instead of silently reusing (and measuring against) a stale snapshot
+  // (r15 advice: the old tag was only {"sf": dir}).
+  private def fixtureTag(d: String, params: String): String = {
+    val state = graft.pipeline.ArtifactCache.pathState(
+      java.nio.file.Paths.get(d, "lineitem.parquet"))
+    val sha = graft.pipeline.ArtifactCache.sha256Hex(state).take(16)
+    s"""{"sf": "$d", "lineitem_state": "$sha", "params": "$params", "v": 2}"""
+  }
+
   // sink_compacted: target file size for the governed rewrite (records per
   // file — at 100 TB the same knob in bytes, ~1 GiB/file) and the
   // fragment count simulating a crawler's small-file ingest. The cap
@@ -326,7 +341,8 @@ object QueriesSources {
       // compaction pass, not the adversarial layout's construction,
       // which at sf100 was a second full 600M-row rewrite per timed run
       val marker = java.nio.file.Paths.get(fragDir, "_graft_fixture.json")
-      val tag = s"""{"sf": "$d"}"""
+      val tag = fixtureTag(d, s"frag=$FragmentParts," +
+        "cols=l_orderkey|l_linenumber|l_quantity|l_extendedprice")
       if (!java.nio.file.Files.exists(marker) ||
           java.nio.file.Files.readString(marker) != tag) {
         lineitem(s, d)
@@ -376,7 +392,9 @@ object QueriesSources {
       val dir = scratch("compact_incr")
       val outDir = scratch("compact_incr_out")
       val marker = java.nio.file.Paths.get(dir, "_graft_fixture.json")
-      val tag = s"""{"sf": "$d"}"""
+      val tag = fixtureTag(d, s"target=$CompactTarget," +
+        s"fragRows=$CompactIncrFragRows,slack=$CompactIncrSlack," +
+        "cols=l_orderkey|l_linenumber|l_quantity|l_extendedprice")
       if (!java.nio.file.Files.exists(marker) ||
           java.nio.file.Files.readString(marker) != tag) {
         val li = lineitem(s, d)

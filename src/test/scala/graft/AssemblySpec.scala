@@ -87,6 +87,36 @@ class AssemblySpec extends SparkSpec {
     assert(rows == Map(Some("a") -> 2L, None -> 1L))
   }
 
+  test("sketches: broadcastApprox=false plans a shuffled join, same rows") {
+    // the broadcast hint is honored regardless of size (AQE never demotes
+    // a hinted join), so unbounded-group-key callers need the gate (r15
+    // advice); the gated plan must carry NO broadcast exchange and agree
+    // row-for-row with the hinted plan
+    import spark.implicits._
+    import graft.operators.Sketches
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 3L), ("c", 4L))
+      .toDF("g", "u")
+    // an over-threshold approx side is simulated by disabling the
+    // stats-based auto-broadcast: the HINT still forces broadcast (that
+    // is the hazard), the gate is the only way to a shuffled join
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val hinted = Sketches.distinctWithApprox(df, Seq("g"), "u")
+      val gated = Sketches.distinctWithApprox(df, Seq("g"), "u",
+        broadcastApprox = false)
+      assert(hinted.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      val plan = gated.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin") &&
+        !plan.contains("BroadcastNestedLoopJoin"), plan)
+      def m(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(m(gated) == m(hinted))
+    } finally spark.conf.set(key, saved)
+  }
+
   test("sketches: HLL and approx percentile stay within error bounds") {
     import graft.operators.Sketches
     val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
@@ -137,7 +167,11 @@ class AssemblySpec extends SparkSpec {
     assert(out(("ghost", "1")) == (("absent", Seq())))
     assert(out(("seq2", "1")) == (("present", Seq("present", "null"))))
     assert(out(("seq2", "2")) == (("present", Seq("present", "present"))))
-    // max_cells guard raises before any distributed work
+    // max_cells guard raises before any distributed work — as the TYPED
+    // refusal graft.Bench records as a measured row (r15 verdict ask #5),
+    // which still satisfies the IllegalArgumentException contract
+    intercept[Assembly.CellBudgetExceeded](
+      Assembly.availabilityMatrix(df, Seq("k"), entries, maxCells = 3))
     intercept[IllegalArgumentException](
       Assembly.availabilityMatrix(df, Seq("k"), entries, maxCells = 3))
     // sequence length breach fails the job, like conform

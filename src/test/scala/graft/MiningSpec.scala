@@ -468,6 +468,11 @@ class MiningSpec extends SparkSpec {
     val packed = rows(QueriesMining.coocPpmiPacked(spark, micro))
     assert(packed == rows(QueriesMining.coocPpmiStringKey(micro)))
     assert(packed.nonEmpty)
+    // the DIRECT vocab cap (r15 advice): a vocabulary over maxVocab must
+    // answer through the collect-free string-key fallback, rows unchanged
+    // (micro has 3 distinct tokens; cap at 2 forces the trip)
+    assert(rows(QueriesMining.coocPpmiPacked(spark, micro, maxVocab = 2))
+      == packed)
   }
 
   test("cooccurrence_ppmi: an over-ceiling corpus falls back collect-free") {

@@ -7,7 +7,9 @@
 # spaces) via graft.ScaleUp on first use.
 #
 # Usage: tools/sweep_sf10.sh [only]
-#   only: optional comma-separated query filter (default: the scale-head set)
+#   only: optional comma-separated query filter (default: the scale-head
+#   set); the literal `all` sweeps the FULL registered surface (the
+#   bench_sf10_full_surface.json refresh, VERDICT r15 ask #2)
 #
 # Output: the one-line bench JSON on stdout (grep '"metric"'), full map in
 # $SPARK_GRAFT_BENCH_OUT (default bench_sf10.json).
@@ -25,7 +27,11 @@ if [ ! -d "$SF10_DIR" ]; then
     "runMain graft.ScaleUp /root/testdata/sf0.1 $SF10_DIR 100" >&2
 fi
 
-export SPARK_GRAFT_ONLY="${1:-$HEADS}"
+if [ "${1:-}" = "all" ]; then
+  unset SPARK_GRAFT_ONLY
+else
+  export SPARK_GRAFT_ONLY="${1:-$HEADS}"
+fi
 
 SPARK_GRAFT_SF_DIR="$SF10_DIR" \
 SPARK_GRAFT_CPUS=$CPUS \
