@@ -197,9 +197,17 @@ object Classifier {
     // feature build and the label/count passes without re-scanning the
     // corpus per GD round
     val train = docs.filter(p).localCheckpoint()
+    // feats and labels checkpoint PRE-PARTITIONED by id (LogicalRDD keeps
+    // the partitioning): every GD round runs a doc-keyed score aggregate,
+    // a labels join and a feats⋈err join on that same key — establishing
+    // the id partitioning once removes the per-round exchanges (guide
+    // §2.4: operations keyed the same way share one exchange). Weights
+    // are unchanged by partitioning: every sum in the loop is an exact
+    // decimal/integer fold, order-free by construction.
     val feats = features(train, idCol, textCol, buckets)
-      .localCheckpoint()
+      .repartition(col(idCol)).localCheckpoint()
     val labels = train.select(col(idCol), label.as("y"))
+      .repartition(col(idCol)).localCheckpoint()
     fitLogReg(feats, labels, idCol, buckets, iters, eta,
       nDocs = train.count())
   }

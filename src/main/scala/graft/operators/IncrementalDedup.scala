@@ -193,7 +193,12 @@ object IncrementalDedup {
       textCol, idCol, params.shingleSize, params.numPerm)
       .write.mode("overwrite").parquet(dir(indexDir, "signatures", gen).toString)
     val mySigs = spark.read.parquet(dir(indexDir, "signatures", gen).toString)
-    val nNew = mySigs.count()
+    // audit counts come from the footers of what was just written — a
+    // driver-side metadata read, not a Spark job (guide §1.2/§5: the old
+    // shape launched three count jobs per update, one of which re-ran the
+    // whole increment plan just to report n_docs)
+    val nNew = graft.sources.ParquetMeta.rowCount(spark,
+      dir(indexDir, "signatures", gen))
 
     newRepDocs.select(col("__d"), col(idCol).as("rep_id"))
       .write.mode("overwrite").parquet(dir(indexDir, "reps", gen).toString)
@@ -231,11 +236,18 @@ object IncrementalDedup {
       .where(Text.jaccard(col("sh_a"), col("sh_b")) >= params.threshold)
       .select(col("id_a"), col("id_b"))
     edges.write.mode("overwrite").parquet(dir(indexDir, "edges", gen).toString)
-    val nEdges = spark.read.parquet(dir(indexDir, "edges", gen).toString).count()
+    val nEdges = graft.sources.ParquetMeta.rowCount(spark,
+      dir(indexDir, "edges", gen))
 
+    // members holds exactly one row per increment doc (matched ∪ fresh is a
+    // partition of the increment), so n_docs is its footer count — the old
+    // increment.count() re-ran the increment plan end to end for a number
+    // the members write already pinned
     saveMeta(indexDir, Meta(idCol, textCol, params,
       meta.map(_.gens).getOrElse(Nil) :+
-        Generation(gen, genKey, increment.count())))
+        Generation(gen, genKey,
+          graft.sources.ParquetMeta.rowCount(spark,
+            dir(indexDir, "members", gen)))))
     UpdateReport(gen, nNew, nEdges, skipped = false)
   }
 

@@ -204,7 +204,9 @@ object IncrementalSemanticDedup {
       Similarity.lshSignature(col("__v"), params.planes, params.dim).as("b"))
       .write.mode("overwrite").parquet(dir(indexDir, "vectors", gen).toString)
     val myVecs = spark.read.parquet(dir(indexDir, "vectors", gen).toString)
-    val nNew = myVecs.count()
+    // footer-count audit, not a Spark job (see IncrementalDedup.ingest)
+    val nNew = graft.sources.ParquetMeta.rowCount(spark,
+      dir(indexDir, "vectors", gen))
 
     newRepDocs.select(col("__vd"), col(idCol).as("rep_id"))
       .write.mode("overwrite").parquet(dir(indexDir, "reps", gen).toString)
@@ -231,11 +233,16 @@ object IncrementalSemanticDedup {
         within.unionByName(verified(side(myVecs, "a").join(side(st, "b"), Seq("b"))))
     }
     edges.write.mode("overwrite").parquet(dir(indexDir, "edges", gen).toString)
-    val nEdges = spark.read.parquet(dir(indexDir, "edges", gen).toString).count()
+    val nEdges = graft.sources.ParquetMeta.rowCount(spark,
+      dir(indexDir, "edges", gen))
 
+    // members is a partition of the increment (matched ∪ fresh), so n_docs
+    // is its footer count — no increment re-scan
     saveMeta(indexDir, Meta(idCol, vecCol, params,
       meta.map(_.gens).getOrElse(Nil) :+
-        Generation(gen, genKey, increment.count())))
+        Generation(gen, genKey,
+          graft.sources.ParquetMeta.rowCount(spark,
+            dir(indexDir, "members", gen)))))
     UpdateReport(gen, nNew, nEdges, skipped = false)
   }
 

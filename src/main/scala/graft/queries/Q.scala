@@ -24,6 +24,38 @@ object Q {
   /** epoch microseconds of a timestamp column (lossless for Spark µs). */
   def eu(c: Column): Column = unix_micros(c)
 
+  /** Marker-gated staging of a deterministic INPUT fixture (a benchmark
+    * suite to decontaminate against, a previous-crawl snapshot to diff
+    * against): `build` writes the fixture only when the marker tag — an
+    * ArtifactCache.pathState fingerprint of the source table, the shaping
+    * params, and a format version — doesn't match what's on disk. The
+    * sink_compacted fixture discipline (r15 advice) applied to every head
+    * whose setup stages a derived input under /tmp/graft_scratch: fixture
+    * staging is test-INPUT construction, not part of the measured
+    * operator, and re-deriving an identical fixture on every bench pass
+    * timed the harness, not the plan. A data regen in place, a param
+    * change, or a version bump refits; the fixture itself is always
+    * computed from the parquet inputs.
+    */
+  def ensureFixture(d: String, table: String, outPath: String,
+                    params: String)(build: => Unit): String = {
+    val state = graft.pipeline.ArtifactCache.pathState(
+      java.nio.file.Paths.get(d, s"$table.parquet"))
+    val sha = graft.pipeline.ArtifactCache.sha256Hex(state).take(16)
+    val tag =
+      s"""{"src": "$d/$table", "state": "$sha", "params": "$params", "v": 1}"""
+    val dir = java.nio.file.Paths.get(outPath).getParent
+    val marker = dir.resolve("_graft_fixture.json")
+    if (!java.nio.file.Files.exists(marker) ||
+        java.nio.file.Files.readString(marker) != tag) {
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.deleteIfExists(marker)
+      build
+      java.nio.file.Files.writeString(marker, tag)
+    }
+    outPath
+  }
+
   /** Exact decimal sum of a double column, returned as double.
     * Both engines round the per-row double→decimal cast identically and the
     * decimal sum is exact, so the final double is bit-identical.

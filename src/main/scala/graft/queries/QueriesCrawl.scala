@@ -715,7 +715,9 @@ object QueriesCrawl {
     // (id, host, target) rows enter the shuffle, bodies never move.
     "link_graph" -> { (s, d) =>
       val docs = documents(s, d)
-      val n = docs.count() // metadata-scale plan-build count (annIvf precedent)
+      // plan-build cardinality from the table's parquet footers — a
+      // driver-side metadata read, not a count() job (guide §5)
+      val n = graft.sources.ParquetMeta.tableRows(s, d, "documents")
       val targets = linkTargets(n)
       Crawl.linkGraph(
         docs.withColumn("host", concat(col("source"), lit(HostSuffix))),
@@ -728,7 +730,8 @@ object QueriesCrawl {
     // trajectory replays exactly in the oracle.
     "pagerank_hosts" -> { (s, d) =>
       val docs = documents(s, d)
-      val n = docs.count()
+      // footer-count cardinality (see link_graph)
+      val n = graft.sources.ParquetMeta.tableRows(s, d, "documents")
       val targets = linkTargets(n)
       val edges = Crawl.linkGraph(
         docs.withColumn("host", concat(col("source"), lit(HostSuffix))),
@@ -742,7 +745,8 @@ object QueriesCrawl {
     // the trajectory replays exactly in the oracle's chained CTEs.
     "hits_authority" -> { (s, d) =>
       val docs = documents(s, d)
-      val n = docs.count()
+      // footer-count cardinality (see link_graph)
+      val n = graft.sources.ParquetMeta.tableRows(s, d, "documents")
       val targets = linkTargets(n)
       val edges = Crawl.linkGraph(
         docs.withColumn("host", concat(col("source"), lit(HostSuffix))),
@@ -758,7 +762,8 @@ object QueriesCrawl {
     // groupBy per round, localCheckpoint'd constant plan depth).
     "community_labelprop" -> { (s, d) =>
       val docs = documents(s, d)
-      val n = docs.count()
+      // footer-count cardinality (see link_graph)
+      val n = graft.sources.ParquetMeta.tableRows(s, d, "documents")
       val targets = linkTargets(n)
       val edges = Crawl.linkGraph(
         docs.withColumn("host", concat(col("source"), lit(HostSuffix))),
@@ -771,7 +776,8 @@ object QueriesCrawl {
     // crawl curation. The rank frame is host-scale; bodies never move.
     "curation_authority" -> { (s, d) =>
       val docs = documents(s, d)
-      val n = docs.count()
+      // footer-count cardinality (see link_graph)
+      val n = graft.sources.ParquetMeta.tableRows(s, d, "documents")
       val targets = linkTargets(n)
       val hosts = docs.withColumn("host",
         concat(col("source"), lit(HostSuffix)))
@@ -787,7 +793,8 @@ object QueriesCrawl {
     // per micro-batch, zero state). Unseen hosts rank 0 and drop.
     "stream_authority" -> { (s, d) =>
       val docs = documents(s, d)
-      val n = docs.count()
+      // footer-count cardinality (see link_graph)
+      val n = graft.sources.ParquetMeta.tableRows(s, d, "documents")
       val targets = linkTargets(n)
       val hosts = docs.withColumn("host",
         concat(col("source"), lit(HostSuffix)))
@@ -807,7 +814,8 @@ object QueriesCrawl {
     // window and the global TakeOrdered budget cut pick the fetch batch.
     "crawl_frontier" -> { (s, d) =>
       val docs = documents(s, d)
-      val n = docs.count()
+      // footer-count cardinality (see link_graph)
+      val n = graft.sources.ParquetMeta.tableRows(s, d, "documents")
       val targets = linkTargets(n)
       val hosts = docs.withColumn("host",
         concat(col("source"), lit(HostSuffix)))

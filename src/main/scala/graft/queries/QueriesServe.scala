@@ -423,13 +423,17 @@ object QueriesServe {
     */
   private def stagePrevSnapshot(s: org.apache.spark.sql.SparkSession,
                                 d: String, name: String): String = {
+    // previous-crawl INPUT fixture: marker-gated on the source table's
+    // pathState (Q.ensureFixture — the sink_compacted discipline), so the
+    // measured work is the diff journey, not re-staging the snapshot
     val path = s"/tmp/graft_scratch/$name/docs.parquet"
-    documents(s, d).filter(pmod(col("doc_id"), lit(4)) =!= 0)
-      .withColumn("text",
-        when(col("doc_id") % 9 === 0, concat(col("text"), lit(" old")))
-          .otherwise(col("text")))
-      .write.mode("overwrite").parquet(path)
-    path
+    Q.ensureFixture(d, "documents", path, "prev_mod4_rev9") {
+      documents(s, d).filter(pmod(col("doc_id"), lit(4)) =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 9 === 0, concat(col("text"), lit(" old")))
+            .otherwise(col("text")))
+        .write.mode("overwrite").parquet(path)
+    }
   }
 
   private def diffYaml(prevPath: String): String =

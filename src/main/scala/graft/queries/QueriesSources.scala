@@ -179,7 +179,8 @@ object QueriesSources {
       // the many-members-per-file layout at spec scale; the count() is a
       // parquet metadata read.
       val nFiles = math.max(4L,
-        (documents(s, d).count() + GzRecordsPerFile - 1) / GzRecordsPerFile)
+        (graft.sources.ParquetMeta.tableRows(s, d, "documents") +
+          GzRecordsPerFile - 1) / GzRecordsPerFile)
       Warc.writeGzMembers(
         info.unionByName(responses).repartition(nFiles.toInt), out)
       Warc.readWarcGz(s, out)
@@ -208,7 +209,8 @@ object QueriesSources {
           concat(lit("urn:graft:"), col("doc_id").cast("string")),
           uri, col("text")).as("rec"))
       val nFiles = math.max(4L,
-        (documents(s, d).count() + GzRecordsPerFile - 1) / GzRecordsPerFile)
+        (graft.sources.ParquetMeta.tableRows(s, d, "documents") +
+          GzRecordsPerFile - 1) / GzRecordsPerFile)
       Warc.writeGzMembers(responses.repartition(nFiles.toInt), out)
       val wanted = Warc.readGzIndex(s, out)
         .withColumn("doc_id",
@@ -298,8 +300,10 @@ object QueriesSources {
       val root = scratch("bucketed")
       s.sql("DROP TABLE IF EXISTS g_orders_b")
       s.sql("DROP TABLE IF EXISTS g_lineitem_b")
-      val nBuckets = math.max(8L, (lineitem(s, d).count() +
-        BucketRowsTarget - 1) / BucketRowsTarget).toInt
+      // footer-count cardinality — a driver-side metadata read (guide §5)
+      val nBuckets = math.max(8L,
+        (graft.sources.ParquetMeta.tableRows(s, d, "lineitem") +
+          BucketRowsTarget - 1) / BucketRowsTarget).toInt
       orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
         .repartition(nBuckets, col("o_orderkey"))
         .write.mode("overwrite").option("path", s"$root/orders")
