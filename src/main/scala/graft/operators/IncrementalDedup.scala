@@ -200,12 +200,6 @@ object IncrementalDedup {
     val nNew = graft.sources.ParquetMeta.rowCount(spark,
       dir(indexDir, "signatures", gen))
 
-    newRepDocs.select(col("__d"), col(idCol).as("rep_id"))
-      .write.mode("overwrite").parquet(dir(indexDir, "reps", gen).toString)
-    matched
-      .unionByName(fresh.select(col(idCol), col("__rep").as("rep_id")))
-      .write.mode("overwrite").parquet(dir(indexDir, "members", gen).toString)
-
     // candidates: within the new reps (id_a < id_b) plus cross-run — new
     // band keys bucket-join the STORED signatures; degree bounded by bucket
     // size, the corpus never re-signs
@@ -235,7 +229,19 @@ object IncrementalDedup {
       .join(allSigs.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
       .where(Text.jaccard(col("sh_a"), col("sh_b")) >= params.threshold)
       .select(col("id_a"), col("id_b"))
-    edges.write.mode("overwrite").parquet(dir(indexDir, "edges", gen).toString)
+    // reps, members and edges are INDEPENDENT writes over state the
+    // signatures write already materialized (the inc/fresh lazy
+    // checkpoints) plus the stored parquet — overlap them (guide §2.6)
+    // instead of paying three sequential job latencies
+    graft.sources.Hygiene.overlap(
+      () => newRepDocs.select(col("__d"), col(idCol).as("rep_id"))
+        .write.mode("overwrite").parquet(dir(indexDir, "reps", gen).toString),
+      () => matched
+        .unionByName(fresh.select(col(idCol), col("__rep").as("rep_id")))
+        .write.mode("overwrite")
+        .parquet(dir(indexDir, "members", gen).toString),
+      () => edges.write.mode("overwrite")
+        .parquet(dir(indexDir, "edges", gen).toString))
     val nEdges = graft.sources.ParquetMeta.rowCount(spark,
       dir(indexDir, "edges", gen))
 
@@ -282,8 +288,16 @@ object IncrementalDedup {
         .as(Seq("band", "bh")))
       .select(concat(col("band").cast("string"), lit(":"),
         col("bh").cast("string")).as("key"))
-    (Curation.bloomBitmapKeys(digests, "key", mBits, numHashes),
-      Curation.bloomBitmapKeys(bandKeys, "key", mBits, numHashes), m.params)
+    // the two bitmap folds are independent aggregates over stored parquet
+    // — overlap them (guide §2.6)
+    var digestBits: Array[Long] = null
+    var bandBits: Array[Long] = null
+    graft.sources.Hygiene.overlap(
+      () => digestBits = Curation.bloomBitmapKeys(digests, "key", mBits,
+        numHashes),
+      () => bandBits = Curation.bloomBitmapKeys(bandKeys, "key", mBits,
+        numHashes))
+    (digestBits, bandBits, m.params)
   }
 
   // --------------------------------------------------------------- clusters

@@ -208,12 +208,6 @@ object IncrementalSemanticDedup {
     val nNew = graft.sources.ParquetMeta.rowCount(spark,
       dir(indexDir, "vectors", gen))
 
-    newRepDocs.select(col("__vd"), col(idCol).as("rep_id"))
-      .write.mode("overwrite").parquet(dir(indexDir, "reps", gen).toString)
-    matched
-      .unionByName(fresh.select(col(idCol), col("__rep").as("rep_id")))
-      .write.mode("overwrite").parquet(dir(indexDir, "members", gen).toString)
-
     // candidates: within the new reps (id_a < id_b) plus cross-run — new
     // bucket keys join the STORED vectors; each vector carries ONE bucket
     // key, so every candidate pair arises exactly once and the degree is
@@ -232,7 +226,18 @@ object IncrementalSemanticDedup {
       case Some(st) =>
         within.unionByName(verified(side(myVecs, "a").join(side(st, "b"), Seq("b"))))
     }
-    edges.write.mode("overwrite").parquet(dir(indexDir, "edges", gen).toString)
+    // reps, members and edges are independent writes over state the
+    // vectors write already materialized — overlap them (guide §2.6, see
+    // IncrementalDedup.ingest)
+    graft.sources.Hygiene.overlap(
+      () => newRepDocs.select(col("__vd"), col(idCol).as("rep_id"))
+        .write.mode("overwrite").parquet(dir(indexDir, "reps", gen).toString),
+      () => matched
+        .unionByName(fresh.select(col(idCol), col("__rep").as("rep_id")))
+        .write.mode("overwrite")
+        .parquet(dir(indexDir, "members", gen).toString),
+      () => edges.write.mode("overwrite")
+        .parquet(dir(indexDir, "edges", gen).toString))
     val nEdges = graft.sources.ParquetMeta.rowCount(spark,
       dir(indexDir, "edges", gen))
 

@@ -370,18 +370,37 @@ object ArtifactGraph {
       else Some(ConfigRuntime.runTasks(spark, dataDir, project,
         only = Some(toBuild)))
 
-    val reports = order.map { key =>
+    // the rebuilt tasks' report writes are INDEPENDENT jobs over the one
+    // checkpointed assembly — overlap them (guide §2.6) so the last
+    // stragglers of one write back-fill cores for the next, instead of
+    // paying five sequential job latencies. The shared checkpoint is
+    // materialized up front by a cheap count so concurrent writes never
+    // race its first materialization; state/marker updates serialize
+    // under `stateLock` (each save persists every COMPLETED artifact, so
+    // an interrupted build still never serves a half-replaced one).
+    val stateLock = new Object
+    def writeOne(key: String): Unit = {
       val reportDir = root.resolve(key).resolve("report.parquet")
-      if (toBuild(key)) {
-        rebuiltAll.get.filter(col("task") === key)
-          .write.mode("overwrite").parquet(reportDir.toString)
+      rebuiltAll.get.filter(col("task") === key)
+        .write.mode("overwrite").parquet(reportDir.toString)
+      stateLock.synchronized {
         state = state.updated(key,
           ArtifactState(hashes(key), statFiles(root, reportDir)))
         saveState(root, state)
         out.println(s"artifact $key rebuilt [${hashes(key).take(12)}]")
-      } else {
-        out.println(s"artifact $key hydrated [${hashes(key).take(12)}]")
       }
+    }
+    val buildKeys = order.filter(toBuild)
+    // first write runs alone — its action materializes the shared lazy
+    // checkpoint exactly once; the remaining writes then read cached
+    // blocks and are safe (and cheap) to overlap
+    buildKeys.headOption.foreach(writeOne)
+    graft.sources.Hygiene.overlap(
+      buildKeys.drop(1).map(key => () => writeOne(key)): _*)
+    val reports = order.map { key =>
+      val reportDir = root.resolve(key).resolve("report.parquet")
+      if (!toBuild(key))
+        out.println(s"artifact $key hydrated [${hashes(key).take(12)}]")
       key -> spark.read.parquet(reportDir.toString)
     }.toMap
 

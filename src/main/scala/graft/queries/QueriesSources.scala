@@ -304,16 +304,20 @@ object QueriesSources {
       val nBuckets = math.max(8L,
         (graft.sources.ParquetMeta.tableRows(s, d, "lineitem") +
           BucketRowsTarget - 1) / BucketRowsTarget).toInt
-      orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
-        .repartition(nBuckets, col("o_orderkey"))
-        .write.mode("overwrite").option("path", s"$root/orders")
-        .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("g_orders_b")
-      lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"))
-        .repartition(nBuckets, col("l_orderkey"))
-        .write.mode("overwrite").option("path", s"$root/lineitem")
-        .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("g_lineitem_b")
+      // the two bucketed table writes are independent — overlap them
+      // (guide §2.6) so the smaller orders write back-fills cores the
+      // lineitem write's task tail frees
+      graft.sources.Hygiene.overlap(
+        () => orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+          .repartition(nBuckets, col("o_orderkey"))
+          .write.mode("overwrite").option("path", s"$root/orders")
+          .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable("g_orders_b"),
+        () => lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"))
+          .repartition(nBuckets, col("l_orderkey"))
+          .write.mode("overwrite").option("path", s"$root/lineitem")
+          .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable("g_lineitem_b"))
       val o = s.table("g_orders_b")
       val l = s.table("g_lineitem_b")
       // merge hint: at 100 TB both facts exceed any broadcast threshold,

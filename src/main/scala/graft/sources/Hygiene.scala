@@ -26,6 +26,32 @@ object Hygiene {
     */
   final class ExecutionBusyException(msg: String) extends RuntimeException(msg)
 
+  /** Run independent Spark actions concurrently (optimization guide §2.6:
+    * actions are only sequential because the driver calls them
+    * sequentially — overlapping independent jobs lets one job's task tail
+    * back-fill cores the others freed). Callers must ensure the actions
+    * are truly independent AND that any shared lazy localCheckpoint was
+    * materialized by an earlier action — concurrent first-materialization
+    * would compute the checkpoint twice. Blocks until all finish;
+    * rethrows the first failure with its original type.
+    */
+  def overlap(actions: (() => Unit)*): Unit = {
+    if (actions.sizeIs <= 1) { actions.foreach(_()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(actions.size)
+    try {
+      val fs = actions.map(a => pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = a()
+      }))
+      fs.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
+        }
+      }
+    } finally pool.shutdownNow()
+  }
+
   val SpillDirPrefix = "graft-sort-"
 
   def executionLockPath(serveRoot: Path): Path =
