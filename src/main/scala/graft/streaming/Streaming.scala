@@ -61,6 +61,19 @@ object Streaming {
   def ensureParquetCompat(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // Skip no-data micro-batches: after the last data batch the engine
+    // otherwise runs ONE MORE empty batch to advance the watermark, and a
+    // stateful plan re-loads and re-commits every state partition for it —
+    // measured (r16 probe, sf0.1): the empty batch's addBatch was 4.3 s vs
+    // 5.3 s for the 100K-row data batch, i.e. ~45% of a stateful head's
+    // stream time for zero rows. Emission audit (OPTIMIZATION_r16.md): no
+    // query in this repo emits rows FROM a no-data batch — aggregations
+    // run complete/update mode, dropDuplicates and the stateless corpus
+    // journeys emit on arrival, and the flatMapGroupsWithState heads use
+    // NoTimeout — so results are identical (oracle-gated). A query that
+    // needed watermark-triggered append emission (append-mode windowed
+    // aggregation) would have to re-enable this.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
   }
 
   /** The events table as a stream, with its TIMESTAMP(NANOS)-as-long layout
