@@ -195,19 +195,18 @@ object Classifier {
     val p = trainSamplePredicate(idCol, nAll, cap)
     // bounded by the cap: one checkpoint of the sampled docs feeds the
     // feature build and the label/count passes without re-scanning the
-    // corpus per GD round
-    val train = docs.filter(p).localCheckpoint()
-    // feats and labels checkpoint PRE-PARTITIONED by id (LogicalRDD keeps
-    // the partitioning): every GD round runs a doc-keyed score aggregate,
-    // a labels join and a feats⋈err join on that same key — establishing
-    // the id partitioning once removes the per-round exchanges (guide
-    // §2.4: operations keyed the same way share one exchange). Weights
-    // are unchanged by partitioning: every sum in the loop is an exact
-    // decimal/integer fold, order-free by construction.
+    // corpus per GD round. Lazy: the feats checkpoint's materialization
+    // job computes it in the same pass — eager spent a separate job here
+    val train = docs.filter(p).localCheckpoint(eager = false)
+    // NOT pre-partitioned by id: the r16 A/B (ProbeR16, alternating
+    // variants in one JVM, 4 reps) measured the repartition-at-checkpoint
+    // layout consistently SLOWER (min 3.75 vs 3.34 s) — the one-time
+    // repartition exchanges plus a labels checkpoint cost more than the
+    // per-round exchanges they remove, because AQE already broadcasts the
+    // cap-bounded per-round joins. Kept the plain checkpoints.
     val feats = features(train, idCol, textCol, buckets)
-      .repartition(col(idCol)).localCheckpoint()
+      .localCheckpoint()
     val labels = train.select(col(idCol), label.as("y"))
-      .repartition(col(idCol)).localCheckpoint()
     fitLogReg(feats, labels, idCol, buckets, iters, eta,
       nDocs = train.count())
   }
