@@ -548,8 +548,69 @@ object Dedup {
     * the driver reads one scalar (the label sum, strictly decreasing until
     * fixpoint) per round. localCheckpoint cuts the growing lineage.
     */
+  /** Driver-path ceiling for [[connectedComponents]]: edge sets at or
+    * under this collect to a driver union-find (one bounded take instead
+    * of the iterated label-propagation jobs); larger graphs run the
+    * distributed pointer-jumping loop unchanged. 1M edges ≈ ~50 MB of
+    * driver rows — the VocabGuard/CoocMaxVocab bounded-collect posture.
+    * Conf `graft.cc.driver_max_edges` overrides (0 disables, for A/B).
+    */
+  private[graft] val CcDriverMaxEdges = 1 << 20
+
+  /** Union-find labels for a collected edge list: every endpoint maps to
+    * the MINIMUM id of its component — exactly the fixpoint the
+    * distributed loop converges to (TextDedupSpec pins equality).
+    */
+  private[graft] def unionFindMinLabels(
+      edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keysIterator.map(id => id -> find(id)).toMap
+  }
+
   def connectedComponents(nodes: DataFrame, edges: DataFrame, idCol: String,
                           maxIter: Int = 30): DataFrame = {
+    val spark = edges.sparkSession
+    // Stats-gated driver path (guide §1.2: don't run a distributed
+    // fixpoint for a metadata-scale graph): verified near-dup edge sets
+    // are candidate-bounded and usually tiny relative to the corpus, and
+    // the distributed loop below costs one driver action per round (the
+    // convergence probe) plus an isEmpty probe. A bounded take decides:
+    // at or under the ceiling, label with a driver union-find and
+    // broadcast the labels back — same fixpoint, one job. Over the
+    // ceiling (the 100 TB posture), fall through to the distributed loop.
+    val ccMax = scala.util.Try(
+      spark.conf.get("graft.cc.driver_max_edges").toLong)
+      .getOrElse(CcDriverMaxEdges.toLong)
+    if (ccMax > 0) {
+      val taken = edges.select(col("id_a"), col("id_b"))
+        .limit(ccMax.toInt + 1).collect()
+      if (taken.length <= ccMax) {
+        val labels = unionFindMinLabels(
+          taken.map(r => (r.getLong(0), r.getLong(1))))
+        import spark.implicits._
+        val labelsDf =
+          if (labels.isEmpty)
+            spark.emptyDataset[(Long, Long)].toDF(idCol, "__cc_label")
+          else labels.toSeq.toDF(idCol, "__cc_label")
+        return nodes.select(col(idCol))
+          .join(org.apache.spark.sql.functions.broadcast(labelsDf),
+            Seq(idCol), "left")
+          .select(col(idCol),
+            coalesce(col("__cc_label"), col(idCol)).as("cluster_id"))
+      }
+    }
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(eager = false)

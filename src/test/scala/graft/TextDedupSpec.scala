@@ -293,9 +293,27 @@ class TextDedupSpec extends SparkSpec {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
     // chain 1-2-3 (transitive through 2), pair 4-5, singleton 9
     val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L)
+    // driver union-find path (default: edge set under the ceiling)
     val out = Dedup.connectedComponents(nodes, edges, "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
+    assert(out == expect)
+    // distributed pointer-jumping path must produce the identical fixpoint
+    // (graft.cc.driver_max_edges=0 disables the driver gate)
+    spark.conf.set("graft.cc.driver_max_edges", "0")
+    try {
+      val dist = Dedup.connectedComponents(nodes, edges, "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == expect)
+    } finally spark.conf.unset("graft.cc.driver_max_edges")
+  }
+
+  test("union-find labels: cross-linked components collapse to the min id") {
+    // two chains merged by a late edge; labels must be component minima
+    val labels = Dedup.unionFindMinLabels(
+      Array((10L, 11L), (12L, 13L), (11L, 13L), (20L, 21L)))
+    assert(labels == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
   }
 
   test("dupClusters groups identical docs into one canonical cluster") {
