@@ -394,10 +394,60 @@ object Crawl {
     * depth stays constant across iterations (the curation_kmeans
     * discipline, with the state left distributed instead of collected).
     */
+  /** Driver-path ceiling for the host-graph fixpoints ([[pageRankHosts]],
+    * [[hitsHosts]], [[labelPropagate]]): edge frames at or under this
+    * collect to an exact driver loop (integer arithmetic replays
+    * identically either way); larger graphs run the distributed rounds
+    * unchanged — the web-scale posture. Conf `graft.graph.driver_max_edges`
+    * overrides (0 disables, for A/B and the distributed-path specs).
+    */
+  private[graft] val GraphDriverMaxEdges = 1 << 20
+
+  /** Bounded take of the host edge list: Some(edges) when the graph fits
+    * the driver ceiling, None when it doesn't (or the gate is disabled).
+    */
+  private def boundedHostEdges(
+      edges: DataFrame): Option[Array[(String, String, Long)]] = {
+    val cap = scala.util.Try(
+      edges.sparkSession.conf.get("graft.graph.driver_max_edges").toLong)
+      .getOrElse(GraphDriverMaxEdges.toLong)
+    if (cap <= 0) return None
+    val taken = edges.select(col("src_host").cast("string"),
+        col("dst_host").cast("string"), col("weight").cast("long"))
+      .limit(math.min(cap, Int.MaxValue - 2L).toInt + 1).collect()
+    if (taken.length <= cap)
+      Some(taken.map(r => (r.getString(0), r.getString(1), r.getLong(2))))
+    else None
+  }
+
   def pageRankHosts(edges: DataFrame, iters: Int,
                     initMicros: Long = 1000000L, baseMicros: Long = 150000L,
                     dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
     require(iters >= 1, s"pageRankHosts: need iters >= 1, got $iters")
+    // bounded-graph driver loop (guide §1.2): the same integer trajectory
+    // — per-edge `rank * w div out_w`, exact Long sums, `base + damp *
+    // inflow div den` — without `iters` rounds of join+aggregate stages;
+    // the labels return as a broadcast-sized local relation
+    boundedHostEdges(edges).foreach { es =>
+      val outW = new scala.collection.mutable.HashMap[String, Long]
+      es.foreach { case (s, _, w) => outW(s) = outW.getOrElse(s, 0L) + w }
+      val hosts: Array[String] = (es.iterator.map(_._1) ++
+        es.iterator.map(_._2)).toArray.distinct
+      var rank = hosts.iterator.map(_ -> initMicros).toMap
+      for (_ <- 1 to iters) {
+        val inflow = new scala.collection.mutable.HashMap[String, Long]
+        es.foreach { case (s, dt, w) =>
+          inflow(dt) = inflow.getOrElse(dt, 0L) + rank(s) * w / outW(s)
+        }
+        rank = hosts.iterator.map(h =>
+          h -> (baseMicros + dampNum * inflow.getOrElse(h, 0L) / dampDen))
+          .toMap
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return broadcast(
+        rank.toSeq.sortBy(_._1).toDF("host", "rank_micros"))
+    }
     val outW = edges.groupBy(col("src_host")).agg(sum(col("weight")).as("out_w"))
     val e = edges.join(outW, "src_host")
       .select(col("src_host"), col("dst_host"), col("weight"), col("out_w"))
@@ -442,6 +492,41 @@ object Crawl {
   def hitsHosts(edges: DataFrame, iters: Int,
                 initMicros: Long = 1000000L): DataFrame = {
     require(iters >= 1, s"hitsHosts: need iters >= 1, got $iters")
+    // bounded-graph driver loop (see pageRankHosts): identical integer
+    // half-rounds — raw = Σ score*w, then `raw div greatest(m div 1e6, 1)`
+    // max-normalization with every absent host at raw 0
+    boundedHostEdges(edges).foreach { es =>
+      val hosts: Array[String] = (es.iterator.map(_._1) ++
+        es.iterator.map(_._2)).toArray.distinct
+      def normalized(raw: scala.collection.Map[String, Long]): Map[String, Long] = {
+        // the plan's normalizer is max over the RAW aggregate rows only
+        // (absent hosts join in after), greatest(m div 1e6, 1) guarding
+        // the empty frame — replicate exactly
+        val denom =
+          if (raw.isEmpty) 1L
+          else math.max(raw.values.max / 1000000L, 1L)
+        hosts.iterator.map(h => h -> raw.getOrElse(h, 0L) / denom).toMap
+      }
+      var hub = hosts.iterator.map(_ -> initMicros).toMap
+      var auth = hub
+      for (_ <- 1 to iters) {
+        val authRaw = new scala.collection.mutable.HashMap[String, Long]
+        es.foreach { case (s, dt, w) =>
+          authRaw(dt) = authRaw.getOrElse(dt, 0L) + hub(s) * w
+        }
+        auth = normalized(authRaw)
+        val hubRaw = new scala.collection.mutable.HashMap[String, Long]
+        es.foreach { case (s, dt, w) =>
+          hubRaw(s) = hubRaw.getOrElse(s, 0L) + auth(dt) * w
+        }
+        hub = normalized(hubRaw)
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return broadcast(hosts.sorted.toSeq
+        .map(h => (h, auth(h), hub(h)))
+        .toDF("host", "auth_micros", "hub_micros"))
+    }
     val e = edges.select(col("src_host"), col("dst_host"), col("weight"))
       .localCheckpoint(eager = false)
     val hosts = e.select(col("src_host").as("host"))
@@ -509,6 +594,33 @@ object Crawl {
     */
   def labelPropagate(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"labelPropagate: need iters >= 1, got $iters")
+    // bounded-graph driver loop (see pageRankHosts): the same synchronous
+    // rounds — symmetrize + merge parallel edges, then each node adopts
+    // the (weight desc, label asc) top vote of its neighbors' labels
+    boundedHostEdges(edges).foreach { es =>
+      val und = new scala.collection.mutable.HashMap[(String, String), Long]
+      es.foreach { case (s, dt, w) =>
+        und((s, dt)) = und.getOrElse((s, dt), 0L) + w
+        und((dt, s)) = und.getOrElse((dt, s), 0L) + w
+      }
+      val hosts: Array[String] = und.keysIterator.map(_._1).toArray.distinct
+      var labels = hosts.iterator.map(h => h -> h).toMap
+      for (_ <- 1 to iters) {
+        val votes = new scala.collection.mutable.HashMap[(String, String), Long]
+        und.foreach { case ((a, b), w) =>
+          val l = labels(b)
+          votes((a, l)) = votes.getOrElse((a, l), 0L) + w
+        }
+        labels = votes.toSeq.groupBy(_._1._1).map { case (a, vs) =>
+          a -> vs.map { case ((_, l), w) => (l, w) }
+            .minBy { case (l, w) => (-w, l) }._1
+        }
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return broadcast(labels.toSeq.sortBy(_._1)
+        .toDF("host", "community"))
+    }
     val und = edges
       .select(col("src_host").as("a"), col("dst_host").as("b"), col("weight"))
       .unionByName(edges

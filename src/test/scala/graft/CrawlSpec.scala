@@ -222,6 +222,28 @@ class CrawlSpec extends SparkSpec {
     assert(r2("d") == 150000L)
   }
 
+  test("host-graph fixpoints: driver path equals the distributed path") {
+    // the bounded-edges gate (graft.graph.driver_max_edges) picks a driver
+    // loop for small graphs; both paths must produce identical integer
+    // trajectories
+    val edges = Crawl.linkGraph(linkPages, "id", "host", col("links"))
+    def maps() = (
+      Crawl.pageRankHosts(edges, iters = 3)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+      Crawl.hitsHosts(edges, iters = 2)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap,
+      Crawl.labelPropagate(edges, iters = 2)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap)
+    val (prD, hitsD, lpD) = maps()
+    spark.conf.set("graft.graph.driver_max_edges", "0")
+    try {
+      val (prX, hitsX, lpX) = maps()
+      assert(prD == prX)
+      assert(hitsD == hitsX)
+      assert(lpD == lpX)
+    } finally spark.conf.unset("graft.graph.driver_max_edges")
+  }
+
   test("frontier: per-host cap then global budget, (priority desc, url) order") {
     val cand = Seq(
       ("https://a/1", "a", 900L), ("https://a/2", "a", 900L),
