@@ -130,6 +130,85 @@ object Classifier {
     w
   }
 
+  // ------------------------------------------------ driver-loop GD twin
+
+  /** Driver-path ceiling for [[fitSampled]]: sampled feature relations at
+    * or under this many rows collect once and run the GD rounds as a
+    * driver loop ([[fitLogRegLocal]]); larger samples run the distributed
+    * rounds unchanged. 4M rows ≈ ~100 MB of driver tuples — the bounded-
+    * collect posture of the CC/host-graph gates. Conf
+    * `graft.classifier.driver_max_feature_rows` overrides (0 disables).
+    */
+  private[graft] val DriverMaxFeatureRows = 4 * 1024 * 1024
+
+  /** Spark's Round(double, s): java BigDecimal.valueOf + HALF_UP. */
+  private def roundD(d: Double, s: Int): Double =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Spark's CAST(double AS DECIMAL(30,12)): valueOf then scale-12 HALF_UP. */
+  private def dec12(d: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+
+  /** [[sigmoid]] in driver arithmetic: the identical integer-micros chain
+    * (round0 via valueOf/HALF_UP, exact /4 floor, clamp, /1e6).
+    */
+  private def sigmoidLocal(s: Double): Double = {
+    val sMicros = roundD(s * 1e6, 0).toLong
+    val pMicros = math.min(1000000L,
+      math.max(0L, 500000L + math.floor(sMicros / 4.0).toLong))
+    pMicros.toDouble / 1e6
+  }
+
+  /** [[fitLogReg]] as a driver loop over a COLLECTED sample — every
+    * rounding step replicates the relational chain operator for operator
+    * (Round(double,12) = BigDecimal.valueOf + HALF_UP, the
+    * decimal(30,12) cast, the scale-6 decimal round for scores, the
+    * double division + Round(double,6) for gradients, the integer-micros
+    * sigmoid), so the weights are bit-identical to the distributed rounds
+    * (ClassifierSpec pins it; the DuckDB oracle replays the same chain).
+    * Exactness makes the sums order-free, so iteration order here cannot
+    * matter either.
+    */
+  private[graft] def fitLogRegLocal(feats: Array[(Long, Int, Double)],
+                                    labels: scala.collection.Map[Long, Double],
+                                    buckets: Int, iters: Int, eta: Double,
+                                    nDocs: Long): Array[Double] = {
+    require(eta == math.rint(eta) && eta > 0,
+      s"eta must be a positive whole number for grid-exact updates, got $eta")
+    var w = Array.fill(buckets + 1)(0.0)
+    for (_ <- 0 until iters) {
+      // scores: per doc, decimal(30,12) sum of round12(w_pos * x),
+      // rounded to 6 IN DECIMAL, then the double cast
+      val acc = new scala.collection.mutable.HashMap[Long, java.math.BigDecimal]
+      feats.foreach { case (id, pos, x) =>
+        val wx = dec12(roundD(w(pos) * x, 12))
+        acc(id) = acc.get(id).map(_.add(wx)).getOrElse(wx)
+      }
+      val err = new scala.collection.mutable.HashMap[Long, Double]
+      acc.foreach { case (id, sum) =>
+        val s = sum.setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        err(id) = sigmoidLocal(s) - labels(id)
+      }
+      // gradient: per pos, decimal sum of round12(err * x), cast double,
+      // ONE IEEE division by nDocs, round6 on the double
+      val gacc = new scala.collection.mutable.HashMap[Int, java.math.BigDecimal]
+      feats.foreach { case (id, pos, x) =>
+        val ex = dec12(roundD(err(id) * x, 12))
+        gacc(pos) = gacc.get(pos).map(_.add(ex)).getOrElse(ex)
+      }
+      val grad = gacc.map { case (pos, sum) =>
+        pos -> roundD(sum.doubleValue() / nDocs.toDouble, 6)
+      }
+      w = w.zipWithIndex.map { case (wj, j) =>
+        BigDecimal(java.lang.Double.toString(wj - eta * grad.getOrElse(j, 0.0)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    w
+  }
+
   // --------------------------------------------- deterministic subsample
   // A real learned gate fits on a BOUNDED sample and scores everything —
   // the public fastText/CCNet practice. Full-batch GD over the whole corpus
@@ -195,17 +274,41 @@ object Classifier {
     val p = trainSamplePredicate(idCol, nAll, cap)
     // bounded by the cap: one checkpoint of the sampled docs feeds the
     // feature build and the label/count passes without re-scanning the
-    // corpus per GD round. Lazy: the feats checkpoint's materialization
-    // job computes it in the same pass — eager spent a separate job here
+    // corpus per GD round. Lazy: the first action over it (the feature
+    // take or the feats checkpoint) computes it in the same pass
     val train = docs.filter(p).localCheckpoint(eager = false)
+    val featsPlan = features(train, idCol, textCol, buckets)
+    // Driver-loop gate (guide §1.2/§5 — the CC/host-graph bounded-collect
+    // discipline): the sample is cap-bounded by construction, and under
+    // the feature-row ceiling the GD rounds run as a driver loop over ONE
+    // collected copy — two jobs total (feature take + label read off the
+    // cached checkpoint) instead of a checkpoint plus one join+aggregate
+    // job per round. fitLogRegLocal replicates the relational rounding
+    // chain bit for bit (ClassifierSpec pins driver == distributed).
+    val maxRows = scala.util.Try(docs.sparkSession.conf
+      .get("graft.classifier.driver_max_feature_rows").toLong)
+      .getOrElse(DriverMaxFeatureRows.toLong)
+    val idIsLong = featsPlan.schema(idCol).dataType ==
+      org.apache.spark.sql.types.LongType
+    if (maxRows > 0 && idIsLong) {
+      val taken = featsPlan
+        .limit(math.min(maxRows, Int.MaxValue - 2L).toInt + 1).collect()
+      if (taken.length <= maxRows) {
+        val labelRows = train.select(col(idCol), label.as("y")).collect()
+        val labels = labelRows.iterator
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        return fitLogRegLocal(
+          taken.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))),
+          labels, buckets, iters, eta, nDocs = labelRows.length.toLong)
+      }
+    }
     // NOT pre-partitioned by id: the r16 A/B (ProbeR16, alternating
     // variants in one JVM, 4 reps) measured the repartition-at-checkpoint
     // layout consistently SLOWER (min 3.75 vs 3.34 s) — the one-time
     // repartition exchanges plus a labels checkpoint cost more than the
     // per-round exchanges they remove, because AQE already broadcasts the
     // cap-bounded per-round joins. Kept the plain checkpoints.
-    val feats = features(train, idCol, textCol, buckets)
-      .localCheckpoint()
+    val feats = featsPlan.localCheckpoint()
     val labels = train.select(col(idCol), label.as("y"))
     fitLogReg(feats, labels, idCol, buckets, iters, eta,
       nDocs = train.count())

@@ -51,6 +51,28 @@ class ClassifierSpec extends SparkSpec {
     assert(defaulted.toSeq == full.toSeq)
   }
 
+  test("fitSampled driver loop == distributed rounds, bit for bit") {
+    val docs = fixture
+    // driver path (default gate): the GD rounds run locally over the
+    // collected sample
+    val local = Classifier.fitSampled(docs, "doc_id", "text",
+      col("y"), B, iters = 3, eta = 1.0)
+    // distributed path (gate disabled by conf)
+    spark.conf.set("graft.classifier.driver_max_feature_rows", "0")
+    val dist =
+      try Classifier.fitSampled(docs, "doc_id", "text",
+        col("y"), B, iters = 3, eta = 1.0)
+      finally spark.conf.unset("graft.classifier.driver_max_feature_rows")
+    assert(local.toSeq == dist.toSeq)
+    assert(local.exists(_ != 0.0), "the fit must actually train")
+    // and both equal the raw fitLogReg over pre-built features (cap >= n)
+    val labels = docs.select(col("doc_id"), col("y"))
+    val feats = Classifier.features(docs, "doc_id", "text", B)
+    val raw = Classifier.fitLogReg(feats, labels, "doc_id", B,
+      iters = 3, eta = 1.0, nDocs = 6L)
+    assert(local.toSeq == raw.toSeq)
+  }
+
   test("sampled fit under a tight cap == full fit on the pre-filtered sample") {
     val docs = fixture
     val labels = docs.select(col("doc_id"), col("y"))
