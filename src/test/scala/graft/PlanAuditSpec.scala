@@ -170,9 +170,13 @@ class PlanAuditSpec extends SparkSpec {
     // bucket keys, never an all-pairs nested loop.
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "semantic-dup candidates must come from the LSH bucket equi-join")
-    assert(plan.contains("Scan ExistingRDD"),
-      "the CC label frame must attach through its checkpoint boundary " +
-        "(otherwise the whole bucket/edge subtree recomputes per action)")
+    // r16: under the bounded-edges gate the CC labels arrive as a driver
+    // union-find's broadcast LocalTableScan (the bucket/edge subtree ran
+    // once inside the gate's bounded take); above the ceiling they attach
+    // through the checkpoint boundary as before
+    assert(plan.contains("LocalTableScan") || plan.contains("Scan ExistingRDD"),
+      "the CC label frame must attach as a gated local relation or " +
+        "through its checkpoint boundary")
   }
 
   audit("curation_diversity") { plan =>
@@ -695,11 +699,12 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   audit("hits_authority") { plan =>
-    // the returned frame is the final auth⨝hub re-attach of two
-    // checkpointed host-graph-scale frames; all iteration rounds sit
-    // behind the checkpoints (constant plan depth, the pagerank shape)
-    assert(plan.contains("Scan ExistingRDD"),
-      "HITS rounds must sit behind checkpoints")
+    // the returned frame is EITHER the bounded-graph driver result (r16:
+    // a broadcast LocalTableScan — all rounds ran on the driver) or, above
+    // the graft.graph.driver_max_edges ceiling, the final auth⨝hub
+    // re-attach of two checkpointed frames (constant plan depth)
+    assert(plan.contains("LocalTableScan") || plan.contains("Scan ExistingRDD"),
+      "HITS must be a driver-gated local relation or checkpointed rounds")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "the final re-attach joins on the host key")
     assert(shuffleExchanges(plan) <= 2,

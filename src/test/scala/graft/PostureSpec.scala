@@ -29,7 +29,13 @@ class PostureSpec extends SparkSpec {
       "forward_fill", "rolling_mean", "rolling_median",
       "rolling_slope", "rolling_stdev", "sessionize",
       "lag_periods", "lead_periods", "rolling_max", "rolling_min",
-      "rolling_pstdev", "fill_mean", "collapse_last", "pipeline_chain")
+      "rolling_pstdev", "fill_mean", "collapse_last", "pipeline_chain",
+      // r16: with the CC labels arriving as a gated driver broadcast, the
+      // head's one remaining RAW shuffle is the members window over the
+      // cluster label — sort family, core-count posture is right for it.
+      // (Above the CC ceiling the distributed CC exchanges return and the
+      // plan votes wide again, as before.)
+      "dedup_cluster")
     val misclassified = tuned.filterNot(classify)
     assert(misclassified.isEmpty,
       s"ordered heads classified wide (would re-pay the ~2x fan-out tax): $misclassified")
@@ -37,7 +43,7 @@ class PostureSpec extends SparkSpec {
 
   test("wide fact shuffles keep the volume-scaled posture") {
     val wide = Seq("q1_pricing", "q3_topk", "q5_region", "dedup_exact",
-      "dedup_minhash", "dedup_cluster", "vocab_topk", "align_streams",
+      "dedup_minhash", "vocab_topk", "align_streams",
       "derived_stream")
     val misclassified = wide.filter(classify)
     assert(misclassified.isEmpty,

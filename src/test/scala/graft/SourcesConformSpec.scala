@@ -238,17 +238,27 @@ class SourcesConformSpec extends SparkSpec {
     val schema = StructType(Seq(StructField("ts", TimestampType),
       StructField("value", DoubleType)))
     def run(): Unit = {
-      val q = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(src)
-        .withWatermark("ts", "10 minutes")
-        .groupBy(window(col("ts"), "1 hour"))
-        .agg(sum(col("value")).as("total"))
-        .select(col("window.start").cast("string").as("h"), col("total"))
-        .writeStream.format("parquet").outputMode("append")
-        .option("path", s"$dir/out")
-        .option("checkpointLocation", s"$dir/ckpt")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // this spec exercises ENGINE watermark semantics for append-mode
+      // windowed aggregation — a shape whose final emission needs the
+      // no-data micro-batch the library's streaming surface disables
+      // (Streaming.ensureParquetCompat, r16: none of the declared queries
+      // emits from one). Pin it ON here so the spec is insulated from the
+      // session-level setting another test's stream read may have left.
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      try {
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(sum(col("value")).as("total"))
+          .select(col("window.start").cast("string").as("h"), col("total"))
+          .writeStream.format("parquet").outputMode("append")
+          .option("path", s"$dir/out")
+          .option("checkpointLocation", s"$dir/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally
+        spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
     }
     // run 1: watermark advances to 11:50. run 2: the 09:00 event is below
     // the watermark and is dropped; the late-but-allowed 11:58 event still
