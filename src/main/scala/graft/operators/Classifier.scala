@@ -294,12 +294,20 @@ object Classifier {
       val taken = featsPlan
         .limit(math.min(maxRows, Int.MaxValue - 2L).toInt + 1).collect()
       if (taken.length <= maxRows) {
-        val labelRows = train.select(col(idCol), label.as("y")).collect()
-        val labels = labelRows.iterator
-          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-        return fitLogRegLocal(
-          taken.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))),
-          labels, buckets, iters, eta, nDocs = labelRows.length.toLong)
+        // cast the label to double HERE (a non-double label works on the
+        // distributed path via implicit cast but would ClassCastException
+        // on getDouble), and take the driver path only when every label is
+        // non-null — a NULL label silently reading 0.0 would diverge from
+        // the distributed join's NULL propagation (r16 advice)
+        val labelRows = train
+          .select(col(idCol), label.cast("double").as("y")).collect()
+        if (labelRows.forall(r => !r.isNullAt(0) && !r.isNullAt(1))) {
+          val labels = labelRows.iterator
+            .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+          return fitLogRegLocal(
+            taken.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))),
+            labels, buckets, iters, eta, nDocs = labelRows.length.toLong)
+        }
       }
     }
     // NOT pre-partitioned by id: the r16 A/B (ProbeR16, alternating

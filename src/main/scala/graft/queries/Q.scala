@@ -24,6 +24,14 @@ object Q {
   /** epoch microseconds of a timestamp column (lossless for Spark µs). */
   def eu(c: Column): Column = unix_micros(c)
 
+  /** Per-process fixture-staging telemetry: outPath -> whether any call
+    * this process BUILT it (vs every call hitting the marker). The bench
+    * serializes this so a pass that paid a fixture write inside its timed
+    * region is distinguishable from a warm pass (r16 verdict ask #5).
+    */
+  val fixtureBuilds =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
   /** Marker-gated staging of a deterministic INPUT fixture (a benchmark
     * suite to decontaminate against, a previous-crawl snapshot to diff
     * against): `build` writes the fixture only when the marker tag — an
@@ -44,14 +52,32 @@ object Q {
     val sha = graft.pipeline.ArtifactCache.sha256Hex(state).take(16)
     val tag =
       s"""{"src": "$d/$table", "state": "$sha", "params": "$params", "v": 1}"""
-    val dir = java.nio.file.Paths.get(outPath).getParent
+    val out = java.nio.file.Paths.get(outPath)
+    val dir = out.getParent
+    java.nio.file.Files.createDirectories(dir)
+    // Serialize the check-build-write sequence across processes (r16
+    // advice): without the lock, a concurrent builder could read a marker
+    // another process is mid-way through re-earning.
     val marker = dir.resolve("_graft_fixture.json")
-    if (!java.nio.file.Files.exists(marker) ||
-        java.nio.file.Files.readString(marker) != tag) {
-      java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.deleteIfExists(marker)
-      build
-      java.nio.file.Files.writeString(marker, tag)
+    graft.sources.Hygiene.withFileLock(dir.resolve("_graft_fixture.lock"),
+      s"Another graft process is staging fixture '$outPath'.") {
+      // the marker alone is not proof: a deleted/half-written fixture with
+      // a surviving marker must rebuild, not skip (r16 advice)
+      val fresh = java.nio.file.Files.exists(marker) &&
+        java.nio.file.Files.readString(marker) == tag &&
+        java.nio.file.Files.exists(out)
+      if (!fresh) {
+        java.nio.file.Files.deleteIfExists(marker)
+        build
+        // atomic marker write: temp file + move, so a crash mid-write
+        // can't leave a marker that matches the tag over a broken fixture
+        val tmp = java.nio.file.Files.createTempFile(dir, "_graft_fixture", ".tmp")
+        java.nio.file.Files.writeString(tmp, tag)
+        java.nio.file.Files.move(tmp, marker,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      fixtureBuilds.merge(outPath, !fresh, (a, b) => a || b)
     }
     outPath
   }

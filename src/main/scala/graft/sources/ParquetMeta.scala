@@ -14,21 +14,34 @@ import org.apache.spark.sql.SparkSession
   */
 object ParquetMeta {
 
-  /** Exact row count of a parquet file, or of the parquet files directly
-    * under a directory (non-hidden `*.parquet` only — Spark's
-    * `_SUCCESS`/`.crc` sidecars are skipped).
+  /** Exact row count of a parquet file, or of the parquet files under a
+    * directory — RECURSIVE, so a partitioned (nested-dir) layout counts
+    * like `spark.read.parquet` would (r16 advice: the flat listing
+    * silently returned 0 for nested layouts). Spark's `_SUCCESS`/`.crc`
+    * sidecars are skipped; any OTHER visible non-parquet data file fails
+    * loudly rather than silently undercounting.
     */
   def rowCount(spark: SparkSession, path: Path): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val hp = new org.apache.hadoop.fs.Path(path.toString)
     val fs = hp.getFileSystem(conf)
     val root = fs.getFileStatus(hp)
+    def hidden(n: String): Boolean = n.startsWith(".") || n.startsWith("_")
+    def walk(d: org.apache.hadoop.fs.FileStatus):
+        Iterator[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(d.getPath).iterator.flatMap { f =>
+        val n = f.getPath.getName
+        if (hidden(n)) Iterator.empty
+        else if (f.isDirectory) walk(f)
+        else if (n.endsWith(".parquet")) Iterator.single(f)
+        else throw new IllegalStateException(
+          s"ParquetMeta.rowCount: unexpected non-parquet data file " +
+            s"'${f.getPath}' under '$path' — footer counting would " +
+            "silently undercount what spark.read.parquet reads")
+      }
     val files =
       if (root.isFile) Iterator.single(root)
-      else fs.listStatus(hp).iterator
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet") &&
-          !f.getPath.getName.startsWith(".") &&
-          !f.getPath.getName.startsWith("_"))
+      else walk(root)
     files.map { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromStatus(f, conf)
