@@ -403,6 +403,44 @@ object Crawl {
     */
   private[graft] val GraphDriverMaxEdges = 1 << 20
 
+  /** Pin a loop-invariant frame's layout for iterated equi-joins on `key`
+    * (r17, guide §2.4 "two operations keyed the same way share one
+    * exchange"): hash-partition on the key at the session's shuffle
+    * parallelism, sort within partitions, and persist. A persisted plan's
+    * InMemoryTableScan preserves outputPartitioning AND outputOrdering
+    * (measured in plans/r17/pagerank_round_pinned.txt — a localCheckpoint
+    * does NOT: under AQE the captured LogicalRDD partitioning is Unknown,
+    * and the per-round exchange comes back), so every subsequent
+    * sort-merge join on `key` at that partition count reuses this one
+    * exchange+sort instead of re-shuffling and re-sorting the edge-scale
+    * side per round. The partition count is the session conf
+    * (scale-adaptive), never a constant. Callers MUST unpersist after
+    * driving the loop (see finishRounds) — nothing may stay cached past
+    * the operator call.
+    */
+  private def pinnedByKey(df: DataFrame, key: String): DataFrame = {
+    val np = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartition(np, col(key))
+      .sortWithinPartitions(col(key))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Drive an iterated-rounds result eagerly (one localCheckpoint action —
+    * the rounds' lazy checkpoints materialize through it), then drop the
+    * loop-invariant pinned frames so no cache outlives the operator call.
+    * The caller gets an RDD-backed frame; results are unchanged, only the
+    * moment of computation moves inside the operator — which is where the
+    * pinned frames' lifetime must end.
+    */
+  private def finishRounds(result: DataFrame,
+                           pinned: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(eager = true)
+    // blocking: the cleanup belongs to THIS operator call, not to whatever
+    // the caller times next
+    pinned.foreach(_.unpersist(blocking = true))
+    out
+  }
+
   /** Bounded take of the host edge list: Some(edges) when the graph fits
     * the driver ceiling, None when it doesn't (or the gate is disabled).
     */
@@ -448,14 +486,22 @@ object Crawl {
       return broadcast(
         rank.toSeq.sortBy(_._1).toDF("host", "rank_micros"))
     }
+    // r17: the edge frame is loop-invariant and every round equi-joins it
+    // on src_host — pin its partitioning+ordering ONCE (pinnedByKey) so the
+    // per-round join re-shuffles and re-sorts only the node-scale rank
+    // frame, never the edge-scale side. The remaining per-round edge-scale
+    // work is the partial-aggregated groupBy(dst_host) — the irreducible
+    // message aggregation.
     val outW = edges.groupBy(col("src_host")).agg(sum(col("weight")).as("out_w"))
-    val e = edges.join(outW, "src_host")
-      .select(col("src_host"), col("dst_host"), col("weight"), col("out_w"))
-      .localCheckpoint(eager = false)
-    val hosts = e.select(col("src_host").as("host"))
-      .unionByName(e.select(col("dst_host").as("host")))
-      .distinct()
-      .localCheckpoint(eager = false)
+    val e = pinnedByKey(
+      edges.join(outW, "src_host")
+        .select(col("src_host"), col("dst_host"), col("weight"), col("out_w")),
+      "src_host")
+    val hosts = pinnedByKey(
+      e.select(col("src_host").as("host"))
+        .unionByName(e.select(col("dst_host").as("host")))
+        .distinct(),
+      "host")
     var ranks = hosts.select(col("host"), lit(initMicros).as("rank_micros"))
     for (_ <- 1 to iters) {
       val inflow = e.join(ranks, col("src_host") === col("host"))
@@ -469,7 +515,7 @@ object Crawl {
             " AS rank_micros")
         .localCheckpoint(eager = false)
     }
-    ranks
+    finishRounds(ranks, e, hosts)
   }
 
   /** HITS hubs & authorities over the weighted host graph — the second
@@ -527,6 +573,13 @@ object Crawl {
         .map(h => (h, auth(h), hub(h)))
         .toDF("host", "auth_micros", "hub_micros"))
     }
+    // r17 measured-and-REJECTED: pinning the edge frame per join key
+    // (one copy per half-round key, pinnedByKey) lost to this shape at
+    // BOTH 200K-host and 1M-host synthetic scales (~1.2-1.3× slower,
+    // 27→33 jobs — two cache builds plus per-half-round cache pressure
+    // outweigh the exchanges they remove at iters=2; probe_graph_p3/p4).
+    // The r16 shape stays: one unpinned checkpoint, half-rounds re-shuffle
+    // it.
     val e = edges.select(col("src_host"), col("dst_host"), col("weight"))
       .localCheckpoint(eager = false)
     val hosts = e.select(col("src_host").as("host"))
@@ -621,6 +674,10 @@ object Crawl {
       return broadcast(labels.toSeq.sortBy(_._1)
         .toDF("host", "community"))
     }
+    // r17: the per-node top-1 vote is an aggregate, not a window: min over
+    // struct(-weight, label) IS the (weight desc, label asc) adoption
+    // rule, and unlike row_number it partial-aggregates map-side and never
+    // sorts whole partitions.
     val und = edges
       .select(col("src_host").as("a"), col("dst_host").as("b"), col("weight"))
       .unionByName(edges
@@ -634,11 +691,10 @@ object Crawl {
       val votes = und
         .join(labels, col("b") === col("host"))
         .groupBy(col("a"), col("label")).agg(sum(col("w")).as("lw"))
-      val top = row_number().over(
-        Window.partitionBy(col("a"))
-          .orderBy(col("lw").desc, col("label").asc))
-      labels = votes.withColumn("r", top).where(col("r") === 1)
-        .select(col("a").as("host"), col("label"))
+      labels = votes
+        .groupBy(col("a"))
+        .agg(min(struct((-col("lw")).as("nw"), col("label").as("label"))).as("t"))
+        .select(col("a").as("host"), col("t.label").as("label"))
         .localCheckpoint(eager = false)
     }
     labels.select(col("host"), col("label").as("community"))

@@ -537,16 +537,18 @@ object Dedup {
 
   // --------------------------------------------------- duplicate clustering
 
-  /** Connected components by min-label propagation with pointer jumping:
-    * each round takes the min over neighbor labels, then compresses paths
-    * (label := label(label)), so convergence is O(log diameter) rounds —
-    * a 2^30-node chain converges in ~30 rounds, where plain propagation
-    * needs diameter rounds (a 14s vs 0.7s difference on chained near-dup
-    * corpora). Only edge-touched nodes enter the loop; untouched nodes are
-    * singletons reattached at the end, so round cost scales with the
-    * candidate-pair graph, not the corpus. All data stays distributed —
-    * the driver reads one scalar (the label sum, strictly decreasing until
-    * fixpoint) per round. localCheckpoint cuts the growing lineage.
+  /** Connected components. Labels every node with the MINIMUM id of its
+    * component. Two paths: a bounded driver union-find for
+    * metadata-scale edge sets (below), and a distributed alternating
+    * large-star/small-star contraction (Kiveris et al., SoCC 2014) above
+    * the ceiling — each star round is one partial-aggregated groupBy plus
+    * one equi-join over an edge set that CONTRACTS toward one star per
+    * component, so round cost shrinks as the fixpoint nears and
+    * convergence is O(log² n) rounds on any graph shape. Only
+    * edge-touched nodes enter either path; untouched nodes are singletons
+    * reattached at the end, so cost scales with the candidate-pair graph,
+    * not the corpus. The driver reads one fingerprint scalar per
+    * ALTERNATION (two star ops); localCheckpoint cuts the growing lineage.
     */
   /** Driver-path ceiling for [[connectedComponents]]: edge sets at or
     * under this collect to a driver union-find (one bounded take instead
@@ -594,8 +596,11 @@ object Dedup {
       spark.conf.get("graft.cc.driver_max_edges").toLong)
       .getOrElse(CcDriverMaxEdges.toLong)
     if (ccMax > 0) {
+      // clamp like the Crawl/Classifier gates: a conf above Int.MaxValue
+      // must not truncate to a small limit and union-find a PARTIAL edge
+      // set (r16 advice — silent wrong labels)
       val taken = edges.select(col("id_a"), col("id_b"))
-        .limit(ccMax.toInt + 1).collect()
+        .limit(math.min(ccMax, Int.MaxValue - 2L).toInt + 1).collect()
       if (taken.length <= ccMax) {
         val labels = unionFindMinLabels(
           taken.map(r => (r.getLong(0), r.getLong(1))))
@@ -611,40 +616,79 @@ object Dedup {
             coalesce(col("__cc_label"), col(idCol)).as("cluster_id"))
       }
     }
-    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // Distributed path (the 100 TB posture): alternating LARGE-STAR /
+    // SMALL-STAR edge contraction (Kiveris et al., "Connected Components
+    // in MapReduce and Beyond", SoCC 2014) replaces the r15 min-label
+    // propagation loop. Each star op is ONE partial-aggregated groupBy
+    // plus ONE equi-join over a CONTRACTING edge set — the old loop paid
+    // three joins over the FIXED symmetric edge frame every round — and
+    // the driver probes convergence once per ALTERNATION (two star ops),
+    // not once per round: half the driver actions for the same O(log²n)
+    // round bound. At the fixpoint the edge set IS the labeling: one star
+    // per component, every non-minimum node pointing at the component
+    // minimum (exactly the union-find/min-label fixpoint; TextDedupSpec
+    // pins all three paths equal).
+    def largeStar(e: DataFrame): DataFrame = {
+      // for every node: connect each STRICTLY LARGER neighbor to the
+      // minimum of the closed neighborhood (the min never exceeds the
+      // node, so output edges stay canonical u > v and self-loop-free)
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      // no distinct here: duplicates can't change smallStar's group minima
+      // and its final distinct dedups the pair's output — one fewer
+      // exchange per alternation (measured 53→62 job regression on
+      // 64-chains with the extra distinct; see OPTIMIZATION_r17.md)
+      sym.join(m, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // canonical input (u > v): connect every smaller neighbor, and the
+      // node itself, to the group minimum — the row carrying the minimum
+      // re-emits the (node, min) edge, the rest re-point to it
+      val m = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      e.join(m, "u")
+        .select(
+          when(col("v") === col("m"), col("u")).otherwise(col("v")).as("u"),
+          col("m").as("v"))
+        .distinct()
+    }
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      // one scalar action per alternation: (edge count, order-free hash
+      // fold) — equal across alternations means both star ops are at
+      // their joint fixpoint (the old loop's label-sum probe, on edges).
+      // bit_xor, not sum: a Long sum overflows under ANSI mode; xor over
+      // a DISTINCT edge set is an equally sound set fingerprint
+      val r = e.agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(col("u"), col("v"))).as("h")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var cur = edges
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
       .localCheckpoint(eager = false)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(eager = false)
-    var prevSum = Option.empty[Long]
+    var fp = fingerprint(cur)
+    // no edges → every node is a singleton (surfaced by the pre-collapse
+    // path, where a corpus of exact-dup groups can yield zero near-dup
+    // edges); otherwise alternate until the edge set stabilizes
+    var converged = fp._1 == 0L
     var iter = 0
-    // no edges → every node is a singleton; the loop's label-sum probe
-    // would read sum(empty) = NULL (surfaced by the pre-collapse path,
-    // where a corpus of exact-dup groups can yield zero near-dup edges)
-    var converged = labels.isEmpty
     while (!converged && iter < maxIter) {
-      val msgs = sym.as("s").join(labels.as("l"), col("s.src") === col("l.id"))
-        .select(col("s.dst").as("id"), col("l.label").as("nlabel"))
-      val minN = msgs.groupBy(col("id")).agg(min(col("nlabel")).as("nlabel"))
-      val l1 = labels.join(minN, Seq("id"), "left")
-        .select(col("id"),
-          least(coalesce(col("nlabel"), col("label")), col("label")).as("label"))
-      // pointer jumping: a node's label is itself an active node id, so the
-      // self-join resolves label → label(label), halving every chain
-      val next = l1.as("a")
-        .join(l1.as("b"), col("a.label") === col("b.id"))
-        .select(col("a.id").as("id"), col("b.label").as("label"))
-        .localCheckpoint(eager = false)
-      val s = next.agg(sum(col("label"))).head().getLong(0)
-      converged = prevSum.contains(s)
-      prevSum = Some(s)
-      labels = next
+      val next = smallStar(largeStar(cur)).localCheckpoint(eager = false)
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      fp = nfp
+      cur = next
       iter += 1
     }
-    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    require(converged,
+      s"connectedComponents did not converge in $maxIter alternations")
     nodes.select(col(idCol))
-      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .join(cur.select(col("u").as(idCol), col("v").as("label")),
+        Seq(idCol), "left")
       .select(col(idCol), coalesce(col("label"), col(idCol)).as("cluster_id"))
   }
 

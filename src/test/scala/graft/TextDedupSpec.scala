@@ -308,6 +308,37 @@ class TextDedupSpec extends SparkSpec {
     } finally spark.conf.unset("graft.cc.driver_max_edges")
   }
 
+  test("distributed star-contraction CC equals the driver union-find on random graphs") {
+    // the r17 large-star/small-star loop must reach the identical
+    // min-label fixpoint as the driver path on arbitrary graph shapes:
+    // random sparse graphs (mixed component sizes, cross-links, isolated
+    // nodes) across several seeds, plus a 64-node path (high diameter —
+    // the contraction must converge well inside maxIter)
+    import spark.implicits._
+    val cases: Seq[Array[(Long, Long)]] =
+      Seq(7L, 21L, 1031L).map { seed =>
+        val rnd = new scala.util.Random(seed)
+        Array.fill(120)((rnd.nextInt(90).toLong, rnd.nextInt(90).toLong))
+          .filter { case (a, b) => a != b }
+      } :+ (1L until 64L).map(i => (i, i + 1)).toArray
+    for (es <- cases) {
+      val nodeIds = (0L until 95L).toSeq
+      val nodes = nodeIds.toDF("doc_id")
+      val edges = es.toSeq.toDF("id_a", "id_b")
+      val uf = Dedup.unionFindMinLabels(es)
+      val expect = nodeIds.map(id => id -> uf.getOrElse(id, id)).toMap
+      spark.conf.set("graft.cc.driver_max_edges", "0")
+      try {
+        val rows = Dedup.connectedComponents(nodes, edges, "doc_id").collect()
+        // exactly one label row per node (a non-star fixpoint would fan
+        // the final attach join out)
+        assert(rows.length == nodeIds.size)
+        val dist = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(dist == expect)
+      } finally spark.conf.unset("graft.cc.driver_max_edges")
+    }
+  }
+
   test("union-find labels: cross-linked components collapse to the min id") {
     // two chains merged by a late edge; labels must be component minima
     val labels = Dedup.unionFindMinLabels(
